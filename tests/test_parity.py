@@ -1,0 +1,30 @@
+"""Every registered query with an oracle must hash-match DuckDB —
+the local mirror of the driver's t2 gate (at sf0.001 for speed; the
+driver runs sf0.01)."""
+
+from __future__ import annotations
+
+import pytest
+
+from network_ids_using_pyspark_spark.queries import REGISTRY
+
+from .conftest import SF_DIR
+from .oracle import compare_query
+
+_WITH_ORACLE = sorted(name for name, (_, sql) in REGISTRY.items() if sql is not None)
+_ROWS_ONLY = sorted(name for name, (_, sql) in REGISTRY.items() if sql is None)
+
+
+@pytest.mark.parametrize("name", _WITH_ORACLE)
+def test_oracle_parity(spark, name):
+    fn, sql = REGISTRY[name]
+    df = fn(spark, SF_DIR)
+    compare_query(spark, SF_DIR, df, sql)
+
+
+@pytest.mark.parametrize("name", _ROWS_ONLY)
+def test_rows_only_runs(spark, name):
+    fn, _ = REGISTRY[name]
+    df = fn(spark, SF_DIR)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
