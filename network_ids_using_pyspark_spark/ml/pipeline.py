@@ -1,0 +1,165 @@
+"""MLlib pipeline parity (SURVEY.md §2.9).
+
+Re-expresses the reference's feature/classify/evaluate chain
+(``/root/reference/src/modelling.py:95-194``) as composable operators,
+minus its scaling anti-patterns:
+
+* confusion matrix is a distributed ``groupBy(label, prediction)`` pivot,
+  never the reference's collect-both-columns-to-driver + sklearn
+  (``modelling.py:181-194``);
+* the train/validation split is hash/anti-join based (see
+  ``operators/sampling.py``), never collect + NOT-IN;
+* the imputer is fit once and reused; all sampling is seeded.
+
+Every ``fit`` here is a Spark aggregation job (min/max for the scaler,
+label frequencies for the indexer, approx-quantile sketch for the
+imputer); every ``transform`` is a projection — so the whole pipeline
+scales like the relational ops do.
+"""
+
+from __future__ import annotations
+
+from pyspark.ml.classification import (
+    DecisionTreeClassifier,
+    MultilayerPerceptronClassifier,
+    NaiveBayes,
+    RandomForestClassifier,
+)
+from pyspark.ml.evaluation import MulticlassClassificationEvaluator
+from pyspark.ml.feature import Imputer, MinMaxScaler, StringIndexer, VectorAssembler
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.cleaning import replace_inf
+from ..sources.tables import canonicalize_columns
+
+
+def impute_median(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Engine op ``impute_median`` (SURVEY.md §2.9 M1): MLlib ``Imputer``
+    with the median strategy — internally one ``approxQuantile`` sketch
+    pass (mergeable, single-scan: the 100 TB path).  The exact variant
+    for oracle parity is ``operators.cleaning.impute_median_exact``."""
+    imputer = Imputer(strategy="median", inputCols=cols, outputCols=cols)
+    return imputer.fit(df).transform(df)
+
+
+def assemble_features(df: DataFrame, input_cols: list[str], out: str = "features") -> DataFrame:
+    """Engine op ``assemble_features`` (M2): pack numeric columns into one
+    ``VectorUDT`` column (kept out of oracle-checked outputs — §7.3)."""
+    return VectorAssembler(inputCols=input_cols, outputCol=out).transform(df)
+
+
+def scale_minmax(df: DataFrame, in_col: str = "features", out: str = "scaled_features") -> DataFrame:
+    """Engine op ``scale_minmax`` (M3): fit = one per-dimension min/max
+    aggregation; transform = projection."""
+    return MinMaxScaler(inputCol=in_col, outputCol=out).fit(df).transform(df)
+
+
+def encode_label(df: DataFrame, in_col: str = "label", out: str = "encoded_label") -> DataFrame:
+    """Engine op ``encode_label`` (M4): frequency-descending string
+    indexing, ties broken alphabetically — deterministic, unlike
+    hash-order approaches."""
+    idx = StringIndexer(inputCol=in_col, outputCol=out, stringOrderType="frequencyDesc")
+    return idx.fit(df).transform(df)
+
+
+_CLASSIFIERS = {
+    "rf": lambda feat, lbl, seed: RandomForestClassifier(
+        featuresCol=feat, labelCol=lbl, seed=seed
+    ),
+    "dt": lambda feat, lbl, seed: DecisionTreeClassifier(
+        featuresCol=feat, labelCol=lbl, seed=seed
+    ),
+    "nb": lambda feat, lbl, seed: NaiveBayes(
+        featuresCol=feat, labelCol=lbl, modelType="multinomial", smoothing=1.0
+    ),
+    "mlp": lambda feat, lbl, seed: MultilayerPerceptronClassifier(
+        featuresCol=feat, labelCol=lbl, maxIter=100, blockSize=128, seed=seed
+    ),
+}
+
+
+def train_classifier(
+    train: DataFrame,
+    kind: str,
+    features_col: str = "features",
+    label_col: str = "encoded_label",
+    seed: int = 1234,
+    layers: list[int] | None = None,
+):
+    """Engine ops ``train_rf/dt/nb/mlp`` (M5-M8).  NB requires the
+    [0,1]-scaled features (multinomial needs non-negatives) and MLP needs
+    ``layers`` — both exactly as the reference configures them
+    (``modelling.py:130-150``)."""
+    est = _CLASSIFIERS[kind](features_col, label_col, seed)
+    if kind == "mlp":
+        if layers is None:
+            raise ValueError("mlp requires layers=[n_in, ..., n_classes]")
+        est.setLayers(layers)
+    return est.fit(train)
+
+
+def evaluate_multiclass(
+    predictions: DataFrame, label_col: str = "encoded_label"
+) -> dict[str, float]:
+    """Engine op ``evaluate_multiclass`` (M9): f1 / precision / recall /
+    accuracy — each a distributed confusion-statistics aggregation."""
+    out = {}
+    ev = MulticlassClassificationEvaluator(labelCol=label_col, predictionCol="prediction")
+    for metric in ("f1", "accuracy", "weightedPrecision", "weightedRecall"):
+        out[metric] = ev.setMetricName(metric).evaluate(predictions)
+    return out
+
+
+def confusion_matrix(
+    predictions: DataFrame, label_col: str = "encoded_label"
+) -> DataFrame:
+    """Engine op ``confusion_matrix`` (M10/G8) as a distributed k×k
+    aggregate — ``groupBy(label, prediction).count()`` (tall form, which
+    scales to any k and pivots client-side if a matrix is wanted).  The
+    reference collected both full columns to the driver for sklearn
+    (``modelling.py:183-186``) — O(N) driver memory; this is O(k²)."""
+    return (
+        predictions.groupBy(
+            F.col(label_col).cast("int").alias("label"),
+            F.col("prediction").cast("int").alias("prediction"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# Numeric feature set of the synthetic flow fixture (canonical names).
+FLOW_FEATURES = [
+    "dst_port",
+    "protocol",
+    "flow_duration",
+    "tot_fwd_pkts",
+    "totlen_fwd_pkts",
+    "fwd_pkt_len_mean",
+    "flow_byts_per_s",
+    "flow_pkts_per_s",
+    "flow_iat_mean",
+    "syn_flag_cnt",
+    "ack_flag_cnt",
+    "down_per_up_ratio",
+    "init_fwd_win_byts",
+]
+
+
+def prepare_flow_features(flows: DataFrame) -> DataFrame:
+    """End-to-end cleaning + featurization mirroring the reference
+    pipeline order (ingest → inf-replace → impute → assemble → scale →
+    encode; ``ISAA_Review_3.ipynb`` cells 26-34) on canonicalized names,
+    with native expressions instead of the Python UDF."""
+    df = canonicalize_columns(flows)
+    df = replace_inf(df, ["flow_pkts_per_s"], 4_000_000.0)
+    df = df.withColumn(
+        "flow_pkts_per_s",
+        F.when(F.isnan("flow_pkts_per_s"), F.lit(0.0)).otherwise(F.col("flow_pkts_per_s")),
+    )
+    df = impute_median(df, ["flow_byts_per_s"])
+    df = df.drop("timestamp")
+    df = assemble_features(df, FLOW_FEATURES)
+    df = scale_minmax(df)
+    df = encode_label(df, "label", "encoded_label")
+    return df

@@ -1,4 +1,102 @@
-"""Structured Streaming queries (batch-equivalence oracles where the
-aggregation is SQL-expressible).  Filled out alongside ``streaming/``."""
+"""Structured Streaming queries, driven to completion with availableNow
+over the bounded events fixture.  Window aggregations are batch-
+equivalent, so they get full DuckDB oracles (the strongest check a
+streaming op can have); stateful dedup gets one too because its final
+table is exactly DISTINCT.
+"""
 
 from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..streaming.stream import (
+    run_to_memory,
+    session_stats,
+    sliding_counts,
+    stream_dedup,
+    stream_events,
+    tumbling_counts,
+)
+from . import register
+
+
+@register(
+    "stream_tumbling_counts",
+    """
+    SELECT date_trunc('hour', ts) AS window_start, event_type, COUNT(*) AS n
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_stream_tumbling_counts(spark, sf_dir):
+    """Tumbling 1-hour windows per event_type, complete-mode memory sink
+    — hash-matched against the batch date_trunc aggregation."""
+    ev = stream_events(spark, sf_dir)
+    return run_to_memory(tumbling_counts(ev, "1 hour"), "complete")
+
+
+@register(
+    "stream_sliding_counts",
+    """
+    SELECT ws AS window_start, event_type, COUNT(*) AS n
+    FROM (
+      SELECT UNNEST([date_trunc('hour', ts) - INTERVAL 1 HOUR, date_trunc('hour', ts)]) AS ws,
+             event_type
+      FROM events
+    )
+    GROUP BY 1, 2
+    """,
+)
+def q_stream_sliding_counts(spark, sf_dir):
+    """Sliding 2h/1h windows — every event contributes to two windows;
+    the oracle unnests the same two window starts per event."""
+    ev = stream_events(spark, sf_dir)
+    return run_to_memory(sliding_counts(ev, "2 hours", "1 hour"), "complete")
+
+
+@register(
+    "stream_session_stats",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL THEN 1
+                  WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800 * 1000000 THEN 1
+                  ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC)
+    ), sessioned AS (
+      SELECT user_id, ts,
+             SUM(new_sess) OVER (
+               PARTITION BY user_id ORDER BY ts ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS session_idx
+      FROM flagged
+    )
+    SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+    FROM sessioned
+    GROUP BY user_id, session_idx
+    """,
+)
+def q_stream_session_stats(spark, sf_dir):
+    """Gap-based session windows (30 min) per user via
+    ``session_window`` — oracle is the batch lag/cumsum sessionization,
+    proving stream/batch equivalence (SURVEY.md §5.2 #5)."""
+    ev = stream_events(spark, sf_dir)
+    return run_to_memory(session_stats(ev, "30 minutes"), "complete")
+
+
+@register(
+    "stream_dedup_count",
+    """
+    SELECT CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_unique
+    FROM events
+    """,
+)
+def q_stream_dedup_count(spark, sf_dir):
+    """Stateful streaming dedup: the stream unioned with itself (every
+    event duplicated) → ``dropDuplicatesWithinWatermark`` → the surviving
+    row count must equal the exact distinct count."""
+    ev = stream_events(spark, sf_dir)
+    doubled = ev.union(ev)
+    deduped = run_to_memory(stream_dedup(doubled, "1 hour"), "append")
+    return deduped.agg(F.count(F.lit(1)).alias("n_unique"))

@@ -1,0 +1,136 @@
+"""Structured Streaming layer (SURVEY.md §2.10).
+
+The reference is purely batch; its only serving element is the Cassandra
+dashboard sink.  Per the north star ("Structured Streaming + MLlib
+classification") the engine adds the streaming path an IDS implies:
+event-time watermarks, tumbling/sliding/session windows, stateful dedup,
+and ``foreachBatch`` scoring into the predictions sink.
+
+Testing approach (SURVEY.md §5.2 #5): streams are driven with
+``trigger(availableNow=True)`` over the bounded ``events`` fixture and
+compared to the *batch* expression of the same aggregation — which is
+also what gives several streaming ops full DuckDB oracles.
+
+Scale: all windowed aggs key their state by (window, group-key) — state
+store size is O(open windows × keys), independent of input volume;
+watermarks bound "open".  ``foreachBatch`` writes partition-parallel.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_MEMORY_SINK_IDS = itertools.count()
+
+EVENTS_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as int64 ns
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine op ``stream_flows``/``stream_events``: file-source stream of
+    the events fixture.  In production this is the same code with a Kafka
+    source; the transformations below are source-agnostic."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def run_to_memory(
+    df: DataFrame, output_mode: str, prefix: str = "nids_stream"
+) -> DataFrame:
+    """Drive a (bounded) streaming frame to completion into a memory sink
+    with ``availableNow`` and return the result table.  Unique sink name
+    per call so reruns in one session never collide."""
+    name = f"{prefix}_{next(_MEMORY_SINK_IDS)}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return df.sparkSession.table(name)
+
+
+def tumbling_counts(events: DataFrame, duration: str = "1 hour") -> DataFrame:
+    """Tumbling event-time window counts per event_type."""
+    return (
+        events.groupBy(F.window("ts", duration), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame, duration: str = "2 hours", slide: str = "1 hour"
+) -> DataFrame:
+    """Sliding (overlapping) windows — each event lands in
+    duration/slide windows."""
+    return (
+        events.groupBy(F.window("ts", duration, slide), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("window_start"), "event_type", "n")
+    )
+
+
+def session_stats(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Gap-based session windows per user — the streaming twin of
+    ``operators.windowed.sessionize`` (same 30-min gap semantics)."""
+    return (
+        events.groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.min("ts").alias("t_start"))
+        .select("user_id", F.col("session_window.start").alias("session_start"), "n_events")
+    )
+
+
+def stream_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Stateful streaming dedup on event_id within a watermark —
+    ``dropDuplicatesWithinWatermark`` keeps state only ``watermark`` long,
+    so state is bounded at any input volume."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
+
+
+def score_to_sink(
+    events: DataFrame, model, sink_path: str, checkpoint: str
+) -> "StreamingQuery":
+    """Engine op replacing the reference's Cassandra serving loop
+    (``spark_to_cassandra.py:24-30``): score each micro-batch with a
+    fitted MLlib model and append to the predictions sink — executor-
+    parallel, exactly-once via the checkpoint, no driver loop."""
+    from ..sources.sinks import sink_predictions
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        preds = model.transform(batch_df)
+        out = preds.select(
+            F.col("event_id").alias("vals"),
+            F.col("prediction").cast("int").alias("prediction"),
+        )
+        sink_predictions(out, sink_path, mode="append")
+
+    return (
+        events.writeStream.foreachBatch(_write)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
