@@ -1,0 +1,222 @@
+"""Fuzzy-deduplication operators (LLM-data-pipeline surface).
+
+Four families, each scale-designed and (because every hash is the
+portable md5 primitive) fully oracle-checkable:
+
+* **n-gram Jaccard** — inverted-index self-join on word shingles:
+  explode distinct shingles → join on shingle → count intersections →
+  Jaccard from per-doc set sizes.  Never a quadratic cross join; the
+  shuffle key is the shingle.  At 100 TB add ``max_df`` (drop shingles
+  occurring in more than N docs — stopword-shingle skew control, the
+  standard trick) — exposed as a parameter.
+* **MinHash** — k independent hash mins per doc over the shingle set;
+  signature similarity estimates Jaccard without pairwise shingle
+  intersection.
+* **MinHash LSH** — band the signatures (b bands × r rows), join on
+  band keys: candidate pairs cost O(collisions), not O(n²).
+* **SimHash** — per-token hash bit-votes, packed into a small integer
+  fingerprint; near-dups differ in few bits.
+
+Reference has none of these (its only dedup-adjacent op is exact
+``dropDuplicates`` semantics); they are the BASELINE.json north-star
+additions (SURVEY.md §7.1 phase 7).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import portable_hash64
+from .textops import tokens
+
+
+def shingles(col: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles as an array column (built-in array ops —
+    sequence/slice/array_join — no UDF)."""
+    toks = tokens(col)
+    k = F.size(toks) - (n - 1)
+    return F.when(
+        k >= 1,
+        F.transform(F.sequence(F.lit(1), k), lambda i: F.array_join(F.slice(toks, i, n), " ")),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def exploded_shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
+    """(doc_id, shingle) pairs, distinct per doc — the inverted-index
+    input relation."""
+    return docs.select(
+        id_col, F.explode(F.array_distinct(shingles(text_col, n))).alias("shingle")
+    )
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    max_df: int | None = None,
+) -> DataFrame:
+    """All pairs with shingle-set Jaccard ≥ threshold, via the
+    inverted-index join.  ``max_df`` drops shingles present in more than
+    that many docs before the self-join (skew control at scale; changes
+    results — keep None for exact semantics)."""
+    ex = exploded_shingles(docs, id_col, text_col, n)
+    if max_df is not None:
+        rare = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).filter(
+            F.col("df") <= max_df
+        )
+        ex = ex.join(rare.select("shingle"), "shingle")
+    sizes = ex.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = ex.alias("a"), ex.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.withColumnsRenamed({id_col: "doc_a", "n_sh": "n_a"})
+    sb = sizes.withColumnsRenamed({id_col: "doc_b", "n_sh": "n_b"})
+    out = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+        )
+    )
+    return out.filter(F.col("jaccard") >= threshold).select("doc_a", "doc_b", "jaccard")
+
+
+def minhash_signatures(
+    docs: DataFrame, k: int = 16, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """k-permutation MinHash signature per doc: sig_i = min over the
+    shingle set of h_i(shingle), h_i = portable hash salted with i.
+    One explode + one grouped agg with k mins — single shuffle on
+    doc_id.  Docs with fewer than ``n`` tokens have no shingles and no
+    signature (dropped by the inner explode), same as the SQL unnest."""
+    ex = exploded_shingles(docs, id_col, text_col, n)
+    aggs = [
+        F.min(portable_hash64(F.col("shingle"), seed=f"mh{i}:")).alias(f"sig_{i}")
+        for i in range(k)
+    ]
+    return ex.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    signatures: DataFrame, bands: int = 4, rows: int = 4, id_col: str = "doc_id"
+) -> DataFrame:
+    """LSH candidate pairs: hash each band of ``rows`` signature values
+    to a key; docs colliding on any (band, key) are candidates.  The
+    join cost is bucket-quadratic, not corpus-quadratic — this is the
+    100 TB fuzzy-dedup path."""
+    banded = []
+    for b in range(bands):
+        cols = [F.col(f"sig_{b * rows + r}") for r in range(rows)]
+        banded.append(
+            signatures.select(
+                F.col(id_col),
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws(",", *cols)).alias("band_key"),
+            )
+        )
+    all_bands = banded[0]
+    for extra in banded[1:]:
+        all_bands = all_bands.unionByName(extra)
+    a, b_ = all_bands.alias("a"), all_bands.alias("b")
+    return (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+        .distinct()
+    )
+
+
+def simhash(docs: DataFrame, bits: int = 16, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """SimHash fingerprint: each token votes ±1 on every bit of its
+    hash; the fingerprint packs the vote signs.  Term frequency acts as
+    the weight (tokens exploded, not distinct).  One explode + one
+    grouped agg with ``bits`` sums."""
+    ex = docs.select(id_col, F.explode(tokens(text_col)).alias("tok"))
+    h = portable_hash64(F.col("tok"), seed="simhash:")
+    ex = ex.select(id_col, h.alias("h"))
+    votes = [
+        F.sum(
+            F.when(F.expr(f"(h DIV {1 << j}) % 2") == 1, 1).otherwise(-1)
+        ).alias(f"v_{j}")
+        for j in range(bits)
+    ]
+    agg = ex.groupBy(id_col).agg(*votes)
+    fp = None
+    for j in range(bits):
+        bit = F.when(F.col(f"v_{j}") >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+        fp = bit if fp is None else fp + bit
+    return agg.select(id_col, fp.cast("long").alias("simhash"))
+
+
+# --- embedding near-dup (sign-LSH buckets + exact cosine inside) -----
+
+def hyperplanes(bits: int, dim: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes in [-1,1]^dim, derived
+    from md5 so the oracle can embed the identical literals."""
+    out = []
+    for b in range(bits):
+        row = []
+        for i in range(dim):
+            h = int(hashlib.md5(f"hp:{b}:{i}".encode()).hexdigest()[:15], 16)
+            row.append((h / float(16**15)) * 2.0 - 1.0)
+        out.append(row)
+    return out
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    threshold: float,
+    bits: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate near-duplicate pairs over an embedding column:
+    sign-LSH bucket (``bits`` hyperplanes) → exact cosine within bucket
+    ≥ threshold.  Candidate generation is bucket-local, so the join is
+    linear-ish in corpus size; recall is bounded by the bucketing (by
+    design — documented approximate semantics)."""
+    from .similarity import as_double_array, cosine
+
+    hps = hyperplanes(bits, dim)
+    e = as_double_array(vec_col)
+
+    def dot_lit(vec: Column, plane: list[float]) -> Column:
+        arr = F.array(*[F.lit(v) for v in plane])
+        return F.aggregate(
+            F.zip_with(vec, arr, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+        )
+
+    bucket = None
+    for b in range(bits):
+        bit = F.when(dot_lit(e, hps[b]) > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    tagged = emb.select(F.col(id_col), e.alias("v"), bucket.cast("long").alias("bucket"))
+    a, b_ = tagged.alias("a"), tagged.alias("b")
+    pairs = a.join(
+        b_,
+        (F.col("a.bucket") == F.col("b.bucket")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias("vec_a"),
+        F.col(f"b.{id_col}").alias("vec_b"),
+        cosine(F.col("a.v"), F.col("b.v")).alias("sim"),
+    )
+    return pairs.filter(F.col("sim") >= threshold)

@@ -1,0 +1,151 @@
+"""Fuzzy-dedup queries — every one fully oracle-checked (the portable
+hash + literal hyperplanes make even MinHash/SimHash/LSH cross-engine
+exact).  Oracle SQL is generated programmatically to mirror the Spark
+expression trees term-for-term."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions.hashing import portable_hash64_sql
+from ..operators.dedup import (
+    embedding_near_dup_pairs,
+    hyperplanes,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    simhash,
+)
+from ..sources.tables import load_table
+from . import register
+
+K = 16
+BANDS, ROWS = 4, 4
+JACCARD_T = 0.5
+NEAR_DUP_T = 0.4
+HP_BITS, HP_DIM = 8, 64
+
+_SHINGLES_CTE = r"""
+toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
+), sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(range(1, len(w) - 1),
+                i -> array_to_string(w[i:i+2], ' ')))) AS shingle
+  FROM toks WHERE len(w) >= 3
+)
+"""
+
+_JACCARD_SQL = f"""
+WITH {_SHINGLES_CTE},
+sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, jaccard FROM (
+  SELECT doc_a, doc_b,
+         CAST(n_inter AS DOUBLE) / CAST(x.n_sh + y.n_sh - n_inter AS DOUBLE) AS jaccard
+  FROM inter JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+) WHERE jaccard >= {JACCARD_T}
+"""
+
+
+@register("dedup_ngram_jaccard", _JACCARD_SQL)
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    """3-gram Jaccard near-dup pairs (≥ 0.5) via the inverted-index
+    join — never a quadratic cross join."""
+    docs = load_table(spark, sf_dir, "documents")
+    return jaccard_pairs(docs, JACCARD_T)
+
+
+_SIG_COLS = ",\n       ".join(
+    f"MIN({portable_hash64_sql('shingle', seed=f'mh{i}:')}) AS sig_{i}" for i in range(K)
+)
+_SIG_SQL = f"WITH {_SHINGLES_CTE} SELECT doc_id, {_SIG_COLS} FROM sh GROUP BY doc_id"
+
+
+@register("minhash_signatures", _SIG_SQL)
+def q_minhash_signatures(spark, sf_dir):
+    """16-permutation MinHash signatures over 3-gram shingle sets."""
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_signatures(docs, k=K)
+
+
+def _bands_sql() -> str:
+    parts = []
+    for b in range(BANDS):
+        cols = ", ".join(f"CAST(sig_{b * ROWS + r} AS VARCHAR)" for r in range(ROWS))
+        parts.append(
+            f"SELECT doc_id, {b} AS band, md5(concat_ws(',', {cols})) AS band_key FROM sig"
+        )
+    return " UNION ALL ".join(parts)
+
+
+_LSH_SQL = f"""
+WITH {_SHINGLES_CTE},
+sig AS (SELECT doc_id, {_SIG_COLS} FROM sh GROUP BY doc_id),
+bands AS ({_bands_sql()})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+"""
+
+
+@register("minhash_lsh_pairs", _LSH_SQL)
+def q_minhash_lsh_pairs(spark, sf_dir):
+    """LSH candidate pairs from banded MinHash signatures (4×4) —
+    bucket-local join, the 100 TB fuzzy-dedup path."""
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(minhash_signatures(docs, k=K), bands=BANDS, rows=ROWS)
+
+
+def _simhash_sql(bits: int = 16) -> str:
+    h = portable_hash64_sql("tok", seed="simhash:")
+    votes = ",\n       ".join(
+        f"SUM(CASE WHEN (h // {1 << j}) % 2 = 1 THEN 1 ELSE -1 END) AS v_{j}"
+        for j in range(bits)
+    )
+    pack = " + ".join(f"(CASE WHEN v_{j} >= 0 THEN {1 << j} ELSE 0 END)" for j in range(bits))
+    return rf"""
+    WITH tk AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok FROM documents
+    ), hh AS (SELECT doc_id, {h} AS h FROM tk),
+    v AS (SELECT doc_id, {votes} FROM hh GROUP BY doc_id)
+    SELECT doc_id, CAST({pack} AS BIGINT) AS simhash FROM v
+    """
+
+
+@register("simhash_fingerprints", _simhash_sql())
+def q_simhash_fingerprints(spark, sf_dir):
+    """16-bit SimHash fingerprints (term-frequency-weighted bit votes)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash(docs, bits=16)
+
+
+def _near_dup_sql() -> str:
+    hps = hyperplanes(HP_BITS, HP_DIM)
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {hps[b]!r}) > 0 THEN {1 << b} ELSE 0 END)"
+        for b in range(HP_BITS)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    t AS (SELECT vec_id, v, CAST({bucket} AS BIGINT) AS bucket FROM e)
+    SELECT vec_a, vec_b, sim FROM (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS sim
+      FROM t a JOIN t b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    ) WHERE sim >= {NEAR_DUP_T}
+    """
+
+
+@register("embedding_near_dup", _near_dup_sql())
+def q_embedding_near_dup(spark, sf_dir):
+    """Approximate embedding near-dup: 8-bit sign-LSH buckets, exact
+    cosine (≥ 0.4) within buckets.  Candidate generation is linear-ish;
+    recall bounded by bucketing (documented approximate semantics)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(emb, NEAR_DUP_T, bits=HP_BITS, dim=HP_DIM)
