@@ -1,0 +1,137 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` columns
+with typed metadata (the LLM-data-pipeline pattern).
+
+The Spark-side plumbing is real and tested: explicit schemas,
+Arrow-batched ``mapInPandas`` (never row-at-a-time UDFs), partition-
+preserving transforms.  The actual codec work (PIL/ffmpeg/librosa) is
+NOT available in this container, so the decode kernel is either
+
+* a **deterministic fake** (`fake_decode=True`, default) — features
+  derived only from the payload bytes (length, md5), which makes even
+  this Python-side path oracle-checkable — or
+* the **real stub** (`fake_decode=False`) that raises
+  ``NotImplementedError`` until an image library is installed (the
+  import is try-gated, so installing pillow turns it on without a code
+  change).
+
+At 100 TB: media payloads dominate row size, so the operators take an
+``id_cols`` projection and never shuffle payloads — decode happens in
+the scan stage's partitions (mapInPandas pipelines with the scan), and
+only the small feature output is exchanged afterwards.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+try:  # pragma: no cover - not present in this container
+    from PIL import Image  # noqa: F401
+
+    _HAVE_PIL = True
+except Exception:
+    _HAVE_PIL = False
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("content", T.BinaryType()),
+    ]
+)
+
+IMAGE_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("content_md5", T.StringType()),
+    ]
+)
+
+
+def documents_as_media(docs: DataFrame) -> DataFrame:
+    """Adapter: treat each document's utf-8 bytes as an opaque media
+    payload — gives the multimodal plumbing a deterministic fixture
+    (and therefore an oracle) without real image files."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("media_type"),
+        F.encode("text", "utf-8").alias("content"),
+    )
+
+
+def extract_image_features(media: DataFrame, fake_decode: bool = True) -> DataFrame:
+    """Arrow-batched image feature extraction over a binary column.
+
+    ``fake_decode`` derives (width, height) deterministically from the
+    payload size and fingerprints the bytes — exercising the exact
+    batch shape / schema / partitioning a real decoder would use.  With
+    ``fake_decode=False`` the PIL path raises until pillow exists.
+    """
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not fake_decode:
+                if not _HAVE_PIL:
+                    raise NotImplementedError(
+                        "real image decode requires pillow, which is not "
+                        "installed in this environment; use fake_decode=True"
+                    )
+                raise NotImplementedError("PIL decode path not wired yet")
+            content = pdf["content"]
+            n_bytes = content.map(len).astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "n_bytes": n_bytes,
+                    "width": (n_bytes % 64 + 1).astype("int32"),
+                    "height": (n_bytes // 64 % 64 + 1).astype("int32"),
+                    "content_md5": content.map(lambda b: hashlib.md5(b).hexdigest()),
+                }
+            )
+
+    return media.mapInPandas(_batches, schema=IMAGE_FEATURES_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_md5", T.StringType()),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Video-style frame sampling: emit ``n_frames`` evenly-spaced
+    "frames" per payload (1→N row fan-out inside mapInPandas — the
+    UDTF-like shape a real decoder needs).  Fake kernel: frame f is the
+    md5 of the payload's f-th slice; a real one would seek+decode."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {"media_id": [], "frame_idx": [], "frame_md5": []}
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                n = max(len(content), 1)
+                step = max(n // n_frames, 1)
+                for f in range(n_frames):
+                    sl = content[f * step : (f + 1) * step]
+                    rows["media_id"].append(mid)
+                    rows["frame_idx"].append(f)
+                    rows["frame_md5"].append(hashlib.md5(sl).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(rows["media_id"], dtype="int64"),
+                    "frame_idx": pd.Series(rows["frame_idx"], dtype="int32"),
+                    "frame_md5": pd.Series(rows["frame_md5"], dtype="object"),
+                }
+            )
+
+    return media.mapInPandas(_batches, schema=FRAME_SCHEMA)

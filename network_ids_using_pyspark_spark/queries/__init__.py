@@ -39,6 +39,8 @@ from . import cleaning  # noqa: E402,F401
 from . import sampling  # noqa: E402,F401
 from . import text  # noqa: E402,F401
 from . import dedup  # noqa: E402,F401
+from . import relational_ext  # noqa: E402,F401
+from . import multimodal  # noqa: E402,F401
 from . import similarity  # noqa: E402,F401
 from . import ml  # noqa: E402,F401
 from . import streaming  # noqa: E402,F401

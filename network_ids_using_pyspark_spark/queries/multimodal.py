@@ -1,0 +1,54 @@
+"""Multimodal-column queries.
+
+The fake decode kernel is a pure function of the payload bytes, so even
+the Python-side ``mapInPandas`` path gets a full DuckDB oracle (the
+fixture text is ASCII — verified — so char ops equal byte ops in SQL).
+"""
+
+from __future__ import annotations
+
+from ..operators.multimodal import (
+    documents_as_media,
+    extract_image_features,
+    sample_frames,
+)
+from ..sources.tables import load_table
+from . import register
+
+
+@register(
+    "media_image_features",
+    """
+    SELECT doc_id AS media_id,
+           CAST(length(text) AS BIGINT) AS n_bytes,
+           CAST(length(text) % 64 + 1 AS INTEGER) AS width,
+           CAST((length(text) // 64) % 64 + 1 AS INTEGER) AS height,
+           md5(text) AS content_md5
+    FROM documents
+    """,
+)
+def q_media_image_features(spark, sf_dir):
+    """Binary-column feature extraction through Arrow-batched
+    mapInPandas — schema/batch-shape/partitioning of a real decoder,
+    deterministic fake kernel (SURVEY.md §7.1 phase 7 / task spec)."""
+    media = documents_as_media(load_table(spark, sf_dir, "documents"))
+    return extract_image_features(media, fake_decode=True)
+
+
+@register(
+    "media_frame_samples",
+    """
+    WITH m AS (SELECT doc_id AS media_id, text, length(text) AS n FROM documents),
+    frames AS (
+      SELECT media_id, CAST(f AS INTEGER) AS frame_idx,
+             md5(substring(text, f * greatest(n // 4, 1) + 1, greatest(n // 4, 1))) AS frame_md5
+      FROM m, UNNEST([0, 1, 2, 3]) AS t(f)
+    )
+    SELECT media_id, frame_idx, frame_md5 FROM frames
+    """,
+)
+def q_media_frame_samples(spark, sf_dir):
+    """Video-style 1→4 frame fan-out per payload inside mapInPandas
+    (the UDTF shape); frames are deterministic payload slices."""
+    media = documents_as_media(load_table(spark, sf_dir, "documents"))
+    return sample_frames(media, n_frames=4)

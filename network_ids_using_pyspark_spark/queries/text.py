@@ -127,3 +127,43 @@ def q_lang_histogram(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         F.sum("n_chars").alias("total_chars"),
     )
+
+
+_MARKERS = {"de": ["der", "und"], "en": ["the", "a"], "es": ["el", "la"]}
+
+
+def _hits_sql(lang: str) -> str:
+    arr = "[" + ", ".join(f"'{m}'" for m in _MARKERS[lang]) + "]"
+    return (
+        f"len(list_filter({_TOKS_SQL}, t -> list_contains({arr}, t)))"
+    )
+
+
+@register(
+    "lang_id_predict",
+    f"""
+    SELECT doc_id, lang,
+           CASE WHEN h_es >= h_en AND h_es >= h_de AND h_es > 0 THEN 'es'
+                WHEN h_en >= h_de AND h_en > 0 THEN 'en'
+                WHEN h_de > 0 THEN 'de'
+                ELSE 'und' END AS predicted_lang
+    FROM (
+      SELECT doc_id, lang,
+             {_hits_sql('de')} AS h_de,
+             {_hits_sql('en')} AS h_en,
+             {_hits_sql('es')} AS h_es
+      FROM documents
+    )
+    """,
+)
+def q_lang_id(spark, sf_dir):
+    """Marker-token language ID (n-gram-heuristic family): argmax of
+    per-language marker hits, ties to the lexicographically larger
+    code, no hits → 'und'.  Pure array expressions — the broadcast-map
+    shape of a real lang-ID at scale."""
+    from ..operators.textops import lang_id
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", "lang", lang_id("text", _MARKERS).alias("predicted_lang")
+    )

@@ -30,6 +30,8 @@ def run_oracle(sf_dir: str, sql: str):
 
 
 def _canon(v):
+    if v is None:
+        return ("n",)
     if isinstance(v, bool):
         return ("b", v)
     if isinstance(v, float):
