@@ -25,6 +25,13 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark(app_name="nids-bench", cpus=cpus, shuffle_partitions=cpus)
 
+    # Warmup: touch every fixture table once so JVM/JIT/file-index costs
+    # don't land on whichever query happens to run first.
+    from network_ids_using_pyspark_spark.sources.tables import TABLES, load_table
+
+    for t in TABLES:
+        load_table(spark, sf_dir, t).count()
+
     timings: dict[str, float] = {}
     for name in sorted(REGISTRY):
         fn, _ = REGISTRY[name]

@@ -95,18 +95,39 @@ def jaccard_pairs(
     return out.filter(F.col("jaccard") >= threshold).select("doc_a", "doc_b", "jaccard")
 
 
+# Affine-permutation constants: h_i(x) = (A_i * x + B_i) mod P over a
+# 30-bit base hash.  P = 2^31 - 1 (prime); A_i/B_i derived from md5 so
+# the oracle embeds identical literals.  All arithmetic stays < 2^61 —
+# overflow-free int64 on any engine.
+MINHASH_P = (1 << 31) - 1
+
+
+def minhash_coeffs(k: int) -> list[tuple[int, int]]:
+    out = []
+    for i in range(k):
+        a = int(hashlib.md5(f"mh-a:{i}".encode()).hexdigest()[:7], 16) % (MINHASH_P - 1) + 1
+        b = int(hashlib.md5(f"mh-b:{i}".encode()).hexdigest()[:7], 16) % MINHASH_P
+        out.append((a, b))
+    return out
+
+
 def minhash_signatures(
     docs: DataFrame, k: int = 16, id_col: str = "doc_id", text_col: str = "text", n: int = 3
 ) -> DataFrame:
-    """k-permutation MinHash signature per doc: sig_i = min over the
-    shingle set of h_i(shingle), h_i = portable hash salted with i.
-    One explode + one grouped agg with k mins — single shuffle on
-    doc_id.  Docs with fewer than ``n`` tokens have no shingles and no
-    signature (dropped by the inner explode), same as the SQL unnest."""
+    """k-permutation MinHash signature per doc: each shingle is hashed
+    ONCE (md5 → 30-bit base), the k permutations are affine transforms
+    of that base — 1 cryptographic hash + k multiply-adds per shingle
+    instead of k hashes (the standard minhash trick; ~k× less CPU in
+    the scan stage).  One explode + map-side-combined agg — the mins
+    are computed before the single doc_id shuffle.  Docs with fewer
+    than ``n`` tokens have no shingles and no signature (dropped by the
+    inner explode), same as the SQL unnest."""
     ex = exploded_shingles(docs, id_col, text_col, n)
+    base = F.pmod(portable_hash64(F.col("shingle"), seed="mh:"), F.lit(1 << 30))
+    ex = ex.select(id_col, base.alias("h"))
     aggs = [
-        F.min(portable_hash64(F.col("shingle"), seed=f"mh{i}:")).alias(f"sig_{i}")
-        for i in range(k)
+        F.min((F.col("h") * a + b) % MINHASH_P).alias(f"sig_{i}")
+        for i, (a, b) in enumerate(minhash_coeffs(k))
     ]
     return ex.groupBy(id_col).agg(*aggs)
 

@@ -60,10 +60,17 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     return jaccard_pairs(docs, JACCARD_T)
 
 
+from ..operators.dedup import MINHASH_P, minhash_coeffs  # noqa: E402
+
+_BASE_H = f"({portable_hash64_sql('shingle', seed='mh:')} % {1 << 30})"
 _SIG_COLS = ",\n       ".join(
-    f"MIN({portable_hash64_sql('shingle', seed=f'mh{i}:')}) AS sig_{i}" for i in range(K)
+    f"MIN((h * {a} + {b}) % {MINHASH_P}) AS sig_{i}"
+    for i, (a, b) in enumerate(minhash_coeffs(K))
 )
-_SIG_SQL = f"WITH {_SHINGLES_CTE} SELECT doc_id, {_SIG_COLS} FROM sh GROUP BY doc_id"
+_SIG_SQL = (
+    f"WITH {_SHINGLES_CTE}, hh AS (SELECT doc_id, {_BASE_H} AS h FROM sh) "
+    f"SELECT doc_id, {_SIG_COLS} FROM hh GROUP BY doc_id"
+)
 
 
 @register("minhash_signatures", _SIG_SQL)
@@ -85,7 +92,8 @@ def _bands_sql() -> str:
 
 _LSH_SQL = f"""
 WITH {_SHINGLES_CTE},
-sig AS (SELECT doc_id, {_SIG_COLS} FROM sh GROUP BY doc_id),
+hh AS (SELECT doc_id, {_BASE_H} AS h FROM sh),
+sig AS (SELECT doc_id, {_SIG_COLS} FROM hh GROUP BY doc_id),
 bands AS ({_bands_sql()})
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM bands a JOIN bands b

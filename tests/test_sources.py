@@ -1,0 +1,54 @@
+"""Ingest-boundary tests: pinned-schema CSV scan (the reference's entry
+format), name canonicalization, timestamp parsing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from network_ids_using_pyspark_spark.sources.synthetic import synth_flows
+from network_ids_using_pyspark_spark.sources.tables import (
+    FLOW_SCHEMA,
+    canonical_name,
+    canonicalize_columns,
+    scan_flows,
+)
+
+
+def test_scan_flows_multifile_csv(spark, tmp_path):
+    # two CSV "day files" like the reference's PATHS list (modelling.py:26-37)
+    flows = synth_flows(spark, 800)
+    d1, d2 = str(tmp_path / "day1"), str(tmp_path / "day2")
+    flows.filter(F.col("flow_id") <= 400).coalesce(1).write.option("header", True).csv(d1)
+    flows.filter(F.col("flow_id") > 400).coalesce(1).write.option("header", True).csv(d2)
+
+    df = scan_flows(spark, [d1, d2], fmt="csv")
+    assert df.count() == 800
+    # canonicalized: no spaces, no '/'
+    assert all(" " not in c and "/" not in c for c in df.columns)
+    assert "flow_byts_per_s" in df.columns and "down_per_up_ratio" in df.columns
+    # pinned schema (no inference): numeric types survive the CSV round-trip
+    dtypes = dict(df.dtypes)
+    assert dtypes["flow_duration"] == "bigint"
+    assert dtypes["flow_pkts_per_s"] == "double"
+    # the dd/MM/yyyy timestamp parses (ingest gateway to streaming)
+    parsed = df.select(
+        F.to_timestamp("timestamp", "dd/MM/yyyy HH:mm:ss").alias("ts")
+    )
+    assert parsed.filter(F.col("ts").isNull()).count() == 0
+
+
+def test_canonical_name():
+    assert canonical_name("Flow Byts/s") == "flow_byts_per_s"
+    assert canonical_name("Down/Up Ratio") == "down_per_up_ratio"
+    assert canonical_name("Init Fwd Win Byts") == "init_fwd_win_byts"
+
+
+def test_canonicalize_collision_raises(spark):
+    df = spark.createDataFrame([(1, 2)], ["a b", "a_b"])
+    with pytest.raises(ValueError, match="collision"):
+        canonicalize_columns(df)
+
+
+def test_flow_schema_matches_fixture_width():
+    assert len(FLOW_SCHEMA.fields) == 16  # FIXTURES.md §1 compact analog
