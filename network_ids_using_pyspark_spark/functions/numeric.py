@@ -29,7 +29,11 @@ def dec_sum(col: Column | str) -> Column:
 
 
 def dec_sum_sql(expr: str) -> str:
-    return f"CAST(SUM(CAST({expr} AS {DEC_SQL})) AS DOUBLE)"
+    # decimal → VARCHAR → DOUBLE: DuckDB's direct decimal→double cast
+    # double-rounds when the unscaled value exceeds 2^53; going through
+    # the exact digit string makes it correctly rounded (strtod), which
+    # is what Spark's BigDecimal.doubleValue does natively.
+    return f"CAST(CAST(SUM(CAST({expr} AS {DEC_SQL})) AS VARCHAR) AS DOUBLE)"
 
 
 def dec_avg(col: Column | str) -> Column:

@@ -162,3 +162,112 @@ def q_asof_join(spark, sf_dir):
     )
     out = asof_join(purchases, clicks, ["user_id"], "ts", ["click_ts"])
     return out.select("event_id", "user_id", "ts", F.col("asof_click_ts"))
+
+
+# Inputs are cast to decimal BEFORE multiplying: a double→decimal cast
+# of a *product* is where Spark (shortest-repr rounding) and other
+# engines (exact-binary rounding) can disagree by 1 ulp of the scale;
+# the raw columns have ≤6 true decimals so their casts are exact, and
+# decimal×decimal → decimal is exact arithmetic everywhere.
+_CORR_DEC = "DECIMAL(19, 6)"
+
+
+def _corr_sql() -> str:
+    dx = f"CAST(l_quantity AS {_CORR_DEC})"
+    dy = f"CAST(l_extendedprice AS {_CORR_DEC})"
+    # via VARCHAR: correctly-rounded decimal→double (see dec_sum_sql)
+    sx = f"CAST(CAST(SUM({dx}) AS VARCHAR) AS DOUBLE)"
+    sy = f"CAST(CAST(SUM({dy}) AS VARCHAR) AS DOUBLE)"
+    sxx = f"CAST(CAST(SUM({dx} * {dx}) AS VARCHAR) AS DOUBLE)"
+    syy = f"CAST(CAST(SUM({dy} * {dy}) AS VARCHAR) AS DOUBLE)"
+    sxy = f"CAST(CAST(SUM({dx} * {dy}) AS VARCHAR) AS DOUBLE)"
+    n = "CAST(COUNT(*) AS DOUBLE)"
+    return f"""
+    SELECT l_returnflag,
+           ({n} * {sxy} - {sx} * {sy})
+             / (sqrt({n} * {sxx} - {sx} * {sx}) * sqrt({n} * {syy} - {sy} * {sy}))
+             AS corr_qty_price,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """
+
+
+@register("corr_qty_price", _corr_sql())
+def q_corr(spark, sf_dir):
+    """Pearson correlation per group (the reference's EDA corr matrix,
+    SURVEY.md §2.1 A5) from decimal-exact moment sums — unlike F.corr's
+    streaming covariance, this is bit-reproducible under any
+    partitioning, which is also why it can be oracle-checked."""
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = "decimal(19, 6)"
+    x = F.col("l_quantity").cast(dec)
+    y = F.col("l_extendedprice").cast(dec)
+    sx = F.sum(x).cast("double")
+    sy = F.sum(y).cast("double")
+    sxx = F.sum(x * x).cast("double")
+    syy = F.sum(y * y).cast("double")
+    sxy = F.sum(x * y).cast("double")
+    n = F.count(F.lit(1)).cast("double")
+    corr = (n * sxy - sx * sy) / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))
+    return li.groupBy("l_returnflag").agg(
+        corr.alias("corr_qty_price"), F.count(F.lit(1)).alias("n")
+    )
+
+
+@register(
+    "global_top_orders",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 10
+    """,
+)
+def q_global_top_orders(spark, sf_dir):
+    """Global top-k: orderBy+limit compiles to TakeOrderedAndProject —
+    per-partition heaps + driver k-merge, never a full global sort."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q3_top_unshipped_revenue",
+    f"""
+    SELECT l.l_orderkey, o.o_orderdate,
+           {dec_sum_sql('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, l_orderkey ASC
+    LIMIT 10
+    """,
+)
+def q3_top_unshipped(spark, sf_dir):
+    """TPC-H Q3 shape: selective dim filter (broadcast) → fact join →
+    grouped revenue → global top-10.  Both date filters push into the
+    parquet scans."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15 00:00:00").cast("timestamp")
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15 00:00:00").cast("timestamp")
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(F.broadcast(o), l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(dec_sum(revenue).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )

@@ -100,3 +100,21 @@ def q_stream_dedup_count(spark, sf_dir):
     doubled = ev.union(ev)
     deduped = run_to_memory(stream_dedup(doubled, "1 hour"), "append")
     return deduped.agg(F.count(F.lit(1)).alias("n_unique"))
+
+
+@register(
+    "stream_stateful_user_stats",
+    """
+    SELECT user_id, COUNT(*) AS n_events, MAX(value) AS max_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q_stream_stateful_user_stats(spark, sf_dir):
+    """Custom stateful operator (applyInPandasWithState): per-user
+    running count/max.  Bounded input + single availableNow batch ⇒
+    the final emission per key equals the batch groupBy — the oracle."""
+    from ..streaming.stateful import running_user_stats
+
+    ev = stream_events(spark, sf_dir)
+    return run_to_memory(running_user_stats(ev), "update")
