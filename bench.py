@@ -44,6 +44,49 @@ def main() -> None:
             timings[name] = -1.0
             print(f"bench: {name} FAILED: {e}", file=sys.stderr)
 
+    # --- BASELINE comparison (BASELINE.md): engine pipeline vs a direct
+    # transcription of the reference's operator sequence, same data.
+    pipeline: dict[str, float] = {}
+    if os.environ.get("SPARK_GRAFT_SKIP_BASELINE") != "1":
+        from pyspark.ml.classification import DecisionTreeClassifier
+
+        from network_ids_using_pyspark_spark.ml.pipeline import prepare_flow_features
+        from network_ids_using_pyspark_spark.operators.sampling import (
+            anti_join_split,
+            hash_sample,
+        )
+        from network_ids_using_pyspark_spark.plans.reference_transcription import (
+            reference_style_pipeline,
+        )
+        from network_ids_using_pyspark_spark.sources.synthetic import synth_flows
+
+        n_rows = max(2_000, int(6_000_000 * float(sf)))
+        try:
+            t0 = time.monotonic()
+            prepared = prepare_flow_features(synth_flows(spark, n_rows))
+            val = hash_sample(prepared, "flow_id", 0.1, seed="bench")
+            train = anti_join_split(prepared, val, "flow_id")
+            model = DecisionTreeClassifier(
+                featuresCol="features", labelCol="encoded_label", seed=1234
+            ).fit(train)
+            model.transform(val).select("encoded_label", "prediction").write.format(
+                "noop"
+            ).mode("overwrite").save()
+            pipeline["engine_pipeline_dt_sec"] = round(time.monotonic() - t0, 3)
+
+            t0 = time.monotonic()
+            reference_style_pipeline(synth_flows(spark, n_rows)).write.format(
+                "noop"
+            ).mode("overwrite").save()
+            pipeline["reference_transcription_dt_sec"] = round(time.monotonic() - t0, 3)
+            pipeline["speedup_vs_reference"] = round(
+                pipeline["reference_transcription_dt_sec"]
+                / max(pipeline["engine_pipeline_dt_sec"], 1e-9),
+                3,
+            )
+        except Exception as e:
+            print(f"bench: pipeline comparison FAILED: {e}", file=sys.stderr)
+
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     print(
         json.dumps(
@@ -55,6 +98,7 @@ def main() -> None:
                 "sf": float(sf),
                 "cpus": cpus,
                 "n_queries": len(timings),
+                "pipeline_baseline_comparison": pipeline,
             }
         )
     )

@@ -77,7 +77,16 @@ def impute_median_exact(df: DataFrame, cols: list[str]) -> DataFrame:
 
 
 def drop_null_rows(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
-    """Engine op ``drop_null_rows`` (SURVEY.md §2.2 P7) — ``na.drop``,
-    i.e. a codegen'd IsNotNull conjunction that Catalyst pushes into the
-    parquet scan where possible."""
-    return df.na.drop(how="any", subset=cols)
+    """Engine op ``drop_null_rows`` (SURVEY.md §2.2 P7).
+
+    Same semantics as ``na.drop(how='any')`` but expressed as an
+    explicit IsNotNull conjunction: ``na.drop`` compiles to an
+    ``AtLeastNNonNulls`` predicate that parquet can't evaluate, whereas
+    IsNotNull pushes into the scan and prunes row groups via null
+    counts (verified in tests/test_plans.py) — the difference between
+    scanning and skipping at 100 TB."""
+    pred = None
+    for c in cols or df.columns:
+        p = F.col(c).isNotNull()
+        pred = p if pred is None else (pred & p)
+    return df.filter(pred)

@@ -1,0 +1,74 @@
+"""Plan-level regression tests: the 100 TB scale contract asserted on
+physical plans (SURVEY.md §4) — broadcasts stay broadcasts, filters
+reach the parquet scan, narrow ops never shuffle."""
+
+from __future__ import annotations
+
+from network_ids_using_pyspark_spark.plans.inspect import (
+    count_shuffles,
+    explain_str,
+    has_pushed_filters,
+)
+from network_ids_using_pyspark_spark.queries import REGISTRY
+
+from .conftest import SF_DIR
+
+
+def _df(spark, name):
+    return REGISTRY[name][0](spark, SF_DIR)
+
+
+def test_star_join_all_broadcast(spark):
+    df = _df(spark, "nation_revenue")
+    plan = explain_str(df, "simple")
+    assert plan.count("BroadcastHashJoin") == 4  # all four dims broadcast
+    assert "SortMergeJoin" not in plan
+    # the fact table shuffles once — for the final tiny group-by only
+    assert count_shuffles(df) == 1
+
+
+def test_add_row_id_no_shuffle(spark):
+    df = _df(spark, "add_row_id")
+    assert count_shuffles(df) == 0  # hash-of-PK ids: pure projection
+    assert "Window" not in explain_str(df, "simple")  # never the global window
+
+
+def test_q1_filter_pushed_to_scan(spark):
+    assert has_pushed_filters(_df(spark, "q1_pricing_summary"))
+
+
+def test_drop_null_rows_pushes_isnotnull(spark):
+    # IsNotNull (unlike na.drop's AtLeastNNonNulls) reaches the scan
+    from network_ids_using_pyspark_spark.operators.cleaning import drop_null_rows
+    from network_ids_using_pyspark_spark.sources.tables import load_table
+
+    df = drop_null_rows(load_table(spark, SF_DIR, "lineitem"), ["l_quantity"])
+    assert has_pushed_filters(df)
+
+
+def test_label_histogram_partial_agg(spark):
+    df = _df(spark, "label_histogram")
+    # map-side combine below the exchange; agg + orderBy = ≤2 shuffles
+    assert "partial_count" in explain_str(df, "formatted")
+    assert count_shuffles(df) <= 2
+
+
+def test_minhash_single_exchange(spark):
+    # mins computed before the doc_id shuffle: exactly one data exchange
+    assert count_shuffles(_df(spark, "minhash_signatures")) == 1
+
+
+def test_global_topk_no_full_sort(spark):
+    plan = explain_str(_df(spark, "global_top_orders"), "simple")
+    assert "TakeOrderedAndProject" in plan  # per-partition heaps, not a global sort
+
+
+def test_profile_is_single_row_agg(spark):
+    plan = explain_str(_df(spark, "profile_max"), "simple")
+    assert "Join" not in plan and "Window" not in plan
+
+
+def test_replace_inf_with_max_broadcasts_scalar(spark):
+    # the one-row max aggregate is broadcast back, never collected
+    plan = explain_str(_df(spark, "replace_inf_with_max"), "simple")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
