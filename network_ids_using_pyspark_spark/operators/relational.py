@@ -63,3 +63,22 @@ def top_k_per_group(
     ordering += [F.asc(c) for c in tie_break]
     w = Window.partitionBy(*part_cols).orderBy(*ordering)
     return df.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+
+
+def salted_count(
+    df: DataFrame, key_col: str, salt_buckets: int = 8, count_alias: str = "n"
+) -> DataFrame:
+    """Skew-resistant grouped count: two-phase aggregation through a
+    salt — phase 1 spreads each hot key over ``salt_buckets`` reducers
+    (groupBy(key, salt)), phase 2 merges the partials (groupBy(key)).
+    Semantics identical to a plain groupBy-count (which is exactly how
+    it's oracle-checked); the plan trades one extra tiny shuffle for
+    bounded per-reducer load under arbitrary key skew.  (For counts
+    Spark's partial aggregation already bounds skew — the pattern
+    matters for aggregates without map-side combine, e.g.
+    collect_list/exact-distinct — but the operator shape is the same.)"""
+    salted = df.withColumn(
+        "__salt", F.pmod(F.monotonically_increasing_id(), F.lit(salt_buckets))
+    )
+    partial = salted.groupBy(key_col, "__salt").agg(F.count(F.lit(1)).alias("__pc"))
+    return partial.groupBy(key_col).agg(F.sum("__pc").alias(count_alias))

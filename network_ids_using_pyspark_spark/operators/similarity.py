@@ -61,3 +61,39 @@ def cosine_topk(
     )
     w = Window.partitionBy(q_id).orderBy(F.desc("sim"), F.asc(c_id))
     return sims.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+
+
+def lsh_bucket(vec: Column, hyperplanes: list[list[float]]) -> Column:
+    """Sign-LSH bucket id from literal hyperplanes (shared with
+    operators/dedup.py) — packs sign(vec·hp_b) bits into an int."""
+    bucket = None
+    for b, plane in enumerate(hyperplanes):
+        arr = F.array(*[F.lit(v) for v in plane])
+        d = F.aggregate(F.zip_with(vec, arr, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+        bit = F.when(d > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return bucket.cast("long")
+
+
+def cosine_topk_lsh(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int,
+    hyperplanes: list[list[float]],
+    q_id: str = "q_vec_id",
+    c_id: str = "cand_vec_id",
+    q_vec: str = "qe",
+    c_vec: str = "ce",
+) -> DataFrame:
+    """Approximate top-k: only candidates in the query's sign-LSH bucket
+    are scored.  The bucket equi-join replaces the cross join — at 100 TB
+    the candidate side is scanned once, shuffled (or bucketed-on-write)
+    by bucket id, and each query touches ~1/2^bits of the corpus.
+    Recall < 1 by construction (documented approximate semantics; raise
+    recall with multi-probe or more tables)."""
+    q = queries.withColumn("bucket", lsh_bucket(F.col(q_vec), hyperplanes))
+    c = candidates.withColumn("bucket", lsh_bucket(F.col(c_vec), hyperplanes))
+    j = c.join(F.broadcast(q), on="bucket").filter(F.col(q_id) != F.col(c_id))
+    sims = j.select(q_id, c_id, cosine(F.col(q_vec), F.col(c_vec)).alias("sim"))
+    w = Window.partitionBy(q_id).orderBy(F.desc("sim"), F.asc(c_id))
+    return sims.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)

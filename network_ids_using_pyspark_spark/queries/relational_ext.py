@@ -271,3 +271,17 @@ def q3_top_unshipped(spark, sf_dir):
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
         .limit(10)
     )
+
+
+@register(
+    "salted_user_counts",
+    "SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id",
+)
+def q_salted_user_counts(spark, sf_dir):
+    """Skew-resistant two-phase (salted) grouped count — semantics
+    identical to plain groupBy, so the oracle is the plain group-by;
+    the plan spreads hot keys over 8 reducers first."""
+    from ..operators.relational import salted_count
+
+    ev = load_table(spark, sf_dir, "events")
+    return salted_count(ev, "user_id", salt_buckets=8)

@@ -72,3 +72,51 @@ def q_embedding_label_norms(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         dec_sum("sq").alias("sum_sq_norm"),
     )
+
+
+def _lsh_topk_sql() -> str:
+    from ..operators.dedup import hyperplanes
+
+    hps = hyperplanes(4, 64)
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {hps[b]!r}) > 0 THEN {1 << b} ELSE 0 END)"
+        for b in range(4)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                      CAST({bucket} AS BIGINT) AS bucket
+               FROM embeddings),
+    q AS (SELECT vec_id AS q_vec_id, v AS qe, bucket FROM e WHERE vec_id < 8),
+    c AS (SELECT vec_id AS cand_vec_id, v AS ce, bucket FROM e),
+    sims AS (
+      SELECT q_vec_id, cand_vec_id,
+             list_dot_product(qe, ce)
+               / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ce, ce))) AS sim
+      FROM c JOIN q USING (bucket)
+      WHERE q_vec_id <> cand_vec_id
+    )
+    SELECT q_vec_id, cand_vec_id, sim, rk FROM (
+      SELECT q_vec_id, cand_vec_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY q_vec_id ORDER BY sim DESC, cand_vec_id ASC) AS rk
+      FROM sims
+    ) WHERE rk <= 5
+    """
+
+
+@register("cosine_topk_lsh", _lsh_topk_sql())
+def q_cosine_topk_lsh(spark, sf_dir):
+    """Approximate ANN top-5: sign-LSH bucket equi-join (4 hyperplanes
+    → 16 buckets) replaces the cross join — the scale path next to the
+    brute-force baseline.  Recall < 1 by construction; candidate
+    generation is bucket-local."""
+    from ..operators.dedup import hyperplanes
+    from ..operators.similarity import cosine_topk_lsh
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_vec_id"), as_double_array("embedding").alias("qe")
+    )
+    c = emb.select(
+        F.col("vec_id").alias("cand_vec_id"), as_double_array("embedding").alias("ce")
+    )
+    return cosine_topk_lsh(q, c, k=5, hyperplanes=hyperplanes(4, 64))

@@ -42,6 +42,7 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        .config("spark.sql.warehouse.dir", "/tmp/nids_warehouse")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
