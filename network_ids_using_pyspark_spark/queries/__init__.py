@@ -41,6 +41,7 @@ from . import text  # noqa: E402,F401
 from . import dedup  # noqa: E402,F401
 from . import relational_ext  # noqa: E402,F401
 from . import multimodal  # noqa: E402,F401
+from . import functions_ext  # noqa: E402,F401
 from . import similarity  # noqa: E402,F401
 from . import ml  # noqa: E402,F401
 from . import streaming  # noqa: E402,F401

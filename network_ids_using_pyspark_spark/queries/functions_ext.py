@@ -1,0 +1,163 @@
+"""Scalar-function / analytic-shape coverage beyond the reference.
+
+The reference uses no string/date/JSON functions and no lag/lead/range
+frames (SURVEY.md §2.7) — these queries pin down the engine's wider
+expression surface, each with a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window, functions as F
+
+from ..functions.numeric import dec_sum, dec_sum_sql
+from ..sources.tables import load_table
+from . import register
+
+
+@register(
+    "lag_value_delta",
+    """
+    SELECT event_id, user_id,
+           value - LAG(value) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+             AS delta
+    FROM events
+    """,
+)
+def q_lag_value_delta(spark, sf_dir):
+    """lag(): per-user consecutive-event value delta (single subtraction
+    of identical doubles — bit-exact; first event per user → null)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    return ev.select(
+        "event_id",
+        "user_id",
+        (F.col("value") - F.lag("value").over(w)).alias("delta"),
+    )
+
+
+@register(
+    "range_frame_hour_sum",
+    """
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(value AS DECIMAL(30, 6))) OVER (
+             PARTITION BY user_id ORDER BY epoch_us(ts) ASC
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS hour_sum
+    FROM events
+    """,
+)
+def q_range_frame_hour_sum(spark, sf_dir):
+    """RANGE frame over event time: per user, the rolling 1-hour value
+    sum — the batch twin of a sliding streaming window, decimal-exact.
+    Ordered on exact integer microseconds so both engines bound the
+    frame identically."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us.cast("long"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(F.col("value").cast("decimal(30,6)")).over(w).cast("double").alias("hour_sum"),
+    )
+
+
+@register(
+    "pivot_user_event_counts",
+    """
+    SELECT user_id,
+           CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+           CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT) AS view,
+           CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+           CAST(COUNT(*) FILTER (event_type = 'error') AS BIGINT) AS error,
+           CAST(COUNT(*) FILTER (event_type = 'signup') AS BIGINT) AS signup
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q_pivot_user_event_counts(spark, sf_dir):
+    """Pivot (wide counts per key) with an explicit value list — the
+    explicit list keeps the plan a single pass (no values-discovery
+    job) and the schema deterministic."""
+    ev = load_table(spark, sf_dir, "events")
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase", "error", "signup"])
+        .count()
+    )
+    # pivot yields nulls for absent combos; counts should read 0
+    return out.na.fill(0, ["click", "view", "purchase", "error", "signup"])
+
+
+@register(
+    "json_props_stats",
+    """
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+           CAST(MAX(CAST(json_extract(props, '$.k') AS INTEGER)) AS INTEGER) AS max_k,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_json_props_stats(spark, sf_dir):
+    """Semi-structured column: JSON path extraction (get_json_object)
+    feeding a grouped aggregate — all JVM-side, no Python."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"),
+        F.max(k).alias("max_k"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "semi_join_discounted_orders",
+    f"""
+    SELECT o.o_orderstatus, COUNT(*) AS n, {dec_sum_sql('o.o_totalprice')} AS sum_price
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey AND l.l_discount > 0.05
+    )
+    GROUP BY o.o_orderstatus
+    """,
+)
+def q_semi_join_discounted(spark, sf_dir):
+    """EXISTS as a left_semi join: orders having any deeply-discounted
+    lineitem.  The semi join never duplicates the left side, so the
+    downstream agg sees each order once — the scalable EXISTS plan."""
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_discount") > 0.05)
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey, "left_semi")
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"), dec_sum("o_totalprice").alias("sum_price"))
+    )
+
+
+@register(
+    "multi_distinct_lineitem",
+    """
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_suppkey) AS n_supp,
+           COUNT(DISTINCT l_partkey) AS n_part,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_multi_distinct(spark, sf_dir):
+    """Two distinct-aggregates in one grouped agg — Spark plans an
+    Expand (one row per distinct column per input row) so both
+    distincts resolve in a single shuffle round."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct("l_partkey").alias("n_part"),
+        F.count(F.lit(1)).alias("n"),
+    )

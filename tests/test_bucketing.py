@@ -24,8 +24,13 @@ def no_broadcast(spark):
 def test_bucketed_join_has_no_shuffle(spark, no_broadcast):
     li = load_table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_quantity")
     o = load_table(spark, SF_DIR, "orders").select("o_orderkey", "o_totalprice")
+    import shutil
+
     for t in ("li_b", "o_b"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+        # in-memory catalog forgets tables between sessions but the
+        # managed location survives — clear it or saveAsTable refuses
+        shutil.rmtree(f"/tmp/nids_warehouse/{t}", ignore_errors=True)
     li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").mode("overwrite").saveAsTable("li_b")
     o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").mode("overwrite").saveAsTable("o_b")
 
