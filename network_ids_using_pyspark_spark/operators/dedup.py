@@ -70,8 +70,15 @@ def jaccard_pairs(
             F.col("df") <= max_df
         )
         ex = ex.join(rare.select("shingle"), "shingle")
+    # the exploded relation feeds three plan branches (join left/right,
+    # per-doc sizes); persist it so tokenize+shingle runs once, not 3-4×
+    ex = ex.persist()
     sizes = ex.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    a, b = ex.alias("a"), ex.alias("b")
+    # hint the self-join to shuffle-hash: broadcasting the exploded
+    # corpus (what AQE picks at small SF) is exactly what would OOM at
+    # scale — the shingle-partitioned hash join is the right plan at
+    # every size
+    a, b = ex.alias("a"), ex.hint("shuffle_hash").alias("b")
     inter = (
         a.join(
             b,

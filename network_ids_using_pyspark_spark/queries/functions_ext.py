@@ -161,3 +161,43 @@ def q_multi_distinct(spark, sf_dir):
         F.countDistinct("l_partkey").alias("n_part"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "dense_hourly_counts",
+    """
+    WITH bounds AS (
+      SELECT date_trunc('hour', MIN(ts)) AS t0, date_trunc('hour', MAX(ts)) AS t1 FROM events
+    ), hours AS (
+      SELECT unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS hour FROM bounds
+    ), actual AS (
+      SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ), types AS (SELECT DISTINCT event_type FROM events)
+    SELECT h.hour, t.event_type, CAST(COALESCE(a.n, 0) AS BIGINT) AS n
+    FROM hours h CROSS JOIN types t
+    LEFT JOIN actual a ON a.hour = h.hour AND a.event_type = t.event_type
+    """,
+)
+def q_dense_hourly_counts(spark, sf_dir):
+    """Time-series gap filling: every (hour, event_type) cell in the
+    observed range, zero-filled — sequence() + explode generates the
+    dense hour spine distributedly (no driver-side date loop), then a
+    left join overlays the sparse actuals."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("t0"),
+        F.date_trunc("hour", F.max("ts")).alias("t1"),
+    )
+    hours = bounds.select(
+        F.explode(F.sequence("t0", "t1", F.expr("INTERVAL 1 HOUR"))).alias("hour")
+    )
+    types = ev.select("event_type").distinct()
+    actual = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return (
+        hours.crossJoin(F.broadcast(types))
+        .join(actual, ["hour", "event_type"], "left")
+        .select("hour", "event_type", F.coalesce("n", F.lit(0)).alias("n"))
+    )

@@ -167,3 +167,45 @@ def q_lang_id(spark, sf_dir):
     return docs.select(
         "doc_id", "lang", lang_id("text", _MARKERS).alias("predicted_lang")
     )
+
+
+@register(
+    "dedup_keep_best",
+    f"""
+    WITH scored AS (
+      SELECT doc_id,
+             substring(md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))), 1, 16)
+               AS fingerprint,
+             {_NTOK_SQL} AS n_tokens
+      FROM documents
+    )
+    SELECT fingerprint, doc_id AS keeper_doc_id, n_tokens FROM (
+      SELECT fingerprint, doc_id, n_tokens,
+             ROW_NUMBER() OVER (
+               PARTITION BY fingerprint ORDER BY n_tokens DESC, doc_id ASC
+             ) AS rk
+      FROM scored
+    ) WHERE rk = 1
+    """,
+)
+def q_dedup_keep_best(spark, sf_dir):
+    """Dedup keeper policy: within each content-fingerprint group keep
+    the 'best' doc (longest, tie → lowest id) — the argmax-per-group
+    pattern every dedup pipeline needs, via a partitioned window."""
+    from pyspark.sql import Window
+    from ..operators.textops import doc_fingerprint, token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        doc_fingerprint("text").alias("fingerprint"),
+        token_count("text").alias("n_tokens"),
+    )
+    w = Window.partitionBy("fingerprint").orderBy(
+        F.desc("n_tokens"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("fingerprint", F.col("doc_id").alias("keeper_doc_id"), "n_tokens")
+    )
