@@ -33,14 +33,23 @@ def _n_rows(sf_dir: str) -> int:
     return max(2_000, int(6_000_000 * _sf_of(sf_dir)))
 
 
+_SPLIT_CACHE: dict = {}
+
+
 def _prepared_split(spark, sf_dir):
-    flows = synth_flows(spark, _n_rows(sf_dir))
-    prepared = prepare_flow_features(flows)
-    # 80/20 deterministic hash split; anti-join for the complement —
-    # the scalable replacement for collect + NOT-IN (modelling.py:91-93)
-    test = hash_sample(prepared, "flow_id", 0.2, seed="ml-split")
-    train = anti_join_split(prepared, test, "flow_id")
-    return train, test
+    # the six ML queries share one prepared/cached feature frame per
+    # (session, sf) — queries stay independent, the fixture prep isn't
+    # recomputed six times
+    key = (id(spark), sf_dir)
+    if key not in _SPLIT_CACHE:
+        flows = synth_flows(spark, _n_rows(sf_dir))
+        prepared = prepare_flow_features(flows).cache()
+        # 80/20 deterministic hash split; anti-join for the complement —
+        # the scalable replacement for collect + NOT-IN (modelling.py:91-93)
+        test = hash_sample(prepared, "flow_id", 0.2, seed="ml-split")
+        train = anti_join_split(prepared, test, "flow_id")
+        _SPLIT_CACHE[key] = (train, test)
+    return _SPLIT_CACHE[key]
 
 
 def _metrics_df(spark, model_name: str, metrics: dict[str, float]):

@@ -120,3 +120,46 @@ def q_cosine_topk_lsh(spark, sf_dir):
         F.col("vec_id").alias("cand_vec_id"), as_double_array("embedding").alias("ce")
     )
     return cosine_topk_lsh(q, c, k=5, hyperplanes=hyperplanes(4, 64))
+
+
+@register("mllib_minhash_pairs", None)  # MLlib hash seeds are engine-internal
+def q_mllib_minhash_pairs(spark, sf_dir):
+    """MLlib's MinHashLSH (approxSimilarityJoin) over binarized shingle
+    vectors — the library twin of the hand-rolled portable-hash MinHash
+    (which IS oracle-checked); rows-only here since MLlib's hash family
+    isn't reproducible outside Spark."""
+    from pyspark.ml.feature import CountVectorizer, MinHashLSH
+
+    from ..operators.dedup import shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", shingles("text").alias("sh"))
+    cv = CountVectorizer(inputCol="sh", outputCol="features", binary=True).fit(sh)
+    vec = cv.transform(sh)
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=4, seed=42).fit(vec)
+    pairs = lsh.approxSimilarityJoin(vec, vec, 0.5, distCol="jaccard_dist")
+    return (
+        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+            "jaccard_dist",
+        )
+    )
+
+
+@register("mllib_ann_topk", None)  # random hyperplanes are engine-internal
+def q_mllib_ann_topk(spark, sf_dir):
+    """MLlib's BucketedRandomProjectionLSH approxNearestNeighbors for
+    one probe vector — library twin of cosine_topk_lsh (oracle-checked);
+    rows-only because the projection planes are MLlib-internal."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vec = emb.select("vec_id", array_to_vector(as_double_array("embedding")).alias("features"))
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features", outputCol="hashes", bucketLength=2.0, numHashTables=3, seed=42
+    ).fit(vec)
+    probe = vec.filter(F.col("vec_id") == 0).collect()[0]["features"]
+    return lsh.approxNearestNeighbors(vec, probe, 6).select("vec_id", "distCol")

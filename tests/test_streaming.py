@@ -47,3 +47,45 @@ def test_sink_rejects_wrong_schema(spark, tmp_path):
     df = spark.range(3).select(F.col("id").alias("vals"))  # missing 'prediction'
     with pytest.raises(ValueError, match="prediction"):
         sink_predictions(df, str(tmp_path / "p"))
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Two micro-batches in a controlled order: batch 2 carries an event
+    whose timestamp is far behind the watermark set by batch 1 — the
+    windowed append-mode aggregation must not emit a window for it."""
+    from pyspark.sql import Row
+    import datetime as dt
+
+    src = str(tmp_path / "src")
+    base = dt.datetime(2024, 6, 1, 12, 0, 0)
+    on_time = [Row(event_id=i, ts=base + dt.timedelta(hours=5, minutes=i), value=1.0) for i in range(3)]
+    late = [Row(event_id=99, ts=base, value=1.0)]  # 5 hours late, watermark 1h
+    schema = "event_id long, ts timestamp, value double"
+    spark.createDataFrame(on_time, schema).write.parquet(f"{src}/f1.parquet")
+    spark.createDataFrame(late, schema).write.parquet(f"{src}/f2.parquet")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", False)
+        .parquet(f"{src}/f*.parquet")
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("ws"), "n")
+    )
+    name = "late_data_test"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    emitted = {r["ws"] for r in spark.table(name).collect()}
+    # the late event's window (12:00) must never be emitted; the
+    # on-time window (17:00) closes when the watermark passes it
+    assert dt.datetime(2024, 6, 1, 12, 0, 0) not in emitted
