@@ -87,16 +87,19 @@ def scan_flows(
     paths: str | list[str],
     fmt: str = "csv",
     canonicalize: bool = True,
+    schema: T.StructType | None = None,
 ) -> DataFrame:
     """Engine op ``scan_flows`` (SURVEY.md §2.1 A1).
 
     Multi-file scan of flow records with a *pinned* schema — never
     ``inferSchema`` (anti-pattern at ``modelling.py:50``).  A list of
     paths is a union-all of homogeneous files, handled by the scan node
-    itself (no driver-side loop).
+    itself (no driver-side loop).  Pass
+    ``sources.cicflowmeter.CICFLOWMETER_SCHEMA`` to load real
+    CIC-IDS-2018 day-files at reference width (80 columns).
     """
     if fmt == "csv":
-        df = spark.read.schema(FLOW_SCHEMA).csv(paths, header=True)
+        df = spark.read.schema(schema or FLOW_SCHEMA).csv(paths, header=True)
     elif fmt == "parquet":
         df = spark.read.parquet(*(paths if isinstance(paths, list) else [paths]))
     else:

@@ -52,3 +52,42 @@ def test_canonicalize_collision_raises(spark):
 
 def test_flow_schema_matches_fixture_width():
     assert len(FLOW_SCHEMA.fields) == 16  # FIXTURES.md §1 compact analog
+
+
+def test_cicflowmeter_wide_schema_roundtrip(spark, tmp_path):
+    """The pinned 80-column CICFlowMeter schema loads a reference-shaped
+    CSV (header row with spaces and '/') without inference, and
+    canonicalization produces distinct snake_case names."""
+    import csv
+
+    from network_ids_using_pyspark_spark.sources.cicflowmeter import (
+        CICFLOWMETER_FEATURES,
+        CICFLOWMETER_SCHEMA,
+    )
+
+    assert len(CICFLOWMETER_SCHEMA.fields) == 80
+    assert len(CICFLOWMETER_FEATURES) == 78
+
+    path = tmp_path / "day.csv"
+    names = [f.name for f in CICFLOWMETER_SCHEMA.fields]
+    row = []
+    for f in CICFLOWMETER_SCHEMA.fields:
+        if f.name == "Timestamp":
+            row.append("14/02/2018 08:31:01")
+        elif f.name == "Label":
+            row.append("Benign")
+        elif f.dataType.simpleString() == "double":
+            row.append("1.5")
+        else:
+            row.append("3")
+    with open(path, "w", newline="") as fh:
+        w = csv.writer(fh)
+        w.writerow(names)
+        w.writerows([row] * 5)
+
+    df = scan_flows(spark, str(path), schema=CICFLOWMETER_SCHEMA)
+    assert df.count() == 5
+    assert len(df.columns) == 80
+    assert len(set(df.columns)) == 80  # canonicalization is collision-free
+    assert dict(df.dtypes)["flow_byts_per_s"] == "double"
+    assert dict(df.dtypes)["flow_duration"] == "bigint"
