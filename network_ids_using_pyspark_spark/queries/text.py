@@ -209,3 +209,70 @@ def q_dedup_keep_best(spark, sf_dir):
         .filter(F.col("rk") == 1)
         .select("fingerprint", F.col("doc_id").alias("keeper_doc_id"), "n_tokens")
     )
+
+
+@register(
+    "corpus_ngram_counts",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(w) - 1),
+                    i -> array_to_string(w[i:i+2], ' '))) AS ngram
+      FROM toks WHERE len(w) >= 3
+    )
+    SELECT ngram, n, n_docs FROM (
+      SELECT ngram, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS n_docs,
+             ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, ngram ASC) AS rk
+      FROM sh GROUP BY ngram
+    ) WHERE rk <= 20
+    """,
+)
+def q_corpus_ngram_counts(spark, sf_dir):
+    """Corpus-level 3-gram frequency table (top 20) — the LM-data
+    n-gram statistics op.  Shingles counted with term frequency (not
+    per-doc distinct), plus document frequency; global top-k via
+    TakeOrderedAndProject after the grouped agg."""
+    from ..operators.dedup import shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", F.explode(shingles("text")).alias("ngram"))
+    counts = sh.groupBy("ngram").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+    return counts.orderBy(F.desc("n"), F.asc("ngram")).limit(20)
+
+
+@register(
+    "top_terms_per_doc",
+    r"""
+    WITH tk AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM tk GROUP BY doc_id, term
+    )
+    SELECT doc_id, term, tf FROM (
+      SELECT doc_id, term, tf,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tf DESC, term ASC) AS rk
+      FROM tf
+    ) WHERE rk <= 3
+    """,
+)
+def q_top_terms_per_doc(spark, sf_dir):
+    """Per-document top-3 terms by term frequency (integer tf → no
+    float concerns; the tf half of TF-IDF, with the idf weighting left
+    to MLlib's IDF where log portability doesn't matter)."""
+    from pyspark.sql import Window
+    from ..operators.textops import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tf"), F.asc("term"))
+    return tf.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 3).drop("rk")
