@@ -12,11 +12,18 @@ this module is a thin adapter.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from network_ids_using_pyspark_spark import queries as _registry
+# make the package importable regardless of the harness's cwd
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
+from network_ids_using_pyspark_spark import queries as _registry  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -57,10 +57,20 @@ def _metrics_df(spark, model_name: str, metrics: dict[str, float]):
     return spark.createDataFrame(rows, "model string, metric string, value double")
 
 
+_MODEL_CACHE: dict = {}
+
+
 def _train_eval(spark, sf_dir, kind: str, **kw):
-    train, test = _prepared_split(spark, sf_dir)
-    feat = "scaled_features" if kind == "nb" else "features"
-    model = train_classifier(train, kind, features_col=feat, **kw)
+    # one fitted model per (session, sf, kind): ml_train_rf and
+    # ml_confusion_rf share the RF instead of training twice (the
+    # cached session object is held strongly, so ids can't collide)
+    key = (id(spark), sf_dir, kind)
+    if key not in _MODEL_CACHE:
+        train, test = _prepared_split(spark, sf_dir)
+        feat = "scaled_features" if kind == "nb" else "features"
+        model = train_classifier(train, kind, features_col=feat, **kw)
+        _MODEL_CACHE[key] = (spark, model, test)
+    _, model, test = _MODEL_CACHE[key]
     preds = model.transform(test)
     return preds, _metrics_df(spark, kind, evaluate_multiclass(preds))
 

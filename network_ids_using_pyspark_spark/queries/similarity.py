@@ -136,7 +136,7 @@ def q_mllib_minhash_pairs(spark, sf_dir):
     sh = docs.select("doc_id", shingles("text").alias("sh"))
     cv = CountVectorizer(inputCol="sh", outputCol="features", binary=True).fit(sh)
     vec = cv.transform(sh)
-    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=4, seed=42).fit(vec)
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=2, seed=42).fit(vec)
     pairs = lsh.approxSimilarityJoin(vec, vec, 0.5, distCol="jaccard_dist")
     return (
         pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
