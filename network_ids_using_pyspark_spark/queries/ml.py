@@ -113,3 +113,81 @@ def q_ml_confusion_rf(spark, sf_dir):
     form) — never a driver-side collect."""
     preds, _ = _train_eval(spark, sf_dir, "rf")
     return confusion_matrix(preds).orderBy("label", "prediction")
+
+
+def _flows_profile_sql(n: int = 60_000) -> str:
+    """Oracle that REGENERATES the synthetic flow fixture in DuckDB via
+    the same md5 arithmetic as sources/synthetic.py, then profiles it —
+    proving generator + profile are engine-independent end to end.
+    Only exp/pow-free columns (transcendentals are not cross-engine
+    portable; see functions/numeric.py docs)."""
+
+    def u(seed: str) -> str:
+        h = (
+            f"CAST(concat('0x', substring(md5(concat('flows:{seed}', "
+            f"CAST(id AS VARCHAR))), 1, 15)) AS BIGINT)"
+        )
+        return f"({h} / 1152921504606846976.0)"
+
+    return f"""
+    WITH raw AS (
+      SELECT id,
+             {u('label')} AS u_label,
+             {u('dur')} AS u_dur, {u('dneg')} AS u_dneg,
+             {u('port')} AS u_port, {u('proto')} AS u_proto,
+             {u('syn')} AS u_syn, {u('ack')} AS u_ack
+      FROM range(0, {n}) t(id)
+    ), flows AS (
+      SELECT
+        CASE WHEN u_label < 0.85 THEN 'Benign'
+             WHEN u_label < 0.95 THEN 'FTP-BruteForce'
+             ELSE 'SSH-BruteForce' END AS label,
+        CASE WHEN u_label < 0.85 THEN 0 WHEN u_label < 0.95 THEN 1 ELSE 2 END AS cls,
+        CASE WHEN u_dneg < 0.001 THEN -919011000000
+             ELSE CAST(1 + floor(u_dur * 120000000) AS BIGINT) END AS flow_duration,
+        CAST(CASE WHEN u_proto < 0.8 THEN 6 ELSE 17 END AS INTEGER) AS protocol,
+        CAST(CASE WHEN u_label >= 0.85 AND u_label < 0.95 THEN 21
+                  WHEN u_label >= 0.95 THEN 22
+                  WHEN u_port < 0.4 THEN 80
+                  WHEN u_port < 0.7 THEN 443
+                  WHEN u_port < 0.8 THEN 3389
+                  ELSE 65533 END AS INTEGER) AS dst_port,
+        CASE WHEN u_syn < 0.2 + (CASE WHEN u_label < 0.85 THEN 0 WHEN u_label < 0.95 THEN 1 ELSE 2 END) * 0.3
+             THEN 1 ELSE 0 END AS syn,
+        CASE WHEN u_ack < 0.6 THEN 1 ELSE 0 END AS ack
+      FROM raw
+    )
+    SELECT label, dst_port, protocol,
+           COUNT(*) AS n,
+           CAST(SUM(syn) AS BIGINT) AS n_syn,
+           CAST(SUM(ack) AS BIGINT) AS n_ack,
+           MAX(flow_duration) AS max_duration,
+           MIN(flow_duration) AS min_duration
+    FROM flows
+    GROUP BY label, dst_port, protocol
+    """
+
+
+@register("flows_port_label_profile", _flows_profile_sql())
+def q_flows_port_label_profile(spark, sf_dir):
+    """Reference-shaped IDS profile over the synthetic flow fixture
+    (fixed n=60k for sf-independence): flows per (label, port,
+    protocol) with flag totals and duration extremes — the oracle
+    regenerates the fixture itself in DuckDB, so this hash-checks the
+    generator AND the profile together."""
+    flows = synth_flows(spark, 60_000)
+    f = flows.select(
+        F.col("Label").alias("label"),
+        F.col("Dst Port").alias("dst_port"),
+        F.col("Protocol").alias("protocol"),
+        F.col("Flow Duration").alias("flow_duration"),
+        F.col("SYN Flag Cnt").alias("syn"),
+        F.col("ACK Flag Cnt").alias("ack"),
+    )
+    return f.groupBy("label", "dst_port", "protocol").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("syn").alias("n_syn"),
+        F.sum("ack").alias("n_ack"),
+        F.max("flow_duration").alias("max_duration"),
+        F.min("flow_duration").alias("min_duration"),
+    )
