@@ -118,3 +118,40 @@ def q_stream_stateful_user_stats(spark, sf_dir):
 
     ev = stream_events(spark, sf_dir)
     return run_to_memory(running_user_stats(ev), "update")
+
+
+@register(
+    "stream_score_sink_roundtrip",
+    "SELECT COUNT(*) AS n_scored FROM events",
+)
+def q_stream_score_sink_roundtrip(spark, sf_dir):
+    """The full serving path (SURVEY.md §2.1 A3/A4, replacing the
+    reference's driver-side Cassandra loop): stream events →
+    foreachBatch model scoring → predictions sink → readback.  Every
+    event is scored exactly once, so the readback count equals the
+    event count — the oracle."""
+    import tempfile
+
+    from pyspark.ml import Pipeline
+    from pyspark.ml.classification import DecisionTreeClassifier
+    from pyspark.ml.feature import StringIndexer, VectorAssembler
+
+    from ..sources.sinks import scan_predictions
+    from ..sources.tables import load_table
+    from ..streaming.stream import score_to_sink
+
+    events = load_table(spark, sf_dir, "events")
+    model = Pipeline(
+        stages=[
+            StringIndexer(inputCol="event_type", outputCol="encoded_label"),
+            VectorAssembler(inputCols=["value", "user_id"], outputCol="features"),
+            DecisionTreeClassifier(featuresCol="features", labelCol="encoded_label", seed=7),
+        ]
+    ).fit(events)
+
+    base = tempfile.mkdtemp(prefix="nids_sink_")
+    q = score_to_sink(stream_events(spark, sf_dir), model, f"{base}/preds", f"{base}/ckpt")
+    q.awaitTermination()
+    return scan_predictions(spark, f"{base}/preds").agg(
+        F.count(F.lit(1)).alias("n_scored")
+    )
