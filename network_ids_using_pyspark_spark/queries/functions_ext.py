@@ -201,3 +201,47 @@ def q_dense_hourly_counts(spark, sf_dir):
         .join(actual, ["hour", "event_type"], "left")
         .select("hour", "event_type", F.coalesce("n", F.lit(0)).alias("n"))
     )
+
+
+@register(
+    "quantile_profile",
+    """
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.25) AS q25,
+           quantile_cont(l_quantity, 0.5) AS q50,
+           quantile_cont(l_quantity, 0.75) AS q75,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_quantile_profile(spark, sf_dir):
+    """Exact grouped quantiles (sort-based `percentile`) — the profile
+    op behind the engine's exact-median imputation; both engines use
+    the same linear-interpolation definition."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", 0.25).alias("q25"),
+        F.percentile("l_quantity", 0.5).alias("q50"),
+        F.percentile("l_quantity", 0.75).alias("q75"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "value_histogram",
+    """
+    SELECT CAST(floor(value / 50.0) AS BIGINT) AS bin, COUNT(*) AS n
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q_value_histogram(spark, sf_dir):
+    """Fixed-width histogram binning (floor division into buckets) —
+    single pass, map-side combined; the EDA histogram the reference
+    did driver-side in pandas/plotly (ISAA_Review_3.ipynb cell 9)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.floor(F.col("value") / 50.0).cast("long").alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
