@@ -155,3 +155,60 @@ def q_stream_score_sink_roundtrip(spark, sf_dir):
     return scan_predictions(spark, f"{base}/preds").agg(
         F.count(F.lit(1)).alias("n_scored")
     )
+
+
+@register(
+    "stream_static_join_counts",
+    """
+    SELECT c.c_mktsegment, COUNT(*) AS n
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def q_stream_static_join_counts(spark, sf_dir):
+    """Stream-static (enrichment) join: the event stream joined to the
+    static customer dimension — per micro-batch the dim is broadcast,
+    no stream state needed.  Batch-equivalent ⇒ full oracle."""
+    from ..sources.tables import load_table
+
+    ev = stream_events(spark, sf_dir)
+    c = load_table(spark, sf_dir, "customer")
+    joined = ev.join(c, ev.user_id == c.c_custkey)
+    agg = joined.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n"))
+    return run_to_memory(agg, "complete")
+
+
+@register(
+    "stream_stream_join_pairs",
+    """
+    SELECT COUNT(*) AS n_pairs
+    FROM (SELECT user_id, ts AS p_ts FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT user_id, ts AS c_ts FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.c_ts BETWEEN p.p_ts - INTERVAL 1 HOUR AND p.p_ts
+    """,
+)
+def q_stream_stream_join_pairs(spark, sf_dir):
+    """Stream-stream inner join with an event-time range condition
+    (clicks within the hour before each purchase by the same user) —
+    watermarks bound both sides' state.  On bounded input the emitted
+    pairs equal the batch time-interval join: the oracle."""
+    ev = stream_events(spark, sf_dir)
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "2 hours")
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user_id"), F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "2 hours")
+    )
+    joined = p.join(
+        c,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+    )
+    pairs = run_to_memory(joined, "append")
+    return pairs.agg(F.count(F.lit(1)).alias("n_pairs"))
