@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from ..functions.hashing import portable_hash64_sql
 from ..operators.dedup import (
     embedding_near_dup_pairs,
+    exploded_shingles,
     hyperplanes,
     jaccard_pairs,
     minhash_lsh_pairs,
@@ -157,3 +158,62 @@ def q_embedding_near_dup(spark, sf_dir):
     recall bounded by bucketing (documented approximate semantics)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return embedding_near_dup_pairs(emb, NEAR_DUP_T, bits=HP_BITS, dim=HP_DIM)
+
+
+_VERIFIED_SQL = f"""
+WITH {_SHINGLES_CTE},
+hh AS (SELECT doc_id, {_BASE_H} AS h FROM sh),
+sig AS (SELECT doc_id, {_SIG_COLS} FROM hh GROUP BY doc_id),
+bands AS ({_bands_sql()}),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+  FROM cands c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT doc_a, doc_b, jaccard FROM (
+  SELECT i.doc_a, i.doc_b,
+         CAST(n_inter AS DOUBLE) / CAST(x.n_sh + y.n_sh - n_inter AS DOUBLE) AS jaccard
+  FROM inter i JOIN sz x ON i.doc_a = x.doc_id JOIN sz y ON i.doc_b = y.doc_id
+) WHERE jaccard >= {JACCARD_T}
+"""
+
+
+@register("minhash_dedup_verified", _VERIFIED_SQL)
+def q_minhash_dedup_verified(spark, sf_dir):
+    """The complete production fuzzy-dedup pipeline in one query:
+    MinHash → banded LSH candidate pairs → exact Jaccard verification
+    (≥ 0.5) computed ONLY for candidates.  At 100 TB the verification
+    join touches O(candidates), not O(corpus²) — LSH prunes, Jaccard
+    decides."""
+    docs = load_table(spark, sf_dir, "documents")
+    ex = exploded_shingles(docs)
+    cands = minhash_lsh_pairs(minhash_signatures(docs, k=K), bands=BANDS, rows=ROWS)
+    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = ex.withColumnsRenamed({"doc_id": "doc_a", "shingle": "sh_a"})
+    b = ex.withColumnsRenamed({"doc_id": "doc_b_r", "shingle": "sh_b"})
+    inter = (
+        cands.join(a, "doc_a")
+        .join(b, (F.col("doc_b") == F.col("doc_b_r")) & (F.col("sh_a") == F.col("sh_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.withColumnsRenamed({"doc_id": "doc_a", "n_sh": "n_a"})
+    sb = sizes.withColumnsRenamed({"doc_id": "doc_b", "n_sh": "n_b"})
+    out = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+        )
+    )
+    return out.filter(F.col("jaccard") >= JACCARD_T).select("doc_a", "doc_b", "jaccard")
