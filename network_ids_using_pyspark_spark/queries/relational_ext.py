@@ -285,3 +285,88 @@ def q_salted_user_counts(spark, sf_dir):
 
     ev = load_table(spark, sf_dir, "events")
     return salted_count(ev, "user_id", salt_buckets=8)
+
+
+@register(
+    "left_outer_order_fill",
+    f"""
+    SELECT c.c_custkey,
+           CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders,
+           {dec_sum_sql('o.o_totalprice')} AS sum_price
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey
+    """,
+)
+def q_left_outer_order_fill(spark, sf_dir):
+    """LEFT OUTER join + agg: every customer appears, order-less ones
+    with n_orders = 0 and a NULL sum — the null-preserving join/agg
+    semantics contract."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            dec_sum("o_totalprice").alias("sum_price"),
+        )
+    )
+
+
+@register(
+    "full_outer_user_activity",
+    """
+    SELECT COALESCE(p.user_id, e.user_id) AS user_id,
+           CAST(COALESCE(p.n, 0) AS BIGINT) AS n_purchases,
+           CAST(COALESCE(e.n, 0) AS BIGINT) AS n_errors
+    FROM (SELECT user_id, COUNT(*) AS n FROM events WHERE event_type = 'purchase' GROUP BY user_id) p
+    FULL OUTER JOIN
+         (SELECT user_id, COUNT(*) AS n FROM events WHERE event_type = 'error' GROUP BY user_id) e
+      ON p.user_id = e.user_id
+    """,
+)
+def q_full_outer_user_activity(spark, sf_dir):
+    """FULL OUTER join of two aggregates with COALESCE zero-fill."""
+    ev = load_table(spark, sf_dir, "events")
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_p"))
+    )
+    e = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy(F.col("user_id").alias("e_user_id"))
+        .agg(F.count(F.lit(1)).alias("n_e"))
+    )
+    return p.join(e, p.user_id == e.e_user_id, "full_outer").select(
+        F.coalesce("user_id", "e_user_id").alias("user_id"),
+        F.coalesce("n_p", F.lit(0)).alias("n_purchases"),
+        F.coalesce("n_e", F.lit(0)).alias("n_errors"),
+    )
+
+
+@register(
+    "argmax_aggregates",
+    """
+    SELECT o_orderstatus,
+           arg_max(o_orderkey, o_totalprice ORDER BY o_totalprice DESC, o_orderkey ASC) AS top_orderkey,
+           MAX(o_totalprice) AS top_price,
+           arg_min(o_orderkey, o_totalprice ORDER BY o_totalprice ASC, o_orderkey ASC) AS bottom_orderkey
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def q_argmax_aggregates(spark, sf_dir):
+    """max_by/min_by (argmax/argmin aggregates).  Price ties are broken
+    toward the smaller order key on BOTH engines via a struct-ordered
+    max, so the result is total-order deterministic."""
+    o = load_table(spark, sf_dir, "orders")
+    # struct ordering (price, -key) isn't directly expressible for
+    # "smallest key on tie", so use (price, negated key) max:
+    best = F.max(F.struct(F.col("o_totalprice"), (-F.col("o_orderkey")).alias("nk")))
+    worst = F.min(F.struct(F.col("o_totalprice"), F.col("o_orderkey").alias("k")))
+    return o.groupBy("o_orderstatus").agg(
+        (-best["nk"]).cast("bigint").alias("top_orderkey"),
+        best["o_totalprice"].alias("top_price"),
+        worst["k"].cast("bigint").alias("bottom_orderkey"),
+    )
