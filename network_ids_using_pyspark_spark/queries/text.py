@@ -276,3 +276,89 @@ def q_top_terms_per_doc(spark, sf_dir):
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("tf"), F.asc("term"))
     return tf.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 3).drop("rk")
+
+
+@register(
+    "pandas_udf_fingerprint",
+    r"""
+    SELECT doc_id,
+           md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+    FROM documents
+    """,
+)
+def q_pandas_udf_fingerprint(spark, sf_dir):
+    """The sanctioned slow path, demonstrated: an Arrow-batched
+    @pandas_udf (vectorized, ~10-100x a row-at-a-time Python UDF —
+    SURVEY.md §4.2) computing the whitespace-normalized content md5.
+    Matches the pure-SQL oracle, proving the Python kernel is
+    semantics-equivalent to the native expression used everywhere else."""
+    import hashlib
+    import re as _re
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    # no annotations: `from __future__ import annotations` stringifies
+    # hints, which pandas_udf's inference can't read — declare the type
+    ws = _re.compile(r"\s+")
+
+    def _fp(texts):
+        return texts.map(
+            lambda t: hashlib.md5(ws.sub(" ", t.strip()).lower().encode()).hexdigest()
+        )
+
+    fp_udf = pandas_udf(_fp, "string")
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", fp_udf("text").alias("fp"))
+
+
+@register(
+    "corpus_filter_pipeline",
+    f"""
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             {_NTOK_SQL} AS n_tokens,
+             (LEAST(CAST({_NTOK_SQL} AS DOUBLE) / 20.0, 1.0) * 0.4
+              + (1.0 - LEAST({_PUNCT_SQL} * 4, 1.0)) * 0.3
+              + LEAST({_STOPR_SQL} * 5, 1.0) * 0.3) AS quality
+      FROM documents
+    ) WHERE quality >= 0.5 AND n_tokens >= 10
+    """,
+)
+def q_corpus_filter_pipeline(spark, sf_dir):
+    """The training-data filtering pipeline: quality score ≥ 0.5 AND
+    length ≥ 10 tokens — the compose-filters-then-keep-ids shape every
+    corpus cleaning run uses.  Pure codegen'd expressions; at 100 TB
+    this pipelines inside the scan stage."""
+    from ..operators.textops import quality_score, token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            token_count("text").alias("n_tokens"),
+            quality_score("text", _STOPWORDS).alias("quality"),
+        )
+        .filter((F.col("quality") >= 0.5) & (F.col("n_tokens") >= 10))
+        .select("doc_id", "lang")
+    )
+
+
+@register("mllib_tfidf_norms", None)  # hashing-trick bucket ids are engine-internal
+def q_mllib_tfidf_norms(spark, sf_dir):
+    """MLlib TF-IDF (HashingTF → IDF): per-doc vector norms — the
+    library featurization path beside the oracle-checked tf statistics
+    (`top_terms_per_doc`).  Rows-only: the hashing trick's bucket
+    assignment is Spark-internal."""
+    from pyspark.ml.feature import IDF, HashingTF, Tokenizer
+    from pyspark.ml.functions import vector_to_array
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = Tokenizer(inputCol="text", outputCol="words").transform(docs)
+    tf = HashingTF(inputCol="words", outputCol="tf", numFeatures=1 << 12).transform(toks)
+    idf = IDF(inputCol="tf", outputCol="tfidf").fit(tf).transform(tf)
+    arr = vector_to_array("tfidf")
+    norm = F.sqrt(F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x * x))
+    return idf.select("doc_id", norm.alias("tfidf_l2"))
