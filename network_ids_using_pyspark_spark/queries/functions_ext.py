@@ -245,3 +245,44 @@ def q_value_histogram(spark, sf_dir):
         ev.groupBy(F.floor(F.col("value") / 50.0).cast("long").alias("bin"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@register(
+    "orders_by_month",
+    f"""
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS yr,
+           CAST(EXTRACT(month FROM o_orderdate) AS INTEGER) AS mo,
+           COUNT(*) AS n,
+           {dec_sum_sql('o_totalprice')} AS sum_price
+    FROM orders
+    GROUP BY 1, 2
+    """,
+)
+def q_orders_by_month(spark, sf_dir):
+    """Date-part grouping (year/month extraction) — the calendar
+    aggregation shape; extraction is exact integer arithmetic on both
+    engines."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.year("o_orderdate").alias("yr"), F.month("o_orderdate").alias("mo")
+    ).agg(F.count(F.lit(1)).alias("n"), dec_sum("o_totalprice").alias("sum_price"))
+
+
+@register(
+    "promo_parts_by_brand",
+    """
+    SELECT p_brand, COUNT(*) AS n, MAX(p_retailprice) AS max_price
+    FROM part
+    WHERE p_type LIKE 'PROMO%' OR p_name LIKE '%o%'
+    GROUP BY p_brand
+    """,
+)
+def q_promo_parts_by_brand(spark, sf_dir):
+    """LIKE-pattern predicates (prefix and infix) feeding a grouped agg
+    — prefix LIKE compiles to a StartsWith that pushes into the scan."""
+    p = load_table(spark, sf_dir, "part")
+    return (
+        p.filter(F.col("p_type").like("PROMO%") | F.col("p_name").like("%o%"))
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("p_retailprice").alias("max_price"))
+    )
