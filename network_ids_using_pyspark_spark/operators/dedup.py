@@ -194,6 +194,62 @@ def simhash(docs: DataFrame, bits: int = 16, id_col: str = "doc_id", text_col: s
     return agg.select(id_col, fp.cast("long").alias("simhash"))
 
 
+def simhash_near_dup_pairs(
+    fingerprints: DataFrame,
+    bits: int = 16,
+    bands: int = 4,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    sig_col: str = "simhash",
+) -> DataFrame:
+    """SimHash near-duplicate pairs via banded blocking: split the
+    ``bits``-bit fingerprint into ``bands`` equal bands; any pair sharing
+    a band value becomes a candidate (guaranteed to include every pair
+    with Hamming distance < ``bands`` by pigeonhole); verify candidates
+    with exact ``bit_count(a XOR b) <= max_hamming``.
+
+    The band equi-join is the 100 TB shape — candidates are generated
+    bucket-locally (shuffle on (band_idx, band_val)), never all-pairs;
+    the verify step touches only candidate pairs."""
+    rows = bits // bands
+    mask = (1 << rows) - 1
+    banded = fingerprints.select(
+        F.col(id_col),
+        F.col(sig_col),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band_idx"),
+                    F.expr(f"({sig_col} DIV {1 << (b * rows)}) % {mask + 1}").alias("band_val"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("band"),
+    ).select(id_col, sig_col, "band.band_idx", "band.band_val")
+    a, b_ = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b_,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            F.col(f"a.{sig_col}").alias("sig_a"),
+            F.col(f"b.{sig_col}").alias("sig_b"),
+        )
+        .distinct()  # a pair may collide in several bands
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("int")
+    return (
+        pairs.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
 # --- embedding near-dup (sign-LSH buckets + exact cosine inside) -----
 
 def hyperplanes(bits: int, dim: int) -> list[list[float]]:

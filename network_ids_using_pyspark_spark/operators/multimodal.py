@@ -100,6 +100,48 @@ def extract_image_features(media: DataFrame, fake_decode: bool = True) -> DataFr
     return media.mapInPandas(_batches, schema=IMAGE_FEATURES_SCHEMA)
 
 
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("content_md5", T.StringType()),
+    ]
+)
+
+
+def extract_audio_features(
+    media: DataFrame, sample_rate: int = 16000, fake_decode: bool = True
+) -> DataFrame:
+    """Audio feature extraction over a binary column (same Arrow-batched
+    mapInPandas plumbing as the image path).  Fake kernel treats the
+    payload as 8-bit mono PCM at ``sample_rate`` Hz — sample count and
+    duration are pure integer functions of the byte length, so the query
+    is oracle-checkable.  ``fake_decode=False`` is the librosa/soundfile
+    stub (not installed here)."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not fake_decode:
+                raise NotImplementedError(
+                    "real audio decode requires librosa/soundfile, not "
+                    "installed in this environment; use fake_decode=True"
+                )
+            n_bytes = pdf["content"].map(len).astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "n_bytes": n_bytes,
+                    "n_samples": n_bytes,  # 8-bit mono: 1 byte = 1 sample
+                    "duration_ms": (n_bytes * 1000 // sample_rate).astype("int64"),
+                    "content_md5": pdf["content"].map(lambda b: hashlib.md5(b).hexdigest()),
+                }
+            )
+
+    return media.mapInPandas(_batches, schema=AUDIO_FEATURES_SCHEMA)
+
+
 FRAME_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),

@@ -97,3 +97,58 @@ def cosine_topk_lsh(
     sims = j.select(q_id, c_id, cosine(F.col(q_vec), F.col(c_vec)).alias("sim"))
     w = Window.partitionBy(q_id).orderBy(F.desc("sim"), F.asc(c_id))
     return sims.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+
+
+def cosine_topk_ivf(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    q_id: str = "q_vec_id",
+    c_id: str = "cand_vec_id",
+    q_vec: str = "qe",
+    c_vec: str = "ce",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k — the other classic ANN
+    scale path next to sign-LSH.
+
+    Structure: a small **coarse quantizer** (``n_centroids`` centroid
+    vectors, broadcast) partitions the candidate corpus into inverted
+    lists (each candidate assigned to its nearest centroid by cosine);
+    each query probes only its ``nprobe`` nearest lists.  At 100 TB the
+    corpus is written partitioned/bucketed by ``centroid_id``, so a probe
+    is a partition-pruned scan — the 100 TB is never crossed.
+
+    Centroid choice here is deterministic (the ``n_centroids`` lowest
+    candidate ids) so the whole structure — assignment, probing, scoring
+    — is bit-exactly reproducible in the SQL oracle.  A production build
+    replaces that one line with MLlib ``KMeans.fit`` centroids; every
+    other part of the plan is unchanged.  Recall < 1 by construction
+    (bounded by ``nprobe``/``n_centroids``)."""
+    cents = (
+        candidates.filter(F.col(c_id) < n_centroids)
+        .select(F.col(c_id).alias("centroid_id"), F.col(c_vec).alias("cv"))
+    )
+    # Inverted lists: each candidate → argmax-cosine centroid (ties → lowest id).
+    w_assign = Window.partitionBy(c_id).orderBy(F.desc("csim"), F.asc("centroid_id"))
+    assigned = (
+        candidates.crossJoin(F.broadcast(cents))
+        .select(c_id, c_vec, "centroid_id", cosine(F.col(c_vec), F.col("cv")).alias("csim"))
+        .withColumn("ark", F.row_number().over(w_assign))
+        .filter(F.col("ark") == 1)
+        .select(c_id, c_vec, "centroid_id")
+    )
+    # Probe lists: each query → its nprobe nearest centroids.
+    w_probe = Window.partitionBy(q_id).orderBy(F.desc("qsim"), F.asc("centroid_id"))
+    probes = (
+        queries.crossJoin(F.broadcast(cents))
+        .select(q_id, q_vec, "centroid_id", cosine(F.col(q_vec), F.col("cv")).alias("qsim"))
+        .withColumn("prk", F.row_number().over(w_probe))
+        .filter(F.col("prk") <= nprobe)
+        .select(q_id, q_vec, "centroid_id")
+    )
+    j = assigned.join(F.broadcast(probes), on="centroid_id").filter(F.col(q_id) != F.col(c_id))
+    sims = j.select(q_id, c_id, cosine(F.col(q_vec), F.col(c_vec)).alias("sim"))
+    w = Window.partitionBy(q_id).orderBy(F.desc("sim"), F.asc(c_id))
+    return sims.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)

@@ -133,6 +133,39 @@ def q_simhash_fingerprints(spark, sf_dir):
     return simhash(docs, bits=16)
 
 
+def _simhash_near_dup_sql(bits: int = 16, bands: int = 4, max_hamming: int = 3) -> str:
+    rows = bits // bands
+    return f"""
+    WITH fp AS ({_simhash_sql(bits)}),
+    bnd AS (
+      SELECT doc_id, simhash, CAST(b AS INTEGER) AS band_idx,
+             (simhash // (1 << (CAST(b AS INTEGER) * {rows}))) % {1 << rows} AS band_val
+      FROM fp, range({bands}) t(b)
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                      a.simhash AS sig_a, b.simhash AS sig_b
+      FROM bnd a JOIN bnd b
+        ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, CAST(bit_count(xor(sig_a, sig_b)) AS INTEGER) AS hamming
+    FROM pairs
+    WHERE bit_count(xor(sig_a, sig_b)) <= {max_hamming}
+    """
+
+
+@register("simhash_near_dup", _simhash_near_dup_sql())
+def q_simhash_near_dup(spark, sf_dir):
+    """SimHash near-dup pairs: banded blocking (4×4 bits) generates
+    candidates bucket-locally, exact Hamming ≤ 3 verifies — completing
+    the dedup-family scale paths (exact / Jaccard / MinHash-LSH /
+    SimHash / embedding-LSH)."""
+    from ..operators.dedup import simhash_near_dup_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_near_dup_pairs(simhash(docs, bits=16), bits=16, bands=4, max_hamming=3)
+
+
 def _near_dup_sql() -> str:
     hps = hyperplanes(HP_BITS, HP_DIM)
     bucket = " + ".join(

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from ..operators.multimodal import (
     documents_as_media,
+    extract_audio_features,
     extract_image_features,
     sample_frames,
 )
@@ -33,6 +34,25 @@ def q_media_image_features(spark, sf_dir):
     deterministic fake kernel (SURVEY.md §7.1 phase 7 / task spec)."""
     media = documents_as_media(load_table(spark, sf_dir, "documents"))
     return extract_image_features(media, fake_decode=True)
+
+
+@register(
+    "media_audio_features",
+    """
+    SELECT doc_id AS media_id,
+           CAST(length(text) AS BIGINT) AS n_bytes,
+           CAST(length(text) AS BIGINT) AS n_samples,
+           CAST(length(text) * 1000 // 16000 AS BIGINT) AS duration_ms,
+           md5(text) AS content_md5
+    FROM documents
+    """,
+)
+def q_media_audio_features(spark, sf_dir):
+    """Audio-column feature extraction (8-bit-mono fake kernel) through
+    the same mapInPandas plumbing as images — completes the
+    image/audio/video multimodal triple."""
+    media = documents_as_media(load_table(spark, sf_dir, "documents"))
+    return extract_audio_features(media, sample_rate=16000, fake_decode=True)
 
 
 @register(

@@ -122,6 +122,65 @@ def q_cosine_topk_lsh(spark, sf_dir):
     return cosine_topk_lsh(q, c, k=5, hyperplanes=hyperplanes(4, 64))
 
 
+_COS = (
+    "list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a})) * "
+    "sqrt(list_dot_product({b}, {b})))"
+)
+
+
+def _ivf_topk_sql(k: int = 5, n_centroids: int = 8, nprobe: int = 2) -> str:
+    csim = _COS.format(a="e.v", b="c.cv")
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cents AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < {n_centroids}),
+    assigned AS (
+      SELECT cand_vec_id, ce, centroid_id FROM (
+        SELECT e.vec_id AS cand_vec_id, e.v AS ce, c.centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY {csim} DESC, c.centroid_id ASC) AS ark
+        FROM e CROSS JOIN cents c
+      ) WHERE ark = 1
+    ),
+    probes AS (
+      SELECT q_vec_id, qe, centroid_id FROM (
+        SELECT e.vec_id AS q_vec_id, e.v AS qe, c.centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY {csim} DESC, c.centroid_id ASC) AS prk
+        FROM e CROSS JOIN cents c WHERE e.vec_id < 8
+      ) WHERE prk <= {nprobe}
+    ),
+    sims AS (
+      SELECT q_vec_id, cand_vec_id, {_COS.format(a="qe", b="ce")} AS sim
+      FROM assigned JOIN probes USING (centroid_id)
+      WHERE q_vec_id <> cand_vec_id
+    )
+    SELECT q_vec_id, cand_vec_id, sim, rk FROM (
+      SELECT q_vec_id, cand_vec_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY q_vec_id ORDER BY sim DESC, cand_vec_id ASC) AS rk
+      FROM sims
+    ) WHERE rk <= {k}
+    """
+
+
+@register("cosine_topk_ivf", _ivf_topk_sql())
+def q_cosine_topk_ivf(spark, sf_dir):
+    """IVF ANN top-5: broadcast coarse quantizer (8 deterministic
+    centroids) → inverted lists → nprobe=2 probing.  At scale the corpus
+    is bucketed by centroid_id on write, making each probe a pruned
+    scan; swap the centroid selection line for MLlib KMeans in
+    production (plan shape unchanged)."""
+    from ..operators.similarity import cosine_topk_ivf
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_vec_id"), as_double_array("embedding").alias("qe")
+    )
+    c = emb.select(
+        F.col("vec_id").alias("cand_vec_id"), as_double_array("embedding").alias("ce")
+    )
+    return cosine_topk_ivf(q, c, k=5, n_centroids=8, nprobe=2)
+
+
 @register("mllib_minhash_pairs", None)  # MLlib hash seeds are engine-internal
 def q_mllib_minhash_pairs(spark, sf_dir):
     """MLlib's MinHashLSH (approxSimilarityJoin) over binarized shingle
