@@ -142,6 +142,53 @@ def extract_audio_features(
     return media.mapInPandas(_batches, schema=AUDIO_FEATURES_SCHEMA)
 
 
+THUMB_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("out_width", T.IntegerType()),
+        T.StructField("out_height", T.IntegerType()),
+        T.StructField("thumb_md5", T.StringType()),
+    ]
+)
+
+
+def resize_images(media: DataFrame, target: int = 16, fake_decode: bool = True) -> DataFrame:
+    """Thumbnail/resize over a binary column.  Fake kernel: stride-
+    subsample the payload down to ``target²`` bytes (the downsampling
+    access pattern of a real nearest-neighbor resize, minus the codec)
+    and fingerprint the result; output dims clamp the fake decode dims
+    to ``target``.  Real kernel (``fake_decode=False``) is the PIL
+    ``Image.resize`` stub."""
+    px = target * target
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not fake_decode:
+                raise NotImplementedError(
+                    "real resize requires pillow, not installed here; "
+                    "use fake_decode=True"
+                )
+            out = {"media_id": [], "out_width": [], "out_height": [], "thumb_md5": []}
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                n = len(content)
+                stride = max(n // px, 1)
+                thumb = content[::stride][:px]
+                out["media_id"].append(mid)
+                out["out_width"].append(min(n % 64 + 1, target))
+                out["out_height"].append(min(n // 64 % 64 + 1, target))
+                out["thumb_md5"].append(hashlib.md5(thumb).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(out["media_id"], dtype="int64"),
+                    "out_width": pd.Series(out["out_width"], dtype="int32"),
+                    "out_height": pd.Series(out["out_height"], dtype="int32"),
+                    "thumb_md5": pd.Series(out["thumb_md5"], dtype="object"),
+                }
+            )
+
+    return media.mapInPandas(_batches, schema=THUMB_SCHEMA)
+
+
 FRAME_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),

@@ -286,3 +286,37 @@ def q_promo_parts_by_brand(spark, sf_dir):
         .groupBy("p_brand")
         .agg(F.count(F.lit(1)).alias("n"), F.max("p_retailprice").alias("max_price"))
     )
+
+
+@register(
+    "window_rank_functions",
+    """
+    SELECT event_id, event_type,
+           NTILE(4) OVER w AS tile,
+           PERCENT_RANK() OVER w AS pr,
+           CUME_DIST() OVER w AS cd,
+           FIRST_VALUE(event_id) OVER w AS first_ev,
+           LAST_VALUE(event_id) OVER (
+             PARTITION BY event_type ORDER BY value ASC, event_id ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_ev
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY value ASC, event_id ASC)
+    """,
+)
+def q_window_rank_functions(spark, sf_dir):
+    """Distribution-rank window surface: ntile / percent_rank /
+    cume_dist / first_value / last_value over a totally-ordered
+    partition (value + event_id tie-break, so rank ratios are exact
+    integer divisions — bit-portable)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(F.asc("value"), F.asc("event_id"))
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.ntile(4).over(w).alias("tile"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+        F.first("event_id").over(w).alias("first_ev"),
+        F.last("event_id").over(w_full).alias("last_ev"),
+    )

@@ -11,6 +11,7 @@ from ..operators.multimodal import (
     documents_as_media,
     extract_audio_features,
     extract_image_features,
+    resize_images,
     sample_frames,
 )
 from ..sources.tables import load_table
@@ -53,6 +54,37 @@ def q_media_audio_features(spark, sf_dir):
     image/audio/video multimodal triple."""
     media = documents_as_media(load_table(spark, sf_dir, "documents"))
     return extract_audio_features(media, sample_rate=16000, fake_decode=True)
+
+
+@register(
+    "media_resize_thumbs",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id, text, length(text) AS n,
+             greatest(length(text) // 256, 1) AS stride
+      FROM documents
+    ),
+    th AS (
+      SELECT media_id,
+             string_agg(substring(text, CAST(1 + i * stride AS INTEGER), 1),
+                        '' ORDER BY i) AS thumb
+      FROM m, range(256) t(i)
+      WHERE 1 + i * stride <= n
+      GROUP BY media_id
+    )
+    SELECT m.media_id,
+           CAST(least(m.n % 64 + 1, 16) AS INTEGER) AS out_width,
+           CAST(least((m.n // 64) % 64 + 1, 16) AS INTEGER) AS out_height,
+           md5(th.thumb) AS thumb_md5
+    FROM m JOIN th ON m.media_id = th.media_id
+    """,
+)
+def q_media_resize_thumbs(spark, sf_dir):
+    """Resize/thumbnail op: stride-subsample each payload to ≤256 bytes
+    inside mapInPandas (the downsample access pattern of a real resize);
+    the oracle rebuilds the identical subsample with string_agg."""
+    media = documents_as_media(load_table(spark, sf_dir, "documents"))
+    return resize_images(media, target=16, fake_decode=True)
 
 
 @register(

@@ -370,3 +370,55 @@ def q_argmax_aggregates(spark, sf_dir):
         best["o_totalprice"].alias("top_price"),
         worst["k"].cast("bigint").alias("bottom_orderkey"),
     )
+
+
+@register(
+    "orders_above_cust_avg",
+    f"""
+    SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+    FROM orders o
+    WHERE o.o_totalprice > (
+      SELECT {dec_sum_sql('o2.o_totalprice')} / COUNT(o2.o_totalprice)
+      FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+    """,
+)
+def q_orders_above_cust_avg(spark, sf_dir):
+    """Correlated-subquery shape (orders above their customer's average
+    price).  The engine plans it as the scalable decorrelated form — a
+    per-customer aggregate joined back to the fact — which is exactly
+    what DuckDB's decorrelator does with the subquery text."""
+    from ..functions.numeric import dec_avg
+
+    o = load_table(spark, sf_dir, "orders")
+    avg = o.groupBy("o_custkey").agg(dec_avg("o_totalprice").alias("cust_avg"))
+    return (
+        o.join(avg, "o_custkey")
+        .filter(F.col("o_totalprice") > F.col("cust_avg"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+@register(
+    "lineitem_above_global_avg",
+    f"""
+    SELECT l_returnflag, COUNT(*) AS n_above
+    FROM lineitem
+    WHERE l_extendedprice > (
+      SELECT {dec_sum_sql('l_extendedprice')} / COUNT(l_extendedprice) FROM lineitem)
+    GROUP BY l_returnflag
+    """,
+)
+def q_lineitem_above_global_avg(spark, sf_dir):
+    """Scalar-subquery shape: one-row global aggregate reused as a
+    filter threshold.  Engine form is a broadcast cross join of the
+    one-row aggregate — no driver collect, no recompute per row."""
+    from ..functions.numeric import dec_avg
+
+    li = load_table(spark, sf_dir, "lineitem")
+    g = li.agg(dec_avg("l_extendedprice").alias("gavg"))
+    return (
+        li.crossJoin(F.broadcast(g))
+        .filter(F.col("l_extendedprice") > F.col("gavg"))
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n_above"))
+    )

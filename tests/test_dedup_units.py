@@ -56,3 +56,42 @@ def test_lsh_finds_exact_dup(spark):
              for r in minhash_lsh_pairs(minhash_signatures(_docs(spark))).collect()}
     assert (1, 2) in cands  # identical signatures always collide
     assert (1, 4) not in cands
+
+
+def test_simhash_near_dup_exact_dup_has_zero_hamming(spark):
+    from network_ids_using_pyspark_spark.operators.dedup import simhash_near_dup_pairs
+
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_near_dup_pairs(simhash(_docs(spark))).collect()
+    }
+    assert pairs.get((1, 2)) == 0  # identical docs: identical fingerprint
+    # banding guarantee: hamming < bands (=4) pairs are always candidates,
+    # so a reported pair can never have hamming above the verify cap
+    assert all(h <= 3 for h in pairs.values())
+
+
+def test_ivf_full_probe_equals_brute_force(spark):
+    """nprobe = n_centroids ⇒ IVF scans every inverted list ⇒ results
+    must equal brute-force top-k exactly (the recall knob's ceiling)."""
+    from network_ids_using_pyspark_spark.operators.similarity import (
+        as_double_array,
+        cosine_topk,
+        cosine_topk_ivf,
+    )
+    from network_ids_using_pyspark_spark.sources.tables import load_table
+
+    from .conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    q = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("q_vec_id"), as_double_array("embedding").alias("qe")
+    )
+    c = emb.select(
+        F.col("vec_id").alias("cand_vec_id"), as_double_array("embedding").alias("ce")
+    )
+    brute = {(r["q_vec_id"], r["rk"]): r["cand_vec_id"]
+             for r in cosine_topk(q, c, k=3).collect()}
+    ivf = {(r["q_vec_id"], r["rk"]): r["cand_vec_id"]
+           for r in cosine_topk_ivf(q, c, k=3, n_centroids=4, nprobe=4).collect()}
+    assert brute == ivf
