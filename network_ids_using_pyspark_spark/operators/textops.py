@@ -89,3 +89,40 @@ def doc_fingerprint(col: Column | str, n_chars: int = 16) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     normalized = F.lower(F.regexp_replace(F.trim(c), _WS, " "))
     return F.substring(F.md5(normalized), 1, n_chars)
+
+
+def winnow_fingerprints(
+    docs, k: int = 3, w: int = 4, id_col: str = "doc_id", text_col: str = "text"
+):
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the
+    MOSS algorithm): hash every token k-gram with a rolling window of
+    positions, keep the minimum hash of each w-length window, emit the
+    distinct selected fingerprints per document.
+
+    Guarantees: any shared substring of ≥ w+k-1 tokens between two
+    documents yields at least one shared fingerprint — the basis of
+    partial-overlap (not just whole-doc) dedup.  Everything is built-in
+    array expressions (sequence/slice/transform/array_min) over the
+    portable hash — codegen'd, shuffle-free until the final distinct,
+    and bit-reproducible in the SQL oracle."""
+    from pyspark.sql import functions as F
+
+    d = docs.select(id_col, tokens(text_col).alias("wds")).filter(
+        F.size("wds") >= k + w - 1
+    )
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("wds") - (k - 1)),
+        lambda i: F.concat_ws(" ", F.slice("wds", i, k)),
+    )
+    hs = F.transform(
+        grams,
+        lambda g: F.conv(
+            F.substring(F.md5(F.concat(F.lit("winnow:"), g)), 1, 15), 16, 10
+        ).cast("long"),
+    )
+    d = d.select(id_col, hs.alias("hs"))
+    fps = F.transform(
+        F.sequence(F.lit(1), F.size("hs") - (w - 1)),
+        lambda i: F.array_min(F.slice("hs", i, w)),
+    )
+    return d.select(id_col, F.explode(F.array_distinct(fps)).alias("fp"))

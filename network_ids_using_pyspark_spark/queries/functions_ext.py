@@ -320,3 +320,55 @@ def q_window_rank_functions(spark, sf_dir):
         F.first("event_id").over(w).alias("first_ev"),
         F.last("event_id").over(w_full).alias("last_ev"),
     )
+
+
+@register(
+    "user_event_sequences",
+    """
+    SELECT user_id,
+           list(event_type ORDER BY ts ASC, event_id ASC) AS seq,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q_user_event_sequences(spark, sf_dir):
+    """Ordered array aggregation (per-user event-type sequence).
+    collect_list alone is partition-order-dependent; sorting structs of
+    (ts, event_id, type) restores a total order — deterministic under
+    any partitioning, which is what makes the op usable at scale."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+            lambda s: s["event_type"],
+        ).alias("seq"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "customer_name_features",
+    """
+    SELECT c_custkey,
+           upper(c_mktsegment) AS seg,
+           levenshtein(c_name, 'Customer#000000001') AS edit_dist,
+           CAST(regexp_extract(c_name, '([0-9]+)', 1) AS BIGINT) AS name_num,
+           concat(c_mktsegment, '-', CAST(c_nationkey AS VARCHAR)) AS seg_nation
+    FROM customer
+    """,
+)
+def q_customer_name_features(spark, sf_dir):
+    """String-function surface: upper / levenshtein / regexp_extract /
+    concat — all JVM-side built-ins (no UDF), all integer- or
+    byte-exact cross-engine."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_mktsegment").alias("seg"),
+        F.levenshtein(F.col("c_name"), F.lit("Customer#000000001")).alias("edit_dist"),
+        F.regexp_extract("c_name", r"([0-9]+)", 1).cast("long").alias("name_num"),
+        F.concat_ws("-", F.col("c_mktsegment"), F.col("c_nationkey").cast("string")).alias(
+            "seg_nation"
+        ),
+    )

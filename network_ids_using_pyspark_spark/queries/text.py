@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from ..functions.hashing import portable_hash64_sql
 from ..sources.tables import load_table
 from ..operators.textops import (
     doc_fingerprint,
@@ -362,3 +363,38 @@ def q_mllib_tfidf_norms(spark, sf_dir):
     arr = vector_to_array("tfidf")
     norm = F.sqrt(F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x * x))
     return idf.select("doc_id", norm.alias("tfidf_l2"))
+
+
+def _winnow_sql(k: int = 3, w: int = 4) -> str:
+    h = portable_hash64_sql("g", seed="winnow:")
+    return rf"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS wds FROM documents
+    ),
+    f AS (SELECT doc_id, wds FROM t WHERE len(wds) >= {k + w - 1}),
+    g AS (
+      SELECT doc_id,
+             list_transform(range(1, len(wds) - {k - 1} + 1),
+                            i -> array_to_string(wds[i:i + {k - 1}], ' ')) AS grams
+      FROM f
+    ),
+    h AS (SELECT doc_id, list_transform(grams, g -> {h}) AS hs FROM g),
+    wnd AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(hs) - {w - 1} + 1),
+                                          i -> list_min(hs[i:i + {w - 1}]))) AS fps
+      FROM h
+    )
+    SELECT doc_id, unnest(fps) AS fp FROM wnd
+    """
+
+
+@register("doc_winnow_fingerprints", _winnow_sql())
+def q_doc_winnow_fingerprints(spark, sf_dir):
+    """Rolling-hash document fingerprinting via winnowing (MOSS): k-gram
+    rolling hashes, per-window minima, distinct per doc — detects
+    partial overlap, not just whole-doc duplication."""
+    from ..operators.textops import winnow_fingerprints
+
+    docs = load_table(spark, sf_dir, "documents")
+    return winnow_fingerprints(docs, k=3, w=4)

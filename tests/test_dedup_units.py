@@ -95,3 +95,24 @@ def test_ivf_full_probe_equals_brute_force(spark):
     ivf = {(r["q_vec_id"], r["rk"]): r["cand_vec_id"]
            for r in cosine_topk_ivf(q, c, k=3, n_centroids=4, nprobe=4).collect()}
     assert brute == ivf
+
+
+def test_winnowing_shared_substring_shares_fingerprint(spark):
+    """Winnowing guarantee: a shared run of ≥ w+k-1 (=6) tokens must
+    produce at least one shared fingerprint; disjoint docs share none."""
+    from network_ids_using_pyspark_spark.operators.textops import winnow_fingerprints
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "prefix words alpha beta gamma delta epsilon zeta trailing"),
+            (3, "utterly unrelated content with no overlap whatsoever here"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = winnow_fingerprints(docs, k=3, w=4).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by_doc[1] & by_doc[2], "shared 7-token run must share a fingerprint"
+    assert not (by_doc[1] & by_doc[3]) and not (by_doc[2] & by_doc[3])

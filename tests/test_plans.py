@@ -72,3 +72,30 @@ def test_replace_inf_with_max_broadcasts_scalar(spark):
     # the one-row max aggregate is broadcast back, never collected
     plan = explain_str(_df(spark, "replace_inf_with_max"), "simple")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_ivf_joins_all_broadcast(spark):
+    """IVF: centroid cross-joins and the probe-list join must all be
+    broadcasts — the candidate corpus (100 TB side) never shuffles for
+    a join; its only exchanges are the two window partitionings."""
+    df = _df(spark, "cosine_topk_ivf")
+    plan = explain_str(df, "simple")
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_simhash_near_dup_shuffles_on_band_keys(spark):
+    """Banded blocking is an equi-join on (band_idx, band_val) — a hash
+    join, never a nested-loop all-pairs."""
+    df = _df(spark, "simhash_near_dup")
+    plan = explain_str(df, "simple")
+    assert "NestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_scalar_subquery_broadcasts_threshold(spark):
+    """The one-row global-avg threshold reaches the fact scan as a
+    broadcast, not a driver collect baked into the plan."""
+    df = _df(spark, "lineitem_above_global_avg")
+    plan = explain_str(df, "simple")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
