@@ -52,20 +52,34 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def run_to_memory(
-    df: DataFrame, output_mode: str, prefix: str = "nids_stream"
+    df: DataFrame, output_mode: str, prefix: str = "nids_stream", state_partitions: int = 8
 ) -> DataFrame:
     """Drive a (bounded) streaming frame to completion into a memory sink
     with ``availableNow`` and return the result table.  Unique sink name
-    per call so reruns in one session never collide."""
+    per call so reruns in one session never collide.
+
+    ``state_partitions`` scopes ``spark.sql.shuffle.partitions`` for the
+    stream's lifetime: stateful operators keep one state store per
+    shuffle partition, and store setup/commit is per-partition per-batch
+    overhead — so state parallelism should track state *size*, not the
+    batch session's scan parallelism.  (On a real cluster this is the
+    knob you size to keyspace; results are partition-count-independent
+    by the engine's determinism rules.)"""
+    spark = df.sparkSession
     name = f"{prefix}_{next(_MEMORY_SINK_IDS)}"
-    q = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return df.sparkSession.table(name)
 
 
