@@ -250,6 +250,61 @@ def simhash_near_dup_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b", max_iter: int = 25
+) -> DataFrame:
+    """Collapse duplicate-candidate PAIRS into duplicate CLUSTERS:
+    connected components by Pregel-style min-label propagation (each
+    node repeatedly takes the minimum component id among itself and its
+    neighbors until fixpoint).  Output: (doc_id, component) where
+    component = the smallest doc_id in the cluster.
+
+    This is the step every dedup pipeline needs after candidate
+    generation — pairs alone can't answer "keep one per duplicate
+    group" when A~B and B~C but A~C was never emitted.
+
+    Scale posture: one shuffle (groupBy src) + one join per superstep;
+    convergence takes O(component diameter) supersteps — near-dup
+    clusters are shallow, so typically 3-5.  ``localCheckpoint``
+    truncates the growing lineage each round (on a cluster, use a
+    reliable checkpoint dir instead); at extreme scale swap the loop
+    body for alternating small-star/large-star (Kiveris et al.), same
+    fixpoint."""
+    fwd = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    rev = pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+    edges = fwd.union(rev).distinct().cache()
+    labels = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("component")
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        updated = (
+            labels.join(nbr_min, labels.node == nbr_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_min", F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            updated.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("node").alias("doc_id"), "component")
+
+
 # --- embedding near-dup (sign-LSH buckets + exact cosine inside) -----
 
 def hyperplanes(bits: int, dim: int) -> list[list[float]]:

@@ -250,3 +250,32 @@ def q_minhash_dedup_verified(spark, sf_dir):
         )
     )
     return out.filter(F.col("jaccard") >= JACCARD_T).select("doc_a", "doc_b", "jaccard")
+
+
+_CLUSTERS_SQL = f"""
+WITH RECURSIVE pairs AS ({_LSH_SQL}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach AS (
+  SELECT DISTINCT src AS node, src AS root FROM edges
+  UNION
+  SELECT e.dst AS node, r.root FROM reach r JOIN edges e ON e.src = r.node
+)
+SELECT node AS doc_id, MIN(root) AS component FROM reach GROUP BY node
+"""
+
+
+@register("dedup_clusters", _CLUSTERS_SQL)
+def q_dedup_clusters(spark, sf_dir):
+    """Duplicate clusters: connected components (min-label propagation)
+    over the MinHash-LSH candidate pairs — pairs→groups is what makes
+    "keep one per duplicate set" well-defined under transitivity.  The
+    oracle walks the same graph with a recursive CTE."""
+    from ..operators.dedup import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(minhash_signatures(docs, k=K), bands=BANDS, rows=ROWS)
+    return connected_components(pairs)

@@ -116,3 +116,15 @@ def test_winnowing_shared_substring_shares_fingerprint(spark):
         by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
     assert by_doc[1] & by_doc[2], "shared 7-token run must share a fingerprint"
     assert not (by_doc[1] & by_doc[3]) and not (by_doc[2] & by_doc[3])
+
+
+def test_connected_components_transitive_closure(spark):
+    """A~B and B~C must land in one component even though (A,C) was
+    never emitted as a pair; disjoint pairs stay separate."""
+    from network_ids_using_pyspark_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 9), (9, 8)], "doc_a long, doc_b long"
+    )
+    comp = {r["doc_id"]: r["component"] for r in connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7, 9: 7}
