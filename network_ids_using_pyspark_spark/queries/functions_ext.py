@@ -372,3 +372,53 @@ def q_customer_name_features(spark, sf_dir):
             "seg_nation"
         ),
     )
+
+
+@register(
+    "lineitem_unpivot_measures",
+    """
+    SELECT l_orderkey, l_linenumber, measure, value
+    FROM lineitem
+    UNPIVOT (value FOR measure IN (l_quantity, l_extendedprice, l_discount, l_tax))
+    """,
+)
+def q_lineitem_unpivot_measures(spark, sf_dir):
+    """UNPIVOT (wide→long reshaping): four measure columns to
+    (measure, value) rows via stack() — the inverse of the pivot op,
+    needed for metric-per-row export layouts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.selectExpr(
+        "l_orderkey",
+        "l_linenumber",
+        "stack(4, 'l_quantity', l_quantity, 'l_extendedprice', l_extendedprice, "
+        "'l_discount', l_discount, 'l_tax', l_tax) AS (measure, value)",
+    )
+
+
+@register(
+    "event_time_parts",
+    """
+    SELECT event_id,
+           epoch_ms(ts) AS unix_ms,
+           CAST(hour(ts) AS INTEGER) AS hr,
+           CAST(minute(ts) AS INTEGER) AS mi,
+           CAST(day(ts) AS INTEGER) AS dom,
+           CAST(dayofweek(ts) + 1 AS INTEGER) AS dow,
+           CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start
+    FROM events
+    """,
+)
+def q_event_time_parts(spark, sf_dir):
+    """Timestamp-part surface: epoch millis, hour/minute/day-of-month,
+    day-of-week (normalized to Spark's 1=Sunday convention), and
+    date_trunc — all exact integer extractions."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.unix_millis("ts").alias("unix_ms"),
+        F.hour("ts").alias("hr"),
+        F.minute("ts").alias("mi"),
+        F.dayofmonth("ts").alias("dom"),
+        F.dayofweek("ts").alias("dow"),
+        F.date_trunc("day", F.col("ts")).alias("day_start"),
+    )

@@ -122,3 +122,27 @@ def canonicalize_columns(df: DataFrame) -> DataFrame:
     if len(set(mapping.values())) != len(mapping):
         raise ValueError(f"canonicalization collision in {sorted(df.columns)}")
     return df.withColumnsRenamed(mapping)
+
+
+def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """JSON-lines sink — the interchange format most LLM-data pipelines
+    speak.  Parquet stays the engine-internal format (columnar, stats,
+    pruning); JSONL is for the boundary."""
+    df.write.mode(mode).json(path)
+
+
+def scan_jsonl(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    """JSONL scan with a MANDATORY explicit schema — never inferSchema
+    (the reference's inferSchema=True costs a full extra pass and lets
+    types drift between files, SURVEY.md §4.2)."""
+    return spark.read.schema(schema).json(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink — the other columnar format Spark ships a vectorized
+    reader for; interchange with Hive-ecosystem consumers."""
+    df.write.mode(mode).orc(path)
+
+
+def scan_orc(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.orc(path)

@@ -91,3 +91,42 @@ def test_cicflowmeter_wide_schema_roundtrip(spark, tmp_path):
     assert len(set(df.columns)) == 80  # canonicalization is collision-free
     assert dict(df.dtypes)["flow_byts_per_s"] == "double"
     assert dict(df.dtypes)["flow_duration"] == "bigint"
+
+
+def test_jsonl_roundtrip_preserves_values(spark, tmp_path):
+    from network_ids_using_pyspark_spark.sources.tables import (
+        load_table,
+        scan_jsonl,
+        write_jsonl,
+    )
+
+    from .conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    path = str(tmp_path / "docs_jsonl")
+    write_jsonl(docs, path)
+    back = scan_jsonl(spark, path, docs.schema)
+    assert back.schema == docs.schema
+    a = sorted(tuple(r) for r in docs.collect())
+    b = sorted(tuple(r) for r in back.collect())
+    assert a == b
+
+
+def test_orc_roundtrip_and_predicate_pushdown(spark, tmp_path):
+    from network_ids_using_pyspark_spark.plans.inspect import explain_str
+    from network_ids_using_pyspark_spark.sources.tables import (
+        load_table,
+        scan_orc,
+        write_orc,
+    )
+
+    from .conftest import SF_DIR
+
+    orders = load_table(spark, SF_DIR, "orders")
+    path = str(tmp_path / "orders_orc")
+    write_orc(orders, path)
+    back = scan_orc(spark, path)
+    assert back.count() == orders.count()
+    filtered = back.filter(back.o_orderkey < 100).select("o_orderkey")
+    plan = explain_str(filtered)
+    assert "PushedFilters: [" in plan and "PushedFilters: []" not in plan
