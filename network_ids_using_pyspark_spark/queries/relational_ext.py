@@ -422,3 +422,38 @@ def q_lineitem_above_global_avg(spark, sf_dir):
         .groupBy("l_returnflag")
         .agg(F.count(F.lit(1)).alias("n_above"))
     )
+
+
+@register(
+    "rollup_daily_from_hourly",
+    f"""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start,
+           event_type,
+           COUNT(*) AS n,
+           {dec_sum_sql('value')} AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_rollup_daily_from_hourly(spark, sf_dir):
+    """Multi-resolution rollup chain (the hypertable / continuous-
+    aggregate pattern): the DAILY result is aggregated from HOURLY
+    partials, not from raw rows — yet the oracle aggregates raw rows
+    directly, and the hashes must match bit-for-bit.  That equality is
+    the engine's mergeability contract: counts and DECIMAL sums are
+    associative, so rollups can be stacked (hour→day→month) and reused
+    without drift.  At 100 TB this is what makes dashboards read
+    O(buckets) instead of O(rows)."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour_start"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_part"),
+        F.sum(F.col("value").cast("decimal(30, 6)")).alias("sum_part"),  # keep exact
+    )
+    return hourly.groupBy(
+        F.date_trunc("day", F.col("hour_start")).alias("day_start"), "event_type"
+    ).agg(
+        F.sum("n_part").alias("n"),
+        F.sum("sum_part").cast("double").alias("sum_value"),
+    )
