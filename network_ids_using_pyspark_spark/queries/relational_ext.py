@@ -457,3 +457,64 @@ def q_rollup_daily_from_hourly(spark, sf_dir):
         F.sum("n_part").alias("n"),
         F.sum("sum_part").cast("double").alias("sum_value"),
     )
+
+
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def _corr_matrix_sql() -> str:
+    # one-pass moment CTE, then one row per (a, b) pair — the same
+    # expression tree the Spark side builds, term for term
+    moments = ["CAST(COUNT(*) AS DOUBLE) AS n"]
+    for c in _CORR_COLS:
+        moments.append(f"CAST(CAST(SUM(CAST({c} AS {_CORR_DEC})) AS VARCHAR) AS DOUBLE) AS s_{c}")
+    for i, a in enumerate(_CORR_COLS):
+        for b in _CORR_COLS[i:]:
+            moments.append(
+                f"CAST(CAST(SUM(CAST({a} AS {_CORR_DEC}) * CAST({b} AS {_CORR_DEC})) "
+                f"AS VARCHAR) AS DOUBLE) AS p_{a}_{b}"
+            )
+    rows = []
+    for i, a in enumerate(_CORR_COLS):
+        for b in _CORR_COLS[i + 1 :]:
+            rows.append(
+                f"SELECT '{a}' AS col_a, '{b}' AS col_b, "
+                f"(n * p_{a}_{b} - s_{a} * s_{b}) / "
+                f"(sqrt(n * p_{a}_{a} - s_{a} * s_{a}) * sqrt(n * p_{b}_{b} - s_{b} * s_{b})) "
+                f"AS corr FROM m"
+            )
+    return "WITH m AS (SELECT " + ", ".join(moments) + " FROM lineitem) " + " UNION ALL ".join(rows)
+
+
+@register("feature_corr_matrix", _corr_matrix_sql())
+def q_feature_corr_matrix(spark, sf_dir):
+    """Full pairwise Pearson matrix (SURVEY.md §2.1 A5 `feature_corr`,
+    the engine analog of the reference's pandas `df.corr()` EDA cell):
+    ALL moments in ONE aggregation pass over the table — 1 count + 4
+    sums + 10 cross-products — then the 6 upper-triangle correlations
+    assembled from the single moment row.  Decimal-exact moments ⇒
+    bit-reproducible under any partitioning; one scan regardless of
+    matrix width (vs. one pass per pair for naive F.corr calls)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast(_CORR_DEC.lower())  # noqa: E731
+    aggs = [F.count(F.lit(1)).cast("double").alias("n")]
+    for c in _CORR_COLS:
+        aggs.append(F.sum(dec(c)).cast("double").alias(f"s_{c}"))
+    for i, a in enumerate(_CORR_COLS):
+        for b in _CORR_COLS[i:]:
+            aggs.append(F.sum(dec(a) * dec(b)).cast("double").alias(f"p_{a}_{b}"))
+    m = li.agg(*aggs)
+    n = F.col("n")
+    pairs = []
+    for i, a in enumerate(_CORR_COLS):
+        for b in _CORR_COLS[i + 1 :]:
+            corr = (n * F.col(f"p_{a}_{b}") - F.col(f"s_{a}") * F.col(f"s_{b}")) / (
+                F.sqrt(n * F.col(f"p_{a}_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}"))
+                * F.sqrt(n * F.col(f"p_{b}_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}"))
+            )
+            pairs.append(
+                F.struct(
+                    F.lit(a).alias("col_a"), F.lit(b).alias("col_b"), corr.alias("corr")
+                )
+            )
+    return m.select(F.explode(F.array(*pairs)).alias("p")).select("p.*")
