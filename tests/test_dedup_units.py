@@ -128,3 +128,39 @@ def test_connected_components_transitive_closure(spark):
     )
     comp = {r["doc_id"]: r["component"] for r in connected_components(pairs).collect()}
     assert comp == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7, 9: 7}
+
+
+def test_connected_components_matches_union_find(spark):
+    """200 random edges vs a reference union-find — the distributed
+    min-label fixpoint must produce exactly the canonical components."""
+    import random
+
+    rnd = random.Random(20260813)
+    edges = [(rnd.randrange(120), rnd.randrange(120)) for _ in range(200)]
+    edges = [(a, b) for a, b in edges if a != b]
+
+    parent = list(range(120))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    touched = {v for e in edges for v in e}
+    expected = {v: find(v) for v in touched}
+    # canonical label = min node id in component
+    comp_min = {}
+    for v, r in expected.items():
+        comp_min[r] = min(comp_min.get(r, v), v)
+    expected = {v: comp_min[r] for v, r in expected.items()}
+
+    from network_ids_using_pyspark_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {r["doc_id"]: r["component"] for r in connected_components(pairs).collect()}
+    assert got == expected
