@@ -60,17 +60,24 @@ def q_dedup_exact(spark, sf_dir):
     f"""
     SELECT doc_id,
            CAST({_NTOK_SQL} AS INTEGER) AS n_tokens,
+           CAST(len(regexp_split_to_array(trim(text), '[^0-9A-Za-z]+')) AS INTEGER)
+             AS n_word_tokens,
            CAST(length(text) AS BIGINT) AS n_chars_measured,
            n_chars
     FROM documents
     """,
 )
 def q_token_stats(spark, sf_dir):
-    """Token counting (whitespace) + char counts — LLM-pipeline staple."""
+    """Token counting (whitespace + BPE-ish word-piece proxy: the
+    word/number boundary regex BPE pre-tokenizers split on) + char
+    counts — LLM-pipeline staple."""
+    from ..operators.textops import word_token_count
+
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
         token_count("text").alias("n_tokens"),
+        word_token_count("text").alias("n_word_tokens"),
         F.length("text").cast("long").alias("n_chars_measured"),
         "n_chars",
     )
