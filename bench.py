@@ -20,6 +20,20 @@ from network_ids_using_pyspark_spark.session import get_spark
 
 
 def main() -> None:
+    # The driver machine-parses stdout as ONE JSON line (BENCH_r01's
+    # `parsed` was null — stray stdout broke it).  Everything incidental
+    # — warmup chatter, Spark/py4j prints, failure notes — goes to
+    # stderr; the real stdout is reserved for the final JSON line.
+    real_stdout = sys.stdout
+    sys.stdout = sys.stderr
+    try:
+        payload = _run()
+    finally:
+        sys.stdout = real_stdout
+    print(json.dumps(payload), file=real_stdout, flush=True)
+
+
+def _run() -> dict:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -88,21 +102,18 @@ def main() -> None:
             print(f"bench: pipeline comparison FAILED: {e}", file=sys.stderr)
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf),
-                "cpus": cpus,
-                "n_queries": len(timings),
-                "pipeline_baseline_comparison": pipeline,
-            }
-        )
-    )
+    payload = {
+        "metric": "total_query_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+        "cpus": cpus,
+        "n_queries": len(timings),
+        "pipeline_baseline_comparison": pipeline,
+    }
     spark.stop()
+    return payload
 
 
 if __name__ == "__main__":

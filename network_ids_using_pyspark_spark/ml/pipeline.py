@@ -100,14 +100,22 @@ def train_classifier(
 
 
 def evaluate_multiclass(
-    predictions: DataFrame, label_col: str = "encoded_label"
+    predictions: DataFrame, label_col: str = "encoded_label", n_labels: int = 3
 ) -> dict[str, float]:
     """Engine op ``evaluate_multiclass`` (M9): f1 / precision / recall /
-    accuracy — each a distributed confusion-statistics aggregation."""
+    accuracy — each a distributed confusion-statistics aggregation —
+    plus PER-LABEL precision/recall rows exactly as the reference
+    publishes them per class (``modelling.py:153-178``,
+    ``ISAA_Review_3.ipynb:1152-1160``): ``precision_label_k`` /
+    ``recall_label_k`` for k in 0..n_labels-1 via ``metricLabel``."""
     out = {}
     ev = MulticlassClassificationEvaluator(labelCol=label_col, predictionCol="prediction")
     for metric in ("f1", "accuracy", "weightedPrecision", "weightedRecall"):
         out[metric] = ev.setMetricName(metric).evaluate(predictions)
+    for k in range(n_labels):
+        ev.setMetricLabel(float(k))
+        out[f"precision_label_{k}"] = ev.setMetricName("precisionByLabel").evaluate(predictions)
+        out[f"recall_label_{k}"] = ev.setMetricName("recallByLabel").evaluate(predictions)
     return out
 
 
@@ -146,11 +154,17 @@ FLOW_FEATURES = [
 ]
 
 
-def prepare_flow_features(flows: DataFrame) -> DataFrame:
+def prepare_flow_features(
+    flows: DataFrame, features: list[str] | None = None
+) -> DataFrame:
     """End-to-end cleaning + featurization mirroring the reference
     pipeline order (ingest → inf-replace → impute → assemble → scale →
     encode; ``ISAA_Review_3.ipynb`` cells 26-34) on canonicalized names,
-    with native expressions instead of the Python UDF."""
+    with native expressions instead of the Python UDF.
+
+    ``features`` defaults to the compact 13-column fixture set; pass the
+    canonicalized ``CICFLOWMETER_FEATURES`` for the reference's real
+    78-dimension shape (``modelling.py:95-96``)."""
     df = canonicalize_columns(flows)
     df = replace_inf(df, ["flow_pkts_per_s"], 4_000_000.0)
     df = df.withColumn(
@@ -159,7 +173,7 @@ def prepare_flow_features(flows: DataFrame) -> DataFrame:
     )
     df = impute_median(df, ["flow_byts_per_s"])
     df = df.drop("timestamp")
-    df = assemble_features(df, FLOW_FEATURES)
+    df = assemble_features(df, features or FLOW_FEATURES)
     df = scale_minmax(df)
     df = encode_label(df, "label", "encoded_label")
     return df

@@ -28,6 +28,7 @@ import hashlib
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel  # noqa: F401  (jaccard_pairs param)
 
 from ..functions.hashing import portable_hash64
 from .textops import tokens
@@ -59,11 +60,18 @@ def jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     max_df: int | None = None,
+    storage_level: "StorageLevel | None" = None,
 ) -> DataFrame:
     """All pairs with shingle-set Jaccard ≥ threshold, via the
     inverted-index join.  ``max_df`` drops shingles present in more than
     that many docs before the self-join (skew control at scale; changes
-    results — keep None for exact semantics)."""
+    results — keep None for exact semantics).
+
+    ``storage_level`` controls how the exploded-shingle relation is
+    persisted (default ``MEMORY_AND_DISK``).  At extreme scale the
+    exploded corpus is ~an order of magnitude larger than the input —
+    pass ``StorageLevel.DISK_ONLY`` to keep it off the executor heaps
+    entirely (the 100 TB memory-pressure escape hatch; VERDICT r1 #6)."""
     ex = exploded_shingles(docs, id_col, text_col, n)
     if max_df is not None:
         rare = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).filter(
@@ -72,7 +80,10 @@ def jaccard_pairs(
         ex = ex.join(rare.select("shingle"), "shingle")
     # the exploded relation feeds three plan branches (join left/right,
     # per-doc sizes); persist it so tokenize+shingle runs once, not 3-4×
-    ex = ex.persist()
+    if storage_level is not None:
+        ex = ex.persist(storage_level)
+    else:
+        ex = ex.persist()
     sizes = ex.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     # hint the self-join to shuffle-hash: broadcasting the exploded
     # corpus (what AQE picks at small SF) is exactly what would OOM at

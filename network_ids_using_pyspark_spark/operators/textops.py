@@ -70,13 +70,20 @@ def lang_id(col: Column | str, markers: dict[str, list[str]], default: str = "un
     expression chain — the 100 TB path is a broadcast map of markers,
     which this compiles to."""
     toks = tokens(col)
+    codes = sorted(markers)
     scores = []
-    for lang_code in sorted(markers):
+    for i, lang_code in enumerate(codes):
         marker_arr = F.array(*[F.lit(m) for m in markers[lang_code]])
         hits = F.size(F.filter(toks, lambda t: F.array_contains(marker_arr, t)))
-        scores.append(F.struct(hits.alias("hits"), F.lit(lang_code).alias("lang")))
-    # argmax by (hits, -lang_order): array_max on struct compares fieldwise;
-    # to prefer the *earlier* code on ties we compare (hits, reversed index).
+        # struct comparison is fieldwise: (hits, priority) — earlier codes
+        # get the HIGHER priority, so greatest() prefers them on tied hits
+        scores.append(
+            F.struct(
+                hits.alias("hits"),
+                F.lit(len(codes) - i).alias("pri"),
+                F.lit(lang_code).alias("lang"),
+            )
+        )
     best = F.greatest(*scores) if len(scores) > 1 else scores[0]
     return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit(default))
 
@@ -126,3 +133,114 @@ def winnow_fingerprints(
         lambda i: F.array_min(F.slice("hs", i, w)),
     )
     return d.select(id_col, F.explode(F.array_distinct(fps)).alias("fp"))
+
+
+# ---------------------------------------------------------------------
+# Chunking, repetition signals, PII scrubbing — the remaining text ops a
+# training-data pipeline runs between raw corpus and tokenizer.
+# ---------------------------------------------------------------------
+
+
+def chunk_documents(
+    docs: DataFrame,
+    window: int = 50,
+    stride: int = 40,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split each document into overlapping token-window chunks —
+    (doc_id, chunk_idx, chunk_text, n_tokens) — the unit LLM training
+    and embedding pipelines feed downstream.
+
+    ``window`` tokens per chunk, ``stride`` tokens between chunk starts
+    (``stride < window`` ⇒ overlap).  Pure array expressions
+    (sequence/slice/posexplode) — map-side only, pipelines inside the
+    scan at any scale; chunk identity is (doc_id, chunk_idx), stable
+    under any partitioning."""
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.size("__toks") - window + stride, F.lit(1)),
+        F.lit(stride),
+    )
+    chunks = F.transform(starts, lambda s: F.array_join(F.slice("__toks", s, window), " "))
+    return (
+        docs.select(id_col, tokens(text_col).alias("__toks"))
+        .filter(F.size("__toks") >= 1)
+        .select(id_col, F.posexplode(chunks).alias("chunk_idx", "chunk_text"))
+        .withColumn("n_tokens", token_count("chunk_text"))
+    )
+
+
+def dup_ngram_fraction(col: Column | str, n: int = 2) -> Column:
+    """Gopher-style repetition signal: fraction of n-grams that are
+    repeats of an earlier n-gram (1 − distinct/total).  High values
+    flag boilerplate / keyword-stuffed / looping text."""
+    toks = tokens(col)
+    k = F.size(toks) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    return F.when(
+        k >= 1,
+        F.lit(1.0) - F.size(F.array_distinct(grams)).cast("double") / k.cast("double"),
+    ).otherwise(F.lit(0.0))
+
+
+def repetition_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document repetition profile: duplicate 2-gram / 3-gram
+    fractions (map-side array math) and the top-token fraction (count of
+    the most frequent token / token count — one explode + grouped agg,
+    shuffle keyed by doc id).  The standard Gopher quality-filter
+    inputs."""
+    base = docs.select(
+        id_col,
+        dup_ngram_fraction(text_col, 2).alias("dup_2gram_frac"),
+        dup_ngram_fraction(text_col, 3).alias("dup_3gram_frac"),
+    )
+    per_tok = (
+        docs.select(id_col, F.explode(tokens(text_col)).alias("tok"))
+        .groupBy(id_col, "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(
+            (F.max("c").cast("double") / F.sum("c").cast("double")).alias(
+                "top_token_frac"
+            )
+        )
+    )
+    return base.join(per_tok, id_col)
+
+
+# Conservative patterns valid in BOTH Java regex (Spark) and RE2
+# (DuckDB): no backrefs, no lookaround.
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    "phone": (r"\b\d{3}-\d{3,4}-?\d{0,4}\b", "<PHONE>"),
+    "ip": (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+}
+
+
+def scrub_pii(col: Column | str) -> Column:
+    """Replace emails / phone numbers / IPv4 literals with typed
+    placeholder tags.  Order matters (IP before phone would be wrong the
+    other way around: phone patterns can prefix-match dotted quads) —
+    applied email → ip → phone."""
+    c = F.col(col) if isinstance(col, str) else col
+    for key in ("email", "ip", "phone"):
+        pat, repl = PII_PATTERNS[key]
+        c = F.regexp_replace(c, pat, repl)
+    return c
+
+
+def pii_counts(col: Column | str) -> dict[str, Column]:
+    """Per-kind redaction counts (regexp_extract_all → size) — the audit
+    trail a compliance pipeline stores beside the scrubbed text."""
+    c = F.col(col) if isinstance(col, str) else col
+    out = {}
+    for key in ("email", "ip", "phone"):
+        pat, _ = PII_PATTERNS[key]
+        out[f"n_{key}"] = F.size(F.regexp_extract_all(c, F.lit(pat), 0))
+    return out

@@ -1,0 +1,84 @@
+"""Ingest-boundary queries (SURVEY.md §2.1 A1).
+
+Certifies the CSV edge of the engine: a multi-file flow CSV written by
+Spark, scanned back through ``scan_flows`` with the PINNED schema
+(never ``inferSchema`` — the reference pays a full extra discovery scan
+per run, ``modelling.py:50``), canonicalized, and profiled.  The DuckDB
+oracle reads the very same CSV files with ``read_csv`` and an explicit
+column spec, so the round-trip itself is what gets hash-checked.
+
+The aggregate touches only integer/string columns: CSV round-trips of
+NaN/±Inf doubles are representation-sensitive ("Infinity" vs "Inf")
+across engines, and the dirty-double columns have their own dedicated
+cleaning queries (``queries/cleaning.py``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..sources.synthetic import synth_flows
+from ..sources.tables import scan_flows
+from . import register
+
+_CSV_DIR = "/tmp/nids_scan_flows_csv"
+_N = 60_000
+
+# (name, duckdb type) in synth_flows/FLOW_SCHEMA file order; doubles are
+# read as VARCHAR (unused in the aggregate — see module docstring).
+_ORACLE_COLS = [
+    ("flow_id", "BIGINT"),
+    ("Dst Port", "INTEGER"),
+    ("Protocol", "INTEGER"),
+    ("Timestamp", "VARCHAR"),
+    ("Flow Duration", "BIGINT"),
+    ("Tot Fwd Pkts", "INTEGER"),
+    ("TotLen Fwd Pkts", "INTEGER"),
+    ("Fwd Pkt Len Mean", "VARCHAR"),
+    ("Flow Byts/s", "VARCHAR"),
+    ("Flow Pkts/s", "VARCHAR"),
+    ("Flow IAT Mean", "VARCHAR"),
+    ("SYN Flag Cnt", "INTEGER"),
+    ("ACK Flag Cnt", "INTEGER"),
+    ("Down/Up Ratio", "INTEGER"),
+    ("Init Fwd Win Byts", "INTEGER"),
+    ("Label", "VARCHAR"),
+]
+
+_COLSPEC = ", ".join(f"'{n}': '{t}'" for n, t in _ORACLE_COLS)
+
+_SCAN_FLOWS_SQL = f"""
+SELECT "Label" AS label,
+       "Dst Port" AS dst_port,
+       "Protocol" AS protocol,
+       COUNT(*) AS n,
+       CAST(SUM("SYN Flag Cnt") AS BIGINT) AS n_syn,
+       MAX("Flow Duration") AS max_duration,
+       MIN("Flow Duration") AS min_duration
+FROM read_csv('{_CSV_DIR}/*.csv', header=true, columns={{{_COLSPEC}}})
+GROUP BY 1, 2, 3
+"""
+
+
+@register("scan_flows_csv_profile", _SCAN_FLOWS_SQL)
+def q_scan_flows_csv_profile(spark, sf_dir):
+    """A1: write the 60k flow fixture as a 4-file CSV, scan it back with
+    the pinned ``FLOW_SCHEMA`` (union-of-files handled by the scan node,
+    no driver loop), canonicalize names, profile per (label, port,
+    protocol).  The oracle re-reads the same files via DuckDB
+    ``read_csv`` — certifying the CSV boundary end to end."""
+    synth_flows(spark, _N).repartition(4).write.mode("overwrite").option(
+        "header", True
+    ).csv(_CSV_DIR)
+
+    flows = scan_flows(spark, _CSV_DIR, fmt="csv")  # pinned FLOW_SCHEMA
+    return flows.groupBy(
+        F.col("label"),
+        F.col("dst_port"),
+        F.col("protocol"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("syn_flag_cnt").alias("n_syn"),
+        F.max("flow_duration").alias("max_duration"),
+        F.min("flow_duration").alias("min_duration"),
+    )

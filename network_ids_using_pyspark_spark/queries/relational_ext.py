@@ -101,18 +101,25 @@ def q_union_split_halves(spark, sf_dir):
 
 
 @register(
-    "except_customers_without_orders",
+    "except_customers_no_urgent_orders",
     """
     SELECT c_custkey FROM customer
     EXCEPT
-    SELECT o_custkey AS c_custkey FROM orders
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
     """,
 )
 def q_except_customers(spark, sf_dir):
-    """EXCEPT (set difference): customers who never ordered."""
+    """EXCEPT (set difference): customers with no 1-URGENT order.
+    (Round-1 shape — customers with no orders at all — was vacuously
+    empty on the fixture; the filtered subtrahend makes the result a
+    real, non-empty set while certifying the same operator.)"""
     c = load_table(spark, sf_dir, "customer").select("c_custkey")
-    o = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
-    return c.exceptAll(o).distinct()
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return c.subtract(o)
 
 
 @register(
@@ -518,3 +525,50 @@ def q_feature_corr_matrix(spark, sf_dir):
                 )
             )
     return m.select(F.explode(F.array(*pairs)).alias("p")).select("p.*")
+
+
+_INTERVAL_JOIN_SQL = """
+WITH t0 AS (SELECT date_trunc('hour', MIN(ts)) AS t0 FROM events),
+wins AS (
+  SELECT CAST(k AS INTEGER) AS window_id,
+         t0 + to_hours(k * 5) AS w_start,
+         t0 + to_hours(k * 5 + 2) AS w_end
+  FROM range(0, 24) r(k), t0
+)
+SELECT w.window_id,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT e.user_id) AS n_users
+FROM events e
+JOIN wins w ON e.ts >= w.w_start AND e.ts < w.w_end
+GROUP BY 1
+"""
+
+
+@register("interval_join_window_stats", _INTERVAL_JOIN_SQL)
+def q_interval_join_window_stats(spark, sf_dir):
+    """Non-equi interval-containment join at scale: 24 derived 2-hour
+    windows (5-hour stride from the corpus start) joined to every event
+    whose timestamp they contain — via the bucketed equi-join
+    decomposition (``operators/rangejoin.py``), never a
+    BroadcastNestedLoopJoin.  The oracle states the same join as a plain
+    BETWEEN theta-join (DuckDB plans an IEJoin; the point is identical
+    RESULTS from a scale-safe PLAN)."""
+    from ..operators.rangejoin import interval_join_bucketed
+
+    ev = load_table(spark, sf_dir, "events").select("ts", "user_id")
+    t0 = ev.agg(F.date_trunc("hour", F.min("ts")).alias("t0"))
+    base = F.unix_timestamp("t0")
+    wins = (
+        spark.range(24)
+        .crossJoin(t0)  # 1-row broadcast, same pattern as replace_inf_with_max
+        .select(
+            F.col("id").cast("int").alias("window_id"),
+            F.timestamp_seconds(base + F.col("id") * 18000).alias("w_start"),
+            F.timestamp_seconds(base + F.col("id") * 18000 + 7200).alias("w_end"),
+        )
+    )
+    joined = interval_join_bucketed(ev, wins, "ts", "w_start", "w_end")
+    return joined.groupBy("window_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )

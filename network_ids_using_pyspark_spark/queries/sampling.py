@@ -113,3 +113,38 @@ def q_stratified_sample_events(spark, sf_dir):
     return stratified_sample(
         ev, "event_type", {"click": 0.1, "view": 0.2, "purchase": 0.5}, seed=0
     ).select("event_id", "event_type")
+
+
+@register("random_split_invariants", None)  # split membership is Spark-specific
+def q_random_split_invariants(spark, sf_dir):
+    """SURVEY.md §2.6 T2: seeded ``randomSplit`` (the reference calls it
+    unseeded, ``ISAA_Review_3.ipynb:900``), certified through its
+    INVARIANTS as distributed aggregates: per-half row counts, an
+    ``overlap`` row that must be 0 (halves disjoint), and a ``lost`` row
+    that must be 0 (halves cover the input).  No collect — the checks
+    themselves are joins/aggregations."""
+    from ..operators.sampling import random_split
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    train, test = random_split(o, [0.8, 0.2], seed=1234)
+    n_total = o.agg(F.count(F.lit(1)).alias("n"))
+    n_train = train.agg(F.count(F.lit(1)).alias("n"))
+    n_test = test.agg(F.count(F.lit(1)).alias("n"))
+    overlap = (
+        train.join(test, "o_orderkey").agg(F.count(F.lit(1)).alias("n"))
+    )
+    lost = (
+        n_total.crossJoin(n_train.withColumnRenamed("n", "n_a"))
+        .crossJoin(n_test.withColumnRenamed("n", "n_b"))
+        .select((F.col("n") - F.col("n_a") - F.col("n_b")).alias("n"))
+    )
+    parts = [
+        n_train.select(F.lit("train").alias("part"), "n"),
+        n_test.select(F.lit("test").alias("part"), "n"),
+        overlap.select(F.lit("overlap").alias("part"), "n"),
+        lost.select(F.lit("lost").alias("part"), "n"),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

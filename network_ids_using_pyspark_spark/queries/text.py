@@ -151,9 +151,9 @@ def _hits_sql(lang: str) -> str:
     "lang_id_predict",
     f"""
     SELECT doc_id, lang,
-           CASE WHEN h_es >= h_en AND h_es >= h_de AND h_es > 0 THEN 'es'
-                WHEN h_en >= h_de AND h_en > 0 THEN 'en'
-                WHEN h_de > 0 THEN 'de'
+           CASE WHEN h_de >= h_en AND h_de >= h_es AND h_de > 0 THEN 'de'
+                WHEN h_en >= h_es AND h_en > 0 THEN 'en'
+                WHEN h_es > 0 THEN 'es'
                 ELSE 'und' END AS predicted_lang
     FROM (
       SELECT doc_id, lang,
@@ -166,9 +166,9 @@ def _hits_sql(lang: str) -> str:
 )
 def q_lang_id(spark, sf_dir):
     """Marker-token language ID (n-gram-heuristic family): argmax of
-    per-language marker hits, ties to the lexicographically larger
-    code, no hits → 'und'.  Pure array expressions — the broadcast-map
-    shape of a real lang-ID at scale."""
+    per-language marker hits, ties to the EARLIER language code
+    (sorted order), no hits → 'und'.  Pure array expressions — the
+    broadcast-map shape of a real lang-ID at scale."""
     from ..operators.textops import lang_id
 
     docs = load_table(spark, sf_dir, "documents")

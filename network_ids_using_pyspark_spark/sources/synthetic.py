@@ -80,7 +80,7 @@ def synth_flows(spark: SparkSession, n_rows: int, seed: str = "flows") -> DataFr
         .cast("int")
     )
 
-    return df.select(
+    out = df.select(
         (F.col("id") + 1).alias("flow_id"),
         dst_port.alias("Dst Port"),
         F.when(_u(seed + ":proto") < 0.8, 6).otherwise(17).cast("int").alias("Protocol"),
@@ -103,3 +103,46 @@ def synth_flows(spark: SparkSession, n_rows: int, seed: str = "flows") -> DataFr
         .alias("Init Fwd Win Byts"),
         label.alias("Label"),
     )
+    return out
+
+
+def synth_flows_ref_width(
+    spark: SparkSession, n_rows: int, seed: str = "flows"
+) -> DataFrame:
+    """The flow fixture at the reference's REAL width: all 80
+    CICFlowMeter-v3 columns (``ISAA_Review_3.ipynb:434-514``), typed per
+    ``sources.cicflowmeter.CICFLOWMETER_SCHEMA``.
+
+    The 15 behavior-bearing columns come from :func:`synth_flows`
+    verbatim; the remaining 65 are deterministic hash-derived fillers
+    with a per-class mean shift (so the full 78-feature assembler /
+    ``[78, …]`` MLP shape trains to the BASELINE floors).  Row i depends
+    only on (seed, i) — distributed, no RNG state."""
+    from ..functions.hashing import HASH_SPACE as _HS
+    from .cicflowmeter import _COLS
+
+    base = synth_flows(spark, n_rows, seed)
+    cls = (
+        F.when(F.col("Label") == LABELS[0], 0)
+        .when(F.col("Label") == LABELS[1], 1)
+        .otherwise(2)
+    )
+
+    def u_rw(col_name: str) -> Column:
+        return portable_hash64(F.col("flow_id"), seed=f"{seed}:rw:{col_name}") / F.lit(
+            float(_HS)
+        )
+
+    present = set(base.columns)
+    fillers = {}
+    for name, t in _COLS:
+        if name in present:
+            continue
+        u = u_rw(name)
+        if t == "i":
+            fillers[name] = F.floor(u * 1000 + cls * 200).cast("int")
+        elif t == "l":
+            fillers[name] = F.floor(u * 1_000_000 + cls * 200_000).cast("long")
+        else:  # 'd'
+            fillers[name] = F.round(u * 100 + cls * 20, 3)
+    return base.withColumns(fillers).select(*[name for name, _ in _COLS])

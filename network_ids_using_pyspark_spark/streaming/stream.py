@@ -83,6 +83,79 @@ def run_to_memory(
     return df.sparkSession.table(name)
 
 
+class LateDataMetricsListener:
+    """SURVEY.md §2.10 "late-data policy — metrics via
+    StreamingQueryListener": accumulates the rows each stateful operator
+    silently DISCARDED for arriving beyond the watermark
+    (``numRowsDroppedByWatermark`` in every progress event).
+
+    Discard behavior itself is tested separately; this is the
+    *observability* half — at scale, a late-drop spike is the alarm for
+    upstream clock skew or ingestion lag, and this listener is the hook
+    a monitoring system polls.  Listener callbacks run on Spark's
+    listener-bus thread and are delivered asynchronously — call
+    :meth:`wait_for_progress` before reading totals.
+    """
+
+    def __init__(self) -> None:
+        self.dropped_by_query: dict[str, int] = {}
+        self.progress_events = 0
+
+    # StreamingQueryListener interface ------------------------------
+    def onQueryStarted(self, event) -> None:  # noqa: N802 (Spark API)
+        pass
+
+    def onQueryProgress(self, event) -> None:  # noqa: N802
+        p = event.progress
+        dropped = 0
+        for op in p.stateOperators:
+            dropped += int(getattr(op, "numRowsDroppedByWatermark", 0) or 0)
+        qid = str(p.id)
+        self.dropped_by_query[qid] = self.dropped_by_query.get(qid, 0) + dropped
+        self.progress_events += 1
+
+    def onQueryIdle(self, event) -> None:  # noqa: N802
+        pass
+
+    def onQueryTerminated(self, event) -> None:  # noqa: N802
+        pass
+
+    # engine-facing surface -----------------------------------------
+    def total_dropped(self) -> int:
+        return sum(self.dropped_by_query.values())
+
+    def wait_for_progress(self, n_events: int, timeout_sec: float = 30.0) -> bool:
+        """Block until ≥ n_events progress events arrived (async bus)."""
+        import time
+
+        deadline = time.monotonic() + timeout_sec
+        while time.monotonic() < deadline:
+            if self.progress_events >= n_events:
+                return True
+            time.sleep(0.1)
+        return self.progress_events >= n_events
+
+
+def attach_late_data_metrics(spark: SparkSession) -> LateDataMetricsListener:
+    """Register a :class:`LateDataMetricsListener` on the session's
+    streaming listener bus and return it.  Caller owns removal
+    (``spark.streams.removeListener``)."""
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    # build the concrete subclass lazily so importing this module never
+    # requires the streaming listener machinery (pure-batch users);
+    # mixin FIRST so its concrete onQuery* resolve ahead of the ABC's
+    # abstract declarations
+    class _Listener(LateDataMetricsListener, StreamingQueryListener):
+        def __init__(self) -> None:
+            StreamingQueryListener.__init__(self)
+            LateDataMetricsListener.__init__(self)
+
+    listener = _Listener()
+    spark.streams.addListener(listener)
+    return listener
+
+
 def tumbling_counts(events: DataFrame, duration: str = "1 hour") -> DataFrame:
     """Tumbling event-time window counts per event_type."""
     return (

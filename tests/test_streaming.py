@@ -89,3 +89,53 @@ def test_watermark_drops_late_data(spark, tmp_path):
     # the late event's window (12:00) must never be emitted; the
     # on-time window (17:00) closes when the watermark passes it
     assert dt.datetime(2024, 6, 1, 12, 0, 0) not in emitted
+
+
+def test_late_data_metrics_listener(spark, tmp_path):
+    """SURVEY §2.10 late-data METRICS: the StreamingQueryListener must
+    observe numRowsDroppedByWatermark > 0 after a late event is
+    discarded by a stateful aggregation (VERDICT r1 missing #6)."""
+    from pyspark.sql import Row
+    import datetime as dt
+
+    from network_ids_using_pyspark_spark.streaming.stream import (
+        attach_late_data_metrics,
+    )
+
+    src = str(tmp_path / "src")
+    base = dt.datetime(2024, 6, 1, 12, 0, 0)
+    on_time = [
+        Row(event_id=i, ts=base + dt.timedelta(hours=5, minutes=i), value=1.0)
+        for i in range(3)
+    ]
+    late = [Row(event_id=99, ts=base, value=1.0)]  # 5h late vs 1h watermark
+    schema = "event_id long, ts timestamp, value double"
+    spark.createDataFrame(on_time, schema).write.parquet(f"{src}/f1.parquet")
+    spark.createDataFrame(late, schema).write.parquet(f"{src}/f2.parquet")
+
+    listener = attach_late_data_metrics(spark)
+    try:
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("latestFirst", False)
+            .parquet(f"{src}/f*.parquet")
+        )
+        agg = (
+            stream.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour"))
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("late_metrics_test")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # listener events are delivered asynchronously on the bus thread
+        assert listener.wait_for_progress(2, timeout_sec=30)
+        assert listener.total_dropped() >= 1, listener.dropped_by_query
+    finally:
+        spark.streams.removeListener(listener)
