@@ -572,3 +572,58 @@ def q_interval_join_window_stats(spark, sf_dir):
         F.count(F.lit(1)).alias("n_events"),
         F.countDistinct("user_id").alias("n_users"),
     )
+
+
+# x is recentered to 2024-01-01 so x² sums stay well inside double's
+# exact-integer range; slope math runs in double over decimal-exact
+# moment sums (same discipline as corr_qty_price above).
+_TREND_EPOCH0 = 1704067200
+
+_TREND_SQL = f"""
+WITH pts AS (
+  SELECT user_id,
+         CAST(CAST(floor(epoch(ts)) AS BIGINT) - {_TREND_EPOCH0} AS DECIMAL(20,0)) AS x,
+         CAST(value AS DECIMAL(30,6)) AS y
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+),
+m AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(CAST(SUM(x) AS VARCHAR) AS DOUBLE) AS sx,
+         CAST(CAST(SUM(y) AS VARCHAR) AS DOUBLE) AS sy,
+         CAST(CAST(SUM(x * x) AS VARCHAR) AS DOUBLE) AS sxx,
+         CAST(CAST(SUM(x * y) AS VARCHAR) AS DOUBLE) AS sxy,
+         COUNT(*) AS n_events
+  FROM pts GROUP BY user_id
+)
+SELECT user_id, n_events,
+       CASE WHEN (n * sxx - sx * sx) > 0
+            THEN (n * sxy - sx * sy) / (n * sxx - sx * sx)
+            ELSE NULL END AS value_trend
+FROM m
+"""
+
+
+@register("user_value_trend", _TREND_SQL)
+def q_user_value_trend(spark, sf_dir):
+    """Per-group least-squares slope of value over time (drift
+    detection — the per-entity regression a feature-quality monitor
+    runs).  Closed-form from decimal-exact moment sums: one grouped
+    aggregation, bit-reproducible under any partitioning; degenerate
+    groups (all events at one instant) yield NULL, never ±Inf."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    x = (F.unix_timestamp("ts") - F.lit(_TREND_EPOCH0)).cast("decimal(20,0)")
+    y = F.col("value").cast("decimal(30,6)")
+    n = F.count(F.lit(1)).cast("double")
+    sx = F.sum(x).cast("double")
+    sy = F.sum(y).cast("double")
+    sxx = F.sum(x * x).cast("double")
+    sxy = F.sum(x * y).cast("double")
+    den = n * sxx - sx * sx
+    slope = F.when(den > 0, (n * sxy - sx * sy) / den).otherwise(F.lit(None))
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        slope.alias("value_trend"),
+    )

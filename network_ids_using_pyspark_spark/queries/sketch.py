@@ -1,0 +1,100 @@
+"""Sketch queries — distributed count-min heavy hitters, fully
+oracle-checked (the portable md5 bucket hash makes the sketch
+bit-identical in DuckDB; see operators/sketch.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions.hashing import hash_bucket_sql
+from ..operators.sketch import cms_counters, cms_estimate
+from ..sources.tables import load_table
+from . import register
+
+_D, _W = 4, 64
+
+
+def _cms_sql() -> str:
+    hashed_union = "\n    UNION ALL ".join(
+        f"SELECT {i} AS h, {hash_bucket_sql('user_id', _W, seed=f'cms{i}')} AS bucket, user_id FROM ev"
+        for i in range(_D)
+    )
+    probe_union = "\n    UNION ALL ".join(
+        f"SELECT user_id, true_n, {i} AS h, {hash_bucket_sql('user_id', _W, seed=f'cms{i}')} AS bucket FROM top"
+        for i in range(_D)
+    )
+    return f"""
+    WITH ev AS (SELECT user_id FROM events),
+    hashed AS (
+    {hashed_union}
+    ),
+    counters AS (
+      SELECT h, bucket, COUNT(*) AS c FROM hashed GROUP BY h, bucket
+    ),
+    top AS (
+      SELECT user_id, COUNT(*) AS true_n FROM ev GROUP BY user_id
+      ORDER BY true_n DESC, user_id ASC LIMIT 10
+    ),
+    probes AS (
+    {probe_union}
+    )
+    SELECT p.user_id, p.true_n, MIN(c.c) AS cms_est
+    FROM probes p JOIN counters c ON p.h = c.h AND p.bucket = c.bucket
+    GROUP BY p.user_id, p.true_n
+    """
+
+
+@register("cms_heavy_hitters", _cms_sql())
+def q_cms_heavy_hitters(spark, sf_dir):
+    """Count-min sketch point queries for the 10 heaviest users: the
+    d×w counter relation is built in one grouped agg, estimation is a
+    broadcast join, and the oracle recomputes the identical sketch —
+    certifying the ≥-true-count guarantee rather than assuming it.
+    At 100 TB the sketch is the cheap first pass that prunes the
+    exact-count second pass to candidate keys only."""
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    counters = cms_counters(ev, "user_id", d=_D, w=_W)
+    top = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("true_n"))
+        .orderBy(F.desc("true_n"), F.asc("user_id"))
+        .limit(10)
+    )
+    return cms_estimate(top, counters, "user_id", d=_D, w=_W)
+
+
+_BLOOM_SQL = """
+SELECT l_returnflag,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS VARCHAR) AS sum_qty_str
+FROM lineitem l
+WHERE EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_orderkey = l.l_orderkey AND o.o_totalprice > 400000
+)
+GROUP BY l_returnflag
+"""
+
+
+@register("bloom_semi_join_lineitem", _BLOOM_SQL)
+def q_bloom_semi_join_lineitem(spark, sf_dir):
+    """Bloom-prefiltered semi-join: lineitems of high-value orders.
+    The Bloom pass (broadcast bit array, k=3/m=4096, map-side) drops
+    most non-matching lineitem rows BEFORE the semi-join shuffle; the
+    exact join over survivors guarantees bit-identical results to the
+    oracle's plain EXISTS — the sketch accelerates, never approximates,
+    the answer."""
+    from ..operators.sketch import bloom_semi_join
+
+    li = load_table(spark, sf_dir, "lineitem")
+    big_orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 400000)
+        .select("o_orderkey")
+    )
+    filtered = bloom_semi_join(li, big_orders, "l_orderkey", "o_orderkey")
+    return filtered.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(30,6)")).cast("string").alias("sum_qty_str"),
+    )

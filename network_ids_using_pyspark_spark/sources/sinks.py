@@ -23,12 +23,27 @@ from pyspark.sql import functions as F
 PREDICTIONS_SCHEMA_COLS = ("vals", "prediction")
 
 
-def sink_predictions(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+def sink_predictions(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    fmt: str = "parquet",
+    options: dict[str, str] | None = None,
+) -> None:
     """Engine op ``sink_predictions`` (SURVEY.md §2.1 A3).
 
     Enforces the serving contract's two-column schema, then writes in
     parallel from the executors.  ``mode='append'`` matches the unlogged-
     batch INSERT semantics (no upsert in the reference either).
+
+    ``fmt``/``options`` parameterize the connector: the reference's
+    external table is reached with
+    ``fmt="org.apache.spark.sql.cassandra",
+    options={"keyspace": "testing_node", "table": "predictions"}``, a
+    warehouse with ``fmt="jdbc", options={"url": ..., "dbtable": ...}``
+    — same contract, same parallel write path.  Parquet (the default)
+    is the only format exercised in this sandbox (no external DB here);
+    the dispatch itself is tested in tests/test_sources.py.
     """
     missing = [c for c in PREDICTIONS_SCHEMA_COLS if c not in df.columns]
     if missing:
@@ -37,7 +52,13 @@ def sink_predictions(df: DataFrame, path: str, mode: str = "overwrite") -> None:
         F.col("vals").cast("long").alias("vals"),
         F.col("prediction").cast("int").alias("prediction"),
     )
-    out.write.mode(mode).parquet(path)
+    writer = out.write.mode(mode).format(fmt)
+    for k, v in (options or {}).items():
+        writer = writer.option(k, v)
+    if fmt in ("parquet", "orc", "json", "csv"):
+        writer.save(path)
+    else:  # connector formats address the table via options, not a path
+        writer.save()
 
 
 def scan_predictions(spark: SparkSession, path: str) -> DataFrame:

@@ -99,3 +99,45 @@ def test_scalar_subquery_broadcasts_threshold(spark):
     plan = explain_str(df, "simple")
     assert "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_interval_join_is_equi_not_nested_loop(spark):
+    """The bucketed interval join must plan as a hash/sort-merge EQUI
+    join on the bucket id — never the BroadcastNestedLoopJoin a naive
+    BETWEEN theta-join produces."""
+    df = _df(spark, "interval_join_window_stats")
+    plan = explain_str(df, "simple")
+    # the windows side contains a 1-row broadcast (t0 scalar) — the
+    # point-to-interval join itself must not be a nested loop over events
+    assert plan.count("BroadcastNestedLoopJoin") <= 1  # only the t0 scalar
+    assert "CartesianProduct" not in plan
+
+
+def test_bloom_prefilter_no_fact_shuffle_before_filter(spark):
+    """The Bloom bit-array reaches the fact scan as a 1-row broadcast;
+    the fact side's first exchange is the semi-join of survivors, so
+    the full fact table is never shuffled for the membership test."""
+    df = _df(spark, "bloom_semi_join_lineitem")
+    plan = explain_str(df, "simple")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cms_counters_broadcast_for_estimation(spark):
+    """CMS estimation joins the d×w counter relation as a broadcast —
+    the probe side never shuffles for the lookup."""
+    df = _df(spark, "cms_heavy_hitters")
+    plan = explain_str(df, "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_chunking_is_map_side(spark):
+    """Chunk explosion pipelines inside the scan stage — no exchange."""
+    df = _df(spark, "doc_chunks")
+    assert count_shuffles(df) == 0
+
+
+def test_pii_scrub_is_map_side(spark):
+    df = _df(spark, "pii_scrub_audit")
+    assert count_shuffles(df) == 0
