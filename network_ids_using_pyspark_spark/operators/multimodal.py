@@ -224,3 +224,56 @@ def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
             )
 
     return media.mapInPandas(_batches, schema=FRAME_SCHEMA)
+
+
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("phash", T.LongType()),
+    ]
+)
+
+
+def perceptual_hash(
+    media: DataFrame, bits: int = 16, fake_decode: bool = True
+) -> DataFrame:
+    """dHash-style perceptual fingerprint over the (fake-decoded) pixel
+    stream: the payload is cut into ``bits``+1 equal segments and bit i
+    records whether segment i outweighs segment i+1 — the gradient-sign
+    construction real dHash applies to resized pixel rows.  Arrow-batched
+    ``mapInPandas``; with a real codec the same batch shape applies after
+    decode+resize (``fake_decode=False`` raises until PIL exists).
+
+    Near-identical payloads differ in few bits, so the output feeds the
+    SimHash banding machinery (``operators/dedup.py``) unchanged —
+    multimodal dedup composes with the text-dedup family rather than
+    duplicating it."""
+
+    def _batches(it: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in it:
+            if not fake_decode:
+                raise NotImplementedError(
+                    "real perceptual hashing requires an image codec, which is "
+                    "not installed in this environment; use fake_decode=True"
+                )
+
+            def ph(b: bytes) -> int:
+                n = len(b)
+                if n == 0:
+                    return 0
+                seg = max(1, n // (bits + 1))
+                sums = [sum(b[i * seg:(i + 1) * seg]) for i in range(bits + 1)]
+                v = 0
+                for i in range(bits):
+                    if sums[i] > sums[i + 1]:
+                        v |= 1 << i
+                return v
+
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "phash": pdf["content"].map(ph).astype("int64"),
+                }
+            )
+
+    return media.mapInPandas(_batches, schema=PHASH_SCHEMA)

@@ -116,7 +116,14 @@ _ROUND_PRIORITY = [
     "feature_corr_matrix",
     "except_customers_no_urgent_orders",
     "embedding_near_dup",
-    # --- 50-entry window boundary; round-3 rotation candidates below ---
+    # --- 50-entry window boundary ---
+    # Round-3 rotation candidates (driver-uncertified after round 2):
+    # the 7 deferred relational_ext entries below, plus everything
+    # registered after the round-2 window was frozen —
+    # interval_join_window_stats, doc_chunks, repetition_profile,
+    # pii_scrub_audit, vocab_coverage_profile, cms_heavy_hitters,
+    # bloom_semi_join_lineitem, user_value_trend, media_phash_near_dup,
+    # stream_doc_quality (all green in the local sf0.001/sf0.01 mirror).
     "left_outer_order_fill",
     "full_outer_user_activity",
     "corr_qty_price",

@@ -177,3 +177,65 @@ def q_pii_scrub_audit(spark, sf_dir):
         counts["n_ip"].alias("n_ip"),
         counts["n_phone"].alias("n_phone"),
     )
+
+
+_VOCAB_K = 20
+
+_VOCAB_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+),
+vocab AS (
+  SELECT tok FROM (
+    SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok
+    ORDER BY c DESC, tok ASC LIMIT {_VOCAB_K}
+  )
+),
+per AS (
+  SELECT t.doc_id,
+         COUNT(*) AS n_tok,
+         CAST(SUM(CASE WHEN v.tok IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_in_vocab
+  FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+  GROUP BY t.doc_id
+)
+SELECT doc_id, n_tok, n_in_vocab,
+       CAST(n_in_vocab AS DOUBLE) / CAST(n_tok AS DOUBLE) AS coverage
+FROM per
+"""
+
+
+@register("vocab_coverage_profile", _VOCAB_SQL)
+def q_vocab_coverage_profile(spark, sf_dir):
+    """Vocabulary-coverage profiling: build the top-K corpus vocabulary
+    (K=20, deterministic tie-break), then score every document by the
+    fraction of its tokens the vocabulary covers — the pre-tokenizer
+    coverage check an LLM data pipeline runs before committing to a
+    vocab.  Two grouped aggs + one BROADCAST join (the vocab is ≤ K rows
+    by construction — never a shuffle of the token stream against it)."""
+    from ..operators.textops import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("tok"))
+        .limit(_VOCAB_K)
+        .select("tok", F.lit(1).alias("in_vocab"))
+    )
+    per = (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.sum(F.coalesce(F.col("in_vocab"), F.lit(0))).alias("n_in_vocab"),
+        )
+    )
+    return per.select(
+        "doc_id",
+        "n_tok",
+        "n_in_vocab",
+        (F.col("n_in_vocab").cast("double") / F.col("n_tok").cast("double")).alias(
+            "coverage"
+        ),
+    )

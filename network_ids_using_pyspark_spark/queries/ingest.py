@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..sources.synthetic import synth_flows
-from ..sources.tables import scan_flows
+from ..sources.tables import load_table, scan_flows
 from . import register
 
 _CSV_DIR = "/tmp/nids_scan_flows_csv"
@@ -81,4 +81,41 @@ def q_scan_flows_csv_profile(spark, sf_dir):
         F.sum("syn_flag_cnt").alias("n_syn"),
         F.max("flow_duration").alias("max_duration"),
         F.min("flow_duration").alias("min_duration"),
+    )
+
+
+_RECORDLOG_DIR = "/tmp/nids_recordlog_shards"
+
+_RECORDLOG_SQL = """
+SELECT COUNT(*) AS n_records,
+       CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_payload_bytes,
+       COUNT(DISTINCT md5(text)) AS n_distinct_payloads
+FROM documents
+"""
+
+
+@register("recordlog_roundtrip_profile", _RECORDLOG_SQL)
+def q_recordlog_roundtrip_profile(spark, sf_dir):
+    """Custom binary container ingestion (Python DataSource API): write
+    the corpus as length-prefixed record-log shards (executor-parallel,
+    one shard per partition — the WARC/TFRecord shape), scan them back
+    partition-parallel through the registered ``recordlog`` format, and
+    profile the payload stream.  The oracle profiles the source
+    documents directly — equality proves the container round-trip is
+    lossless."""
+    from ..sources.recordlog import scan_recordlog, write_recordlog
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.encode("text", "utf-8").alias("payload")
+    )
+    import shutil
+
+    shutil.rmtree(_RECORDLOG_DIR, ignore_errors=True)
+    write_recordlog(docs.repartition(4), "payload", _RECORDLOG_DIR)
+
+    back = scan_recordlog(spark, _RECORDLOG_DIR)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_records"),
+        F.sum(F.length("payload")).alias("total_payload_bytes"),
+        F.countDistinct(F.md5("payload")).alias("n_distinct_payloads"),
     )

@@ -104,3 +104,21 @@ def q_media_frame_samples(spark, sf_dir):
     (the UDTF shape); frames are deterministic payload slices."""
     media = documents_as_media(load_table(spark, sf_dir, "documents"))
     return sample_frames(media, n_frames=4)
+
+
+@register("media_phash_near_dup", None)  # pHash byte-sums aren't SQL-expressible
+def q_media_phash_near_dup(spark, sf_dir):
+    """Multimodal × dedup composition: perceptual dHash per payload
+    (Arrow-batched mapInPandas) fed straight into the SimHash banded
+    near-dup machinery (band equi-join + exact Hamming verify ≤ 2).
+    The pattern that dedups image/video corpora at 100 TB — candidate
+    generation bucket-local, all-pairs never materialized.  Rows-only;
+    determinism + banding guarantees covered in tests/test_multimodal.py."""
+    from ..operators.dedup import simhash_near_dup_pairs
+    from ..operators.multimodal import documents_as_media, perceptual_hash
+
+    media = documents_as_media(load_table(spark, sf_dir, "documents"))
+    ph = perceptual_hash(media, bits=16)
+    return simhash_near_dup_pairs(
+        ph, bits=16, bands=4, max_hamming=2, id_col="media_id", sig_col="phash"
+    ).orderBy("doc_a", "doc_b")

@@ -212,3 +212,49 @@ def q_stream_stream_join_pairs(spark, sf_dir):
     )
     pairs = run_to_memory(joined, "append")
     return pairs.agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
+def _doc_quality_sql() -> str:
+    from .text import _NTOK_SQL, _PUNCT_SQL, _STOPR_SQL
+
+    quality = (
+        f"(LEAST(CAST({_NTOK_SQL} AS DOUBLE) / 20.0, 1.0) * 0.4"
+        f" + (1.0 - LEAST({_PUNCT_SQL} * 4, 1.0)) * 0.3"
+        f" + LEAST({_STOPR_SQL} * 5, 1.0) * 0.3)"
+    )
+    return f"""
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN quality >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM (
+      SELECT lang, {_NTOK_SQL} AS n_tokens, {quality} AS quality
+      FROM documents
+    )
+    GROUP BY lang
+    """
+
+
+@register("stream_doc_quality", _doc_quality_sql())
+def q_stream_doc_quality(spark, sf_dir):
+    """Streaming × corpus-pipeline composition: documents arrive as a
+    file stream (the incremental-crawl shape), quality scoring runs
+    map-side inside each micro-batch, and the per-lang pass/token
+    totals aggregate in complete mode.  Integer aggregates only —
+    deterministic under any micro-batch slicing, hence the full batch
+    oracle (the strongest check a streaming op can have)."""
+    from ..operators.textops import quality_score, token_count
+    from ..streaming.stream import stream_documents
+    from .text import _STOPWORDS
+
+    docs = stream_documents(spark, sf_dir)
+    scored = docs.select(
+        "lang",
+        token_count("text").alias("n_tokens"),
+        quality_score("text", _STOPWORDS).alias("quality"),
+    )
+    agg = scored.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("quality") >= 0.5).cast("int")).alias("n_pass"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+    return run_to_memory(agg, "complete")

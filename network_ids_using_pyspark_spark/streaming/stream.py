@@ -51,6 +51,28 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
 
 
+DOCUMENTS_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream of the documents fixture — the arriving-corpus
+    shape of an incremental ingestion pipeline (each new crawl dump is a
+    new file; the transformations are source-agnostic)."""
+    return (
+        spark.readStream.schema(DOCUMENTS_STREAM_SCHEMA)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+
 def run_to_memory(
     df: DataFrame, output_mode: str, prefix: str = "nids_stream", state_partitions: int = 8
 ) -> DataFrame:

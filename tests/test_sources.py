@@ -159,3 +159,42 @@ def test_sink_format_dispatch(spark, tmp_path):
 
     with pytest.raises(ValueError, match="prediction"):
         sink_predictions(df.select("vals"), str(tmp_path / "p_bad"), fmt="orc")
+
+
+def test_recordlog_roundtrip_partition_parallel(spark, tmp_path):
+    """Custom binary container (WARC/TFRecord shape) via the Python
+    DataSource API: executor-parallel shard writes, one input partition
+    per shard on read, payloads bit-identical through the round trip."""
+    from network_ids_using_pyspark_spark.sources.recordlog import (
+        scan_recordlog,
+        write_recordlog,
+    )
+    from network_ids_using_pyspark_spark.sources.tables import load_table
+
+    from .conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    n_docs = docs.count()
+    path = str(tmp_path / "shards")
+    write_recordlog(docs.repartition(4), "payload", path)
+
+    back = scan_recordlog(spark, path)
+    assert back.rdd.getNumPartitions() == 4  # one partition per shard
+    assert back.count() == n_docs
+    # payload contents survive bit-exactly (compare md5 multisets)
+    import hashlib
+
+    orig = sorted(
+        hashlib.md5(r["payload"]).hexdigest() for r in docs.collect()
+    )
+    got = sorted(
+        hashlib.md5(bytes(r["payload"])).hexdigest() for r in back.collect()
+    )
+    assert orig == got
+    # per-shard record_idx is dense from 0
+    per_file = back.groupBy("file").agg(
+        F.count(F.lit(1)).alias("n"), F.max("record_idx").alias("mx")
+    )
+    assert per_file.filter(F.col("mx") != F.col("n") - 1).count() == 0
