@@ -239,3 +239,38 @@ def q_vocab_coverage_profile(spark, sf_dir):
             "coverage"
         ),
     )
+
+
+_CENTER_SQL = """
+WITH med AS (
+  SELECT lang, quantile_disc(n_chars, 0.5) AS m FROM documents GROUP BY lang
+)
+SELECT d.doc_id, d.lang, d.n_chars, d.n_chars - med.m AS centered
+FROM documents d JOIN med ON d.lang = med.lang
+"""
+
+
+@register("group_median_center", _CENTER_SQL)
+def q_group_median_center(spark, sf_dir):
+    """Grouped ``applyInPandas`` (the plain Arrow grouped-UDF path —
+    mapInPandas, pandas_udf and applyInPandasWithState are certified
+    elsewhere): per-language LOWER-median centering of document length.
+    Integer arithmetic with an explicit median convention
+    (sorted[(n-1)//2] == DuckDB quantile_disc(0.5)) keeps the pandas
+    path bit-exact against the oracle.  At scale this is one shuffle on
+    the group key with Arrow-batched per-group compute — the custom-
+    aggregation escape hatch when built-ins can't express the logic."""
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+
+    def _center(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        v = pdf["n_chars"].sort_values().to_numpy()
+        m = int(v[(len(v) - 1) // 2])
+        out = pdf[["doc_id", "lang", "n_chars"]].copy()
+        out["centered"] = pdf["n_chars"] - m
+        return out
+
+    return docs.groupBy("lang").applyInPandas(
+        _center, schema="doc_id long, lang string, n_chars long, centered long"
+    )

@@ -258,3 +258,50 @@ def q_stream_doc_quality(spark, sf_dir):
         F.sum("n_tokens").alias("total_tokens"),
     )
     return run_to_memory(agg, "complete")
+
+
+_STREAM_DEDUP_IDX_SQL = """
+WITH known AS (
+  SELECT DISTINCT substring(md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))), 1, 16) AS fp
+  FROM documents WHERE doc_id % 2 = 0
+)
+SELECT lang, COUNT(*) AS n_new
+FROM documents d
+WHERE d.doc_id % 2 = 1
+  AND NOT EXISTS (
+    SELECT 1 FROM known k
+    WHERE k.fp = substring(md5(lower(regexp_replace(trim(d.text), '\\s+', ' ', 'g'))), 1, 16)
+  )
+GROUP BY lang
+"""
+
+
+@register("stream_dedup_against_corpus", _STREAM_DEDUP_IDX_SQL)
+def q_stream_dedup_against_corpus(spark, sf_dir):
+    """Incremental-ingestion dedup: arriving documents (the odd half,
+    streamed) are checked against the STATIC fingerprint index of the
+    known corpus (the even half) with a stream-static LEFT-ANTI join on
+    the content fingerprint — only never-seen content survives, counted
+    per language.  This is the de-dup gate of an incremental training-
+    data pipeline: at scale the index is a bucketed fingerprint table,
+    the join shuffles 16-byte keys, and the stream side never
+    materializes the corpus."""
+    from ..operators.textops import doc_fingerprint
+    from ..streaming.stream import stream_documents
+
+    from ..sources.tables import load_table
+
+    known = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 2 == 0)
+        .select(doc_fingerprint("text").alias("fp"))
+        .distinct()
+    )
+    arriving = (
+        stream_documents(spark, sf_dir)
+        .filter(F.col("doc_id") % 2 == 1)
+        .select("lang", doc_fingerprint("text").alias("fp"))
+    )
+    fresh = arriving.join(known, "fp", "left_anti")
+    agg = fresh.groupBy("lang").agg(F.count(F.lit(1)).alias("n_new"))
+    return run_to_memory(agg, "complete")
