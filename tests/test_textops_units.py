@@ -1,0 +1,85 @@
+"""Property tests for the round-2 text operators (hypothesis, same
+strategy as tests/test_sampling.py): chunk coverage/reconstruction,
+repetition-signal bounds, PII-scrub idempotence.  Each property runs
+ONE Spark job over a batch of generated documents (per-example jobs
+would be prohibitively slow)."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from network_ids_using_pyspark_spark.operators.textops import (
+    chunk_documents,
+    dup_ngram_fraction,
+    pii_counts,
+    scrub_pii,
+)
+
+_WORD = st.text(alphabet="abcdefgh", min_size=1, max_size=6)
+_DOC = st.lists(_WORD, min_size=1, max_size=120)
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(_DOC, min_size=1, max_size=8), st.integers(2, 20), st.integers(1, 20))
+def test_chunking_covers_and_reconstructs(spark, docs, window, stride):
+    stride = min(stride, window)  # stride > window would skip tokens
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    chunks = chunk_documents(df, window=window, stride=stride).collect()
+    by_doc: dict[int, list] = {}
+    for r in chunks:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for i, toks in enumerate(docs):
+        got = sorted(by_doc[i], key=lambda r: r["chunk_idx"])
+        # chunk_idx dense from 0
+        assert [r["chunk_idx"] for r in got] == list(range(len(got)))
+        # every chunk matches the corresponding token slice
+        for r in got:
+            s = r["chunk_idx"] * stride
+            assert r["chunk_text"].split(" ") == toks[s : s + window]
+            assert r["n_tokens"] == len(toks[s : s + window])
+        # coverage: union of [s, s+window) covers [0, len(toks))
+        covered = set()
+        for r in got:
+            s = r["chunk_idx"] * stride
+            covered.update(range(s, min(s + window, len(toks))))
+        assert covered == set(range(len(toks)))
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(_DOC, min_size=1, max_size=10))
+def test_dup_ngram_fraction_bounds(spark, docs):
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = df.select(
+        "doc_id", dup_ngram_fraction("text", 2).alias("f2")
+    ).collect()
+    for r in out:
+        assert 0.0 <= r["f2"] <= 1.0
+    # an all-identical-token doc has maximal repetition
+    one = spark.createDataFrame([(0, "x x x x x x")], "doc_id long, text string")
+    f = one.select(dup_ngram_fraction("text", 2).alias("f")).first()["f"]
+    assert f == 1.0 - 1.0 / 5.0  # 5 bigrams, 1 distinct
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(st.integers(0, 10_000), min_size=1, max_size=20))
+def test_pii_scrub_idempotent_and_complete(spark, ids):
+    rows = [
+        (
+            i,
+            f"text{n} user{n}@example.com then 10.0.{n % 256}.7 and 555-{n % 10000:04d} end",
+        )
+        for i, n in enumerate(ids)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    once = df.select("doc_id", scrub_pii("text").alias("t"))
+    twice = once.select("doc_id", scrub_pii("t").alias("t"))
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+    # scrubbed text contains no remaining PII of any kind
+    counts = pii_counts("t")
+    leftover = once.select(
+        (counts["n_email"] + counts["n_ip"] + counts["n_phone"]).alias("n")
+    ).agg(F.sum("n").alias("total")).first()["total"]
+    assert leftover == 0
