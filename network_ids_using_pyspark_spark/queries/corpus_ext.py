@@ -274,3 +274,48 @@ def q_group_median_center(spark, sf_dir):
     return docs.groupBy("lang").applyInPandas(
         _center, schema="doc_id long, lang string, n_chars long, centered long"
     )
+
+
+_BALANCE_GRAIN = 1_000_000
+
+_BALANCE_SQL = f"""
+WITH counts AS (
+  SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+),
+target AS (SELECT MIN(n) AS floor_n FROM counts),
+thresholds AS (
+  SELECT c.lang,
+         CAST(t.floor_n * {_BALANCE_GRAIN} / c.n AS BIGINT) AS thr
+  FROM counts c, target t
+)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN thresholds th ON d.lang = th.lang
+WHERE (CAST(concat('0x', substring(md5(concat('langbal', CAST(d.doc_id AS VARCHAR))), 1, 15)) AS BIGINT)
+       % {_BALANCE_GRAIN}) < th.thr
+"""
+
+
+@register("lang_balanced_sample", _BALANCE_SQL)
+def q_lang_balanced_sample(spark, sf_dir):
+    """Mixture rebalancing: downsample every language toward the
+    smallest language's count (uniform target mixture) with the
+    deterministic portable-hash sampler — per-language keep-thresholds
+    are COMPUTED FROM the data (one tiny agg, broadcast back), so the
+    same query self-adjusts as the corpus mixture drifts.  The
+    train-mixture control knob of an LLM data pipeline, reproducible on
+    any engine/cluster."""
+    from ..functions.hashing import portable_hash64
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    floor_n = counts.agg(F.min("n").alias("floor_n"))
+    thresholds = counts.crossJoin(F.broadcast(floor_n)).select(
+        "lang",
+        (F.col("floor_n") * _BALANCE_GRAIN / F.col("n")).cast("long").alias("thr"),
+    )
+    h = F.pmod(portable_hash64(F.col("doc_id"), seed="langbal"), F.lit(_BALANCE_GRAIN))
+    return (
+        docs.join(F.broadcast(thresholds), "lang")
+        .filter(h < F.col("thr"))
+        .select("doc_id", "lang")
+    )

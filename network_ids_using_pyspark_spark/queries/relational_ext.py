@@ -627,3 +627,49 @@ def q_user_value_trend(spark, sf_dir):
         F.count(F.lit(1)).alias("n_events"),
         slope.alias("value_trend"),
     )
+
+
+def _outlier_sql() -> str:
+    y = "CAST(value AS DECIMAL(30,6))"
+    sy = f"CAST(CAST(SUM({y}) AS VARCHAR) AS DOUBLE)"
+    syy = f"CAST(CAST(SUM({y} * {y}) AS VARCHAR) AS DOUBLE)"
+    n = "CAST(COUNT(*) AS DOUBLE)"
+    return f"""
+    WITH m AS (
+      SELECT event_type, {n} AS n, {sy} AS sy, {syy} AS syy
+      FROM events WHERE value IS NOT NULL GROUP BY event_type
+    ),
+    stats AS (
+      SELECT event_type, sy / n AS mean,
+             sqrt(greatest(syy / n - (sy / n) * (sy / n), 0.0)) AS std
+      FROM m
+    )
+    SELECT e.event_id, e.event_type, e.value
+    FROM events e JOIN stats s ON e.event_type = s.event_type
+    WHERE e.value IS NOT NULL
+      AND abs(e.value - s.mean) > 3.0 * s.std
+    """
+
+
+@register("value_outliers_3sigma", _outlier_sql())
+def q_value_outliers_3sigma(spark, sf_dir):
+    """Per-group 3-sigma outlier detection from decimal-exact moment
+    sums (mean/std computed in one agg, broadcast back to the scan —
+    the same two-pass shape as replace_inf_with_max).  Dirty-value
+    quarantine for feature pipelines; bit-reproducible because every
+    float op downstream of the exact sums is identical on both
+    engines."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    y = F.col("value").cast("decimal(30,6)")
+    n = F.count(F.lit(1)).cast("double")
+    sy = F.sum(y).cast("double")
+    syy = F.sum(y * y).cast("double")
+    stats = ev.groupBy("event_type").agg(
+        (sy / n).alias("mean"),
+        F.sqrt(F.greatest(syy / n - (sy / n) * (sy / n), F.lit(0.0))).alias("std"),
+    )
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .filter(F.abs(F.col("value") - F.col("mean")) > 3.0 * F.col("std"))
+        .select("event_id", "event_type", "value")
+    )
