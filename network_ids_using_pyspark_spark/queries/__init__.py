@@ -123,7 +123,10 @@ _ROUND_PRIORITY = [
     # interval_join_window_stats, doc_chunks, repetition_profile,
     # pii_scrub_audit, vocab_coverage_profile, cms_heavy_hitters,
     # bloom_semi_join_lineitem, user_value_trend, media_phash_near_dup,
-    # stream_doc_quality (all green in the local sf0.001/sf0.01 mirror).
+    # stream_doc_quality, recordlog_roundtrip_profile,
+    # group_median_center, stream_dedup_against_corpus,
+    # lang_balanced_sample, value_outliers_3sigma
+    # (all green in the local sf0.001/sf0.01 mirror).
     "left_outer_order_fill",
     "full_outer_user_activity",
     "corr_qty_price",
