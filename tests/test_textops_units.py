@@ -83,3 +83,24 @@ def test_pii_scrub_idempotent_and_complete(spark, ids):
         (counts["n_email"] + counts["n_ip"] + counts["n_phone"]).alias("n")
     ).agg(F.sum("n").alias("total")).first()["total"]
     assert leftover == 0
+
+
+def test_lang_id_tie_prefers_earlier_code(spark):
+    """VERDICT r1 wrong-#2: on tied marker hits the EARLIER language
+    code (sorted order) must win — contract now matched by code on both
+    engine and oracle sides."""
+    from network_ids_using_pyspark_spark.operators.textops import lang_id
+
+    markers = {"de": ["der"], "en": ["the"], "es": ["el"]}
+    rows = [
+        (0, "der the"),       # de/en tie at 1 hit each → de (earlier)
+        (1, "the el"),        # en/es tie → en
+        (2, "el el the"),     # es wins outright (2 > 1)
+        (3, "nothing here"),  # no hits → und
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["lang"]
+        for r in df.select("doc_id", lang_id("text", markers).alias("lang")).collect()
+    }
+    assert got == {0: "de", 1: "en", 2: "es", 3: "und"}
