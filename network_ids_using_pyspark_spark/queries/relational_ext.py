@@ -673,3 +673,44 @@ def q_value_outliers_3sigma(spark, sf_dir):
         .filter(F.abs(F.col("value") - F.col("mean")) > 3.0 * F.col("std"))
         .select("event_id", "event_type", "value")
     )
+
+
+_EWMA_SQL = """
+WITH ordered AS (
+  SELECT user_id,
+         list(value ORDER BY ts, event_id) AS vals
+  FROM events WHERE value IS NOT NULL
+  GROUP BY user_id
+)
+SELECT user_id,
+       CAST(len(vals) AS BIGINT) AS n_events,
+       list_reduce(vals, (acc, x) -> acc * 0.5 + x * 0.5) AS ewma_value
+FROM ordered
+"""
+
+
+@register("user_value_ewma", _EWMA_SQL)
+def q_user_value_ewma(spark, sf_dir):
+    """Exponentially-weighted moving average per user (alpha = 0.5,
+    seeded with the first value) — the recency-weighted feature a
+    behavioral model tracks per entity.  alpha = 1/2 keeps every weight
+    a power of two, so the left-to-right fold is EXACT IEEE arithmetic
+    and bit-reproducible: Spark's sequential ``F.aggregate`` over the
+    (ts, event_id)-sorted value list equals DuckDB's ``list_reduce``
+    term for term.  One shuffle (user key); the fold is a map-side
+    array expression after the agg."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w = F.sort_array(F.collect_list(F.struct("ts", "event_id", "value")))
+    grouped = ev.groupBy("user_id").agg(w.alias("w"))
+    vals = F.transform(F.col("w"), lambda s: s["value"])
+    rest = F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0)))
+    ewma = F.aggregate(
+        rest,
+        F.element_at(vals, 1).cast("double"),
+        lambda acc, v: acc * F.lit(0.5) + v * F.lit(0.5),
+    )
+    return grouped.select(
+        "user_id",
+        F.size("w").cast("long").alias("n_events"),
+        ewma.alias("ewma_value"),
+    )
