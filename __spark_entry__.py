@@ -27,11 +27,16 @@ from network_ids_using_pyspark_spark import queries as _registry  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query (SURVEY.md §7.0): per-event-type profile over
-    sf0.001 — scan → project → hash-agg, the spine of the engine."""
-    from network_ids_using_pyspark_spark.queries.core import flagship_event_profile
+    """Flagship query: the five-stage LLM-corpus preparation pipeline
+    (quality gate → exact dedup → MinHash-LSH fuzzy dedup → chunking →
+    mixture profile) over sf0.001 — the composition a user runs over
+    100 TB, certified end to end by one oracle
+    (``queries/pipeline_e2e.py``)."""
+    from network_ids_using_pyspark_spark.queries.pipeline_e2e import (
+        q_corpus_e2e_pipeline,
+    )
 
-    return flagship_event_profile(spark, "/root/testdata/sf0.001")
+    return q_corpus_e2e_pipeline(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -370,3 +370,47 @@ def embedding_near_dup_pairs(
         cosine(F.col("a.v"), F.col("b.v")).alias("sim"),
     )
     return pairs.filter(F.col("sim") >= threshold)
+
+
+def minhash_verified_pairs(
+    docs: DataFrame,
+    k: int = 16,
+    bands: int = 4,
+    rows: int = 4,
+    threshold: float = 0.5,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The full production fuzzy-dedup pair pipeline as one operator:
+    MinHash signatures → banded LSH candidates → exact Jaccard verify
+    (≥ threshold) computed for candidates ONLY.  At 100 TB the verify
+    join touches O(candidates), never O(corpus²)."""
+    ex = exploded_shingles(docs, id_col=id_col, text_col=text_col, n=n)
+    cands = minhash_lsh_pairs(
+        minhash_signatures(docs, k=k, id_col=id_col, text_col=text_col, n=n),
+        bands=bands,
+        rows=rows,
+        id_col=id_col,
+    )
+    sizes = ex.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = ex.withColumnsRenamed({id_col: "doc_a", "shingle": "sh_a"})
+    b = ex.withColumnsRenamed({id_col: "doc_b_r", "shingle": "sh_b"})
+    inter = (
+        cands.join(a, "doc_a")
+        .join(b, (F.col("doc_b") == F.col("doc_b_r")) & (F.col("sh_a") == F.col("sh_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.withColumnsRenamed({id_col: "doc_a", "n_sh": "n_a"})
+    sb = sizes.withColumnsRenamed({id_col: "doc_b", "n_sh": "n_b"})
+    out = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+        )
+    )
+    return out.filter(F.col("jaccard") >= threshold).select("doc_a", "doc_b", "jaccard")

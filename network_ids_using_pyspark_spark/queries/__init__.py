@@ -48,6 +48,7 @@ from . import streaming  # noqa: E402,F401
 from . import ingest  # noqa: E402,F401
 from . import corpus_ext  # noqa: E402,F401
 from . import sketch  # noqa: E402,F401
+from . import pipeline_e2e  # noqa: E402,F401
 
 
 # The driver's correctness gate covers the FIRST 50 registry entries

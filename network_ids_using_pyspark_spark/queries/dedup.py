@@ -229,30 +229,10 @@ def q_minhash_dedup_verified(spark, sf_dir):
     (≥ 0.5) computed ONLY for candidates.  At 100 TB the verification
     join touches O(candidates), not O(corpus²) — LSH prunes, Jaccard
     decides."""
+    from ..operators.dedup import minhash_verified_pairs
+
     docs = load_table(spark, sf_dir, "documents")
-    ex = exploded_shingles(docs)
-    cands = minhash_lsh_pairs(minhash_signatures(docs, k=K), bands=BANDS, rows=ROWS)
-    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = ex.withColumnsRenamed({"doc_id": "doc_a", "shingle": "sh_a"})
-    b = ex.withColumnsRenamed({"doc_id": "doc_b_r", "shingle": "sh_b"})
-    inter = (
-        cands.join(a, "doc_a")
-        .join(b, (F.col("doc_b") == F.col("doc_b_r")) & (F.col("sh_a") == F.col("sh_b")))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    sa = sizes.withColumnsRenamed({"doc_id": "doc_a", "n_sh": "n_a"})
-    sb = sizes.withColumnsRenamed({"doc_id": "doc_b", "n_sh": "n_b"})
-    out = (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn(
-            "jaccard",
-            F.col("n_inter").cast("double")
-            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
-        )
-    )
-    return out.filter(F.col("jaccard") >= JACCARD_T).select("doc_a", "doc_b", "jaccard")
+    return minhash_verified_pairs(docs, k=K, bands=BANDS, rows=ROWS, threshold=JACCARD_T)
 
 
 _CLUSTERS_SQL = f"""

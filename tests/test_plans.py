@@ -141,3 +141,12 @@ def test_chunking_is_map_side(spark):
 def test_pii_scrub_is_map_side(spark):
     df = _df(spark, "pii_scrub_audit")
     assert count_shuffles(df) == 0
+
+
+def test_registry_entries_documented_and_wellformed(spark):
+    """Every registry entry carries a docstring (traceability to
+    SURVEY/reference is cited there) and a well-formed oracle (None or
+    non-empty SQL)."""
+    for name, (fn, sql) in REGISTRY.items():
+        assert fn.__doc__ and len(fn.__doc__.strip()) >= 10, name
+        assert sql is None or len(sql.strip()) > 10, name
