@@ -150,3 +150,13 @@ def test_registry_entries_documented_and_wellformed(spark):
     for name, (fn, sql) in REGISTRY.items():
         assert fn.__doc__ and len(fn.__doc__.strip()) >= 10, name
         assert sql is None or len(sql.strip()) > 10, name
+
+
+def test_corpus_e2e_pipeline_no_quadratic_joins(spark):
+    """The flagship five-stage pipeline must contain no cartesian or
+    nested-loop join anywhere — candidates come from band equi-joins,
+    dedup from a fingerprint window, chunking from map-side arrays."""
+    df = _df(spark, "corpus_e2e_pipeline")
+    plan = explain_str(df, "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
