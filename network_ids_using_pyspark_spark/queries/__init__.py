@@ -86,7 +86,10 @@ _ROUND_PRIORITY = [
     "cosine_topk_lsh",
     "cosine_topk_ivf",
     "mllib_minhash_pairs",
-    "mllib_ann_topk",
+    # flagship composite takes the window slot of the weaker rows-only
+    # MLlib twin (mllib_ann_topk rotates to round 3): a full-oracle row
+    # for the five-stage pipeline is stronger driver evidence
+    "corpus_e2e_pipeline",
     # multimodal
     "media_image_features",
     "media_audio_features",
