@@ -305,3 +305,103 @@ def q_stream_dedup_against_corpus(spark, sf_dir):
     fresh = arriving.join(known, "fp", "left_anti")
     agg = fresh.groupBy("lang").agg(F.count(F.lit(1)).alias("n_new"))
     return run_to_memory(agg, "complete")
+
+
+def _flow_alerts_sql(n: int = 60_000, threshold: int = 80) -> str:
+    def u(seed: str) -> str:
+        h = (
+            f"CAST(concat('0x', substring(md5(concat('flows:{seed}', "
+            f"CAST(id AS VARCHAR))), 1, 15)) AS BIGINT)"
+        )
+        return f"({h} / 1152921504606846976.0)"
+
+    return f"""
+    WITH raw AS (
+      SELECT id, {u('label')} AS u_label, {u('ts')} AS u_ts,
+             {u('syn')} AS u_syn, {u('port')} AS u_port
+      FROM range(0, {n}) t(id)
+    ), flows AS (
+      SELECT (1518568261 + CAST(floor(u_ts * 86400) AS BIGINT)) AS epoch,
+             CASE WHEN u_syn < 0.2 + (CASE WHEN u_label < 0.85 THEN 0
+                                           WHEN u_label < 0.95 THEN 1
+                                           ELSE 2 END) * 0.3
+                  THEN 1 ELSE 0 END AS syn,
+             CASE WHEN u_label >= 0.85 AND u_label < 0.95 THEN 21
+                  WHEN u_label >= 0.95 THEN 22
+                  WHEN u_port < 0.4 THEN 80
+                  WHEN u_port < 0.7 THEN 443
+                  WHEN u_port < 0.8 THEN 3389
+                  ELSE 65533 END AS dst_port
+      FROM raw
+    )
+    SELECT epoch // 3600 AS hour_bucket,
+           dst_port,
+           COUNT(*) AS n_flows,
+           CAST(SUM(syn) AS BIGINT) AS n_syn
+    FROM flows
+    WHERE dst_port IN (21, 22)
+    GROUP BY 1, 2
+    HAVING SUM(syn) >= {threshold}
+    """
+
+
+@register("stream_flow_bruteforce_alerts", _flow_alerts_sql())
+def q_stream_flow_bruteforce_alerts(spark, sf_dir):
+    """The north-star IDS serving path end to end: flow records arrive
+    as a stream, and per-hour SYN-flood pressure on the brute-force
+    ports (21/FTP, 22/SSH — the reference's two attack classes) raises
+    an alert row when SYN count crosses the threshold.  Event-time
+    windows keyed by (window, port) ⇒ state is O(open windows × 2),
+    bounded at any flow volume.
+
+    Timestamps are built from epoch seconds (``timestamp_seconds``,
+    never a string parse) so windowing is timezone-independent under
+    ANY session; the oracle regenerates the identical flow stream in
+    SQL and windows by integer hour-bucket arithmetic."""
+    from ..functions.hashing import HASH_SPACE, portable_hash64
+
+    df = spark.range(60_000)
+
+    def u(seed: str):
+        return portable_hash64(F.col("id"), seed=f"flows:{seed}") / F.lit(
+            float(HASH_SPACE)
+        )
+
+    u_label = u("label")
+    cls = F.when(u_label < 0.85, 0).when(u_label < 0.95, 1).otherwise(2)
+    port_u = u("port")
+    dst_port = (
+        F.when(cls == 1, 21)
+        .when(cls == 2, 22)
+        .when(port_u < 0.4, 80)
+        .when(port_u < 0.7, 443)
+        .when(port_u < 0.8, 3389)
+        .otherwise(65533)
+        .cast("int")
+    )
+    syn = (u("syn") < 0.2 + cls * 0.3).cast("int")
+    epoch = (F.lit(1518568261) + F.floor(u("ts") * 86400)).cast("long")
+    flows = df.select(
+        F.timestamp_seconds(epoch).alias("ts"),
+        dst_port.alias("dst_port"),
+        syn.alias("syn"),
+    )
+
+    path = "/tmp/nids_flow_stream"
+    flows.write.mode("overwrite").parquet(path)
+    stream = spark.readStream.schema("ts timestamp, dst_port int, syn int").parquet(
+        path
+    )
+    agg = (
+        stream.filter(F.col("dst_port").isin(21, 22))
+        .groupBy(F.window("ts", "1 hour"), "dst_port")
+        .agg(F.count(F.lit(1)).alias("n_flows"), F.sum("syn").alias("n_syn"))
+        .filter(F.col("n_syn") >= 80)
+        .select(
+            F.expr("unix_timestamp(window.start) DIV 3600").alias("hour_bucket"),
+            "dst_port",
+            "n_flows",
+            "n_syn",
+        )
+    )
+    return run_to_memory(agg, "complete")
