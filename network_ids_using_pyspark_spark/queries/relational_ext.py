@@ -714,3 +714,26 @@ def q_user_value_ewma(spark, sf_dir):
         F.size("w").cast("long").alias("n_events"),
         ewma.alias("ewma_value"),
     )
+
+
+@register(
+    "right_outer_customer_orders",
+    """
+    SELECT c.c_custkey, c.c_mktsegment,
+           COUNT(o.o_orderkey) AS n_orders
+    FROM orders o RIGHT OUTER JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, c.c_mktsegment
+    """,
+)
+def q_right_outer_customer_orders(spark, sf_dir):
+    """RIGHT OUTER join (completing the join-type matrix beside
+    left/full/semi/anti/asof/interval): every customer kept, order
+    count 0 for the orderless.  COUNT over the nullable join column —
+    the null-safe aggregation right outer exists for."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        o.join(c, o["o_custkey"] == c["c_custkey"], "right_outer")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
