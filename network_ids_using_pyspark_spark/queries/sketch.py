@@ -98,3 +98,31 @@ def q_bloom_semi_join_lineitem(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("l_quantity").cast("decimal(30,6)")).cast("string").alias("sum_qty_str"),
     )
+
+
+_HLL_SQL = """
+SELECT COUNT(DISTINCT user_id) AS exact_n, true AS hll_within_5pct
+FROM events
+"""
+
+
+@register("hll_distinct_check", _HLL_SQL)
+def q_hll_distinct_check(spark, sf_dir):
+    """HyperLogLog++ certified THROUGH the driver gate: the query emits
+    the exact distinct count plus a boolean asserting the HLL estimate
+    (rsd=0.05) landed within 5% of it; the oracle states the exact
+    count and ``true`` — so a drifting sketch fails the hash check.
+    At 100 TB the HLL path is one mergeable register set per partition
+    vs the exact path's full shuffle of distinct keys."""
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.agg(
+        F.countDistinct("user_id").alias("exact_n"),
+        F.approx_count_distinct("user_id", rsd=0.05).alias("est"),
+    )
+    return agg.select(
+        "exact_n",
+        (
+            F.abs(F.col("est") - F.col("exact_n"))
+            <= 0.05 * F.col("exact_n")
+        ).alias("hll_within_5pct"),
+    )
