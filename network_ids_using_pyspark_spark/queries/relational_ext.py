@@ -737,3 +737,57 @@ def q_right_outer_customer_orders(spark, sf_dir):
         .groupBy("c_custkey", "c_mktsegment")
         .agg(F.count("o_orderkey").alias("n_orders"))
     )
+
+
+_DQ_SQL = """
+SELECT 'quantity_in_range' AS constraint, COUNT(*) AS n_violations,
+       COUNT(*) = 0 AS passed
+FROM lineitem WHERE l_quantity < 1 OR l_quantity > 50
+UNION ALL
+SELECT 'price_positive', COUNT(*), COUNT(*) = 0
+FROM lineitem WHERE l_extendedprice <= 0
+UNION ALL
+SELECT 'shipdate_not_null', COUNT(*), COUNT(*) = 0
+FROM lineitem WHERE l_shipdate IS NULL
+UNION ALL
+SELECT 'orderkey_not_null', COUNT(*), COUNT(*) = 0
+FROM lineitem WHERE l_orderkey IS NULL
+UNION ALL
+SELECT 'discount_fraction', COUNT(*), COUNT(*) = 0
+FROM lineitem WHERE l_discount < 0 OR l_discount > 1
+"""
+
+
+@register("data_quality_report", _DQ_SQL)
+def q_data_quality_report(spark, sf_dir):
+    """Declarative data-quality expectations evaluated in ONE scan:
+    each constraint contributes a conditional count (map-side), so the
+    report costs one pass regardless of how many expectations are
+    registered — the Great-Expectations shape without a per-constraint
+    job.  The violation rows themselves are a filter away when a
+    constraint fails."""
+    li = load_table(spark, sf_dir, "lineitem")
+    checks = [
+        ("quantity_in_range", (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)),
+        ("price_positive", F.col("l_extendedprice") <= 0),
+        ("shipdate_not_null", F.col("l_shipdate").isNull()),
+        ("orderkey_not_null", F.col("l_orderkey").isNull()),
+        ("discount_fraction", (F.col("l_discount") < 0) | (F.col("l_discount") > 1)),
+    ]
+    aggs = [
+        F.sum(F.when(cond, 1).otherwise(0)).alias(name) for name, cond in checks
+    ]
+    wide = li.agg(*aggs)
+    stacked = wide.select(
+        F.expr(
+            "stack({}, {}) as (constraint, n_violations)".format(
+                len(checks),
+                ", ".join(f"'{n}', `{n}`" for n, _ in checks),
+            )
+        )
+    )
+    return stacked.select(
+        "constraint",
+        "n_violations",
+        (F.col("n_violations") == 0).alias("passed"),
+    )
