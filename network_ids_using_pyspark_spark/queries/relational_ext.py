@@ -791,3 +791,41 @@ def q_data_quality_report(spark, sf_dir):
         "n_violations",
         (F.col("n_violations") == 0).alias("passed"),
     )
+
+
+def _value_stats_sql() -> str:
+    y = "CAST(value AS DECIMAL(30,6))"
+    sy = f"CAST(CAST(SUM({y}) AS VARCHAR) AS DOUBLE)"
+    syy = f"CAST(CAST(SUM({y} * {y}) AS VARCHAR) AS DOUBLE)"
+    n = "CAST(COUNT(*) AS DOUBLE)"
+    return f"""
+    SELECT event_type,
+           COUNT(*) AS n,
+           {sy} / {n} AS mean_value,
+           sqrt(greatest({syy} / {n} - ({sy} / {n}) * ({sy} / {n}), 0.0)) AS std_value,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value
+    FROM events WHERE value IS NOT NULL
+    GROUP BY event_type
+    """
+
+
+@register("value_stats_by_type", _value_stats_sql())
+def q_value_stats_by_type(spark, sf_dir):
+    """Grouped describe(): count / mean / population-std / min / max per
+    event_type in one aggregation — mean and std from decimal-exact
+    moment sums (partitioning-independent, unlike streaming variance),
+    extremes exact by definition.  The per-group feature-statistics
+    pass every training pipeline runs before normalization."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    y = F.col("value").cast("decimal(30,6)")
+    n = F.count(F.lit(1)).cast("double")
+    sy = F.sum(y).cast("double")
+    syy = F.sum(y * y).cast("double")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        (sy / n).alias("mean_value"),
+        F.sqrt(F.greatest(syy / n - (sy / n) * (sy / n), F.lit(0.0))).alias("std_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
