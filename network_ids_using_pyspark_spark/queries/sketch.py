@@ -126,3 +126,33 @@ def q_hll_distinct_check(spark, sf_dir):
             <= 0.05 * F.col("exact_n")
         ).alias("hll_within_5pct"),
     )
+
+
+_QSKETCH_SQL = """
+SELECT quantile_cont(l_extendedprice, 0.5) AS exact_p50,
+       quantile_cont(l_extendedprice, 0.99) AS exact_p99,
+       true AS sketch_within_1pct
+FROM lineitem
+"""
+
+
+@register("quantile_sketch_check", _QSKETCH_SQL)
+def q_quantile_sketch_check(spark, sf_dir):
+    """percentile_approx (Greenwald-Khanna sketch) certified THROUGH the
+    gate, same pattern as hll_distinct_check: emit the exact p50/p99
+    (interpolated, == DuckDB quantile_cont) plus a boolean asserting the
+    sketch landed within 1% relative error of both — sketch drift fails
+    the hash.  The sketch is the mergeable single-pass 100 TB path; the
+    exact percentile costs a per-group sort."""
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = li.agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("exact_p50"),
+        F.expr("percentile(l_extendedprice, 0.99)").alias("exact_p99"),
+        F.expr("percentile_approx(l_extendedprice, 0.5, 10000)").alias("a50"),
+        F.expr("percentile_approx(l_extendedprice, 0.99, 10000)").alias("a99"),
+    )
+    ok = (
+        (F.abs(F.col("a50") - F.col("exact_p50")) <= 0.01 * F.abs(F.col("exact_p50")))
+        & (F.abs(F.col("a99") - F.col("exact_p99")) <= 0.01 * F.abs(F.col("exact_p99")))
+    )
+    return agg.select("exact_p50", "exact_p99", ok.alias("sketch_within_1pct"))
