@@ -160,3 +160,46 @@ def test_corpus_e2e_pipeline_no_quadratic_joins(spark):
     plan = explain_str(df, "simple")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_aqe_splits_skewed_join(spark):
+    """The skew story is not just a doc claim: with a 90%-one-key left
+    side and thresholds scaled to fixture size, AQE must split the
+    skewed partition at runtime (AQEShuffleRead ... skewed) and still
+    produce exactly the right rows."""
+    from pyspark.sql import functions as F
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force a shuffle join
+    try:
+        left = spark.range(200_000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(0)).otherwise(F.col("id")).alias("k"),
+            F.repeat(F.lit("x"), 64).alias("pad"),
+        )
+        right = spark.range(1_000).select(F.col("id").alias("k"))
+        joined = left.join(right, "k").select("k")
+        # collect() executes THIS frame's QueryExecution, so the final
+        # adaptive plan is inspectable afterwards (count() would build
+        # and run a separate one, leaving this plan isFinalPlan=false)
+        n = len(joined.collect())
+        # 180k rows with k=0 (matches right k=0) + ids ending in 9 that are <= 999
+        assert n == 180_000 + 100
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skewed" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
