@@ -319,3 +319,33 @@ def q_lang_balanced_sample(spark, sf_dir):
         .filter(h < F.col("thr"))
         .select("doc_id", "lang")
     )
+
+
+@register("unigram_surprisal_score", None)  # log() is not bit-portable cross-engine
+def q_unigram_surprisal_score(spark, sf_dir):
+    """Language-model quality scoring, the unigram base case: per-doc
+    mean surprisal  −Σ log2 p(tok) / n  under the corpus's own unigram
+    distribution — the perplexity-style filter that flags gibberish
+    (high surprisal) and boilerplate (low).  The probability table is
+    built FROM the corpus in one agg and broadcast back (at real scale
+    a ~1M-row vocab still broadcasts); scoring is an explode + join +
+    doc-keyed agg.  Rows-only: transcendentals differ in ulps across
+    engines (functions/numeric.py) — value correctness is pinned by
+    tests/test_textops_units.py against an independent Python model."""
+    from ..operators.textops import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
+    total = toks.count()  # scalar: one number, not a data collect
+    probs = (
+        toks.groupBy("tok")
+        .agg((F.count(F.lit(1)).cast("double") / F.lit(float(total))).alias("p"))
+    )
+    return (
+        toks.join(F.broadcast(probs), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (-F.sum(F.log2("p")) / F.count(F.lit(1))).alias("mean_surprisal_bits"),
+        )
+    )

@@ -104,3 +104,37 @@ def test_lang_id_tie_prefers_earlier_code(spark):
         for r in df.select("doc_id", lang_id("text", markers).alias("lang")).collect()
     }
     assert got == {0: "de", 1: "en", 2: "es", 3: "und"}
+
+
+def test_unigram_surprisal_matches_reference_model(spark):
+    """The registered surprisal query must agree with an independently
+    computed unigram model to float tolerance (the op is rows-only in
+    the oracle gate because log() is not bit-portable)."""
+    import math
+
+    from network_ids_using_pyspark_spark.queries.corpus_ext import (
+        q_unigram_surprisal_score,
+    )
+    from network_ids_using_pyspark_spark.sources.tables import load_table
+
+    from .conftest import SF_DIR
+
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["mean_surprisal_bits"])
+        for r in q_unigram_surprisal_score(spark, SF_DIR).collect()
+    }
+    docs = {
+        r["doc_id"]: r["text"].strip().split()
+        for r in load_table(spark, SF_DIR, "documents").collect()
+    }
+    counts: dict[str, int] = {}
+    total = 0
+    for toks in docs.values():
+        for t in toks:
+            counts[t] = counts.get(t, 0) + 1
+            total += 1
+    for doc_id, toks in list(docs.items())[:50]:
+        expect = -sum(math.log2(counts[t] / total) for t in toks) / len(toks)
+        n, s = got[doc_id]
+        assert n == len(toks)
+        assert abs(s - expect) < 1e-9, (doc_id, s, expect)
