@@ -262,3 +262,73 @@ def q_dedup_clusters(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs(minhash_signatures(docs, k=K), bands=BANDS, rows=ROWS)
     return connected_components(pairs)
+
+
+def _cluster_keep_best_sql() -> str:
+    from .text import _NTOK_SQL, _PUNCT_SQL, _STOPR_SQL
+
+    quality = (
+        f"(LEAST(CAST({_NTOK_SQL} AS DOUBLE) / 20.0, 1.0) * 0.4"
+        f" + (1.0 - LEAST({_PUNCT_SQL} * 4, 1.0)) * 0.3"
+        f" + LEAST({_STOPR_SQL} * 5, 1.0) * 0.3)"
+    )
+    return f"""
+    WITH RECURSIVE pairs AS ({_LSH_SQL}),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach AS (
+      SELECT DISTINCT src AS node, src AS root FROM edges
+      UNION
+      SELECT e.dst AS node, r.root FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    comp AS (SELECT node AS doc_id, MIN(root) AS component FROM reach GROUP BY node),
+    scored AS (
+      SELECT d.doc_id,
+             COALESCE(c.component, d.doc_id) AS component,
+             {quality} AS quality
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+    )
+    SELECT doc_id, component, quality FROM (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY component ORDER BY quality DESC, doc_id ASC
+             ) AS rn
+      FROM scored
+    ) WHERE rn = 1
+    """
+
+
+@register("cluster_keep_best", _cluster_keep_best_sql())
+def q_cluster_keep_best(spark, sf_dir):
+    """Keeper policy over duplicate CLUSTERS (the transitive closure of
+    LSH near-dup pairs, not just exact-fingerprint groups): each
+    connected component keeps its highest-quality member (ties → lowest
+    doc_id); singletons keep themselves.  This is the final decision
+    step of production fuzzy dedup — pairs → components → one survivor
+    per component — composed entirely from certified operators."""
+    from pyspark.sql import Window
+
+    from ..operators.dedup import connected_components
+    from ..operators.textops import quality_score
+    from .text import _STOPWORDS
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(minhash_signatures(docs, k=K), bands=BANDS, rows=ROWS)
+    comp = connected_components(pairs)
+    scored = (
+        docs.select("doc_id", quality_score("text", _STOPWORDS).alias("quality"))
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias("component"),
+            "quality",
+        )
+    )
+    w = Window.partitionBy("component").orderBy(F.desc("quality"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "component", "quality")
+    )
