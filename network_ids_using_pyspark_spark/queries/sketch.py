@@ -101,7 +101,7 @@ def q_bloom_semi_join_lineitem(spark, sf_dir):
 
 
 _HLL_SQL = """
-SELECT COUNT(DISTINCT user_id) AS exact_n, true AS hll_within_5pct
+SELECT COUNT(DISTINCT user_id) AS exact_n, true AS hll_within_3rsd
 FROM events
 """
 
@@ -110,8 +110,10 @@ FROM events
 def q_hll_distinct_check(spark, sf_dir):
     """HyperLogLog++ certified THROUGH the driver gate: the query emits
     the exact distinct count plus a boolean asserting the HLL estimate
-    (rsd=0.05) landed within 5% of it; the oracle states the exact
-    count and ``true`` — so a drifting sketch fails the hash check.
+    (rsd=0.05) landed within 3×rsd = 15% of it (the ~99.7% bound — a
+    1×rsd bound is one STANDARD error and legitimately misses: 6.7%
+    observed at sf0.1); the oracle states the exact count and ``true``,
+    so a sketch drifting past the statistical bound fails the hash.
     At 100 TB the HLL path is one mergeable register set per partition
     vs the exact path's full shuffle of distinct keys."""
     ev = load_table(spark, sf_dir, "events")
@@ -123,8 +125,8 @@ def q_hll_distinct_check(spark, sf_dir):
         "exact_n",
         (
             F.abs(F.col("est") - F.col("exact_n"))
-            <= 0.05 * F.col("exact_n")
-        ).alias("hll_within_5pct"),
+            <= 0.15 * F.col("exact_n")
+        ).alias("hll_within_3rsd"),
     )
 
 
