@@ -227,3 +227,32 @@ def q_flows_port_label_profile(spark, sf_dir):
         F.max("flow_duration").alias("max_duration"),
         F.min("flow_duration").alias("min_duration"),
     )
+
+
+@register("kmeans_cluster_profile", None)
+def q_kmeans_cluster_profile(spark, sf_dir):
+    """MLlib KMeans over the embeddings (k=8, seeded, maxIter=20):
+    per-cluster sizes and majority label — the unsupervised twin of the
+    IVF coarse quantizer (operators/similarity.py builds its own
+    deterministic quantizer; this certifies the library path).
+    Rows-only: Lloyd's float centroid means are not cross-engine
+    reproducible.  Training cost is a few passes over an
+    array-to-vector projection — no collect."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    from ..sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=8, seed=1234, maxIter=20).fit(emb)
+    preds = model.transform(emb)
+    return (
+        preds.groupBy("prediction")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.mode("label").alias("majority_label"),
+        )
+        .orderBy("prediction")
+    )

@@ -126,3 +126,19 @@ def test_pipeline_output_contract(split):
     ).count()
     assert bad == 0
     assert train.filter(F.col("flow_byts_per_s").isNull()).count() == 0
+
+
+def test_model_save_load_roundtrip(spark, split, tmp_path):
+    """Operational contract: a fitted model persists and reloads with
+    bit-identical predictions — the deploy path from training cluster
+    to serving job."""
+    from pyspark.ml.classification import DecisionTreeClassificationModel
+
+    train, test = split
+    model = train_classifier(train, "dt")
+    path = str(tmp_path / "dt_model")
+    model.save(path)
+    back = DecisionTreeClassificationModel.load(path)
+    a = model.transform(test).select("flow_id", "prediction")
+    b = back.transform(test).select("flow_id", "prediction")
+    assert a.subtract(b).count() == 0 and b.subtract(a).count() == 0
