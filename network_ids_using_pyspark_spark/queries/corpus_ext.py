@@ -349,3 +349,58 @@ def q_unigram_surprisal_score(spark, sf_dir):
             (-F.sum(F.log2("p")) / F.count(F.lit(1))).alias("mean_surprisal_bits"),
         )
     )
+
+
+# Tag pattern valid in both Java regex and RE2 (no backrefs/lookaround).
+_TAG_PAT = r"<[^>]+>"
+
+_HTML_SQL = f"""
+WITH injected AS (
+  SELECT doc_id,
+         CASE CAST(doc_id % 5 AS INTEGER)
+           WHEN 0 THEN '<p>' || text || '</p>'
+           WHEN 1 THEN '<div class="c">' || text || '</div><br/>'
+           WHEN 2 THEN text || ' <a href="x">link</a>'
+           ELSE text
+         END AS text
+  FROM documents
+)
+SELECT doc_id,
+       trim(regexp_replace(text, '{_TAG_PAT}', ' ', 'g')) AS stripped,
+       CAST(len(regexp_extract_all(text, '{_TAG_PAT}')) AS INTEGER) AS n_tags
+FROM injected
+"""
+
+
+@register("html_strip_audit", _HTML_SQL)
+def q_html_strip_audit(spark, sf_dir):
+    """Boilerplate/markup stripping: HTML-style tags removed (replaced
+    with spaces to preserve token boundaries) with a removed-tag audit
+    count per document.  The fixture corpus is plain text, so markup is
+    injected deterministically (keyed on doc_id) on both sides — the
+    stripping logic is certified against a non-vacuous match set, same
+    discipline as pii_scrub_audit.  Map-side regex, pipelines in the
+    scan at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    injected = docs.select(
+        "doc_id",
+        F.when(
+            (F.col("doc_id") % 5) == 0,
+            F.concat(F.lit("<p>"), F.col("text"), F.lit("</p>")),
+        )
+        .when(
+            (F.col("doc_id") % 5) == 1,
+            F.concat(F.lit('<div class="c">'), F.col("text"), F.lit("</div><br/>")),
+        )
+        .when(
+            (F.col("doc_id") % 5) == 2,
+            F.concat(F.col("text"), F.lit(' <a href="x">link</a>')),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return injected.select(
+        "doc_id",
+        F.trim(F.regexp_replace("text", _TAG_PAT, " ")).alias("stripped"),
+        F.size(F.regexp_extract_all("text", F.lit(_TAG_PAT), 0)).alias("n_tags"),
+    )
