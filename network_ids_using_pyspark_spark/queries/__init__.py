@@ -49,6 +49,10 @@ from . import ingest  # noqa: E402,F401
 from . import corpus_ext  # noqa: E402,F401
 from . import sketch  # noqa: E402,F401
 from . import pipeline_e2e  # noqa: E402,F401
+from . import decontam  # noqa: E402,F401
+from . import search  # noqa: E402,F401
+from . import datamgmt  # noqa: E402,F401
+from . import anomaly  # noqa: E402,F401
 
 
 # The driver's correctness gate covers the FIRST 50 registry entries

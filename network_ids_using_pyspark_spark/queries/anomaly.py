@@ -1,0 +1,192 @@
+"""Anomaly-detection queries (the IDS analytics the reference's domain
+implies but its notebook never ships): trailing-window rate anomalies
+and port-scan fan-out detection.
+
+Reproducibility: both queries compare COUNTS, so every statistic is
+integer arithmetic — the z-score test is algebraically cleared of
+divisions and square roots ((n·w − s)² > z²·(q·w − s²) over int64),
+giving bit-identical booleans on any engine.  int64 is safe while
+daily counts stay below ~2^31 (squares < 2^62); beyond that the same
+expressions run in DECIMAL unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import HASH_SPACE, portable_hash64
+from ..sources.tables import load_table
+from . import register
+
+# ---------------------------------------------------------------------------
+# Trailing-window rate anomaly: daily event counts per type vs the
+# previous W days (integer z²-test, z = 2).
+# ---------------------------------------------------------------------------
+
+_W = 7
+_Z2 = 4  # z = 2, squared
+
+_RATE_SQL = f"""
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+), scored AS (
+  SELECT event_type, day, n,
+         COUNT(*) OVER w AS w_cnt,
+         SUM(n) OVER w AS s,
+         SUM(n * n) OVER w AS q
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN {_W} PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, day, CAST(n AS BIGINT) AS n,
+       CAST(s AS BIGINT) AS trailing_sum,
+       CAST(w_cnt AS BIGINT) AS trailing_days,
+       (n * w_cnt > s AND
+        (n * w_cnt - s) * (n * w_cnt - s) > {_Z2} * (q * w_cnt - s * s)
+       ) AS is_anomaly
+FROM scored WHERE w_cnt = {_W}
+"""
+
+
+@register("event_rate_anomaly", _RATE_SQL)
+def q_event_rate_anomaly(spark, sf_dir):
+    """Per-type daily volume vs its trailing 7-day window: the spike
+    detector of an ops/IDS pipeline.  One shuffle to daily counts (tiny
+    relation), then a per-type ordered window over DAYS, not rows — the
+    window input is |types|×|days| regardless of event volume, so the
+    sort is free at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-_W, -1)
+    )
+    scored = daily.select(
+        "event_type",
+        "day",
+        "n",
+        F.count(F.lit(1)).over(w).alias("w_cnt"),
+        F.sum("n").over(w).alias("s"),
+        F.sum(F.col("n") * F.col("n")).over(w).alias("q"),
+    ).filter(F.col("w_cnt") == _W)
+    dev = F.col("n") * F.col("w_cnt") - F.col("s")
+    var_scaled = F.col("q") * F.col("w_cnt") - F.col("s") * F.col("s")
+    return scored.select(
+        "event_type",
+        "day",
+        F.col("n").cast("long").alias("n"),
+        F.col("s").cast("long").alias("trailing_sum"),
+        F.col("w_cnt").cast("long").alias("trailing_days"),
+        ((dev > 0) & (dev * dev > _Z2 * var_scaled)).alias("is_anomaly"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Port-scan detection: distinct-dst-port fan-out per source host per
+# hour.  The flows fixture has no src column, so the same deterministic
+# generator pattern as stream_flow_bruteforce_alerts extends it: 200
+# source hosts; two of them (ids 7 and 13) are scanners whose flows
+# spray uniform ports, everyone else sticks to the 6-port service mix.
+# ---------------------------------------------------------------------------
+
+_N_FLOWS = 60_000
+_N_HOSTS = 200
+_SCANNERS = (7, 13)
+_SCAN_RATE = 0.02  # fraction of rows rewritten as scanner traffic
+# Scanners emit ~25 flows (≈25 distinct sprayed ports) per hour; benign
+# hosts touch at most the 6 service ports — 20 separates them cleanly.
+_FANOUT_T = 20
+
+
+def _portscan_sql(n: int = _N_FLOWS, threshold: int = _FANOUT_T) -> str:
+    def u(seed: str) -> str:
+        h = (
+            f"CAST(concat('0x', substring(md5(concat('flows:{seed}', "
+            f"CAST(id AS VARCHAR))), 1, 15)) AS BIGINT)"
+        )
+        return f"({h} / {float(HASH_SPACE)})"
+
+    return f"""
+    WITH raw AS (
+      SELECT id, {u('scan')} AS u_scan, {u('src')} AS u_src,
+             {u('sport')} AS u_sport, {u('port')} AS u_port,
+             {u('ts')} AS u_ts
+      FROM range(0, {n}) t(id)
+    ), flows AS (
+      SELECT (1518568261 + CAST(floor(u_ts * 86400) AS BIGINT)) // 3600 AS hour_bucket,
+             CASE WHEN u_scan < {_SCAN_RATE}
+                  THEN CASE WHEN u_src < 0.5 THEN {_SCANNERS[0]} ELSE {_SCANNERS[1]} END
+                  ELSE 14 + CAST(floor(u_src * {_N_HOSTS - 14}) AS BIGINT) END AS src_id,
+             CASE WHEN u_scan < {_SCAN_RATE}
+                  THEN 1 + CAST(floor(u_sport * 5000) AS BIGINT)
+                  WHEN u_port < 0.4 THEN 80
+                  WHEN u_port < 0.7 THEN 443
+                  WHEN u_port < 0.8 THEN 3389
+                  WHEN u_port < 0.9 THEN 21
+                  WHEN u_port < 0.95 THEN 22
+                  ELSE 65533 END AS dst_port
+      FROM raw
+    )
+    SELECT src_id, hour_bucket,
+           COUNT(DISTINCT dst_port) AS n_ports,
+           COUNT(*) AS n_flows
+    FROM flows
+    GROUP BY 1, 2
+    HAVING COUNT(DISTINCT dst_port) >= {threshold}
+    """
+
+
+@register("portscan_detection", _portscan_sql())
+def q_portscan_detection(spark, sf_dir):
+    """Port-scan alerts: sources touching ≥ 40 distinct destination
+    ports within an hour.  Exact distinct via one (src, hour, port)
+    pre-dedup aggregate then a count — two shuffles on small keys; the
+    100 TB variant swaps the exact distinct for HLL
+    (approx_count_distinct) with zero dataflow change."""
+    df = spark.range(_N_FLOWS)
+
+    def u(seed: str):
+        return portable_hash64(F.col("id"), seed=f"flows:{seed}") / F.lit(
+            float(HASH_SPACE)
+        )
+
+    u_scan, u_src = u("scan"), u("src")
+    is_scan = u_scan < _SCAN_RATE
+    src_id = F.when(
+        is_scan,
+        F.when(u_src < 0.5, _SCANNERS[0]).otherwise(_SCANNERS[1]).cast("long"),
+    ).otherwise((14 + F.floor(u_src * (_N_HOSTS - 14))).cast("long"))
+    u_port, u_sport = u("port"), u("sport")
+    dst_port = (
+        F.when(is_scan, (1 + F.floor(u_sport * 5000)).cast("long"))
+        .when(u_port < 0.4, 80)
+        .when(u_port < 0.7, 443)
+        .when(u_port < 0.8, 3389)
+        .when(u_port < 0.9, 21)
+        .when(u_port < 0.95, 22)
+        .otherwise(65533)
+        .cast("long")
+    )
+    epoch = F.lit(1518568261) + F.floor(u("ts") * 86400).cast("long")
+    flows = df.select(
+        (epoch / 3600).cast("long").alias("hour_bucket"),
+        src_id.alias("src_id"),
+        dst_port.alias("dst_port"),
+    )
+    per_port = flows.dropDuplicates(["src_id", "hour_bucket", "dst_port"])
+    fanout = per_port.groupBy("src_id", "hour_bucket").agg(
+        F.count(F.lit(1)).alias("n_ports")
+    )
+    totals = flows.groupBy("src_id", "hour_bucket").agg(
+        F.count(F.lit(1)).alias("n_flows")
+    )
+    return (
+        fanout.filter(F.col("n_ports") >= _FANOUT_T)
+        .join(totals, ["src_id", "hour_bucket"])
+        .select("src_id", "hour_bucket", "n_ports", "n_flows")
+    )

@@ -1,0 +1,108 @@
+"""Dataset-management queries: CDC changelog application (upsert with
+deletes) and deterministic hash-based train/val/test splitting.
+
+Both are core ingestion ops of a 100 TB training-data pipeline: CDC
+apply compacts a mutation log into current-state (the MERGE INTO
+semantics of a lakehouse table), and the hash split assigns every
+record to a split *stably* — no RNG state, no reshuffling when the
+corpus grows, resumable from any subset.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions.hashing import hash_bucket, hash_bucket_sql
+from ..sources.tables import load_table
+from . import register
+
+# ---------------------------------------------------------------------------
+# CDC apply-latest: events as a changelog keyed by user_id.
+# op mapping: 'error' rows are tombstones (DELETE), everything else
+# upserts.  Latest (ts, event_id) wins; event_id is unique, so the
+# winner is total-order deterministic.
+# ---------------------------------------------------------------------------
+
+_CDC_SQL = """
+WITH ranked AS (
+  SELECT user_id, event_type, value, ts,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id,
+       event_type AS last_event_type,
+       value AS last_value,
+       ts AS last_ts
+FROM ranked
+WHERE rn = 1 AND event_type <> 'error'
+"""
+
+
+@register("cdc_apply_latest", _CDC_SQL)
+def q_cdc_apply_latest(spark, sf_dir):
+    """MERGE-style changelog compaction: one ``max_by`` aggregate keyed
+    on the entity id — a single shuffle with map-side partial argmax,
+    NO per-key sort and no window (the window formulation sorts every
+    partition; the argmax formulation only keeps one struct per key per
+    partition).  Tombstone rows win like any other row, then drop out.
+    At 100 TB this is the standard log-compaction shape: shuffle volume
+    is one struct per distinct key per map partition."""
+    ev = load_table(spark, sf_dir, "events")
+    latest = ev.groupBy("user_id").agg(
+        F.max_by(
+            F.struct("event_type", "value", "ts"),
+            F.struct("ts", "event_id"),
+        ).alias("last")
+    )
+    return latest.filter(F.col("last.event_type") != "error").select(
+        "user_id",
+        F.col("last.event_type").alias("last_event_type"),
+        F.col("last.value").alias("last_value"),
+        F.col("last.ts").alias("last_ts"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic hash split: 80/10/10 on the portable 60-bit hash of the
+# doc id.  Stable under corpus growth (a doc's split never changes),
+# engine-independent (md5 primitives), and seedable.
+# ---------------------------------------------------------------------------
+
+_SPLIT_SEED = "split:v1:"
+_BUCKETS = 100
+_TRAIN_LT, _VAL_LT = 80, 90
+
+_SPLIT_SQL = f"""
+WITH assigned AS (
+  SELECT CASE WHEN b < {_TRAIN_LT} THEN 'train'
+              WHEN b < {_VAL_LT} THEN 'val'
+              ELSE 'test' END AS split,
+         n_chars
+  FROM (SELECT {hash_bucket_sql('doc_id', _BUCKETS, _SPLIT_SEED)} AS b, n_chars
+        FROM documents)
+)
+SELECT split, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM assigned GROUP BY split
+"""
+
+
+@register("hash_split_assignments", _SPLIT_SQL)
+def q_hash_split_assignments(spark, sf_dir):
+    """Train/val/test assignment by portable hash bucket — the
+    reproducible replacement for ``randomSplit`` when the split must
+    survive re-runs, engine changes, and corpus growth.  Map-side
+    assignment, one tiny aggregate to report it."""
+    docs = load_table(spark, sf_dir, "documents")
+    b = hash_bucket("doc_id", _BUCKETS, seed=_SPLIT_SEED)
+    split = (
+        F.when(b < _TRAIN_LT, "train").when(b < _VAL_LT, "val").otherwise("test")
+    )
+    return (
+        docs.select(split.alias("split"), "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+    )
