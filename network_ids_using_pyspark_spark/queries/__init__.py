@@ -56,85 +56,54 @@ from . import anomaly  # noqa: E402,F401
 
 
 # The driver's correctness gate covers the FIRST 50 registry entries
-# (registration order); round 1 certified the original first 50
-# (CORRECTNESS_r01.json), so round 2 front-loads everything the driver
-# has not yet certified: new queries, ml, streaming, similarity,
-# multimodal, functions_ext, the relational_ext tail, and the two
-# reshaped queries (except_*, embedding_near_dup) whose round-1 rows
-# are stale.  Every entry NOT listed here keeps its relative order
-# after the listed ones — nothing is ever dropped.
+# (registration order).  Round 1 certified the original first 50
+# (CORRECTNESS_r01.json); round 2's window held the next 50, but no
+# CORRECTNESS_r02.json was recorded, so round 3 front-loads the 41
+# queries that have NEVER sat in a certified window (new round-3 ops,
+# the post-freeze round-2 registrations, and the deferred
+# relational_ext tail), then spends the 9 remaining slots
+# re-certifying the highest-value round-2-window entries (flagship
+# pipeline, ref-width ML, streaming, bucketed ANN) as insurance.
+# Every entry NOT listed here keeps its relative order after the
+# listed ones — nothing is ever dropped.
 _ROUND_PRIORITY = [
-    # new this round
-    "scan_flows_csv_profile",
-    "random_split_invariants",
-    "ml_e2e_ref_width",
-    # ml (rows-only; driver-unchecked in r1)
-    "ml_train_rf",
-    "ml_train_dt",
-    "ml_train_nb",
-    "ml_train_mlp",
-    "ml_confusion_rf",
-    "flows_port_label_profile",
-    # streaming
-    "stream_tumbling_counts",
-    "stream_sliding_counts",
-    "stream_session_stats",
-    "stream_dedup_count",
-    "stream_stateful_user_stats",
-    "stream_score_sink_roundtrip",
-    "stream_static_join_counts",
-    "stream_stream_join_pairs",
-    # similarity / ANN
-    "cosine_topk",
-    "embedding_label_centroid_norms",
-    "cosine_topk_lsh",
-    "cosine_topk_ivf",
-    "mllib_minhash_pairs",
-    # flagship composite takes the window slot of the weaker rows-only
-    # MLlib twin (mllib_ann_topk rotates to round 3): a full-oracle row
-    # for the five-stage pipeline is stronger driver evidence
-    "corpus_e2e_pipeline",
-    # multimodal
-    "media_image_features",
-    "media_audio_features",
-    "media_resize_thumbs",
-    "media_frame_samples",
-    # functions_ext
-    "lag_value_delta",
-    "range_frame_hour_sum",
-    "pivot_user_event_counts",
-    "json_props_stats",
-    "semi_join_discounted_orders",
-    "multi_distinct_lineitem",
-    "dense_hourly_counts",
-    "quantile_profile",
-    "value_histogram",
-    "orders_by_month",
-    "promo_parts_by_brand",
-    "window_rank_functions",
-    "user_event_sequences",
-    "customer_name_features",
-    "lineitem_unpivot_measures",
-    "event_time_parts",
-    # relational_ext tail + reshaped queries
-    "asof_last_click_before_purchase",
-    "q3_top_unshipped_revenue",
-    "salted_user_counts",
-    "argmax_aggregates",
-    "feature_corr_matrix",
-    "except_customers_no_urgent_orders",
-    "embedding_near_dup",
-    # --- 50-entry window boundary ---
-    # Round-3 rotation candidates (driver-uncertified after round 2):
-    # the 7 deferred relational_ext entries below, plus everything
-    # registered after the round-2 window was frozen —
-    # interval_join_window_stats, doc_chunks, repetition_profile,
-    # pii_scrub_audit, vocab_coverage_profile, cms_heavy_hitters,
-    # bloom_semi_join_lineitem, user_value_trend, media_phash_near_dup,
-    # stream_doc_quality, recordlog_roundtrip_profile,
-    # group_median_center, stream_dedup_against_corpus,
-    # lang_balanced_sample, value_outliers_3sigma
-    # (all green in the local sf0.001/sf0.01 mirror).
+    # --- new this round (training-data + IDS surfaces) ---
+    "decontam_overlap_report",
+    "decontam_clean_profile",
+    "bm25_search_topk",
+    "cdc_apply_latest",
+    "hash_split_assignments",
+    "event_rate_anomaly",
+    "portscan_detection",
+    # --- registered after the round-2 window froze ---
+    "cluster_keep_best",
+    "interval_join_window_stats",
+    "user_value_trend",
+    "value_outliers_3sigma",
+    "user_value_ewma",
+    "right_outer_customer_orders",
+    "data_quality_report",
+    "value_stats_by_type",
+    "media_phash_near_dup",
+    "mllib_ann_topk",
+    "kmeans_cluster_profile",
+    "stream_doc_quality",
+    "stream_dedup_against_corpus",
+    "stream_flow_bruteforce_alerts",
+    "recordlog_roundtrip_profile",
+    "doc_chunks",
+    "repetition_profile",
+    "pii_scrub_audit",
+    "vocab_coverage_profile",
+    "group_median_center",
+    "lang_balanced_sample",
+    "unigram_surprisal_score",
+    "html_strip_audit",
+    "cms_heavy_hitters",
+    "bloom_semi_join_lineitem",
+    "hll_distinct_check",
+    "quantile_sketch_check",
+    # --- deferred relational_ext tail (never windowed) ---
     "left_outer_order_fill",
     "full_outer_user_activity",
     "corr_qty_price",
@@ -142,6 +111,17 @@ _ROUND_PRIORITY = [
     "orders_above_cust_avg",
     "lineitem_above_global_avg",
     "rollup_daily_from_hourly",
+    # --- re-certification insurance (round-2 window, r2 file missing) ---
+    "corpus_e2e_pipeline",
+    "ml_e2e_ref_width",
+    "scan_flows_csv_profile",
+    "ml_train_rf",
+    "ml_train_mlp",
+    "stream_tumbling_counts",
+    "stream_stateful_user_stats",
+    "cosine_topk_lsh",
+    "cosine_topk_ivf",
+    # --- 50-entry window boundary ---
 ]
 
 
