@@ -1,0 +1,139 @@
+"""TPC-H-shape join queries beyond the broadcast star (queries/core.py
+``nation_revenue`` covers Q5's *star* shape with every dim broadcast).
+
+These two exercise the join strategies that star didn't:
+
+* ``q5_same_nation_revenue`` — the REAL Q5 semantics: revenue only when
+  the customer and the line's supplier sit in the same nation, region-
+  and date-filtered.  Two independent FK chains out of lineitem
+  (l_orderkey→orders→customer, l_suppkey→supplier) meet in an equality
+  constraint BETWEEN two dimensions — the classic case where you cannot
+  broadcast your way out of every join at 100 TB (orders/customer/
+  supplier all grow with SF; only nation/region stay tiny).
+* ``q18_large_volume_customers`` — aggregate-then-semi-join: a HAVING
+  filter on a fact aggregate drives the join, so the reduction happens
+  BEFORE any wide join (the 100 TB rule: aggregate first, join the
+  survivors).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions.numeric import dec_sum, dec_sum_sql
+from ..sources.tables import load_table
+from . import register
+
+_REGION = "EUROPE"
+_D0, _D1 = "1996-01-01", "1997-01-01"
+
+_Q5_SQL = f"""
+SELECT n.n_name,
+       {dec_sum_sql('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+       COUNT(*) AS n_lineitems
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+               AND s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = '{_REGION}'
+  AND o.o_orderdate >= TIMESTAMP '{_D0} 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '{_D1} 00:00:00'
+GROUP BY n.n_name
+"""
+
+
+@register("q5_same_nation_revenue", _Q5_SQL)
+def q_q5_same_nation_revenue(spark, sf_dir):
+    """TPC-H Q5 (same-nation customer/supplier revenue by nation).
+
+    Scale plan: the region filter prunes nation FIRST, and the pruned
+    (≤25-row) nation relation is broadcast into BOTH the customer and
+    supplier sides — so each fact-side join carries its nationkey and
+    the region predicate is applied before any shuffle.  The two
+    remaining joins (l⋈s map-side via broadcast only because supplier
+    is a dim *here*; l⋈o⋈c by key shuffle, AQE-planned) meet in the
+    same-nation equality applied as a join predicate, not a
+    post-filter, so Catalyst keeps it in the join condition.  At
+    100 TB: nation/region broadcast is free; orders/customer/supplier
+    shuffles are on their FK keys with map-side date pruning pushed to
+    the orders scan (PushedFilters on o_orderdate)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(_D0).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(_D1).cast("timestamp"))
+    )
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == _REGION)
+    # region→nation pruning, broadcast into both fact chains
+    n_in_region = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+        "n_nationkey", "n_name"
+    )
+    cust = c.join(
+        F.broadcast(n_in_region), c.c_nationkey == F.col("n_nationkey")
+    ).select("c_custkey", F.col("n_nationkey").alias("c_nkey"))
+    supp = s.join(
+        F.broadcast(n_in_region.select("n_nationkey")),
+        s.s_nationkey == F.col("n_nationkey"),
+    ).select("s_suppkey", F.col("s_nationkey").alias("s_nkey"))
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(cust, o.o_custkey == cust.c_custkey)
+        .join(supp, (l.l_suppkey == supp.s_suppkey) & (F.col("c_nkey") == F.col("s_nkey")))
+    )
+    return (
+        joined.join(F.broadcast(n_in_region), F.col("c_nkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            dec_sum(revenue).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+_QTY_T = 250
+
+_Q18_SQL = f"""
+SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+       {dec_sum_sql('l.l_quantity')} AS sum_qty
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey IN (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey HAVING SUM(CAST(l_quantity AS DECIMAL(30,6))) > {_QTY_T}
+)
+GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+"""
+
+
+@register("q18_large_volume_customers", _Q18_SQL)
+def q_q18_large_volume_customers(spark, sf_dir):
+    """TPC-H Q18 (large-volume customers): the aggregate-then-join
+    shape.  The per-order quantity aggregate (map-side partial sums,
+    one shuffle on l_orderkey) + HAVING reduces the fact table to a
+    tiny key set FIRST; that survivor set drives a semi-join back into
+    lineitem/orders, and only then does customer attach.  At 100 TB
+    the HAVING survivors are ~1% of orders, so every downstream join
+    moves 1% of the data — the aggregation is the filter."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(30,6)")).alias("q"))
+        .filter(F.col("q") > _QTY_T)
+        .select("l_orderkey")
+    )
+    return (
+        l.join(big.withColumnRenamed("l_orderkey", "bk"), l.l_orderkey == F.col("bk"), "left_semi")
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(dec_sum("l_quantity").alias("sum_qty"))
+    )

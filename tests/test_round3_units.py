@@ -127,6 +127,28 @@ def test_hash_split_deterministic_and_total(spark):
     assert a["train"][0] > a["val"][0] and a["train"][0] > a["test"][0]
 
 
+# ---------------------------------------------------------------- tpch_ext
+
+def test_q5_broadcasts_only_dims(spark):
+    """nation/region broadcast; no cartesian or nested-loop anywhere."""
+    df = REGISTRY["q5_same_nation_revenue"][0](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q5_pushes_date_filter_to_orders_scan(spark):
+    df = REGISTRY["q5_same_nation_revenue"][0](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_q18_semi_join_reduces_before_wide_join(spark):
+    df = REGISTRY["q18_large_volume_customers"][0](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
+
+
 # ---------------------------------------------------------------- anomaly
 
 def test_portscan_flags_only_scanner_hosts(spark):
