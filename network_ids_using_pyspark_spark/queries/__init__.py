@@ -54,6 +54,7 @@ from . import search  # noqa: E402,F401
 from . import datamgmt  # noqa: E402,F401
 from . import anomaly  # noqa: E402,F401
 from . import tpch_ext  # noqa: E402,F401
+from . import passages  # noqa: E402,F401
 
 
 # The driver's correctness gate covers the FIRST 50 registry entries

@@ -127,6 +127,37 @@ def test_hash_split_deterministic_and_total(spark):
     assert a["train"][0] > a["val"][0] and a["train"][0] > a["test"][0]
 
 
+# ---------------------------------------------------------------- passages
+
+def test_passage_scrub_removes_shared_window_preserves_order(spark):
+    from network_ids_using_pyspark_spark.operators.passages import passage_scrub
+
+    shared = "a b c d e f g h"  # one exact 8-token window in both docs
+    corpus = _docs(
+        spark,
+        [
+            (1, f"{shared} unique tail one two three four five six"),
+            (2, f"other head words here pad pad pad pad {shared}"),
+            (3, "totally different content nothing shared at all here"),
+        ],
+    )
+    out = {r.doc_id: r for r in passage_scrub(corpus, passage_len=8).collect()}
+    assert out[1].n_removed == 1 and out[2].n_removed == 1
+    assert out[3].n_removed == 0
+    # survivors keep original order
+    assert out[1].text_after == "unique tail one two three four five six"
+    assert out[2].text_after == "other head words here pad pad pad pad"
+
+
+def test_passage_scrub_keeps_within_doc_repeats(spark):
+    from network_ids_using_pyspark_spark.operators.passages import passage_scrub
+
+    rep = "x y z w x y z w"  # doc repeats its own window; df stays 1
+    corpus = _docs(spark, [(1, f"{rep} {rep}"), (2, "entirely unrelated words")])
+    out = {r.doc_id: r for r in passage_scrub(corpus, passage_len=8).collect()}
+    assert out[1].n_removed == 0
+
+
 # ---------------------------------------------------------------- tpch_ext
 
 def test_q5_broadcasts_only_dims(spark):
