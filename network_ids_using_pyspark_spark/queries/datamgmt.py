@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..functions.hashing import hash_bucket, hash_bucket_sql
+from ..functions.numeric import dec_sum_sql
 from ..sources.tables import load_table
 from . import register
 
@@ -68,6 +69,102 @@ def q_cdc_apply_latest(spark, sf_dir):
 # doc id.  Stable under corpus growth (a doc's split never changes),
 # engine-independent (md5 primitives), and seedable.
 # ---------------------------------------------------------------------------
+
+# ---------------------------------------------------------------------------
+# Retention cohorts: users grouped by first-seen week, activity counted
+# per week offset — the standard product-analytics triangle.
+# ---------------------------------------------------------------------------
+
+_WEEK = 604_800
+
+_COHORT_SQL = f"""
+WITH wk AS (
+  SELECT user_id, CAST(floor(floor(epoch(ts)) / {_WEEK}) AS BIGINT) AS w
+  FROM events
+), first AS (
+  SELECT user_id, MIN(w) AS cohort_week FROM wk GROUP BY user_id
+)
+SELECT f.cohort_week,
+       wk.w - f.cohort_week AS week_offset,
+       COUNT(DISTINCT wk.user_id) AS n_active_users,
+       COUNT(*) AS n_events
+FROM wk JOIN first f ON wk.user_id = f.user_id
+GROUP BY 1, 2
+"""
+
+
+@register("retention_cohorts", _COHORT_SQL)
+def q_retention_cohorts(spark, sf_dir):
+    """Weekly retention triangle: cohort = epoch-week of a user's first
+    event (integer week index — no calendar/timezone arithmetic to
+    drift between engines).  Two shuffles, both on user_id (the
+    first-seen aggregate and the join re-use the same partitioning —
+    at 100 TB co-partitioning makes the join exchange-free), then one
+    tiny (cohort, offset) distinct-count aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    wk = ev.select(
+        "user_id",
+        F.floor(F.unix_timestamp("ts") / _WEEK).cast("long").alias("w"),
+    )
+    first = wk.groupBy("user_id").agg(F.min("w").alias("cohort_week"))
+    return (
+        wk.join(first, "user_id")
+        .groupBy("cohort_week", (F.col("w") - F.col("cohort_week")).alias("week_offset"))
+        .agg(
+            F.countDistinct("user_id").alias("n_active_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental aggregate maintenance: merge yesterday's partial-agg
+# state with today's delta instead of recomputing the world.
+# ---------------------------------------------------------------------------
+
+_CUTOFF = "1999-01-01"
+
+_INCR_SQL = f"""
+SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+       COUNT(*) AS n_orders,
+       {dec_sum_sql('o_totalprice')} AS revenue
+FROM orders
+GROUP BY 1
+"""
+
+
+@register("incremental_agg_merge", _INCR_SQL)
+def q_incremental_agg_merge(spark, sf_dir):
+    """Materialized-view maintenance: the monthly revenue rollup is
+    computed as OLD STATE (orders before the cutoff — in production,
+    yesterday's persisted agg table) merged with the DELTA (orders at/
+    after the cutoff) by re-aggregating the partial states.  Because
+    (count, decimal-sum) is a commutative monoid, merge == full
+    recompute bit-for-bit — which is exactly what the oracle asserts
+    by recomputing from scratch.  At 100 TB this is the difference
+    between scanning one day and scanning one history: the state
+    relation is |months| rows, the delta scan is partition-pruned by
+    the cutoff predicate (PushedFilters on o_orderdate)."""
+    o = load_table(spark, sf_dir, "orders")
+    cutoff = F.lit(_CUTOFF).cast("timestamp")
+
+    def partial(df):
+        return df.groupBy(F.date_trunc("month", "o_orderdate").alias("month")).agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(30,6)")).alias("rev_dec"),
+        )
+
+    state = partial(o.filter(F.col("o_orderdate") < cutoff))
+    delta = partial(o.filter(F.col("o_orderdate") >= cutoff))
+    return (
+        state.unionByName(delta)
+        .groupBy("month")
+        .agg(
+            F.sum("n_orders").alias("n_orders"),
+            F.sum("rev_dec").cast("double").alias("revenue"),
+        )
+    )
+
 
 _SPLIT_SEED = "split:v1:"
 _BUCKETS = 100

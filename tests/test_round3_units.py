@@ -180,6 +180,30 @@ def test_q18_semi_join_reduces_before_wide_join(spark):
     assert "LeftSemi" in plan
 
 
+# ---------------------------------------------------------------- datamgmt (r3b)
+
+def test_retention_offset0_is_cohort_max(spark):
+    """Week-0 activity counts every cohort member; later offsets can
+    only lose users."""
+    rows = REGISTRY["retention_cohorts"][0](spark, SF_DIR).collect()
+    assert rows and all(r.week_offset >= 0 for r in rows)
+    by_cohort = {}
+    for r in rows:
+        by_cohort.setdefault(r.cohort_week, {})[r.week_offset] = r.n_active_users
+    for offsets in by_cohort.values():
+        assert 0 in offsets
+        assert all(v <= offsets[0] for v in offsets.values())
+
+
+def test_incremental_merge_equals_full_recompute(spark):
+    """The partial-state merge must equal a one-shot aggregate (the
+    oracle asserts this bit-exactly; here: totals reconcile)."""
+    from network_ids_using_pyspark_spark.sources.tables import load_table
+
+    rows = REGISTRY["incremental_agg_merge"][0](spark, SF_DIR).collect()
+    assert sum(r.n_orders for r in rows) == load_table(spark, SF_DIR, "orders").count()
+
+
 # ---------------------------------------------------------------- anomaly
 
 def test_portscan_flags_only_scanner_hosts(spark):
