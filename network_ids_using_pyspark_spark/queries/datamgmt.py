@@ -166,6 +166,54 @@ def q_incremental_agg_merge(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Bucketed co-located join: pay the shuffle at write time, join free
+# forever after.
+# ---------------------------------------------------------------------------
+
+_N_BUCKETS = 8
+
+_BUCKETED_SQL = f"""
+SELECT o.o_orderpriority,
+       {dec_sum_sql('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+       COUNT(*) AS n_lineitems
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+"""
+
+
+@register("bucketed_colocated_join", _BUCKETED_SQL)
+def q_bucketed_colocated_join(spark, sf_dir):
+    """orders ⋈ lineitem with BOTH sides pre-bucketed on the order key:
+    the join runs with zero Exchange (verified by plan test — the only
+    shuffle in the whole query is the final tiny priority aggregate).
+    The write cost is the one-time layout investment; every subsequent
+    join on o_orderkey rides it.  Result is oracled against the plain
+    parquet join — layout must never change answers."""
+    from ..sources.bucketed import bucketed_table, write_bucketed
+
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    write_bucketed(l, f"nids_bkt_lineitem_{tag}", "l_orderkey", _N_BUCKETS,
+                   f"/tmp/nids_bucketed_{tag}/lineitem")
+    write_bucketed(o, f"nids_bkt_orders_{tag}", "o_orderkey", _N_BUCKETS,
+                   f"/tmp/nids_bucketed_{tag}/orders")
+    lb = bucketed_table(spark, f"nids_bkt_lineitem_{tag}")
+    ob = bucketed_table(spark, f"nids_bkt_orders_{tag}")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        lb.hint("merge").join(ob, lb.l_orderkey == ob.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(revenue.cast("decimal(30,6)")).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
 _SPLIT_SEED = "split:v1:"
 _BUCKETS = 100
 _TRAIN_LT, _VAL_LT = 80, 90

@@ -204,6 +204,18 @@ def test_incremental_merge_equals_full_recompute(spark):
     assert sum(r.n_orders for r in rows) == load_table(spark, SF_DIR, "orders").count()
 
 
+# ---------------------------------------------------------------- bucketed
+
+def test_bucketed_join_has_no_join_exchange(spark):
+    """Both sides pre-bucketed on the order key: the only shuffle in
+    the plan is the final aggregate — the join itself is co-located."""
+    from network_ids_using_pyspark_spark.plans.inspect import count_shuffles
+
+    df = REGISTRY["bucketed_colocated_join"][0](spark, SF_DIR)
+    assert "SortMergeJoin" in df._jdf.queryExecution().executedPlan().toString()
+    assert count_shuffles(df) == 1
+
+
 # ---------------------------------------------------------------- anomaly
 
 def test_portscan_flags_only_scanner_hosts(spark):
