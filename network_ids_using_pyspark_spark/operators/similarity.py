@@ -84,15 +84,34 @@ def cosine_topk_lsh(
     c_id: str = "cand_vec_id",
     q_vec: str = "qe",
     c_vec: str = "ce",
+    probe_hamming: int = 0,
 ) -> DataFrame:
     """Approximate top-k: only candidates in the query's sign-LSH bucket
     are scored.  The bucket equi-join replaces the cross join — at 100 TB
     the candidate side is scanned once, shuffled (or bucketed-on-write)
     by bucket id, and each query touches ~1/2^bits of the corpus.
-    Recall < 1 by construction (documented approximate semantics; raise
-    recall with multi-probe or more tables)."""
-    q = queries.withColumn("bucket", lsh_bucket(F.col(q_vec), hyperplanes))
+    Recall < 1 by construction (documented approximate semantics).
+
+    ``probe_hamming=1`` enables multi-probe: each query also probes the
+    buckets whose code differs by one bit (vectors near a hyperplane
+    land on either side of it — exactly the neighbors single-probe
+    loses).  Probe count is 1+bits per query; the candidate side and
+    its partitioning are untouched, so the cost scales on the small
+    side only.  Measured by ``ann_recall_eval`` on the fixture corpus:
+    recall@10 roughly triples (~0.15 single-probe → ~0.45 multi-probe);
+    IVF nprobe=2 (~0.9) remains the high-recall path."""
+    if probe_hamming not in (0, 1):
+        raise ValueError("probe_hamming must be 0 or 1")
+    q = queries.withColumn("code", lsh_bucket(F.col(q_vec), hyperplanes))
     c = candidates.withColumn("bucket", lsh_bucket(F.col(c_vec), hyperplanes))
+    if probe_hamming == 0:
+        probes = F.array(F.col("code"))
+    else:
+        probes = F.array(
+            F.col("code"),
+            *[F.col("code").bitwiseXOR(F.lit(1 << b)) for b in range(len(hyperplanes))],
+        )
+    q = q.select("*", F.explode(probes).alias("bucket")).drop("code")
     j = c.join(F.broadcast(q), on="bucket").filter(F.col(q_id) != F.col(c_id))
     sims = j.select(q_id, c_id, cosine(F.col(q_vec), F.col(c_vec)).alias("sim"))
     w = Window.partitionBy(q_id).orderBy(F.desc("sim"), F.asc(c_id))

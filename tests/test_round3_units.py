@@ -204,6 +204,23 @@ def test_incremental_merge_equals_full_recompute(spark):
     assert sum(r.n_orders for r in rows) == load_table(spark, SF_DIR, "orders").count()
 
 
+# ---------------------------------------------------------------- ann eval
+
+def test_ann_recall_multiprobe_dominates_single_probe(spark):
+    """Multi-probe scores a superset of single-probe's buckets, so its
+    recall can never be lower; IVF floors are empirical."""
+    rows = REGISTRY["ann_recall_eval"][0](spark, SF_DIR).collect()
+    assert len(rows) == 8
+    for r in rows:
+        assert r.recall_lsh_multiprobe >= r.recall_lsh
+        assert 0.0 <= r.recall_lsh <= 1.0 and 0.0 <= r.recall_ivf <= 1.0
+    mean_mp = sum(r.recall_lsh_multiprobe for r in rows) / len(rows)
+    mean_sp = sum(r.recall_lsh for r in rows) / len(rows)
+    mean_ivf = sum(r.recall_ivf for r in rows) / len(rows)
+    assert mean_mp > mean_sp
+    assert mean_ivf >= 0.7
+
+
 # ---------------------------------------------------------------- bucketed
 
 def test_bucketed_join_has_no_join_exchange(spark):
