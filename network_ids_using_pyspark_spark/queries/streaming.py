@@ -103,6 +103,35 @@ def q_stream_dedup_count(spark, sf_dir):
 
 
 @register(
+    "stream_cdc_apply_latest",
+    """
+    WITH ranked AS (
+      SELECT user_id, event_type, value, ts,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT user_id,
+           event_type AS last_event_type,
+           value AS last_value,
+           ts AS last_ts
+    FROM ranked
+    WHERE rn = 1 AND event_type <> 'error'
+    """,
+)
+def q_stream_cdc_apply_latest(spark, sf_dir):
+    """Streaming MERGE: the events changelog folds into current-state
+    as it arrives (one max_by struct per key in the state store —
+    bounded state, no reprocessing).  Same oracle as the batch
+    ``cdc_apply_latest`` — streaming and batch compaction must agree
+    bit-for-bit."""
+    from ..streaming.stream import cdc_latest_state
+
+    ev = stream_events(spark, sf_dir)
+    return run_to_memory(cdc_latest_state(ev), "complete")
+
+
+@register(
     "stream_stateful_user_stats",
     """
     SELECT user_id, COUNT(*) AS n_events, MAX(value) AS max_value

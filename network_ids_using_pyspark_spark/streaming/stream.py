@@ -178,6 +178,29 @@ def attach_late_data_metrics(spark: SparkSession) -> LateDataMetricsListener:
     return listener
 
 
+def cdc_latest_state(events: DataFrame) -> DataFrame:
+    """Streaming CDC compaction: the changelog stream folds into
+    current-state with a ``max_by`` aggregate keyed on the entity id —
+    the state store holds exactly ONE struct per key (no window, no
+    sort), so state size is O(distinct keys) regardless of stream
+    volume.  'error' rows are tombstones: they win the argmax like any
+    mutation, then drop out of the emitted state.  Complete-mode output
+    IS the compacted table — bit-identical to the batch
+    ``cdc_apply_latest`` compaction (same oracle certifies both)."""
+    latest = events.groupBy("user_id").agg(
+        F.max_by(
+            F.struct("event_type", "value", "ts"),
+            F.struct("ts", "event_id"),
+        ).alias("last")
+    )
+    return latest.filter(F.col("last.event_type") != "error").select(
+        "user_id",
+        F.col("last.event_type").alias("last_event_type"),
+        F.col("last.value").alias("last_value"),
+        F.col("last.ts").alias("last_ts"),
+    )
+
+
 def tumbling_counts(events: DataFrame, duration: str = "1 hour") -> DataFrame:
     """Tumbling event-time window counts per event_type."""
     return (
