@@ -113,17 +113,22 @@ _ROUND_PRIORITY = [
     "orders_above_cust_avg",
     "lineitem_above_global_avg",
     "rollup_daily_from_hourly",
-    # --- re-certification insurance (round-2 window, r2 file missing) ---
-    "corpus_e2e_pipeline",
-    "ml_e2e_ref_width",
-    "scan_flows_csv_profile",
-    "ml_train_rf",
-    "ml_train_mlp",
-    "stream_tumbling_counts",
-    "stream_stateful_user_stats",
-    "cosine_topk_lsh",
-    "cosine_topk_ivf",
+    # --- new this session (never certified) ---
+    "q5_same_nation_revenue",
+    "q18_large_volume_customers",
+    "passage_dedup_scrub",
+    "retention_cohorts",
+    "incremental_agg_merge",
+    "bucketed_colocated_join",
+    "ann_recall_eval",
+    "cosine_topk_lsh_multiprobe",
+    "stream_cdc_apply_latest",
     # --- 50-entry window boundary ---
+    # Next in line if the window ever widens: corpus_e2e_pipeline,
+    # ml_e2e_ref_width, scan_flows_csv_profile, ml_train_*,
+    # stream_tumbling_counts, cosine_topk_lsh/ivf (round-2 window —
+    # re-certification insurance since no CORRECTNESS_r02 was
+    # recorded; all green in the local sf0.01 mirror).
 ]
 
 
