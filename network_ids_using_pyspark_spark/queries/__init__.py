@@ -55,6 +55,7 @@ from . import datamgmt  # noqa: E402,F401
 from . import anomaly  # noqa: E402,F401
 from . import tpch_ext  # noqa: E402,F401
 from . import passages  # noqa: E402,F401
+from . import packing  # noqa: E402,F401
 
 
 # The driver's correctness gate covers the FIRST 50 registry entries
