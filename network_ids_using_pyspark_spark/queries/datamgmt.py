@@ -214,6 +214,52 @@ def q_bucketed_colocated_join(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Partitioned layout + partition pruning: the scan-avoidance twin of
+# the bucketed join above.
+# ---------------------------------------------------------------------------
+
+_PRUNE_YEAR = 1998
+
+_PRUNED_SQL = f"""
+SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+       o_orderpriority,
+       COUNT(*) AS n_orders,
+       {dec_sum_sql('o_totalprice')} AS revenue
+FROM orders
+WHERE CAST(year(o_orderdate) AS INTEGER) = {_PRUNE_YEAR}
+GROUP BY 1, 2
+"""
+
+
+@register("partition_pruned_scan", _PRUNED_SQL)
+def q_partition_pruned_scan(spark, sf_dir):
+    """Write orders hive-partitioned by order year, then aggregate one
+    year: the year predicate is resolved from DIRECTORY NAMES
+    (PartitionFilters), so the scan touches 1/7 of the files without
+    reading a byte of the rest.  At 100 TB partition-on-ingest by
+    date is the first line of defense — queries with time predicates
+    never see the other years.  Plan test pins the PartitionFilters;
+    the oracle pins that layout never changes answers."""
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    path = f"/tmp/nids_partitioned_{tag}/orders"
+    o = load_table(spark, sf_dir, "orders")
+    (
+        o.withColumn("o_year", F.year("o_orderdate"))
+        .write.mode("overwrite")
+        .partitionBy("o_year")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path).filter(F.col("o_year") == _PRUNE_YEAR)
+    return back.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("month"),
+        "o_orderpriority",
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(30,6)")).cast("double").alias("revenue"),
+    )
+
+
 _SPLIT_SEED = "split:v1:"
 _BUCKETS = 100
 _TRAIN_LT, _VAL_LT = 80, 90

@@ -233,6 +233,14 @@ def test_bucketed_join_has_no_join_exchange(spark):
     assert count_shuffles(df) == 1
 
 
+# ---------------------------------------------------------------- pruning
+
+def test_partition_pruned_scan_uses_partition_filters(spark):
+    df = REGISTRY["partition_pruned_scan"][0](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(o_year" in plan or "PartitionFilters: [(o_year" in plan
+
+
 # ---------------------------------------------------------------- anomaly
 
 def test_portscan_flags_only_scanner_hosts(spark):
