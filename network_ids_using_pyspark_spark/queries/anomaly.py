@@ -87,6 +87,70 @@ def q_event_rate_anomaly(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Conversion funnel: purchases attributed to a click by the same user
+# within the preceding 24 hours.
+# ---------------------------------------------------------------------------
+
+_ATTR_WINDOW_S = 86_400
+
+_FUNNEL_SQL = f"""
+WITH ordered AS (
+  SELECT user_id, event_type, ts,
+         MAX(CASE WHEN event_type = 'click' THEN epoch_us(ts) END)
+           OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_us
+  FROM events
+)
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       COUNT(*) AS n_purchases,
+       SUM(CASE WHEN last_click_us IS NOT NULL
+                 AND epoch_us(ts) - last_click_us <= {_ATTR_WINDOW_S * 1_000_000}
+                THEN 1 ELSE 0 END) AS n_converted
+FROM ordered
+WHERE event_type = 'purchase'
+GROUP BY 1
+"""
+
+
+@register("funnel_click_to_purchase", _FUNNEL_SQL)
+def q_funnel_click_to_purchase(spark, sf_dir):
+    """Click→purchase conversion funnel with a 24-hour attribution
+    window: a running conditional MAX per user carries the latest click
+    time to each purchase — one window over the user partition, no
+    self-join (the naive purchase⋈click formulation is quadratic in
+    events per user; the running-max is linear and 100 TB-safe).
+    Microsecond-integer time arithmetic on both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    ts_us = F.unix_micros("ts")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(ts_us, "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ordered = ev.select(
+        "event_type",
+        "ts",
+        ts_us.alias("ts_us"),
+        F.max(F.when(F.col("event_type") == "click", ts_us)).over(w).alias(
+            "last_click_us"
+        ),
+    )
+    return (
+        ordered.filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum(
+                (
+                    F.col("last_click_us").isNotNull()
+                    & (F.col("ts_us") - F.col("last_click_us") <= _ATTR_WINDOW_S * 1_000_000)
+                ).cast("long")
+            ).alias("n_converted"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Port-scan detection: distinct-dst-port fan-out per source host per
 # hour.  The flows fixture has no src column, so the same deterministic
 # generator pattern as stream_flow_bruteforce_alerts extends it: 200
