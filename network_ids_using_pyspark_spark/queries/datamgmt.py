@@ -10,6 +10,7 @@ corpus grows, resumable from any subset.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import hash_bucket, hash_bucket_sql
@@ -257,6 +258,90 @@ def q_partition_pruned_scan(spark, sf_dir):
     ).agg(
         F.count(F.lit(1)).alias("n_orders"),
         F.sum(F.col("o_totalprice").cast("decimal(30,6)")).cast("double").alias("revenue"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Small-files compaction planner: inventory a fragmented dataset and
+# assign files to right-sized output groups.
+# ---------------------------------------------------------------------------
+
+_FRAG_FILES = 40
+_COMPACT_TARGET_ROWS = 1_000
+_FRAG_SEED = "frag:v1:"
+
+# The oracle never touches the written files: the fragmented layout is
+# hive-partitioned by a PORTABLE hash bucket of the order key, so each
+# file's row count is computable from `orders` alone — the oracle
+# reproduces the inventory independently and the Spark side must
+# recover the identical numbers from the physical files.
+
+_COMPACT_SQL = f"""
+WITH per_file AS (
+  SELECT {hash_bucket_sql('o_orderkey', _FRAG_FILES, _FRAG_SEED)} AS file_grp,
+         COUNT(*) AS n_rows
+  FROM orders
+  GROUP BY 1
+), binned AS (
+  SELECT file_grp, n_rows,
+         CAST(floor((SUM(n_rows) OVER (ORDER BY file_grp
+                                       ROWS UNBOUNDED PRECEDING) - n_rows)
+                    / {_COMPACT_TARGET_ROWS}.0) AS BIGINT) AS out_group
+  FROM per_file
+)
+SELECT out_group,
+       COUNT(*) AS n_input_files,
+       CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+       MIN(file_grp) AS first_file_grp
+FROM binned
+GROUP BY out_group
+"""
+
+
+@register("small_files_compaction_plan", _COMPACT_SQL)
+def q_small_files_compaction_plan(spark, sf_dir):
+    """The lakehouse maintenance op: inventory a fragmented table
+    (per-file row counts recovered from the physical layout via
+    ``input_file_name`` — no data columns read) and assign files to
+    output groups by prefix-sum row budget, exactly the bin-packing a
+    compaction job executes.  The fragmentation is produced here by a
+    40-way hash-partitioned write — the small-files problem in
+    miniature.  At 100 TB the inventory is one count per file (the
+    planning window input is |files| rows, not data rows) and group
+    boundaries are deterministic, so a re-run after partial compaction
+    yields the same residual plan.  The oracle recomputes the
+    inventory from the source table independently — the physical
+    round-trip must lose nothing."""
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    path = f"/tmp/nids_fragmented_{tag}/orders"
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        hash_bucket("o_orderkey", _FRAG_FILES, seed=_FRAG_SEED).alias("file_grp"),
+    )
+    o.repartition("file_grp").write.mode("overwrite").partitionBy("file_grp").parquet(path)
+    back = spark.read.parquet(path)
+    per_file = (
+        back.select(
+            F.regexp_extract(
+                F.input_file_name(), r"file_grp=(\d+)", 1
+            ).cast("long").alias("file_grp")
+        )
+        .groupBy("file_grp")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    w = Window.orderBy("file_grp").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    binned = per_file.withColumn(
+        "out_group",
+        F.floor(
+            (F.sum("n_rows").over(w) - F.col("n_rows")) / float(_COMPACT_TARGET_ROWS)
+        ).cast("long"),
+    )
+    return binned.groupBy("out_group").agg(
+        F.count(F.lit(1)).alias("n_input_files"),
+        F.sum("n_rows").cast("long").alias("n_rows"),
+        F.min("file_grp").alias("first_file_grp"),
     )
 
 
