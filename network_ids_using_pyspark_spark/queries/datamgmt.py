@@ -345,6 +345,105 @@ def q_small_files_compaction_plan(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# SCD type-2 reconstruction: a changelog becomes versioned rows with
+# validity intervals — the warehouse-dimension twin of CDC compaction
+# (which keeps only the latest; this keeps the full history, queryable
+# as-of any time).
+# ---------------------------------------------------------------------------
+
+_SCD2_SQL = """
+WITH versions AS (
+  SELECT user_id, event_type, value, ts AS valid_from,
+         LEAD(ts) OVER (PARTITION BY user_id
+                        ORDER BY ts ASC, event_id ASC) AS valid_to
+  FROM events
+)
+SELECT user_id,
+       COUNT(*) AS n_versions,
+       CAST(SUM(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+       MIN(valid_from) AS first_from,
+       CAST(MAX(epoch_us(valid_to) - epoch_us(valid_from))
+            AS BIGINT) AS max_version_us
+FROM versions
+GROUP BY user_id
+"""
+
+
+@register("scd2_version_profile", _SCD2_SQL)
+def q_scd2_version_profile(spark, sf_dir):
+    """SCD-2 interval build: one LEAD window per entity turns the
+    changelog into (valid_from, valid_to] versions — exactly one open
+    version per key, which the n_open column certifies.  One window
+    shuffle keyed by the entity id (parallel across keys, never
+    global); the profile aggregate reuses the same partitioning.
+    Microsecond-integer interval arithmetic on both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    versions = ev.select(
+        "user_id",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+    )
+    return versions.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_versions"),
+        F.sum(F.col("valid_to").isNull().cast("long")).alias("n_open"),
+        F.min("valid_from").alias("first_from"),
+        F.max(F.unix_micros("valid_to") - F.unix_micros("valid_from"))
+        .cast("long")
+        .alias("max_version_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Schema evolution: a dataset written in two epochs with different
+# schemas (a column added mid-life) must read back as one relation.
+# ---------------------------------------------------------------------------
+
+_EVOLVE_CUTOFF_YEAR = 1998
+
+_EVOLVE_SQL = f"""
+SELECT CAST(year(o_orderdate) AS INTEGER) AS year,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CASE WHEN year(o_orderdate) >= {_EVOLVE_CUTOFF_YEAR}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_with_priority,
+       {dec_sum_sql('o_totalprice')} AS revenue
+FROM orders
+GROUP BY 1
+"""
+
+
+@register("schema_evolution_union", _EVOLVE_SQL)
+def q_schema_evolution_union(spark, sf_dir):
+    """Write the pre-{_EVOLVE_CUTOFF_YEAR} epoch WITHOUT
+    o_orderpriority and the later epoch WITH it, then read the whole
+    dataset back via mergeSchema: old rows surface the added column as
+    NULL, nothing is dropped, and the per-year profile must equal the
+    oracle's recompute from the unsplit source.  This is the ingest
+    reality of any long-lived 100 TB table — schema-on-read union, no
+    rewrite of history."""
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    path = f"/tmp/nids_evolved_{tag}/orders"
+    o = load_table(spark, sf_dir, "orders")
+    cutoff = F.year("o_orderdate") >= _EVOLVE_CUTOFF_YEAR
+    o.filter(~cutoff).select("o_orderkey", "o_orderdate", "o_totalprice").write.mode(
+        "overwrite"
+    ).parquet(f"{path}/epoch=v1")
+    o.filter(cutoff).select(
+        "o_orderkey", "o_orderdate", "o_totalprice", "o_orderpriority"
+    ).write.mode("overwrite").parquet(f"{path}/epoch=v2")
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    return merged.groupBy(F.year("o_orderdate").alias("year")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_orderpriority").isNotNull().cast("long")).alias(
+            "n_with_priority"
+        ),
+        F.sum(F.col("o_totalprice").cast("decimal(30,6)")).cast("double").alias(
+            "revenue"
+        ),
+    )
+
+
 _SPLIT_SEED = "split:v1:"
 _BUCKETS = 100
 _TRAIN_LT, _VAL_LT = 80, 90
