@@ -96,6 +96,48 @@ def q_q5_same_nation_revenue(spark, sf_dir):
     )
 
 
+_Q10_SQL = f"""
+SELECT c.c_custkey, c.c_name, n.n_name,
+       {dec_sum_sql('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+       COUNT(*) AS n_items
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, n.n_name
+ORDER BY revenue DESC, c.c_custkey ASC
+LIMIT 20
+"""
+
+
+@register("q10_returned_item_ranking", _Q10_SQL)
+def q_q10_returned_item_ranking(spark, sf_dir):
+    """TPC-H Q10 (top returned-item customers): the fact side is
+    filtered to returns AT THE SCAN (PushedFilters on l_returnflag),
+    so the joins move only the ~25% returned fraction; nation
+    broadcasts; the ranking is TakeOrderedAndProject (per-partition
+    heaps + k-merge), never a global sort.  Revenue ties broken by
+    custkey for a total order."""
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            dec_sum(revenue).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
 _QTY_T = 250
 
 _Q18_SQL = f"""
