@@ -151,6 +151,43 @@ def q_funnel_click_to_purchase(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Event-transition mining: the user-behavior Markov matrix.
+# ---------------------------------------------------------------------------
+
+_TRANSITION_SQL = """
+WITH seq AS (
+  SELECT event_type,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY epoch_us(ts), event_id) AS prev
+  FROM events
+)
+SELECT prev AS from_type, event_type AS to_type, COUNT(*) AS n
+FROM seq WHERE prev IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
+@register("event_transition_matrix", _TRANSITION_SQL)
+def q_event_transition_matrix(spark, sf_dir):
+    """First-order transition counts between consecutive events per
+    user (the behavior Markov matrix behind session analysis and
+    anomaly baselines): one LAG window keyed by user, then a tiny
+    |types|² aggregate.  Window is per-user — parallel across the key
+    space at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.unix_micros("ts"), "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("to_type"),
+        F.lag("event_type").over(w).alias("from_type"),
+    )
+    return (
+        seq.filter(F.col("from_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # Port-scan detection: distinct-dst-port fan-out per source host per
 # hour.  The flows fixture has no src column, so the same deterministic
 # generator pattern as stream_flow_bruteforce_alerts extends it: 200

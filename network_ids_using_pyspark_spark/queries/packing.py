@@ -84,6 +84,58 @@ def q_sequence_packing_profile(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Percentile length-band filter: per-language p10/p90 character gates
+# — the "too short / too long" corpus hygiene rule, with thresholds
+# LEARNED from the data rather than hard-coded.
+# ---------------------------------------------------------------------------
+
+_BAND_LO, _BAND_HI = 0.1, 0.9
+
+_BAND_SQL = f"""
+WITH th AS (
+  SELECT lang,
+         quantile_cont(n_chars, {_BAND_LO}) AS p10,
+         quantile_cont(n_chars, {_BAND_HI}) AS p90
+  FROM documents GROUP BY lang
+)
+SELECT d.lang,
+       ANY_VALUE(th.p10) AS p10,
+       ANY_VALUE(th.p90) AS p90,
+       CAST(SUM(CASE WHEN d.n_chars >= th.p10 AND d.n_chars <= th.p90
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       COUNT(*) AS n_total
+FROM documents d JOIN th ON d.lang = th.lang
+GROUP BY d.lang
+"""
+
+
+@register("length_band_filter", _BAND_SQL)
+def q_length_band_filter(spark, sf_dir):
+    """Keep documents inside their language's [p10, p90] length band:
+    exact interpolated percentiles per group (one sort-based aggregate
+    over a tiny group count), thresholds broadcast back to a map-side
+    filter — the full corpus is scanned once.  Both engines share the
+    linear-interpolation percentile definition (certified by
+    quantile_profile), so the thresholds are bit-identical."""
+    docs = load_table(spark, sf_dir, "documents")
+    th = docs.groupBy("lang").agg(
+        F.percentile("n_chars", _BAND_LO).alias("p10"),
+        F.percentile("n_chars", _BAND_HI).alias("p90"),
+    )
+    in_band = (F.col("n_chars") >= F.col("p10")) & (F.col("n_chars") <= F.col("p90"))
+    return (
+        docs.join(F.broadcast(th), "lang")
+        .groupBy("lang")
+        .agg(
+            F.any_value("p10").alias("p10"),
+            F.any_value("p90").alias("p90"),
+            F.sum(in_band.cast("long")).alias("n_kept"),
+            F.count(F.lit(1)).alias("n_total"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Temperature sampling across sources (tau = 1/2): acceptance rate per
 # source ∝ n^(tau-1) = 1/sqrt(n), normalized so the smallest source
 # keeps everything — the standard multinomial temperature reweighting
