@@ -444,6 +444,75 @@ def q_schema_evolution_union(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Z-order (Morton) tiling: multi-dimensional clustering so ONE layout
+# serves range predicates on EITHER dimension — the Delta/Iceberg
+# Z-ORDER idea, with the tile id computed map-side from bit
+# interleaving (no global sort anywhere).
+# ---------------------------------------------------------------------------
+
+_Z_BITS = 4  # per dimension → 256 tiles
+
+
+def _morton_sql(a: str, b: str, bits: int) -> str:
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({a} >> {i}) & 1) << {2 * i + 1})")
+        terms.append(f"((({b} >> {i}) & 1) << {2 * i})")
+    return " | ".join(terms)
+
+
+_ZORDER_SQL = f"""
+WITH dims AS (
+  SELECT o_custkey % 16 AS d_cust,
+         CAST(floor(epoch(o_orderdate)) / 86400 AS BIGINT) % 16 AS d_day,
+         o_totalprice
+  FROM orders
+)
+SELECT CAST({_morton_sql('d_cust', 'd_day', _Z_BITS)} AS BIGINT) AS tile,
+       COUNT(*) AS n_orders,
+       MIN(d_cust) AS min_cust, MAX(d_cust) AS max_cust,
+       MIN(d_day) AS min_day, MAX(d_day) AS max_day
+FROM dims
+GROUP BY 1
+"""
+
+
+@register("zorder_tile_stats", _ZORDER_SQL)
+def q_zorder_tile_stats(spark, sf_dir):
+    """Morton-interleaved tiling over (customer, day): the tile id is
+    pure bit arithmetic on the two dimension codes — map-side, no
+    global sort (files written per tile give every file a NARROW
+    bounding box in BOTH dimensions, so min/max file skipping works
+    for customer predicates AND date predicates from one layout; a 1-D
+    sort gives that for only one).  Each tile's bounding box here is
+    exact single-cell (min==max both dims) by construction — which is
+    the property the oracle certifies."""
+    o = load_table(spark, sf_dir, "orders")
+    d_cust = (F.col("o_custkey") % 16).cast("long")
+    d_day = (
+        F.floor(F.unix_timestamp("o_orderdate") / F.lit(86400)).cast("long") % 16
+    )
+    dims = o.select(d_cust.alias("d_cust"), d_day.alias("d_day"))
+    tile = None
+    for i in range(_Z_BITS):
+        ca = F.shiftleft(F.shiftright("d_cust", i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        cb = F.shiftleft(F.shiftright("d_day", i).bitwiseAND(F.lit(1)), 2 * i)
+        part = ca.bitwiseOR(cb)
+        tile = part if tile is None else tile.bitwiseOR(part)
+    return (
+        dims.withColumn("tile", tile.cast("long"))
+        .groupBy("tile")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("d_cust").alias("min_cust"),
+            F.max("d_cust").alias("max_cust"),
+            F.min("d_day").alias("min_day"),
+            F.max("d_day").alias("max_day"),
+        )
+    )
+
+
 _SPLIT_SEED = "split:v1:"
 _BUCKETS = 100
 _TRAIN_LT, _VAL_LT = 80, 90
