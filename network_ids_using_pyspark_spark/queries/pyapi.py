@@ -117,3 +117,101 @@ def q_cogroup_asof_stats(spark, sf_dir):
         asof,
         schema="user_id long, n_purchases long, n_matched long, max_gap_us long",
     )
+
+
+# ---------------------------------------------------------------------------
+# mapInArrow: the zero-copy batch path — pyarrow compute kernels over
+# RecordBatches, no pandas materialization at all.
+# ---------------------------------------------------------------------------
+
+_ARROW_SQL = """
+SELECT CAST(len(regexp_split_to_array(trim(text), '\\s+')) // 10 AS BIGINT) AS tok_bin,
+       COUNT(*) AS n_docs,
+       CAST(SUM(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) AS sum_tokens
+FROM documents
+GROUP BY 1
+"""
+
+
+@register("arrow_token_bins", _ARROW_SQL)
+def q_arrow_token_bins(spark, sf_dir):
+    """Token-count histogram computed with ``mapInArrow`` + pyarrow
+    compute kernels (split on whitespace runs, list lengths) —
+    RecordBatches flow straight from Tungsten through Arrow C data to
+    the kernel and back, never widening into pandas objects.  The
+    aggregate after it is ordinary Spark.  Same per-doc token law as
+    the built-in ``token_stats`` op, so the oracle is shared — the
+    Arrow kernel is held to the relational answer."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    docs = load_table(spark, sf_dir, "documents").select("text")
+
+    def batches(it):
+        for batch in it:
+            text = pc.utf8_trim_whitespace(batch.column("text"))
+            toks = pc.split_pattern_regex(text, r"\s+")
+            n = pc.list_value_length(toks).cast(pa.int64())
+            yield pa.RecordBatch.from_arrays([n], names=["n_tok"])
+
+    per_doc = docs.mapInArrow(batches, schema="n_tok long")
+    return per_doc.groupBy(
+        (F.col("n_tok") / 10).cast("long").alias("tok_bin")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("sum_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Python UDTF: one input row → many output rows, lazily yielded — the
+# table-function surface (Spark 4) for expansion logic that wants
+# imperative Python.
+# ---------------------------------------------------------------------------
+
+_UDTF_W, _UDTF_S = 50, 40
+
+_UDTF_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, len(regexp_split_to_array(trim(text), '\\s+')) AS n FROM documents
+), chunks AS (
+  SELECT doc_id,
+         unnest(list_transform(range(0, CAST(ceil(n / {_UDTF_S}.0) AS BIGINT)),
+                k -> least({_UDTF_W}, n - k * {_UDTF_S}))) AS n_tokens
+  FROM toks WHERE n >= 1
+)
+SELECT CAST(n_tokens AS INTEGER) AS n_tokens, COUNT(*) AS n_chunks
+FROM chunks
+GROUP BY 1
+"""
+
+
+@register("udtf_chunk_profile", _UDTF_SQL)
+def q_udtf_chunk_profile(spark, sf_dir):
+    """Sliding-window chunk expansion (window {_UDTF_W}, stride
+    {_UDTF_S}) as a Python UDTF with a TABLE argument: each input doc
+    lazily yields one row per chunk — the generator never materializes
+    a doc's chunk list.  Executes partition-parallel like any
+    projection (one Python worker per task, rows streamed via Arrow).
+    The chunk-size law is mirrored exactly by the oracle's integer
+    arithmetic."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="n_tokens int")
+    class ChunkSizes:
+        def eval(self, row):
+            toks = row.text.strip().split()
+            n = len(toks)
+            if not row.text.strip():
+                n = 1  # regexp_split of '' yields [''] — match the oracle
+            k = 0
+            while k * _UDTF_S < n:
+                yield (min(_UDTF_W, n - k * _UDTF_S),)
+                k += 1
+
+    spark.udtf.register("nids_chunk_sizes", ChunkSizes)
+    load_table(spark, sf_dir, "documents").select("doc_id", "text").createOrReplaceTempView(
+        "nids_udtf_docs"
+    )
+    expanded = spark.sql("SELECT * FROM nids_chunk_sizes(TABLE(nids_udtf_docs))")
+    return expanded.groupBy("n_tokens").agg(F.count(F.lit(1)).alias("n_chunks"))
