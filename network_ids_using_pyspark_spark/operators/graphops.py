@@ -1,0 +1,89 @@
+"""Iterative graph operators over DataFrame edge lists.
+
+The engine's second iterative-algorithm family (the first is
+``dedup.connected_components``' min-label propagation): PageRank by
+synchronous power iteration, expressed as pure DataFrame joins + keyed
+aggregations so Catalyst/AQE plan every superstep.
+
+Cross-engine determinism: ranks are kept in scaled *integer* arithmetic
+(rank mass 1e9 per node, integer division for the per-edge share,
+damping as ``(85 * x) DIV 100``).  Floating-point power iteration is
+partition-order-dependent (float sums don't associate); integer sums
+are exact, so the result is bit-identical on Spark and the DuckDB
+oracle regardless of partitioning — same design as
+``functions/numeric.py``'s decimal sums.
+
+Scale design (100 TB): each superstep is ONE shuffle (contributions
+aggregate on dst); the edge⋈degree relation is computed once and
+persisted so supersteps don't rescan the fact tables; rank lineage is
+cut with ``localCheckpoint`` per superstep exactly like
+``dedup.connected_components`` (plan depth stays O(1), not O(iters)).
+For skewed hub nodes the contribution aggregate is a partial
+(map-side) sum, so hot dst keys combine before the exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+RANK_MASS = 1_000_000_000  # initial integer rank per node
+DAMP_NUM, DAMP_DEN = 85, 100  # 0.85 damping in integer arithmetic
+BASE = 150_000_000  # (1 - d) * RANK_MASS
+
+
+def pagerank_int(edges: DataFrame, iters: int = 3, checkpoint: bool = False) -> DataFrame:
+    """Integer PageRank over a directed edge list ``(src, dst)``.
+
+    Every node must appear as a ``src`` at least once (feed an
+    undirected graph as both edge directions); dangling-node mass is
+    therefore never lost.  Returns ``(node, rank)`` with ``rank`` the
+    scaled integer score after ``iters`` synchronous supersteps.
+    """
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    # edge ⋈ degree: reused every superstep — materialize once.
+    e_d = edges.join(deg, "src").persist()
+    ranks = nodes.withColumn("rank", F.lit(RANK_MASS).cast("long"))
+    for _ in range(iters):
+        contrib = (
+            e_d.join(ranks, e_d.src == ranks.node)
+            .select(F.col("dst"), F.expr("rank DIV outdeg").alias("share"))
+            .groupBy("dst")
+            .agg(F.sum("share").alias("c"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes.node == contrib.dst, "left")
+            .select(
+                "node",
+                (
+                    F.lit(BASE)
+                    + F.expr(f"({DAMP_NUM} * coalesce(c, 0)) DIV {DAMP_DEN}")
+                ).cast("long").alias("rank"),
+            )
+        )
+        if checkpoint:
+            ranks = ranks.localCheckpoint(eager=False)
+    return ranks
+
+
+def pagerank_sql_ctes(edges_cte: str, iters: int = 3) -> str:
+    """DuckDB oracle: the same integer power iteration, unrolled as
+    CTEs.  ``edges_cte`` must define a relation named ``edges`` with
+    columns (src, dst)."""
+    parts = [
+        edges_cte,
+        "deg AS (SELECT src AS node, COUNT(*) AS outdeg FROM edges GROUP BY src)",
+        "nodes AS (SELECT DISTINCT src AS node FROM edges)",
+        f"r0 AS (SELECT node, CAST({RANK_MASS} AS BIGINT) AS rank FROM nodes)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"c{i} AS (SELECT e.dst AS node, SUM(r.rank // d.outdeg) AS c "
+            f"FROM edges e JOIN r{i-1} r ON e.src = r.node "
+            f"JOIN deg d ON e.src = d.node GROUP BY e.dst)"
+        )
+        parts.append(
+            f"r{i} AS (SELECT n.node, CAST({BASE} + ({DAMP_NUM} * COALESCE(c.c, 0)) // {DAMP_DEN} AS BIGINT) AS rank "
+            f"FROM nodes n LEFT JOIN c{i} c ON n.node = c.node)"
+        )
+    return "WITH " + ",\n".join(parts) + f"\nSELECT node, rank FROM r{iters}"

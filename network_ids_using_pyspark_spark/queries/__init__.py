@@ -57,6 +57,7 @@ from . import tpch_ext  # noqa: E402,F401
 from . import passages  # noqa: E402,F401
 from . import packing  # noqa: E402,F401
 from . import pyapi  # noqa: E402,F401
+from . import graph  # noqa: E402,F401
 
 
 # The driver's correctness gate covers the FIRST 50 registry entries

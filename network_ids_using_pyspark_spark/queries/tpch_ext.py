@@ -179,3 +179,133 @@ def q_q18_large_volume_customers(spark, sf_dir):
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(dec_sum("l_quantity").alias("sum_qty"))
     )
+
+
+_Q3_SEG = "BUILDING"
+_Q3_DATE = "1998-01-01"
+
+_Q3_SQL = f"""
+SELECT l.l_orderkey,
+       {dec_sum_sql('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+       o.o_orderdate, o.o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE c.c_mktsegment = '{_Q3_SEG}'
+  AND o.o_orderdate < TIMESTAMP '{_Q3_DATE} 00:00:00'
+  AND l.l_shipdate  > TIMESTAMP '{_Q3_DATE} 00:00:00'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, l.l_orderkey ASC
+LIMIT 10
+"""
+
+
+@register("q3_shipping_priority", _Q3_SQL)
+def q_q3_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 (shipping priority): top unshipped orders by revenue.
+
+    Scale plan: both date predicates are scan-level PushedFilters (each
+    side of the join is pruned BEFORE the shuffle); the segment filter
+    reduces customer, which then semi-restricts orders via the join.
+    The top-10 is TakeOrderedAndProject (per-partition heaps), never a
+    global sort — at 100 TB the ranking cost is O(rows) + a 10-row
+    merge on the driver."""
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == _Q3_SEG
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit(_Q3_DATE).cast("timestamp")
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit(_Q3_DATE).cast("timestamp")
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dec_sum(revenue).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+_Q6_Y0, _Q6_Y1 = "1997-01-01", "1998-01-01"
+_Q6_D0, _Q6_D1 = 0.02, 0.04
+_Q6_QTY = 24
+
+_Q6_SQL = f"""
+SELECT {dec_sum_sql('l_extendedprice * l_discount')} AS revenue,
+       COUNT(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '{_Q6_Y0} 00:00:00'
+  AND l_shipdate <  TIMESTAMP '{_Q6_Y1} 00:00:00'
+  AND l_discount BETWEEN {_Q6_D0} AND {_Q6_D1}
+  AND l_quantity < {_Q6_QTY}
+"""
+
+
+@register("q6_forecast_revenue", _Q6_SQL)
+def q_q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 (forecast revenue change): the pure-scan query — no
+    join, no wide shuffle, one global aggregate.
+
+    This is the predicate-pushdown showcase: all three filters reach
+    the parquet scan as PushedFilters, row groups outside the shipdate
+    year are skipped on min/max stats, and only 3 of 11 columns are
+    read (ReadSchema).  At 100 TB this query's cost is I/O on the
+    pruned row groups alone; the aggregate is a partial-per-partition
+    + single final reduce of one decimal accumulator.  Plan-shape
+    asserted in tests/test_plans.py."""
+    l = load_table(spark, sf_dir, "lineitem")
+    f = l.filter(
+        (F.col("l_shipdate") >= F.lit(_Q6_Y0).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(_Q6_Y1).cast("timestamp"))
+        & (F.col("l_discount") >= _Q6_D0)
+        & (F.col("l_discount") <= _Q6_D1)
+        & (F.col("l_quantity") < _Q6_QTY)
+    )
+    return f.agg(
+        dec_sum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+_Q14_Y0, _Q14_Y1 = "1997-01-01", "1997-04-01"
+
+_Q14_SQL = f"""
+SELECT CAST(100.0 AS DOUBLE)
+         * {dec_sum_sql("CASE WHEN p.p_type = 'PROMO' THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END")}
+         / {dec_sum_sql('l.l_extendedprice * (1 - l.l_discount)')} AS promo_revenue_pct,
+       COUNT(*) AS n_rows
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '{_Q14_Y0} 00:00:00'
+  AND l.l_shipdate <  TIMESTAMP '{_Q14_Y1} 00:00:00'
+"""
+
+
+@register("q14_promo_revenue", _Q14_SQL)
+def q_q14_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 (promotion effect): conditional-aggregate-over-join.
+
+    Scale plan: lineitem is date-pruned at the scan; part is the small
+    side and broadcasts (no shuffle of the fact table at all — the
+    only exchange is the final 1-row aggregate reduce).  Both sums
+    accumulate in DECIMAL so the final double ratio is bit-identical
+    across engines and partitionings."""
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(_Q14_Y0).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(_Q14_Y1).cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .agg(
+            (F.lit(100.0) * dec_sum(promo) / dec_sum(rev)).alias("promo_revenue_pct"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )

@@ -64,10 +64,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one fixture table.  Parquet → vectorized read, predicate
     pushdown and column pruning come free from Catalyst.
 
-    The ``events`` file stores ``ts`` as TIMESTAMP(NANOS), which Spark's
-    parquet reader rejects by default; we read it as a long (dynamic SQL
-    conf) and truncate ns → µs exactly like DuckDB's TIMESTAMP cast, so
-    both engines see identical microsecond instants.
+    Timestamp normalization: fixture files have stored timestamps as
+    TIMESTAMP(NANOS) (read as long via the legacy conf, ns → µs) and as
+    TIMESTAMP(MICROS, isAdjustedToUTC=false), which Spark 4 reads as
+    TIMESTAMP_NTZ.  Either way every temporal column is normalized to a
+    UTC-instant TimestampType: the session timezone is pinned to UTC, so
+    the NTZ→LTZ cast is value-preserving and matches DuckDB's naive-
+    timestamp `epoch_us` semantics exactly.  Functions like
+    `unix_micros`/`window`/watermarks then work uniformly.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -79,6 +83,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         ):
             # integer ns → µs (DIV keeps it in exact int64 arithmetic)
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        elif isinstance(field.dataType, T.TimestampNTZType):
+            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
     return df
 
 

@@ -29,7 +29,7 @@ _MEMORY_SINK_IDS = itertools.count()
 EVENTS_STREAM_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as int64 ns
+        T.StructField("ts", T.TimestampNTZType()),  # TIMESTAMP(MICROS, utc=false)
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
@@ -42,13 +42,14 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Engine op ``stream_flows``/``stream_events``: file-source stream of
     the events fixture.  In production this is the same code with a Kafka
     source; the transformations below are source-agnostic."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = (
         spark.readStream.schema(EVENTS_STREAM_SCHEMA)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    # NTZ → UTC instant (session tz pinned to UTC ⇒ value-preserving);
+    # watermarks and window() require TimestampType.
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 DOCUMENTS_STREAM_SCHEMA = T.StructType(

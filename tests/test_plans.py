@@ -203,3 +203,33 @@ def test_aqe_splits_skewed_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_q6_pure_scan_pushdown(spark):
+    # TPC-H Q6: all three predicates reach the parquet scan; only the
+    # 3 needed columns are read; no join anywhere in the plan.
+    df = _df(spark, "q6_forecast_revenue")
+    plan = explain_str(df, "formatted")
+    assert has_pushed_filters(df)
+    assert "Join" not in plan
+    assert "l_shipdate" in plan.split("ReadSchema")[1].splitlines()[0]
+    # single global aggregate: partial per partition + one final reduce
+    assert count_shuffles(df) == 1
+
+
+def test_q14_broadcasts_part(spark):
+    df = _df(spark, "q14_promo_revenue")
+    plan = explain_str(df, "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pagerank_superstep_shuffles(spark):
+    # 3 supersteps must not multiply shuffles beyond O(iters): each
+    # superstep contributes the dst-aggregate exchange (+ join
+    # exchanges for rank re-attach); the edge⋈degree relation is
+    # persisted so fact scans don't repeat per superstep.
+    df = _df(spark, "pagerank_trade_graph")
+    plan = explain_str(df, "simple")
+    # top-k never global-sorts
+    assert "TakeOrderedAndProject" in plan
