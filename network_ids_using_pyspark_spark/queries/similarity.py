@@ -254,3 +254,121 @@ def q_mllib_ann_topk(spark, sf_dir):
     ).fit(vec)
     probe = vec.filter(F.col("vec_id") == 0).collect()[0]["features"]
     return lsh.approxNearestNeighbors(vec, probe, 6).select("vec_id", "distCol")
+
+
+# ---------------------------------------------------------------------------
+# int8 quantization: the production memory/bandwidth play for vector
+# search — 8-bit codes + integer dot products (exact under any
+# accumulation order, so fully oracle-checkable).
+# ---------------------------------------------------------------------------
+
+_QUANT_CTE = """
+  base AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+           list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) AS maxabs
+    FROM embeddings
+  ),
+  quant AS (
+    SELECT vec_id, e, maxabs, 127.0 / maxabs AS scale,
+           list_transform(e, x -> least(CAST(127 AS BIGINT),
+               greatest(CAST(-127 AS BIGINT), CAST(floor(x * (127.0 / maxabs)) AS BIGINT)))) AS q
+    FROM base WHERE maxabs > 0
+  )
+"""
+
+_INT8_REPORT_SQL = f"""
+WITH {_QUANT_CTE}
+SELECT vec_id, maxabs,
+       CAST(len(list_filter(q, v -> abs(v) = 127)) AS BIGINT) AS n_saturated,
+       list_max(list_transform(list_zip(e, q), p ->
+           abs(p[1] - CAST(p[2] AS DOUBLE) / scale))) AS max_abs_err
+FROM quant
+"""
+
+
+@register("embedding_int8_quantize", _INT8_REPORT_SQL)
+def q_embedding_int8_quantize(spark, sf_dir):
+    """Per-vector int8 quantization report: scale denominator,
+    saturated-dimension count, worst reconstruction error.  Entirely
+    map-side (zero shuffles — the quantizer is a projection), so at
+    100 TB this runs at scan bandwidth and writes 8× smaller codes."""
+    from ..operators.similarity import (
+        as_double_array,
+        int8_dequant_err,
+        int8_quantize,
+        int8_scale,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = as_double_array("embedding")
+    base = emb.select(
+        "vec_id", e.alias("e"), F.array_max(F.transform(e, F.abs)).alias("maxabs")
+    ).filter(F.col("maxabs") > 0)
+    scale = F.lit(127.0) / F.col("maxabs")
+    withq = base.select(
+        "vec_id", "e", "maxabs", scale.alias("scale"),
+        int8_quantize(F.col("e"), scale).alias("q"),
+    )
+    return withq.select(
+        "vec_id",
+        "maxabs",
+        F.size(F.filter("q", lambda v: F.abs(v) == 127)).cast("long").alias("n_saturated"),
+        F.array_max(
+            int8_dequant_err(F.col("e"), F.col("q"), F.col("scale"))
+        ).alias("max_abs_err"),
+    )
+
+
+_INT8_TOPK_SQL = f"""
+WITH {_QUANT_CTE},
+qv AS (
+  SELECT vec_id AS q_vec_id, CAST(q AS DOUBLE[]) AS qe FROM quant WHERE vec_id < 8
+),
+cv AS (
+  SELECT vec_id AS cand_vec_id, CAST(q AS DOUBLE[]) AS ce FROM quant
+),
+sims AS (
+  SELECT q_vec_id, cand_vec_id,
+         list_dot_product(qe, ce)
+           / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ce, ce))) AS sim
+  FROM cv, qv
+  WHERE q_vec_id <> cand_vec_id
+)
+SELECT q_vec_id, cand_vec_id, sim, rk FROM (
+  SELECT q_vec_id, cand_vec_id, sim,
+         ROW_NUMBER() OVER (PARTITION BY q_vec_id ORDER BY sim DESC, cand_vec_id ASC) AS rk
+  FROM sims
+) WHERE rk <= 5
+"""
+
+
+@register("cosine_topk_int8", _INT8_TOPK_SQL)
+def q_cosine_topk_int8(spark, sf_dir):
+    """Quantized brute-force cosine top-5: identical shape to
+    `cosine_topk` but over int8 codes — the integer dot product is
+    EXACT under any accumulation order (every partial sum is an
+    integer < 2^53), so unlike the float baseline this one's parity
+    doesn't even depend on fold order.  Compare its neighbor lists
+    against `cosine_topk` to read off the quantization recall cost;
+    at 100 TB the candidate scan moves 8× fewer bytes."""
+    from ..operators.similarity import (
+        as_double_array,
+        cosine_topk,
+        int8_quantize,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = as_double_array("embedding")
+    base = emb.select(
+        "vec_id", e.alias("e"), F.array_max(F.transform(e, F.abs)).alias("maxabs")
+    ).filter(F.col("maxabs") > 0)
+    scale = F.lit(127.0) / F.col("maxabs")
+    quant = base.select(
+        "vec_id",
+        F.transform(int8_quantize(F.col("e"), scale), lambda v: v.cast("double")).alias("qd"),
+    )
+    q = quant.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_vec_id"), F.col("qd").alias("qe")
+    )
+    c = quant.select(F.col("vec_id").alias("cand_vec_id"), F.col("qd").alias("ce"))
+    return cosine_topk(q, c, k=5)

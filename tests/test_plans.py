@@ -233,3 +233,11 @@ def test_pagerank_superstep_shuffles(spark):
     plan = explain_str(df, "simple")
     # top-k never global-sorts
     assert "TakeOrderedAndProject" in plan
+
+
+def test_int8_quantize_map_side(spark):
+    # quantization is a pure projection: zero exchanges, stays in
+    # whole-stage codegen (no UDF, array lambdas are JVM expressions)
+    df = _df(spark, "embedding_int8_quantize")
+    assert count_shuffles(df) == 0
+    assert "BatchEvalPython" not in explain_str(df, "simple")
