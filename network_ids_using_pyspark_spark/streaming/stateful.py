@@ -62,3 +62,77 @@ def running_user_stats(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# transformWithStateInPandas: Spark 4's arbitrary-state processor API —
+# typed state handles (ValueState/ListState/MapState), timers, TTL.
+# The engine exposes both generations: applyInPandasWithState above
+# (the 3.4+ API) and this StatefulProcessor (the forward path).
+#
+# ENV-GATED: the state-server protocol needs `google.protobuf`, which
+# this container lacks — so the op is NOT in the driver registry; the
+# behavioral test skips unless protobuf imports. On a real cluster
+# (protobuf ships with every Spark distro's python env) it runs as-is.
+# ---------------------------------------------------------------------------
+
+from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle  # noqa: E402
+
+USER_RANGE_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("min_value", T.DoubleType()),
+        T.StructField("max_value", T.DoubleType()),
+    ]
+)
+
+_RANGE_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("mn", T.DoubleType()),
+        T.StructField("mx", T.DoubleType()),
+    ]
+)
+
+
+class UserValueRangeProcessor(StatefulProcessor):
+    """Per-user running (count, min, max) with an explicit ValueState
+    handle — O(1) state per key, merged incrementally per micro-batch."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._state = handle.getValueState("range", _RANGE_STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+        if self._state.exists():
+            n, mn, mx = self._state.get()
+        else:
+            n, mn, mx = 0, None, None
+        for pdf in rows:
+            n += len(pdf)
+            bmn, bmx = pdf["value"].min(), pdf["value"].max()
+            mn = float(bmn) if mn is None else min(mn, float(bmn))
+            mx = float(bmx) if mx is None else max(mx, float(bmx))
+        self._state.update((n, mn, mx))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "min_value": [mn], "max_value": [mx]}
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def running_user_range(events) -> "DataFrame":
+    """Per-user running (count, min, max) via the StatefulProcessor
+    API.  Same stream/batch-equivalence contract as
+    :func:`running_user_stats`."""
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=UserValueRangeProcessor(),
+            outputStructType=USER_RANGE_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

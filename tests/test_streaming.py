@@ -164,3 +164,31 @@ def test_late_data_metrics_listener(spark, tmp_path):
         assert deadline_ok, listener.dropped_by_query
     finally:
         spark.streams.removeListener(listener)
+
+
+def test_transform_with_state_user_range(spark):
+    # Spark 4 StatefulProcessor API (transformWithStateInPandas).
+    # Env-gated: the TWS state-server protocol requires google.protobuf,
+    # absent from this container — skip there, run everywhere else.
+    pytest.importorskip("google.protobuf")
+    from network_ids_using_pyspark_spark.streaming.stateful import running_user_range
+    from network_ids_using_pyspark_spark.streaming.stream import (
+        run_to_memory,
+        stream_events,
+    )
+    from .conftest import SF_DIR
+
+    got = run_to_memory(running_user_range(stream_events(spark, SF_DIR)), "update")
+    from network_ids_using_pyspark_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    want = (
+        load_table(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
