@@ -40,9 +40,11 @@ def pagerank_int(edges: DataFrame, iters: int = 3, checkpoint: bool = False) -> 
     scaled integer score after ``iters`` synchronous supersteps.
     """
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    nodes = edges.select(F.col("src").alias("node")).distinct()
-    # edge ⋈ degree: reused every superstep — materialize once.
+    # edge ⋈ degree: reused every superstep — materialize once; nodes
+    # derive from the SAME persisted relation so no superstep (or the
+    # node frame itself) ever rescans the fact tables.
     e_d = edges.join(deg, "src").persist()
+    nodes = e_d.select(F.col("src").alias("node")).distinct().persist()
     ranks = nodes.withColumn("rank", F.lit(RANK_MASS).cast("long"))
     for _ in range(iters):
         contrib = (
