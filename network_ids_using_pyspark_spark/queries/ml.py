@@ -256,3 +256,59 @@ def q_kmeans_cluster_profile(spark, sf_dir):
         )
         .orderBy("prediction")
     )
+
+
+@register("word2vec_synonyms", None)
+def q_word2vec_synonyms(spark, sf_dir):
+    """MLlib Word2Vec twin over the documents corpus: tokenize →
+    train a small skip-gram embedding (seeded) → nearest tokens to
+    the corpus's most frequent term.  Rows-only by design (SGD over
+    partition-ordered batches is not bit-reproducible across engines);
+    schema and row count are the stable contract.  Scale: Word2Vec
+    fits the vocab on executors and broadcasts the vectors — corpus
+    size only affects the (linear) training scans."""
+    from pyspark.ml.feature import Tokenizer, Word2Vec
+
+    from ..sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = Tokenizer(inputCol="text", outputCol="tokens")
+    words = tok.transform(docs)
+    w2v = Word2Vec(
+        vectorSize=16, minCount=5, seed=42, inputCol="tokens", outputCol="vec",
+        maxIter=1,
+    )
+    model = w2v.fit(words)
+    top = (
+        words.select(F.explode("tokens").alias("w"))
+        .groupBy("w").count().orderBy(F.desc("count"), F.asc("w")).limit(1)
+    )
+    head_word = top.collect()[0]["w"]  # 1-row driver literal (G4 pattern)
+    return model.findSynonyms(head_word, 5).select(
+        F.lit(head_word).alias("query_word"),
+        F.col("word"),
+        F.col("similarity").cast("double").alias("similarity"),
+    )
+
+
+@register("pca_embedding_variance", None)
+def q_pca_embedding_variance(spark, sf_dir):
+    """MLlib PCA twin over the embeddings table: project the float
+    vectors onto the top-4 principal components and report the
+    explained-variance spectrum.  Rows-only (eigendecomposition sign/
+    order conventions are engine-specific).  Scale: PCA's fit is one
+    distributed Gram-matrix aggregation (d×d with d=embedding dim —
+    tiny), the transform is a broadcast matmul projection."""
+    from pyspark.ml.feature import PCA
+    from pyspark.ml.functions import array_to_vector
+
+    from ..sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", array_to_vector(F.col("embedding")).alias("features")
+    )
+    model = PCA(k=4, inputCol="features", outputCol="pc").fit(emb)
+    ev = [float(x) for x in model.explainedVariance]
+    return spark.createDataFrame(
+        [(i, ev[i]) for i in range(len(ev))], "component int, explained_variance double"
+    )

@@ -8,6 +8,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from ..functions.numeric import dec_sum_sql
 from ..sources.tables import load_table
 from . import register
 
@@ -215,3 +216,87 @@ def q_udtf_chunk_profile(spark, sf_dir):
     )
     expanded = spark.sql("SELECT * FROM nids_chunk_sizes(TABLE(nids_udtf_docs))")
     return expanded.groupBy("n_tokens").agg(F.count(F.lit(1)).alias("n_chunks"))
+
+
+# ---------------------------------------------------------------------------
+# Observation API: Spark's zero-extra-pass metric hook — aggregates
+# piggyback on an existing action instead of costing a second scan.
+# ---------------------------------------------------------------------------
+
+_OBSERVE_SQL = f"""
+SELECT COUNT(*) AS n_rows,
+       {dec_sum_sql('l_quantity')} AS sum_qty,
+       MAX(l_shipdate) AS max_shipdate
+FROM lineitem
+"""
+
+
+@register("observed_scan_metrics", _OBSERVE_SQL)
+def q_observed_scan_metrics(spark, sf_dir):
+    """`df.observe()` certification: the metrics are computed BY the
+    scan action itself (AggregatingAccumulator on the executors — zero
+    additional jobs, zero extra scans), then surfaced as a 1-row
+    DataFrame.  This is how a 100 TB pipeline gets row counts and
+    checksum-style invariants for free on every write: observe() on
+    the frame being written, metrics read off the completed action.
+    The oracle recomputes the same aggregates relationally."""
+    from pyspark.sql import Observation
+
+    from ..functions.numeric import dec_sum
+
+    li = load_table(spark, sf_dir, "lineitem")
+    obs = Observation("scan_metrics")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        dec_sum("l_quantity").alias("sum_qty"),
+        F.max("l_shipdate").alias("max_shipdate"),
+    )
+    observed.write.format("noop").mode("overwrite").save()  # the carrying action
+    row = obs.get
+    return spark.createDataFrame(
+        [(row["n_rows"], row["sum_qty"], row["max_shipdate"])],
+        "n_rows bigint, sum_qty double, max_shipdate timestamp",
+    )
+
+
+# ---------------------------------------------------------------------------
+# pandas API on Spark: the drop-in pandas dialect compiling to the same
+# Catalyst plans — certified against the same oracle as the native API.
+# ---------------------------------------------------------------------------
+
+_PS_SQL = """
+SELECT event_type,
+       COUNT(*) AS n,
+       MIN(value) AS min_value,
+       MAX(value) AS max_value,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("pandas_api_event_profile", _PS_SQL)
+def q_pandas_api_event_profile(spark, sf_dir):
+    """The same grouped profile written in pandas-on-Spark
+    (`df.pandas_api()` → pandas groupby/agg → `.to_spark()`): proves
+    the pandas dialect lands on the identical distributed plan and
+    bit-identical results (order-independent aggregates only).  At
+    scale nothing changes — ps operations ARE DataFrame operations;
+    only the API shape differs."""
+    ev = load_table(spark, sf_dir, "events")
+    psdf = ev.pandas_api()
+    out = psdf.groupby("event_type").agg(
+        n=("event_id", "count"),
+        min_value=("value", "min"),
+        max_value=("value", "max"),
+        n_users=("user_id", "nunique"),
+    )
+    sdf = out.reset_index().to_spark()
+    return sdf.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        "min_value",
+        "max_value",
+        F.col("n_users").cast("long").alias("n_users"),
+    )
