@@ -422,3 +422,39 @@ def q_event_time_parts(spark, sf_dir):
         F.dayofweek("ts").alias("dow"),
         F.date_trunc("day", F.col("ts")).alias("day_start"),
     )
+
+
+_MAP_FUNCS_SQL = """
+SELECT user_id, event_type, COUNT(*) AS n
+FROM events
+GROUP BY user_id, event_type
+HAVING COUNT(*) >= 2
+"""
+
+
+@register("map_funcs_user_type_counts", _MAP_FUNCS_SQL)
+def q_map_funcs_user_type_counts(spark, sf_dir):
+    """MapType function surface: per-user counts packed into a map
+    (`map_from_entries` over collected entries), thresholded with
+    `map_filter`, unpacked with `map_entries` + explode.  The
+    relational result equals a plain HAVING aggregate — which is the
+    oracle — so the map construction/filter/explode path is held to
+    exact parity.  Scale note: the map per user is bounded by the
+    event-type cardinality (5), so state per key is O(1); the heavy
+    lifting stays in the two keyed aggregates."""
+    ev = load_table(spark, sf_dir, "events")
+    cnt = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    m = cnt.groupBy("user_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("event_type", "n"))).alias("m")
+    )
+    filt = m.select(
+        "user_id", F.map_filter("m", lambda k, v: v >= F.lit(2)).alias("m")
+    )
+    return (
+        filt.select("user_id", F.explode(F.map_entries("m")).alias("e"))
+        .select(
+            "user_id",
+            F.col("e.key").alias("event_type"),
+            F.col("e.value").alias("n"),
+        )
+    )

@@ -312,3 +312,66 @@ def q_pca_embedding_variance(spark, sf_dir):
     return spark.createDataFrame(
         [(i, ev[i]) for i in range(len(ev))], "component int, explained_variance double"
     )
+
+
+@register("ml_train_gbt_binary", None)
+def q_ml_train_gbt_binary(spark, sf_dir):
+    """Gradient-boosted trees on the BINARY task the IDS actually
+    serves (benign vs any-attack).  The reference never trains a real
+    GBT — `modelling.py:123-128` names its DecisionTree variable `gbt`
+    by mistake; this query supplies the genuine operator (MLlib
+    GBTClassifier is binary-only, hence the label collapse).  Seeded,
+    rows-only; AUC/accuracy floors asserted in tests/test_ml.py.
+    Scale: each boosting iteration is a distributed tree fit over the
+    cached prepared frame — linear scans, no driver data."""
+    from pyspark.ml.classification import GBTClassifier
+    from pyspark.ml.evaluation import BinaryClassificationEvaluator
+
+    train, test = _prepared_split(spark, sf_dir)
+    to_bin = F.when(F.col("encoded_label") == 0.0, 0.0).otherwise(1.0)
+    train_b = train.withColumn("bin_label", to_bin)
+    test_b = test.withColumn("bin_label", to_bin)
+    model = GBTClassifier(
+        featuresCol="features", labelCol="bin_label", maxIter=10, maxDepth=4, seed=1234
+    ).fit(train_b)
+    preds = model.transform(test_b)
+    auc = BinaryClassificationEvaluator(
+        labelCol="bin_label", rawPredictionCol="rawPrediction", metricName="areaUnderROC"
+    ).evaluate(preds)
+    acc = preds.filter(F.col("bin_label") == F.col("prediction")).count() / max(
+        preds.count(), 1
+    )
+    return _metrics_df(spark, "gbt_binary", {"auc_roc": auc, "accuracy": acc})
+
+
+@register("ml_tuned_dt_depth", None)
+def q_ml_tuned_dt_depth(spark, sf_dir):
+    """Hyperparameter tuning surface: TrainValidationSplit over a
+    small maxDepth grid for the DecisionTree (seeded).  Rows-only —
+    returns one row per grid candidate with its validation f1 plus
+    the winner flag.  Scale: candidates train sequentially on the
+    cached prepared frame; parallelism=2 fits grid points
+    concurrently (executor-side, no extra driver memory)."""
+    from pyspark.ml.classification import DecisionTreeClassifier
+    from pyspark.ml.evaluation import MulticlassClassificationEvaluator
+    from pyspark.ml.tuning import ParamGridBuilder, TrainValidationSplit
+
+    train, _ = _prepared_split(spark, sf_dir)
+    dt = DecisionTreeClassifier(
+        featuresCol="features", labelCol="encoded_label", seed=1234
+    )
+    grid = ParamGridBuilder().addGrid(dt.maxDepth, [3, 5]).build()
+    ev = MulticlassClassificationEvaluator(
+        labelCol="encoded_label", predictionCol="prediction", metricName="f1"
+    )
+    tvs = TrainValidationSplit(
+        estimator=dt, estimatorParamMaps=grid, evaluator=ev,
+        trainRatio=0.75, parallelism=2, seed=1234,
+    )
+    model = tvs.fit(train)
+    best = max(range(len(model.validationMetrics)), key=lambda i: model.validationMetrics[i])
+    rows = [
+        (int(g[dt.maxDepth]), float(m), i == best)
+        for i, (g, m) in enumerate(zip(grid, model.validationMetrics))
+    ]
+    return spark.createDataFrame(rows, "max_depth int, val_f1 double, is_best boolean")

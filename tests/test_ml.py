@@ -142,3 +142,32 @@ def test_model_save_load_roundtrip(spark, split, tmp_path):
     a = model.transform(test).select("flow_id", "prediction")
     b = back.transform(test).select("flow_id", "prediction")
     assert a.subtract(b).count() == 0 and b.subtract(a).count() == 0
+
+
+def test_gbt_binary_floor(spark):
+    # GBT on the benign-vs-attack collapse: the separable fixture must
+    # push AUC and accuracy near-perfect.
+    from network_ids_using_pyspark_spark.queries import REGISTRY
+
+    from .conftest import SF_DIR
+
+    m = {
+        r["metric"]: r["value"]
+        for r in REGISTRY["ml_train_gbt_binary"][0](spark, SF_DIR).collect()
+    }
+    assert m["auc_roc"] >= 0.97, m
+    assert m["accuracy"] >= 0.97, m
+
+
+def test_tuned_dt_picks_deeper_or_equal(spark):
+    # TrainValidationSplit: exactly one winner, and the winner's f1 is
+    # the max of the grid.
+    from network_ids_using_pyspark_spark.queries import REGISTRY
+
+    from .conftest import SF_DIR
+
+    rows = REGISTRY["ml_tuned_dt_depth"][0](spark, SF_DIR).collect()
+    assert len(rows) == 2
+    winners = [r for r in rows if r["is_best"]]
+    assert len(winners) == 1
+    assert winners[0]["val_f1"] == max(r["val_f1"] for r in rows)
