@@ -63,3 +63,64 @@ def q_pagerank_trade_graph(spark, sf_dir):
     )
     ranks = pagerank_int(edges, iters=3)
     return ranks.orderBy(F.desc("rank"), F.asc("node")).limit(_TOPK)
+
+
+_SEED = "c0"
+_MAX_DEPTH = 2
+
+_BFS_SQL = f"""
+WITH RECURSIVE {_EDGES_CTE},
+reach(node, depth) AS (
+  SELECT '{_SEED}' AS node, 0 AS depth
+  UNION ALL
+  SELECT e.dst AS node, r.depth + 1 AS depth
+  FROM reach r JOIN edges e ON e.src = r.node
+  WHERE r.depth < {_MAX_DEPTH}
+)
+SELECT first_depth, COUNT(*) AS n_nodes FROM (
+  SELECT node, MIN(depth) AS first_depth FROM reach GROUP BY node
+) d
+GROUP BY first_depth
+"""
+
+
+@register("recursive_bfs_reachability", _BFS_SQL)
+def q_recursive_bfs_reachability(spark, sf_dir):
+    """WITH RECURSIVE (Spark 4 SQL surface): breadth-first reachability
+    from one seed node of the trade graph, {_MAX_DEPTH} hops, reported
+    as nodes-per-first-reach-depth.  The recursion is the declarative
+    twin of operators/graphops.py's iterative join loop — same edges,
+    planner-managed iteration instead of Python-driven supersteps.
+
+    Scale note: the recursion is UNION ALL (path multiset), so the
+    frontier is kept small by the depth bound and the final MIN(depth)
+    dedup; unbounded reachability at 100 TB belongs to the superstep
+    operator (`dedup_clusters` / `pagerank_int`) where each level is
+    deduplicated before the next shuffle."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    edges.createOrReplaceTempView("nids_bfs_edges")
+    return spark.sql(f"""
+      WITH RECURSIVE reach(node, depth) AS (
+        SELECT '{_SEED}' AS node, 0 AS depth
+        UNION ALL
+        SELECT e.dst AS node, r.depth + 1 AS depth
+        FROM reach r JOIN nids_bfs_edges e ON e.src = r.node
+        WHERE r.depth < {_MAX_DEPTH}
+      )
+      SELECT first_depth, COUNT(*) AS n_nodes FROM (
+        SELECT node, MIN(depth) AS first_depth FROM reach GROUP BY node
+      ) d
+      GROUP BY first_depth
+    """)
