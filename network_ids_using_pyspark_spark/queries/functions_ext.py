@@ -458,3 +458,31 @@ def q_map_funcs_user_type_counts(spark, sf_dir):
             F.col("e.value").alias("n"),
         )
     )
+
+
+_TRY_SQL = """
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN l_discount = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_null_ratio,
+       MAX(CASE WHEN l_discount <> 0 THEN l_extendedprice / l_discount END) AS max_ratio,
+       MIN(CASE WHEN l_discount <> 0 THEN l_extendedprice / l_discount END) AS min_ratio
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register("try_arith_safe_ratios", _TRY_SQL)
+def q_try_arith_safe_ratios(spark, sf_dir):
+    """ANSI-safe arithmetic surface: `try_divide` yields NULL instead
+    of erroring/Inf on zero denominators, so one expression replaces
+    the defensive CASE WHEN — and the pipeline can run under
+    spark.sql.ansi.enabled without try/catch.  Aggregates restricted
+    to order-independent MIN/MAX/COUNT so parity is exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ratio = F.try_divide(F.col("l_extendedprice"), F.col("l_discount"))
+    return li.groupBy("l_returnflag").agg(
+        F.sum(F.when(F.col("l_discount") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_null_ratio"),
+        F.max(ratio).alias("max_ratio"),
+        F.min(ratio).alias("min_ratio"),
+    )

@@ -405,3 +405,70 @@ def q_doc_winnow_fingerprints(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return winnow_fingerprints(docs, k=3, w=4)
+
+
+@register(
+    "arrow_udf_fingerprint",
+    r"""
+    SELECT doc_id,
+           md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+    FROM documents
+    """,
+)
+def q_arrow_udf_fingerprint(spark, sf_dir):
+    """The Spark 4 Arrow-optimized scalar UDF (`@udf(useArrow=True)`):
+    row-at-a-time author ergonomics, Arrow-batch transfer underneath —
+    the migration path for legacy @udf code that can't be vectorized.
+    Same oracle as `pandas_udf_fingerprint`, proving all three Python
+    kernels (pandas_udf, arrow udf, native expression) agree bit-wise.
+    Still the slow path at 100 TB: per-row Python call cost remains,
+    only serialization improves — prefer the native-expression
+    fingerprint (`doc_fingerprint`) in hot paths."""
+    import hashlib
+    import re as _re
+
+    from pyspark.sql.functions import udf
+
+    ws = _re.compile(r"\s+")
+
+    def _fp(t):
+        return hashlib.md5(ws.sub(" ", t.strip()).lower().encode()).hexdigest()
+
+    fp_udf = udf(_fp, "string", useArrow=True)
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", fp_udf("text").alias("fp"))
+
+
+_COLLATE_SQL = """
+SELECT lower(min(w)) AS token_lc, COUNT(*) AS n
+FROM (
+  SELECT unnest(string_split(text, ' ')) AS w FROM documents
+) t
+WHERE regexp_full_match(w, '[A-Za-z]+')
+GROUP BY lower(w)
+ORDER BY n DESC, token_lc ASC
+LIMIT 20
+"""
+
+
+@register("collated_token_histogram", _COLLATE_SQL)
+def q_collated_token_histogram(spark, sf_dir):
+    """String-collation surface (Spark 4): case-insensitive token
+    grouping via `COLLATE UNICODE_CI` — the engine-native way to fold
+    case in GROUP BY without rewriting values.  Tokens are restricted
+    to ASCII alpha so UNICODE_CI grouping coincides exactly with the
+    oracle's lower() grouping (the two differ on locale-special
+    casings like ß).  Group representative = binary MIN then lower()
+    — deterministic on both engines.  Scale: collation compares are
+    JVM-side ICU, grouping is an ordinary hash aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.split("text", " ")).alias("w")).filter(
+        F.col("w").rlike("^[A-Za-z]+$")
+    )
+    return (
+        toks.groupBy(F.expr("w COLLATE UNICODE_CI").alias("wc"))
+        .agg(F.lower(F.min("w")).alias("token_lc"), F.count(F.lit(1)).alias("n"))
+        .select("token_lc", "n")
+        .orderBy(F.desc("n"), F.asc("token_lc"))
+        .limit(20)
+    )
