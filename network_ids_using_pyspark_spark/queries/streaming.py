@@ -243,6 +243,78 @@ def q_stream_stream_join_pairs(spark, sf_dir):
     return pairs.agg(F.count(F.lit(1)).alias("n_pairs"))
 
 
+@register(
+    "stream_stream_left_outer",
+    """
+    WITH mx AS (SELECT MAX(ts) AS m FROM events),
+    p AS (
+      SELECT user_id, ts AS p_ts FROM events, mx
+      WHERE event_type = 'purchase' AND ts <= m - INTERVAL 6 HOUR
+    ),
+    c AS (SELECT user_id, ts AS c_ts FROM events WHERE event_type = 'click'),
+    j AS (
+      SELECT p.user_id, p.p_ts, c.c_ts
+      FROM p LEFT JOIN c
+        ON p.user_id = c.user_id
+       AND c.c_ts BETWEEN p.p_ts - INTERVAL 1 HOUR AND p.p_ts
+    )
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN c_ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unmatched
+    FROM j
+    """,
+)
+def q_stream_stream_left_outer(spark, sf_dir):
+    """Stream-stream LEFT OUTER join: purchases with no click in the
+    preceding hour must still emit (click side NULL) — which only
+    happens once the watermark proves no match can arrive, i.e. this
+    query certifies state EVICTION, not just matching.  Purchases
+    within 6 h of the stream's end are excluded on BOTH sides (their
+    state is not provably final on bounded input: outer flush needs
+    the watermark STRICTLY past p_ts + the 2 h state delay + the 1 h
+    window, and the final watermark sits 2 h behind max ts); Spark's no-data
+    micro-batch then flushes every remaining outer row, so the result
+    equals the batch left join — the oracle.  At 100 TB the watermark
+    bounds both state stores to the 2-hour window regardless of
+    stream length."""
+    from ..sources.tables import load_table
+
+    ev_batch = load_table(spark, sf_dir, "events")
+    cutoff = ev_batch.agg(
+        F.max("ts") - F.expr("INTERVAL 6 HOUR")
+    ).collect()[0][0]  # 1-row scalar → literal (G4 pattern)
+
+    ev = stream_events(spark, sf_dir)
+    # cutoff filter goes AFTER withWatermark: the watermark must track
+    # the FULL purchase stream (global watermark = min across inputs —
+    # a pre-watermark filter would cap this side's event-time max at
+    # the cutoff and the eviction horizon would forever trail it).
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "2 hours")
+        .filter(F.col("p_ts") <= F.lit(cutoff))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user_id"), F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "2 hours")
+    )
+    joined = p.join(
+        c,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "leftOuter",
+    )
+    rows = run_to_memory(joined, "append")
+    return rows.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("c_ts").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_unmatched"),
+    )
+
+
 def _doc_quality_sql() -> str:
     from .text import _NTOK_SQL, _PUNCT_SQL, _STOPR_SQL
 
