@@ -24,6 +24,7 @@ from ..operators.textops import (
     repetition_stats,
     scrub_pii,
 )
+from ..functions.hashing import hash_bucket, hash_bucket_sql
 from ..sources.tables import load_table
 from . import register
 
@@ -403,4 +404,61 @@ def q_html_strip_audit(spark, sf_dir):
         "doc_id",
         F.trim(F.regexp_replace("text", _TAG_PAT, " ")).alias("stripped"),
         F.size(F.regexp_extract_all("text", F.lit(_TAG_PAT), 0)).alias("n_tags"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distribution drift between corpus snapshots — the monitoring op a
+# continuously-ingesting training-data pipeline runs on every refresh.
+# ---------------------------------------------------------------------------
+
+_DRIFT_NBINS = 8
+_DRIFT_BINW = 250
+
+_DRIFT_SQL = f"""
+WITH tagged AS (
+  SELECT least({_DRIFT_NBINS - 1}, CAST(n_chars // {_DRIFT_BINW} AS BIGINT)) AS bin,
+         ({hash_bucket_sql('doc_id', 2, seed='drift')}) AS half
+  FROM documents
+),
+counts AS (
+  SELECT bin,
+         CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+  FROM tagged GROUP BY bin
+)
+SELECT bin, n_a, n_b,
+       CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE) / (n_a + n_b) AS chi2_term,
+       (CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE) / (n_a + n_b)) > 6.63 AS bin_drifted
+FROM counts
+"""
+
+
+@register("corpus_drift_chi2", _DRIFT_SQL)
+def q_corpus_drift_chi2(spark, sf_dir):
+    """Drift detection between two corpus snapshots (here: the two
+    halves of a deterministic hash split — in production, yesterday's
+    crawl vs today's): documents binned by length, per-bin chi-square
+    contribution (na-nb)^2/(na+nb), flagged past the chi2(1) 1%%
+    critical value.  All counts are exact integers and each bin does
+    ONE double division, so parity is bit-exact per row (no float
+    summation anywhere).  At 100 TB this is a single map-side
+    bin+half tag followed by one {_DRIFT_NBINS}-key aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    tagged = docs.select(
+        F.least(
+            F.lit(_DRIFT_NBINS - 1), F.expr(f"n_chars DIV {_DRIFT_BINW}")
+        ).cast("long").alias("bin"),
+        hash_bucket("doc_id", 2, seed="drift").alias("half"),
+    )
+    counts = tagged.groupBy("bin").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).cast("long").alias("n_b"),
+    )
+    diff2 = ((F.col("n_a") - F.col("n_b")) * (F.col("n_a") - F.col("n_b"))).cast(
+        "double"
+    )
+    term = diff2 / (F.col("n_a") + F.col("n_b"))
+    return counts.select(
+        "bin", "n_a", "n_b", term.alias("chi2_term"), (term > 6.63).alias("bin_drifted")
     )

@@ -158,3 +158,33 @@ def q_quantile_sketch_check(spark, sf_dir):
         & (F.abs(F.col("a99") - F.col("exact_p99")) <= 0.01 * F.abs(F.col("exact_p99")))
     )
     return agg.select("exact_p50", "exact_p99", ok.alias("sketch_within_1pct"))
+
+
+_HLL_GROUP_SQL = """
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS exact_n,
+       true AS hll_within_3rsd
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("hll_distinct_by_type_check", _HLL_GROUP_SQL)
+def q_hll_distinct_by_type_check(spark, sf_dir):
+    """Per-GROUP HyperLogLog++ through the gate (the keyed variant of
+    `hll_distinct_check`): every event_type's estimate must land
+    within 3x rsd of its exact count.  The per-key sketch is the op a
+    100 TB pipeline actually runs — one mergeable register set per
+    (partition, key), merged map-side, never a distinct-key shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_n"),
+        F.approx_count_distinct("user_id", rsd=0.05).alias("est"),
+    )
+    return agg.select(
+        "event_type",
+        "exact_n",
+        (F.abs(F.col("est") - F.col("exact_n")) <= 0.15 * F.col("exact_n")).alias(
+            "hll_within_3rsd"
+        ),
+    )
