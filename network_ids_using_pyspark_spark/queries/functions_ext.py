@@ -486,3 +486,45 @@ def q_try_arith_safe_ratios(spark, sf_dir):
         F.max(ratio).alias("max_ratio"),
         F.min(ratio).alias("min_ratio"),
     )
+
+
+_BITMASK_SQL = """
+WITH coded AS (
+  SELECT user_id,
+         CASE event_type
+           WHEN 'click' THEN 1 WHEN 'view' THEN 2 WHEN 'purchase' THEN 4
+           WHEN 'signup' THEN 8 ELSE 16 END AS bit
+  FROM events
+)
+SELECT user_id,
+       CAST(bit_or(bit) AS BIGINT) AS type_mask,
+       CAST(bit_and(bit) AS BIGINT) AS common_mask
+FROM coded
+GROUP BY user_id
+"""
+
+
+@register("bitwise_event_type_mask", _BITMASK_SQL)
+def q_bitwise_event_type_mask(spark, sf_dir):
+    """Bitwise aggregate surface: each user's observed event types
+    folded into one bitmask via bit_or (bit_and as the all-rows-share
+    complement).  Bitwise folds are associative and commutative, so
+    the partial/final aggregation split is exact under any partitioning
+    — the cheapest possible \"profile of behaviors per key\" at 100 TB
+    (one long per user, map-side combinable)."""
+    ev = load_table(spark, sf_dir, "events")
+    bit = (
+        F.when(F.col("event_type") == "click", 1)
+        .when(F.col("event_type") == "view", 2)
+        .when(F.col("event_type") == "purchase", 4)
+        .when(F.col("event_type") == "signup", 8)
+        .otherwise(16)
+    )
+    return (
+        ev.select("user_id", bit.alias("bit"))
+        .groupBy("user_id")
+        .agg(
+            F.bit_or("bit").cast("long").alias("type_mask"),
+            F.bit_and("bit").cast("long").alias("common_mask"),
+        )
+    )
