@@ -528,3 +528,89 @@ def q_bitwise_event_type_mask(spark, sf_dir):
             F.bit_and("bit").cast("long").alias("common_mask"),
         )
     )
+
+
+_INTERP_SQL = """
+WITH b AS (
+  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h FROM events
+),
+bounds AS (SELECT MIN(h) AS mn, MAX(h) AS mx FROM b),
+grid AS (
+  SELECT t.event_type, g.h
+  FROM (SELECT DISTINCT event_type FROM b) t,
+       (SELECT unnest(generate_series(mn, mx)) AS h FROM bounds) g
+),
+c AS (SELECT event_type, h, COUNT(*) AS c FROM b GROUP BY event_type, h),
+j AS (
+  SELECT g.event_type, g.h, c.c
+  FROM grid g LEFT JOIN c ON g.event_type = c.event_type AND g.h = c.h
+),
+w AS (
+  SELECT event_type, h, c,
+    last_value(CASE WHEN c IS NOT NULL THEN h END IGNORE NULLS) OVER pw AS h0,
+    last_value(c IGNORE NULLS) OVER pw AS c0,
+    first_value(CASE WHEN c IS NOT NULL THEN h END IGNORE NULLS) OVER fw AS h1,
+    first_value(c IGNORE NULLS) OVER fw AS c1
+  FROM j
+  WINDOW pw AS (PARTITION BY event_type ORDER BY h
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         fw AS (PARTITION BY event_type ORDER BY h
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT event_type, h,
+       CASE WHEN c IS NOT NULL THEN CAST(c AS DOUBLE)
+            ELSE CAST(c0 AS DOUBLE)
+                 + CAST((c1 - c0) * (h - h0) AS DOUBLE) / CAST(h1 - h0 AS DOUBLE)
+       END AS filled,
+       (c IS NULL) AS interpolated
+FROM w
+WHERE h0 IS NOT NULL AND h1 IS NOT NULL
+"""
+
+
+@register("interpolate_hourly_gaps", _INTERP_SQL)
+def q_interpolate_hourly_gaps(spark, sf_dir):
+    """Time-series gap fill + linear interpolation (the hypertable op):
+    the hourly event-count series per type is densified onto the full
+    hour grid; missing hours get c0 + (c1-c0)*(h-h0)/(h1-h0) from the
+    neighboring known points (integer products, ONE double division —
+    bit-exact parity).  Edges without both neighbors are dropped, not
+    extrapolated.  Scale: the grid is sequence()+explode (no driver
+    loop), the fill is two ignorenulls window passes per key —
+    time-partitionable like every window op here."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.select("event_type", F.expr("unix_micros(ts) DIV 3600000000").alias("h"))
+    bounds = b.agg(F.min("h").alias("mn"), F.max("h").alias("mx"))
+    hours = bounds.select(F.explode(F.sequence("mn", "mx")).alias("h"))
+    grid = b.select("event_type").distinct().crossJoin(hours)
+    c = b.groupBy("event_type", "h").agg(F.count(F.lit(1)).alias("c"))
+    j = grid.join(c, ["event_type", "h"], "left")
+    pw = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fw = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    known_h = F.when(F.col("c").isNotNull(), F.col("h"))
+    w = j.select(
+        "event_type", "h", "c",
+        F.last(known_h, ignorenulls=True).over(pw).alias("h0"),
+        F.last("c", ignorenulls=True).over(pw).alias("c0"),
+        F.first(known_h, ignorenulls=True).over(fw).alias("h1"),
+        F.first("c", ignorenulls=True).over(fw).alias("c1"),
+    )
+    interp = F.col("c0").cast("double") + (
+        (F.col("c1") - F.col("c0")) * (F.col("h") - F.col("h0"))
+    ).cast("double") / (F.col("h1") - F.col("h0")).cast("double")
+    return w.filter(F.col("h0").isNotNull() & F.col("h1").isNotNull()).select(
+        "event_type",
+        "h",
+        F.when(F.col("c").isNotNull(), F.col("c").cast("double"))
+        .otherwise(interp)
+        .alias("filled"),
+        F.col("c").isNull().alias("interpolated"),
+    )
