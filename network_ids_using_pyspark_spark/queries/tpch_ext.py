@@ -309,3 +309,84 @@ def q_q14_promo_revenue(spark, sf_dir):
             F.count(F.lit(1)).alias("n_rows"),
         )
     )
+
+
+_Q4_D0, _Q4_D1 = "1997-01-01", "1997-04-01"
+
+_Q4_SQL = f"""
+SELECT o.o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '{_Q4_D0} 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '{_Q4_D1} 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R'
+  )
+GROUP BY o.o_orderpriority
+"""
+
+
+@register("q4_priority_with_returns", _Q4_SQL)
+def q_q4_priority_with_returns(spark, sf_dir):
+    """TPC-H Q4 shape (EXISTS decorrelation): quarter's orders having
+    at least one returned line, counted by priority.  The correlated
+    EXISTS becomes a LEFT SEMI join — Catalyst's standard
+    decorrelation, and the right answer at 100 TB: the semi join emits
+    each order at most once (no fan-out to dedup later), the date
+    filter is a scan-level PushedFilter, and the returned-lines side
+    is pre-filtered before the shuffle."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(_Q4_D0).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(_Q4_D1).cast("timestamp"))
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    ).select("l_orderkey")
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+_Q16_Y0, _Q16_Y1 = "1997-01-01", "1998-01-01"
+
+_Q16_SQL = f"""
+SELECT p.p_brand, p.p_type, COUNT(*) AS n_parts
+FROM part p
+WHERE NOT EXISTS (
+  SELECT 1
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_partkey = p.p_partkey
+    AND o.o_orderdate >= TIMESTAMP '{_Q16_Y0} 00:00:00'
+    AND o.o_orderdate <  TIMESTAMP '{_Q16_Y1} 00:00:00'
+)
+GROUP BY p.p_brand, p.p_type
+"""
+
+
+@register("q16_parts_not_ordered", _Q16_SQL)
+def q_q16_parts_not_ordered(spark, sf_dir):
+    """TPC-H Q16 shape (NOT EXISTS → LEFT ANTI): parts with zero
+    orders in the year, profiled by brand/type.  The anti join's
+    probe side is reduced FIRST (date-filtered orders semi-join
+    lineitem, then distinct partkeys — at 100 TB this distinct set is
+    bounded by |part|, far smaller than the fact table), so the anti
+    join compares against the minimal key set."""
+    p = load_table(spark, sf_dir, "part")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(_Q16_Y0).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(_Q16_Y1).cast("timestamp"))
+    ).select("o_orderkey")
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    ordered_parts = (
+        l.join(o, l.l_orderkey == o.o_orderkey, "left_semi")
+        .select("l_partkey")
+        .distinct()
+    )
+    return (
+        p.join(ordered_parts, p.p_partkey == ordered_parts.l_partkey, "left_anti")
+        .groupBy("p_brand", "p_type")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+    )
