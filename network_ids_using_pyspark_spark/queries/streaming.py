@@ -408,6 +408,76 @@ def q_stream_dedup_against_corpus(spark, sf_dir):
     return run_to_memory(agg, "complete")
 
 
+def _stream_ingest_e2e_sql() -> str:
+    from .text import _NTOK_SQL, _PUNCT_SQL, _STOPR_SQL
+
+    quality = (
+        f"(LEAST(CAST({_NTOK_SQL} AS DOUBLE) / 20.0, 1.0) * 0.4"
+        f" + (1.0 - LEAST({_PUNCT_SQL} * 4, 1.0)) * 0.3"
+        f" + LEAST({_STOPR_SQL} * 5, 1.0) * 0.3)"
+    )
+    return f"""
+    WITH known AS (
+      SELECT DISTINCT substring(md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))), 1, 16) AS fp
+      FROM documents WHERE doc_id % 2 = 0
+    ),
+    arriving AS (
+      SELECT lang, text, {_NTOK_SQL} AS n_tokens, {quality} AS quality,
+             substring(md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))), 1, 16) AS fp
+      FROM documents WHERE doc_id % 2 = 1
+    )
+    SELECT lang,
+           COUNT(*) AS n_ingested,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM arriving a
+    WHERE a.quality >= 0.5
+      AND NOT EXISTS (SELECT 1 FROM known k WHERE k.fp = a.fp)
+    GROUP BY lang
+    """
+
+
+@register("stream_ingest_pipeline_e2e", _stream_ingest_e2e_sql())
+def q_stream_ingest_pipeline_e2e(spark, sf_dir):
+    """The STREAMING flagship: the full incremental-ingestion gate in
+    one dataflow — arriving documents (odd half, file stream) are
+    quality-scored map-side, deduplicated against the static
+    fingerprint index of the known corpus (even half, stream-static
+    LEFT ANTI on 16-byte keys), and admitted per-language totals
+    aggregate in complete mode.  One oracle certifies the composition
+    (the batch flagship `corpus_e2e_pipeline` is its offline twin).
+    At 100 TB: quality + fingerprint are per-row projections in the
+    micro-batch, the index is a bucketed table on fp, and state is
+    just the per-lang running totals."""
+    from ..operators.textops import doc_fingerprint, quality_score, token_count
+    from ..sources.tables import load_table
+    from ..streaming.stream import stream_documents
+    from .text import _STOPWORDS
+
+    known = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 2 == 0)
+        .select(doc_fingerprint("text").alias("fp"))
+        .distinct()
+    )
+    arriving = (
+        stream_documents(spark, sf_dir)
+        .filter(F.col("doc_id") % 2 == 1)
+        .select(
+            "lang",
+            token_count("text").alias("n_tokens"),
+            quality_score("text", _STOPWORDS).alias("quality"),
+            doc_fingerprint("text").alias("fp"),
+        )
+        .filter(F.col("quality") >= 0.5)
+    )
+    fresh = arriving.join(known, "fp", "left_anti")
+    agg = fresh.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_ingested"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+    )
+    return run_to_memory(agg, "complete")
+
+
 def _flow_alerts_sql(n: int = 60_000, threshold: int = 80) -> str:
     def u(seed: str) -> str:
         h = (
