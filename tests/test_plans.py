@@ -241,3 +241,16 @@ def test_int8_quantize_map_side(spark):
     df = _df(spark, "embedding_int8_quantize")
     assert count_shuffles(df) == 0
     assert "BatchEvalPython" not in explain_str(df, "simple")
+
+
+def test_q4_exists_is_left_semi(spark):
+    df = _df(spark, "q4_priority_with_returns")
+    plan = explain_str(df, "simple")
+    assert "LeftSemi" in plan
+    assert has_pushed_filters(df)
+
+
+def test_q16_not_exists_is_left_anti(spark):
+    df = _df(spark, "q16_parts_not_ordered")
+    plan = explain_str(df, "simple")
+    assert "LeftAnti" in plan
