@@ -1,0 +1,49 @@
+"""Explicit skew-salted join — the manual mitigation for hot join keys.
+
+AQE's skew-join splitting (on, and pinned by tests/test_plans.py::
+test_aqe_splits_skewed_join) handles most skew at runtime, but two
+cases still want the explicit form at 100 TB: (a) skew in the BUILD of
+an aggregation-after-join where AQE's split happens too late to help
+the downstream partial agg, and (b) engines/configs where AQE is
+disabled for plan-stability reasons.  The technique: the fact side
+gets a deterministic salt in [0, S), the other side is replicated S
+ways (explode over sequence), and the join key becomes (key, salt) —
+each hot key's rows spread over S tasks.
+
+The salt is derived from the portable hash of fact-row content, NOT
+from rand(): deterministic under retry/speculative execution (a
+rand() salt can change on task rerun and silently drop/duplicate
+rows — the classic correctness bug in hand-salted joins).
+
+Correctness contract: the salted join's result set is IDENTICAL to the
+plain join's — which is exactly how the registered query is
+oracle-checked (the oracle runs the plain join).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ..functions.hashing import portable_hash64
+
+
+def salted_join(
+    fact: DataFrame,
+    other: DataFrame,
+    on: str,
+    n_salt: int,
+    salt_src: Column,
+    how: str = "inner",
+) -> DataFrame:
+    """Join ``fact`` with ``other`` on column ``on``, spreading each
+    join key over ``n_salt`` sub-keys.  ``salt_src`` must be a
+    deterministic per-row expression over fact columns (NOT rand()).
+    Replication cost: ``other`` is scanned into S copies — keep S
+    modest (8-32) and the replicated side the smaller one."""
+    salted_fact = fact.withColumn(
+        "_salt", F.pmod(portable_hash64(salt_src), F.lit(n_salt)).cast("int")
+    )
+    replicated = other.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+    ).withColumn("_salt", F.col("_salt").cast("int"))
+    return salted_fact.join(replicated, [on, "_salt"], how).drop("_salt")

@@ -829,3 +829,41 @@ def q_value_stats_by_type(spark, sf_dir):
         F.min("value").alias("min_value"),
         F.max("value").alias("max_value"),
     )
+
+
+_SALTED_SQL = f"""
+SELECT o.o_orderpriority,
+       {dec_sum_sql('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+"""
+
+
+@register("salted_skew_join_revenue", _SALTED_SQL)
+def q_salted_skew_join_revenue(spark, sf_dir):
+    """Explicitly salted fact-fact join (operators/skew.py): lineitem's
+    join key is spread over 8 salts (deterministic content hash — NOT
+    rand(), which breaks under task retry), orders is replicated 8
+    ways, and the (key, salt) join feeds the priority revenue rollup.
+    The oracle runs the PLAIN join — salting must be result-invisible,
+    which is the operator's correctness contract.  Use when a hot
+    orderkey would otherwise pin one task; AQE's runtime split is the
+    default path, this is the explicit escape hatch."""
+    from ..operators.skew import salted_join
+
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    joined = salted_join(
+        l.withColumnRenamed("l_orderkey", "o_orderkey"),
+        o,
+        on="o_orderkey",
+        n_salt=8,
+        salt_src=F.col("l_linenumber") + F.col("l_partkey"),
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return joined.groupBy("o_orderpriority").agg(
+        dec_sum(revenue).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )

@@ -254,3 +254,13 @@ def test_q16_not_exists_is_left_anti(spark):
     df = _df(spark, "q16_parts_not_ordered")
     plan = explain_str(df, "simple")
     assert "LeftAnti" in plan
+
+
+def test_salted_join_spreads_key(spark):
+    # the salt must be part of the join key (spreading hot keys over
+    # S sub-partitions) and the replication must be a Generate, not a
+    # cross join
+    df = _df(spark, "salted_skew_join_revenue")
+    plan = explain_str(df, "simple")
+    assert "Generate" in plan and "_salt" in plan
+    assert "CartesianProduct" not in plan
