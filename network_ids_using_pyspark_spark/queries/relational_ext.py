@@ -867,3 +867,27 @@ def q_salted_skew_join_revenue(spark, sf_dir):
         dec_sum(revenue).alias("revenue"),
         F.count(F.lit(1)).alias("n_lines"),
     )
+
+
+_HINTED_SQL = """
+SELECT n.n_name, COUNT(*) AS n_customers
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+"""
+
+
+@register("hinted_merge_join_counts", _HINTED_SQL)
+def q_hinted_merge_join_counts(spark, sf_dir):
+    """Join-strategy hint surface: nation would auto-broadcast (25
+    rows), but the MERGE hint forces a sort-merge join — the control a
+    user needs when a "small" side is small only at test scale, or
+    when broadcast memory is the constraint.  The hint changes the
+    physical plan ONLY (asserted in tests/test_plans.py); the result
+    matches the plain-join oracle bit-for-bit."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation").hint("merge")
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )

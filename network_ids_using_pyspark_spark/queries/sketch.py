@@ -188,3 +188,28 @@ def q_hll_distinct_by_type_check(spark, sf_dir):
             "hll_within_3rsd"
         ),
     )
+
+
+_QSKETCH_GROUP_SQL = """
+SELECT l_returnflag,
+       quantile_cont(l_extendedprice, 0.5) AS exact_p50,
+       true AS sketch_within_1pct
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register("quantile_sketch_by_flag_check", _QSKETCH_GROUP_SQL)
+def q_quantile_sketch_by_flag_check(spark, sf_dir):
+    """Per-GROUP GK quantile sketch through the gate (keyed variant of
+    `quantile_sketch_check`): each returnflag's percentile_approx p50
+    must land within 1% of the exact interpolated median.  Keyed
+    sketches merge map-side — the per-key distribution profile a
+    100 TB pipeline can afford (the exact path sorts per group)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("exact_p50"),
+        F.expr("percentile_approx(l_extendedprice, 0.5, 10000)").alias("a50"),
+    )
+    ok = F.abs(F.col("a50") - F.col("exact_p50")) <= 0.01 * F.abs(F.col("exact_p50"))
+    return agg.select("l_returnflag", "exact_p50", ok.alias("sketch_within_1pct"))

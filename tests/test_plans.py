@@ -264,3 +264,11 @@ def test_salted_join_spreads_key(spark):
     plan = explain_str(df, "simple")
     assert "Generate" in plan and "_salt" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_merge_hint_overrides_broadcast(spark):
+    # nation (25 rows) would auto-broadcast; the MERGE hint must win
+    df = _df(spark, "hinted_merge_join_counts")
+    plan = explain_str(df, "simple")
+    assert "SortMergeJoin" in plan
+    assert "BroadcastHashJoin" not in plan
