@@ -462,3 +462,30 @@ def q_corpus_drift_chi2(spark, sf_dir):
     return counts.select(
         "bin", "n_a", "n_b", term.alias("chi2_term"), (term > 6.63).alias("bin_drifted")
     )
+
+
+_WCAP = 2000
+
+_WEIGHTED_SQL = f"""
+SELECT doc_id, lang, n_chars
+FROM documents
+WHERE ({hash_bucket_sql('doc_id', _WCAP, seed='wsample')})
+      < least(n_chars, {_WCAP})
+"""
+
+
+@register("weighted_doc_sample", _WEIGHTED_SQL)
+def q_weighted_doc_sample(spark, sf_dir):
+    """Length-proportional deterministic sampling: each document is
+    kept with probability min(n_chars, {_WCAP})/{_WCAP} — the token-
+    budget-aware subsample a training-data pipeline uses so short
+    fragments don't dominate by count.  Pure integer comparison on the
+    portable hash (no RNG state, no floats), so membership is
+    reproducible across engines, partitionings, and retries — the same
+    seeded-hash discipline as `hash_split_assignments`.  Map-side
+    only: the sample IS a pushable filter."""
+    docs = load_table(spark, sf_dir, "documents")
+    keep = hash_bucket("doc_id", _WCAP, seed="wsample") < F.least(
+        F.col("n_chars"), F.lit(_WCAP)
+    )
+    return docs.filter(keep).select("doc_id", "lang", "n_chars")
