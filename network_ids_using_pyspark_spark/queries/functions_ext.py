@@ -614,3 +614,52 @@ def q_interpolate_hourly_gaps(spark, sf_dir):
         .alias("filled"),
         F.col("c").isNull().alias("interpolated"),
     )
+
+
+_ARRSET_SQL = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+halves AS (
+  SELECT doc_id,
+         toks[1 : len(toks) // 2] AS a,
+         toks[len(toks) // 2 + 1 : len(toks)] AS b
+  FROM t WHERE len(toks) >= 2
+)
+SELECT doc_id,
+       CAST(len(list_distinct(a)) AS INTEGER) AS n_a,
+       CAST(len(list_distinct(b)) AS INTEGER) AS n_b,
+       CAST(len(list_intersect(a, b)) AS INTEGER) AS n_inter,
+       CAST(len(list_distinct(list_concat(a, b))) AS INTEGER) AS n_union,
+       CAST(len(list_filter(list_distinct(a), x -> NOT list_contains(b, x))) AS INTEGER) AS n_a_only
+FROM halves
+"""
+
+
+@register("array_set_ops_profile", _ARRSET_SQL)
+def q_array_set_ops_profile(spark, sf_dir):
+    """Array set-operation surface (array_distinct / array_intersect /
+    array_union / array_except) certified against relational ground
+    truth: each document's token stream is split positionally in half
+    and the set cardinalities between halves are compared.  Invariant
+    baked into the oracle: |union| = |a| + |b| - |inter| and
+    |a_only| = |a| - |inter| — a dedup-semantics mismatch in any of
+    the four functions breaks the hash.  Map-side only."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", F.split("text", " ").alias("toks")).filter(
+        F.size("toks") >= 2
+    )
+    half = F.floor(F.size("toks") / 2).cast("int")
+    halves = t.select(
+        "doc_id",
+        F.slice("toks", F.lit(1), half).alias("a"),
+        F.slice("toks", half + 1, F.size("toks") - half).alias("b"),
+    )
+    return halves.select(
+        "doc_id",
+        F.size(F.array_distinct("a")).alias("n_a"),
+        F.size(F.array_distinct("b")).alias("n_b"),
+        F.size(F.array_intersect("a", "b")).alias("n_inter"),
+        F.size(F.array_union("a", "b")).alias("n_union"),
+        F.size(F.array_except("a", "b")).alias("n_a_only"),
+    )
