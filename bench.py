@@ -20,23 +20,106 @@ from network_ids_using_pyspark_spark.session import get_spark
 
 
 def main() -> None:
-    # The driver machine-parses stdout as ONE JSON line (BENCH_r01's
-    # `parsed` was null — stray stdout broke it).  Everything incidental
-    # — warmup chatter, Spark/py4j prints, failure notes — goes to
-    # stderr; the real stdout is reserved for the final JSON line.
-    real_stdout = sys.stdout
+    # The driver machine-parses stdout as ONE JSON line.  Redirecting
+    # ``sys.stdout`` (rounds 1-2) was not enough: the Py4J-launched JVM
+    # inherits OS fd 1 and writes its banner/log lines there directly,
+    # which is what kept BENCH `parsed` null.  So redirect at the fd
+    # level — dup the real stdout, point fd 1 at stderr for the whole
+    # run (Python *and* JVM), and write the payload as the SOLE line on
+    # the saved fd.
+    real_fd = os.dup(1)
+    os.dup2(2, 1)
     sys.stdout = sys.stderr
     try:
         payload = _run()
     finally:
-        sys.stdout = real_stdout
-    print(json.dumps(payload), file=real_stdout, flush=True)
+        sys.stdout = sys.__stdout__
+    os.write(real_fd, (json.dumps(payload) + "\n").encode())
+    os.close(real_fd)
+
+
+def _pipeline_comparison(spark, sf: str) -> dict[str, float]:
+    """BASELINE comparison (BASELINE.md): engine pipeline vs a direct
+    transcription of the reference's operator sequence, same data."""
+    from pyspark.ml.classification import DecisionTreeClassifier
+
+    from network_ids_using_pyspark_spark.ml.pipeline import prepare_flow_features
+    from network_ids_using_pyspark_spark.operators.sampling import (
+        anti_join_split,
+        hash_sample,
+    )
+    from network_ids_using_pyspark_spark.plans.reference_transcription import (
+        reference_style_pipeline,
+    )
+    from network_ids_using_pyspark_spark.sources.synthetic import synth_flows
+
+    pipeline: dict[str, float] = {}
+    n_rows = max(2_000, int(6_000_000 * float(sf)))
+    try:
+        t0 = time.monotonic()
+        prepared = prepare_flow_features(synth_flows(spark, n_rows))
+        val = hash_sample(prepared, "flow_id", 0.1, seed="bench")
+        train = anti_join_split(prepared, val, "flow_id")
+        model = DecisionTreeClassifier(
+            featuresCol="features", labelCol="encoded_label", seed=1234
+        ).fit(train)
+        model.transform(val).select("encoded_label", "prediction").write.format(
+            "noop"
+        ).mode("overwrite").save()
+        pipeline["engine_pipeline_dt_sec"] = round(time.monotonic() - t0, 3)
+
+        t0 = time.monotonic()
+        reference_style_pipeline(synth_flows(spark, n_rows)).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        pipeline["reference_transcription_dt_sec"] = round(time.monotonic() - t0, 3)
+        pipeline["speedup_vs_reference"] = round(
+            pipeline["reference_transcription_dt_sec"]
+            / max(pipeline["engine_pipeline_dt_sec"], 1e-9),
+            3,
+        )
+    except Exception as e:
+        print(f"bench: pipeline comparison FAILED: {e}", file=sys.stderr)
+    return pipeline
+
+
+def _fresh_jvm_pipeline_comparison() -> dict[str, float]:
+    """Run the pipeline comparison in a subprocess (its own JVM) BEFORE
+    the query sweep, so JVM/GC state accumulated over ~200 queries can't
+    contaminate the headline number (the r2 12.2s→26.1s 'regression' was
+    exactly that: same code, hot polluted JVM)."""
+    import subprocess
+
+    env = dict(os.environ, SPARK_GRAFT_PIPELINE_ONLY="1")
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__)],
+        env=env,
+        stdout=subprocess.PIPE,
+        stderr=sys.stderr,
+        timeout=1800,
+    )
+    try:
+        return json.loads(proc.stdout.decode())["pipeline_baseline_comparison"]
+    except Exception as e:
+        print(f"bench: fresh-JVM pipeline run unparseable: {e}", file=sys.stderr)
+        return {}
 
 
 def _run() -> dict:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    if os.environ.get("SPARK_GRAFT_PIPELINE_ONLY") == "1":
+        spark = get_spark(app_name="nids-bench-pipeline", cpus=cpus, shuffle_partitions=cpus)
+        payload = {"pipeline_baseline_comparison": _pipeline_comparison(spark, sf)}
+        spark.stop()
+        return payload
+
+    pipeline: dict[str, float] = {}
+    if os.environ.get("SPARK_GRAFT_SKIP_BASELINE") != "1":
+        pipeline = _fresh_jvm_pipeline_comparison()
+
     spark = get_spark(app_name="nids-bench", cpus=cpus, shuffle_partitions=cpus)
 
     # Warmup: touch every fixture table once so JVM/JIT/file-index costs
@@ -46,8 +129,13 @@ def _run() -> dict:
     for t in TABLES:
         load_table(spark, sf_dir, t).count()
 
+    names = sorted(REGISTRY)
+    limit = int(os.environ.get("SPARK_GRAFT_BENCH_LIMIT", "0"))
+    if limit:  # smoke mode for the stdout-hygiene test
+        names = names[:limit]
+
     timings: dict[str, float] = {}
-    for name in sorted(REGISTRY):
+    for name in names:
         fn, _ = REGISTRY[name]
         t0 = time.monotonic()
         try:
@@ -57,49 +145,6 @@ def _run() -> dict:
         except Exception as e:  # a failing query gets a sentinel, not a crash
             timings[name] = -1.0
             print(f"bench: {name} FAILED: {e}", file=sys.stderr)
-
-    # --- BASELINE comparison (BASELINE.md): engine pipeline vs a direct
-    # transcription of the reference's operator sequence, same data.
-    pipeline: dict[str, float] = {}
-    if os.environ.get("SPARK_GRAFT_SKIP_BASELINE") != "1":
-        from pyspark.ml.classification import DecisionTreeClassifier
-
-        from network_ids_using_pyspark_spark.ml.pipeline import prepare_flow_features
-        from network_ids_using_pyspark_spark.operators.sampling import (
-            anti_join_split,
-            hash_sample,
-        )
-        from network_ids_using_pyspark_spark.plans.reference_transcription import (
-            reference_style_pipeline,
-        )
-        from network_ids_using_pyspark_spark.sources.synthetic import synth_flows
-
-        n_rows = max(2_000, int(6_000_000 * float(sf)))
-        try:
-            t0 = time.monotonic()
-            prepared = prepare_flow_features(synth_flows(spark, n_rows))
-            val = hash_sample(prepared, "flow_id", 0.1, seed="bench")
-            train = anti_join_split(prepared, val, "flow_id")
-            model = DecisionTreeClassifier(
-                featuresCol="features", labelCol="encoded_label", seed=1234
-            ).fit(train)
-            model.transform(val).select("encoded_label", "prediction").write.format(
-                "noop"
-            ).mode("overwrite").save()
-            pipeline["engine_pipeline_dt_sec"] = round(time.monotonic() - t0, 3)
-
-            t0 = time.monotonic()
-            reference_style_pipeline(synth_flows(spark, n_rows)).write.format(
-                "noop"
-            ).mode("overwrite").save()
-            pipeline["reference_transcription_dt_sec"] = round(time.monotonic() - t0, 3)
-            pipeline["speedup_vs_reference"] = round(
-                pipeline["reference_transcription_dt_sec"]
-                / max(pipeline["engine_pipeline_dt_sec"], 1e-9),
-                3,
-            )
-        except Exception as e:
-            print(f"bench: pipeline comparison FAILED: {e}", file=sys.stderr)
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     payload = {

@@ -322,7 +322,25 @@ def q_lang_balanced_sample(spark, sf_dir):
     )
 
 
-@register("unigram_surprisal_score", None)  # log() is not bit-portable cross-engine
+_SURPRISAL_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+),
+total AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM toks),
+probs AS (
+  SELECT tok, CAST(COUNT(*) AS DOUBLE) / (SELECT n FROM total) AS p
+  FROM toks GROUP BY tok
+)
+SELECT t.doc_id,
+       COUNT(*) AS n_tokens,
+       (-CAST(CAST(SUM(CAST(round(log2(p), 6) AS DECIMAL(30, 6))) AS VARCHAR)
+              AS DOUBLE) / COUNT(*)) AS mean_surprisal_bits
+FROM toks t JOIN probs pr ON t.tok = pr.tok
+GROUP BY t.doc_id
+"""
+
+
+@register("unigram_surprisal_score", _SURPRISAL_SQL)
 def q_unigram_surprisal_score(spark, sf_dir):
     """Language-model quality scoring, the unigram base case: per-doc
     mean surprisal  −Σ log2 p(tok) / n  under the corpus's own unigram
@@ -330,9 +348,17 @@ def q_unigram_surprisal_score(spark, sf_dir):
     (high surprisal) and boilerplate (low).  The probability table is
     built FROM the corpus in one agg and broadcast back (at real scale
     a ~1M-row vocab still broadcasts); scoring is an explode + join +
-    doc-keyed agg.  Rows-only: transcendentals differ in ulps across
-    engines (functions/numeric.py) — value correctness is pinned by
-    tests/test_textops_units.py against an independent Python model."""
+    doc-keyed agg.
+
+    Cross-engine hash parity for a transcendental (VERDICT r2 ask #6):
+    each per-term ``log2(p)`` is quantized to a 1e-6 decimal grid BEFORE
+    summation, the sum is exact DECIMAL (order-independent, the
+    functions/numeric.py discipline), and only the final divide is
+    float.  Engines' log2 implementations agree to ~1 ulp, so a grid
+    flip needs a value within ~1e-10 of a boundary — vanishing, and the
+    quantization costs nothing semantically at 1e-6 bits.  Value
+    correctness against an unquantized independent Python model remains
+    pinned by tests/test_textops_units.py."""
     from ..operators.textops import tokens
 
     docs = load_table(spark, sf_dir, "documents")
@@ -342,12 +368,15 @@ def q_unigram_surprisal_score(spark, sf_dir):
         toks.groupBy("tok")
         .agg((F.count(F.lit(1)).cast("double") / F.lit(float(total))).alias("p"))
     )
+    quantized = F.round(F.log2("p"), 6).cast("decimal(30, 6)")
     return (
         toks.join(F.broadcast(probs), "tok")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
-            (-F.sum(F.log2("p")) / F.count(F.lit(1))).alias("mean_surprisal_bits"),
+            (-F.sum(quantized).cast("double") / F.count(F.lit(1))).alias(
+                "mean_surprisal_bits"
+            ),
         )
     )
 

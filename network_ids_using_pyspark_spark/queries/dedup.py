@@ -23,10 +23,12 @@ from . import register
 K = 16
 BANDS, ROWS = 4, 4
 JACCARD_T = 0.5
-# 0.3 yields a meaningful pair set on the fixture (20 pairs at sf0.01);
-# the round-1 value 0.4 returned a single row — too weak a discrimination
-# signal for the correctness gate (VERDICT r1 "what's wrong" #4).
-NEAR_DUP_T = 0.3
+# Correctness-gate discrimination needs a non-vacuous pair set at
+# sf0.01 (VERDICT r1 #4 / r2 #3: a 1-row result can't distinguish a
+# correct operator from a broken one).  The fixture regenerates every
+# round, so the threshold carries margin: 0.2 yields ~115 pairs on the
+# current fixture (0.3 → 20, and a past fixture gave 0.3 → 1).
+NEAR_DUP_T = 0.2
 HP_BITS, HP_DIM = 8, 64
 
 _SHINGLES_CTE = r"""
@@ -190,8 +192,9 @@ def _near_dup_sql() -> str:
 @register("embedding_near_dup", _near_dup_sql())
 def q_embedding_near_dup(spark, sf_dir):
     """Approximate embedding near-dup: 8-bit sign-LSH buckets, exact
-    cosine (≥ 0.3) within buckets.  Candidate generation is linear-ish;
-    recall bounded by bucketing (documented approximate semantics)."""
+    cosine (≥ ``NEAR_DUP_T``) within buckets.  Candidate generation is
+    linear-ish; recall bounded by bucketing (documented approximate
+    semantics)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return embedding_near_dup_pairs(emb, NEAR_DUP_T, bits=HP_BITS, dim=HP_DIM)
 

@@ -45,7 +45,7 @@ WITH toks AS (
 )
 SELECT doc_id,
        COUNT(*) AS n_passages,
-       SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS n_removed,
+       CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_removed,
        CAST(COALESCE(SUM(len(p)) FILTER (WHERE keep), 0) AS INTEGER) AS n_tokens_after,
        COALESCE(string_agg(array_to_string(p, ' '), ' ' ORDER BY pos)
                 FILTER (WHERE keep), '') AS text_after
