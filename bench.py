@@ -40,7 +40,20 @@ def main() -> None:
 
 def _pipeline_comparison(spark, sf: str) -> dict[str, float]:
     """BASELINE comparison (BASELINE.md): engine pipeline vs a direct
-    transcription of the reference's operator sequence, same data."""
+    transcription of the reference's operator sequence, same data.
+
+    The input is written to parquet ONCE, outside both timed regions —
+    the reference reads its input from storage (`modelling.py:50`), and
+    timing the synthetic generator instead measured ~6 s of md5-uniform
+    math re-executed by every estimator fit on both sides (the r1↔r2
+    'regression' noise).  The engine side persists the prepared frame
+    across its iterative ML passes — deliberate engine behavior, not a
+    bench trick (cache-before-iterate is the documented scale posture);
+    the transcription stays faithful to the reference, which re-derives
+    its lineage per action.  Engine runs FIRST (cold JIT), so the
+    measured speedup is conservative."""
+    import tempfile
+
     from pyspark.ml.classification import DecisionTreeClassifier
 
     from network_ids_using_pyspark_spark.ml.pipeline import prepare_flow_features
@@ -56,8 +69,12 @@ def _pipeline_comparison(spark, sf: str) -> dict[str, float]:
     pipeline: dict[str, float] = {}
     n_rows = max(2_000, int(6_000_000 * float(sf)))
     try:
+        path = tempfile.mkdtemp(prefix="nids_bench_flows_") + "/flows"
+        synth_flows(spark, n_rows).write.mode("overwrite").parquet(path)
+
         t0 = time.monotonic()
-        prepared = prepare_flow_features(synth_flows(spark, n_rows))
+        flows = spark.read.parquet(path).persist()
+        prepared = prepare_flow_features(flows).persist()
         val = hash_sample(prepared, "flow_id", 0.1, seed="bench")
         train = anti_join_split(prepared, val, "flow_id")
         model = DecisionTreeClassifier(
@@ -66,10 +83,12 @@ def _pipeline_comparison(spark, sf: str) -> dict[str, float]:
         model.transform(val).select("encoded_label", "prediction").write.format(
             "noop"
         ).mode("overwrite").save()
+        prepared.unpersist()
+        flows.unpersist()
         pipeline["engine_pipeline_dt_sec"] = round(time.monotonic() - t0, 3)
 
         t0 = time.monotonic()
-        reference_style_pipeline(synth_flows(spark, n_rows)).write.format(
+        reference_style_pipeline(spark.read.parquet(path)).write.format(
             "noop"
         ).mode("overwrite").save()
         pipeline["reference_transcription_dt_sec"] = round(time.monotonic() - t0, 3)

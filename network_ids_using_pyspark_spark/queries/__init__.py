@@ -61,77 +61,85 @@ from . import graph  # noqa: E402,F401
 
 
 # The driver's correctness gate covers the FIRST 50 registry entries
-# (registration order).  Round 1 certified the original first 50
-# (CORRECTNESS_r01.json); round 2's window held the next 50, but no
-# CORRECTNESS_r02.json was recorded, so round 3 front-loads the 41
-# queries that have NEVER sat in a certified window (new round-3 ops,
-# the post-freeze round-2 registrations, and the deferred
-# relational_ext tail), then spends the 9 remaining slots
-# re-certifying the highest-value round-2-window entries (flagship
-# pipeline, ref-width ML, streaming, bucketed ANN) as insurance.
-# Every entry NOT listed here keeps its relative order after the
-# listed ones — nothing is ever dropped.
+# (registration order).  Rounds 1+2 certified 100 entries (see
+# CORRECTNESS_r01/r02.json); round 3's window executes VERDICT r2 ask
+# #1 verbatim: the reference's own ML pipeline (modelling.py:95-194),
+# the flagship corpus_e2e_pipeline, the §2.10 streaming core, the
+# similarity primaries, and the multimodal block — all two rounds
+# uncertified — plus re-certification of this round's oracle fixes
+# (passage_dedup_scrub CAST, de-vacuified embedding_near_dup, the two
+# promoted rows-only→oracle queries) and the r1-flagged reshapes
+# (except_customers_no_urgent_orders, feature_corr_matrix).  Every
+# entry NOT listed keeps its relative order after the listed ones —
+# nothing is ever dropped.
 _ROUND_PRIORITY = [
-    # --- new this round (training-data + IDS surfaces) ---
-    "decontam_overlap_report",
-    "decontam_clean_profile",
-    "bm25_search_topk",
-    "cdc_apply_latest",
-    "hash_split_assignments",
-    "event_rate_anomaly",
-    "portscan_detection",
-    # --- registered after the round-2 window froze ---
-    "cluster_keep_best",
-    "interval_join_window_stats",
-    "user_value_trend",
-    "value_outliers_3sigma",
-    "user_value_ewma",
-    "right_outer_customer_orders",
-    "data_quality_report",
-    "value_stats_by_type",
+    # --- ML block: the heart of the reference (modelling.py:95-194) ---
+    "ml_train_rf",
+    "ml_train_dt",
+    "ml_train_nb",
+    "ml_train_mlp",
+    "ml_confusion_rf",
+    "ml_e2e_ref_width",
+    # --- flagship pipeline + reference ingest/split surface ---
+    "corpus_e2e_pipeline",
+    "scan_flows_csv_profile",
+    "random_split_invariants",
+    "flows_port_label_profile",
+    # --- streaming core (SURVEY §2.10) ---
+    "stream_tumbling_counts",
+    "stream_sliding_counts",
+    "stream_session_stats",
+    "stream_dedup_count",
+    "stream_stateful_user_stats",
+    "stream_score_sink_roundtrip",
+    "stream_static_join_counts",
+    "stream_stream_join_pairs",
+    "stream_stream_left_outer",
+    "stream_ingest_pipeline_e2e",
+    "stream_late_data_metrics",
+    # --- similarity primaries (ANN correctness baseline + scale paths) ---
+    "cosine_topk",
+    "cosine_topk_lsh",
+    "cosine_topk_ivf",
+    "cosine_topk_int8",
+    "embedding_int8_quantize",
+    "embedding_label_centroid_norms",
+    # --- multimodal block ---
+    "media_image_features",
+    "media_audio_features",
+    "media_resize_thumbs",
+    "media_frame_samples",
     "media_phash_near_dup",
-    "mllib_ann_topk",
-    "kmeans_cluster_profile",
-    "stream_doc_quality",
-    "stream_dedup_against_corpus",
-    "stream_flow_bruteforce_alerts",
-    "recordlog_roundtrip_profile",
-    "doc_chunks",
-    "repetition_profile",
-    "pii_scrub_audit",
-    "vocab_coverage_profile",
-    "group_median_center",
-    "lang_balanced_sample",
-    "unigram_surprisal_score",
-    "html_strip_audit",
-    "cms_heavy_hitters",
-    "bloom_semi_join_lineitem",
-    "hll_distinct_check",
-    "quantile_sketch_check",
-    # --- deferred relational_ext tail (never windowed) ---
-    "left_outer_order_fill",
-    "full_outer_user_activity",
-    "corr_qty_price",
-    "global_top_orders",
-    "orders_above_cust_avg",
-    "lineitem_above_global_avg",
-    "rollup_daily_from_hourly",
-    # --- new this session (never certified) ---
-    "q5_same_nation_revenue",
-    "q18_large_volume_customers",
+    # --- re-certification: round-3 fixes + r1-flagged reshapes ---
     "passage_dedup_scrub",
-    "retention_cohorts",
-    "incremental_agg_merge",
-    "bucketed_colocated_join",
-    "ann_recall_eval",
-    "cosine_topk_lsh_multiprobe",
-    "stream_cdc_apply_latest",
+    "embedding_near_dup",
+    "except_customers_no_urgent_orders",
+    "feature_corr_matrix",
+    "unigram_surprisal_score",
+    # --- TPC-H tail (never windowed) ---
+    "q3_shipping_priority",
+    "q6_forecast_revenue",
+    "q14_promo_revenue",
+    "q4_priority_with_returns",
+    "q16_parts_not_ordered",
+    "q10_returned_item_ranking",
+    "q3_top_unshipped_revenue",
+    # --- high-value never-certified operator classes ---
+    "asof_last_click_before_purchase",
+    "salted_skew_join_revenue",
+    "pagerank_trade_graph",
+    "pivot_user_event_counts",
+    "sequence_packing_profile",
+    "weighted_doc_sample",
     # --- 50-entry window boundary ---
-    # Next in line if the window ever widens: corpus_e2e_pipeline,
-    # ml_e2e_ref_width, scan_flows_csv_profile, ml_train_*,
-    # stream_tumbling_counts, cosine_topk_lsh/ivf (round-2 window —
-    # re-certification insurance since no CORRECTNESS_r02 was
-    # recorded; all green in the local sf0.01 mirror).
+    # Next in line when the window recycles (round 4): the remaining
+    # never-certified functions_ext/window tail (lag_value_delta,
+    # range_frame_hour_sum, json_props_stats, multi_distinct_lineitem,
+    # dense_hourly_counts, quantile_profile, …), the datamgmt tail
+    # (partition_pruned_scan, scd2_version_profile, zorder_tile_stats,
+    # funnel/transition), and the rows-only ML extensions
+    # (word2vec_synonyms, pca_embedding_variance, ml_train_gbt_binary,
+    # ml_tuned_dt_depth, kmeans/mllib twins).
 ]
 
 

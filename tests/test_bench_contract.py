@@ -1,0 +1,41 @@
+"""The driver machine-parses bench.py stdout as ONE JSON line — BENCH_r01
+and _r02 both recorded ``parsed: null`` because the Py4J-launched JVM
+wrote its banner to the inherited fd 1.  This test runs the real CLI as
+a subprocess (real fd inheritance, real JVM) and json-parses the whole
+stdout, so any future stdout pollution fails CI instead of the round.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_bench_stdout_is_single_json_line():
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
+        SPARK_GRAFT_CPUS="4",
+        SPARK_GRAFT_BENCH_LIMIT="2",  # smoke: contract, not coverage
+        SPARK_GRAFT_SKIP_BASELINE="1",
+    )
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        env=env,
+        stdout=subprocess.PIPE,
+        stderr=subprocess.DEVNULL,
+        timeout=600,
+    )
+    assert proc.returncode == 0
+    out = proc.stdout.decode()
+    lines = [ln for ln in out.splitlines() if ln]
+    assert len(lines) == 1, f"stdout must be exactly one line, got: {out[:500]!r}"
+    payload = json.loads(lines[0])
+    assert set(payload) >= {"metric", "value", "unit", "queries", "sf"}
+    assert payload["unit"] == "sec"
+    assert len(payload["queries"]) == 2
+    assert all(t >= 0 for t in payload["queries"].values()), payload["queries"]
