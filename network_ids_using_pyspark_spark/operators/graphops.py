@@ -31,13 +31,25 @@ DAMP_NUM, DAMP_DEN = 85, 100  # 0.85 damping in integer arithmetic
 BASE = 150_000_000  # (1 - d) * RANK_MASS
 
 
-def pagerank_int(edges: DataFrame, iters: int = 3, checkpoint: bool = False) -> DataFrame:
+def pagerank_int(
+    edges: DataFrame,
+    iters: int = 3,
+    checkpoint: bool = True,
+    materialize: bool = True,
+) -> DataFrame:
     """Integer PageRank over a directed edge list ``(src, dst)``.
 
     Every node must appear as a ``src`` at least once (feed an
     undirected graph as both edge directions); dangling-node mass is
     therefore never lost.  Returns ``(node, rank)`` with ``rank`` the
     scaled integer score after ``iters`` synchronous supersteps.
+
+    ``checkpoint`` (default on) cuts rank lineage per superstep with a
+    lazy ``localCheckpoint`` so plan depth stays O(1) at any iteration
+    count.  The returned frame is eagerly checkpointed, so the
+    superstep caches (``e_d``/``nodes``) are released before returning
+    — repeated invocations in a long-lived session don't accumulate
+    cached blocks.
     """
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     # edge ⋈ degree: reused every superstep — materialize once; nodes
@@ -65,6 +77,14 @@ def pagerank_int(edges: DataFrame, iters: int = 3, checkpoint: bool = False) -> 
         )
         if checkpoint:
             ranks = ranks.localCheckpoint(eager=False)
+    if materialize:
+        # materialize, then drop the superstep caches (ADVICE r2:
+        # callers must not inherit cached blocks they never asked for)
+        ranks = ranks.localCheckpoint(eager=True)
+        e_d.unpersist()
+        nodes.unpersist()
+    # materialize=False keeps full lineage (plan-shape tests); the
+    # caller then owns unpersisting e_d/nodes via the session catalog.
     return ranks
 
 

@@ -27,6 +27,25 @@ from pyspark.sql import Column, DataFrame, functions as F
 from ..functions.hashing import portable_hash64
 
 
+# Join types for which the salted result is identical to the plain
+# join.  Right/full outer are rejected: each UNMATCHED row of the
+# replicated side would be emitted n_salt times (matched rows join
+# exactly one salt value; unmatched rows survive per-copy).
+_SAFE_HOW = {
+    "inner",
+    "left",
+    "left_outer",
+    "leftouter",
+    "left_semi",
+    "leftsemi",
+    "semi",
+    "left_anti",
+    "leftanti",
+    "anti",
+    "cross",
+}
+
+
 def salted_join(
     fact: DataFrame,
     other: DataFrame,
@@ -39,7 +58,17 @@ def salted_join(
     join key over ``n_salt`` sub-keys.  ``salt_src`` must be a
     deterministic per-row expression over fact columns (NOT rand()).
     Replication cost: ``other`` is scanned into S copies — keep S
-    modest (8-32) and the replicated side the smaller one."""
+    modest (8-32) and the replicated side the smaller one.
+
+    ``how`` is restricted to join types that preserve the plain-join
+    contract (see ``_SAFE_HOW``); outer joins that keep the replicated
+    side raise."""
+    if how.lower().replace("_", "") not in {h.replace("_", "") for h in _SAFE_HOW}:
+        raise ValueError(
+            f"salted_join does not support how={how!r}: unmatched rows of the "
+            f"replicated side would be duplicated n_salt times; supported: "
+            f"{sorted(_SAFE_HOW)}"
+        )
     salted_fact = fact.withColumn(
         "_salt", F.pmod(portable_hash64(salt_src), F.lit(n_salt)).cast("int")
     )

@@ -26,30 +26,72 @@ from pyspark.sql import types as T
 
 _MEMORY_SINK_IDS = itertools.count()
 
-EVENTS_STREAM_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.TimestampNTZType()),  # TIMESTAMP(MICROS, utc=false)
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_ts_encoding(sf_dir: str) -> tuple[T.DataType, "str | None"]:
+    """Read the fixture's ``ts`` physical type from the parquet footer —
+    the encodings have DRIFTED between driver rounds (TIMESTAMP(NANOS)
+    vs TIMESTAMP(MICROS, utc=false); ADVICE r2 #3), and a streaming
+    schema hardcoded to one of them breaks silently on the other.
+    Returns (spark type for the stream schema, normalization tag)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = f"{sf_dir}/events.parquet"
+    if os.path.isdir(path):
+        path = next(
+            os.path.join(path, f)
+            for f in sorted(os.listdir(path))
+            if f.endswith(".parquet")
+        )
+    ts_type = pq.read_schema(path).field("ts").type
+    if not pa.types.is_timestamp(ts_type):
+        raise ValueError(
+            f"events.ts: expected a parquet timestamp, found {ts_type} — "
+            "fixture encoding drifted further than the known variants"
+        )
+    if ts_type.tz is not None:
+        return T.TimestampType(), None
+    if ts_type.unit == "ns":
+        return T.LongType(), "nanos"  # legacy nanosAsLong read
+    return T.TimestampNTZType(), "ntz"
+
+
+def events_stream_schema(ts_field: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_field),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Engine op ``stream_flows``/``stream_events``: file-source stream of
     the events fixture.  In production this is the same code with a Kafka
-    source; the transformations below are source-agnostic."""
+    source; the transformations below are source-agnostic.
+
+    The ``ts`` physical encoding is derived from the parquet footer
+    (like the batch ``load_table``), then normalized to a UTC-instant
+    TimestampType — session tz is pinned to UTC, so the cast is
+    value-preserving; watermarks and ``window()`` require TimestampType."""
+    ts_field, fix = _events_ts_encoding(sf_dir)
+    if fix == "nanos":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = (
-        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        spark.readStream.schema(events_stream_schema(ts_field))
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    # NTZ → UTC instant (session tz pinned to UTC ⇒ value-preserving);
-    # watermarks and window() require TimestampType.
-    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    if fix == "nanos":
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if fix == "ntz":
+        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 DOCUMENTS_STREAM_SCHEMA = T.StructType(

@@ -225,14 +225,29 @@ def test_q14_broadcasts_part(spark):
 
 
 def test_pagerank_superstep_shuffles(spark):
-    # 3 supersteps must not multiply shuffles beyond O(iters): each
-    # superstep contributes the dst-aggregate exchange (+ join
-    # exchanges for rank re-attach); the edge⋈degree relation is
-    # persisted so fact scans don't repeat per superstep.
+    # 3 supersteps must not multiply shuffles beyond O(iters)
+    # (ADVICE r2 #4: assert the actual count, not just the top-k node).
+    # Lineage must be inspected raw: checkpoint/materialize truncate the
+    # explain plan, so the production path (both on) can't regress here
+    # without the raw path regressing too.
+    from pyspark.sql import functions as F
+
+    from network_ids_using_pyspark_spark.operators.graphops import pagerank_int
+
+    edges = spark.range(100).select(
+        (F.col("id") % 10).cast("string").alias("src"),
+        ((F.col("id") + 1) % 10).cast("string").alias("dst"),
+    )
+    counts = [
+        count_shuffles(pagerank_int(edges, iters=i, checkpoint=False, materialize=False))
+        for i in (1, 2, 3)
+    ]
+    per_step = counts[1] - counts[0]
+    assert counts[2] - counts[1] == per_step, counts  # linear, not quadratic
+    assert per_step <= 5, counts  # rank-join + dst-agg + node re-attach
+    # top-k over ranks never global-sorts
     df = _df(spark, "pagerank_trade_graph")
-    plan = explain_str(df, "simple")
-    # top-k never global-sorts
-    assert "TakeOrderedAndProject" in plan
+    assert "TakeOrderedAndProject" in explain_str(df, "simple")
 
 
 def test_int8_quantize_map_side(spark):
