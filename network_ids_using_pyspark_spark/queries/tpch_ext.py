@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..functions.numeric import dec_sum, dec_sum_sql
+from ..functions.numeric import dec_avg, dec_avg_sql, dec_sum, dec_sum_sql
 from ..sources.tables import load_table
 from . import register
 
@@ -389,4 +389,429 @@ def q_q16_parts_not_ordered(spark, sf_dir):
         p.join(ordered_parts, p.p_partkey == ordered_parts.l_partkey, "left_anti")
         .groupBy("p_brand", "p_type")
         .agg(F.count(F.lit(1)).alias("n_parts"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round 3: the remaining classic TPC-H shapes expressible on the fixture
+# star schema (no partsupp / shipmode / commitdate columns exist, so Q2/
+# Q11/Q12/Q20/Q21's original predicates are adapted to available columns
+# while keeping each query's PLAN shape — the thing the engine is graded
+# on — intact and cited per query).
+# ---------------------------------------------------------------------------
+
+_Q7_N1, _Q7_N2 = "NATION_1", "NATION_2"
+# full fixture shipdate span: a 2-nation pair is a 1/300 slice of the
+# trade matrix, so the window stays wide to keep sf0.001 non-vacuous
+_Q7_D0, _Q7_D1 = "1995-01-01", "2002-01-01"
+
+_Q7_SQL = f"""
+SELECT supp_nation, cust_nation, o_year,
+       {dec_sum_sql('volume')} AS revenue,
+       COUNT(*) AS n_rows
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(EXTRACT(year FROM l.l_shipdate) AS INTEGER) AS o_year,
+         l.l_extendedprice * (1 - l.l_discount) AS volume
+  FROM supplier s
+  JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = '{_Q7_N1}' AND n2.n_name = '{_Q7_N2}')
+      OR (n1.n_name = '{_Q7_N2}' AND n2.n_name = '{_Q7_N1}'))
+    AND l.l_shipdate >= TIMESTAMP '{_Q7_D0} 00:00:00'
+    AND l.l_shipdate <  TIMESTAMP '{_Q7_D1} 00:00:00'
+) shipping
+GROUP BY supp_nation, cust_nation, o_year
+"""
+
+
+@register("q7_volume_shipping", _Q7_SQL)
+def q_q7_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 (volume shipping between two trading nations): the
+    double-dimension-attach shape — nation joins BOTH fact chains
+    (supplier side and customer side) with a disjunctive cross-nation
+    predicate.
+
+    Scale plan: both nation attaches broadcast (25 rows); the
+    disjunction is applied as soon as both nation names exist, BEFORE
+    the wide l⋈o shuffle output grows, and the shipdate range is a
+    scan-level PushedFilter.  Catalyst pushes each half of the OR to
+    the respective dim join where possible; the residual pair filter
+    runs map-side."""
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(_Q7_D0).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(_Q7_D1).cast("timestamp"))
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    n1 = n.select(F.col("n_nationkey").alias("nk1"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("nk2"), F.col("n_name").alias("cust_nation"))
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    pair_ok = (
+        (F.col("supp_nation") == _Q7_N1) & (F.col("cust_nation") == _Q7_N2)
+    ) | ((F.col("supp_nation") == _Q7_N2) & (F.col("cust_nation") == _Q7_N1))
+    return (
+        l.join(s, l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("nk1"))
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("nk2"))
+        .filter(pair_ok)
+        .select(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("o_year"),
+            volume.alias("volume"),
+        )
+        .groupBy("supp_nation", "cust_nation", "o_year")
+        .agg(dec_sum("volume").alias("revenue"), F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+_Q8_REGION = "ASIA"
+_Q8_NATION = "NATION_3"
+_Q8_TYPE = "PROMO"
+_Q8_D0, _Q8_D1 = "1996-01-01", "1998-01-01"
+
+_Q8_SQL = f"""
+SELECT o_year,
+       ({dec_sum_sql(f"CASE WHEN nation = '{_Q8_NATION}' THEN volume ELSE 0 END")}
+        / {dec_sum_sql('volume')}) AS mkt_share,
+       COUNT(*) AS n_rows
+FROM (
+  SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS INTEGER) AS o_year,
+         l.l_extendedprice * (1 - l.l_discount) AS volume,
+         n2.n_name AS nation
+  FROM part p
+  JOIN lineitem l ON p.p_partkey = l.l_partkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+  JOIN region r ON n1.n_regionkey = r.r_regionkey
+  JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+  WHERE r.r_name = '{_Q8_REGION}'
+    AND p.p_type = '{_Q8_TYPE}'
+    AND o.o_orderdate >= TIMESTAMP '{_Q8_D0} 00:00:00'
+    AND o.o_orderdate <  TIMESTAMP '{_Q8_D1} 00:00:00'
+) all_nations
+GROUP BY o_year
+"""
+
+
+@register("q8_market_share", _Q8_SQL)
+def q_q8_market_share(spark, sf_dir):
+    """TPC-H Q8 (national market share): conditional-share-of-total per
+    year over a 7-relation join.
+
+    Scale plan: the two most selective predicates (p_type, region)
+    reduce their dims FIRST; part broadcasts into lineitem so the fact
+    table is filtered by the join itself (the broadcast-semi effect) —
+    only promo lines ever reach the o⋈c shuffle.  Both sums accumulate
+    in DECIMAL; the share is one double divide of two exact sums, so
+    the ratio is bit-identical across engines and partition counts."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == _Q8_TYPE).select("p_partkey")
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(_Q8_D0).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(_Q8_D1).cast("timestamp"))
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == _Q8_REGION)
+    n_in_region = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+        F.col("n_nationkey").alias("cust_nk")
+    )
+    n_supp = n.select(F.col("n_nationkey").alias("supp_nk"), F.col("n_name").alias("nation"))
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    nation_share = F.when(F.col("nation") == _Q8_NATION, F.col("volume")).otherwise(F.lit(0.0))
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n_supp), F.col("s_nationkey") == F.col("supp_nk"))
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n_in_region), F.col("c_nationkey") == F.col("cust_nk"), "left_semi")
+        .select(F.year("o_orderdate").alias("o_year"), volume.alias("volume"), "nation")
+        .groupBy("o_year")
+        .agg(
+            (dec_sum(nation_share) / dec_sum("volume")).alias("mkt_share"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+_Q15_D0, _Q15_D1 = "1997-01-01", "1997-04-01"
+
+_Q15_SQL = f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30, 6))) AS total
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{_Q15_D0} 00:00:00'
+    AND l_shipdate <  TIMESTAMP '{_Q15_D1} 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name,
+       CAST(CAST(r.total AS VARCHAR) AS DOUBLE) AS total_revenue
+FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+WHERE r.total = (SELECT MAX(total) FROM revenue)
+"""
+
+
+@register("q15_top_supplier", _Q15_SQL)
+def q_q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 (top supplier): aggregate → scalar-MAX subquery →
+    equality — the argmax-over-aggregate shape.
+
+    Scale plan: one shuffle builds the per-supplier quarter revenue;
+    the MAX is a 1-row aggregate broadcast back as a literal (the G4
+    pattern — never a driver collect feeding a filter), and the final
+    equality filter runs map-side over the already-aggregated (small)
+    relation.  The tie semantics (several suppliers at the max) are
+    preserved exactly — revenue compares as DECIMAL, not float, on
+    both engines."""
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(_Q15_D0).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(_Q15_D1).cast("timestamp"))
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    rev = (
+        l.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(30, 6)"
+                )
+            ).alias("total")
+        )
+    )
+    max_rev = rev.agg(F.max("total").alias("max_total"))
+    return (
+        rev.join(F.broadcast(max_rev), rev.total == F.col("max_total"))
+        .join(s, F.col("supplier_no") == s.s_suppkey)
+        .select("s_suppkey", "s_name", F.col("total").cast("double").alias("total_revenue"))
+    )
+
+
+_Q17_BRAND = "Brand#3"
+_Q17_MAX_SIZE = 15
+
+_Q17_SQL = f"""
+WITH part_avg AS (
+  SELECT l_partkey, {dec_avg_sql('l_quantity')} AS avg_qty
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT ({dec_sum_sql('l.l_extendedprice')} / 7.0) AS avg_yearly,
+       COUNT(*) AS n_rows
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN part_avg a ON a.l_partkey = l.l_partkey
+WHERE p.p_brand = '{_Q17_BRAND}'
+  AND p.p_size <= {_Q17_MAX_SIZE}
+  AND l.l_quantity < 0.2 * a.avg_qty
+"""
+
+
+@register("q17_small_quantity_revenue", _Q17_SQL)
+def q_q17_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17 shape (small-quantity orders): correlated AVG subquery
+    per part, decorrelated into aggregate-then-self-join (p_container
+    doesn't exist in the fixture; p_size carries the second predicate —
+    plan shape identical).
+
+    Scale plan: the per-part average is ONE shuffle over (partkey); the
+    brand/size filter reduces part before its broadcast; the avg
+    relation is keyed by partkey (bounded by |part|, far smaller than
+    the fact table) so the threshold join is dim-sized.  The average is
+    decimal-exact (functions/numeric.py), making the `qty < 0.2*avg`
+    comparison bit-deterministic cross-engine."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter((F.col("p_brand") == _Q17_BRAND) & (F.col("p_size") <= _Q17_MAX_SIZE))
+        .select("p_partkey")
+    )
+    part_avg = l.groupBy(F.col("l_partkey").alias("pk")).agg(
+        dec_avg("l_quantity").alias("avg_qty")
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(part_avg, l.l_partkey == F.col("pk"))
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            (dec_sum("l_extendedprice") / F.lit(7.0)).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+_Q19_SQL = f"""
+SELECT {dec_sum_sql('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+       COUNT(*) AS n_rows
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 5
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 10
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 20 AND 30)
+"""
+
+
+@register("q19_discounted_revenue", _Q19_SQL)
+def q_q19_discounted_revenue(spark, sf_dir):
+    """TPC-H Q19 shape (discounted revenue, OR-of-ANDs): the
+    disjunctive join-predicate query (shipmode/shipinstruct don't exist
+    in the fixture; brand×size×quantity branches keep the shape).
+
+    Scale plan: Catalyst extracts the common join key (partkey) for the
+    equi-join and derives a scan-level OR filter for each side from the
+    disjunction's per-side conjuncts (`p_size <= 15` covers all
+    branches on part; quantity 1-30 on lineitem), so both scans prune
+    before the broadcast join; the full disjunction evaluates
+    map-side."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    qty = F.col("l_quantity")
+    branch = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 5) & qty.between(1, 11))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 10) & qty.between(10, 20))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 15) & qty.between(20, 30))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .filter(branch)
+        .agg(dec_sum(rev).alias("revenue"), F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+_Q21_SQL = """
+WITH l_all AS (
+  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+),
+l_ret AS (
+  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem WHERE l_returnflag = 'R'
+)
+SELECT s.s_name, COUNT(*) AS numwait
+FROM l_ret r
+JOIN supplier s ON s.s_suppkey = r.l_suppkey
+WHERE EXISTS (
+  SELECT 1 FROM l_all a
+  WHERE a.l_orderkey = r.l_orderkey AND a.l_suppkey <> r.l_suppkey
+)
+AND NOT EXISTS (
+  SELECT 1 FROM l_ret r2
+  WHERE r2.l_orderkey = r.l_orderkey AND r2.l_suppkey <> r.l_suppkey
+)
+GROUP BY s.s_name
+"""
+
+
+@register("q21_suppliers_blamed", _Q21_SQL)
+def q_q21_suppliers_blamed(spark, sf_dir):
+    """TPC-H Q21 shape (suppliers who kept orders waiting): the
+    EXISTS + NOT-EXISTS self-join pair with an INEQUALITY correlate
+    (receiptdate/commitdate don't exist in the fixture; 'returned' is
+    the fault predicate — the sole-blame logic is identical): a
+    supplier is blamed when its line in a multi-supplier order was
+    returned and NO other supplier's line in that order was.
+
+    Scale plan: both EXISTS decorrelate into semi/anti joins keyed on
+    l_orderkey with the supplier inequality as a residual condition —
+    the standard Catalyst rewrite.  Inputs are pre-shrunk to DISTINCT
+    (orderkey, suppkey) pairs (bounded by orders×suppliers-per-order,
+    far below raw lineitem), so all three relations in the self-join
+    trio are reduced before any shuffle."""
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    l_all = l.select("l_orderkey", "l_suppkey").distinct()
+    l_ret = (
+        l.filter(F.col("l_returnflag") == "R").select("l_orderkey", "l_suppkey").distinct()
+    )
+    a = l_all.select(F.col("l_orderkey").alias("a_ok"), F.col("l_suppkey").alias("a_sk"))
+    r2 = l_ret.select(F.col("l_orderkey").alias("b_ok"), F.col("l_suppkey").alias("b_sk"))
+    blamed = (
+        l_ret.join(
+            a,
+            (l_ret.l_orderkey == F.col("a_ok")) & (l_ret.l_suppkey != F.col("a_sk")),
+            "left_semi",
+        ).join(
+            r2,
+            (l_ret.l_orderkey == F.col("b_ok")) & (l_ret.l_suppkey != F.col("b_sk")),
+            "left_anti",
+        )
+    )
+    return (
+        blamed.join(s, blamed.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+# Every fixture customer has ≥1 order, so the classic "never ordered"
+# predicate is structurally vacuous here; "no orders since the cutoff"
+# (lapsed customers) keeps the anti-join shape AND a non-empty result.
+_Q22_CUTOFF = "2000-01-01"
+
+_Q22_SQL = f"""
+WITH pos_avg AS (
+  SELECT {dec_avg_sql('c_acctbal')} AS threshold
+  FROM customer WHERE c_acctbal > 0.0
+)
+SELECT c.c_nationkey, COUNT(*) AS numcust,
+       {dec_sum_sql('c.c_acctbal')} AS totacctbal
+FROM customer c, pos_avg
+WHERE c.c_acctbal > pos_avg.threshold
+  AND NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey
+      AND o.o_orderdate >= TIMESTAMP '{_Q22_CUTOFF} 00:00:00'
+  )
+GROUP BY c.c_nationkey
+"""
+
+
+@register("q22_global_sales_opportunity", _Q22_SQL)
+def q_q22_global_sales_opportunity(spark, sf_dir):
+    """TPC-H Q22 shape (global sales opportunity): wealthy customers
+    with no RECENT orders — scalar-AVG subquery + NOT-EXISTS anti-join
+    (country-code substring doesn't exist; c_nationkey is the grouping
+    key; the recency cutoff replaces 'never ordered', which is
+    structurally vacuous on this fixture — shape identical).
+
+    Scale plan: the positive-balance average is a 1-row aggregate
+    broadcast as a literal (never collected into a filter); the
+    no-orders test is a LEFT ANTI join on o_custkey — at 100 TB the
+    orders side only ships its custkey column (column pruning), and
+    the anti join is the last reduction before a tiny keyed
+    aggregate.  The threshold is decimal-exact so the `>` comparison
+    is bit-deterministic cross-engine."""
+    c = load_table(spark, sf_dir, "customer")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit(_Q22_CUTOFF).cast("timestamp"))
+        .select("o_custkey")
+    )
+    threshold = (
+        c.filter(F.col("c_acctbal") > 0.0)
+        .agg(dec_avg("c_acctbal").alias("threshold"))
+    )
+    return (
+        c.join(F.broadcast(threshold))
+        .filter(F.col("c_acctbal") > F.col("threshold"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dec_sum("c_acctbal").alias("totacctbal"),
+        )
     )
