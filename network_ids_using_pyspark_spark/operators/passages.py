@@ -69,16 +69,27 @@ def passage_scrub(
     max_docs: int = 1,
     text_col: str = "text",
     id_col: str = "doc_id",
-    broadcast_boilerplate: bool = False,
+    broadcast_boilerplate: "bool | None" = None,
 ) -> DataFrame:
     """Per-doc scrub result: (doc_id, n_passages, n_removed,
     n_tokens_after, text_after) with cross-corpus boilerplate passages
-    removed and survivors re-joined in original order."""
+    removed and survivors re-joined in original order.
+
+    ``broadcast_boilerplate`` (VERDICT r2 #9): ``None`` (default) lets
+    AQE pick at runtime from the boilerplate set's ACTUAL size — the
+    auto-threshold, and the right call because that size is
+    corpus-dependent (∝ duplicated passages, unknowable at plan time).
+    ``True`` forces the broadcast (when the caller knows the set is
+    tiny and wants to skip the shuffle even with AQE off); ``False``
+    pins the shuffle join (boilerplate-heavy corpora where a broadcast
+    would flirt with the driver limit)."""
     ex = exploded_passages(docs, passage_len=passage_len,
                            text_col=text_col, id_col=id_col)
     bad = boilerplate_hashes(ex, max_docs=max_docs).select("passage_hash")
-    if broadcast_boilerplate:
+    if broadcast_boilerplate is True:
         bad = F.broadcast(bad)
+    elif broadcast_boilerplate is False:
+        bad = bad.hint("shuffle_merge")
     kept_flag = ex.join(
         bad.withColumnRenamed("passage_hash", "bad_hash"),
         ex.passage_hash == F.col("bad_hash"),

@@ -40,16 +40,23 @@ def _n_rows(sf_dir: str) -> int:
 def _prepared_split(spark, sf_dir):
     """Fixture prep + deterministic 80/20 hash split; anti-join for the
     complement — the scalable replacement for collect + NOT-IN
-    (modelling.py:91-93).  Recomputed per query by design: bench
-    timings stay honest.  The prepared frame is cached WITHIN the query
-    (MEMORY_AND_DISK, spillable) — iterative fitters re-read their
-    input every iteration, and recomputing the full prep lineage 100×
-    is both slow and a JVM-heap hazard."""
+    (modelling.py:91-93).  The prepared frame is cached WITHIN the
+    query (MEMORY_AND_DISK, spillable) — iterative fitters re-read
+    their input every iteration, and recomputing the full prep lineage
+    100× is both slow and a JVM-heap hazard.
+
+    The caller MUST unpersist the returned ``prepared`` handle once its
+    outputs are materialized: Spark's cache is keyed by logical plan,
+    so an orphaned cache is silently REUSED by the next ml query —
+    which both fakes that query's bench timing (round-1 demerit #1 in
+    disguise: the first ml query paid ~15 s, the rest read its cache)
+    and parks ~600k vector rows on the executor heap for the rest of
+    the session (the r2 bench-pollution mechanism)."""
     flows = synth_flows(spark, _n_rows(sf_dir))
     prepared = prepare_flow_features(flows).cache()
     test = hash_sample(prepared, "flow_id", 0.2, seed="ml-split")
     train = anti_join_split(prepared, test, "flow_id")
-    return train, test
+    return train, test, prepared
 
 
 def _metrics_df(spark, model_name: str, metrics: dict[str, float]):
@@ -58,25 +65,30 @@ def _metrics_df(spark, model_name: str, metrics: dict[str, float]):
 
 
 def _train_eval(spark, sf_dir, kind: str, **kw):
-    train, test = _prepared_split(spark, sf_dir)
+    """Train + eval; metrics jobs run eagerly here, so callers that
+    only need the metrics frame can unpersist ``prepared`` immediately
+    (the returned metrics frame is a local relation, lineage-free)."""
+    train, test, prepared = _prepared_split(spark, sf_dir)
     feat = "scaled_features" if kind == "nb" else "features"
     model = train_classifier(train, kind, features_col=feat, **kw)
     preds = model.transform(test)
-    return preds, _metrics_df(spark, kind, evaluate_multiclass(preds))
+    return preds, _metrics_df(spark, kind, evaluate_multiclass(preds)), prepared
 
 
 @register("ml_train_rf", None)
 def q_ml_train_rf(spark, sf_dir):
     """M5+M9: RandomForest train+eval → (model, metric, value) rows,
     incl. per-label precision/recall (modelling.py:158-170)."""
-    _, m = _train_eval(spark, sf_dir, "rf")
+    _, m, prepared = _train_eval(spark, sf_dir, "rf")
+    prepared.unpersist()
     return m
 
 
 @register("ml_train_dt", None)
 def q_ml_train_dt(spark, sf_dir):
     """M6: DecisionTree train+eval."""
-    _, m = _train_eval(spark, sf_dir, "dt")
+    _, m, prepared = _train_eval(spark, sf_dir, "dt")
+    prepared.unpersist()
     return m
 
 
@@ -85,7 +97,8 @@ def q_ml_train_nb(spark, sf_dir):
     """M7: multinomial NaiveBayes (smoothing=1.0) on min-max-scaled
     features — the scaling is what keeps the multinomial likelihoods
     defined, exactly as in the reference (modelling.py:130-137)."""
-    _, m = _train_eval(spark, sf_dir, "nb")
+    _, m, prepared = _train_eval(spark, sf_dir, "nb")
+    prepared.unpersist()
     return m
 
 
@@ -94,7 +107,8 @@ def q_ml_train_mlp(spark, sf_dir):
     """M8: MLP, layers [13 features, 8, 4, 3 classes], maxIter=100,
     blockSize=128, seed=1234 — the reference's notebook configuration
     shape (ISAA_Review_3.ipynb:920,935-946) at this fixture's width."""
-    _, m = _train_eval(spark, sf_dir, "mlp", layers=[13, 8, 4, 3])
+    _, m, prepared = _train_eval(spark, sf_dir, "mlp", layers=[13, 8, 4, 3])
+    prepared.unpersist()
     return m
 
 
@@ -102,9 +116,17 @@ def q_ml_train_mlp(spark, sf_dir):
 def q_ml_confusion_rf(spark, sf_dir):
     """M10/G8: confusion matrix as a distributed k×k aggregate (tall
     form) — never a driver-side collect.  Trains its own RF (time shown
-    in BENCH includes the fit — honest attribution)."""
-    preds, _ = _train_eval(spark, sf_dir, "rf")
-    return confusion_matrix(preds).orderBy("label", "prediction")
+    in BENCH includes the fit — honest attribution).  The k×k result is
+    checkpointed eagerly (k=3 → 9 rows) so the prepared cache can be
+    released before returning."""
+    preds, _, prepared = _train_eval(spark, sf_dir, "rf")
+    cm = (
+        confusion_matrix(preds)
+        .orderBy("label", "prediction")
+        .localCheckpoint(eager=True)
+    )
+    prepared.unpersist()
+    return cm
 
 
 @register("ml_e2e_ref_width", None)
@@ -148,7 +170,9 @@ def q_ml_e2e_ref_width(spark, sf_dir):
         train, "mlp", features_col="scaled_features", layers=[78, 16, 3]
     )
     preds = model.transform(test)
-    return _metrics_df(spark, "mlp_ref_width", evaluate_multiclass(preds))
+    m = _metrics_df(spark, "mlp_ref_width", evaluate_multiclass(preds))
+    prepared.unpersist()  # metrics are eager; don't leak 78-dim vectors
+    return m
 
 
 def _flows_profile_sql(n: int = 60_000) -> str:
@@ -327,7 +351,7 @@ def q_ml_train_gbt_binary(spark, sf_dir):
     from pyspark.ml.classification import GBTClassifier
     from pyspark.ml.evaluation import BinaryClassificationEvaluator
 
-    train, test = _prepared_split(spark, sf_dir)
+    train, test, prepared = _prepared_split(spark, sf_dir)
     to_bin = F.when(F.col("encoded_label") == 0.0, 0.0).otherwise(1.0)
     train_b = train.withColumn("bin_label", to_bin)
     test_b = test.withColumn("bin_label", to_bin)
@@ -341,6 +365,7 @@ def q_ml_train_gbt_binary(spark, sf_dir):
     acc = preds.filter(F.col("bin_label") == F.col("prediction")).count() / max(
         preds.count(), 1
     )
+    prepared.unpersist()
     return _metrics_df(spark, "gbt_binary", {"auc_roc": auc, "accuracy": acc})
 
 
@@ -356,7 +381,7 @@ def q_ml_tuned_dt_depth(spark, sf_dir):
     from pyspark.ml.evaluation import MulticlassClassificationEvaluator
     from pyspark.ml.tuning import ParamGridBuilder, TrainValidationSplit
 
-    train, _ = _prepared_split(spark, sf_dir)
+    train, _, prepared = _prepared_split(spark, sf_dir)
     dt = DecisionTreeClassifier(
         featuresCol="features", labelCol="encoded_label", seed=1234
     )
@@ -369,6 +394,7 @@ def q_ml_tuned_dt_depth(spark, sf_dir):
         trainRatio=0.75, parallelism=2, seed=1234,
     )
     model = tvs.fit(train)
+    prepared.unpersist()
     best = max(range(len(model.validationMetrics)), key=lambda i: model.validationMetrics[i])
     rows = [
         (int(g[dt.maxDepth]), float(m), i == best)

@@ -164,3 +164,35 @@ def test_connected_components_matches_union_find(spark):
     pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
     got = {r["doc_id"]: r["component"] for r in connected_components(pairs).collect()}
     assert got == expected
+
+
+def test_jaccard_spill_path_equivalent(spark, tmp_path):
+    # spill_path (checkpoint-to-parquet, VERDICT r2 #9) must be
+    # result-invisible: same pairs, same jaccard values as the
+    # persisted path.
+    base = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in jaccard_pairs(_docs(spark), 0.4).collect()}
+    spilled = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+               for r in jaccard_pairs(
+                   _docs(spark), 0.4, spill_path=str(tmp_path / "shingles")
+               ).collect()}
+    assert base == spilled
+    import os
+    assert any(f.endswith(".parquet") for f in os.listdir(tmp_path / "shingles"))
+
+
+def test_passage_scrub_broadcast_modes_equivalent(spark):
+    # broadcast tri-state (None=AQE auto / True=forced / False=pinned
+    # shuffle) must never change results, only the physical join.
+    from network_ids_using_pyspark_spark.operators.passages import passage_scrub
+
+    docs = spark.createDataFrame(
+        [(i, "shared boilerplate words repeated across documents here now "
+             + f"unique tail {i} alpha beta gamma delta") for i in range(4)],
+        "doc_id long, text string",
+    )
+    outs = []
+    for mode in (None, True, False):
+        rows = passage_scrub(docs, passage_len=8, broadcast_boilerplate=mode).collect()
+        outs.append(sorted((r.doc_id, r.n_removed, r.text_after) for r in rows))
+    assert outs[0] == outs[1] == outs[2]
