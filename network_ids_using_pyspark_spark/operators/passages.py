@@ -117,3 +117,41 @@ def passage_scrub(
         F.size(survivors).alias("n_tokens_after"),
         F.concat_ws(" ", survivors).alias("text_after"),
     )
+
+
+def corpus_window_index(corpus: DataFrame, passage_len: int = 8,
+                        text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Distinct passage-window fingerprints of an EXISTING corpus — the
+    dedup index an ingestion pipeline maintains.  16-byte-key relation,
+    size O(corpus tokens / passage_len); at 100 TB this lives as a
+    bucketed table keyed on the hash so incoming batches co-locate."""
+    return (
+        exploded_passages(corpus, passage_len=passage_len,
+                          text_col=text_col, id_col=id_col)
+        .select("passage_hash")
+        .distinct()
+    )
+
+
+def cross_corpus_quarantine(
+    incoming: DataFrame,
+    index: DataFrame,
+    passage_len: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Ids of INCOMING documents sharing at least one passage window
+    with the indexed corpus — the batch twin of
+    ``queries/streaming.py::stream_dedup_against_corpus``, at passage
+    (not whole-doc) granularity: a re-crawl that prepends a header or
+    splices boilerplate still hits the index on its unchanged windows.
+
+    Scale shape: semi-join on the 16-byte hash (shuffle carries hash +
+    doc_id only), then a distinct on doc_id — never moves text."""
+    ex = exploded_passages(incoming, passage_len=passage_len,
+                           text_col=text_col, id_col=id_col)
+    return (
+        ex.join(index, "passage_hash", "left_semi")
+        .select(id_col)
+        .distinct()
+    )

@@ -518,3 +518,87 @@ def q_weighted_doc_sample(spark, sf_dir):
         F.col("n_chars"), F.lit(_WCAP)
     )
     return docs.filter(keep).select("doc_id", "lang", "n_chars")
+
+
+# URL pattern valid in both Java regex and DuckDB RE2 (no lookaround);
+# hosts come from the capture group, the full match feeds the count.
+_URL_PAT = r"https?://[a-z0-9.-]+/[^ ]*"
+_HOST_PAT = r"https?://([a-z0-9.-]+)/"
+
+_URL_SQL = f"""
+WITH injected AS (
+  SELECT doc_id,
+         CASE
+           WHEN doc_id % 3 = 0 THEN
+             text || ' https://host' || CAST(doc_id % 7 AS VARCHAR)
+                  || '.example.com/p/' || CAST(doc_id AS VARCHAR)
+           ELSE text
+         END ||
+         CASE
+           WHEN doc_id % 5 = 0 THEN
+             ' http://mirror' || CAST(doc_id % 3 AS VARCHAR) || '.example.org/x'
+           ELSE ''
+         END AS text
+  FROM documents
+), urls AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '{_URL_PAT}')) AS url
+  FROM injected
+)
+SELECT regexp_extract(url, '{_HOST_PAT}', 1) AS host,
+       COUNT(*) AS n_urls,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM urls
+GROUP BY 1
+"""
+
+
+@register("url_host_stats", _URL_SQL)
+def q_url_host_stats(spark, sf_dir):
+    """Crawl-hygiene URL analytics: extract every URL from each
+    document, reduce to per-host frequency + document reach — the
+    profile that drives per-host sampling caps and blocklists in a
+    crawl pipeline.  The fixture corpus is URL-free, so URLs are
+    injected deterministically (keyed on doc_id) on BOTH sides, the
+    html_strip_audit discipline — the extraction logic is certified
+    against a non-vacuous match set.
+
+    Scale: regex extraction is map-side (whole-stage codegen, no UDF);
+    the only shuffle carries (host, doc_id) pairs for the distinct
+    count — at 100 TB use approx_count_distinct per host if exact doc
+    reach isn't required."""
+    docs = load_table(spark, sf_dir, "documents")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.when(
+                (F.col("doc_id") % 3) == 0,
+                F.concat(
+                    F.col("text"),
+                    F.lit(" https://host"),
+                    (F.col("doc_id") % 7).cast("string"),
+                    F.lit(".example.com/p/"),
+                    F.col("doc_id").cast("string"),
+                ),
+            ).otherwise(F.col("text")),
+            F.when(
+                (F.col("doc_id") % 5) == 0,
+                F.concat(
+                    F.lit(" http://mirror"),
+                    (F.col("doc_id") % 3).cast("string"),
+                    F.lit(".example.org/x"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    urls = injected.select(
+        "doc_id",
+        F.explode(F.expr(f"regexp_extract_all(text, '{_URL_PAT}', 0)")).alias("url"),
+    )
+    return (
+        urls.select(F.regexp_extract("url", _HOST_PAT, 1).alias("host"), "doc_id")
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+    )

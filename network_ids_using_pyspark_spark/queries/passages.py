@@ -69,3 +69,63 @@ def q_passage_dedup_scrub(spark, sf_dir):
         F.col("n_tokens_after").cast("int").alias("n_tokens_after"),
         "text_after",
     )
+
+
+_XC_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, source, regexp_split_to_array(trim(text), '\\s+') AS w
+  FROM documents
+  WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 1
+), pass AS (
+  SELECT doc_id, source,
+         unnest(list_transform(
+           range(0, CAST(ceil(len(w) / {P}.0) AS BIGINT)),
+           i -> md5(array_to_string(w[(i*{P}+1):(i*{P}+{P})], ' '))
+         )) AS h
+  FROM toks
+), idx AS (
+  SELECT DISTINCT h FROM pass WHERE CAST(substring(source, 4) AS INTEGER) < 10
+), flagged AS (
+  SELECT DISTINCT doc_id FROM pass
+  WHERE CAST(substring(source, 4) AS INTEGER) >= 10
+    AND h IN (SELECT h FROM idx)
+)
+SELECT d.source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN f.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_quarantined
+FROM documents d LEFT JOIN flagged f ON d.doc_id = f.doc_id
+WHERE CAST(substring(d.source, 4) AS INTEGER) >= 10
+GROUP BY d.source
+"""
+
+
+@register("cross_corpus_dedup_report", _XC_SQL)
+def q_cross_corpus_dedup_report(spark, sf_dir):
+    """Batch ingestion hygiene: incoming sources (src10+) are screened
+    against the passage-window index of the existing corpus (src0-9) —
+    per-source quarantine counts.  Window granularity means a re-crawl
+    with a new header still hits the index on its unchanged windows
+    (whole-doc fingerprints — and this fixture has zero exact cross-
+    source dup texts — would make the check vacuous).
+
+    Scale: the index is a distinct 16-byte-hash relation; the screen is
+    a semi-join on that hash (shuffle moves hash+doc_id, never text),
+    then one per-source count."""
+    from ..operators.passages import corpus_window_index, cross_corpus_quarantine
+
+    docs = load_table(spark, sf_dir, "documents")
+    src_idx = F.expr("CAST(substring(source, 4) AS INT)")
+    corpus = docs.filter(src_idx < 10)
+    incoming = docs.filter(src_idx >= 10)
+    flagged = cross_corpus_quarantine(
+        incoming, corpus_window_index(corpus, passage_len=P), passage_len=P
+    ).withColumnRenamed("doc_id", "flagged_id")
+    return (
+        incoming.join(flagged, incoming.doc_id == F.col("flagged_id"), "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("flagged_id").isNotNull().cast("long")).alias("n_quarantined"),
+        )
+    )
