@@ -119,3 +119,48 @@ def q_recordlog_roundtrip_profile(spark, sf_dir):
         F.sum(F.length("payload")).alias("total_payload_bytes"),
         F.countDistinct(F.md5("payload")).alias("n_distinct_payloads"),
     )
+
+
+_BF_DIR = "/tmp/nids_binary_files"
+
+_BINARY_SCAN_SQL = """
+SELECT doc_id,
+       CAST(length(text) + 1 AS BIGINT) AS n_bytes,
+       md5(text || chr(10)) AS content_md5
+FROM documents
+WHERE doc_id % 13 = 0
+"""
+
+
+@register("binary_file_scan_profile", _BINARY_SCAN_SQL)
+def q_binary_file_scan_profile(spark, sf_dir):
+    """The `binaryFile` source — the ingest edge for raw media/blob
+    corpora (one file per object: images, audio, model shards).  A
+    deterministic document subset is materialized as one file per doc
+    (hive-style doc_id= partition dirs, written executor-parallel —
+    no driver loop), scanned back via ``format("binaryFile")`` with
+    recursive lookup + glob, the doc id recovered from the partition
+    path, and each payload fingerprinted.  The oracle recomputes the
+    same byte lengths/md5s from the source table, so the file
+    round-trip itself is what gets hash-checked (text sink appends one
+    LF per row — the +1/chr(10) in the oracle).
+
+    Scale: binaryFile scans parallelize per-file and prune on
+    pathGlobFilter; payload bytes stay executor-side (the md5 reduces
+    them before any exchange).  The small-files tax this query embodies
+    is exactly what `small_files_compaction_plan` measures/fixes."""
+    docs = load_table(spark, sf_dir, "documents")
+    sub = docs.filter((F.col("doc_id") % 13) == 0).select("doc_id", "text")
+    sub.write.partitionBy("doc_id").mode("overwrite").text(_BF_DIR)
+
+    bf = (
+        spark.read.format("binaryFile")
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.txt")
+        .load(_BF_DIR)
+    )
+    return bf.select(
+        F.regexp_extract("path", r"doc_id=(\d+)", 1).cast("long").alias("doc_id"),
+        F.col("length").alias("n_bytes"),
+        F.md5("content").alias("content_md5"),
+    )

@@ -287,3 +287,43 @@ def test_merge_hint_overrides_broadcast(spark):
     plan = explain_str(df, "simple")
     assert "SortMergeJoin" in plan
     assert "BroadcastHashJoin" not in plan
+
+
+def test_q7_q8_single_shuffle_all_dims_broadcast(spark):
+    # the only data exchange is the final group-by: every dimension
+    # attach broadcasts, and date/type/region filters reach the scans
+    for name in ("q7_volume_shipping", "q8_market_share"):
+        df = _df(spark, name)
+        plan = explain_str(df, "simple")
+        assert count_shuffles(df) == 1, name
+        assert "SortMergeJoin" not in plan, name
+        assert has_pushed_filters(df), name
+
+
+def test_q19_disjunction_stays_map_side(spark):
+    # OR-of-ANDs: one broadcast join + one final 1-row aggregate
+    # exchange; the disjunction never forces a shuffle or a UDF
+    df = _df(spark, "q19_discounted_revenue")
+    plan = explain_str(df, "simple")
+    assert count_shuffles(df) == 1
+    assert plan.count("BroadcastHashJoin") == 1
+    assert "BatchEvalPython" not in plan
+
+
+def test_q15_argmax_never_collects(spark):
+    # the scalar MAX is a broadcast join against a 1-row aggregate —
+    # the G4 pattern; a driver collect would show as a LocalTableScan
+    # feeding the filter instead
+    df = _df(spark, "q15_top_supplier")
+    plan = explain_str(df, "simple")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert count_shuffles(df) <= 3
+
+
+def test_q21_self_join_pair_semi_anti(spark):
+    # EXISTS/NOT-EXISTS pair must appear as semi + anti joins over the
+    # distinct pair relation — never a fan-out join + dedup
+    df = _df(spark, "q21_suppliers_blamed")
+    plan = explain_str(df, "simple")
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
