@@ -192,3 +192,49 @@ def test_transform_with_state_user_range(spark):
         )
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_events_ts_encoding_variants(spark, tmp_path):
+    """Fixture timestamp encodings drift between rounds (ADVICE r2 #3);
+    the stream schema must follow the parquet footer for all three known
+    variants — and fail loudly on anything else."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+    from pyspark.sql import types as T
+
+    from network_ids_using_pyspark_spark.streaming.stream import _events_ts_encoding
+
+    base = {
+        "event_id": pa.array([1, 2], pa.int64()),
+        "user_id": pa.array([1, 1], pa.int64()),
+        "event_type": pa.array(["a", "b"]),
+        "value": pa.array([1.0, 2.0]),
+        "props": pa.array(["{}", "{}"]),
+    }
+    cases = [
+        (pa.timestamp("us"), T.TimestampNTZType(), "ntz"),
+        (pa.timestamp("ns"), T.LongType(), "nanos"),
+        (pa.timestamp("us", tz="UTC"), T.TimestampType(), None),
+    ]
+    for i, (pa_type, want_type, want_fix) in enumerate(cases):
+        d = tmp_path / f"enc{i}"
+        d.mkdir()
+        ts = pa.array([1700000000000000, 1700000060000000], pa.int64()).cast(
+            pa.timestamp("us")
+        ).cast(pa_type)
+        pq.write_table(
+            pa.table({**base, "ts": ts}), str(d / "events.parquet")
+        )
+        got_type, got_fix = _events_ts_encoding(str(d))
+        assert got_type == want_type and got_fix == want_fix, (pa_type, got_type, got_fix)
+
+    # unknown encoding (plain int64) must raise, not silently misread
+    d = tmp_path / "enc_bad"
+    d.mkdir()
+    pq.write_table(
+        pa.table({**base, "ts": pa.array([1, 2], pa.int64())}),
+        str(d / "events.parquet"),
+    )
+    with _pytest.raises(ValueError, match="drifted"):
+        _events_ts_encoding(str(d))

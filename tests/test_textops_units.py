@@ -108,8 +108,11 @@ def test_lang_id_tie_prefers_earlier_code(spark):
 
 def test_unigram_surprisal_matches_reference_model(spark):
     """The registered surprisal query must agree with an independently
-    computed unigram model to float tolerance (the op is rows-only in
-    the oracle gate because log() is not bit-portable)."""
+    computed (UNquantized) unigram model to quantization tolerance: the
+    engine rounds each per-term log2 to a 1e-6 grid before the exact
+    decimal sum (that is what makes the op hash-checkable cross-engine,
+    VERDICT r2 #6), so the mean can differ from the float reference by
+    at most half a grid step."""
     import math
 
     from network_ids_using_pyspark_spark.queries.corpus_ext import (
@@ -137,4 +140,4 @@ def test_unigram_surprisal_matches_reference_model(spark):
         expect = -sum(math.log2(counts[t] / total) for t in toks) / len(toks)
         n, s = got[doc_id]
         assert n == len(toks)
-        assert abs(s - expect) < 1e-9, (doc_id, s, expect)
+        assert abs(s - expect) < 5.1e-7, (doc_id, s, expect)  # ≤ grid/2 + float slack
