@@ -164,3 +164,49 @@ def q_binary_file_scan_profile(spark, sf_dir):
         F.col("length").alias("n_bytes"),
         F.md5("content").alias("content_md5"),
     )
+
+
+_XML_DIR = "/tmp/nids_xml_docs"
+
+_XML_SCAN_SQL = """
+SELECT doc_id, lang,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       md5(text) AS content_md5
+FROM documents
+WHERE doc_id % 11 = 0
+"""
+
+
+@register("xml_scan_profile", _XML_SCAN_SQL)
+def q_xml_scan_profile(spark, sf_dir):
+    """Spark 4's NATIVE XML source, round-tripped: a deterministic
+    document subset is written as XML (rowTag=doc), scanned back with a
+    PINNED schema (the inferSchema ban applies to every ingest format —
+    modelling.py:50), and fingerprinted; the oracle recomputes the same
+    md5s from the source table, so XML escaping/unescaping fidelity is
+    part of what gets hash-checked.
+
+    Scale: the XML reader splits by rowTag like any text-delimited
+    source — per-file parallel scans, schema enforced, no discovery
+    pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    sub = docs.filter((F.col("doc_id") % 11) == 0).select("doc_id", "lang", "text")
+    (
+        sub.write.mode("overwrite")
+        .format("xml")
+        .option("rootTag", "docs")
+        .option("rowTag", "doc")
+        .save(_XML_DIR)
+    )
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "doc")
+        .schema("doc_id long, lang string, text string")
+        .load(_XML_DIR)
+    )
+    return back.select(
+        "doc_id",
+        "lang",
+        F.length("text").cast("long").alias("n_chars"),
+        F.md5("text").alias("content_md5"),
+    )
