@@ -401,3 +401,38 @@ def q_ml_tuned_dt_depth(spark, sf_dir):
         for i, (g, m) in enumerate(zip(grid, model.validationMetrics))
     ]
     return spark.createDataFrame(rows, "max_depth int, val_f1 double, is_best boolean")
+
+
+@register("ml_train_lr_binary", None)
+def q_ml_train_lr_binary(spark, sf_dir):
+    """Logistic regression on the binary benign-vs-attack task —
+    completes the MLlib classifier family (trees/forest/boosting/NB/
+    MLP/LR): the linear baseline every IDS deployment compares its
+    heavier models against, and the shape of a fastText/CCNet-style
+    quality-filter scorer in an LLM-data pipeline (the documents
+    fixture is deliberately NOT separable by char stats — its langs are
+    uniform ASCII word-soup — so the flow fixture carries the provable
+    floors; see tests/test_ml.py).  Rows-only: L-BFGS internals aren't
+    cross-engine.  Scale: each iteration is one gradient aggregate over
+    the cached prepared frame; the model is a single dense vector."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.evaluation import BinaryClassificationEvaluator
+
+    train, test, prepared = _prepared_split(spark, sf_dir)
+    to_bin = F.when(F.col("encoded_label") == 0.0, 0.0).otherwise(1.0)
+    train_b = train.withColumn("bin_label", to_bin)
+    test_b = test.withColumn("bin_label", to_bin)
+    model = LogisticRegression(
+        featuresCol="scaled_features", labelCol="bin_label",
+        maxIter=50, regParam=0.01,
+    ).fit(train_b)
+    preds = model.transform(test_b)
+    auc = BinaryClassificationEvaluator(
+        labelCol="bin_label", rawPredictionCol="rawPrediction",
+        metricName="areaUnderROC",
+    ).evaluate(preds)
+    acc = preds.filter(F.col("bin_label") == F.col("prediction")).count() / max(
+        preds.count(), 1
+    )
+    prepared.unpersist()
+    return _metrics_df(spark, "lr_binary", {"auc_roc": auc, "accuracy": acc})

@@ -171,3 +171,15 @@ def test_tuned_dt_picks_deeper_or_equal(spark):
     winners = [r for r in rows if r["is_best"]]
     assert len(winners) == 1
     assert winners[0]["val_f1"] == max(r["val_f1"] for r in rows)
+
+
+def test_lr_binary_floors(spark):
+    from network_ids_using_pyspark_spark.queries.ml import q_ml_train_lr_binary
+
+    from .conftest import SF_DIR
+
+    m = {r["metric"]: r["value"] for r in q_ml_train_lr_binary(spark, SF_DIR).collect()}
+    # separable-by-construction synthetic classes: the linear baseline
+    # must be strong, if below the tree family
+    assert m["auc_roc"] >= 0.95, m
+    assert m["accuracy"] >= 0.90, m
