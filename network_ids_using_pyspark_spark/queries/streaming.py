@@ -655,3 +655,70 @@ def q_stream_late_data_metrics(spark, sf_dir):
         [(n_late, dropped, dropped > 0 and n_late > 0)],
         "n_late_rows long, rows_dropped_late long, late_drop_observed boolean",
     )
+
+
+@register(
+    "stream_restart_state_recovery",
+    """
+    WITH b AS (
+      SELECT date_trunc('hour', ts) AS window_start, event_type, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    w AS (SELECT max(ts) - INTERVAL 1 HOUR AS wm FROM events)
+    SELECT b.window_start, b.event_type, b.n
+    FROM b, w
+    WHERE b.window_start + INTERVAL 1 HOUR <= w.wm
+    """,
+)
+def q_stream_restart_state_recovery(spark, sf_dir):
+    """Checkpoint RESTART certification with a full SQL oracle: the
+    events fixture is split at its midpoint timestamp into two files
+    processed by two separate query runs sharing one checkpoint —
+    windows straddling the split accumulate state across the restart,
+    and the append-mode parquet sink receives every window exactly
+    once.  The readback is hash-compared against the batch aggregation
+    restricted to windows the final watermark (max ts − 1 h) has
+    closed — so state recovery, append emission policy, AND the
+    exactly-once sink are all inside the oracle check.
+
+    Scale: restart recovery is the mechanism that makes streaming state
+    durable across executor/driver loss at 100 TB — certified here at
+    the semantic level (counts, not internals)."""
+    import tempfile
+
+    from ..sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "event_type")
+    b = ev.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).collect()[0]
+    mid = b["lo"] + (b["hi"] - b["lo"]) / 2
+
+    base = tempfile.mkdtemp(prefix="nids_restart_")
+    src, sink, ckpt = f"{base}/src", f"{base}/sink", f"{base}/ckpt"
+
+    def run_once() -> None:
+        stream = spark.readStream.schema(
+            "event_id long, ts timestamp, event_type string"
+        ).parquet(f"{src}/f*.parquet")
+        agg = (
+            stream.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(
+                F.col("window.start").alias("window_start"), "event_type", "n"
+            )
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    ev.filter(F.col("ts") < F.lit(mid)).write.parquet(f"{src}/f1.parquet")
+    run_once()
+    ev.filter(F.col("ts") >= F.lit(mid)).write.parquet(f"{src}/f2.parquet")
+    run_once()
+    return spark.read.schema("window_start timestamp, event_type string, n long").parquet(sink)
