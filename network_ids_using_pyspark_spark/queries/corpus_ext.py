@@ -602,3 +602,71 @@ def q_url_host_stats(spark, sf_dir):
             F.countDistinct("doc_id").alias("n_docs"),
         )
     )
+
+
+# Accent fold map — identical literal on both sides; covers exactly the
+# lowercase accented chars the injection introduces plus the common
+# Latin-1 set (a full ICU fold is a library call, not an expression —
+# this is the explicit, auditable subset).
+_ACC_FROM = "àáâãäåçèéêëìíîïñòóôõöùúûüý"
+_ACC_TO = "aaaaaaceeeeiiiinooooouuuuy"
+
+_NORM_SQL = f"""
+WITH injected AS (
+  SELECT doc_id,
+         CASE CAST(doc_id % 4 AS INTEGER)
+           WHEN 0 THEN text || '  Café  naïve Über RÉSUMÉ'
+           WHEN 1 THEN 'Àé îõ ü ' || text
+           ELSE text
+         END AS text
+  FROM documents
+), norm AS (
+  SELECT doc_id, text,
+         trim(regexp_replace(translate(lower(text), '{_ACC_FROM}', '{_ACC_TO}'),
+                             '\\s+', ' ', 'g')) AS normalized
+  FROM injected
+)
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars_before,
+       CAST(length(normalized) AS BIGINT) AS n_chars_after,
+       md5(normalized) AS norm_md5,
+       (normalized <> text) AS changed
+FROM norm
+"""
+
+
+@register("text_normalize_profile", _NORM_SQL)
+def q_text_normalize_profile(spark, sf_dir):
+    """Pre-tokenization text normalization: casefold → accent fold
+    (explicit char map — auditable, engine-portable; a full ICU fold is
+    a library call, not an expression) → whitespace collapse → trim,
+    with before/after audit columns.  The corpus is ASCII, so accented
+    text is injected deterministically on both sides (the established
+    non-vacuous-match discipline; 'Über' also certifies that unmapped
+    chars pass through casefold untouched).
+
+    Scale: pure map-side string expressions in whole-stage codegen —
+    normalization cost rides the scan, zero shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    injected = docs.select(
+        "doc_id",
+        F.when(
+            (F.col("doc_id") % 4) == 0,
+            F.concat(F.col("text"), F.lit("  Café  naïve Über RÉSUMÉ")),
+        )
+        .when((F.col("doc_id") % 4) == 1, F.concat(F.lit("Àé îõ ü "), F.col("text")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    normalized = F.trim(
+        F.regexp_replace(
+            F.translate(F.lower(F.col("text")), _ACC_FROM, _ACC_TO), r"\s+", " "
+        )
+    )
+    return injected.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars_before"),
+        F.length(normalized).cast("long").alias("n_chars_after"),
+        F.md5(normalized).alias("norm_md5"),
+        (normalized != F.col("text")).alias("changed"),
+    )
