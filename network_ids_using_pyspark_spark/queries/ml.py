@@ -415,7 +415,9 @@ def q_ml_train_lr_binary(spark, sf_dir):
     floors; see tests/test_ml.py).  Rows-only: L-BFGS internals aren't
     cross-engine.  Scale: each iteration is one gradient aggregate over
     the cached prepared frame; the model is a single dense vector."""
-    from pyspark.ml.classification import LogisticRegression
+    import tempfile
+
+    from pyspark.ml.classification import LogisticRegression, LogisticRegressionModel
     from pyspark.ml.evaluation import BinaryClassificationEvaluator
 
     train, test, prepared = _prepared_split(spark, sf_dir)
@@ -426,6 +428,16 @@ def q_ml_train_lr_binary(spark, sf_dir):
         featuresCol="scaled_features", labelCol="bin_label",
         maxIter=50, regParam=0.01,
     ).fit(train_b)
+    # Persistence round-trip before scoring — deliberately: (a) it
+    # certifies model save/load (the serving path), and (b) it strips
+    # the training summary, whose retained DataFrame drags the session's
+    # ObservationManager into the transform closure — non-serializable
+    # in Spark 4 once any observe() has run in the session ("Task not
+    # serializable" only in warm sessions; GBT has no summary, which is
+    # why only LR hit it).
+    mpath = tempfile.mkdtemp(prefix="nids_lr_") + "/model"
+    model.write().overwrite().save(mpath)
+    model = LogisticRegressionModel.load(mpath)
     preds = model.transform(test_b)
     auc = BinaryClassificationEvaluator(
         labelCol="bin_label", rawPredictionCol="rawPrediction",
