@@ -210,3 +210,48 @@ def q_xml_scan_profile(spark, sf_dir):
         F.length("text").cast("long").alias("n_chars"),
         F.md5("text").alias("content_md5"),
     )
+
+
+_RL_STREAM_DIR = "/tmp/nids_recordlog_stream"
+
+_RL_STREAM_SQL = """
+SELECT COUNT(*) AS n_records,
+       CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_distinct_payloads
+FROM documents
+WHERE doc_id % 7 = 0
+"""
+
+
+@register("stream_recordlog_ingest", _RL_STREAM_SQL)
+def q_stream_recordlog_ingest(spark, sf_dir):
+    """The custom Python DataSource consumed as a STREAM (Spark 4
+    streaming DataSource API): a deterministic document subset is
+    written as record-log shards, then read back incrementally — the
+    shard directory is an append-only log and the checkpointed offset
+    is the consumed-shard count, so each payload is delivered exactly
+    once.  The oracle recomputes record and distinct-payload counts
+    from the source table, certifying the full write→stream→aggregate
+    loop.  Incremental-restart semantics (new shards only, no
+    duplicates) are pinned by tests/test_sources.py."""
+    from ..sources.recordlog import stream_recordlog, write_recordlog
+    from ..streaming.stream import run_to_memory
+
+    docs = load_table(spark, sf_dir, "documents").filter((F.col("doc_id") % 7) == 0)
+    payloads = docs.select(F.encode("text", "utf-8").alias("payload"))
+    import shutil
+
+    shutil.rmtree(_RL_STREAM_DIR, ignore_errors=True)
+    write_recordlog(payloads.repartition(4), "payload", _RL_STREAM_DIR)
+
+    stream = stream_recordlog(spark, _RL_STREAM_DIR)
+    # streaming forbids DISTINCT aggregates — keyed counts are the
+    # streaming-native shape (state = one row per distinct payload
+    # hash); the tiny distinct roll-up happens batch-side on the sink
+    per_hash = stream.groupBy(F.md5("payload").alias("h")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    sink = run_to_memory(per_hash, "complete")
+    return sink.agg(
+        F.sum("n").cast("long").alias("n_records"),
+        F.count(F.lit(1)).alias("n_distinct_payloads"),
+    )

@@ -32,7 +32,12 @@ import struct
 from collections.abc import Iterator, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 
 _LEN = struct.Struct(">q")  # 8-byte big-endian record length
 
@@ -87,9 +92,49 @@ class RecordLogReader(DataSourceReader):
             yield (fname, idx, payload)
 
 
+class RecordLogStreamReader(DataSourceStreamReader):
+    """STREAMING reader for the same container (Spark 4 Python
+    DataSource streaming API): the shard directory is treated as an
+    append-only log (exactly how crawl dumps arrive), and the offset is
+    simply the count of shards consumed from the sorted listing.
+
+    Offsets are committed through the engine checkpoint, so a restarted
+    query resumes at the first unconsumed shard — exactly-once per
+    shard with no source-side state beyond the directory listing.
+    Late-created files sort anywhere, so production shard names should
+    be monotonic (timestamps/sequence ids), the standard contract for
+    file-log ingestion."""
+
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("recordlog requires a path")
+
+    def _files(self) -> list[str]:
+        return sorted(_glob.glob(os.path.join(self.path, "*.rec")))
+
+    def initialOffset(self) -> dict:
+        return {"n": 0}
+
+    def latestOffset(self) -> dict:
+        return {"n": len(self._files())}
+
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        return [_ShardPartition(p) for p in self._files()[start["n"]:end["n"]]]
+
+    def read(self, partition: _ShardPartition):
+        fname = os.path.basename(partition.path)
+        for idx, payload in enumerate(read_records(partition.path)):
+            yield (fname, idx, payload)
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets live in the query checkpoint; nothing source-side
+
+
 class RecordLogDataSource(DataSource):
     """``spark.read.format("recordlog").option("path", dir)`` after
-    ``spark.dataSource.register(RecordLogDataSource)``."""
+    ``spark.dataSource.register(RecordLogDataSource)``; also streamable
+    via ``spark.readStream`` (see :class:`RecordLogStreamReader`)."""
 
     @classmethod
     def name(cls) -> str:
@@ -101,6 +146,9 @@ class RecordLogDataSource(DataSource):
     def reader(self, schema) -> RecordLogReader:
         return RecordLogReader(self.options)
 
+    def streamReader(self, schema) -> RecordLogStreamReader:
+        return RecordLogStreamReader(self.options)
+
 
 def register_recordlog(spark: SparkSession) -> None:
     spark.dataSource.register(RecordLogDataSource)
@@ -111,6 +159,13 @@ def scan_recordlog(spark: SparkSession, path: str) -> DataFrame:
     record-log shard directory."""
     register_recordlog(spark)
     return spark.read.format("recordlog").option("path", path).load()
+
+
+def stream_recordlog(spark: SparkSession, path: str) -> DataFrame:
+    """Engine op ``stream_recordlog``: incremental (micro-batch) scan of
+    an append-only shard directory — new shards become new batches."""
+    register_recordlog(spark)
+    return spark.readStream.format("recordlog").option("path", path).load()
 
 
 def write_recordlog(df: DataFrame, payload_col: str, path: str) -> None:

@@ -198,3 +198,43 @@ def test_recordlog_roundtrip_partition_parallel(spark, tmp_path):
         F.count(F.lit(1)).alias("n"), F.max("record_idx").alias("mx")
     )
     assert per_file.filter(F.col("mx") != F.col("n") - 1).count() == 0
+
+
+def test_recordlog_stream_incremental_offsets(spark, tmp_path):
+    """The streaming reader must deliver each shard exactly once across
+    checkpointed restarts: run 1 consumes the initial shards, shards
+    appended later are the ONLY thing run 2 sees."""
+    from network_ids_using_pyspark_spark.sources.recordlog import (
+        stream_recordlog,
+        write_records,
+    )
+
+    src = str(tmp_path / "shards")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    import os
+
+    os.makedirs(src)
+
+    def run_once() -> None:
+        q = (
+            stream_recordlog(spark, src)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    write_records(f"{src}/s0.rec", iter([b"a", b"b"]))
+    write_records(f"{src}/s1.rec", iter([b"c"]))
+    run_once()
+    got1 = sorted(r["payload"] for r in spark.read.parquet(out).collect())
+    assert got1 == [b"a", b"b", b"c"]
+
+    write_records(f"{src}/s2.rec", iter([b"d"]))
+    run_once()  # same checkpoint: only the new shard may be consumed
+    got2 = sorted(r["payload"] for r in spark.read.parquet(out).collect())
+    assert got2 == [b"a", b"b", b"c", b"d"]
