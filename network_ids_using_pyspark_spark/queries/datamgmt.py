@@ -550,3 +550,69 @@ def q_hash_split_assignments(spark, sf_dir):
             F.sum("n_chars").cast("long").alias("sum_chars"),
         )
     )
+
+
+_DPP_PRIORITY = "1-URGENT"
+
+_DPP_SQL = f"""
+WITH sel AS (
+  SELECT DISTINCT CAST(year(o_orderdate) AS INTEGER) AS sel_year
+  FROM orders
+  WHERE o_orderpriority = '{_DPP_PRIORITY}'
+    AND year(o_orderdate) <= 1996
+)
+SELECT l.l_year, l.l_returnflag,
+       COUNT(*) AS n_items,
+       CAST(CAST(SUM(CAST(l.l_quantity AS DECIMAL(30, 6))) AS VARCHAR) AS DOUBLE)
+         AS sum_qty
+FROM (
+  SELECT CAST(year(l_shipdate) AS INTEGER) AS l_year, l_returnflag, l_quantity
+  FROM lineitem
+) l
+JOIN sel ON l.l_year = sel.sel_year
+GROUP BY 1, 2
+"""
+
+
+@register("dynamic_partition_pruning_join", _DPP_SQL)
+def q_dynamic_partition_pruning_join(spark, sf_dir):
+    """DYNAMIC partition pruning: the fact table is laid out
+    hive-partitioned by ship year, and the years to read come from a
+    JOIN against a filtered dimension — unknowable at plan time, so
+    static PartitionFilters can't help.  Catalyst inserts a
+    dynamicpruning subquery on the fact's partition column (reusing the
+    dim's broadcast), and only the selected years' directories are ever
+    opened.  At 100 TB this is THE mechanism that makes
+    star-join-over-partitioned-fact cheap when the predicate lives on
+    the dimension (plan shape pinned by tests/test_plans.py; the oracle
+    pins that the pruned plan still answers exactly).
+
+    The static sibling is `partition_pruned_scan` (literal predicate →
+    PartitionFilters from directory names)."""
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    path = f"/tmp/nids_dpp_{tag}/lineitem"
+    l = load_table(spark, sf_dir, "lineitem")
+    (
+        l.withColumn("l_year", F.year("l_shipdate"))
+        .write.mode("overwrite")
+        .partitionBy("l_year")
+        .parquet(path)
+    )
+    fact = spark.read.parquet(path)
+    sel = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderpriority") == _DPP_PRIORITY)
+            & (F.year("o_orderdate") <= 1996)
+        )
+        .select(F.year("o_orderdate").alias("sel_year"))
+        .distinct()
+    )
+    return (
+        fact.join(F.broadcast(sel), fact.l_year == sel.sel_year)
+        .groupBy("l_year", "l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("l_quantity").cast("decimal(30,6)")).cast("double").alias("sum_qty"),
+        )
+    )

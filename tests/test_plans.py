@@ -327,3 +327,11 @@ def test_q21_self_join_pair_semi_anti(spark):
     plan = explain_str(df, "simple")
     assert "LeftSemi" in plan
     assert "LeftAnti" in plan
+
+
+def test_dynamic_partition_pruning_subquery(spark):
+    # the years to read come from a join, not a literal — the plan must
+    # carry a dynamicpruning subquery on the fact's partition column
+    # (static PartitionFilters can't express this)
+    df = _df(spark, "dynamic_partition_pruning_join")
+    assert "dynamicpruning" in explain_str(df, "formatted")
