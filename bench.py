@@ -52,8 +52,6 @@ def _pipeline_comparison(spark, sf: str) -> dict[str, float]:
     the transcription stays faithful to the reference, which re-derives
     its lineage per action.  Engine runs FIRST (cold JIT), so the
     measured speedup is conservative."""
-    import tempfile
-
     from pyspark.ml.classification import DecisionTreeClassifier
 
     from network_ids_using_pyspark_spark.ml.pipeline import prepare_flow_features
@@ -69,7 +67,10 @@ def _pipeline_comparison(spark, sf: str) -> dict[str, float]:
     pipeline: dict[str, float] = {}
     n_rows = max(2_000, int(6_000_000 * float(sf)))
     try:
-        path = tempfile.mkdtemp(prefix="nids_bench_flows_") + "/flows"
+        # fixed per-sf path + overwrite: bounds /tmp to ONE copy per
+        # scale factor across repeated runs (tempfile.mkdtemp leaked a
+        # full synthetic flow table per invocation)
+        path = f"/tmp/nids_bench_flows_{sf.replace('.', '_')}/flows"
         synth_flows(spark, n_rows).write.mode("overwrite").parquet(path)
 
         t0 = time.monotonic()
@@ -110,17 +111,19 @@ def _fresh_jvm_pipeline_comparison() -> dict[str, float]:
     import subprocess
 
     env = dict(os.environ, SPARK_GRAFT_PIPELINE_ONLY="1")
-    proc = subprocess.run(
-        [sys.executable, os.path.abspath(__file__)],
-        env=env,
-        stdout=subprocess.PIPE,
-        stderr=sys.stderr,
-        timeout=1800,
-    )
     try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=sys.stderr,
+            timeout=1800,
+        )
         return json.loads(proc.stdout.decode())["pipeline_baseline_comparison"]
     except Exception as e:
-        print(f"bench: fresh-JVM pipeline run unparseable: {e}", file=sys.stderr)
+        # a dead/slow/unparseable baseline must never take down the
+        # query sweep — the payload still prints, minus this section
+        print(f"bench: fresh-JVM pipeline run failed: {e}", file=sys.stderr)
         return {}
 
 

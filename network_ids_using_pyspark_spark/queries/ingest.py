@@ -121,7 +121,11 @@ def q_recordlog_roundtrip_profile(spark, sf_dir):
     )
 
 
-_BF_DIR = "/tmp/nids_binary_files"
+def _sf_tag(sf_dir: str) -> str:
+    """Per-scale-factor /tmp tag: concurrent runs at different SFs must
+    not overwrite each other's materialized inputs mid-scan."""
+    return sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+
 
 _BINARY_SCAN_SQL = """
 SELECT doc_id,
@@ -149,15 +153,16 @@ def q_binary_file_scan_profile(spark, sf_dir):
     pathGlobFilter; payload bytes stay executor-side (the md5 reduces
     them before any exchange).  The small-files tax this query embodies
     is exactly what `small_files_compaction_plan` measures/fixes."""
+    bf_dir = f"/tmp/nids_binary_files_{_sf_tag(sf_dir)}"
     docs = load_table(spark, sf_dir, "documents")
     sub = docs.filter((F.col("doc_id") % 13) == 0).select("doc_id", "text")
-    sub.write.partitionBy("doc_id").mode("overwrite").text(_BF_DIR)
+    sub.write.partitionBy("doc_id").mode("overwrite").text(bf_dir)
 
     bf = (
         spark.read.format("binaryFile")
         .option("recursiveFileLookup", "true")
         .option("pathGlobFilter", "*.txt")
-        .load(_BF_DIR)
+        .load(bf_dir)
     )
     return bf.select(
         F.regexp_extract("path", r"doc_id=(\d+)", 1).cast("long").alias("doc_id"),
@@ -166,14 +171,14 @@ def q_binary_file_scan_profile(spark, sf_dir):
     )
 
 
-_XML_DIR = "/tmp/nids_xml_docs"
-
+# Blank-text guard on BOTH sides: the XML reader's empty-element
+# convention (null) can't round-trip a visually-empty string.
 _XML_SCAN_SQL = """
 SELECT doc_id, lang,
        CAST(length(text) AS BIGINT) AS n_chars,
        md5(text) AS content_md5
 FROM documents
-WHERE doc_id % 11 = 0
+WHERE doc_id % 11 = 0 AND length(trim(text)) > 0
 """
 
 
@@ -189,20 +194,26 @@ def q_xml_scan_profile(spark, sf_dir):
     Scale: the XML reader splits by rowTag like any text-delimited
     source — per-file parallel scans, schema enforced, no discovery
     pass."""
+    xml_dir = f"/tmp/nids_xml_docs_{_sf_tag(sf_dir)}"
     docs = load_table(spark, sf_dir, "documents")
-    sub = docs.filter((F.col("doc_id") % 11) == 0).select("doc_id", "lang", "text")
+    sub = docs.filter(
+        ((F.col("doc_id") % 11) == 0) & (F.length(F.trim("text")) > 0)
+    ).select("doc_id", "lang", "text")
     (
         sub.write.mode("overwrite")
         .format("xml")
         .option("rootTag", "docs")
         .option("rowTag", "doc")
-        .save(_XML_DIR)
+        .save(xml_dir)
     )
     back = (
         spark.read.format("xml")
         .option("rowTag", "doc")
+        # default trims element-surrounding whitespace — must be off for
+        # the md5 round-trip to hold on padded text
+        .option("ignoreSurroundingSpaces", "false")
         .schema("doc_id long, lang string, text string")
-        .load(_XML_DIR)
+        .load(xml_dir)
     )
     return back.select(
         "doc_id",
@@ -211,8 +222,6 @@ def q_xml_scan_profile(spark, sf_dir):
         F.md5("text").alias("content_md5"),
     )
 
-
-_RL_STREAM_DIR = "/tmp/nids_recordlog_stream"
 
 _RL_STREAM_SQL = """
 SELECT COUNT(*) AS n_records,
@@ -236,14 +245,15 @@ def q_stream_recordlog_ingest(spark, sf_dir):
     from ..sources.recordlog import stream_recordlog, write_recordlog
     from ..streaming.stream import run_to_memory
 
+    rl_dir = f"/tmp/nids_recordlog_stream_{_sf_tag(sf_dir)}"
     docs = load_table(spark, sf_dir, "documents").filter((F.col("doc_id") % 7) == 0)
     payloads = docs.select(F.encode("text", "utf-8").alias("payload"))
     import shutil
 
-    shutil.rmtree(_RL_STREAM_DIR, ignore_errors=True)
-    write_recordlog(payloads.repartition(4), "payload", _RL_STREAM_DIR)
+    shutil.rmtree(rl_dir, ignore_errors=True)
+    write_recordlog(payloads.repartition(4), "payload", rl_dir)
 
-    stream = stream_recordlog(spark, _RL_STREAM_DIR)
+    stream = stream_recordlog(spark, rl_dir)
     # streaming forbids DISTINCT aggregates — keyed counts are the
     # streaming-native shape (state = one row per distinct payload
     # hash); the tiny distinct roll-up happens batch-side on the sink

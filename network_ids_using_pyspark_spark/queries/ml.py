@@ -147,7 +147,9 @@ def q_ml_e2e_ref_width(spark, sf_dir):
     from ..sources.synthetic import synth_flows_ref_width
     from ..sources.tables import canonical_name, scan_flows
 
-    out_dir = "/tmp/nids_ref_width_csv"
+    # per-sf tag: content is sf-independent (fixed n), but concurrent
+    # runs at different SFs must not race on overwrite-vs-scan
+    out_dir = f"/tmp/nids_ref_width_csv_{sf_dir.rstrip('/').rsplit('/', 1)[-1].replace('.', '_')}"
     synth_flows_ref_width(spark, 12_000).repartition(4).write.mode(
         "overwrite"
     ).option("header", True).csv(out_dir)

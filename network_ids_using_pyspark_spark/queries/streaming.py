@@ -598,7 +598,7 @@ def q_stream_late_data_metrics(spark, sf_dir):
     i.e. after map-side partial aggregation — N raw late events in one
     window surface as one dropped partial-agg row, which is also why
     the metric stays cheap at 100 TB."""
-    import tempfile
+    import shutil
 
     from ..sources.tables import load_table
     from ..streaming.stream import attach_late_data_metrics
@@ -610,7 +610,10 @@ def q_stream_late_data_metrics(spark, sf_dir):
     late = ev.filter(F.col("ts") < F.lit(lo) + F.expr("INTERVAL 1 HOUR"))
     n_late = late.count()
 
-    base = tempfile.mkdtemp(prefix="nids_late_")
+    # fixed per-sf path, cleared up front: bounds /tmp to one copy per
+    # scale factor across invocations (mkdtemp leaked a dir per run)
+    base = f"/tmp/nids_late_{sf_dir.rstrip('/').rsplit('/', 1)[-1].replace('.', '_')}"
+    shutil.rmtree(base, ignore_errors=True)
     src, ckpt = f"{base}/src", f"{base}/ckpt"
 
     def run_once() -> None:
@@ -644,7 +647,10 @@ def q_stream_late_data_metrics(spark, sf_dir):
         listener.wait_for_progress(n_run1 + 1, timeout_sec=60)
         import time
 
-        deadline = time.monotonic() + 10.0
+        # generous poll: the listener bus is best-effort async, and a
+        # loaded host can lag well past run 2's termination — a short
+        # window here would flag a CORRECT engine as dropping nothing
+        deadline = time.monotonic() + 30.0
         while listener.total_dropped() == 0 and time.monotonic() < deadline:
             time.sleep(0.2)
         dropped = listener.total_dropped()
@@ -684,7 +690,7 @@ def q_stream_restart_state_recovery(spark, sf_dir):
     Scale: restart recovery is the mechanism that makes streaming state
     durable across executor/driver loss at 100 TB — certified here at
     the semantic level (counts, not internals)."""
-    import tempfile
+    import shutil
 
     from ..sources.tables import load_table
 
@@ -692,7 +698,9 @@ def q_stream_restart_state_recovery(spark, sf_dir):
     b = ev.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).collect()[0]
     mid = b["lo"] + (b["hi"] - b["lo"]) / 2
 
-    base = tempfile.mkdtemp(prefix="nids_restart_")
+    # fixed per-sf path, cleared up front (see stream_late_data_metrics)
+    base = f"/tmp/nids_restart_{sf_dir.rstrip('/').rsplit('/', 1)[-1].replace('.', '_')}"
+    shutil.rmtree(base, ignore_errors=True)
     src, sink, ckpt = f"{base}/src", f"{base}/sink", f"{base}/ckpt"
 
     def run_once() -> None:

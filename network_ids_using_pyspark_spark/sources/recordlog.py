@@ -170,8 +170,15 @@ def stream_recordlog(spark: SparkSession, path: str) -> DataFrame:
 
 def write_recordlog(df: DataFrame, payload_col: str, path: str) -> None:
     """Executor-parallel writer: each DataFrame partition writes one
-    shard (``part-<pid>.rec``).  No driver round-trip — the write runs
-    inside ``foreachPartition`` exactly where the data lives."""
+    shard.  No driver round-trip — the write runs inside
+    ``foreachPartition`` exactly where the data lives.
+
+    Shard names are MONOTONIC (zero-padded nanosecond timestamp prefix
+    + uuid suffix for same-tick uniqueness): the streaming reader's
+    offset is an index into the sorted listing, so a later append must
+    sort after every already-consumed shard — a random uuid name could
+    sort BEFORE the committed offset and be silently skipped while an
+    old shard got re-delivered."""
     os.makedirs(path, exist_ok=True)
 
     def _write(rows) -> None:
@@ -179,9 +186,13 @@ def write_recordlog(df: DataFrame, payload_col: str, path: str) -> None:
         if first is None:
             return
         import itertools
+        import time
         import uuid
 
-        shard = os.path.join(path, f"part-{uuid.uuid4().hex[:12]}.rec")
+        stamp = f"{time.time_ns():020d}"
+        shard = os.path.join(
+            path, f"part-{stamp}-{uuid.uuid4().hex[:8]}.rec"
+        )
         write_records(
             shard, (r[payload_col] for r in itertools.chain([first], rows))
         )

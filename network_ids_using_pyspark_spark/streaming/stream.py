@@ -50,10 +50,13 @@ def _events_ts_encoding(sf_dir: str) -> tuple[T.DataType, "str | None"]:
             f"events.ts: expected a parquet timestamp, found {ts_type} — "
             "fixture encoding drifted further than the known variants"
         )
+    # unit FIRST: the legacy nanosAsLong read surfaces TIMESTAMP(NANOS)
+    # as long regardless of its tz annotation, so a tz-aware nanos
+    # fixture must take the nanos path, not the tz one
+    if ts_type.unit == "ns":
+        return T.LongType(), "nanos"
     if ts_type.tz is not None:
         return T.TimestampType(), None
-    if ts_type.unit == "ns":
-        return T.LongType(), "nanos"  # legacy nanosAsLong read
     return T.TimestampNTZType(), "ntz"
 
 
