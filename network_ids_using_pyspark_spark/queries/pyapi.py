@@ -300,3 +300,47 @@ def q_pandas_api_event_profile(spark, sf_dir):
         "max_value",
         F.col("n_users").cast("long").alias("n_users"),
     )
+
+
+_PARAM_K = 3
+_PARAM_SEG = "BUILDING"
+
+_PARAM_SQL = f"""
+SELECT c.c_mktsegment, o.o_orderpriority, COUNT(*) AS n
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = '{_PARAM_SEG}'
+GROUP BY 1, 2
+ORDER BY n DESC, o.o_orderpriority ASC
+LIMIT {_PARAM_K}
+"""
+
+
+@register("parameterized_sql_top_priorities", _PARAM_SQL)
+def q_parameterized_sql_top_priorities(spark, sf_dir):
+    """Spark 4 parameterized SQL + DataFrame templating: the query text
+    references DataFrames directly (``{{orders}}``/``{{customer}}`` —
+    no temp-view registration, no name collisions between concurrent
+    jobs) and takes NAMED PARAMETERS (``:seg``, ``:k``) instead of
+    string interpolation — the injection-safe way to ship user inputs
+    into SQL, and parameters are literals in the plan so Catalyst
+    folds/pushes them like any constant.
+
+    Scale: identical plan to the hand-built DataFrame equivalent —
+    broadcast dim join, partial agg, TakeOrderedAndProject top-k."""
+    from ..sources.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return spark.sql(
+        """
+        SELECT c.c_mktsegment, o.o_orderpriority, COUNT(*) AS n
+        FROM {orders} o JOIN {customer} c ON o.o_custkey = c.c_custkey
+        WHERE c.c_mktsegment = :seg
+        GROUP BY 1, 2
+        ORDER BY n DESC, o.o_orderpriority ASC
+        LIMIT :k
+        """,
+        args={"seg": _PARAM_SEG, "k": _PARAM_K},
+        orders=orders,
+        customer=customer,
+    )
