@@ -36,7 +36,9 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 
 _LEN = struct.Struct(">q")  # 8-byte big-endian record length
@@ -131,10 +133,65 @@ class RecordLogStreamReader(DataSourceStreamReader):
         pass  # offsets live in the query checkpoint; nothing source-side
 
 
+class _ShardCommit(WriterCommitMessage):
+    def __init__(self, shard: str, n: int):
+        self.shard = shard
+        self.n = n
+
+
+class RecordLogWriter(DataSourceWriter):
+    """Batch WRITER through the DataSource API (the fourth quadrant
+    next to batch/stream read and the helper writer): one shard per
+    DataFrame partition, written executor-side to a staging name, with
+    the commit/abort protocol making the job atomic — ``commit``
+    renames every staged shard into visibility (monotonic names, same
+    contract the stream reader requires) and ``abort`` removes them, so
+    readers never observe a half-written job.
+
+    Input schema contract: any frame with a binary ``payload``
+    column."""
+
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("recordlog requires a path")
+
+    def write(self, iterator) -> _ShardCommit:
+        import uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        staged = os.path.join(
+            self.path, f".staged-{uuid.uuid4().hex[:12]}.tmp"
+        )
+        n = write_records(staged, (row["payload"] for row in iterator))
+        return _ShardCommit(staged, n)
+
+    def commit(self, messages) -> None:
+        import time
+        import uuid
+
+        for m in messages:
+            if m is None or m.n == 0:
+                if m is not None:
+                    os.remove(m.shard)
+                continue
+            final = os.path.join(
+                self.path,
+                f"part-{time.time_ns():020d}-{uuid.uuid4().hex[:8]}.rec",
+            )
+            os.rename(m.shard, final)
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m is not None and os.path.exists(m.shard):
+                os.remove(m.shard)
+
+
 class RecordLogDataSource(DataSource):
     """``spark.read.format("recordlog").option("path", dir)`` after
-    ``spark.dataSource.register(RecordLogDataSource)``; also streamable
-    via ``spark.readStream`` (see :class:`RecordLogStreamReader`)."""
+    ``spark.dataSource.register(RecordLogDataSource)``; streamable via
+    ``spark.readStream`` (see :class:`RecordLogStreamReader`); writable
+    via ``df.write.format("recordlog")`` (see :class:`RecordLogWriter`)."""
 
     @classmethod
     def name(cls) -> str:
@@ -148,6 +205,14 @@ class RecordLogDataSource(DataSource):
 
     def streamReader(self, schema) -> RecordLogStreamReader:
         return RecordLogStreamReader(self.options)
+
+    def writer(self, schema, overwrite: bool) -> RecordLogWriter:
+        if overwrite:
+            raise ValueError(
+                "recordlog is an append-only log (the stream reader's "
+                "offset contract); use mode('append')"
+            )
+        return RecordLogWriter(self.options)
 
 
 def register_recordlog(spark: SparkSession) -> None:

@@ -238,3 +238,41 @@ def test_recordlog_stream_incremental_offsets(spark, tmp_path):
     run_once()  # same checkpoint: only the new shard may be consumed
     got2 = sorted(r["payload"] for r in spark.read.parquet(out).collect())
     assert got2 == [b"a", b"b", b"c", b"d"]
+
+
+def test_recordlog_api_writer_roundtrip(spark, tmp_path):
+    """The DataSource-API writer: executor-parallel shards, atomic
+    commit (staged names invisible to readers), append-only contract."""
+    from pyspark.sql import functions as F
+
+    from network_ids_using_pyspark_spark.sources.recordlog import (
+        register_recordlog,
+        scan_recordlog,
+    )
+
+    register_recordlog(spark)
+    dst = str(tmp_path / "shards")
+    df = spark.range(10).select(
+        F.encode(F.concat(F.lit("payload-"), F.col("id").cast("string")), "utf-8").alias(
+            "payload"
+        )
+    )
+    df.repartition(3).write.format("recordlog").option("path", dst).mode(
+        "append"
+    ).save()
+    # append again: the log grows, nothing is overwritten
+    df.limit(2).write.format("recordlog").option("path", dst).mode("append").save()
+
+    back = scan_recordlog(spark, dst)
+    assert back.count() == 12
+    import os
+
+    names = os.listdir(dst)
+    assert all(n.endswith(".rec") for n in names), names  # no staged leftovers
+    payloads = sorted(r["payload"] for r in back.collect())
+    assert payloads[0] == b"payload-0" and len(set(payloads)) == 10
+
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="append-only|overwrite"):
+        df.write.format("recordlog").option("path", dst).mode("overwrite").save()
