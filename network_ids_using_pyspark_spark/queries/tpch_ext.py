@@ -18,6 +18,7 @@ These two exercise the join strategies that star didn't:
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..functions.numeric import dec_avg, dec_avg_sql, dec_sum, dec_sum_sql
@@ -814,4 +815,381 @@ def q_q22_global_sales_opportunity(spark, sf_dir):
             F.count(F.lit(1)).alias("numcust"),
             dec_sum("c_acctbal").alias("totacctbal"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round 3 (cont.): the last six classic TPC-H plan shapes.  The fixture has
+# no partsupp / l_shipmode / o_comment, so Q2/Q9/Q11/Q12/Q13/Q20 substitute
+# available columns (p_retailprice as the supply-cost proxy, l_linestatus as
+# the mode class, an o_orderpriority exclusion as the comment filter) while
+# keeping each query's PLAN shape — correlated-min decorrelation, scalar
+# threshold subquery, conditional counts, outer-join-then-histogram, nested
+# aggregate semi-join — exactly as in the spec.  With these, all 22 TPC-H
+# shapes are registered.
+# ---------------------------------------------------------------------------
+
+_Q2_REGION = "EUROPE"
+_Q2_TYPE = "STANDARD"
+_Q2_MAX_SIZE = 15
+
+_Q2_SQL = f"""
+WITH eligible_supp AS (
+  SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+  FROM supplier s
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  WHERE r.r_name = '{_Q2_REGION}'
+),
+eligible_part AS (
+  SELECT p_partkey FROM part
+  WHERE p_type = '{_Q2_TYPE}' AND p_size <= {_Q2_MAX_SIZE}
+),
+cost AS (
+  SELECT l.l_partkey, l.l_suppkey,
+         MIN(l.l_extendedprice / l.l_quantity) AS unit_cost
+  FROM lineitem l
+  JOIN eligible_part p ON l.l_partkey = p.p_partkey
+  JOIN eligible_supp s ON l.l_suppkey = s.s_suppkey
+  WHERE l.l_quantity > 0
+  GROUP BY l.l_partkey, l.l_suppkey
+),
+min_cost AS (
+  SELECT l_partkey, MIN(unit_cost) AS best FROM cost GROUP BY l_partkey
+)
+SELECT s.s_acctbal, s.s_name, s.n_name,
+       c.l_partkey AS p_partkey, c.unit_cost
+FROM cost c
+JOIN min_cost m ON c.l_partkey = m.l_partkey AND c.unit_cost = m.best
+JOIN eligible_supp s ON c.l_suppkey = s.s_suppkey
+"""
+
+
+@register("q2_min_cost_supplier", _Q2_SQL)
+def q_q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape (minimum-cost supplier): the correlated-MIN
+    subquery, decorrelated into aggregate-then-equality-join-back
+    (partsupp doesn't exist; the observed minimum unit price a
+    regional supplier charged for the part in lineitem stands in for
+    ps_supplycost — the correlated-min-per-part plan shape is
+    identical).
+
+    Scale plan: region prunes the 100-row supplier dim FIRST and the
+    pruned dim broadcasts into the fact scan (broadcast-semi effect:
+    only regional lines survive the scan stage); the part filter
+    broadcasts likewise.  The per-part argmin is a WINDOW MIN over the
+    already-aggregated (part,supplier) relation — partitioned by the
+    same partkey the aggregate shuffled on, so the window adds no
+    exchange and there is no self-join-back at all (the oracle SQL
+    keeps the spec's decorrelated join-back form; results are
+    identical including ties).  The min is over a row-level double
+    divide — order-independent and bit-identical cross-engine."""
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter((F.col("p_type") == _Q2_TYPE) & (F.col("p_size") <= _Q2_MAX_SIZE))
+        .select("p_partkey")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == _Q2_REGION)
+    supp = (
+        s.join(F.broadcast(n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)),
+               s.s_nationkey == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    cost = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(supp.select("s_suppkey")), l.l_suppkey == F.col("s_suppkey"), "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+    )
+    w = Window.partitionBy("l_partkey")
+    return (
+        cost.withColumn("best", F.min("unit_cost").over(w))
+        .filter(F.col("unit_cost") == F.col("best"))
+        .join(F.broadcast(supp), cost.l_suppkey == supp.s_suppkey)
+        .select("s_acctbal", "s_name", "n_name",
+                F.col("l_partkey").alias("p_partkey"), "unit_cost")
+    )
+
+
+_Q9_NAME_LIKE = "%widget%"
+
+_Q9_SQL = f"""
+SELECT nation, o_year, {dec_sum_sql('amount')} AS sum_profit, COUNT(*) AS n_rows
+FROM (
+  SELECT n.n_name AS nation,
+         CAST(EXTRACT(year FROM o.o_orderdate) AS INTEGER) AS o_year,
+         l.l_extendedprice * (1 - l.l_discount) - p.p_retailprice * l.l_quantity AS amount
+  FROM part p
+  JOIN lineitem l ON p.p_partkey = l.l_partkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  WHERE p.p_name LIKE '{_Q9_NAME_LIKE}'
+) profit
+GROUP BY nation, o_year
+"""
+
+
+@register("q9_product_type_profit", _Q9_SQL)
+def q_q9_product_type_profit(spark, sf_dir):
+    """TPC-H Q9 (product-type profit by nation and year): the 6-relation
+    profit rollup (ps_supplycost doesn't exist; p_retailprice×quantity
+    is the cost term — the join graph and aggregate shape are
+    identical).
+
+    Scale plan: the LIKE filter reduces part before its broadcast, and
+    the broadcast join semi-filters the fact scan (only matching parts'
+    lines continue).  supplier+nation broadcast onto the supplier key
+    map-side, so the only big shuffle is l⋈o on orderkey; the profit
+    expression is computed map-side and summed in DECIMAL for
+    bit-stable totals."""
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like(_Q9_NAME_LIKE))
+        .select("p_partkey", "p_retailprice")
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+            amount.alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(dec_sum("amount").alias("sum_profit"), F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+_Q11_NATION = "NATION_3"
+# Scale-free share threshold (the spec's FRACTION scales by 1/SF for the
+# same reason a fixed share goes vacuous as |part| grows): keep parts
+# whose value exceeds 2× the mean per-part value — value * n_parts >
+# total * 2, compared in exact DECIMAL (no float boundary risk, non-
+# vacuous at every SF).
+_Q11_MULT = 2
+
+_Q11_SQL = f"""
+WITH natl AS (
+  SELECT l.l_partkey, SUM(CAST(l.l_extendedprice AS DECIMAL(30,6))) AS value
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  WHERE n.n_name = '{_Q11_NATION}'
+  GROUP BY l.l_partkey
+),
+tot AS (
+  SELECT SUM(value) AS total, COUNT(*) AS n_parts FROM natl
+)
+SELECT l_partkey, CAST(CAST(value AS VARCHAR) AS DOUBLE) AS value
+FROM natl, tot
+WHERE value * tot.n_parts > tot.total * {_Q11_MULT}
+"""
+
+
+@register("q11_important_stock_value", _Q11_SQL)
+def q_q11_important_stock_value(spark, sf_dir):
+    """TPC-H Q11 shape (important stock): per-part value HAVING a
+    share-of-global-total threshold — the scalar-subquery-over-own-
+    aggregate shape (partsupp doesn't exist; the national suppliers'
+    shipped value per part stands in for availqty×supplycost).
+
+    Scale plan: the nation filter prunes the 100-row supplier dim,
+    which broadcasts into the fact scan; ONE partkey shuffle builds the
+    per-part values, the global total is a 1-row re-aggregate of that
+    same (already tiny, |part|-bounded) relation broadcast back as a
+    literal — never a driver collect — and the share filter runs
+    map-side in exact DECIMAL (both sides scaled to integers, so no
+    float-boundary flakiness at any SF)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == _Q11_NATION)
+    natl_supp = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select("s_suppkey")
+    natl = (
+        l.join(F.broadcast(natl_supp), l.l_suppkey == F.col("s_suppkey"), "left_semi")
+        .groupBy("l_partkey")
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(30,6)")).alias("value"))
+    )
+    total = natl.agg(F.sum("value").alias("total"), F.count(F.lit(1)).alias("n_parts"))
+    return (
+        natl.join(F.broadcast(total))
+        .filter(F.col("value") * F.col("n_parts") > F.col("total") * _Q11_MULT)
+        .select("l_partkey", F.col("value").cast("string").cast("double").alias("value"))
+    )
+
+
+_Q12_Y0, _Q12_Y1 = "1997-01-01", "1998-01-01"
+
+_Q12_SQL = f"""
+SELECT l.l_linestatus,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders o
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '{_Q12_Y0} 00:00:00'
+  AND l.l_shipdate <  TIMESTAMP '{_Q12_Y1} 00:00:00'
+GROUP BY l.l_linestatus
+"""
+
+
+@register("q12_priority_by_linestatus", _Q12_SQL)
+def q_q12_priority_by_linestatus(spark, sf_dir):
+    """TPC-H Q12 shape (shipping modes / priority classes): the
+    conditional-count-over-join query (l_shipmode doesn't exist;
+    l_linestatus is the class column — identical shape: one fact⋈fact
+    equi-join, per-class CASE counts).
+
+    Scale plan: the shipdate year filter is a scan-level PushedFilter
+    on lineitem (the larger side), so the orderkey shuffle moves one
+    year of lines; orders ships only (o_orderkey, o_orderpriority)
+    after column pruning.  The CASE counts are map-side partial
+    aggregates — two integer accumulators per class, exact on any
+    partitioning."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(_Q12_Y0).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(_Q12_Y1).cast("timestamp"))
+    ).select("l_orderkey", "l_linestatus")
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(is_high, 0).otherwise(1)).cast("bigint").alias("low_line_count"),
+        )
+    )
+
+
+_Q13_EXCL = "1-URGENT"
+
+_Q13_SQL = f"""
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+  FROM customer c
+  LEFT OUTER JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '{_Q13_EXCL}'
+  GROUP BY c.c_custkey
+) c_orders
+GROUP BY c_count
+"""
+
+
+@register("q13_customer_order_distribution", _Q13_SQL)
+def q_q13_customer_order_distribution(spark, sf_dir):
+    """TPC-H Q13 (customer order-count distribution): the
+    outer-join-then-double-aggregate histogram (o_comment doesn't
+    exist; excluding one priority class is the stand-in filter — the
+    right-side-predicate-in-ON outer-join shape is identical, and
+    customers whose every order is excluded land in the 0 bucket
+    exactly as spec'd).
+
+    Scale plan: the right-only predicate is applied BEFORE the outer
+    join (equivalent to in-ON placement for left outer — Catalyst does
+    this rewrite itself); the join shuffles on custkey; COUNT(col)
+    counts matches only, so no-order customers survive as zeros.  The
+    second aggregate runs over a ≤|distinct counts| relation — driver-
+    trivial at any SF."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != _Q13_EXCL
+    ).select("o_custkey", "o_orderkey")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("bigint").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("custdist"))
+    )
+
+
+_Q20_NAME_PREFIX = "small %"
+_Q20_Y0, _Q20_Y1 = "1997-01-01", "1998-01-01"
+# dominance threshold: supplier's qty*10 > part total*4  ⇔  share > 0.4,
+# exact DECIMAL comparison
+_Q20_NUM, _Q20_DEN = 10, 4
+
+_Q20_SQL = f"""
+WITH year_lines AS (
+  SELECT l.l_partkey, l.l_suppkey, l.l_quantity
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE p.p_name LIKE '{_Q20_NAME_PREFIX}'
+    AND l.l_shipdate >= TIMESTAMP '{_Q20_Y0} 00:00:00'
+    AND l.l_shipdate <  TIMESTAMP '{_Q20_Y1} 00:00:00'
+),
+ps_qty AS (
+  SELECT l_partkey, l_suppkey,
+         SUM(CAST(l_quantity AS DECIMAL(30,6))) AS supp_qty
+  FROM year_lines GROUP BY l_partkey, l_suppkey
+),
+p_total AS (
+  SELECT l_partkey, SUM(supp_qty) AS total_qty FROM ps_qty GROUP BY l_partkey
+)
+SELECT s.s_name, s.s_acctbal
+FROM supplier s
+WHERE s.s_suppkey IN (
+  SELECT ps.l_suppkey
+  FROM ps_qty ps
+  JOIN p_total t ON ps.l_partkey = t.l_partkey
+  WHERE ps.supp_qty * {_Q20_NUM} > t.total_qty * {_Q20_DEN}
+)
+"""
+
+
+@register("q20_dominant_part_suppliers", _Q20_SQL)
+def q_q20_dominant_part_suppliers(spark, sf_dir):
+    """TPC-H Q20 shape (potential part promotion): the nested-aggregate
+    semi-join chain (ps_availqty doesn't exist; a supplier qualifies
+    when it shipped >40% of a matching part's year volume — the
+    per-(part,supplier) aggregate vs per-part aggregate comparison
+    feeding a supplier semi-join is the spec's exact shape).
+
+    Scale plan: the name-filtered part dim broadcasts and semi-filters
+    the year-pruned fact scan; ONE shuffle on (partkey, suppkey) builds
+    the inner aggregate, and the per-part total is a WINDOW SUM over
+    that same relation (partitioned by the partkey prefix of the
+    aggregate's own keys — no self-join, no extra wide exchange); the
+    dominance filter compares integer-scaled DECIMALs exactly;
+    qualifying suppkeys (≤|supplier|) drive a LEFT SEMI into the
+    100-row dim."""
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(_Q20_Y0).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(_Q20_Y1).cast("timestamp"))
+    )
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like(_Q20_NAME_PREFIX))
+        .select("p_partkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_acctbal")
+    ps_qty = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(30,6)")).alias("supp_qty"))
+    )
+    w = Window.partitionBy("l_partkey")
+    dominant = (
+        ps_qty.withColumn("total_qty", F.sum("supp_qty").over(w))
+        .filter(F.col("supp_qty") * _Q20_NUM > F.col("total_qty") * _Q20_DEN)
+        .select("l_suppkey")
+    )
+    return s.join(dominant, s.s_suppkey == dominant.l_suppkey, "left_semi").select(
+        "s_name", "s_acctbal"
     )

@@ -335,3 +335,65 @@ def test_dynamic_partition_pruning_subquery(spark):
     # (static PartitionFilters can't express this)
     df = _df(spark, "dynamic_partition_pruning_join")
     assert "dynamicpruning" in explain_str(df, "formatted")
+
+
+def test_q2_argmin_window_no_self_join(spark):
+    # correlated-MIN decorrelation via window-over-own-aggregate: the
+    # per-part min must NOT appear as an aggregate + join-back (which
+    # would re-shuffle and SMJ); two exchanges total — the (part,supp)
+    # aggregate (whose partkey prefix the window reuses) + final wide
+    # window ordering
+    df = _df(spark, "q2_min_cost_supplier")
+    plan = explain_str(df, "simple")
+    assert "Window" in plan
+    assert "SortMergeJoin" not in plan
+    assert count_shuffles(df) == 2
+    assert has_pushed_filters(df)
+
+
+def test_q9_profit_dims_all_broadcast(spark):
+    # 6-relation profit rollup: every dimension attach broadcasts; the
+    # LIKE filter reaches the part scan before its broadcast
+    df = _df(spark, "q9_product_type_profit")
+    plan = explain_str(df, "simple")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+    assert has_pushed_filters(df)
+
+
+def test_q11_threshold_never_collects(spark):
+    # the share threshold is a 1-row re-aggregate joined back by
+    # broadcast (G4 pattern) — a driver collect would surface as a
+    # LocalTableScan feeding the filter
+    df = _df(spark, "q11_important_stock_value")
+    plan = explain_str(df, "simple")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "LocalTableScan" not in plan
+    assert count_shuffles(df) <= 3
+
+
+def test_q12_conditional_counts_map_side(spark):
+    # CASE counts must stay inside the aggregate (partial map-side
+    # combine), never a UDF; the year filter reaches the lineitem scan
+    df = _df(spark, "q12_priority_by_linestatus")
+    plan = explain_str(df, "simple")
+    assert "BatchEvalPython" not in plan
+    assert has_pushed_filters(df)
+    assert count_shuffles(df) <= 3
+
+
+def test_q13_outer_join_histogram_two_shuffles(spark):
+    # custkey join + c_count histogram; the first group-by must reuse
+    # the join's custkey partitioning (no third exchange)
+    df = _df(spark, "q13_customer_order_distribution")
+    assert count_shuffles(df) == 2
+
+
+def test_q20_dominance_window_no_join_back(spark):
+    # nested-aggregate comparison via window sum over the aggregate's
+    # own partkey prefix — no per-part total self-join
+    df = _df(spark, "q20_dominant_part_suppliers")
+    plan = explain_str(df, "simple")
+    assert "Window" in plan
+    assert "LeftSemi" in plan
+    assert count_shuffles(df) <= 4
