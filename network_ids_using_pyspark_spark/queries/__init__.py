@@ -58,6 +58,7 @@ from . import passages  # noqa: E402,F401
 from . import packing  # noqa: E402,F401
 from . import pyapi  # noqa: E402,F401
 from . import graph  # noqa: E402,F401
+from . import trainprep  # noqa: E402,F401
 
 
 # The driver's correctness gate covers the FIRST 50 registry entries

@@ -1,0 +1,344 @@
+"""Training-run data preparation: ordering, curriculum, mixtures, budgets.
+
+The reference stops at train/test splitting (modelling.py:91-93's
+collect-then-isin split; ISAA_Review_3.ipynb:900's unseeded
+randomSplit).  A corpus engine feeding an actual training run needs the
+steps AFTER the corpus is clean: a deterministic global shuffle per
+epoch, difficulty binning for curricula, domain-mixture reweighting
+toward a target distribution, and hard token-budget apportionment
+across sources.  All four are deterministic (portable-hash or integer
+arithmetic) so every one carries a full DuckDB oracle — the same
+discipline as the sampling family (queries/sampling.py).
+
+Scale notes per query in the docstrings; none of these touches a
+global window over the corpus (the classic mistake — a 100 TB NTILE is
+a global sort).  Orderings are expressed as sort KEYS the writer can
+`repartitionByRange().sortWithinPartitions()` on; per-source relations
+are |sources|-bounded and free to window over.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..functions.numeric import dec_avg, dec_avg_sql
+from ..sources.tables import load_table
+from . import register
+
+_N_EPOCHS = 2
+_N_SHARDS = 32
+
+# the per-epoch salted portable hash, written out (the helper's fixed-
+# seed form can't splice a column into the salt)
+_EPOCH_KEY_SQL = (
+    "CAST(concat('0x', substring(md5(concat('epoch-', CAST(e.epoch AS VARCHAR), "
+    "'-', CAST(d.doc_id AS VARCHAR))), 1, 15)) AS BIGINT)"
+)
+
+_EPOCH_SQL = f"""
+SELECT d.doc_id, e.epoch,
+       {_EPOCH_KEY_SQL} AS order_key,
+       {_EPOCH_KEY_SQL} % {_N_SHARDS} AS shard
+FROM documents d
+CROSS JOIN (SELECT UNNEST(ARRAY[0, 1]) AS epoch) e
+"""
+
+
+@register("epoch_shuffle_order", _EPOCH_SQL)
+def q_epoch_shuffle_order(spark, sf_dir):
+    """Deterministic per-epoch global training order.
+
+    Each epoch gets an independent pseudo-random permutation: the sort
+    key is the portable 60-bit hash of the doc id salted with the epoch
+    number, and the shard is that key mod N.  No RNG state, no driver
+    round-trip, restart-safe: any executor can recompute any row's
+    position.
+
+    Scale plan: this is the 100 TB replacement for "orderBy(rand())"
+    (a global sort with non-reproducible keys): the writer lays the
+    epoch out with repartitionByRange(shard, order_key) +
+    sortWithinPartitions(order_key) — a range shuffle, not a total
+    order on the driver, and re-running any failed shard reproduces
+    identical bytes.  The query itself is map-side only (hash + mod per
+    row; the 2-row epoch dimension is a broadcast nested-loop fan-out)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    epochs = spark.range(_N_EPOCHS).select(F.col("id").cast("int").alias("epoch"))
+    out = d.crossJoin(F.broadcast(epochs))
+    salted = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("epoch-"),
+                    F.col("epoch").cast("string"),
+                    F.lit("-"),
+                    F.col("doc_id").cast("string"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return out.select(
+        "doc_id",
+        "epoch",
+        salted.alias("order_key"),
+        (salted % _N_SHARDS).alias("shard"),
+    )
+
+
+_N_BINS = 10
+
+_CURRICULUM_SQL = f"""
+SELECT bin,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       {dec_avg_sql('n_chars')} AS avg_chars,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM (
+  SELECT n_chars,
+         LEAST({_N_BINS} - 1,
+               CAST(FLOOR(LEAST(CAST(n_chars AS DOUBLE) / 500.0, 1.0)
+                          * {_N_BINS}) AS INTEGER)) AS bin
+  FROM documents
+)
+GROUP BY bin
+"""
+
+
+@register("curriculum_difficulty_bins", _CURRICULUM_SQL)
+def q_curriculum_difficulty_bins(spark, sf_dir):
+    """Curriculum binning on a FIXED difficulty grid (length as the
+    difficulty proxy, capped at 500 chars → bins 0..9).
+
+    Deliberately NOT an NTILE: equal-population quantile bins need a
+    global sort (or an approx-percentile pre-pass) — at 100 TB a
+    fixed-grid bin is computed map-side per row with zero coordination,
+    and the trainer reads bins in order.  One tiny shuffle for the
+    10-row aggregate."""
+    d = load_table(spark, sf_dir, "documents")
+    frac = F.least(F.col("n_chars").cast("double") / 500.0, F.lit(1.0))
+    bin_ = F.least(
+        F.lit(_N_BINS - 1), F.floor(frac * _N_BINS).cast("int")
+    ).alias("bin")
+    return (
+        d.select(bin_, "n_chars")
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            dec_avg("n_chars").alias("avg_chars"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+    )
+
+
+_MIX_SQL = """
+WITH per_src AS (
+  SELECT source, CAST(SUM(n_chars) AS BIGINT) AS src_chars,
+         CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY source
+),
+tot AS (SELECT SUM(src_chars) AS total_chars, COUNT(*) AS n_sources FROM per_src)
+SELECT p.source, p.n_docs, p.src_chars,
+       CAST(p.src_chars AS DOUBLE) / CAST(t.total_chars AS DOUBLE) AS actual_share,
+       (CAST(t.total_chars AS DOUBLE) / CAST(t.n_sources AS DOUBLE))
+         / CAST(p.src_chars AS DOUBLE) AS mix_weight
+FROM per_src p, tot t
+"""
+
+
+@register("domain_mixture_weights", _MIX_SQL)
+def q_domain_mixture_weights(spark, sf_dir):
+    """Domain-mixture reweighting toward a target distribution (uniform
+    over sources here; any literal target map drops in the same way):
+    per-source sampling weight = target_share / actual_share, the
+    multiplier a weighted sampler applies to hit the target mix.
+
+    Scale plan: ONE source-keyed aggregate with map-side partial sums
+    (char counts are exact BIGINTs); the global total is a WINDOW SUM
+    over the |sources|-bounded aggregate — NOT a broadcast of a
+    re-aggregated branch, which would re-plan the whole subtree and
+    scan the 100 TB corpus twice (the scan is the dominant cost; the
+    window's single-partition exchange moves ~20 rows).  The
+    shares/weights are single double divides of identical integers on
+    both engines — bit-stable.  This is the static half of a
+    DoReMi-style mixture pipeline: downstream, `weighted_doc_sample`
+    (queries/sampling.py) consumes exactly these weights."""
+    d = load_table(spark, sf_dir, "documents")
+    per_src = d.groupBy("source").agg(
+        F.sum("n_chars").cast("bigint").alias("src_chars"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    w = Window.partitionBy()  # |sources| rows — a dim-sized window, not a corpus one
+    return per_src.withColumn("total_chars", F.sum("src_chars").over(w)).withColumn(
+        "n_sources", F.count(F.lit(1)).over(w)
+    ).select(
+        "source",
+        "n_docs",
+        "src_chars",
+        (F.col("src_chars").cast("double") / F.col("total_chars").cast("double")).alias(
+            "actual_share"
+        ),
+        (
+            (F.col("total_chars").cast("double") / F.col("n_sources").cast("double"))
+            / F.col("src_chars").cast("double")
+        ).alias("mix_weight"),
+    )
+
+
+_BUDGET = 100_000
+
+_BUDGET_SQL = f"""
+WITH per_src AS (
+  SELECT source, CAST(SUM(n_chars) AS BIGINT) AS src_chars
+  FROM documents GROUP BY source
+),
+tot AS (SELECT SUM(src_chars) AS total_chars FROM per_src),
+quota AS (
+  SELECT p.source, p.src_chars,
+         ({_BUDGET} * p.src_chars) // t.total_chars AS base_quota,
+         ({_BUDGET} * p.src_chars) % t.total_chars AS remainder_key
+  FROM per_src p, tot t
+),
+ranked AS (
+  SELECT source, src_chars, base_quota,
+         ROW_NUMBER() OVER (ORDER BY remainder_key DESC, source ASC) AS rk
+  FROM quota
+),
+short AS (SELECT {_BUDGET} - SUM(base_quota) AS missing FROM ranked)
+SELECT r.source, r.src_chars,
+       CAST(r.base_quota + CASE WHEN r.rk <= s.missing THEN 1 ELSE 0 END AS BIGINT)
+         AS token_quota
+FROM ranked r, short s
+"""
+
+
+@register("token_budget_allocation", _BUDGET_SQL)
+def q_token_budget_allocation(spark, sf_dir):
+    """Hard token-budget apportionment across sources by the
+    largest-remainder method: integer base quotas proportional to each
+    source's char mass, then the rounding shortfall distributed to the
+    largest fractional remainders (ties broken by source name).
+    Quotas sum to the budget EXACTLY — the property samplers need and
+    naive per-source rounding silently violates.
+
+    Scale plan: pure integer arithmetic on the |sources|-bounded
+    aggregate — the corpus is scanned ONCE by the source-keyed
+    map-side-combined sum; the grand total, the remainder ranking, and
+    the shortfall are all windows over that same ≤|sources|-row
+    relation (re-aggregating branches would re-scan the corpus per
+    branch — the window form keeps one FileScan in the whole plan).
+    Dim-sized global windows are explicitly fine at 100 TB — it is the
+    CORPUS that must never see one."""
+    d = load_table(spark, sf_dir, "documents")
+    per_src = d.groupBy("source").agg(F.sum("n_chars").cast("bigint").alias("src_chars"))
+    w_all = Window.partitionBy()
+    quota = per_src.withColumn("total_chars", F.sum("src_chars").over(w_all)).select(
+        "source",
+        "src_chars",
+        F.floor(F.lit(_BUDGET) * F.col("src_chars") / F.col("total_chars")).alias(
+            "base_quota"
+        ),
+        ((F.lit(_BUDGET) * F.col("src_chars")) % F.col("total_chars")).alias(
+            "remainder_key"
+        ),
+    )
+    w = Window.orderBy(F.desc("remainder_key"), F.asc("source"))
+    ranked = quota.withColumn("rk", F.row_number().over(w)).withColumn(
+        "missing", F.lit(_BUDGET) - F.sum("base_quota").over(w_all)
+    )
+    return ranked.select(
+        "source",
+        "src_chars",
+        (
+            F.col("base_quota")
+            + F.when(F.col("rk") <= F.col("missing"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("token_quota"),
+    )
+
+
+_EVAL_LABEL = 9
+# 0.95 is the production paraphrase threshold; the fixture's random
+# 64-dim embeddings top out at cosine ~0.47 cross-label, so the gate
+# uses 0.40 to keep the flag column discriminating (same reasoning as
+# embedding_near_dup's de-vacuified NEAR_DUP_T — a report that can only
+# ever emit zeros certifies nothing)
+_SEM_T = 0.40
+
+_COS_SQL = (
+    "(list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a})) * "
+    "sqrt(list_dot_product({b}, {b}))))"
+)
+
+_SEMANTIC_SQL = f"""
+WITH eval_set AS (
+  SELECT vec_id AS eval_id, CAST(embedding AS DOUBLE[]) AS ev
+  FROM embeddings WHERE label = {_EVAL_LABEL}
+),
+corpus AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings WHERE label <> {_EVAL_LABEL}
+),
+sims AS (
+  SELECT c.vec_id, c.label,
+         MAX({_COS_SQL.format(a='c.cv', b='e.ev')}) AS max_sim
+  FROM corpus c CROSS JOIN eval_set e
+  GROUP BY c.vec_id, c.label
+)
+SELECT label,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(SUM(CASE WHEN max_sim >= {_SEM_T} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_contaminated,
+       MAX(max_sim) AS max_sim
+FROM sims
+GROUP BY label
+"""
+
+
+@register("semantic_decontam_report", _SEMANTIC_SQL)
+def q_semantic_decontam_report(spark, sf_dir):
+    """Embedding-space decontamination: per corpus label, how many
+    vectors sit within cosine {_SEM_T} of ANY eval-benchmark vector
+    (label {_EVAL_LABEL} plays the benchmark).  The semantic sibling of
+    the n-gram `decontam_overlap_report` — n-gram overlap misses
+    paraphrased leakage; embedding similarity catches it.
+
+    Scale plan: the eval set is benchmark-sized (thousands, not corpus-
+    sized) so it BROADCASTS and the corpus streams past it map-side —
+    a broadcast nested-loop whose cost is |corpus|×|eval| dot products
+    with no shuffle of the corpus; the only exchange is the final
+    per-label aggregate.  When the eval set outgrows broadcast, the
+    sign-LSH band path (operators/similarity.py) drops in as the
+    candidate generator — same contract as `cosine_topk` vs
+    `cosine_topk_lsh`.  The max-cosine fold is order-independent
+    (MAX of identical doubles), so the report is oracle-exact."""
+    from ..operators.similarity import dot
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    to_d = lambda c: F.transform(F.col(c), lambda x: x.cast("double"))  # noqa: E731
+    ev = (
+        emb.filter(F.col("label") == _EVAL_LABEL)
+        .select(F.col("vec_id").alias("eval_id"), to_d("embedding").alias("ev"))
+    )
+    corpus = emb.filter(F.col("label") != _EVAL_LABEL).select(
+        "vec_id", "label", to_d("embedding").alias("cv")
+    )
+    cos = dot(F.col("cv"), F.col("ev")) / (
+        F.sqrt(dot(F.col("cv"), F.col("cv"))) * F.sqrt(dot(F.col("ev"), F.col("ev")))
+    )
+    sims = (
+        corpus.crossJoin(F.broadcast(ev))
+        .select("vec_id", "label", cos.alias("sim"))
+        .groupBy("vec_id", "label")
+        .agg(F.max("sim").alias("max_sim"))
+    )
+    return sims.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum(F.when(F.col("max_sim") >= _SEM_T, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_contaminated"),
+        F.max("max_sim").alias("max_sim"),
+    )

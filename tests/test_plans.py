@@ -397,3 +397,43 @@ def test_q20_dominance_window_no_join_back(spark):
     assert "Window" in plan
     assert "LeftSemi" in plan
     assert count_shuffles(df) <= 4
+
+
+def test_epoch_shuffle_is_map_side(spark):
+    # the per-epoch training order must be pure projection (hash + mod
+    # per row, epoch dim fanned out by broadcast) — zero exchanges, no
+    # global sort, no Window
+    df = _df(spark, "epoch_shuffle_order")
+    plan = explain_str(df, "simple")
+    assert count_shuffles(df) == 0
+    assert "Window" not in plan and "Sort" not in plan
+
+
+def test_curriculum_bins_no_global_window(spark):
+    # fixed-grid binning: one tiny aggregate exchange, never an NTILE
+    # (a corpus-wide NTILE would be a global sort at 100 TB)
+    df = _df(spark, "curriculum_difficulty_bins")
+    plan = explain_str(df, "simple")
+    assert count_shuffles(df) == 1
+    assert "Window" not in plan
+
+
+def test_semantic_decontam_broadcasts_eval_set(spark):
+    # the eval set must broadcast (corpus streams map-side past it);
+    # the corpus itself is only exchanged by the two aggregates
+    df = _df(spark, "semantic_decontam_report")
+    plan = explain_str(df, "simple")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert count_shuffles(df) <= 2
+    assert "BatchEvalPython" not in plan  # dot product is JVM expressions
+
+
+def test_mixture_and_budget_corpus_touched_once(spark):
+    # everything after the source-keyed corpus aggregate runs on the
+    # |sources|-bounded relation; the window in the budget query
+    # orders ≤|sources| rows, never the corpus
+    for name in ("domain_mixture_weights", "token_budget_allocation"):
+        df = _df(spark, name)
+        plan = explain_str(df, "simple")
+        assert plan.count("FileScan") == 1, name  # totals via window, no re-scan branch
+        assert "BatchEvalPython" not in plan, name
