@@ -124,3 +124,119 @@ def q_recursive_bfs_reachability(spark, sf_dir):
       ) d
       GROUP BY first_depth
     """)
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting (degree-ordered orientation) over the part co-purchase
+# graph.  The customer–supplier trade graph is bipartite (no triangles), so
+# the unipartite projection is parts-co-ordered-together: an edge per
+# distinct part pair within an order — bounded by basket size per order
+# (pairs/order = lines²/2, a constant), NOT by corpus size, so the edge
+# build is linear in lineitem at any SF.
+# ---------------------------------------------------------------------------
+
+_TRI_SQL = """
+WITH pairs AS (
+  SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+  FROM lineitem a
+  JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+  FROM (SELECT p1 AS node FROM pairs UNION ALL SELECT p2 AS node FROM pairs)
+  GROUP BY node
+),
+oriented AS (
+  SELECT CASE WHEN (d1.d < d2.d) OR (d1.d = d2.d AND e.p1 < e.p2)
+              THEN e.p1 ELSE e.p2 END AS src,
+         CASE WHEN (d1.d < d2.d) OR (d1.d = d2.d AND e.p1 < e.p2)
+              THEN e.p2 ELSE e.p1 END AS dst
+  FROM pairs e
+  JOIN deg d1 ON e.p1 = d1.node
+  JOIN deg d2 ON e.p2 = d2.node
+),
+tri AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+  FROM oriented e1
+  JOIN oriented e2 ON e1.dst = e2.src
+  JOIN oriented e3 ON e3.src = e1.src AND e3.dst = e2.dst
+),
+wedge AS (
+  SELECT CAST(SUM((d * (d - 1)) // 2) AS BIGINT) AS n_wedges FROM deg
+)
+SELECT t.n_triangles, w.n_wedges,
+       3.0 * CAST(t.n_triangles AS DOUBLE) / CAST(w.n_wedges AS DOUBLE)
+         AS clustering_coeff
+FROM tri t, wedge w
+"""
+
+
+@register("triangle_count_copurchase", _TRI_SQL)
+def q_triangle_count_copurchase(spark, sf_dir):
+    """Global triangle count + clustering coefficient of the part
+    co-purchase graph, by degree-ordered orientation.
+
+    The naive triangle join explodes on hub nodes (a degree-d node
+    contributes O(d²) wedge rows).  Orienting every edge from the
+    lower-(degree, id) endpoint to the higher bounds each node's
+    out-degree by O(√m) — the standard bound — so the wedge join
+    (e1.dst = e2.src) is skew-safe: hub nodes have high IN-degree but
+    small OUT-degree, and the wedge count is Σ outdeg² which the
+    orientation minimizes.  Each triangle is counted exactly once (its
+    unique orientation-ordered traversal), no /3 or /6 correction.
+
+    Scale plan: pair extraction shuffles lineitem once on orderkey and
+    emits basket-bounded pairs map-side; degrees are one aggregate;
+    the orientation is a projection; the wedge join shuffles oriented
+    edges on (dst=src); the closing-edge check is a semi-shaped equi-
+    join on the (src, dst) composite.  All integer arithmetic — the
+    coefficient is one double divide of two exact BIGINTs."""
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = l.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p1"))
+    b = l.select(F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("p2"))
+    pairs = (
+        a.join(b, (F.col("ok") == F.col("ok2")) & (F.col("p1") < F.col("p2")))
+        .select("p1", "p2")
+        .distinct()
+    )
+    deg = (
+        pairs.select(F.col("p1").alias("node"))
+        .unionAll(pairs.select(F.col("p2").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    d1 = deg.select(F.col("node").alias("n1"), F.col("d").alias("dg1"))
+    d2 = deg.select(F.col("node").alias("n2"), F.col("d").alias("dg2"))
+    fwd = (F.col("dg1") < F.col("dg2")) | (
+        (F.col("dg1") == F.col("dg2")) & (F.col("p1") < F.col("p2"))
+    )
+    oriented = (
+        pairs.join(d1, F.col("p1") == F.col("n1"))
+        .join(d2, F.col("p2") == F.col("n2"))
+        .select(
+            F.when(fwd, F.col("p1")).otherwise(F.col("p2")).alias("src"),
+            F.when(fwd, F.col("p2")).otherwise(F.col("p1")).alias("dst"),
+        )
+    )
+    e1 = oriented
+    e2 = oriented.select(F.col("src").alias("src2"), F.col("dst").alias("dst2"))
+    e3 = oriented.select(F.col("src").alias("src3"), F.col("dst").alias("dst3"))
+    tri = (
+        e1.join(e2, e1.dst == F.col("src2"))
+        .join(e3, (e1.src == F.col("src3")) & (F.col("dst2") == F.col("dst3")), "left_semi")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    # integer division end-to-end: at 100 TB wedge counts can pass 2^53,
+    # where a double-typed intermediate silently loses exactness
+    wedges = deg.agg(
+        F.sum(F.expr("(d * (d - 1)) div 2")).alias("n_wedges")
+    )
+    return tri.crossJoin(F.broadcast(wedges)).select(
+        "n_triangles",
+        "n_wedges",
+        (
+            F.lit(3.0)
+            * F.col("n_triangles").cast("double")
+            / F.col("n_wedges").cast("double")
+        ).alias("clustering_coeff"),
+    )
