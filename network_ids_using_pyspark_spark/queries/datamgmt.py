@@ -616,3 +616,132 @@ def q_dynamic_partition_pruning_join(spark, sf_dir):
             F.sum(F.col("l_quantity").cast("decimal(30,6)")).cast("double").alias("sum_qty"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Governance ops: deterministic pseudonymization + constraint quarantine.
+# ---------------------------------------------------------------------------
+
+_PSEUDO_SALT = "tenant-42"
+
+_PSEUDO_SQL = f"""
+WITH pseudo AS (
+  SELECT md5(concat('{_PSEUDO_SALT}', CAST(user_id AS VARCHAR))) AS pseudo_id,
+         event_type, value
+  FROM events
+)
+SELECT pseudo_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+       {{dec_sum}} AS total_value
+FROM pseudo
+GROUP BY pseudo_id
+ORDER BY n_events DESC, pseudo_id ASC
+LIMIT 25
+""".format(dec_sum=dec_sum_sql("value"))
+
+
+@register("pseudonymize_user_activity", _PSEUDO_SQL)
+def q_pseudonymize_user_activity(spark, sf_dir):
+    """Deterministic pseudonymization for training-data release: the
+    raw user id is replaced by a salted one-way hash BEFORE any
+    aggregation, and all downstream grouping runs on the pseudonym —
+    proving referential integrity survives the mapping (same user →
+    same pseudonym everywhere, so joins/sessionization over released
+    data still line up) while the raw id never appears in the output.
+
+    Scale plan: the pseudonym is one map-side md5 per row (whole-stage
+    codegen, no lookup table to build, ship, or secure — contrast a
+    mapping-table design, which is itself re-identification material
+    and a 100 TB join); the aggregate shuffles on the pseudonym with
+    the same uniformity as the raw key (hashing can't worsen skew);
+    top-k is TakeOrderedAndProject.  Salt rotation = re-keying the
+    whole release deterministically."""
+    e = load_table(spark, sf_dir, "events")
+    pseudo = e.select(
+        F.md5(F.concat(F.lit(_PSEUDO_SALT), F.col("user_id").cast("string"))).alias(
+            "pseudo_id"
+        ),
+        "event_type",
+        "value",
+    )
+    from ..functions.numeric import dec_sum
+
+    return (
+        pseudo.groupBy("pseudo_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("event_type").cast("bigint").alias("n_types"),
+            dec_sum("value").alias("total_value"),
+        )
+        .orderBy(F.desc("n_events"), F.asc("pseudo_id"))
+        .limit(25)
+    )
+
+
+# the contract enum deliberately EXCLUDES 'error' (tombstone rows are
+# CDC control traffic, not admissible corpus records — see
+# cdc_apply_latest), and caps value at 400 (the declared sensor range);
+# both rules fire on the fixture, so the report's counts discriminate
+_VALID_TYPES = ("click", "view", "purchase", "signup")
+_VALUE_CAP = 400.0
+
+_QUARANTINE_SQL = f"""
+SELECT
+  CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(SUM(CASE WHEN value IS NULL OR isnan(value) OR value < 0
+                  OR value > {_VALUE_CAP}
+           THEN 1 ELSE 0 END) AS BIGINT) AS bad_value,
+  CAST(SUM(CASE WHEN event_type NOT IN {_VALID_TYPES!r}
+           THEN 1 ELSE 0 END) AS BIGINT) AS bad_type,
+  CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS bad_ts,
+  CAST(SUM(CASE WHEN props IS NULL OR json_valid(props) THEN 0 ELSE 1 END)
+       AS BIGINT) AS bad_props,
+  CAST(SUM(CASE WHEN (value IS NULL OR isnan(value) OR value < 0
+                        OR value > {_VALUE_CAP})
+                  OR event_type NOT IN {_VALID_TYPES!r}
+                  OR ts IS NULL
+                  OR (props IS NOT NULL AND NOT json_valid(props))
+           THEN 1 ELSE 0 END) AS BIGINT) AS quarantined
+FROM events
+"""
+
+
+@register("constraint_quarantine_report", _QUARANTINE_SQL)
+def q_constraint_quarantine_report(spark, sf_dir):
+    """Schema-contract enforcement: per-rule violation counts plus the
+    quarantine total (rows failing ANY rule) — the admission gate a
+    pipeline applies before letting a batch into the corpus, with the
+    per-rule breakdown telling the producer what to fix.
+
+    Rules: value non-null/non-NaN/in [0, 400], event_type in the
+    declared enum (tombstones excluded — control traffic is not
+    corpus data), ts present, props either null or valid JSON.
+
+    Scale plan: every rule is a map-side boolean over built-in
+    expressions (try-parse JSON included — no UDF), folded by ONE
+    1-row aggregate; the quarantine split itself (`filter(cond)` /
+    `filter(~cond)`) reuses the same predicates with full pushdown.
+    Adding a rule is adding a column expression, not a pass."""
+    e = load_table(spark, sf_dir, "events")
+    bad_value = (
+        F.col("value").isNull()
+        | F.isnan("value")
+        | (F.col("value") < 0)
+        | (F.col("value") > _VALUE_CAP)
+    )
+    bad_type = ~F.col("event_type").isin(*_VALID_TYPES)
+    bad_ts = F.col("ts").isNull()
+    # props invalid iff present and not parseable: try_parse_json gives
+    # NULL on malformed input (Spark 4's try_ family, JVM-side)
+    bad_props = F.col("props").isNotNull() & F.try_parse_json("props").isNull()
+    any_bad = bad_value | bad_type | bad_ts | bad_props
+    as_cnt = lambda c, n: F.sum(F.when(c, 1).otherwise(0)).cast("bigint").alias(n)  # noqa: E731
+    return e.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        as_cnt(bad_value, "bad_value"),
+        as_cnt(bad_type, "bad_type"),
+        as_cnt(bad_ts, "bad_ts"),
+        as_cnt(bad_props, "bad_props"),
+        as_cnt(any_bad, "quarantined"),
+    )

@@ -265,3 +265,78 @@ def q_stream_recordlog_ingest(spark, sf_dir):
         F.sum("n").cast("long").alias("n_records"),
         F.count(F.lit(1)).alias("n_distinct_payloads"),
     )
+
+
+_JSONL_SCAN_SQL = """
+SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS n_chars,
+       md5(text) AS content_md5
+FROM documents
+WHERE doc_id % 13 = 0 AND length(trim(text)) > 0
+"""
+
+
+@register("jsonl_scan_profile", _JSONL_SCAN_SQL)
+def q_jsonl_scan_profile(spark, sf_dir):
+    """JSON-lines source round-trip: a deterministic document subset is
+    written as newline-delimited JSON and scanned back with a PINNED
+    schema (no inferSchema discovery pass — the ban applies to every
+    ingest format, modelling.py:50); the md5 fingerprint certifies
+    JSON string-escaping fidelity (quotes, backslashes, non-ASCII)
+    through the full encode→decode loop against the oracle's view of
+    the source table.
+
+    Scale: JSONL is line-splittable, so the scan parallelizes per
+    block like CSV; the pinned schema keeps the reader single-pass and
+    projection-pruned (only the requested fields are parsed)."""
+    json_dir = f"/tmp/nids_jsonl_docs_{_sf_tag(sf_dir)}"
+    docs = load_table(spark, sf_dir, "documents")
+    sub = docs.filter(
+        ((F.col("doc_id") % 13) == 0) & (F.length(F.trim("text")) > 0)
+    ).select("doc_id", "lang", "text")
+    sub.write.mode("overwrite").json(json_dir)
+    back = (
+        spark.read.schema("doc_id long, lang string, text string").json(json_dir)
+    )
+    return back.select(
+        "doc_id",
+        "lang",
+        F.length("text").cast("long").alias("n_chars"),
+        F.md5("text").alias("content_md5"),
+    )
+
+
+_ORC_SCAN_SQL = """
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_distinct
+FROM documents
+WHERE doc_id % 3 = 0
+GROUP BY lang
+"""
+
+
+@register("orc_scan_profile", _ORC_SCAN_SQL)
+def q_orc_scan_profile(spark, sf_dir):
+    """ORC source round-trip: the second columnar format beside
+    parquet, exercised write→scan→aggregate with predicate pushdown
+    intact (ORC carries row-group min/max stats like parquet, so the
+    same PushedFilters machinery applies — certified in
+    tests/test_sources.py).
+
+    Scale: columnar + splittable + stats-pruned — operationally
+    interchangeable with parquet; this query certifies that nothing in
+    the engine is parquet-specific."""
+    orc_dir = f"/tmp/nids_orc_docs_{_sf_tag(sf_dir)}"
+    docs = load_table(spark, sf_dir, "documents")
+    sub = docs.filter((F.col("doc_id") % 3) == 0).select(
+        "doc_id", "lang", "text", "n_chars"
+    )
+    sub.write.mode("overwrite").orc(orc_dir)
+    back = spark.read.schema("doc_id long, lang string, text string, n_chars long").orc(
+        orc_dir
+    )
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.countDistinct(F.md5("text")).cast("bigint").alias("n_distinct"),
+    )

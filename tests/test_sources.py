@@ -276,3 +276,36 @@ def test_recordlog_api_writer_roundtrip(spark, tmp_path):
 
     with _pytest.raises(Exception, match="append-only|overwrite"):
         df.write.format("recordlog").option("path", dst).mode("overwrite").save()
+
+
+def test_orc_roundtrip_pushdown(spark, tmp_path):
+    """ORC must behave like parquet: schema-pinned scan, predicate
+    pushdown visible in the plan, values identical through the loop."""
+    from pyspark.sql import functions as F
+
+    from network_ids_using_pyspark_spark.plans.inspect import explain_str
+
+    dst = str(tmp_path / "orc")
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") * 2).alias("v"), F.md5(F.col("id").cast("string")).alias("h")
+    )
+    df.write.mode("overwrite").orc(dst)
+    back = spark.read.schema("id long, v long, h string").orc(dst).filter(F.col("v") > 100)
+    plan = explain_str(back, "formatted")
+    assert "PushedFilters: [IsNotNull(v), GreaterThan(v,100)]" in plan or "GreaterThan(v,100)" in plan
+    assert back.count() == 49
+    assert back.agg(F.sum("v")).collect()[0][0] == sum(2 * i for i in range(51, 100))
+
+
+def test_jsonl_escaping_fidelity(spark, tmp_path):
+    """JSON round-trip must preserve quotes/backslashes/newlines/unicode
+    exactly (the md5 profile query depends on it)."""
+    from pyspark.sql import functions as F
+
+    nasty = ['say "hi"', "back\\slash", "tab\tsep", "unié中", "nl\nline"]
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(nasty)], "doc_id long, text string")
+    dst = str(tmp_path / "jsonl")
+    df.write.mode("overwrite").json(dst)
+    back = spark.read.schema("doc_id long, text string").json(dst)
+    got = {r["doc_id"]: r["text"] for r in back.collect()}
+    assert got == {i: s for i, s in enumerate(nasty)}
