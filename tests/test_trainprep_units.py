@@ -19,10 +19,11 @@ def test_triangle_count_matches_brute_force(spark):
     con = duckdb.connect()
     edges = con.execute(
         f"""
-        SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+        SELECT a.l_partkey AS p1, b.l_partkey AS p2
         FROM read_parquet('{SF_DIR}/lineitem.parquet') a
         JOIN read_parquet('{SF_DIR}/lineitem.parquet') b
           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2
         """
     ).fetchall()
     adj: dict[int, set[int]] = {}
