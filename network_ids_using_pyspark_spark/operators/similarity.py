@@ -40,6 +40,14 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+def _cosine_pre(a: Column, b: Column, an: Column, bn: Column) -> Column:
+    """Cosine with per-ROW precomputed norms: the pair loop does one
+    array fold instead of three.  Bit-identical to :func:`cosine` —
+    same fold on the same doubles, just not recomputed per pair — so
+    oracles written against the naive form still hash-match."""
+    return dot(a, b) / (an * bn)
+
+
 def cosine_topk(
     queries: DataFrame,
     candidates: DataFrame,
@@ -55,9 +63,15 @@ def cosine_topk(
     query side is broadcast; ranking uses (sim DESC, cand id ASC) so the
     result is a total order — deterministic under any partitioning.
     """
-    j = candidates.crossJoin(F.broadcast(queries)).filter(F.col(q_id) != F.col(c_id))
+    q = queries.withColumn("__qn", l2_norm(F.col(q_vec)))
+    c = candidates.withColumn("__cn", l2_norm(F.col(c_vec)))
+    j = c.crossJoin(F.broadcast(q)).filter(F.col(q_id) != F.col(c_id))
     sims = j.select(
-        q_id, c_id, cosine(F.col(q_vec), F.col(c_vec)).alias("sim")
+        q_id,
+        c_id,
+        _cosine_pre(
+            F.col(q_vec), F.col(c_vec), F.col("__qn"), F.col("__cn")
+        ).alias("sim"),
     )
     w = Window.partitionBy(q_id).orderBy(F.desc("sim"), F.asc(c_id))
     return sims.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
@@ -112,8 +126,14 @@ def cosine_topk_lsh(
             *[F.col("code").bitwiseXOR(F.lit(1 << b)) for b in range(len(hyperplanes))],
         )
     q = q.select("*", F.explode(probes).alias("bucket")).drop("code")
+    q = q.withColumn("__qn", l2_norm(F.col(q_vec)))
+    c = c.withColumn("__cn", l2_norm(F.col(c_vec)))
     j = c.join(F.broadcast(q), on="bucket").filter(F.col(q_id) != F.col(c_id))
-    sims = j.select(q_id, c_id, cosine(F.col(q_vec), F.col(c_vec)).alias("sim"))
+    sims = j.select(
+        q_id,
+        c_id,
+        _cosine_pre(F.col(q_vec), F.col(c_vec), F.col("__qn"), F.col("__cn")).alias("sim"),
+    )
     w = Window.partitionBy(q_id).orderBy(F.desc("sim"), F.asc(c_id))
     return sims.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
 
@@ -148,27 +168,46 @@ def cosine_topk_ivf(
     cents = (
         candidates.filter(F.col(c_id) < n_centroids)
         .select(F.col(c_id).alias("centroid_id"), F.col(c_vec).alias("cv"))
+        .withColumn("__cvn", l2_norm(F.col("cv")))
     )
+    cand = candidates.withColumn("__cn", l2_norm(F.col(c_vec)))
+    qry = queries.withColumn("__qn", l2_norm(F.col(q_vec)))
     # Inverted lists: each candidate → argmax-cosine centroid (ties → lowest id).
     w_assign = Window.partitionBy(c_id).orderBy(F.desc("csim"), F.asc("centroid_id"))
     assigned = (
-        candidates.crossJoin(F.broadcast(cents))
-        .select(c_id, c_vec, "centroid_id", cosine(F.col(c_vec), F.col("cv")).alias("csim"))
+        cand.crossJoin(F.broadcast(cents))
+        .select(
+            c_id,
+            c_vec,
+            "__cn",
+            "centroid_id",
+            _cosine_pre(F.col(c_vec), F.col("cv"), F.col("__cn"), F.col("__cvn")).alias("csim"),
+        )
         .withColumn("ark", F.row_number().over(w_assign))
         .filter(F.col("ark") == 1)
-        .select(c_id, c_vec, "centroid_id")
+        .select(c_id, c_vec, "__cn", "centroid_id")
     )
     # Probe lists: each query → its nprobe nearest centroids.
     w_probe = Window.partitionBy(q_id).orderBy(F.desc("qsim"), F.asc("centroid_id"))
     probes = (
-        queries.crossJoin(F.broadcast(cents))
-        .select(q_id, q_vec, "centroid_id", cosine(F.col(q_vec), F.col("cv")).alias("qsim"))
+        qry.crossJoin(F.broadcast(cents))
+        .select(
+            q_id,
+            q_vec,
+            "__qn",
+            "centroid_id",
+            _cosine_pre(F.col(q_vec), F.col("cv"), F.col("__qn"), F.col("__cvn")).alias("qsim"),
+        )
         .withColumn("prk", F.row_number().over(w_probe))
         .filter(F.col("prk") <= nprobe)
-        .select(q_id, q_vec, "centroid_id")
+        .select(q_id, q_vec, "__qn", "centroid_id")
     )
     j = assigned.join(F.broadcast(probes), on="centroid_id").filter(F.col(q_id) != F.col(c_id))
-    sims = j.select(q_id, c_id, cosine(F.col(q_vec), F.col(c_vec)).alias("sim"))
+    sims = j.select(
+        q_id,
+        c_id,
+        _cosine_pre(F.col(q_vec), F.col(c_vec), F.col("__qn"), F.col("__cn")).alias("sim"),
+    )
     w = Window.partitionBy(q_id).orderBy(F.desc("sim"), F.asc(c_id))
     return sims.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
 

@@ -273,18 +273,26 @@ _COS_SQL = (
     "sqrt(list_dot_product({b}, {b}))))"
 )
 
+# norms are precomputed per ROW, not per pair — the pair loop then does
+# ONE array fold (the cross dot) instead of three; the sqrt/divide are
+# identical IEEE ops on identical doubles in both engines, so the
+# comparison stays bit-exact
 _SEMANTIC_SQL = f"""
 WITH eval_set AS (
-  SELECT vec_id AS eval_id, CAST(embedding AS DOUBLE[]) AS ev
+  SELECT vec_id AS eval_id, CAST(embedding AS DOUBLE[]) AS ev,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                               CAST(embedding AS DOUBLE[]))) AS en
   FROM embeddings WHERE label = {_EVAL_LABEL}
 ),
 corpus AS (
-  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS cv
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS cv,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                               CAST(embedding AS DOUBLE[]))) AS cn
   FROM embeddings WHERE label <> {_EVAL_LABEL}
 ),
 sims AS (
   SELECT c.vec_id, c.label,
-         MAX({_COS_SQL.format(a='c.cv', b='e.ev')}) AS max_sim
+         MAX(list_dot_product(c.cv, e.ev) / (c.cn * e.en)) AS max_sim
   FROM corpus c CROSS JOIN eval_set e
   GROUP BY c.vec_id, c.label
 )
@@ -315,20 +323,22 @@ def q_semantic_decontam_report(spark, sf_dir):
     candidate generator — same contract as `cosine_topk` vs
     `cosine_topk_lsh`.  The max-cosine fold is order-independent
     (MAX of identical doubles), so the report is oracle-exact."""
-    from ..operators.similarity import dot
+    from ..operators.similarity import dot, l2_norm
 
     emb = load_table(spark, sf_dir, "embeddings")
     to_d = lambda c: F.transform(F.col(c), lambda x: x.cast("double"))  # noqa: E731
     ev = (
         emb.filter(F.col("label") == _EVAL_LABEL)
         .select(F.col("vec_id").alias("eval_id"), to_d("embedding").alias("ev"))
+        .withColumn("en", l2_norm(F.col("ev")))
     )
-    corpus = emb.filter(F.col("label") != _EVAL_LABEL).select(
-        "vec_id", "label", to_d("embedding").alias("cv")
+    corpus = (
+        emb.filter(F.col("label") != _EVAL_LABEL)
+        .select("vec_id", "label", to_d("embedding").alias("cv"))
+        .withColumn("cn", l2_norm(F.col("cv")))
     )
-    cos = dot(F.col("cv"), F.col("ev")) / (
-        F.sqrt(dot(F.col("cv"), F.col("cv"))) * F.sqrt(dot(F.col("ev"), F.col("ev")))
-    )
+    # one fold per pair; norms were folded once per row above
+    cos = dot(F.col("cv"), F.col("ev")) / (F.col("cn") * F.col("en"))
     sims = (
         corpus.crossJoin(F.broadcast(ev))
         .select("vec_id", "label", cos.alias("sim"))
