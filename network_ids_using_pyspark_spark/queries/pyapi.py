@@ -6,6 +6,8 @@ the bit-exact standard, not grandfathered)."""
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf resolves stringified type hints here
+
 from pyspark.sql import functions as F
 
 from ..functions.numeric import dec_sum_sql
@@ -343,4 +345,61 @@ def q_parameterized_sql_top_priorities(spark, sf_dir):
         args={"seg": _PARAM_SEG, "k": _PARAM_K},
         orders=orders,
         customer=customer,
+    )
+
+
+# ---------------------------------------------------------------------------
+# GROUPED_AGG pandas UDF: the vectorized custom-aggregate surface —
+# one Arrow batch per group in, one scalar out, usable inside
+# groupBy().agg() beside built-ins.  Completes the Python UDF matrix
+# (scalar pandas_udf, grouped-map applyInPandas, cogroup, mapInPandas,
+# mapInArrow, UDTF are all certified elsewhere in this module/package).
+# ---------------------------------------------------------------------------
+
+_GROUPED_AGG_SQL = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       quantile_cont(value, 0.5) AS median_value
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("grouped_agg_udf_median", _GROUPED_AGG_SQL)
+def q_grouped_agg_udf_median(spark, sf_dir):
+    """Per-type median via a GROUPED_AGG ``pandas_udf`` inside an
+    ordinary ``agg()``.
+
+    The median is the one everyday aggregate Spark has no exact
+    distributed built-in for (``median``/``percentile`` exist but cost
+    a sort; ``approx_percentile`` is a sketch) — so it is the honest
+    showcase for the custom-aggregate escape hatch.  np.median's
+    midpoint average for even n is the same linear-interpolation rule
+    as DuckDB's ``quantile_cont(0.5)``, so the oracle comparison is
+    bit-exact with no quantization.
+
+    API caveat certified here: grouped-agg pandas UDFs cannot share an
+    ``agg()`` with JVM aggregates (INVALID_PANDAS_UDF_PLACEMENT), so
+    the row count is a second pandas aggregate — one Arrow transfer,
+    one plan node (ArrowAggregatePython) evaluating both.
+
+    Scale plan: Arrow-batched per group — each group's values stream to
+    ONE python worker call (state = the group's column, the same
+    distribution contract as any exact median); the groupBy shuffle is
+    identical to the built-in path's."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def exact_median(v: pd.Series) -> float:
+        return float(np.median(v.to_numpy()))
+
+    @pandas_udf("long")
+    def n_rows(v: pd.Series) -> int:
+        return int(len(v))
+
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        n_rows("value").alias("n"),
+        exact_median("value").alias("median_value"),
     )
