@@ -26,6 +26,7 @@ from ..ml.pipeline import (
 )
 from ..operators.sampling import anti_join_split, hash_sample
 from ..sources.synthetic import synth_flows
+from ..sources.tables import load_table
 from . import register
 
 
@@ -450,3 +451,105 @@ def q_ml_train_lr_binary(spark, sf_dir):
     )
     prepared.unpersist()
     return _metrics_df(spark, "lr_binary", {"auc_roc": auc, "accuracy": acc})
+
+
+@register("ml_train_als_implicit", None)
+def q_ml_train_als_implicit(spark, sf_dir):
+    """ALS collaborative filtering on the implicit customer→part
+    purchase matrix (quantity as confidence) — the recommender member
+    of the MLlib family, and the same factorization shape used for
+    embedding-table pretraining in retrieval pipelines.
+
+    Rows-only: the factor matrices come from a seeded but
+    partitioning-sensitive alternating solve, so cross-engine value
+    parity is not claimable; the metrics-floor contract lives in
+    tests/test_ml.py (train RMSE bound + factor dimensions).
+
+    Scale plan: ALS IS the 100 TB-native factorization — each sweep
+    solves per-user (then per-item) normal equations with only the
+    item (user) factor blocks it needs shuffled to it (block-to-block
+    joins on the rating graph's edges); `coldStartStrategy=drop` keeps
+    evaluation honest on held-out users.  Ratings build = one
+    orders⋈lineitem join pre-aggregated per (cust, part) BEFORE the
+    solver sees it."""
+    from pyspark.ml.evaluation import RegressionEvaluator
+    from pyspark.ml.recommendation import ALS
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey", "l_quantity")
+    ratings = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("o_custkey").cast("int").alias("user"),
+            F.col("l_partkey").cast("int").alias("item"),
+        )
+        .agg(F.sum("l_quantity").cast("float").alias("rating"))
+    ).cache()
+    train, test = ratings.randomSplit([0.8, 0.2], seed=42)
+    model = ALS(
+        userCol="user", itemCol="item", ratingCol="rating",
+        implicitPrefs=True, rank=8, maxIter=5, regParam=0.1, seed=42,
+        coldStartStrategy="drop",
+    ).fit(train)
+    preds = model.transform(test)
+    # implicit ALS predicts preference in [0,1]; evaluate ranking-ish by
+    # how far predictions sit from the 0/1 purchase indicator
+    rmse = RegressionEvaluator(
+        labelCol="ind", predictionCol="prediction", metricName="rmse"
+    ).evaluate(preds.withColumn("ind", F.lit(1.0)))
+    n_user_factors = model.userFactors.count()
+    n_item_factors = model.itemFactors.count()
+    ratings.unpersist()
+    return _metrics_df(
+        spark,
+        "als_implicit",
+        {
+            "rmse_vs_purchased": rmse,
+            "rank": float(model.rank),
+            "n_user_factors": float(n_user_factors),
+            "n_item_factors": float(n_item_factors),
+        },
+    )
+
+
+@register("mllib_fpgrowth_itemsets", None)
+def q_mllib_fpgrowth_itemsets(spark, sf_dir):
+    """FP-Growth frequent itemsets over order baskets (the parts of
+    each order) — MLlib's association-mining surface, the classic
+    market-basket complement to `triangle_count_copurchase`'s graph
+    view of the same co-occurrence structure.
+
+    Rows-only by declared contract (the FP-tree's conditional-pattern
+    recursion isn't SQL-expressible for arbitrary itemset size), but
+    the size-2 slice is independently verified against a brute-force
+    pair count in tests/test_trainprep_units.py — the same
+    support-counting semantics FP-Growth must reproduce.
+
+    Scale plan: MLlib's parallel FP-Growth (PFP) partitions the
+    conditional trees by item suffix, so no worker holds the global
+    tree; basket build is one orderkey-grouped collect_set (shuffle
+    keyed by a uniform PK).  Output is deterministic: itemsets
+    canonically sorted inside (array_sort) and ranked by
+    (freq DESC, items ASC)."""
+    from pyspark.ml.fpm import FPGrowth
+
+    o = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = o.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("items")
+    ).cache()
+    # ABSOLUTE support (≥2 baskets), expressed as the relative fraction
+    # FPGrowth wants: on a fixed item universe the co-occurrence counts
+    # don't grow with basket count (see triangle_count_copurchase's
+    # support analysis), so a fixed relative threshold goes vacuous as
+    # SF grows — 2/n is the scale-consistent "seen more than once".
+    n_baskets = baskets.count()
+    model = FPGrowth(
+        itemsCol="items", minSupport=2.0 / n_baskets, minConfidence=0.1
+    ).fit(baskets)
+    baskets.unpersist()
+    return (
+        model.freqItemsets.filter(F.size("items") >= 2)
+        .select(F.array_sort("items").alias("items"), F.col("freq").cast("long").alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("items"))
+        .limit(50)
+    )

@@ -352,3 +352,115 @@ def q_semantic_decontam_report(spark, sf_dir):
         .alias("n_contaminated"),
         F.max("max_sim").alias("max_sim"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance resampling weights (Xie et al. 2023, "Data
+# Selection for Language Models via Importance Resampling" — public
+# method): rank corpus docs by how target-like they are under hashed
+# unigram language models of a target slice vs the general corpus.
+# ---------------------------------------------------------------------------
+
+_DSIR_BUCKETS = 1024
+_DSIR_TARGET_LANG = "en"
+
+_DSIR_TOKS = r"regexp_split_to_array(trim(text), '\s+')"
+_DSIR_BUCKET = (
+    "(CAST(concat('0x', substring(md5(concat('dsir', tok)), 1, 15)) AS BIGINT)"
+    f" % {_DSIR_BUCKETS})"
+)
+
+_DSIR_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, lang, {_DSIR_BUCKET} AS b
+  FROM (SELECT doc_id, lang, unnest({_DSIR_TOKS}) AS tok FROM documents)
+),
+gen_n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM toks),
+tgt_n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM toks
+          WHERE lang = '{_DSIR_TARGET_LANG}'),
+gen_p AS (
+  SELECT b, (CAST(COUNT(*) AS DOUBLE) + 1.0)
+              / ((SELECT n FROM gen_n) + {_DSIR_BUCKETS}) AS p
+  FROM toks GROUP BY b
+),
+tgt_c AS (
+  SELECT b, CAST(COUNT(*) AS DOUBLE) AS c FROM toks
+  WHERE lang = '{_DSIR_TARGET_LANG}' GROUP BY b
+),
+scored AS (
+  SELECT t.doc_id,
+         round(log2((COALESCE(tc.c, 0.0) + 1.0)
+                    / ((SELECT n FROM tgt_n) + {_DSIR_BUCKETS})), 6)
+           - round(log2(g.p), 6) AS lr
+  FROM toks t
+  JOIN gen_p g ON t.b = g.b
+  LEFT JOIN tgt_c tc ON t.b = tc.b
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       (CAST(CAST(SUM(CAST(lr AS DECIMAL(30, 6))) AS VARCHAR) AS DOUBLE)
+          / COUNT(*)) AS mean_log2_weight
+FROM scored
+GROUP BY doc_id
+"""
+
+
+@register("dsir_importance_weights", _DSIR_SQL)
+def q_dsir_importance_weights(spark, sf_dir):
+    """Per-doc importance weight log2[p_target(doc)/p_general(doc)]
+    under add-1-smoothed HASHED unigram models ({_DSIR_BUCKETS}
+    buckets) — the DSIR recipe: a high-mean-weight doc looks more like
+    the target slice (here lang='{_DSIR_TARGET_LANG}') than like the
+    general corpus, and resampling by these weights shifts the mixture
+    toward the target domain.  Hashing bounds the feature space, so
+    the model tables have a FIXED size regardless of corpus vocabulary.
+
+    Scale plan: one token explode feeds both model builds (bucket-keyed
+    aggregates over ≤{_DSIR_BUCKETS} rows each — broadcast back) and
+    the scoring join (bucket-keyed broadcast, doc-keyed final agg; the
+    token relation shuffles once on doc_id).  Cross-engine parity: the
+    same 1e-6-grid decimal-quantized-log discipline as
+    `unigram_surprisal_score` — each log2 is gridded BEFORE the
+    order-independent DECIMAL sum; only the final divide is float.
+    Cites DSIR (arXiv:2302.03169) for the method; all code original."""
+    from ..functions.hashing import portable_hash64
+    from ..operators.textops import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", F.explode(tokens("text")).alias("tok")
+    ).select(
+        "doc_id",
+        "lang",
+        F.pmod(portable_hash64(F.col("tok"), seed="dsir"), F.lit(_DSIR_BUCKETS)).alias(
+            "b"
+        ),
+    )
+    gen_n = float(toks.count())
+    tgt_toks = toks.filter(F.col("lang") == _DSIR_TARGET_LANG)
+    tgt_n = float(tgt_toks.count())
+    gen_p = toks.groupBy("b").agg(
+        ((F.count(F.lit(1)).cast("double") + 1.0) / F.lit(gen_n + _DSIR_BUCKETS)).alias(
+            "gp"
+        )
+    )
+    tgt_c = tgt_toks.groupBy("b").agg(F.count(F.lit(1)).cast("double").alias("tc"))
+    lr = (
+        F.round(
+            F.log2(
+                (F.coalesce(F.col("tc"), F.lit(0.0)) + 1.0)
+                / F.lit(tgt_n + _DSIR_BUCKETS)
+            ),
+            6,
+        )
+        - F.round(F.log2("gp"), 6)
+    ).cast("decimal(30, 6)")
+    return (
+        toks.join(F.broadcast(gen_p), "b")
+        .join(F.broadcast(tgt_c), "b", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (F.sum(lr).cast("double") / F.count(F.lit(1))).alias("mean_log2_weight"),
+        )
+    )

@@ -90,3 +90,64 @@ def test_pseudonymization_is_stable_and_opaque(spark):
     rows = df.collect()
     assert len({r["pseudo_id"] for r in rows}) == len(rows)
     assert all(len(r["pseudo_id"]) == 32 for r in rows)  # md5 hex, not an id
+
+
+def test_dsir_weights_favor_target_language(spark):
+    """The importance weights must actually discriminate: docs in the
+    target language (en) should average a higher target/general
+    likelihood ratio than docs in any other language."""
+    df = REGISTRY["dsir_importance_weights"][0](spark, SF_DIR)
+    langs = {
+        r["doc_id"]: r["lang"]
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    }
+    by_lang: dict[str, list[float]] = {}
+    for r in df.collect():
+        by_lang.setdefault(langs[r["doc_id"]], []).append(r["mean_log2_weight"])
+    means = {lg: sum(v) / len(v) for lg, v in by_lang.items()}
+    for lg, m in means.items():
+        if lg != "en":
+            assert means["en"] > m, (lg, means)
+
+
+def test_fpgrowth_pairs_match_brute_force(spark):
+    """FP-Growth's size-2 itemsets must carry the same support counts a
+    direct pair count produces (FP-tree vs brute force)."""
+    con = duckdb.connect()
+    brute = dict(
+        ((u, v), c)
+        for u, v, c in con.execute(
+            f"""
+            SELECT a.l_partkey, b.l_partkey, COUNT(DISTINCT a.l_orderkey) AS c
+            FROM read_parquet('{SF_DIR}/lineitem.parquet') a
+            JOIN read_parquet('{SF_DIR}/lineitem.parquet') b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2 HAVING COUNT(DISTINCT a.l_orderkey) >= 2
+            """
+        ).fetchall()
+    )
+    rows = REGISTRY["mllib_fpgrowth_itemsets"][0](spark, SF_DIR).collect()
+    assert rows, "fpgrowth returned nothing"
+    for r in rows:
+        if len(r["items"]) == 2:
+            key = (min(r["items"]), max(r["items"]))
+            assert brute.get(key) == r["freq"], (key, r["freq"], brute.get(key))
+    # and the top brute-force pair must appear in the mined output
+    top_pair, top_c = max(brute.items(), key=lambda kv: (kv[1], kv[0]))
+    mined = {(min(r["items"]), max(r["items"])): r["freq"] for r in rows if len(r["items"]) == 2}
+    assert mined, "no size-2 itemsets mined"
+    assert max(mined.values()) == max(brute.values())
+
+
+def test_als_factors_and_fit(spark):
+    """ALS must produce full factor matrices and a sane implicit-\
+preference fit (predictions near 1 for held-out purchases)."""
+    rows = {
+        r["metric"]: r["value"]
+        for r in REGISTRY["ml_train_als_implicit"][0](spark, SF_DIR).collect()
+    }
+    assert rows["rank"] == 8.0
+    assert rows["n_user_factors"] > 0 and rows["n_item_factors"] > 0
+    # implicit preference for actually-purchased pairs should beat the
+    # all-zero predictor (rmse vs 1.0 would be 1.0)
+    assert rows["rmse_vs_purchased"] < 0.95
