@@ -138,9 +138,17 @@ _ROUND_PRIORITY = [
     # range_frame_hour_sum, json_props_stats, multi_distinct_lineitem,
     # dense_hourly_counts, quantile_profile, …), the datamgmt tail
     # (partition_pruned_scan, scd2_version_profile, zorder_tile_stats,
-    # funnel/transition), and the rows-only ML extensions
+    # funnel/transition), the rows-only ML extensions
     # (word2vec_synonyms, pca_embedding_variance, ml_train_gbt_binary,
-    # ml_tuned_dt_depth, kmeans/mllib twins).
+    # ml_tuned_dt_depth, kmeans/mllib twins, ml_train_als_implicit,
+    # mllib_fpgrowth_itemsets), and this round's continuation-session
+    # additions: the six new TPC-H shapes (q2/q9/q11/q12/q13/q20), the
+    # trainprep family (epoch_shuffle_order, curriculum_difficulty_bins,
+    # domain_mixture_weights, token_budget_allocation,
+    # semantic_decontam_report, dsir_importance_weights),
+    # triangle_count_copurchase, pseudonymize_user_activity,
+    # constraint_quarantine_report, jsonl/orc_scan_profile,
+    # grouped_agg_udf_median.
 ]
 
 

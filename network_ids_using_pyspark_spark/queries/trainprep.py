@@ -436,9 +436,14 @@ def q_dsir_importance_weights(spark, sf_dir):
             "b"
         ),
     )
-    gen_n = float(toks.count())
+    # both model denominators in ONE pass over the explode (a separate
+    # count per side would re-tokenize the corpus per scalar)
+    ns = toks.agg(
+        F.count(F.lit(1)).alias("gn"),
+        F.count(F.when(F.col("lang") == _DSIR_TARGET_LANG, 1)).alias("tn"),
+    ).collect()[0]
+    gen_n, tgt_n = float(ns["gn"]), float(ns["tn"])
     tgt_toks = toks.filter(F.col("lang") == _DSIR_TARGET_LANG)
-    tgt_n = float(tgt_toks.count())
     gen_p = toks.groupBy("b").agg(
         ((F.count(F.lit(1)).cast("double") + 1.0) / F.lit(gen_n + _DSIR_BUCKETS)).alias(
             "gp"
