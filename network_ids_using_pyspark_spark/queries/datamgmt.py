@@ -745,3 +745,91 @@ def q_constraint_quarantine_report(spark, sf_dir):
         as_cnt(bad_props, "bad_props"),
         as_cnt(any_bad, "quarantined"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot diff: the dataset-versioning primitive (what changed between
+# two table versions).  Snapshots are derived deterministically from the
+# fixture: "old" drops every 97th event; "new" drops every 89th and
+# rewrites the value of every 13th — so adds, removes, changes, and
+# unchanged rows all exist.
+# ---------------------------------------------------------------------------
+
+_DIFF_SQL = """
+WITH old AS (
+  SELECT event_id, user_id, event_type, value FROM events WHERE event_id % 97 <> 0
+),
+new AS (
+  SELECT event_id, user_id, event_type,
+         CASE WHEN event_id % 13 = 0 THEN value + 1.0 ELSE value END AS value
+  FROM events WHERE event_id % 89 <> 0
+),
+joined AS (
+  SELECT COALESCE(o.event_id, n.event_id) AS event_id,
+         CASE
+           WHEN o.event_id IS NULL THEN 'added'
+           WHEN n.event_id IS NULL THEN 'removed'
+           WHEN md5(concat_ws('|', CAST(o.user_id AS VARCHAR), o.event_type,
+                              CAST(CAST(o.value AS DECIMAL(30,6)) AS VARCHAR)))
+             <> md5(concat_ws('|', CAST(n.user_id AS VARCHAR), n.event_type,
+                              CAST(CAST(n.value AS DECIMAL(30,6)) AS VARCHAR)))
+             THEN 'changed'
+           ELSE 'unchanged'
+         END AS change
+  FROM old o FULL OUTER JOIN new n ON o.event_id = n.event_id
+)
+SELECT change, CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM joined GROUP BY change
+"""
+
+
+@register("snapshot_diff_report", _DIFF_SQL)
+def q_snapshot_diff_report(spark, sf_dir):
+    """Row-level diff between two snapshot versions of a keyed table:
+    added / removed / changed / unchanged counts, membership by key and
+    change detection by a payload fingerprint — the audit step before
+    publishing a new dataset version, and the input to an incremental
+    (changed-rows-only) downstream refresh.
+
+    Scale plan: ONE full-outer join keyed on the PK; the payload md5 is
+    computed map-side BEFORE the join on each side, so only (key,
+    16-byte hash) wide rows shuffle — never the payload columns.  The
+    fingerprint canonicalizes doubles through DECIMAL digit strings
+    (the engine's standard trick) so both engines hash identical bytes;
+    at 100 TB the same plan handles billions of rows because the diff
+    is embarrassingly key-parallel."""
+    e = load_table(spark, sf_dir, "events")
+    fp = F.md5(
+        F.concat_ws(
+            "|",
+            F.col("user_id").cast("string"),
+            F.col("event_type"),
+            F.col("value").cast("decimal(30,6)").cast("string"),
+        )
+    )
+    old = (
+        e.filter(F.col("event_id") % 97 != 0)
+        .select(F.col("event_id").alias("o_id"), fp.alias("o_fp"))
+    )
+    new = (
+        e.filter(F.col("event_id") % 89 != 0)
+        .withColumn(
+            "value",
+            F.when(F.col("event_id") % 13 == 0, F.col("value") + 1.0).otherwise(
+                F.col("value")
+            ),
+        )
+        .select(F.col("event_id").alias("n_id"), fp.alias("n_fp"))
+    )
+    change = (
+        F.when(F.col("o_id").isNull(), "added")
+        .when(F.col("n_id").isNull(), "removed")
+        .when(F.col("o_fp") != F.col("n_fp"), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        old.join(new, old.o_id == new.n_id, "full_outer")
+        .select(change.alias("change"))
+        .groupBy("change")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )

@@ -730,3 +730,64 @@ def q_stream_restart_state_recovery(spark, sf_dir):
     ev.filter(F.col("ts") >= F.lit(mid)).write.parquet(f"{src}/f2.parquet")
     run_once()
     return spark.read.schema("window_start timestamp, event_type string, n long").parquet(sink)
+
+
+@register(
+    "stream_state_store_read",
+    """
+    WITH w AS (SELECT max(ts) - INTERVAL 1 HOUR AS wm FROM events)
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events, w
+    WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR > w.wm
+    GROUP BY 1, 2
+    """,
+)
+def q_stream_state_store_read(spark, sf_dir):
+    """Spark 4's STATE DATA SOURCE certified end-to-end: a windowed
+    count runs to completion against a checkpoint, then the state store
+    itself is read back with ``spark.read.format("statestore")`` and
+    hash-compared against a batch recompute of exactly what state
+    should still hold — the windows the final watermark (max ts − 1 h)
+    has NOT yet closed (closed windows must have been evicted; an
+    eviction regression surfaces as extra rows, a state-loss bug as
+    missing ones).
+
+    This is the observability half of stateful streaming: at 100 TB
+    the state store is the one dataset you can't recompute from inputs
+    (it IS the accumulated past), and the state source makes it
+    queryable for debugging/auditing/migration with ordinary DataFrame
+    ops — per-partition, no stop-the-world export.  The read
+    parallelizes over state-store partitions exactly like a shuffle
+    read."""
+    import shutil
+
+    from ..streaming.stream import stream_events
+
+    base = f"/tmp/nids_ssread_{sf_dir.rstrip('/').rsplit('/', 1)[-1].replace('.', '_')}"
+    shutil.rmtree(base, ignore_errors=True)
+    ev = stream_events(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            agg.writeStream.format("noop")
+            .outputMode("update")
+            .option("checkpointLocation", base)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    state = spark.read.format("statestore").load(base)
+    return state.select(
+        F.col("key.window.start").alias("window_start"),
+        F.col("key.event_type").alias("event_type"),
+        F.col("value.count").cast("long").alias("n"),
+    )
