@@ -891,3 +891,116 @@ def q_hinted_merge_join_counts(spark, sf_dir):
         .groupBy("n_name")
         .agg(F.count(F.lit(1)).alias("n_customers"))
     )
+
+
+# ---------------------------------------------------------------------------
+# LATERAL correlated subquery, null-safe equality, and bag-semantics
+# set operations — the remaining join/set-op SEMANTIC surfaces.
+# ---------------------------------------------------------------------------
+
+_LATERAL_SQL = """
+SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+FROM customer c
+JOIN LATERAL (
+  SELECT o_orderkey, o_totalprice FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2
+) t ON true
+WHERE c.c_custkey <= 20
+"""
+
+
+@register("lateral_topk_orders", _LATERAL_SQL)
+def q_lateral_topk_orders(spark, sf_dir):
+    """Correlated LATERAL subquery with per-row ORDER BY + LIMIT — the
+    SQL spelling of top-k-per-group.  Catalyst DECORRELATES it into the
+    window/ranking plan rather than executing the subquery per outer
+    row (a per-row re-scan would be quadratic — the thing LATERAL
+    naively implies and an engine must never do at 100 TB); the
+    equivalent explicit-window query is `top_parts_per_brand`.  Ties
+    broken by orderkey for a total order."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("nids_lat_customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("nids_lat_orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM nids_lat_customer c
+        JOIN LATERAL (
+          SELECT o_orderkey, o_totalprice FROM nids_lat_orders o
+          WHERE o.o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2
+        ) t
+        WHERE c.c_custkey <= 20
+        """
+    )
+
+
+_NULLSAFE_SQL = """
+WITH a AS (
+  SELECT nullif(user_id % 10, 0) AS k, CAST(COUNT(*) AS BIGINT) AS n_a
+  FROM events WHERE event_id % 2 = 0 GROUP BY 1
+),
+b AS (
+  SELECT nullif(user_id % 10, 0) AS k, CAST(COUNT(*) AS BIGINT) AS n_b
+  FROM events WHERE event_id % 2 = 1 GROUP BY 1
+)
+SELECT a.k, a.n_a, b.n_b
+FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+"""
+
+
+@register("null_safe_join_counts", _NULLSAFE_SQL)
+def q_null_safe_join_counts(spark, sf_dir):
+    """Null-safe equality join (``<=>`` / IS NOT DISTINCT FROM): the
+    NULL bucket (user-id residue 0, nulled via ``nullif``) MATCHES
+    across sides instead of silently dropping — the semantics needed
+    when NULL is a real category (unknown user, unparsed field), where
+    plain ``=`` would make the whole bucket vanish from the join.
+
+    Scale note: ``<=>`` keys hash like any other value (NULL is one
+    more key, subject to the same skew controls); Spark plans the same
+    hash join as ``=`` — no nested-loop penalty for null-safety."""
+    ev = load_table(spark, sf_dir, "events")
+    key = F.nullif(F.pmod(F.col("user_id"), F.lit(10)), F.lit(0)).alias("k")
+    a = ev.filter(F.col("event_id") % 2 == 0).select(key).groupBy("k").agg(
+        F.count(F.lit(1)).alias("n_a")
+    )
+    b = ev.filter(F.col("event_id") % 2 == 1).select(key).groupBy("k").agg(
+        F.count(F.lit(1)).alias("n_b")
+    )
+    return a.join(b, a.k.eqNullSafe(b.k)).select(a.k.alias("k"), "n_a", "n_b")
+
+
+_BAGS_SQL = """
+WITH a AS (SELECT event_type FROM events WHERE event_id % 2 = 0),
+b AS (SELECT event_type FROM events WHERE event_id % 2 = 1),
+exc AS (SELECT event_type FROM a EXCEPT ALL SELECT event_type FROM b),
+inter AS (SELECT event_type FROM a INTERSECT ALL SELECT event_type FROM b)
+SELECT
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM exc) AS n_except_all,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM inter) AS n_intersect_all,
+  (SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) FROM exc) AS n_except_types
+"""
+
+
+@register("except_intersect_all_bags", _BAGS_SQL)
+def q_except_intersect_all_bags(spark, sf_dir):
+    """EXCEPT ALL / INTERSECT ALL — BAG semantics (multiplicity
+    max(m−n,0) / min(m,n) per value), distinct from the set-semantics
+    EXCEPT already certified by `except_customers_no_urgent_orders`:
+    with only 5 event types, set-EXCEPT would return ≤5 rows while the
+    bags carry thousands of multiplicities — exactly the difference
+    this oracle pins.
+
+    Scale plan: Spark lowers both to an aggregate of per-side counts
+    per value + a replicate — one shuffle keyed on the value, never a
+    join; counts compare as exact BIGINTs."""
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_id") % 2 == 0).select("event_type")
+    b = ev.filter(F.col("event_id") % 2 == 1).select("event_type")
+    exc = a.exceptAll(b)
+    inter = a.intersectAll(b)
+    n_exc = exc.agg(F.count(F.lit(1)).alias("n_except_all"))
+    n_int = inter.agg(F.count(F.lit(1)).alias("n_intersect_all"))
+    n_types = exc.agg(F.countDistinct("event_type").cast("bigint").alias("n_except_types"))
+    return n_exc.crossJoin(F.broadcast(n_int)).crossJoin(F.broadcast(n_types))
