@@ -553,3 +553,82 @@ def q_mllib_fpgrowth_itemsets(spark, sf_dir):
         .orderBy(F.desc("freq"), F.asc("items"))
         .limit(50)
     )
+
+
+@register("ml_train_linreg", None)
+def q_ml_train_linreg(spark, sf_dir):
+    """Linear regression — the REGRESSION member of the estimator
+    families (classification, clustering, recommendation,
+    frequent-pattern, and embedding families are certified elsewhere).
+
+    The fixture's columns are statistically independent (by
+    construction), so there is no natural numeric signal to fit;
+    instead the target is SYNTHESIZED with known coefficients over
+    lineitem features plus small deterministic hash-noise:
+
+        y = 3·qty + 0.5·extprice − 20·discount + 100·tax + ε,
+        ε ~ U(−10, 10) from the portable 60-bit hash (no RNG state).
+
+    Coefficient recovery is the classical solver correctness test: the
+    fit must reproduce (3, 0.5, −20, 100) to within the noise floor
+    and reach R² ≥ 0.99 — asserted in tests/test_trainprep_units.py.
+
+    Rows-only: the normal-equation solve is partitioning-sensitive in
+    the last ulps.  Scale: WeightedLeastSquares solves the 4-feature
+    normal equations from ONE pass of map-side Gram-matrix partials —
+    no per-iteration shuffle at all."""
+    from pyspark.ml.evaluation import RegressionEvaluator
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.regression import LinearRegression
+
+    from ..functions.hashing import HASH_SPACE, portable_hash64
+
+    l = load_table(spark, sf_dir, "lineitem")
+    noise = (
+        portable_hash64(
+            F.concat_ws("-", F.col("l_orderkey"), F.col("l_linenumber")),
+            seed="linreg",
+        ).cast("double")
+        / F.lit(float(HASH_SPACE))
+        - 0.5
+    ) * 20.0
+    data = l.select(
+        F.col("l_quantity").alias("qty"),
+        F.col("l_extendedprice").alias("ep"),
+        F.col("l_discount").alias("disc"),
+        F.col("l_tax").alias("tax"),
+        (
+            3.0 * F.col("l_quantity")
+            + 0.5 * F.col("l_extendedprice")
+            - 20.0 * F.col("l_discount")
+            + 100.0 * F.col("l_tax")
+            + noise
+        ).alias("y"),
+    )
+    assembled = VectorAssembler(
+        inputCols=["qty", "ep", "disc", "tax"], outputCol="features"
+    ).transform(data)
+    train, test = assembled.randomSplit([0.8, 0.2], seed=42)
+    train = train.cache()
+    model = LinearRegression(featuresCol="features", labelCol="y", regParam=0.0).fit(
+        train
+    )
+    preds = model.transform(test)
+    ev = RegressionEvaluator(labelCol="y", predictionCol="prediction")
+    r2 = ev.setMetricName("r2").evaluate(preds)
+    rmse = ev.setMetricName("rmse").evaluate(preds)
+    c = model.coefficients
+    train.unpersist()
+    return _metrics_df(
+        spark,
+        "linreg",
+        {
+            "r2": r2,
+            "rmse": rmse,
+            "coef_qty": float(c[0]),
+            "coef_ep": float(c[1]),
+            "coef_disc": float(c[2]),
+            "coef_tax": float(c[3]),
+            "intercept": float(model.intercept),
+        },
+    )

@@ -151,3 +151,18 @@ preference fit (predictions near 1 for held-out purchases)."""
     # implicit preference for actually-purchased pairs should beat the
     # all-zero predictor (rmse vs 1.0 would be 1.0)
     assert rows["rmse_vs_purchased"] < 0.95
+
+
+def test_linreg_recovers_known_coefficients(spark):
+    """The target is synthesized with known coefficients + bounded
+    hash-noise: the solver must recover them and fit R² >= 0.99."""
+    rows = {
+        r["metric"]: r["value"]
+        for r in REGISTRY["ml_train_linreg"][0](spark, SF_DIR).collect()
+    }
+    assert rows["r2"] >= 0.99, rows
+    assert abs(rows["coef_qty"] - 3.0) < 0.3, rows
+    assert abs(rows["coef_ep"] - 0.5) < 0.01, rows
+    assert abs(rows["coef_disc"] - (-20.0)) < 15.0, rows  # tiny-range regressor
+    assert abs(rows["coef_tax"] - 100.0) < 60.0, rows     # ditto
+    assert rows["rmse"] < 12.0  # noise std ~= 5.8
