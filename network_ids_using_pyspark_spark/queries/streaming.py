@@ -791,3 +791,53 @@ def q_stream_state_store_read(spark, sf_dir):
         F.col("key.event_type").alias("event_type"),
         F.col("value.count").cast("long").alias("n"),
     )
+
+
+@register(
+    "stream_recordlog_sink_roundtrip",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_records,
+           CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_distinct_payloads
+    FROM documents
+    WHERE doc_id % 5 = 0
+    """,
+)
+def q_stream_recordlog_sink_roundtrip(spark, sf_dir):
+    """The custom Python DataSource as a STREAMING SINK
+    (``DataSourceStreamWriter``), closing the connector matrix: batch
+    read, stream read, batch write, stream write — all four quadrants
+    of ``recordlog`` now certified.  A bounded document stream is
+    written shard-per-partition-per-batch with per-shard idempotent
+    commit (batch replays after a sink/checkpoint crash are no-ops),
+    then the log is scanned BACK through the batch reader and its
+    record and distinct-payload counts hash-checked against the source
+    table — write fidelity, atomicity naming, and readback all inside
+    one oracle.
+
+    Scale: the sink inherits the source's partitioning (no extra
+    shuffle); commit cost is one rename per shard; the monotonic
+    ``batch-{id}-{seq}`` names keep the output itself streamable by
+    the offset-into-sorted-listing reader."""
+    import shutil
+
+    from ..sources.recordlog import register_recordlog, scan_recordlog
+    from ..streaming.stream import stream_documents
+
+    base = f"/tmp/nids_rlsink_{sf_dir.rstrip('/').rsplit('/', 1)[-1].replace('.', '_')}"
+    shutil.rmtree(base, ignore_errors=True)
+    register_recordlog(spark)
+    docs = stream_documents(spark, sf_dir).filter((F.col("doc_id") % 5) == 0)
+    payloads = docs.select(F.encode("text", "utf-8").alias("payload"))
+    q = (
+        payloads.writeStream.format("recordlog")
+        .option("path", f"{base}/log")
+        .option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    back = scan_recordlog(spark, f"{base}/log")
+    return back.agg(
+        F.count(F.lit(1)).alias("n_records"),
+        F.countDistinct(F.md5("payload")).cast("bigint").alias("n_distinct_payloads"),
+    )

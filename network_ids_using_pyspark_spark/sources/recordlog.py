@@ -36,6 +36,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
     WriterCommitMessage,
@@ -187,6 +188,54 @@ class RecordLogWriter(DataSourceWriter):
                 os.remove(m.shard)
 
 
+class RecordLogStreamWriter(DataSourceStreamWriter):
+    """STREAMING writer — the last quadrant of the custom-connector
+    matrix (batch read / stream read / batch write are above).  Each
+    micro-batch stages one shard per partition executor-side, and
+    ``commit(messages, batchId)`` renames them into visibility under a
+    ``batch-{batchId}-{seq}.rec`` name.
+
+    Exactly-once: after a crash between sink-commit and checkpoint-
+    commit, Structured Streaming REPLAYS the last batch with the same
+    batchId — commit detects the already-visible ``batch-{batchId}-*``
+    shards and discards the staged duplicates, so replays are no-ops.
+    Batch ids are monotonically increasing, so the zero-padded prefix
+    keeps shard names sorted in append order — the exact contract the
+    stream READER's offset-into-sorted-listing requires; the written
+    log is therefore itself streamable."""
+
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("recordlog requires a path")
+
+    def write(self, iterator) -> _ShardCommit:
+        import uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        staged = os.path.join(self.path, f".staged-{uuid.uuid4().hex[:12]}.tmp")
+        n = write_records(staged, (row["payload"] for row in iterator))
+        return _ShardCommit(staged, n)
+
+    def commit(self, messages, batchId: int) -> None:  # noqa: N803 (Spark API)
+        for seq, m in enumerate(messages):
+            if m is None:
+                continue
+            final = os.path.join(self.path, f"batch-{batchId:010d}-{seq:04d}.rec")
+            # idempotency is PER SHARD, not per batch: a crash mid-commit
+            # leaves some shards renamed and some staged — the replay
+            # must skip exactly the renamed ones and land the rest
+            if m.n == 0 or os.path.exists(final):
+                os.remove(m.shard)
+                continue
+            os.rename(m.shard, final)
+
+    def abort(self, messages, batchId: int) -> None:  # noqa: N803
+        for m in messages:
+            if m is not None and os.path.exists(m.shard):
+                os.remove(m.shard)
+
+
 class RecordLogDataSource(DataSource):
     """``spark.read.format("recordlog").option("path", dir)`` after
     ``spark.dataSource.register(RecordLogDataSource)``; streamable via
@@ -213,6 +262,9 @@ class RecordLogDataSource(DataSource):
                 "offset contract); use mode('append')"
             )
         return RecordLogWriter(self.options)
+
+    def streamWriter(self, schema, overwrite: bool) -> RecordLogStreamWriter:  # noqa: N802
+        return RecordLogStreamWriter(self.options)
 
 
 def register_recordlog(spark: SparkSession) -> None:

@@ -309,3 +309,49 @@ def test_jsonl_escaping_fidelity(spark, tmp_path):
     back = spark.read.schema("doc_id long, text string").json(dst)
     got = {r["doc_id"]: r["text"] for r in back.collect()}
     assert got == {i: s for i, s in enumerate(nasty)}
+
+
+def test_recordlog_stream_writer_idempotent_replay(spark, tmp_path):
+    """The streaming sink's commit must be idempotent per shard: a
+    replayed batchId (crash between sink-commit and checkpoint-commit)
+    must not duplicate records."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from network_ids_using_pyspark_spark.sources.recordlog import (
+        RecordLogStreamWriter,
+        scan_recordlog,
+    )
+
+    dst = str(tmp_path / "log")
+    w = RecordLogStreamWriter({"path": dst})
+
+    def rows(vals):
+        return iter([{"payload": v} for v in vals])
+
+    m1 = w.write(rows([b"a", b"b"]))
+    m2 = w.write(rows([b"c"]))
+    w.commit([m1, m2], batchId=0)
+    names1 = sorted(os.listdir(dst))
+    assert names1 == ["batch-0000000000-0000.rec", "batch-0000000000-0001.rec"]
+
+    # full replay of batch 0 → all duplicates dropped
+    r1, r2 = w.write(rows([b"a", b"b"])), w.write(rows([b"c"]))
+    w.commit([r1, r2], batchId=0)
+    assert sorted(os.listdir(dst)) == names1
+
+    # partial-crash replay: shard 0 already visible, shard 1 lost
+    os.remove(os.path.join(dst, "batch-0000000000-0001.rec"))
+    p1, p2 = w.write(rows([b"a", b"b"])), w.write(rows([b"c"]))
+    w.commit([p1, p2], batchId=0)
+    assert sorted(os.listdir(dst)) == names1  # shard 1 landed again
+
+    # abort removes staged files
+    m = w.write(rows([b"x"]))
+    w.abort([m], batchId=1)
+    assert sorted(os.listdir(dst)) == names1
+
+    back = scan_recordlog(spark, dst)
+    payloads = sorted(r["payload"] for r in back.collect())
+    assert payloads == [b"a", b"b", b"c"]
