@@ -403,3 +403,51 @@ def q_grouped_agg_udf_median(spark, sf_dir):
         n_rows("value").alias("n"),
         exact_median("value").alias("median_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# GROUPED_AGG pandas UDF *as a window function* — the remaining UDF
+# placement: custom aggregate over a sliding frame.
+# ---------------------------------------------------------------------------
+
+_WUDF_SQL = """
+SELECT event_id,
+       quantile_cont(value, 0.5) OVER (
+         PARTITION BY event_type ORDER BY ts ASC, event_id ASC
+         ROWS BETWEEN 5 PRECEDING AND CURRENT ROW
+       ) AS roll_median
+FROM events
+"""
+
+
+@register("windowed_udf_rolling_median", _WUDF_SQL)
+def q_windowed_udf_rolling_median(spark, sf_dir):
+    """Rolling 6-row median per event type via the SAME grouped-agg
+    pandas UDF used in `grouped_agg_udf_median`, placed OVER a window
+    frame — certifying that a custom Arrow aggregate composes with
+    frames exactly like a built-in (the robust-rolling-statistic shape:
+    rolling medians resist the outliers that rolling means chase).
+
+    Cross-engine: np.median over each frame ≡ DuckDB's windowed
+    ``quantile_cont(0.5)`` (same midpoint rule), frame-by-frame
+    bit-exact, and the (ts, event_id) ordering is total so frames are
+    identical.  Scale: one shuffle on event_type; each partition's
+    frames evaluate in Arrow batches sliding locally — state is the
+    6-row frame, not the partition."""
+    import numpy as np
+    from pyspark.sql import Window
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def exact_median(v: pd.Series) -> float:
+        return float(np.median(v.to_numpy()))
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(-5, 0)
+    )
+    return ev.select(
+        "event_id", exact_median("value").over(w).alias("roll_median")
+    )
