@@ -125,8 +125,10 @@ def cosine_topk_lsh(
             F.col("code"),
             *[F.col("code").bitwiseXOR(F.lit(1 << b)) for b in range(len(hyperplanes))],
         )
-    q = q.select("*", F.explode(probes).alias("bucket")).drop("code")
+    # norm BEFORE the probe explode — after it, multi-probe would fold
+    # each query's norm 1+bits times
     q = q.withColumn("__qn", l2_norm(F.col(q_vec)))
+    q = q.select("*", F.explode(probes).alias("bucket")).drop("code")
     c = c.withColumn("__cn", l2_norm(F.col(c_vec)))
     j = c.join(F.broadcast(q), on="bucket").filter(F.col(q_id) != F.col(c_id))
     sims = j.select(

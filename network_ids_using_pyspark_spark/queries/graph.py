@@ -136,11 +136,12 @@ def q_recursive_bfs_reachability(spark, sf_dir):
 # threshold keeps the resulting GRAPH sparse as the corpus grows.
 # ---------------------------------------------------------------------------
 
-# minimum co-occurrence support: a single shared order is noise on a
-# fixed part universe (the raw pair count grows ~quadratically toward
-# saturation as SF grows — 8.9k→116k→1.2M edges at sf0.001/0.01/0.1 —
-# while support≥2 stays ~2.5-3.9k: the signal edges).  This is the
-# market-basket analog of jaccard's max_df skew control.
+# minimum co-occurrence support — counted as DISTINCT co-occurring
+# orders: a single shared order is noise on a fixed part universe (the
+# raw pair count grows ~quadratically toward saturation as SF grows —
+# 8.9k→116k→1.2M edges at sf0.001/0.01/0.1 — while support≥2 stays
+# ~2.3-3.6k: the signal edges).  This is the market-basket analog of
+# jaccard's max_df skew control.
 _TRI_SUPPORT = 2
 
 _TRI_SQL = f"""
@@ -149,7 +150,7 @@ WITH pairs AS (
   FROM lineitem a
   JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
   GROUP BY a.l_partkey, b.l_partkey
-  HAVING COUNT(*) >= {_TRI_SUPPORT}
+  HAVING COUNT(DISTINCT a.l_orderkey) >= {_TRI_SUPPORT}
 ),
 deg AS (
   SELECT node, CAST(COUNT(*) AS BIGINT) AS d
@@ -204,10 +205,13 @@ def q_triangle_count_copurchase(spark, sf_dir):
     l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     a = l.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p1"))
     b = l.select(F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("p2"))
+    # support = DISTINCT co-occurring orders (a part listed on two line
+    # rows of ONE order must not fake multi-order support) — the same
+    # definition FP-Growth's basket sets give mllib_fpgrowth_itemsets
     pairs = (
         a.join(b, (F.col("ok") == F.col("ok2")) & (F.col("p1") < F.col("p2")))
         .groupBy("p1", "p2")
-        .agg(F.count(F.lit(1)).alias("support"))
+        .agg(F.countDistinct("ok").alias("support"))
         .filter(F.col("support") >= _TRI_SUPPORT)
         .select("p1", "p2")
     )

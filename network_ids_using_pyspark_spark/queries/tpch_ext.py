@@ -1066,12 +1066,15 @@ def q_q12_priority_by_linestatus(spark, sf_dir):
         & (F.col("l_shipdate") < F.lit(_Q12_Y1).cast("timestamp"))
     ).select("l_orderkey", "l_linestatus")
     is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    # low uses `when(~is_high, 1)`, NOT `when(is_high, 0).otherwise(1)`:
+    # a NULL priority must count as neither (matching SQL's NOT IN,
+    # which yields NULL → ELSE 0), not fall through to "low"
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .groupBy("l_linestatus")
         .agg(
             F.sum(F.when(is_high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
-            F.sum(F.when(is_high, 0).otherwise(1)).cast("bigint").alias("low_line_count"),
+            F.sum(F.when(~is_high, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
         )
     )
 

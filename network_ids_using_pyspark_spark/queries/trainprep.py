@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from ..functions.hashing import hash_bucket, hash_bucket_sql
 from ..functions.numeric import dec_avg, dec_avg_sql
 from ..sources.tables import load_table
 from . import register
@@ -41,7 +42,7 @@ SELECT d.doc_id, e.epoch,
        {_EPOCH_KEY_SQL} AS order_key,
        {_EPOCH_KEY_SQL} % {_N_SHARDS} AS shard
 FROM documents d
-CROSS JOIN (SELECT UNNEST(ARRAY[0, 1]) AS epoch) e
+CROSS JOIN (SELECT UNNEST(ARRAY[{", ".join(str(i) for i in range(_N_EPOCHS))}]) AS epoch) e
 """
 
 
@@ -237,9 +238,10 @@ def q_token_budget_allocation(spark, sf_dir):
     quota = per_src.withColumn("total_chars", F.sum("src_chars").over(w_all)).select(
         "source",
         "src_chars",
-        F.floor(F.lit(_BUDGET) * F.col("src_chars") / F.col("total_chars")).alias(
-            "base_quota"
-        ),
+        # `div`, not floor(a/b): long/long division goes through IEEE
+        # double, which can be off by one past 2^53 — exactly the
+        # 100 TB regime; `div` matches the oracle's exact `//`
+        F.expr(f"({_BUDGET} * src_chars) div total_chars").alias("base_quota"),
         ((F.lit(_BUDGET) * F.col("src_chars")) % F.col("total_chars")).alias(
             "remainder_key"
         ),
@@ -365,10 +367,7 @@ _DSIR_BUCKETS = 1024
 _DSIR_TARGET_LANG = "en"
 
 _DSIR_TOKS = r"regexp_split_to_array(trim(text), '\s+')"
-_DSIR_BUCKET = (
-    "(CAST(concat('0x', substring(md5(concat('dsir', tok)), 1, 15)) AS BIGINT)"
-    f" % {_DSIR_BUCKETS})"
-)
+_DSIR_BUCKET = hash_bucket_sql("tok", _DSIR_BUCKETS, seed="dsir")
 
 _DSIR_SQL = f"""
 WITH toks AS (
@@ -423,7 +422,6 @@ def q_dsir_importance_weights(spark, sf_dir):
     `unigram_surprisal_score` — each log2 is gridded BEFORE the
     order-independent DECIMAL sum; only the final divide is float.
     Cites DSIR (arXiv:2302.03169) for the method; all code original."""
-    from ..functions.hashing import portable_hash64
     from ..operators.textops import tokens
 
     docs = load_table(spark, sf_dir, "documents")
@@ -432,9 +430,7 @@ def q_dsir_importance_weights(spark, sf_dir):
     ).select(
         "doc_id",
         "lang",
-        F.pmod(portable_hash64(F.col("tok"), seed="dsir"), F.lit(_DSIR_BUCKETS)).alias(
-            "b"
-        ),
+        hash_bucket(F.col("tok"), _DSIR_BUCKETS, seed="dsir").alias("b"),
     )
     # both model denominators in ONE pass over the explode (a separate
     # count per side would re-tokenize the corpus per scalar)

@@ -140,6 +140,24 @@ class _ShardCommit(WriterCommitMessage):
         self.n = n
 
 
+def _stage_shard(path: str, iterator) -> _ShardCommit:
+    """Shared write-side staging for the batch AND streaming writers:
+    records land in a dot-prefixed temp name (invisible to the *.rec
+    globs) until the driver's commit renames them into visibility."""
+    import uuid
+
+    os.makedirs(path, exist_ok=True)
+    staged = os.path.join(path, f".staged-{uuid.uuid4().hex[:12]}.tmp")
+    n = write_records(staged, (row["payload"] for row in iterator))
+    return _ShardCommit(staged, n)
+
+
+def _remove_staged(messages) -> None:
+    for m in messages:
+        if m is not None and os.path.exists(m.shard):
+            os.remove(m.shard)
+
+
 class RecordLogWriter(DataSourceWriter):
     """Batch WRITER through the DataSource API (the fourth quadrant
     next to batch/stream read and the helper writer): one shard per
@@ -158,14 +176,7 @@ class RecordLogWriter(DataSourceWriter):
             raise ValueError("recordlog requires a path")
 
     def write(self, iterator) -> _ShardCommit:
-        import uuid
-
-        os.makedirs(self.path, exist_ok=True)
-        staged = os.path.join(
-            self.path, f".staged-{uuid.uuid4().hex[:12]}.tmp"
-        )
-        n = write_records(staged, (row["payload"] for row in iterator))
-        return _ShardCommit(staged, n)
+        return _stage_shard(self.path, iterator)
 
     def commit(self, messages) -> None:
         import time
@@ -183,9 +194,7 @@ class RecordLogWriter(DataSourceWriter):
             os.rename(m.shard, final)
 
     def abort(self, messages) -> None:
-        for m in messages:
-            if m is not None and os.path.exists(m.shard):
-                os.remove(m.shard)
+        _remove_staged(messages)
 
 
 class RecordLogStreamWriter(DataSourceStreamWriter):
@@ -210,12 +219,7 @@ class RecordLogStreamWriter(DataSourceStreamWriter):
             raise ValueError("recordlog requires a path")
 
     def write(self, iterator) -> _ShardCommit:
-        import uuid
-
-        os.makedirs(self.path, exist_ok=True)
-        staged = os.path.join(self.path, f".staged-{uuid.uuid4().hex[:12]}.tmp")
-        n = write_records(staged, (row["payload"] for row in iterator))
-        return _ShardCommit(staged, n)
+        return _stage_shard(self.path, iterator)
 
     def commit(self, messages, batchId: int) -> None:  # noqa: N803 (Spark API)
         for seq, m in enumerate(messages):
@@ -231,9 +235,7 @@ class RecordLogStreamWriter(DataSourceStreamWriter):
             os.rename(m.shard, final)
 
     def abort(self, messages, batchId: int) -> None:  # noqa: N803
-        for m in messages:
-            if m is not None and os.path.exists(m.shard):
-                os.remove(m.shard)
+        _remove_staged(messages)
 
 
 class RecordLogDataSource(DataSource):

@@ -23,7 +23,7 @@ def test_triangle_count_matches_brute_force(spark):
         FROM read_parquet('{SF_DIR}/lineitem.parquet') a
         JOIN read_parquet('{SF_DIR}/lineitem.parquet') b
           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-        GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        GROUP BY 1, 2 HAVING COUNT(DISTINCT a.l_orderkey) >= 2
         """
     ).fetchall()
     adj: dict[int, set[int]] = {}
@@ -132,11 +132,11 @@ def test_fpgrowth_pairs_match_brute_force(spark):
         if len(r["items"]) == 2:
             key = (min(r["items"]), max(r["items"]))
             assert brute.get(key) == r["freq"], (key, r["freq"], brute.get(key))
-    # and the top brute-force pair must appear in the mined output
+    # and the top brute-force pair must itself appear with its count
     top_pair, top_c = max(brute.items(), key=lambda kv: (kv[1], kv[0]))
     mined = {(min(r["items"]), max(r["items"])): r["freq"] for r in rows if len(r["items"]) == 2}
     assert mined, "no size-2 itemsets mined"
-    assert max(mined.values()) == max(brute.values())
+    assert mined.get(top_pair) == top_c
 
 
 def test_als_factors_and_fit(spark):
