@@ -291,3 +291,86 @@ def q_portscan_detection(spark, sf_dir):
         .join(totals, ["src_id", "hour_bucket"])
         .select("src_id", "hour_bucket", "n_ports", "n_flows")
     )
+
+
+# ---------------------------------------------------------------------------
+# Robust outliers: median/MAD — immune to the outliers themselves
+# (mean/stddev in value_outliers_3sigma are dragged BY the outliers;
+# the median and MAD have a 50% breakdown point).
+# ---------------------------------------------------------------------------
+
+_MAD_K = 1.4826  # normal-consistency constant
+_MAD_T = 3.0
+
+_MAD_SQL = f"""
+WITH med AS (
+  SELECT event_type, quantile_disc(value, 0.5) AS med
+  FROM events GROUP BY event_type
+),
+dev AS (
+  SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS absdev
+  FROM events e JOIN med m ON e.event_type = m.event_type
+),
+mad AS (
+  SELECT event_type, quantile_disc(absdev, 0.5) AS mad
+  FROM dev GROUP BY event_type
+)
+SELECT d.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       MIN(d.med) AS median_value,
+       MIN(m.mad) AS mad,
+       CAST(SUM(CASE WHEN d.absdev > {_MAD_T} * {_MAD_K} * m.mad
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM dev d JOIN mad m ON d.event_type = m.event_type
+GROUP BY d.event_type
+"""
+
+
+@register("value_outliers_mad", _MAD_SQL)
+def q_value_outliers_mad(spark, sf_dir):
+    """Per-type robust outlier counts by the median/MAD rule
+    (|x − med| > 3·1.4826·MAD): the robust sibling of
+    `value_outliers_3sigma` — a burst of extreme values inflates the
+    mean AND the stddev (masking itself from the 3σ rule) but moves
+    the median and MAD almost not at all.
+
+    Exactness: both medians are the LOWER median (an actual data
+    element — DuckDB ``quantile_disc``; Spark picks it by rank), so
+    every derived quantity is arithmetic on identical doubles.
+
+    Scale plan: the exact lower median costs one per-group sort —
+    explicitly the certification-grade path; at 100 TB swap in
+    ``approx_percentile`` (the engine's KLL gates certify that sketch
+    against this exact twin).  The medians relation is |types|-sized
+    and broadcasts; flagging is map-side."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    cnt_w = Window.partitionBy("event_type")
+
+    def lower_median(df, col, out):
+        w = Window.partitionBy("event_type").orderBy(col)
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .withColumn("_n", F.count(F.lit(1)).over(cnt_w))
+            .filter(F.col("_rn") == F.expr("(_n - 1) div 2 + 1"))
+            .select("event_type", F.col(col).alias(out))
+        )
+
+    med = lower_median(ev, "value", "med")
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "absdev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = lower_median(dev, "absdev", "mad")
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("med").alias("median_value"),
+            F.min("mad").alias("mad"),
+            F.sum(
+                F.when(F.col("absdev") > _MAD_T * _MAD_K * F.col("mad"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+    )

@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
+from ..functions.hashing import hash_bucket
 from ..operators.sampling import (
     add_row_id,
     anti_join_split,
@@ -148,3 +149,45 @@ def q_random_split_invariants(spark, sf_dir):
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Deterministic k-fold cross-validation assignments.
+# ---------------------------------------------------------------------------
+
+_CV_K = 5
+
+_KFOLD_SQL = f"""
+SELECT (CAST(concat('0x', substring(md5(concat('cv', CAST(event_id AS VARCHAR))), 1, 15))
+        AS BIGINT) % {_CV_K}) AS fold,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+GROUP BY 1
+"""
+
+
+@register("kfold_cv_assignments", _KFOLD_SQL)
+def q_kfold_cv_assignments(spark, sf_dir):
+    """Deterministic {k}-fold cross-validation assignment profile: each
+    record's fold is the portable hash of its id mod k — folds are
+    disjoint and exhaustive BY CONSTRUCTION (a function of the key),
+    stable as the dataset grows (appending rows never reassigns old
+    ones, unlike randomSplit re-draws), and any fold's train set is
+    recomputable anywhere as `fold <> i` with no materialized split.
+
+    The fold-level profile (sizes, distinct users) is what a CV
+    harness checks before fitting; `hash_split_assignments` is the
+    train/val/test sibling with weighted bucket ranges.
+
+    Scale: one map-side hash per row + a k-row aggregate — assignment
+    itself never shuffles; fold extraction is a pushed-down filter."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(hash_bucket(F.col("event_id"), _CV_K, seed="cv").alias("fold"), "user_id")
+        .groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        )
+    )
