@@ -451,3 +451,53 @@ def q_windowed_udf_rolling_median(spark, sf_dir):
     return ev.select(
         "event_id", exact_median("value").over(w).alias("roll_median")
     )
+
+
+# ---------------------------------------------------------------------------
+# SQL session variables + EXECUTE IMMEDIATE (Spark 4): multi-statement
+# SQL workflows without driver-side string splicing.
+# ---------------------------------------------------------------------------
+
+_SESSVAR_SQL = """
+WITH t AS (
+  SELECT (CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS VARCHAR) AS DOUBLE)
+            / COUNT(o_totalprice)) * 1.5 AS threshold
+  FROM orders
+)
+SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_big_orders
+FROM orders o, t
+WHERE o.o_totalprice > t.threshold
+GROUP BY o.o_orderpriority
+"""
+
+
+@register("session_variable_threshold", _SESSVAR_SQL)
+def q_session_variable_threshold(spark, sf_dir):
+    """SQL session variables (``DECLARE`` / ``SET VAR``) +
+    ``EXECUTE IMMEDIATE ... USING`` — the Spark 4 multi-statement SQL
+    workflow surface: a data-derived scalar (1.5× the decimal-exact
+    mean order price) is computed ONCE into a typed session variable
+    and consumed by a later statement through a bind parameter — no
+    driver-side string splicing (the SQL-injection-prone pattern this
+    replaces), no re-evaluation of the scalar per consumer.
+
+    Exactness: the threshold is a decimal-accumulated mean (the
+    functions/numeric.py discipline spelled inline in SQL), so both
+    engines compare against the identical double.  Scale: the variable
+    is a 1-value driver-held binding — the one legitimate driver
+    scalar (same budget as G4's 1-row literal); the consuming query
+    plans it as a literal with full pushdown."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("nids_sv_orders")
+    spark.sql("DECLARE OR REPLACE VARIABLE nids_rev_threshold DOUBLE")
+    spark.sql(
+        """SET VAR nids_rev_threshold = (
+             SELECT (CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+                       / COUNT(o_totalprice)) * 1.5
+             FROM nids_sv_orders)"""
+    )
+    return spark.sql(
+        """EXECUTE IMMEDIATE
+             'SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_big_orders
+              FROM nids_sv_orders WHERE o_totalprice > ? GROUP BY o_orderpriority'
+           USING nids_rev_threshold"""
+    )
