@@ -632,3 +632,46 @@ def q_ml_train_linreg(spark, sf_dir):
             "intercept": float(model.intercept),
         },
     )
+
+
+@register("ml_cv_dt_kfold", None)
+def q_ml_cv_dt_kfold(spark, sf_dir):
+    """K-fold CrossValidator — the resampling sibling of
+    `ml_tuned_dt_depth`'s single-split TrainValidationSplit, and the
+    MLlib counterpart of the engine's own `kfold_cv_assignments`
+    (MLlib folds are randomSplit-seeded; the engine query is the
+    hash-deterministic variant a 100 TB pipeline would persist).
+    Rows-only: one row per grid candidate with its k-fold mean f1 and
+    the winner flag.
+
+    Scale: k×|grid| fits over a 30% hash-subsample of the prepared
+    frame (CV cost is multiplicative — subsampling the tuning stage is
+    the standard budget control; the winner refits on full data in a
+    real pipeline); parallelism=2 trains candidates concurrently."""
+    from pyspark.ml.classification import DecisionTreeClassifier
+    from pyspark.ml.evaluation import MulticlassClassificationEvaluator
+    from pyspark.ml.tuning import CrossValidator, ParamGridBuilder
+
+    train, _, prepared = _prepared_split(spark, sf_dir)
+    tune = hash_sample(train, "flow_id", 0.3, seed="cv-tune").cache()
+    tune.count()
+    dt = DecisionTreeClassifier(
+        featuresCol="features", labelCol="encoded_label", seed=1234
+    )
+    grid = ParamGridBuilder().addGrid(dt.maxDepth, [3, 5]).build()
+    ev = MulticlassClassificationEvaluator(
+        labelCol="encoded_label", predictionCol="prediction", metricName="f1"
+    )
+    cv = CrossValidator(
+        estimator=dt, estimatorParamMaps=grid, evaluator=ev,
+        numFolds=2, parallelism=2, seed=1234,
+    )
+    model = cv.fit(tune)
+    tune.unpersist()
+    prepared.unpersist()
+    best = max(range(len(model.avgMetrics)), key=lambda i: model.avgMetrics[i])
+    rows = [
+        (int(g[dt.maxDepth]), float(m), i == best)
+        for i, (g, m) in enumerate(zip(grid, model.avgMetrics))
+    ]
+    return spark.createDataFrame(rows, "max_depth int, cv_mean_f1 double, is_best boolean")
