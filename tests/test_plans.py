@@ -437,3 +437,41 @@ def test_mixture_and_budget_corpus_touched_once(spark):
         plan = explain_str(df, "simple")
         assert plan.count("FileScan") == 1, name  # totals via window, no re-scan branch
         assert "BatchEvalPython" not in plan, name
+
+
+def test_snapshot_diff_hashes_below_join(spark):
+    # the payload fingerprint must be computed map-side on each input
+    # (2 md5 sites), with the full-outer join carrying only (key, hash)
+    df = _df(spark, "snapshot_diff_report")
+    plan = explain_str(df, "simple")
+    assert "FullOuter" in plan
+    assert plan.count("md5") == 2
+    assert "BatchEvalPython" not in plan
+    assert count_shuffles(df) <= 3
+
+
+def test_windowed_udf_is_arrow_window(spark):
+    # the custom rolling median must run as an Arrow window evaluation,
+    # not row-at-a-time Python, with exactly the one event_type shuffle
+    df = _df(spark, "windowed_udf_rolling_median")
+    plan = explain_str(df, "simple")
+    assert "ArrowWindowPython" in plan
+    assert "BatchEvalPython" not in plan
+    assert count_shuffles(df) == 1
+
+
+def test_kfold_assignment_is_map_side(spark):
+    # fold = hash mod k per row; only the k-row profile aggregates
+    # (distinct-user count adds the second exchange)
+    df = _df(spark, "kfold_cv_assignments")
+    assert count_shuffles(df) <= 2
+    assert "BatchEvalPython" not in explain_str(df, "simple")
+
+
+def test_mad_outliers_two_rank_sorts(spark):
+    # two lower-median rank picks (value, absdev) — four exchanges max,
+    # both windows partitioned by the 5-value type key
+    df = _df(spark, "value_outliers_mad")
+    plan = explain_str(df, "simple")
+    assert plan.count("Window") >= 2
+    assert count_shuffles(df) <= 4
