@@ -374,3 +374,155 @@ def q_value_outliers_mad(spark, sf_dir):
             .alias("n_outliers"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM change-point estimation: per event type, the hour where the
+# cumulative deviation of hourly counts from the type mean peaks
+# (Page-style CUSUM chart, offline change-point form).
+# ---------------------------------------------------------------------------
+
+_CUSUM_SQL = """
+WITH hourly AS (
+  SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hr,
+         COUNT(*) AS c
+  FROM events GROUP BY 1, 2
+),
+stats AS (
+  SELECT event_type, COUNT(*) AS n_hours, SUM(c) AS total
+  FROM hourly GROUP BY 1
+),
+cus AS (
+  SELECT h.event_type, h.hr, s.n_hours, s.total,
+         s.n_hours * SUM(h.c) OVER (PARTITION BY h.event_type ORDER BY h.hr
+                                    ROWS UNBOUNDED PRECEDING)
+           - ROW_NUMBER() OVER (PARTITION BY h.event_type ORDER BY h.hr)
+             * s.total AS s_scaled
+  FROM hourly h JOIN stats s USING (event_type)
+),
+peak AS (
+  SELECT event_type, hr, n_hours, total, s_scaled,
+         MAX(ABS(s_scaled)) OVER (PARTITION BY event_type) AS max_abs
+  FROM cus
+)
+SELECT event_type,
+       CAST(ANY_VALUE(n_hours) AS BIGINT) AS n_hours,
+       CAST(ANY_VALUE(total) AS BIGINT) AS total,
+       CAST(MAX(s_scaled) AS BIGINT) AS s_max,
+       CAST(MIN(s_scaled) AS BIGINT) AS s_min,
+       MIN(CASE WHEN ABS(s_scaled) = max_abs THEN hr END) AS cp_hr
+FROM peak GROUP BY event_type
+"""
+
+
+@register("cusum_changepoint", _CUSUM_SQL)
+def q_cusum_changepoint(spark, sf_dir):
+    """Offline CUSUM change-point per event type: running sum of
+    (hourly count − type mean) deviations, peak location = estimated
+    level-shift hour.
+
+    Reproducibility: the running statistic is kept in scaled-integer
+    form, S'_k = n·Σ_{i≤k} c_i − k·Σc (the mean cleared of division),
+    so every value is exact int64 — a floating prefix sum would be
+    order-sensitive and engine-dependent.  The argmax tiebreak is
+    earliest hour.
+
+    Scale plan: one corpus scan into the hour-keyed aggregate; the
+    per-type stats relation is type-dim-sized (broadcast); the running
+    window partitions by type and orders by hour — each partition is
+    bounded by the calendar (≤ 8 760 rows/year/type), so the window
+    never concentrates corpus-sized state on one task."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    stats = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_hours"), F.sum("c").alias("total")
+    )
+    w = Window.partitionBy("event_type").orderBy("hr")
+    cus = (
+        hourly.join(F.broadcast(stats), "event_type")
+        .withColumn(
+            "s_scaled",
+            F.col("n_hours") * F.sum("c").over(w.rowsBetween(Window.unboundedPreceding, 0))
+            - F.row_number().over(w) * F.col("total"),
+        )
+        .withColumn(
+            "max_abs", F.max(F.abs("s_scaled")).over(Window.partitionBy("event_type"))
+        )
+    )
+    return cus.groupBy("event_type").agg(
+        F.first("n_hours").cast("long").alias("n_hours"),
+        F.first("total").cast("long").alias("total"),
+        F.max("s_scaled").cast("long").alias("s_max"),
+        F.min("s_scaled").cast("long").alias("s_min"),
+        F.min(
+            F.when(F.abs("s_scaled") == F.col("max_abs"), F.col("hr"))
+        ).alias("cp_hr"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal-naive forecast backtest: predict each (type, day, hour) cell
+# with the same hour one day earlier; report WAPE per type.  WAPE (not
+# MAPE) keeps every statistic integer until ONE final division — exact
+# on any engine, and the metric of choice when cells can be near-zero.
+# ---------------------------------------------------------------------------
+
+_WAPE_SQL = """
+WITH hourly AS (
+  SELECT event_type, CAST(ts AS DATE) AS d, EXTRACT(hour FROM ts) AS h,
+         COUNT(*) AS c
+  FROM events GROUP BY 1, 2, 3
+)
+SELECT a.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(SUM(ABS(a.c - p.c)) AS BIGINT) AS sum_abs_err,
+       CAST(SUM(a.c) AS BIGINT) AS sum_actual,
+       CAST(SUM(ABS(a.c - p.c)) AS DOUBLE) / SUM(a.c) AS wape
+FROM hourly a JOIN hourly p
+  ON a.event_type = p.event_type AND a.h = p.h AND p.d = a.d - 1
+GROUP BY a.event_type
+"""
+
+
+@register("seasonal_naive_wape", _WAPE_SQL)
+def q_seasonal_naive_wape(spark, sf_dir):
+    """Backtest of the seasonal-naive forecaster (ŷ[d,h] = y[d−1,h])
+    per event type, scored by WAPE over all cells with a previous-day
+    counterpart.
+
+    Scale plan: the corpus collapses to the (type, day, hour) aggregate
+    first — calendar-bounded, thousands of rows per type-year — and the
+    lag join is an equi-join of that aggregate with itself on
+    (type, hour, day−1); the raw events are scanned exactly once.  A
+    window-lag over a dense calendar spine is the alternative shape
+    (see interpolate_hourly_gaps); the join form needs no spine and
+    skips missing cells by construction."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        F.col("ts").cast("date").alias("d"),
+        F.hour("ts").alias("h"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    p = hourly.select(
+        F.col("event_type").alias("et_p"),
+        F.col("h").alias("h_p"),
+        F.col("d").alias("d_p"),
+        F.col("c").alias("c_prev"),
+    )
+    joined = hourly.join(
+        p,
+        (F.col("event_type") == F.col("et_p"))
+        & (F.col("h") == F.col("h_p"))
+        & (F.col("d_p") == F.date_sub(F.col("d"), 1)),
+    ).select("event_type", "c", "c_prev")
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum(F.abs(F.col("c") - F.col("c_prev"))).cast("long").alias("sum_abs_err"),
+        F.sum("c").cast("long").alias("sum_actual"),
+        (
+            F.sum(F.abs(F.col("c") - F.col("c_prev"))).cast("double")
+            / F.sum("c")
+        ).alias("wape"),
+    )
