@@ -134,3 +134,30 @@ def q_ann_recall_eval(spark, sf_dir):
         )
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: RRF fusion of BM25 and Dirichlet query-likelihood.
+# ---------------------------------------------------------------------------
+
+from ..operators.search import hybrid_rrf_sql, hybrid_rrf_topk  # noqa: E402
+
+_HY_K = 10
+_HY_POOL = 50
+
+
+@register("hybrid_search_rrf", hybrid_rrf_sql(TERMS, k=_HY_K, pool=_HY_POOL))
+def q_hybrid_search_rrf(spark, sf_dir):
+    """Reciprocal-rank fusion of two rankers over the same query —
+    BM25 and a Dirichlet-smoothed query-likelihood LM — the classic
+    hybrid-retrieval combiner for incomparable score scales (and the
+    same shape used to fuse lexical with vector ANN rankings).  On the
+    fixture the two rankers genuinely disagree (different top-1), so
+    the fused ordering certifies real fusion, not a pass-through.
+
+    Scale plan: one corpus scan computes both scores map-side off the
+    shared 1-row stats broadcast; each pool cut is
+    TakeOrderedAndProject; ranking windows and the fusion join touch
+    ≤ pool rows.  No corpus-sized sort or window anywhere."""
+    docs = load_table(spark, sf_dir, "documents")
+    return hybrid_rrf_topk(docs, TERMS, k=_HY_K, pool=_HY_POOL)
