@@ -663,3 +663,53 @@ def q_array_set_ops_profile(spark, sf_dir):
         F.size(F.array_union("a", "b")).alias("n_union"),
         F.size(F.array_except("a", "b")).alias("n_a_only"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Equi-depth histogram: NTILE-based bin edges over order totals — the
+# optimizer-statistics building block (range-partition boundaries,
+# histogram stats) expressed as a query.  The complement of the
+# equi-WIDTH `value_histogram`.
+# ---------------------------------------------------------------------------
+
+_ED_BINS = 16
+
+_EQUIDEPTH_SQL = f"""
+WITH t AS (
+  SELECT o_totalprice, o_orderkey,
+         NTILE({_ED_BINS}) OVER (ORDER BY o_totalprice, o_orderkey) AS bin
+  FROM orders
+)
+SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+       MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+FROM t GROUP BY bin
+"""
+
+
+@register("equidepth_histogram", _EQUIDEPTH_SQL)
+def q_equidepth_histogram(spark, sf_dir):
+    """{_ED_BINS}-bucket equi-depth histogram of o_totalprice: per-bin
+    row count and value range.  NTILE over a TOTAL order (value, key) —
+    the tiebreak makes bucket assignment deterministic, so both
+    engines emit identical edges bit-for-bit.
+
+    Scale note: an unpartitioned NTILE is a single-partition sort — the
+    deliberately exact form, correct up to the ~10⁸-row scale where
+    range-partition boundary jobs actually run.  Past that, the
+    engine's KLL-sketch path (`quantile_sketch_check`) computes the
+    same edges approximately with a mergeable map-side sketch; this
+    query is the exact gate those edges are validated against (same
+    pairing as exact vs HLL distinct counts)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy(F.asc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.select(
+            "o_totalprice", F.ntile(_ED_BINS).over(w).alias("bin")
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+    )

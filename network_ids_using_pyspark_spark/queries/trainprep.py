@@ -465,3 +465,87 @@ def q_dsir_importance_weights(spark, sf_dir):
             (F.sum(lr).cast("double") / F.count(F.lit(1))).alias("mean_log2_weight"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Weak supervision: labeling-function majority vote (Snorkel-style).
+# Three deterministic LFs vote keep(+1)/drop(−1)/abstain(0) per doc;
+# the report groups docs by majority label with per-LF coverage and
+# pairwise-conflict counts — the LF diagnostics a labeling pipeline
+# reads before training a label model.
+# ---------------------------------------------------------------------------
+
+_WEAK_SQL = """
+WITH lf AS (
+  SELECT doc_id,
+    CASE WHEN n_chars > 400 THEN 1 WHEN n_chars < 80 THEN -1 ELSE 0 END AS lf_len,
+    CASE WHEN len(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) * 1.0
+              / len(regexp_split_to_array(trim(text), '\\s+')) < 0.35 THEN -1
+         WHEN len(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) * 1.0
+              / len(regexp_split_to_array(trim(text), '\\s+')) > 0.6 THEN 1
+         ELSE 0 END AS lf_rep,
+    CASE WHEN lang IN ('en', 'de') THEN 1 WHEN lang = 'zh' THEN -1
+         ELSE 0 END AS lf_lang
+  FROM documents
+),
+voted AS (
+  SELECT *,
+    CASE WHEN (lf_len + lf_rep + lf_lang) > 0 THEN 1
+         WHEN (lf_len + lf_rep + lf_lang) < 0 THEN -1 ELSE 0 END AS maj
+  FROM lf
+)
+SELECT maj,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN lf_len <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS cov_len,
+       CAST(SUM(CASE WHEN lf_rep <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS cov_rep,
+       CAST(SUM(CASE WHEN lf_lang <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS cov_lang,
+       CAST(SUM(CASE WHEN lf_len * lf_rep = -1 OR lf_len * lf_lang = -1
+                       OR lf_rep * lf_lang = -1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_conflict
+FROM voted GROUP BY maj
+"""
+
+
+@register("weak_label_report", _WEAK_SQL)
+def q_weak_label_report(spark, sf_dir):
+    """Majority vote over three labeling functions (length band,
+    distinct-token ratio, language) with per-LF coverage and conflict
+    counts per majority class.
+
+    Scale plan: every LF is a map-side built-in expression over one
+    corpus scan (the token-ratio LF reuses the array functions of the
+    repetition profiler — no explode, no UDF); the vote and the report
+    are a single small-keyed aggregate.  Adding LFs is adding columns,
+    not passes — the one-scan shape is what makes iterating on dozens
+    of LFs over 100 TB viable."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    ratio = F.size(F.array_distinct(toks)) * F.lit(1.0) / F.size(toks)
+    lf_len = (
+        F.when(F.col("n_chars") > 400, 1).when(F.col("n_chars") < 80, -1).otherwise(0)
+    )
+    lf_rep = F.when(ratio < 0.35, -1).when(ratio > 0.6, 1).otherwise(0)
+    lf_lang = (
+        F.when(F.col("lang").isin("en", "de"), 1)
+        .when(F.col("lang") == "zh", -1)
+        .otherwise(0)
+    )
+    lf = d.select(
+        lf_len.alias("lf_len"), lf_rep.alias("lf_rep"), lf_lang.alias("lf_lang")
+    )
+    s = F.col("lf_len") + F.col("lf_rep") + F.col("lf_lang")
+    voted = lf.withColumn(
+        "maj", F.when(s > 0, 1).when(s < 0, -1).otherwise(0)
+    )
+    conflict = (
+        (F.col("lf_len") * F.col("lf_rep") == -1)
+        | (F.col("lf_len") * F.col("lf_lang") == -1)
+        | (F.col("lf_rep") * F.col("lf_lang") == -1)
+    )
+    return voted.groupBy("maj").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("lf_len") != 0).cast("long")).alias("cov_len"),
+        F.sum((F.col("lf_rep") != 0).cast("long")).alias("cov_rep"),
+        F.sum((F.col("lf_lang") != 0).cast("long")).alias("cov_lang"),
+        F.sum(conflict.cast("long")).alias("n_conflict"),
+    )
