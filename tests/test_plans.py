@@ -475,3 +475,72 @@ def test_mad_outliers_two_rank_sorts(spark):
     plan = explain_str(df, "simple")
     assert plan.count("Window") >= 2
     assert count_shuffles(df) <= 4
+
+
+# --- continuation batch: entity / assoc / hybrid search / anomaly ---------
+
+
+def test_fuzzy_pairs_no_cartesian(spark):
+    """SymSpell blocking must keep the lev-1 join an equi-join — the
+    whole point is that all-pairs never appears."""
+    df = _df(spark, "fuzzy_name_pairs_symspell")
+    plan = explain_str(df, "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_assoc_rules_broadcasts_dims(spark):
+    """Support relation and basket count attach by broadcast; the only
+    data shuffles are the basket-keyed self-join and pair aggregate."""
+    df = _df(spark, "assoc_rules_lift")
+    plan = explain_str(df, "simple")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+
+
+def test_hybrid_rrf_pool_cut_is_take_ordered(spark):
+    """Both ranker pools must compile to TakeOrderedAndProject (never a
+    global sort of the scored corpus); rank windows run post-limit."""
+    df = _df(spark, "hybrid_search_rrf")
+    plan = explain_str(df, "simple")
+    assert plan.count("TakeOrderedAndProject") >= 2
+    assert "BatchEvalPython" not in plan  # built-in expressions only
+
+
+def test_cusum_windows_partition_by_type(spark):
+    """The running-sum window partitions by event_type — no global
+    single-partition window over the hourly relation."""
+    df = _df(spark, "cusum_changepoint")
+    plan = explain_str(df)
+    assert "Window" in plan
+    # every window spec partitions by event_type (first windowspec arg)
+    import re
+
+    specs = re.findall(r"windowspecdefinition\((\w+)#", plan)
+    assert specs and all(s == "event_type" for s in specs)
+
+
+def test_seasonal_wape_equi_join(spark):
+    df = _df(spark, "seasonal_naive_wape")
+    plan = explain_str(df, "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_weak_label_report_single_scan_no_udf(spark):
+    """All three LFs are map-side expressions over ONE corpus scan;
+    the only shuffle is the majority-class aggregate."""
+    df = _df(spark, "weak_label_report")
+    plan = explain_str(df, "simple")
+    assert count_shuffles(df) == 1
+    assert plan.count("FileScan") == 1
+    assert "BatchEvalPython" not in plan
+
+
+def test_equidepth_single_sort_then_partial_agg(spark):
+    """The deliberate exact form: one global sort window, then the
+    16-key aggregate; no second pass over orders."""
+    df = _df(spark, "equidepth_histogram")
+    plan = explain_str(df, "simple")
+    assert plan.count("FileScan") == 1
+    assert "Window" in plan
