@@ -670,3 +670,93 @@ def q_text_normalize_profile(spark, sf_dir):
         F.md5(normalized).alias("norm_md5"),
         (normalized != F.col("text")).alias("changed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bigram LM log-loss: the CCNet-style perplexity quality filter, one
+# order above `unigram_surprisal_score`.  The LM is trained on the
+# corpus itself (add-0.5 smoothing over context counts), then every
+# doc is scored by mean bits-per-bigram under that model.
+# ---------------------------------------------------------------------------
+
+_LM_A = 0.5  # additive smoothing mass
+
+_BIGRAM_LM_SQL = f"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
+),
+big AS (
+  SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+  FROM t, UNNEST(range(1, len(w))) AS r(i)
+  WHERE len(w) >= 2
+),
+vocab AS (
+  SELECT COUNT(DISTINCT tok) AS v FROM (SELECT unnest(w) AS tok FROM t)
+),
+cb AS (SELECT w1, w2, COUNT(*) AS n_bi FROM big GROUP BY 1, 2),
+cu AS (SELECT w1, COUNT(*) AS n_ctx FROM big GROUP BY 1)
+SELECT b.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(-SUM(CAST(round(log2((cb.n_bi + {_LM_A})
+                                 / (cu.n_ctx + {_LM_A} * vocab.v)), 6)
+                      AS DECIMAL(30, 6))) AS DOUBLE) / COUNT(*)
+         AS mean_logloss_bits
+FROM big b
+JOIN cb ON b.w1 = cb.w1 AND b.w2 = cb.w2
+JOIN cu ON b.w1 = cu.w1
+CROSS JOIN vocab
+GROUP BY b.doc_id
+"""
+
+
+@register("bigram_lm_logloss", _BIGRAM_LM_SQL)
+def q_bigram_lm_logloss(spark, sf_dir):
+    """Per-doc mean bigram log-loss (bits) under a corpus-trained
+    add-{_LM_A} bigram LM — the perplexity filter proper: unusually
+    high log-loss flags gibberish/OCR noise, unusually low flags
+    boilerplate repetition.  Same parity discipline as
+    `unigram_surprisal_score`: each log2 quantized to the 1e-6 grid
+    before an exact DECIMAL sum; only the final divide is float.
+
+    Scale plan: the LM tables (bigram and context counts, vocab size)
+    are vocabulary-bounded — millions of rows at web scale, far under
+    the corpus — so they build with two map-side-combined aggregates
+    and attach back by BROADCAST; the scoring pass is then map-side
+    with one doc-keyed aggregate.  The corpus is never shuffled on the
+    (skewed) token key: frequency skew lives entirely inside the
+    map-side combine of the count aggregates."""
+    from ..operators.textops import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", tokens("text").alias("w")).filter(F.size("w") >= 2)
+    big = t.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(0, size(w) - 2), i -> struct(w[i] AS w1, w[i + 1] AS w2))")
+        ).alias("b"),
+    ).select("doc_id", "b.w1", "b.w2")
+    vocab = (
+        docs.select(F.explode(tokens("text")).alias("tok"))
+        .agg(F.countDistinct("tok").alias("v"))
+    )
+    cb = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_bi"))
+    cu = big.groupBy("w1").agg(F.count(F.lit(1)).alias("n_ctx"))
+    logp = F.round(
+        F.log2(
+            (F.col("n_bi") + F.lit(_LM_A))
+            / (F.col("n_ctx") + F.lit(_LM_A) * F.col("v"))
+        ),
+        6,
+    ).cast("decimal(30, 6)")
+    return (
+        big.join(F.broadcast(cb), ["w1", "w2"])
+        .join(F.broadcast(cu), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            (-F.sum(logp).cast("double") / F.count(F.lit(1))).alias(
+                "mean_logloss_bits"
+            ),
+        )
+    )
