@@ -905,3 +905,149 @@ def q_dynamic_partition_overwrite_roundtrip(spark, sf_dir):
         F.count(F.lit(1)).alias("n_orders"),
         dec_sum("o_totalprice").alias("revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Privacy risk: k-anonymity / l-diversity audit over quasi-identifiers.
+# ---------------------------------------------------------------------------
+
+_KANON_K = 5  # minimum safe equivalence-class size
+_LDIV_L = 3  # minimum distinct sensitive values per class
+
+_KANON_SQL = f"""
+WITH classes AS (
+  SELECT event_type,
+         EXTRACT(hour FROM ts) AS qh,
+         CAST(floor(value / 50) AS BIGINT) AS qv,
+         COUNT(*) AS class_n,
+         COUNT(DISTINCT user_id) AS n_users
+  FROM events
+  GROUP BY 1, 2, 3
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_classes,
+       CAST(SUM(CASE WHEN class_n < {_KANON_K} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_risky_classes,
+       CAST(SUM(CASE WHEN class_n < {_KANON_K} THEN class_n ELSE 0 END) AS BIGINT)
+         AS n_risky_rows,
+       CAST(SUM(CASE WHEN n_users < {_LDIV_L} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_low_diversity_classes
+FROM classes GROUP BY event_type
+"""
+
+
+@register("k_anonymity_risk", _KANON_SQL)
+def q_k_anonymity_risk(spark, sf_dir):
+    """Re-identification risk audit: equivalence classes over the
+    quasi-identifier tuple (event_type, hour-of-day, value band) with
+    k-anonymity (class size < {_KANON_K}) and l-diversity (distinct
+    users < {_LDIV_L}) violation counts per event type — the gate a
+    release pipeline runs before publishing "anonymized" activity data
+    (pairs with `pseudonymize_user_activity`, which hides identifiers
+    but cannot fix small equivalence classes).
+
+    Scale plan: one scan → one aggregate keyed by the quasi-identifier
+    tuple (map-side combined; the distinct-user count is the only
+    shuffle-widening term and is bounded per class), then a type-keyed
+    rollup of the class relation.  Purely integer outputs."""
+    ev = load_table(spark, sf_dir, "events")
+    classes = ev.groupBy(
+        "event_type",
+        F.hour("ts").alias("qh"),
+        F.floor(F.col("value") / 50).cast("long").alias("qv"),
+    ).agg(
+        F.count(F.lit(1)).alias("class_n"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+    return classes.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.sum(F.when(F.col("class_n") < _KANON_K, 1).otherwise(0))
+        .cast("long")
+        .alias("n_risky_classes"),
+        F.sum(F.when(F.col("class_n") < _KANON_K, F.col("class_n")).otherwise(0))
+        .cast("long")
+        .alias("n_risky_rows"),
+        F.sum(F.when(F.col("n_users") < _LDIV_L, 1).otherwise(0))
+        .cast("long")
+        .alias("n_low_diversity_classes"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Differential-privacy-style noisy release: per-(type, day) counts with
+# seeded Laplace noise.  The noise is drawn by inverse-CDF over the
+# PORTABLE hash uniform — deterministic and bit-identical across
+# engines, which is what makes a noisy release *reproducible* (the
+# production property: re-running the pipeline must publish the same
+# noisy table, not re-draw fresh noise; the seed is the privacy budget
+# ledger's job).
+# ---------------------------------------------------------------------------
+
+_DP_EPS = 1.0  # per-release epsilon; sensitivity 1 → Laplace scale 1/eps
+
+_DP_SQL = f"""
+WITH daily AS (
+  SELECT event_type,
+         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS epoch_day,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+u AS (
+  SELECT event_type, epoch_day, n,
+         CAST({{h}} AS DOUBLE) / {{space}} - 0.5 AS u
+  FROM daily
+)
+SELECT event_type, CAST(epoch_day AS BIGINT) AS epoch_day,
+       CAST(n AS BIGINT) AS true_n,
+       round(n + (1.0 / {_DP_EPS}) * CASE WHEN u < 0 THEN 1 ELSE -1 END
+               * ln(1 - 2 * abs(u)), 6) AS noisy_n
+FROM u
+"""
+
+
+def _dp_sql() -> str:
+    from ..functions.hashing import HASH_SPACE, portable_hash64_sql
+
+    h = portable_hash64_sql("concat(event_type, ':', CAST(epoch_day AS VARCHAR))", seed="dp1:")
+    return _DP_SQL.replace("{h}", h).replace("{space}", f"{HASH_SPACE}.0")
+
+
+@register("dp_noisy_daily_counts", _dp_sql())
+def q_dp_noisy_daily_counts(spark, sf_dir):
+    """Seeded-Laplace noisy daily counts per event type (inverse-CDF
+    over the portable md5 uniform, scale 1/ε with ε={_DP_EPS}).  Noise
+    is a pure function of (seed, cell key): the release is reproducible
+    AND oracle-checkable, replacing nondeterministic `rand()` exactly
+    as the engine's sampling family does.
+
+    Scale plan: one scan → map-side-combined (type, day) aggregate;
+    the noise term is a per-row built-in expression (md5/ln), no
+    shuffle beyond the aggregate, output calendar-bounded."""
+    from ..functions.hashing import HASH_SPACE, portable_hash64
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")).alias(
+            "epoch_day"
+        ),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    u = (
+        portable_hash64(
+            F.concat(F.col("event_type"), F.lit(":"), F.col("epoch_day").cast("string")),
+            seed="dp1:",
+        ).cast("double")
+        / F.lit(float(HASH_SPACE))
+        - 0.5
+    )
+    noise = (
+        F.lit(1.0 / _DP_EPS)
+        * F.when(u < 0, 1).otherwise(-1)
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(u))
+    )
+    return daily.select(
+        "event_type",
+        F.col("epoch_day").cast("long").alias("epoch_day"),
+        F.col("n").cast("long").alias("true_n"),
+        F.round(F.col("n") + noise, 6).alias("noisy_n"),
+    )
