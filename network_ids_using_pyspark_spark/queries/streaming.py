@@ -841,3 +841,49 @@ def q_stream_recordlog_sink_roundtrip(spark, sf_dir):
         F.count(F.lit(1)).alias("n_records"),
         F.countDistinct(F.md5("payload")).cast("bigint").alias("n_distinct_payloads"),
     )
+
+
+@register(
+    "stream_windowed_topk_users",
+    """
+    WITH c AS (
+      SELECT date_trunc('hour', ts) AS window_start, user_id, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT window_start, user_id, n,
+             ROW_NUMBER() OVER (PARTITION BY window_start
+                                ORDER BY n DESC, user_id) AS rk
+      FROM c
+    )
+    SELECT window_start, user_id, n, CAST(rk AS BIGINT) AS rk
+    FROM r WHERE rk <= 3
+    """,
+)
+def q_stream_windowed_topk_users(spark, sf_dir):
+    """Per-hour top-3 most active users, streaming: the tumbling
+    (window, user) counts run as a streaming aggregation into the
+    complete-mode sink, then the rank cut runs as a BATCH window over
+    the materialized result — the standard two-stage serving shape,
+    since rank is not an incremental streaming operator.  Oracle is the
+    equivalent batch group-rank, proving stream+serve ≡ batch.
+
+    Scale plan: streaming state is one counter per (hour, user) —
+    keyspace-bounded, partitioned by the state key; the serving rank
+    partitions by window (calendar-bounded rows per partition).  The
+    full user dimension never sits in one task."""
+    from pyspark.sql import Window
+
+    ev = stream_events(spark, sf_dir)
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("window_start"), "user_id", "n")
+    )
+    res = run_to_memory(agg, "complete")
+    w = Window.partitionBy("window_start").orderBy(F.desc("n"), F.asc("user_id"))
+    return (
+        res.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("window_start", "user_id", "n", F.col("rk").cast("long").alias("rk"))
+    )
