@@ -109,3 +109,64 @@ def pagerank_sql_ctes(edges_cte: str, iters: int = 3) -> str:
             f"FROM nodes n LEFT JOIN c{i} c ON n.node = c.node)"
         )
     return "WITH " + ",\n".join(parts) + f"\nSELECT node, rank FROM r{iters}"
+
+
+def lpa_labels(edges, iters: int = 2, checkpoint: bool = True):
+    """Deterministic synchronous label propagation: every node adopts
+    the most frequent label among its neighbors each superstep, ties
+    broken by smallest label — the classic community detector made
+    reproducible (async/random-order LPA is run-dependent; the
+    synchronous min-tiebreak variant is a pure function of the graph).
+
+    ``edges`` must be the undirected edge relation (both directions
+    present), columns (src, dst).  Labels initialize to the node id.
+
+    Scale plan: one superstep = one equi-join of the label relation
+    onto edges (keyed by node) + one (node, label)-keyed counting
+    aggregate + one per-node argmax — the same shuffle skeleton as a
+    PageRank superstep, O(iters) shuffles total.  The argmax is
+    ``min(struct(-count, label))``, a map-side-combinable aggregate —
+    no per-node sort window.  Edges persist across supersteps;
+    lineage is cut per superstep like pagerank_int."""
+    from pyspark.sql import functions as F
+
+    e = edges.persist()
+    labels = e.select(F.col("src").alias("node")).distinct().withColumn(
+        "lbl", F.col("node")
+    )
+    for _ in range(iters):
+        counted = (
+            e.join(labels.withColumnRenamed("node", "dst"), "dst")
+            .groupBy(F.col("src").alias("node"), "lbl")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            counted.groupBy("node")
+            .agg(F.min(F.struct((-F.col("c")).alias("nc"), F.col("lbl"))).alias("m"))
+            .select("node", F.col("m.lbl").alias("lbl"))
+        )
+        if checkpoint:
+            labels = labels.localCheckpoint(eager=False)
+    e.unpersist()
+    return labels
+
+
+def lpa_sql_ctes(edges_cte: str, iters: int = 2) -> str:
+    """DuckDB oracle: the same synchronous min-tiebreak propagation,
+    unrolled.  ``edges_cte`` must define ``edges``(src, dst), both
+    directions present."""
+    parts = [
+        edges_cte,
+        "l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM edges)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"cnt{i} AS (SELECT e.src AS node, l.lbl, COUNT(*) AS c "
+            f"FROM edges e JOIN l{i-1} l ON e.dst = l.node GROUP BY 1, 2)"
+        )
+        parts.append(
+            f"l{i} AS (SELECT node, lbl FROM ("
+            f"SELECT node, lbl, ROW_NUMBER() OVER (PARTITION BY node "
+            f"ORDER BY c DESC, lbl ASC) AS rk FROM cnt{i}) WHERE rk = 1)"
+        )
+    return "WITH " + ",\n".join(parts) + f"\nSELECT node, lbl FROM l{iters}"

@@ -256,3 +256,59 @@ def q_triangle_count_copurchase(spark, sf_dir):
             / F.col("n_wedges").cast("double")
         ).alias("clustering_coeff"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Label-propagation communities over the same trade graph.
+# ---------------------------------------------------------------------------
+
+from ..operators.graphops import lpa_labels, lpa_sql_ctes  # noqa: E402
+
+_LPA_ITERS = 2
+
+_LPA_SQL = f"""
+WITH labeled AS (
+  {lpa_sql_ctes(_EDGES_CTE, iters=_LPA_ITERS)}
+),
+sizes AS (
+  SELECT lbl AS community, COUNT(*) AS sz FROM labeled GROUP BY lbl
+)
+SELECT CAST(sz AS BIGINT) AS community_size,
+       CAST(COUNT(*) AS BIGINT) AS n_communities,
+       MIN(community) AS sample_community
+FROM sizes GROUP BY sz
+"""
+
+
+@register("lpa_communities_trade_graph", _LPA_SQL)
+def q_lpa_communities_trade_graph(spark, sf_dir):
+    """Community structure of the trade graph by synchronous
+    min-tiebreak label propagation ({_LPA_ITERS} supersteps), reported
+    as the community-size histogram — the fleet-level summary a crawl /
+    dedup planner reads (near-identical mirror clusters, vendor rings).
+
+    Deterministic by construction (see operators/graphops.py::
+    lpa_labels): no random visit order, ties to the smallest label, so
+    the oracle unrolls the identical propagation as SQL CTEs.  Shuffle
+    budget O(supersteps), same skeleton as PageRank."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    labels = lpa_labels(edges, iters=_LPA_ITERS)
+    sizes = labels.groupBy(F.col("lbl").alias("community")).agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    return sizes.groupBy(F.col("sz").cast("long").alias("community_size")).agg(
+        F.count(F.lit(1)).alias("n_communities"),
+        F.min("community").alias("sample_community"),
+    )
