@@ -544,3 +544,39 @@ def test_equidepth_single_sort_then_partial_agg(spark):
     plan = explain_str(df, "simple")
     assert plan.count("FileScan") == 1
     assert "Window" in plan
+
+
+def test_bigram_lm_broadcasts_count_tables(spark):
+    """LM tables (bigram/context counts, vocab) attach by broadcast —
+    the corpus is never shuffled on the skewed token key; the only
+    data shuffles build the counts and the final doc-keyed aggregate."""
+    df = _df(spark, "bigram_lm_logloss")
+    plan = explain_str(df, "simple")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_k_anonymity_two_aggregates_one_scan(spark):
+    df = _df(spark, "k_anonymity_risk")
+    plan = explain_str(df, "simple")
+    assert plan.count("FileScan") == 1
+    assert "BatchEvalPython" not in plan
+
+
+def test_dp_noisy_counts_map_side_noise(spark):
+    """Noise is a built-in expression after the aggregate: exactly one
+    data shuffle (the (type, day) aggregate), no UDF."""
+    df = _df(spark, "dp_noisy_daily_counts")
+    plan = explain_str(df, "simple")
+    assert count_shuffles(df) == 1
+    assert "BatchEvalPython" not in plan
+
+
+def test_lpa_shuffles_linear_in_supersteps(spark):
+    """O(iters) shuffle skeleton like PageRank: 2 supersteps ≈ each one
+    label join + count agg + argmax agg; no per-node sort window."""
+    df = _df(spark, "lpa_communities_trade_graph")
+    plan = explain_str(df, "simple")
+    assert "Window" not in plan  # argmax is min(struct), not row_number
+    assert count_shuffles(df) <= 12
