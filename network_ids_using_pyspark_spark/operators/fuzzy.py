@@ -57,8 +57,22 @@ def edit1_pairs(names: DataFrame, col: str = "nm") -> DataFrame:
     ``edit_pos`` is the 1-based position of the substituted character
     for equal-length pairs, NULL for insert/delete pairs.
     """
-    distinct = names.select(F.col(col).alias("nm")).distinct()
-    dels = deletion_variants(distinct)
+    # materialize the name/variant relations ONCE: they feed three join
+    # sides (sub×2, ins), and recomputing the scan+explode per side
+    # tripled wall-clock; both are |names|-bounded, far under the corpus
+    distinct = (
+        names.select(F.col(col).alias("nm")).distinct().localCheckpoint(eager=True)
+    )
+    # dedup (nm, variant): a run of k equal characters yields k IDENTICAL
+    # deletion variants, and joining the duplicates multiplies candidate
+    # rows k² per run-sharing pair — the duplicates carry no information,
+    # drop them before the join, not after
+    dels = (
+        deletion_variants(distinct)
+        .select("nm", "variant")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
 
     # substitution (and swapped ins/del) candidates: shared variant
     sub = (
