@@ -760,3 +760,86 @@ def q_bigram_lm_logloss(spark, sf_dir):
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# PSI split drift: population stability index between two deterministic
+# hash halves over value bands — the monitoring metric for "did my
+# train/serve split (or yesterday/today snapshot) drift", complementing
+# `corpus_drift_chi2`'s significance test with the thresholded
+# magnitude score ops teams alert on (PSI > 0.2 rule of thumb).
+# ---------------------------------------------------------------------------
+
+_PSI_BAND_W = 60_000
+_PSI_BANDS = 10
+
+
+def _psi_sql() -> str:
+    from ..functions.hashing import portable_hash64_sql
+
+    h = portable_hash64_sql("CAST(o_orderkey AS VARCHAR)", seed="psi:")
+    return f"""
+WITH assigned AS (
+  SELECT LEAST(CAST(floor(o_totalprice / {_PSI_BAND_W}) AS BIGINT),
+               {_PSI_BANDS - 1}) AS band,
+         {h} % 2 AS half
+  FROM orders
+),
+counts AS (
+  SELECT band,
+         SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS na,
+         SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS nb
+  FROM assigned GROUP BY band
+),
+tot AS (SELECT SUM(na) AS na_tot, SUM(nb) AS nb_tot FROM counts)
+SELECT band, CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
+       round((CAST(na AS DOUBLE) / na_tot - CAST(nb AS DOUBLE) / nb_tot)
+             * ln(CAST(na * nb_tot AS DOUBLE) / (nb * na_tot)), 6) AS psi_term
+FROM counts CROSS JOIN tot
+"""
+
+
+@register("psi_split_drift", _psi_sql())
+def q_psi_split_drift(spark, sf_dir):
+    """Per-band PSI contributions between two halves of a deterministic
+    hash split of orders (a self-calibration: true drift ≈ 0, so any
+    material psi_term would expose a broken splitter).  Band widths are
+    fixed so both engines bin identically; the log-ratio is one ln of
+    an exactly-computed double, rounded to 1e-6.
+
+    Scale plan: one scan → band×half counts (map-side combined,
+    {_PSI_BANDS}×2 cells), the grand totals re-attached by 1-row
+    broadcast; everything after the first aggregate is dim-sized."""
+    from ..functions.hashing import portable_hash64
+
+    o = load_table(spark, sf_dir, "orders")
+    assigned = o.select(
+        F.least(
+            F.floor(F.col("o_totalprice") / _PSI_BAND_W).cast("long"),
+            F.lit(_PSI_BANDS - 1),
+        ).alias("band"),
+        (portable_hash64("o_orderkey", seed="psi:") % 2).alias("half"),
+    )
+    counts = assigned.groupBy("band").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("na"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("nb"),
+    )
+    tot = counts.agg(
+        F.sum("na").alias("na_tot"), F.sum("nb").alias("nb_tot")
+    )
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "band",
+        F.col("na").cast("long").alias("na"),
+        F.col("nb").cast("long").alias("nb"),
+        F.round(
+            (
+                F.col("na").cast("double") / F.col("na_tot")
+                - F.col("nb").cast("double") / F.col("nb_tot")
+            )
+            * F.log(
+                (F.col("na") * F.col("nb_tot")).cast("double")
+                / (F.col("nb") * F.col("na_tot"))
+            ),
+            6,
+        ).alias("psi_term"),
+    )

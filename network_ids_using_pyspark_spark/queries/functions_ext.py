@@ -713,3 +713,61 @@ def q_equidepth_histogram(spark, sf_dir):
             F.max("o_totalprice").alias("hi"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequential pattern mining, the exact base case: top event-type
+# trigrams across per-user ordered event sequences.
+# ---------------------------------------------------------------------------
+
+_TRI_TOPK = 20
+
+_TRIGRAM_SQL = f"""
+WITH seqs AS (
+  SELECT user_id, list(event_type ORDER BY ts ASC, event_id ASC) AS s
+  FROM events GROUP BY user_id
+),
+tri AS (
+  SELECT s[i] || '>' || s[i + 1] || '>' || s[i + 2] AS trigram
+  FROM seqs, UNNEST(range(1, len(s) - 1)) AS r(i)
+)
+SELECT trigram, CAST(COUNT(*) AS BIGINT) AS n
+FROM tri GROUP BY trigram
+ORDER BY n DESC, trigram LIMIT {_TRI_TOPK}
+"""
+
+
+@register("event_type_trigrams", _TRIGRAM_SQL)
+def q_event_type_trigrams(spark, sf_dir):
+    """Top-{_TRI_TOPK} behavioral trigrams (ordered event-type
+    3-sequences within each user's timeline) — the exact counting
+    backbone of sequential pattern mining, ordered deterministically by
+    (ts, event_id) exactly like `user_event_sequences`.
+
+    Scale plan: sequences build with ONE user-keyed shuffle (the
+    sorted-struct collect); trigram explosion is map-side array math
+    over each sequence; counting is map-side-combined on the trigram
+    key (|types|³-bounded ≪ corpus) and the cut is
+    TakeOrderedAndProject.  Power-user skew bounds: a user with n
+    events contributes n−2 trigrams — linear, not quadratic."""
+    ev = load_table(spark, sf_dir, "events")
+    seqs = ev.groupBy("user_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+            lambda s: s["event_type"],
+        ).alias("s")
+    )
+    tri = seqs.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(s) - 3), "
+                "i -> concat(s[i], '>', s[i + 1], '>', s[i + 2]))"
+            )
+        ).alias("trigram")
+    )
+    return (
+        tri.groupBy("trigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("trigram"))
+        .limit(_TRI_TOPK)
+    )

@@ -1004,3 +1004,63 @@ def q_except_intersect_all_bags(spark, sf_dir):
     n_int = inter.agg(F.count(F.lit(1)).alias("n_intersect_all"))
     n_types = exc.agg(F.countDistinct("event_type").cast("bigint").alias("n_except_types"))
     return n_exc.crossJoin(F.broadcast(n_int)).crossJoin(F.broadcast(n_types))
+
+
+# ---------------------------------------------------------------------------
+# New-vs-returning customer curve: per order day, orders from customers
+# whose FIRST order is that day vs returners — the cohort-acquisition
+# monitoring twin of `retention_cohorts`.
+# ---------------------------------------------------------------------------
+
+_NEWRET_SQL = """
+WITH firsts AS (
+  SELECT o_custkey, MIN(CAST(o_orderdate AS DATE)) AS first_day
+  FROM orders GROUP BY 1
+),
+daily AS (
+  SELECT CAST(o.o_orderdate AS DATE) AS day, o.o_custkey, f.first_day
+  FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey
+)
+SELECT CAST(day AS TIMESTAMP) AS day,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_new_cust_orders,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers
+FROM daily GROUP BY day
+"""
+
+
+@register("new_vs_returning_customers", _NEWRET_SQL)
+def q_new_vs_returning_customers(spark, sf_dir):
+    """Daily acquisition curve: orders placed on a customer's first-ever
+    order day vs returns.  First-order days come from one
+    customer-keyed MIN aggregate joined back to orders (the classic
+    "first touch" derivation without a window over the fact table);
+    output is calendar-bounded.
+
+    Scale plan: two shuffles — the custkey-keyed MIN (map-side
+    combined) and the day-keyed rollup; the join attaches the
+    customer-dim-sized firsts relation, broadcast when it fits, plain
+    hash join otherwise.  No per-customer window sort over the orders
+    fact."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.col("o_orderdate").cast("date").alias("day")
+    )
+    firsts = o.groupBy("o_custkey").agg(F.min("day").alias("first_day"))
+    return (
+        o.join(firsts, "o_custkey")
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.when(F.col("day") == F.col("first_day"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_new_cust_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+        )
+        .select(
+            F.col("day").cast("timestamp").alias("day"),
+            "n_orders",
+            "n_new_cust_orders",
+            "n_customers",
+        )
+    )
