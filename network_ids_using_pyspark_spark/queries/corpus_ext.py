@@ -843,3 +843,95 @@ def q_psi_split_drift(spark, sf_dir):
             6,
         ).alias("psi_term"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate-gram share: per doc, the fraction of its distinct 3-gram
+# shingles that are "source boilerplate" (present in ≥ 30% of that
+# source's docs) — the signal behind header/footer/template stripping
+# in web-corpus pipelines (a doc that is MOSTLY boilerplate carries
+# little training value even if each line looks clean).
+# ---------------------------------------------------------------------------
+
+_BOILER_DF = 0.30
+
+_BOILER_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, source, regexp_split_to_array(trim(text), '\\s+') AS w
+  FROM documents
+), sh AS (
+  SELECT doc_id, source,
+         unnest(list_distinct(list_transform(range(1, len(w) - 1),
+                i -> array_to_string(w[i:i+2], ' ')))) AS shingle
+  FROM toks WHERE len(w) >= 3
+),
+src_docs AS (SELECT source, COUNT(DISTINCT doc_id) AS n_docs FROM sh GROUP BY source),
+gram_df AS (
+  SELECT source, shingle, COUNT(*) AS df FROM sh GROUP BY 1, 2
+),
+boiler AS (
+  SELECT g.source, g.shingle
+  FROM gram_df g JOIN src_docs s ON g.source = s.source
+  WHERE g.df * 100 >= {int(_BOILER_DF * 100)} * s.n_docs
+)
+SELECT h.doc_id,
+       ANY_VALUE(h.source) AS source,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_boiler,
+       CAST(SUM(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         / COUNT(*) AS boiler_share
+FROM sh h
+LEFT JOIN boiler b ON h.source = b.source AND h.shingle = b.shingle
+GROUP BY h.doc_id
+"""
+
+
+@register("boilerplate_gram_share", _BOILER_SQL)
+def q_boilerplate_gram_share(spark, sf_dir):
+    """Per-doc boilerplate share: fraction of the doc's distinct 3-gram
+    shingles that ≥ {_BOILER_DF:.0%} of same-source docs also contain.
+    The threshold compare is pure integer (df·100 ≥ 30·n_docs) so the
+    boilerplate set is bit-identical across engines.
+
+    Scale plan: one exploded-shingle relation feeds both the per-source
+    document-frequency aggregate and the scoring join; the boilerplate
+    gram set is df-thresholded and therefore SMALL (per source, at most
+    1/{_BOILER_DF:.0g} grams per doc on average can pass) — it
+    broadcasts, and the corpus-side probe is map-side.  The only
+    corpus-sized shuffles are the df aggregate and the final doc
+    rollup."""
+    docs = load_table(spark, sf_dir, "documents")
+    from ..operators.dedup import shingles
+
+    sh = docs.select(
+        "doc_id",
+        "source",
+        F.explode(F.array_distinct(shingles("text", 3))).alias("shingle"),
+    )
+    src_docs = sh.groupBy("source").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    gram_df = sh.groupBy("source", "shingle").agg(F.count(F.lit(1)).alias("df"))
+    boiler = (
+        gram_df.join(F.broadcast(src_docs), "source")
+        .filter(F.col("df") * 100 >= int(_BOILER_DF * 100) * F.col("n_docs"))
+        .select("source", "shingle", F.lit(1).alias("is_boiler"))
+    )
+    return (
+        sh.join(F.broadcast(boiler), ["source", "shingle"], "left")
+        .groupBy("doc_id")
+        .agg(
+            F.first("source").alias("source"),
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("is_boiler").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_boiler"),
+            (
+                F.sum(F.when(F.col("is_boiler").isNotNull(), 1).otherwise(0)).cast(
+                    "double"
+                )
+                / F.count(F.lit(1))
+            ).alias("boiler_share"),
+        )
+    )

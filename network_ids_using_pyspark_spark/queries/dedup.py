@@ -344,3 +344,72 @@ def q_cluster_keep_best(spark, sf_dir):
         .filter(F.col("rn") == 1)
         .select("doc_id", "component", "quality")
     )
+
+
+# ---------------------------------------------------------------------------
+# Asymmetric containment: partial-duplicate (quote/subset) detection.
+# Jaccard misses a small doc fully quoted inside a big one (the union
+# term dilutes it); containment |A∩B| / min(|A|,|B|) catches exactly
+# that case — the metric behind "document B contains document A".
+# ---------------------------------------------------------------------------
+
+CONTAIN_T = 0.6
+
+_CONTAIN_SQL = f"""
+WITH {_SHINGLES_CTE},
+sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, contained_doc, containment, jaccard FROM (
+  SELECT doc_a, doc_b,
+         CASE WHEN x.n_sh <= y.n_sh THEN doc_a ELSE doc_b END AS contained_doc,
+         CAST(n_inter AS DOUBLE) / LEAST(x.n_sh, y.n_sh) AS containment,
+         CAST(n_inter AS DOUBLE) / (x.n_sh + y.n_sh - n_inter) AS jaccard
+  FROM inter JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+) WHERE containment >= {CONTAIN_T}
+"""
+
+
+@register("containment_dedup_pairs", _CONTAIN_SQL)
+def q_containment_dedup_pairs(spark, sf_dir):
+    """Partial-duplicate pairs by shingle containment ≥ {CONTAIN_T},
+    with the contained (smaller) side identified and the Jaccard
+    reported alongside — the asymmetric complement of
+    `dedup_ngram_jaccard` over the SAME inverted-index join (one
+    candidate generation pass serves both metrics at scale; only the
+    final scalar expressions differ)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = exploded_shingles(docs, n=3)
+    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    szx = sz.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    szy = sz.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    out = (
+        inter.join(F.broadcast(szx), "doc_a")
+        .join(F.broadcast(szy), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.when(F.col("na") <= F.col("nb"), F.col("doc_a"))
+            .otherwise(F.col("doc_b"))
+            .alias("contained_doc"),
+            (F.col("n_inter").cast("double") / F.least("na", "nb")).alias(
+                "containment"
+            ),
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_inter"))
+            ).alias("jaccard"),
+        )
+    )
+    return out.filter(F.col("containment") >= CONTAIN_T)

@@ -312,3 +312,95 @@ def q_lpa_communities_trade_graph(spark, sf_dir):
         F.count(F.lit(1)).alias("n_communities"),
         F.min("community").alias("sample_community"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Link prediction: Adamic-Adar over the part co-purchase graph.
+# ---------------------------------------------------------------------------
+
+_AA_SUPPORT = 2
+_AA_TOPK = 25
+
+_AA_SQL = f"""
+WITH pairs AS (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2
+  FROM lineitem a
+  JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(DISTINCT a.l_orderkey) >= {_AA_SUPPORT}
+),
+edges AS (SELECT p1 AS u, p2 AS v FROM pairs UNION ALL SELECT p2, p1 FROM pairs),
+deg AS (SELECT u AS node, COUNT(*) AS d FROM edges GROUP BY 1),
+wedges AS (
+  SELECT e1.u AS x, e2.v AS y, e1.v AS z
+  FROM edges e1 JOIN edges e2 ON e1.v = e2.u AND e1.u < e2.v
+),
+aa AS (
+  SELECT x, y,
+         SUM(CAST(round(1.0 / ln(d.d), 6) AS DECIMAL(30, 6))) AS aa_dec,
+         CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM wedges w JOIN deg d ON w.z = d.node
+  WHERE d.d >= 2
+  GROUP BY x, y
+)
+SELECT x, y, CAST(aa.aa_dec AS DOUBLE) AS aa_score, n_common
+FROM aa
+LEFT JOIN pairs p ON aa.x = p.p1 AND aa.y = p.p2
+WHERE p.p1 IS NULL
+ORDER BY aa_score DESC, x, y
+LIMIT {_AA_TOPK}
+"""
+
+
+@register("adamic_adar_link_prediction", _AA_SQL)
+def q_adamic_adar_link_prediction(spark, sf_dir):
+    """Top-{_AA_TOPK} predicted links: non-adjacent part pairs ranked by
+    Adamic-Adar (Σ 1/ln(deg z) over common neighbors z) on the
+    support-≥{_AA_SUPPORT} co-purchase graph — "frequently bought
+    together" completion for pairs never yet co-ordered.
+
+    Reproducibility: each 1/ln(deg) term is quantized to the 1e-6 grid
+    then summed in exact DECIMAL (the functions/numeric.py discipline —
+    a float sum over wedge arrival order would be engine-dependent).
+
+    Scale plan: the same support pruning that makes triangle counting
+    linear keeps the wedge join bounded here (a hub of degree d emits
+    O(d²) wedges — the support floor removes the degree tail, and the
+    candidate relation stays edge-scale); the anti-join against
+    existing edges and the deg lookup are dim-sized broadcasts; the
+    final cut is TakeOrderedAndProject."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select("l_orderkey", F.col("l_partkey").alias("p1"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("p2"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.countDistinct("l_orderkey").alias("sup"))
+        .filter(F.col("sup") >= _AA_SUPPORT)
+        .select("p1", "p2")
+    )
+    pairs = pairs.localCheckpoint(eager=True)  # feeds edges(×2) + anti-join
+    edges = pairs.select(F.col("p1").alias("u"), F.col("p2").alias("v")).unionByName(
+        pairs.select(F.col("p2").alias("u"), F.col("p1").alias("v"))
+    )
+    deg = edges.groupBy(F.col("u").alias("node")).agg(F.count(F.lit(1)).alias("d"))
+    e1 = edges.select(F.col("u").alias("x"), F.col("v").alias("z"))
+    e2 = edges.select(F.col("u").alias("z"), F.col("v").alias("y"))
+    wedges = e1.join(e2, "z").filter(F.col("x") < F.col("y"))
+    term = F.round(F.lit(1.0) / F.log(F.col("d").cast("double")), 6).cast(
+        "decimal(30, 6)"
+    )
+    aa = (
+        wedges.join(F.broadcast(deg.filter(F.col("d") >= 2)), F.col("z") == F.col("node"))
+        .groupBy("x", "y")
+        .agg(
+            F.sum(term).cast("double").alias("aa_score"),
+            F.count(F.lit(1)).alias("n_common"),
+        )
+    )
+    out = aa.join(
+        F.broadcast(pairs),
+        (F.col("x") == F.col("p1")) & (F.col("y") == F.col("p2")),
+        "left_anti",
+    )
+    return out.orderBy(F.desc("aa_score"), F.asc("x"), F.asc("y")).limit(_AA_TOPK)
