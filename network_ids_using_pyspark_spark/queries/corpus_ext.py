@@ -15,6 +15,7 @@ oracles).
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..operators.textops import (
@@ -824,10 +825,15 @@ def q_psi_split_drift(spark, sf_dir):
         F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("na"),
         F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("nb"),
     )
-    tot = counts.agg(
-        F.sum("na").alias("na_tot"), F.sum("nb").alias("nb_tot")
+    # totals as a window over the band-count relation, not a re-aggregated
+    # branch: a second agg subtree re-scans orders (two FileScans); the
+    # window form keeps ONE scan, and a global window over ≤_PSI_BANDS
+    # rows is the sanctioned dim-sized idiom (see token_budget_allocation)
+    w_all = Window.partitionBy()
+    counts = counts.withColumn("na_tot", F.sum("na").over(w_all)).withColumn(
+        "nb_tot", F.sum("nb").over(w_all)
     )
-    return counts.crossJoin(F.broadcast(tot)).select(
+    return counts.select(
         "band",
         F.col("na").cast("long").alias("na"),
         F.col("nb").cast("long").alias("nb"),

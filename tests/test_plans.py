@@ -580,3 +580,47 @@ def test_lpa_shuffles_linear_in_supersteps(spark):
     plan = explain_str(df, "simple")
     assert "Window" not in plan  # argmax is min(struct), not row_number
     assert count_shuffles(df) <= 12
+
+
+def test_new_vs_returning_no_window_over_fact(spark):
+    """First-order days come from a MIN aggregate, not a per-customer
+    window sort over the orders fact."""
+    df = _df(spark, "new_vs_returning_customers")
+    assert "Window" not in explain_str(df, "simple")
+
+
+def test_psi_single_scan_then_dim_sized(spark):
+    df = _df(spark, "psi_split_drift")
+    plan = explain_str(df, "simple")
+    assert plan.count("FileScan") == 1
+    assert count_shuffles(df) <= 2  # band agg + 1-row total agg
+
+
+def test_event_trigrams_take_ordered(spark):
+    plan = explain_str(_df(spark, "event_type_trigrams"), "simple")
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_containment_inverted_index_join(spark):
+    """Candidate pairs come from the shingle equi-join — no all-pairs."""
+    df = _df(spark, "containment_dedup_pairs")
+    plan = explain_str(df, "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_boilerplate_gram_set_broadcast(spark):
+    """The df-thresholded boilerplate set attaches by broadcast; the
+    corpus-side probe never shuffles for the membership join."""
+    df = _df(spark, "boilerplate_gram_share")
+    plan = explain_str(df, "simple")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_adamic_adar_no_cartesian_topk_heap(spark):
+    df = _df(spark, "adamic_adar_link_prediction")
+    plan = explain_str(df, "simple")
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
