@@ -1051,3 +1051,94 @@ def q_dp_noisy_daily_counts(spark, sf_dir):
         F.col("n").cast("long").alias("true_n"),
         F.round(F.col("n") + noise, 6).alias("noisy_n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Join-key skew diagnostic: Gini coefficient + heavy-hitter share per
+# join-key relation — the measurement behind "do I need the salted
+# join / AQE skew split here?".
+# ---------------------------------------------------------------------------
+
+
+def _gini_branch_sql(rel: str, table: str, key: str) -> str:
+    return f"""
+  SELECT '{rel}' AS relation_key,
+         CAST(ANY_VALUE(n) AS BIGINT) AS n_keys,
+         CAST(ANY_VALUE(tot) AS BIGINT) AS n_rows,
+         CAST(MAX(cnt) AS BIGINT) AS max_cnt,
+         round(CAST(MAX(cnt) AS DOUBLE) / ANY_VALUE(tot), 6) AS top_share,
+         round(CAST(2 * SUM(i * cnt) AS DOUBLE) / (ANY_VALUE(n) * ANY_VALUE(tot))
+               - CAST(ANY_VALUE(n) + 1 AS DOUBLE) / ANY_VALUE(n), 6) AS gini
+  FROM (
+    SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt, k) AS i,
+           COUNT(*) OVER () AS n, SUM(cnt) OVER () AS tot
+    FROM (SELECT {key} AS k, COUNT(*) AS cnt FROM {table} GROUP BY 1)
+  )
+"""
+
+
+_GINI_SQL = " UNION ALL ".join(
+    [
+        _gini_branch_sql("lineitem.l_partkey", "lineitem", "l_partkey"),
+        _gini_branch_sql("lineitem.l_suppkey", "lineitem", "l_suppkey"),
+        _gini_branch_sql("orders.o_custkey", "orders", "o_custkey"),
+        _gini_branch_sql("events.user_id", "events", "user_id"),
+    ]
+)
+
+
+@register("key_skew_gini", _GINI_SQL)
+def q_key_skew_gini(spark, sf_dir):
+    """Skew report for the engine's four hottest join keys: per key
+    relation, the Gini coefficient of the key-count distribution (0 =
+    perfectly even, →1 = one hub key) plus the heavy-hitter share —
+    exactly the numbers that decide between a plain shuffle join, AQE
+    skew split, and the salted join (`salted_skew_join_revenue`).
+
+    Reproducibility: Gini from the sorted-counts identity
+    2·Σ i·cᵢ / (n·Σc) − (n+1)/n — every term integer until two final
+    divisions (tiebreak on key id makes rank i total).
+
+    Scale plan: per relation, one map-side-combined key count, then the
+    rank window over the KEY relation (dim-sized, not the fact); the
+    four branches scan four different tables — there is no shared scan
+    to fuse."""
+    from pyspark.sql import Window
+
+    def branch(rel: str, df, key: str):
+        c = df.groupBy(F.col(key).alias("k")).agg(F.count(F.lit(1)).alias("cnt"))
+        w = Window.orderBy(F.asc("cnt"), F.asc("k"))
+        w_all = Window.partitionBy()
+        ranked = c.select(
+            "cnt",
+            F.row_number().over(w).alias("i"),
+            F.count(F.lit(1)).over(w_all).alias("n"),
+            F.sum("cnt").over(w_all).alias("tot"),
+        )
+        return ranked.agg(
+            F.lit(rel).alias("relation_key"),
+            F.first("n").cast("long").alias("n_keys"),
+            F.first("tot").cast("long").alias("n_rows"),
+            F.max("cnt").cast("long").alias("max_cnt"),
+            F.round(F.max("cnt").cast("double") / F.first("tot"), 6).alias(
+                "top_share"
+            ),
+            F.round(
+                (2 * F.sum(F.col("i") * F.col("cnt"))).cast("double")
+                / (F.first("n") * F.first("tot"))
+                - (F.first("n") + 1).cast("double") / F.first("n"),
+                6,
+            ).alias("gini"),
+        )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    ev = load_table(spark, sf_dir, "events")
+    out = branch("lineitem.l_partkey", li, "l_partkey")
+    for rel, df, key in [
+        ("lineitem.l_suppkey", li, "l_suppkey"),
+        ("orders.o_custkey", o, "o_custkey"),
+        ("events.user_id", ev, "user_id"),
+    ]:
+        out = out.unionByName(branch(rel, df, key))
+    return out

@@ -15,6 +15,7 @@ part of the engine's data-cleaning extension family.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..operators.fuzzy import edit1_pairs
@@ -74,4 +75,75 @@ def q_fuzzy_name_pairs_symspell(spark, sf_dir):
         F.count(F.lit(1)).alias("n_pairs"),
         F.min("nm_a").alias("sample_a"),
         F.min("nm_b").alias("sample_b"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sorted-neighborhood blocking (SNM): the second classic ER candidate
+# generator beside deletion-neighborhood — sort on a blocking key, take
+# pairs within a fixed window of the sorted order.
+# ---------------------------------------------------------------------------
+
+_SNM_W = 2  # pair each record with the next w records in sort order
+_SNM_T = 5.0  # verify: account balances within this delta
+
+_SNM_SQL = f"""
+WITH s AS (
+  SELECT c_custkey, c_acctbal, c_nationkey,
+         LEAD(c_custkey, 1) OVER w AS k1, LEAD(c_acctbal, 1) OVER w AS b1,
+         LEAD(c_custkey, 2) OVER w AS k2, LEAD(c_acctbal, 2) OVER w AS b2
+  FROM customer
+  WINDOW w AS (ORDER BY c_acctbal, c_custkey)
+),
+cands AS (
+  SELECT c_custkey AS cust_a, k1 AS cust_b, c_acctbal AS bal_a, b1 AS bal_b FROM s
+  WHERE k1 IS NOT NULL
+  UNION ALL
+  SELECT c_custkey, k2, c_acctbal, b2 FROM s WHERE k2 IS NOT NULL
+)
+SELECT cust_a, cust_b, bal_a, bal_b, bal_b - bal_a AS bal_diff
+FROM cands
+WHERE bal_b - bal_a <= {_SNM_T}
+"""
+
+
+@register("snm_candidate_pairs", _SNM_SQL)
+def q_snm_candidate_pairs(spark, sf_dir):
+    """Sorted-neighborhood candidate pairs over the account-balance
+    blocking key (window w={_SNM_W}), verified by a balance-delta
+    predicate — the duplicate-account screen.  Expressed entirely as
+    LEAD windows: each record pairs with its next {_SNM_W} sorted
+    neighbors, so candidate generation is O(n·w) with NO self-join.
+
+    Scale note: the single global sort is the textbook SNM cost; the
+    distributed form range-partitions the sort key and duplicates only
+    each partition's trailing w rows to its successor (constant
+    boundary overlap) — semantics identical, which is why the windowed
+    form is the right contract to certify.  Sort-key skew (many equal
+    balances) is tiebroken by key, keeping the order total."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.orderBy(F.asc("c_acctbal"), F.asc("c_custkey"))
+    s = c.select(
+        "c_custkey",
+        "c_acctbal",
+        *[
+            F.lead("c_custkey", i).over(w).alias(f"k{i}")
+            for i in range(1, _SNM_W + 1)
+        ],
+        *[
+            F.lead("c_acctbal", i).over(w).alias(f"b{i}")
+            for i in range(1, _SNM_W + 1)
+        ],
+    )
+    cands = None
+    for i in range(1, _SNM_W + 1):
+        part = s.filter(F.col(f"k{i}").isNotNull()).select(
+            F.col("c_custkey").alias("cust_a"),
+            F.col(f"k{i}").alias("cust_b"),
+            F.col("c_acctbal").alias("bal_a"),
+            F.col(f"b{i}").alias("bal_b"),
+        )
+        cands = part if cands is None else cands.unionByName(part)
+    return cands.withColumn("bal_diff", F.col("bal_b") - F.col("bal_a")).filter(
+        F.col("bal_diff") <= _SNM_T
     )

@@ -9,6 +9,7 @@ analytics + training-data pipelines) leans on them.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..functions.numeric import dec_sum, dec_sum_sql
@@ -1064,3 +1065,57 @@ def q_new_vs_returning_customers(spark, sf_dir):
             "n_customers",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Pareto frontier (skyline): non-dominated orders under (maximize
+# totalprice, maximize orderdate).  The naive skyline is an all-pairs
+# dominance test; sorted by price with a running max of date it
+# becomes one window pass.
+# ---------------------------------------------------------------------------
+
+_PARETO_SQL = """
+WITH ranked AS (
+  SELECT o_orderkey, o_totalprice, o_orderdate,
+         MAX(o_orderdate) OVER (
+           ORDER BY o_totalprice DESC, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) AS best_date_above
+  FROM orders
+)
+SELECT o_orderkey, o_totalprice, o_orderdate
+FROM ranked
+WHERE best_date_above IS NULL OR o_orderdate > best_date_above
+"""
+
+
+@register("pareto_frontier_orders", _PARETO_SQL)
+def q_pareto_frontier_orders(spark, sf_dir):
+    """2-D skyline in one sorted pass: an order is on the frontier iff
+    its date beats the running max date over all strictly-higher-priced
+    orders — O(n log n) replaces the quadratic dominance join (the
+    tiebreak on o_orderkey makes "higher-priced" a total order, so
+    equal-price rows dominate later keys exactly as the oracle does).
+
+    Scale note: the global-order window is a single-partition sort —
+    exact-skyline cost.  The distributed form range-partitions on
+    price and runs the same pass per partition with each partition's
+    running max seeded from its upper neighbors' maxima (one tiny
+    boundary exchange); 2-D skylines are alsotypically cut first by a
+    coarse grid filter.  At fixture scale the direct form is the
+    honest baseline."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = o.select(
+        "o_orderkey",
+        "o_totalprice",
+        "o_orderdate",
+        F.max("o_orderdate").over(w).alias("best_date_above"),
+    )
+    return ranked.filter(
+        F.col("best_date_above").isNull()
+        | (F.col("o_orderdate") > F.col("best_date_above"))
+    ).select("o_orderkey", "o_totalprice", "o_orderdate")

@@ -213,3 +213,47 @@ def q_quantile_sketch_by_flag_check(spark, sf_dir):
     )
     ok = F.abs(F.col("a50") - F.col("exact_p50")) <= 0.01 * F.abs(F.col("exact_p50"))
     return agg.select("l_returnflag", "exact_p50", ok.alias("sketch_within_1pct"))
+
+
+_HLL_UNION_SQL = """
+SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_n,
+       true AS merge_equals_whole,
+       true AS union_within_3rsd
+FROM events
+"""
+
+
+@register("hll_union_mergeability", _HLL_UNION_SQL)
+def q_hll_union_mergeability(spark, sf_dir):
+    """THE property that makes sketches the 100 TB path, certified
+    through the gate: HLL sketches built on two disjoint hash-halves of
+    the stream, merged with ``hll_union``, must (a) equal the
+    whole-stream sketch's estimate EXACTLY (register-wise merge is
+    lossless for disjoint unions of the same data) and (b) land within
+    3×rsd of the exact distinct count.  Oracle states the exact count
+    and both booleans true.
+
+    Scale plan: per-half sketches are map-side-combined partial
+    aggregates (one register set per partition), the merge is a
+    dim-sized reduce — the exact COUNT(DISTINCT) beside them is the
+    expensive witness, present only because this is the certification
+    query."""
+    ev = load_table(spark, sf_dir, "events")
+    halved = ev.withColumn("half", F.pmod(F.col("event_id"), F.lit(2)))
+    per_half = halved.groupBy("half").agg(
+        F.expr("hll_sketch_agg(user_id, 14)").alias("sk")
+    )
+    merged = per_half.agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est_union")
+    )
+    whole = ev.agg(
+        F.expr("hll_sketch_estimate(hll_sketch_agg(user_id, 14))").alias("est_whole"),
+        F.countDistinct("user_id").alias("exact_n"),
+    )
+    return whole.crossJoin(F.broadcast(merged)).select(
+        "exact_n",
+        (F.col("est_union") == F.col("est_whole")).alias("merge_equals_whole"),
+        (
+            F.abs(F.col("est_union") - F.col("exact_n")) <= 0.05 * F.col("exact_n")
+        ).alias("union_within_3rsd"),
+    )
