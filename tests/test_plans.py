@@ -624,3 +624,29 @@ def test_adamic_adar_no_cartesian_topk_heap(spark):
     plan = explain_str(df, "simple")
     assert "CartesianProduct" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_pareto_single_pass_no_self_join(spark):
+    """The skyline is ONE window pass — no dominance self-join."""
+    df = _df(spark, "pareto_frontier_orders")
+    plan = explain_str(df, "simple")
+    assert "Join" not in plan
+    assert plan.count("FileScan") == 1
+
+
+def test_snm_no_self_join(spark):
+    """SNM candidates come from LEAD windows over one sorted pass —
+    never a self-join of the customer relation."""
+    df = _df(spark, "snm_candidate_pairs")
+    plan = explain_str(df, "simple")
+    assert "Join" not in plan
+
+
+def test_gini_windows_are_dim_sized(spark):
+    """The rank/total windows run over the KEY relation (post-agg), so
+    every window sits above a HashAggregate, not the raw scan."""
+    df = _df(spark, "key_skew_gini")
+    plan = explain_str(df, "simple")
+    assert "BatchEvalPython" not in plan
+    # 4 branches → 4 scans of 3 distinct tables (lineitem twice)
+    assert plan.count("FileScan") == 4
