@@ -1142,3 +1142,100 @@ def q_key_skew_gini(spark, sf_dir):
     ]:
         out = out.unionByName(branch(rel, df, key))
     return out
+
+
+# ---------------------------------------------------------------------------
+# Storage-layout diagnostics: dictionary-encoding efficiency per
+# low-cardinality column — the "should this column be dict-encoded /
+# partitioned on" estimate, exact-integer byte math.
+# ---------------------------------------------------------------------------
+
+
+def _dict_branch_sql(rel: str, table: str, col: str) -> str:
+    return f"""
+  SELECT '{rel}' AS col_name,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(COUNT(DISTINCT {col}) AS BIGINT) AS n_distinct,
+         CAST(SUM(len({col})) AS BIGINT) AS plain_bytes,
+         CAST((SELECT SUM(len(v)) FROM (SELECT DISTINCT {col} AS v FROM {table}))
+              + (COUNT(*) * (CASE WHEN COUNT(DISTINCT {col}) <= 1 THEN 1
+                             ELSE len(bin(COUNT(DISTINCT {col}) - 1)) END) + 7) // 8
+              AS BIGINT) AS dict_bytes
+  FROM {table}
+"""
+
+
+_DICT_SQL = " UNION ALL ".join(
+    [
+        _dict_branch_sql("orders.o_orderpriority", "orders", "o_orderpriority"),
+        _dict_branch_sql("orders.o_orderstatus", "orders", "o_orderstatus"),
+        _dict_branch_sql("lineitem.l_returnflag", "lineitem", "l_returnflag"),
+        _dict_branch_sql("events.event_type", "events", "event_type"),
+        _dict_branch_sql("customer.c_mktsegment", "customer", "c_mktsegment"),
+        _dict_branch_sql("documents.lang", "documents", "lang"),
+    ]
+)
+
+
+@register("dict_encoding_report", _DICT_SQL)
+def q_dict_encoding_report(spark, sf_dir):
+    """Per candidate column: exact plain-encoding bytes (Σ value
+    lengths) vs dictionary-encoding bytes (distinct-value chars +
+    n_rows packed indexes at ⌈log₂ n_distinct⌉ bits).  The bit width
+    comes from the BINARY-STRING length of n_distinct−1 (`bin()`), not
+    float log₂ — exact at power-of-2 boundaries where ln-based ceils
+    go wrong.
+
+    Scale plan: per column, one map-side-combined aggregate computing
+    count/distinct/Σlen in a single pass (the distinct-value char sum
+    is a second, dictionary-sized pass); the report is 6 rows."""
+    from pyspark.sql import DataFrame
+
+    def branch(rel: str, df: DataFrame, col: str) -> DataFrame:
+        base = df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct(col).alias("n_distinct"),
+            F.sum(F.length(col)).cast("long").alias("plain_bytes"),
+        )
+        dchars = (
+            df.select(F.col(col).alias("v"))
+            .distinct()
+            .agg(F.sum(F.length("v")).alias("dict_chars"))
+        )
+        bits = F.when(F.col("n_distinct") <= 1, F.lit(1)).otherwise(
+            F.length(F.bin(F.col("n_distinct") - 1))
+        )
+        return (
+            base.crossJoin(F.broadcast(dchars))
+            .withColumn("bits_w", bits.cast("long"))
+            .select(
+                F.lit(rel).alias("col_name"),
+                F.col("n_rows").cast("long").alias("n_rows"),
+                F.col("n_distinct").cast("long").alias("n_distinct"),
+                "plain_bytes",
+                # integer `div`, not float /: exact past 2^53 like the
+                # budget quotas (see token_budget_allocation)
+                (
+                    F.col("dict_chars")
+                    + F.expr("(n_rows * bits_w + 7) div 8")
+                )
+                .cast("long")
+                .alias("dict_bytes"),
+            )
+        )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    ev = load_table(spark, sf_dir, "events")
+    cu = load_table(spark, sf_dir, "customer")
+    d = load_table(spark, sf_dir, "documents")
+    out = branch("orders.o_orderpriority", o, "o_orderpriority")
+    for rel, df, col in [
+        ("orders.o_orderstatus", o, "o_orderstatus"),
+        ("lineitem.l_returnflag", li, "l_returnflag"),
+        ("events.event_type", ev, "event_type"),
+        ("customer.c_mktsegment", cu, "c_mktsegment"),
+        ("documents.lang", d, "lang"),
+    ]:
+        out = out.unionByName(branch(rel, df, col))
+    return out

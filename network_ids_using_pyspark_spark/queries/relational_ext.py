@@ -1119,3 +1119,122 @@ def q_pareto_frontier_orders(spark, sf_dir):
         F.col("best_date_above").isNull()
         | (F.col("o_orderdate") > F.col("best_date_above"))
     ).select("o_orderkey", "o_totalprice", "o_orderdate")
+
+
+# ---------------------------------------------------------------------------
+# Contribution analysis: nation revenue ranked with cumulative share
+# and the 80/20 head flag — decimal-exact cumulative sums so the
+# running share is bit-identical under any partitioning.
+# ---------------------------------------------------------------------------
+
+_P8020_SQL = """
+WITH rev AS (
+  SELECT n.n_name,
+         SUM(CAST(o.o_totalprice AS DECIMAL(30, 6))) AS rev_dec
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY 1
+),
+ranked AS (
+  SELECT n_name,
+         CAST(CAST(rev_dec AS VARCHAR) AS DOUBLE) AS revenue,
+         ROW_NUMBER() OVER (ORDER BY rev_dec DESC, n_name) AS rk,
+         SUM(rev_dec) OVER (ORDER BY rev_dec DESC, n_name
+                            ROWS UNBOUNDED PRECEDING) AS cum_dec,
+         SUM(rev_dec) OVER () AS tot_dec
+  FROM rev
+)
+SELECT n_name, revenue, CAST(rk AS BIGINT) AS rk,
+       CAST(CAST(cum_dec AS VARCHAR) AS DOUBLE)
+         / CAST(CAST(tot_dec AS VARCHAR) AS DOUBLE) AS cum_share,
+       (cum_dec * 5 <= tot_dec * 4) AS in_head
+FROM ranked
+"""
+
+
+@register("revenue_pareto_8020", _P8020_SQL)
+def q_revenue_pareto_8020(spark, sf_dir):
+    """Pareto contribution: nations ranked by revenue with cumulative
+    share and an exact 80%-head flag (cum·5 ≤ tot·4 — the threshold
+    compare stays in DECIMAL, no float boundary).  The running sum is
+    DECIMAL so every prefix is exact; only the reported share divides.
+
+    Scale plan: the revenue rollup reduces the fact to |nations| rows
+    first (both dims broadcast); every window after that is dim-sized —
+    the sanctioned global-window idiom."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    rev = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(30, 6)")).alias("rev_dec"))
+    )
+    w = Window.orderBy(F.desc("rev_dec"), F.asc("n_name"))
+    w_all = Window.partitionBy()
+    ranked = rev.select(
+        "n_name",
+        F.col("rev_dec").cast("string").cast("double").alias("revenue"),
+        F.row_number().over(w).alias("rk"),
+        F.sum("rev_dec").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum_dec"),
+        F.sum("rev_dec").over(w_all).alias("tot_dec"),
+    )
+    return ranked.select(
+        "n_name",
+        "revenue",
+        F.col("rk").cast("long").alias("rk"),
+        (
+            F.col("cum_dec").cast("string").cast("double")
+            / F.col("tot_dec").cast("string").cast("double")
+        ).alias("cum_share"),
+        (F.col("cum_dec") * 5 <= F.col("tot_dec") * 4).alias("in_head"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Repeat-purchase latency: histogram of inter-order gaps per customer,
+# bucketed by week — the retention-latency curve.
+# ---------------------------------------------------------------------------
+
+_GAP_CAP_WEEKS = 12
+
+_GAP_HIST_SQL = f"""
+WITH g AS (
+  SELECT o_custkey,
+         date_diff('day',
+                   LAG(CAST(o_orderdate AS DATE)) OVER (
+                     PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+                   CAST(o_orderdate AS DATE)) AS gap_days
+  FROM orders
+)
+SELECT CAST(LEAST(gap_days // 7, {_GAP_CAP_WEEKS}) AS BIGINT) AS week_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM g WHERE gap_days IS NOT NULL
+GROUP BY 1
+"""
+
+
+@register("interorder_gap_histogram", _GAP_HIST_SQL)
+def q_interorder_gap_histogram(spark, sf_dir):
+    """Distribution of days between a customer's consecutive orders,
+    bucketed by week with a {_GAP_CAP_WEEKS}-week tail cap — integer
+    throughout (date_diff → floor-div → count).
+
+    Scale plan: one customer-partitioned LAG window (each partition is
+    one customer's order history — bounded) then a map-side-combined
+    {_GAP_CAP_WEEKS + 1}-key aggregate."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+    g = o.select(
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lag(F.col("o_orderdate").cast("date")).over(w),
+        ).alias("gap_days")
+    ).filter(F.col("gap_days").isNotNull())
+    return g.groupBy(
+        F.least(F.expr("gap_days div 7"), F.lit(_GAP_CAP_WEEKS))
+        .cast("long")
+        .alias("week_bucket")
+    ).agg(F.count(F.lit(1)).alias("n"))
