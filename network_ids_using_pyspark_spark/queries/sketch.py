@@ -257,3 +257,79 @@ def q_hll_union_mergeability(spark, sf_dir):
             F.abs(F.col("est_union") - F.col("exact_n")) <= 0.05 * F.col("exact_n")
         ).alias("union_within_3rsd"),
     )
+
+
+_UNI_BUCKETS = 64
+# chi-square 99.9th percentile at 63 degrees of freedom — the
+# uniformity bound the portable hash must stay under for the engine's
+# hash sampling / splits to be trustworthy
+_UNI_CRIT = 103.442
+
+
+def _hash_uniformity_sql() -> str:
+    from ..functions.hashing import portable_hash64_sql
+
+    h = portable_hash64_sql("CAST(o_orderkey AS VARCHAR)", seed="uni:")
+    return f"""
+WITH b AS (
+  SELECT {h} % {_UNI_BUCKETS} AS bucket, COUNT(*) AS n
+  FROM orders GROUP BY 1
+),
+b2 AS (SELECT n, SUM(n) OVER () AS n_rows FROM b),
+s AS (
+  SELECT COUNT(*) AS n_buckets, ANY_VALUE(n_rows) AS n_rows,
+         MIN(n) AS min_bucket, MAX(n) AS max_bucket,
+         SUM(({_UNI_BUCKETS} * n - n_rows) ** 2) AS chi_num
+  FROM b2
+)
+SELECT CAST(n_buckets AS BIGINT) AS n_buckets,
+       CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(min_bucket AS BIGINT) AS min_bucket,
+       CAST(max_bucket AS BIGINT) AS max_bucket,
+       round(CAST(chi_num AS DOUBLE) / ({_UNI_BUCKETS} * n_rows), 6) AS chi2,
+       (CAST(chi_num AS DOUBLE) / ({_UNI_BUCKETS} * n_rows) < {_UNI_CRIT})
+         AS uniform_at_999
+FROM s
+"""
+
+
+@register("hash_uniformity_chi2", _hash_uniformity_sql())
+def q_hash_uniformity_chi2(spark, sf_dir):
+    """Statistical self-test of the portable hash that every sampling /
+    split / salting op in the engine rides on: chi² uniformity over
+    {_UNI_BUCKETS} buckets of hashed order keys, asserted under the
+    99.9% critical value (df={_UNI_BUCKETS - 1}).  The statistic is
+    computed from the integer identity Σ(k·nᵢ − N)² / (k·N) — exact
+    int64 numerator, one final division.
+
+    Scale plan: one scan, {_UNI_BUCKETS}-key map-side-combined count,
+    dim-sized window for the total — the certificate costs one
+    aggregate."""
+    from ..functions.hashing import portable_hash64
+
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    b = o.groupBy(
+        (portable_hash64("o_orderkey", seed="uni:") % _UNI_BUCKETS).alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w_all = Window.partitionBy()
+    b = b.withColumn("n_rows", F.sum("n").over(w_all))
+    s = b.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.first("n_rows").alias("n_rows"),
+        F.min("n").alias("min_bucket"),
+        F.max("n").alias("max_bucket"),
+        F.sum(F.pow(_UNI_BUCKETS * F.col("n") - F.col("n_rows"), 2).cast("long")).alias(
+            "chi_num"
+        ),
+    )
+    chi2 = F.col("chi_num").cast("double") / (_UNI_BUCKETS * F.col("n_rows"))
+    return s.select(
+        F.col("n_buckets").cast("long").alias("n_buckets"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("min_bucket").cast("long").alias("min_bucket"),
+        F.col("max_bucket").cast("long").alias("max_bucket"),
+        F.round(chi2, 6).alias("chi2"),
+        (chi2 < _UNI_CRIT).alias("uniform_at_999"),
+    )

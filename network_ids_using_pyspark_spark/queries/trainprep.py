@@ -549,3 +549,83 @@ def q_weak_label_report(spark, sf_dir):
         F.sum((F.col("lf_lang") != 0).cast("long")).alias("cov_lang"),
         F.sum(conflict.cast("long")).alias("n_conflict"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Leave-one-out target encoding: the categorical → numeric feature op
+# with the leakage guard built in (each row's own target is excluded
+# from its category mean), plus additive smoothing toward the global
+# mean for rare categories.
+# ---------------------------------------------------------------------------
+
+_TE_ALPHA = 10
+_TE_MOD = 40  # deterministic output sample: every 40th order key
+
+
+def _te_sql() -> str:
+    dec = "DECIMAL(30, 6)"
+    to_d = lambda e: f"CAST(CAST({e} AS VARCHAR) AS DOUBLE)"  # noqa: E731
+    return f"""
+WITH cat AS (
+  SELECT o_orderpriority AS cat,
+         SUM(CAST(o_totalprice AS {dec})) AS cat_sum,
+         COUNT(*) AS cat_n
+  FROM orders GROUP BY 1
+),
+g AS (
+  SELECT SUM(CAST(o_totalprice AS {dec})) AS g_sum, COUNT(*) AS g_n FROM orders
+)
+SELECT o.o_orderkey, o.o_orderpriority AS cat, o.o_totalprice AS target,
+       {to_d('c.cat_sum - CAST(o.o_totalprice AS ' + dec + ')')}
+         / (c.cat_n - 1) AS te_loo,
+       ({to_d('c.cat_sum - CAST(o.o_totalprice AS ' + dec + ')')}
+          + {_TE_ALPHA} * ({to_d('g.g_sum')} / g.g_n))
+         / (c.cat_n - 1 + {_TE_ALPHA}) AS te_smooth
+FROM orders o
+JOIN cat c ON o.o_orderpriority = c.cat
+CROSS JOIN g
+WHERE o.o_orderkey % {_TE_MOD} = 0
+"""
+
+
+@register("target_encoding_loo", _te_sql())
+def q_target_encoding_loo(spark, sf_dir):
+    """Leave-one-out target encoding of order priority against total
+    price, with α={_TE_ALPHA} smoothing toward the global mean —
+    the supervised categorical encoder whose naive (non-LOO) form leaks
+    the label.  Category sums are exact DECIMAL; each row's encoding is
+    then a fixed sequence of double ops identical in both engines
+    (numerators cleared through the correctly-rounded VARCHAR cast).
+    Output is a deterministic 1-in-{_TE_MOD} key sample.
+
+    Scale plan: the category stats are a |cats|-row broadcast and the
+    global mean a 1-row broadcast — the encoder itself is then pure
+    map-side arithmetic over the fact scan; this is why LOO encoding
+    at 100 TB is cheap despite touching every row."""
+    o = load_table(spark, sf_dir, "orders")
+    dec = "decimal(30, 6)"
+    cat = o.groupBy(F.col("o_orderpriority").alias("cat")).agg(
+        F.sum(F.col("o_totalprice").cast(dec)).alias("cat_sum"),
+        F.count(F.lit(1)).alias("cat_n"),
+    )
+    g = o.agg(
+        F.sum(F.col("o_totalprice").cast(dec)).alias("g_sum"),
+        F.count(F.lit(1)).alias("g_n"),
+    )
+    to_d = lambda c: c.cast("string").cast("double")  # noqa: E731
+    num = F.col("cat_sum") - F.col("o_totalprice").cast(dec)
+    out = (
+        o.filter(F.col("o_orderkey") % _TE_MOD == 0)
+        .join(F.broadcast(cat), F.col("o_orderpriority") == F.col("cat"))
+        .crossJoin(F.broadcast(g))
+    )
+    return out.select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("cat"),
+        F.col("o_totalprice").alias("target"),
+        (to_d(num) / (F.col("cat_n") - 1)).alias("te_loo"),
+        (
+            (to_d(num) + _TE_ALPHA * (to_d(F.col("g_sum")) / F.col("g_n")))
+            / (F.col("cat_n") - 1 + _TE_ALPHA)
+        ).alias("te_smooth"),
+    )
