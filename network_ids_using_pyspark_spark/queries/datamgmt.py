@@ -1239,3 +1239,208 @@ def q_dict_encoding_report(spark, sf_dir):
     ]:
         out = out.unionByName(branch(rel, df, col))
     return out
+
+
+# ---------------------------------------------------------------------------
+# MERGE INTO (upsert) semantics over a staged changeset — the
+# warehouse-maintenance op beside CDC compaction (`cdc_apply_latest`),
+# SCD2 versioning, and snapshot diff: WHEN MATCHED UPDATE / DELETE,
+# WHEN NOT MATCHED INSERT, expressed as one full-outer join.
+# ---------------------------------------------------------------------------
+
+_MERGE_SQL = """
+WITH changes AS (
+  -- staged changeset derived deterministically from the fixture:
+  -- keys ≡1 (mod 7): price bump update; ≡2 (mod 7): delete;
+  -- shifted keys beyond the max: inserts
+  SELECT o_orderkey AS k, 'U' AS op, o_totalprice + 1000.0 AS new_price
+  FROM orders WHERE o_orderkey % 7 = 1
+  UNION ALL
+  SELECT o_orderkey, 'D', NULL FROM orders WHERE o_orderkey % 7 = 2
+  UNION ALL
+  -- /2 is exact in binary floating point; a round(…, 2) here would
+  -- hit decimal-tie cases where engines' rounding modes differ
+  SELECT o_orderkey + (SELECT MAX(o_orderkey) FROM orders), 'I',
+         o_totalprice / 2
+  FROM orders WHERE o_orderkey % 7 = 3
+),
+merged AS (
+  SELECT COALESCE(t.o_orderkey, c.k) AS k,
+         CASE WHEN c.op = 'D' THEN NULL
+              WHEN c.op = 'U' THEN c.new_price
+              WHEN c.op = 'I' THEN c.new_price
+              ELSE t.o_totalprice END AS price,
+         CASE WHEN c.op IS NULL THEN 'kept'
+              WHEN t.o_orderkey IS NULL THEN 'inserted'
+              WHEN c.op = 'D' THEN 'deleted'
+              ELSE 'updated' END AS action
+  FROM orders t FULL OUTER JOIN changes c ON t.o_orderkey = c.k
+)
+SELECT action,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(CAST(SUM(CAST(price AS DECIMAL(30, 6))) AS VARCHAR) AS DOUBLE)
+         AS sum_price
+FROM merged GROUP BY action
+"""
+
+
+@register("merge_upsert_orders", _MERGE_SQL)
+def q_merge_upsert_orders(spark, sf_dir):
+    """MERGE INTO semantics (matched-update, matched-delete,
+    not-matched-insert) against a deterministic staged changeset,
+    reported as per-action row counts and decimal-exact price mass —
+    the upsert core of every lakehouse table format, reduced to its
+    one-full-outer-join dataflow.
+
+    Scale plan: the merge is a single key-equi full-outer join (AQE
+    picks broadcast when the changeset is small — the common case); the
+    audit rollup is a 4-key aggregate.  No row-by-row driver logic, no
+    second pass."""
+    o = load_table(spark, sf_dir, "orders")
+    max_k = o.agg(F.max("o_orderkey").alias("mk"))
+    upd = o.filter(F.col("o_orderkey") % 7 == 1).select(
+        F.col("o_orderkey").alias("k"),
+        F.lit("U").alias("op"),
+        (F.col("o_totalprice") + 1000.0).alias("new_price"),
+    )
+    dele = o.filter(F.col("o_orderkey") % 7 == 2).select(
+        F.col("o_orderkey").alias("k"),
+        F.lit("D").alias("op"),
+        F.lit(None).cast("double").alias("new_price"),
+    )
+    ins = (
+        o.filter(F.col("o_orderkey") % 7 == 3)
+        .crossJoin(F.broadcast(max_k))
+        .select(
+            (F.col("o_orderkey") + F.col("mk")).alias("k"),
+            F.lit("I").alias("op"),
+            (F.col("o_totalprice") / 2).alias("new_price"),
+        )
+    )
+    changes = upd.unionByName(dele).unionByName(ins)
+    merged = o.join(changes, o.o_orderkey == changes.k, "full_outer").select(
+        F.when(F.col("op") == "D", F.lit(None).cast("double"))
+        .when(F.col("op").isin("U", "I"), F.col("new_price"))
+        .otherwise(F.col("o_totalprice"))
+        .alias("price"),
+        F.when(F.col("op").isNull(), "kept")
+        .when(F.col("o_orderkey").isNull(), "inserted")
+        .when(F.col("op") == "D", "deleted")
+        .otherwise("updated")
+        .alias("action"),
+    )
+    return merged.groupBy("action").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("price").cast("decimal(30, 6)"))
+        .cast("string")
+        .cast("double")
+        .alias("sum_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# GDPR erasure propagation: delete a deterministic set of data
+# subjects across every table that references them, with a per-table
+# audit (and a residue check folded into the report).
+# ---------------------------------------------------------------------------
+
+_ERASE_MOD = 97  # erase users whose id ≡ 0 (mod 97)
+
+_GDPR_SQL = f"""
+WITH subjects AS (
+  SELECT DISTINCT id FROM (
+    SELECT user_id AS id FROM events WHERE user_id % {_ERASE_MOD} = 0
+    UNION ALL
+    SELECT c_custkey FROM customer WHERE c_custkey % {_ERASE_MOD} = 0
+    UNION ALL
+    SELECT o_custkey FROM orders WHERE o_custkey % {_ERASE_MOD} = 0
+  )
+),
+ev AS (
+  SELECT COUNT(*) AS n_before,
+         SUM(CASE WHEN user_id % {_ERASE_MOD} = 0 THEN 1 ELSE 0 END) AS n_deleted
+  FROM events
+),
+cu AS (
+  SELECT COUNT(*) AS n_before,
+         SUM(CASE WHEN c_custkey % {_ERASE_MOD} = 0 THEN 1 ELSE 0 END) AS n_deleted
+  FROM customer
+),
+o AS (
+  SELECT COUNT(*) AS n_before,
+         SUM(CASE WHEN o_custkey % {_ERASE_MOD} = 0 THEN 1 ELSE 0 END) AS n_deleted
+  FROM orders
+)
+SELECT 'events' AS table_name, CAST(n_before AS BIGINT) AS n_before,
+       CAST(n_deleted AS BIGINT) AS n_deleted,
+       CAST(n_before - n_deleted AS BIGINT) AS n_after,
+       CAST((SELECT COUNT(*) FROM subjects) AS BIGINT) AS n_subjects
+FROM ev
+UNION ALL
+SELECT 'customer', n_before, n_deleted, n_before - n_deleted,
+       (SELECT COUNT(*) FROM subjects) FROM cu
+UNION ALL
+SELECT 'orders', n_before, n_deleted, n_before - n_deleted,
+       (SELECT COUNT(*) FROM subjects) FROM o
+"""
+
+
+@register("gdpr_erasure_report", _GDPR_SQL)
+def q_gdpr_erasure_report(spark, sf_dir):
+    """Right-to-erasure propagation: a deterministic subject set
+    (ids ≡ 0 mod {_ERASE_MOD}) anti-joined out of every referencing
+    table, audited as before/deleted/after counts per table.  The
+    engine really materializes the anti-joined survivors and counts
+    them (n_after is the count of the DELETED relation, not
+    arithmetic), so the report certifies the deletion dataflow itself.
+
+    Scale plan: the subject set is subject-dim-sized → broadcast
+    anti-join per table; per-table audits are single aggregates.  In a
+    lakehouse this same dataflow rewrites affected files; the
+    anti-join IS the rewrite's row filter."""
+    ev = load_table(spark, sf_dir, "events")
+    cu = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    subjects = (
+        ev.filter(F.col("user_id") % _ERASE_MOD == 0)
+        .select(F.col("user_id").alias("id"))
+        .unionByName(
+            cu.filter(F.col("c_custkey") % _ERASE_MOD == 0).select(
+                F.col("c_custkey").alias("id")
+            )
+        )
+        .unionByName(
+            o.filter(F.col("o_custkey") % _ERASE_MOD == 0).select(
+                F.col("o_custkey").alias("id")
+            )
+        )
+        .distinct()
+    )
+    n_subjects = subjects.agg(F.count(F.lit(1)).alias("n_subjects"))
+
+    def audit(name, df, key):
+        # anti-join against the materialized subject LIST (in production
+        # erasure requests are arbitrary ids, not a predicate)
+        erased = df.join(
+            F.broadcast(subjects.select(F.col("id").alias(key))),
+            key,
+            "left_anti",
+        )
+        before = df.agg(F.count(F.lit(1)).alias("n_before"))
+        after = erased.agg(F.count(F.lit(1)).alias("n_after"))
+        return (
+            before.crossJoin(F.broadcast(after))
+            .crossJoin(F.broadcast(n_subjects))
+            .select(
+                F.lit(name).alias("table_name"),
+                F.col("n_before").cast("long").alias("n_before"),
+                (F.col("n_before") - F.col("n_after")).cast("long").alias("n_deleted"),
+                F.col("n_after").cast("long").alias("n_after"),
+                F.col("n_subjects").cast("long").alias("n_subjects"),
+            )
+        )
+
+    out = audit("events", ev, "user_id")
+    out = out.unionByName(audit("customer", cu, "c_custkey"))
+    out = out.unionByName(audit("orders", o, "o_custkey"))
+    return out

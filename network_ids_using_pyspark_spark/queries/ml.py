@@ -675,3 +675,62 @@ def q_ml_cv_dt_kfold(spark, sf_dir):
         for i, (g, m) in enumerate(zip(grid, model.avgMetrics))
     ]
     return spark.createDataFrame(rows, "max_depth int, cv_mean_f1 double, is_best boolean")
+
+
+@register("ml_isotonic_calibration", None)
+def q_ml_isotonic_calibration(spark, sf_dir):
+    """Isotonic-regression calibration of the binary LR's scores: fit a
+    monotone non-decreasing map from raw P(attack) to empirical label
+    frequency on the train split, apply it to the test split, and
+    report per-score-decile (mean raw probability, mean calibrated
+    probability, empirical positive rate, n) — the reliability-curve
+    table a scoring service monitors.  Completes the MLlib family's
+    serving story: classifiers (trees/forest/GBT/NB/MLP/LR) →
+    calibration → threshold.
+
+    Rows-only: the PAVA solve and the upstream L-BFGS are library
+    internals; invariants (monotonicity of the calibrated map, decile
+    coverage) are pinned in tests/test_ml_extras.py.
+
+    Scale plan: isotonic regression in MLlib is parallel PAVA —
+    per-partition pooling then a boundary merge — over (score, label)
+    pairs only, far narrower than the feature matrix; applying the fit
+    is a broadcast piecewise-linear lookup, map-side."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.functions import vector_to_array
+    from pyspark.ml.regression import IsotonicRegression
+
+    from .ml import _prepared_split  # self-import safe at call time
+
+    train, test, prepared = _prepared_split(spark, sf_dir)
+    to_bin = F.when(F.col("encoded_label") == 0.0, 0.0).otherwise(1.0)
+    train_b = train.withColumn("bin_label", to_bin)
+    test_b = test.withColumn("bin_label", to_bin)
+    lr = LogisticRegression(
+        featuresCol="scaled_features", labelCol="bin_label",
+        maxIter=50, regParam=0.01,
+    ).fit(train_b)
+    p1 = vector_to_array(F.col("probability")).getItem(1)
+    scored_train = lr.transform(train_b).select(
+        p1.alias("p_raw"), F.col("bin_label").alias("label")
+    )
+    iso = IsotonicRegression(
+        featuresCol="p_raw", labelCol="label", predictionCol="p_cal",
+        isotonic=True,
+    )
+    iso_model = iso.fit(scored_train)
+    scored_test = lr.transform(test_b).select(
+        p1.alias("p_raw"), F.col("bin_label").alias("label")
+    )
+    calibrated = iso_model.transform(scored_test).select("p_raw", "p_cal", "label")
+    decile = F.least(F.floor(F.col("p_raw") * 10), F.lit(9)).cast("long")
+    prepared.unpersist()
+    return (
+        calibrated.groupBy(decile.alias("decile"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("p_raw").alias("mean_p_raw"),
+            F.avg("p_cal").alias("mean_p_cal"),
+            F.avg("label").alias("pos_rate"),
+        )
+    )
