@@ -771,3 +771,50 @@ def q_event_type_trigrams(spark, sf_dir):
         .orderBy(F.desc("n"), F.asc("trigram"))
         .limit(_TRI_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# Dwell-time attribution: time from each event to the user's next
+# event, credited to the current event's type.
+# ---------------------------------------------------------------------------
+
+_DWELL_SQL = """
+WITH g AS (
+  SELECT event_type,
+         LEAD(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           - epoch_us(ts) AS dwell_us
+  FROM events
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(dwell_us) // 1000000 AS BIGINT) AS total_dwell_s,
+       CAST(SUM(dwell_us) AS DOUBLE) / (1000000.0 * COUNT(*)) AS mean_dwell_s
+FROM g WHERE dwell_us IS NOT NULL
+GROUP BY event_type
+"""
+
+
+@register("dwell_time_by_type", _DWELL_SQL)
+def q_dwell_time_by_type(spark, sf_dir):
+    """Per event type: total and mean time-to-next-event within each
+    user's timeline (the engagement/dwell attribution read).  Pure
+    integer microsecond arithmetic until the one mean division.
+
+    Scale plan: one user-partitioned LEAD window (per-user history
+    bounded) + a |types|-key map-side-combined aggregate."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    t_us = F.unix_micros(F.col("ts"))
+    g = ev.select(
+        "event_type",
+        (F.lead(t_us).over(w) - t_us).alias("dwell_us"),
+    ).filter(F.col("dwell_us").isNotNull())
+    return g.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("sum(dwell_us) div 1000000").cast("long").alias("total_dwell_s"),
+        (F.sum("dwell_us").cast("double") / (1000000.0 * F.count(F.lit(1)))).alias(
+            "mean_dwell_s"
+        ),
+    )

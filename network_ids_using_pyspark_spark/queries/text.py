@@ -472,3 +472,163 @@ def q_collated_token_histogram(spark, sf_dir):
         .orderBy(F.desc("n"), F.asc("token_lc"))
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Hashing-trick vectorizer profile: tokens → fixed {_FH_DIMS}-dim space
+# via the portable hash; per-dimension collision/occupancy report.
+# ---------------------------------------------------------------------------
+
+_FH_DIMS = 64
+
+
+def _fh_sql() -> str:
+    from ..functions.hashing import portable_hash64_sql
+
+    h = portable_hash64_sql("tok", seed="fh:")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+  FROM documents
+),
+cell AS (
+  SELECT doc_id, {h} % {_FH_DIMS} AS dim, tok
+  FROM toks
+)
+SELECT dim,
+       CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_tokens_distinct,
+       CAST(COUNT(*) AS BIGINT) AS total_cnt,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs_touched
+FROM cell GROUP BY dim
+"""
+
+
+@register("feature_hash_profile", _fh_sql())
+def q_feature_hash_profile(spark, sf_dir):
+    """The hashing-trick vectorizer (HashingTF's portable twin) audited
+    per output dimension: distinct tokens colliding into the dim, total
+    mass, document reach — the table you read before choosing the
+    hash-space width for a linear text model.  The dimension assignment
+    is the engine's portable md5 hash, so the vectorizer itself (not
+    just this report) is cross-engine reproducible — unlike
+    `HashingTF`'s murmur3, which is Spark-internal (its twin lives in
+    `mllib_tfidf_norms`, rows-only for exactly that reason).
+
+    Scale plan: one scan → explode → one (dim, token)-combined
+    aggregate; output is {_FH_DIMS} rows regardless of corpus size."""
+    from ..functions.hashing import portable_hash64
+
+    docs = load_table(spark, sf_dir, "documents")
+    from ..operators.textops import tokens as tok_arr
+
+    toks = docs.select("doc_id", F.explode(tok_arr("text")).alias("tok"))
+    cell = toks.select(
+        "doc_id", "tok", (portable_hash64("tok", seed="fh:") % _FH_DIMS).alias("dim")
+    )
+    return cell.groupBy("dim").agg(
+        F.countDistinct("tok").alias("n_tokens_distinct"),
+        F.count(F.lit(1)).alias("total_cnt"),
+        F.countDistinct("doc_id").alias("n_docs_touched"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Zipf-law fit: OLS slope of log-frequency on log-rank over the top
+# vocabulary — the corpus-health diagnostic (natural text ≈ −1; a
+# templated/synthetic corpus shows a flatter or kinked curve).
+# ---------------------------------------------------------------------------
+
+_ZIPF_TOPK = 100
+
+
+_ZIPF_SQL = f"""
+WITH toks AS (
+  SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok FROM documents
+),
+freq AS (
+  SELECT tok, COUNT(*) AS c FROM toks GROUP BY 1
+  ORDER BY c DESC, tok LIMIT {_ZIPF_TOPK}
+),
+pts AS (
+  SELECT CAST(round(ln(ROW_NUMBER() OVER (ORDER BY c DESC, tok)), 6)
+              AS DECIMAL(30, 6)) AS lx,
+         CAST(round(ln(c), 6) AS DECIMAL(30, 6)) AS ly
+  FROM freq
+),
+m AS (
+  SELECT COUNT(*) AS n,
+         CAST(CAST(SUM(lx) AS VARCHAR) AS DOUBLE) AS sx,
+         CAST(CAST(SUM(ly) AS VARCHAR) AS DOUBLE) AS sy,
+         CAST(CAST(SUM(lx * lx) AS VARCHAR) AS DOUBLE) AS sxx,
+         CAST(CAST(SUM(lx * ly) AS VARCHAR) AS DOUBLE) AS sxy
+  FROM pts
+)
+SELECT n_points, zipf_slope,
+       round((sy - zipf_slope * sx) / n_points, 6) AS intercept
+FROM (
+  SELECT CAST(n AS BIGINT) AS n_points, sx, sy,
+         round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope
+  FROM m
+)
+"""
+
+
+@register("zipf_fit_report", _ZIPF_SQL)
+def q_zipf_fit_report(spark, sf_dir):
+    """Zipf exponent of the corpus: least-squares slope of ln(freq) on
+    ln(rank) over the top-{_ZIPF_TOPK} vocabulary.  Logs quantized to
+    the 1e-6 grid, moment sums exact DECIMAL (the engine's standard
+    transcendental-parity discipline), closed-form OLS from identical
+    doubles.
+
+    Scale plan: the token count is one map-side-combined aggregate;
+    the ranked top-K is TakeOrderedAndProject; every window after runs
+    over ≤{_ZIPF_TOPK} rows."""
+    from pyspark.sql import Window
+
+    from ..operators.textops import tokens as tok_arr
+
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(tok_arr("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("tok"))
+        .limit(_ZIPF_TOPK)
+    )
+    w = Window.orderBy(F.desc("c"), F.asc("tok"))
+    pts = freq.select(
+        F.round(F.log(F.row_number().over(w).cast("double")), 6)
+        .cast("decimal(30, 6)")
+        .alias("lx"),
+        F.round(F.log(F.col("c").cast("double")), 6)
+        .cast("decimal(30, 6)")
+        .alias("ly"),
+    )
+    m = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("lx").cast("string").cast("double").alias("sx"),
+        F.sum("ly").cast("string").cast("double").alias("sy"),
+        F.sum(F.col("lx") * F.col("lx")).cast("string").cast("double").alias("sxx"),
+        F.sum(F.col("lx") * F.col("ly")).cast("string").cast("double").alias("sxy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    # intercept is derived from the ROUNDED slope: the unrounded slope
+    # can differ by 1 ulp across engines (fma vs separate mul/add), and
+    # that ulp flips the intercept's own 1e-6 rounding; the quantized
+    # slope is engine-identical by construction
+    pre = m.select(
+        F.col("n").cast("long").alias("n_points"),
+        "sx",
+        "sy",
+        F.round(slope, 6).alias("zipf_slope"),
+    )
+    return pre.select(
+        "n_points",
+        "zipf_slope",
+        F.round(
+            (F.col("sy") - F.col("zipf_slope") * F.col("sx")) / F.col("n_points"), 6
+        ).alias("intercept"),
+    )
