@@ -150,7 +150,21 @@ _ROUND_PRIORITY = [
     # semantic_decontam_report, dsir_importance_weights),
     # triangle_count_copurchase, pseudonymize_user_activity,
     # constraint_quarantine_report, jsonl/orc_scan_profile,
-    # grouped_agg_udf_median.
+    # grouped_agg_udf_median — plus the second continuation batch
+    # (all locally oracle-green, never windowed): the entity-resolution
+    # pair (fuzzy_name_pairs_symspell, snm_candidate_pairs),
+    # assoc_rules_lift, cusum_changepoint, seasonal_naive_wape,
+    # hybrid_search_rrf, equidepth_histogram, weak_label_report,
+    # bigram_lm_logloss, k_anonymity_risk, dp_noisy_daily_counts,
+    # stream_windowed_topk_users, lpa_communities_trade_graph,
+    # adamic_adar_link_prediction, new_vs_returning_customers,
+    # psi_split_drift, event_type_trigrams, containment_dedup_pairs,
+    # boilerplate_gram_share, pareto_frontier_orders,
+    # hll_union_mergeability, key_skew_gini, revenue_pareto_8020,
+    # interorder_gap_histogram, dict_encoding_report,
+    # target_encoding_loo, hash_uniformity_chi2, merge_upsert_orders,
+    # gdpr_erasure_report, ml_isotonic_calibration (rows-only),
+    # feature_hash_profile, zipf_fit_report, dwell_time_by_type.
 ]
 
 
