@@ -1444,3 +1444,79 @@ def q_gdpr_erasure_report(spark, sf_dir):
     out = out.unionByName(audit("customer", cu, "c_custkey"))
     out = out.unionByName(audit("orders", o, "o_custkey"))
     return out
+
+
+# ---------------------------------------------------------------------------
+# Order-independent dataset fingerprints: one 61-bit digest per table
+# (sum of per-row portable hashes mod a Mersenne prime) — the O(1)
+# change-detection certificate `snapshot_diff_report` escalates from.
+# ---------------------------------------------------------------------------
+
+_FP_MOD = (1 << 61) - 1  # Mersenne prime keeps the modular sum unbiased
+
+
+def _fp_branch_sql(name: str, table: str, row_expr: str) -> str:
+    from ..functions.hashing import portable_hash64_sql
+
+    h = portable_hash64_sql(row_expr, seed="fp:")
+    return f"""
+  SELECT '{name}' AS table_name,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(CAST({h} % {_FP_MOD} AS DECIMAL(38, 0))) % {_FP_MOD} AS BIGINT)
+           AS fingerprint
+  FROM {table}
+"""
+
+
+_FP_ROWS = {
+    "orders": "concat(CAST(o_orderkey AS VARCHAR), '|', CAST(o_totalprice AS VARCHAR), '|', o_orderstatus)",
+    "customer": "concat(CAST(c_custkey AS VARCHAR), '|', c_name, '|', c_mktsegment)",
+    "lineitem": "concat(CAST(l_orderkey AS VARCHAR), '|', CAST(l_linenumber AS VARCHAR), '|', CAST(l_quantity AS VARCHAR))",
+    "documents": "concat(CAST(doc_id AS VARCHAR), '|', lang, '|', CAST(n_chars AS VARCHAR))",
+}
+
+_FP_SQL = " UNION ALL ".join(
+    _fp_branch_sql(n, n, e) for n, e in _FP_ROWS.items()
+)
+
+
+@register("table_fingerprints", _FP_SQL)
+def q_table_fingerprints(spark, sf_dir):
+    """Per-table content fingerprint: Σ md5₆₀(key columns) mod 2⁶¹−1.
+    Commutative/associative by construction, so the digest is identical
+    under ANY partitioning or row order — two snapshots compare in O(1)
+    after one linear scan each, and a mismatch escalates to the full
+    `snapshot_diff_report`.  (Float columns enter through their VARCHAR
+    form, which both engines render identically for the fixture's
+    shortest-repr doubles.)
+
+    Scale plan: embarrassingly parallel — per-partition partial sums,
+    one tiny final reduce; no shuffle of data rows at all."""
+    from ..functions.hashing import portable_hash64
+
+    def branch(name, df, cols):
+        row = F.concat_ws("|", *[F.col(c).cast("string") for c in cols])
+        return df.agg(
+            F.lit(name).alias("table_name"),
+            F.count(F.lit(1)).alias("n_rows"),
+            # the modular sum MUST accumulate in DECIMAL(38,0): int64
+            # overflows after ~4 near-2^61 terms (ANSI mode faults)
+            (
+                F.sum((portable_hash64(row, seed="fp:") % _FP_MOD).cast("decimal(38, 0)"))
+                % F.lit(_FP_MOD).cast("decimal(38, 0)")
+            )
+            .cast("long")
+            .alias("fingerprint"),
+        )
+
+    o = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+    d = load_table(spark, sf_dir, "documents")
+    out = branch("orders", o, ["o_orderkey", "o_totalprice", "o_orderstatus"])
+    out = out.unionByName(branch("customer", cu, ["c_custkey", "c_name", "c_mktsegment"]))
+    out = out.unionByName(
+        branch("lineitem", li, ["l_orderkey", "l_linenumber", "l_quantity"])
+    )
+    out = out.unionByName(branch("documents", d, ["doc_id", "lang", "n_chars"]))
+    return out

@@ -734,3 +734,98 @@ def q_ml_isotonic_calibration(spark, sf_dir):
             F.avg("label").alias("pos_rate"),
         )
     )
+
+
+@register("ml_conformal_coverage", None)
+def q_ml_conformal_coverage(spark, sf_dir):
+    """Split-conformal prediction on top of the binary LR: the
+    calibration half's nonconformity scores (1 − P(true class)) give a
+    distribution-free threshold q̂ at the ⌈(n+1)(1−α)⌉/n quantile;
+    test-time prediction sets {c : 1 − P(c) ≤ q̂} then carry a ≥ 1−α
+    marginal coverage guarantee with no model assumptions.  Output per
+    α ∈ {0.1, 0.05}: q̂, achieved test coverage, and mean prediction-set
+    size — the efficiency/validity trade every conformal deployment
+    monitors.  Rows-only (depends on L-BFGS internals); the coverage
+    floor is pinned in tests/test_ml_extras.py.
+
+    Scale plan: calibration/test assignment is the engine's
+    deterministic hash split; q̂ is an exact quantile of the
+    calibration SCORES only (narrow relation); applying it is a 1-row
+    broadcast against map-side set-size arithmetic."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.functions import vector_to_array
+
+    from ..functions.hashing import hash_bucket
+
+    train, test, prepared = _prepared_split(spark, sf_dir)
+    to_bin = F.when(F.col("encoded_label") == 0.0, 0.0).otherwise(1.0)
+    train_b = train.withColumn("bin_label", to_bin)
+    lr = LogisticRegression(
+        featuresCol="scaled_features", labelCol="bin_label",
+        maxIter=50, regParam=0.01,
+    ).fit(train_b)
+    p = vector_to_array(F.col("probability"))
+    scored = lr.transform(test.withColumn("bin_label", to_bin)).select(
+        F.col("bin_label").alias("label"),
+        p.getItem(0).alias("p0"),
+        p.getItem(1).alias("p1"),
+        hash_bucket(F.col("row_id"), 2, seed="conf:").alias("half")
+        if "row_id" in test.columns
+        else (F.monotonically_increasing_id() % 2).alias("half"),
+    )
+    # deterministic calibration/test halves via the portable hash of the
+    # score pair's string form (row ids aren't in the prepared frame)
+    scored = scored.drop("half").withColumn(
+        "half",
+        hash_bucket(
+            F.concat(
+                F.format_number("p1", 9), F.lit(":"), F.col("label").cast("string")
+            ),
+            2,
+            seed="conf:",
+        ),
+    )
+    cal = scored.filter(F.col("half") == 0).withColumn(
+        "nonconf",
+        F.when(F.col("label") == 1.0, 1.0 - F.col("p1")).otherwise(1.0 - F.col("p0")),
+    )
+    tst = scored.filter(F.col("half") == 1)
+    n_cal = cal.count()
+    rows = []
+    import math
+
+    for alpha in (0.10, 0.05):
+        # conformal quantile index is the CEILING of (n+1)(1-alpha) —
+        # flooring shrinks q-hat and silently undercuts the guarantee
+        k = min(math.ceil((n_cal + 1) * (1 - alpha)), n_cal)
+        qhat = (
+            cal.select("nonconf")
+            .orderBy(F.asc("nonconf"))
+            .limit(max(k, 1))
+            .agg(F.max("nonconf").alias("q"))
+            .collect()[0]["q"]
+        )
+        sets = tst.select(
+            ((1.0 - F.col("p0")) <= qhat).cast("int").alias("in0"),
+            ((1.0 - F.col("p1")) <= qhat).cast("int").alias("in1"),
+            F.col("label"),
+        )
+        stats = sets.agg(
+            F.count(F.lit(1)).alias("n_test"),
+            F.avg(
+                F.when(
+                    (F.col("label") == 1.0) & (F.col("in1") == 1), 1.0
+                ).when((F.col("label") == 0.0) & (F.col("in0") == 1), 1.0).otherwise(0.0)
+            ).alias("coverage"),
+            F.avg(F.col("in0") + F.col("in1")).alias("mean_set_size"),
+        ).collect()[0]
+        rows.append(
+            (alpha, float(qhat), n_cal, stats["n_test"],
+             float(stats["coverage"]), float(stats["mean_set_size"]))
+        )
+    prepared.unpersist()
+    return spark.createDataFrame(
+        rows,
+        "alpha double, qhat double, n_cal long, n_test long, "
+        "coverage double, mean_set_size double",
+    )

@@ -629,3 +629,164 @@ def q_target_encoding_loo(spark, sf_dir):
             / (F.col("cat_n") - 1 + _TE_ALPHA)
         ).alias("te_smooth"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mutual information / entropy report for categorical feature pairs —
+# the filter-method feature-selection primitive (which columns carry
+# signal about which), with normalized MI for cross-pair comparison.
+# ---------------------------------------------------------------------------
+
+
+def _mi_pair_sql(pair: str, table: str, x: str, y: str) -> str:
+    # MI = (1/N)·Σ n_xy·ln(n_xy·N / (n_x·n_y)); each log is quantized to
+    # the 1e-9 grid then multiplied by the INTEGER n_xy inside DECIMAL —
+    # the sum is exact, N divides once at the end (same discipline as
+    # bigram_lm_logloss).  H(X) = ln(N) − (1/N)·Σ n_x·ln(n_x) likewise.
+    t9 = "DECIMAL(38, 9)"
+    to_d = lambda e: f"CAST(CAST({e} AS VARCHAR) AS DOUBLE)"  # noqa: E731
+    return f"""
+  SELECT pair, n, mi, h_x, h_y,
+         -- NMI from the ROUNDED mi/h values (identical across engines);
+         -- a single-category marginal gives H=0 (or a −1e-10 residue of
+         -- the log quantization) → NULL, not a sqrt domain error
+         CASE WHEN h_x > 0 AND h_y > 0
+              THEN round(mi / sqrt(h_x * h_y), 6) END AS nmi
+  FROM (
+  SELECT '{pair}' AS pair, CAST(nn AS BIGINT) AS n,
+         round(mi_num / nn, 6) AS mi,
+         round(ln(nn) - hx_num / nn, 6) AS h_x,
+         round(ln(nn) - hy_num / nn, 6) AS h_y
+  FROM (
+    SELECT ANY_VALUE(nn) AS nn,
+           {to_d(f"SUM(CAST(nxy AS {t9}) * CAST(round(ln((CAST(nxy AS DOUBLE) * nn) / (CAST(nx AS DOUBLE) * ny)), 9) AS {t9}))")} AS mi_num,
+           {to_d(f"SUM(CASE WHEN first_y THEN CAST(nx AS {t9}) * CAST(round(ln(CAST(nx AS DOUBLE)), 9) AS {t9}) ELSE CAST(0 AS {t9}) END)")} AS hx_num,
+           {to_d(f"SUM(CASE WHEN first_x THEN CAST(ny AS {t9}) * CAST(round(ln(CAST(ny AS DOUBLE)), 9) AS {t9}) ELSE CAST(0 AS {t9}) END)")} AS hy_num
+    FROM (
+      SELECT nxy, nx, ny, nn,
+             ROW_NUMBER() OVER (PARTITION BY x ORDER BY y) = 1 AS first_x,
+             ROW_NUMBER() OVER (PARTITION BY y ORDER BY x) = 1 AS first_y
+      FROM (
+        SELECT x, y, COUNT(*) AS nxy FROM (SELECT {x} AS x, {y} AS y FROM {table}) GROUP BY 1, 2
+      )
+      JOIN (SELECT x, SUM(c) AS nx FROM (SELECT {x} AS x, COUNT(*) AS c FROM {table} GROUP BY 1) GROUP BY 1) USING (x)
+      JOIN (SELECT y, SUM(c) AS ny FROM (SELECT {y} AS y, COUNT(*) AS c FROM {table} GROUP BY 1) GROUP BY 1) USING (y)
+      CROSS JOIN (SELECT COUNT(*) AS nn FROM {table})
+    )
+  )
+  )
+"""
+
+
+_MI_PAIRS = [
+    ("events.type_x_hourband", "events", "event_type",
+     "CAST(EXTRACT(hour FROM ts) // 6 AS BIGINT)"),
+    ("orders.priority_x_status", "orders", "o_orderpriority", "o_orderstatus"),
+    ("events.type_x_valueband", "events", "event_type",
+     "LEAST(CAST(floor(value / 100) AS BIGINT), 9)"),
+]
+
+_MI_SQL = " UNION ALL ".join(
+    _mi_pair_sql(p, t, x, y) for p, t, x, y in _MI_PAIRS
+)
+
+
+@register("mutual_information_report", _MI_SQL)
+def q_mutual_information_report(spark, sf_dir):
+    """MI, marginal entropies, and normalized MI for three categorical
+    column pairs.  Quantized-log × integer-count DECIMAL sums keep the
+    statistic exact until the final divisions (the engine's standard
+    transcendental-parity discipline); marginal entropy terms are
+    counted once per category via first-in-group flags so the joint
+    relation is scanned exactly once per pair.
+
+    Scale plan: per pair, the fact collapses to the joint contingency
+    table first (one map-side-combined aggregate, |X|·|Y| cells); the
+    marginals join onto it dim-sized.  The windows marking
+    first-in-group run over the contingency table, never the fact."""
+    from pyspark.sql import Window
+
+    def pair_branch(pair, df, x_col, y_col):
+        j = df.select(x_col.alias("x"), y_col.alias("y"))
+        cxy = j.groupBy("x", "y").agg(F.count(F.lit(1)).alias("nxy"))
+        cx = j.groupBy("x").agg(F.count(F.lit(1)).alias("nx"))
+        cy = j.groupBy("y").agg(F.count(F.lit(1)).alias("ny"))
+        nn = j.agg(F.count(F.lit(1)).alias("nn"))
+        t9 = "decimal(38, 9)"
+        base = (
+            cxy.join(F.broadcast(cx), "x")
+            .join(F.broadcast(cy), "y")
+            .crossJoin(F.broadcast(nn))
+            .withColumn(
+                "first_x",
+                F.row_number().over(Window.partitionBy("x").orderBy("y")) == 1,
+            )
+            .withColumn(
+                "first_y",
+                F.row_number().over(Window.partitionBy("y").orderBy("x")) == 1,
+            )
+        )
+        mi_term = F.col("nxy").cast(t9) * F.round(
+            F.log(
+                (F.col("nxy").cast("double") * F.col("nn"))
+                / (F.col("nx").cast("double") * F.col("ny"))
+            ),
+            9,
+        ).cast(t9)
+        hx_term = F.when(
+            F.col("first_y"),
+            F.col("nx").cast(t9)
+            * F.round(F.log(F.col("nx").cast("double")), 9).cast(t9),
+        ).otherwise(F.lit(0).cast(t9))
+        hy_term = F.when(
+            F.col("first_x"),
+            F.col("ny").cast(t9)
+            * F.round(F.log(F.col("ny").cast("double")), 9).cast(t9),
+        ).otherwise(F.lit(0).cast(t9))
+        agg = base.agg(
+            F.first("nn").alias("nn"),
+            F.sum(mi_term).cast("string").cast("double").alias("mi_num"),
+            F.sum(hx_term).cast("string").cast("double").alias("hx_num"),
+            F.sum(hy_term).cast("string").cast("double").alias("hy_num"),
+        )
+        mi = F.col("mi_num") / F.col("nn")
+        hx = F.log(F.col("nn").cast("double")) - F.col("hx_num") / F.col("nn")
+        hy = F.log(F.col("nn").cast("double")) - F.col("hy_num") / F.col("nn")
+        pre = agg.select(
+            F.lit(pair).alias("pair"),
+            F.col("nn").cast("long").alias("n"),
+            F.round(mi, 6).alias("mi"),
+            F.round(hx, 6).alias("h_x"),
+            F.round(hy, 6).alias("h_y"),
+        )
+        return pre.select(
+            "pair",
+            "n",
+            "mi",
+            "h_x",
+            "h_y",
+            F.when(
+                (F.col("h_x") > 0) & (F.col("h_y") > 0),
+                F.round(F.col("mi") / F.sqrt(F.col("h_x") * F.col("h_y")), 6),
+            ).alias("nmi"),
+        )
+
+    ev = load_table(spark, sf_dir, "events")
+    o = load_table(spark, sf_dir, "orders")
+    out = pair_branch(
+        "events.type_x_hourband", ev, F.col("event_type"),
+        F.expr("CAST(hour(ts) div 6 AS BIGINT)"),
+    )
+    out = out.unionByName(
+        pair_branch(
+            "orders.priority_x_status", o, F.col("o_orderpriority"),
+            F.col("o_orderstatus"),
+        )
+    )
+    out = out.unionByName(
+        pair_branch(
+            "events.type_x_valueband", ev, F.col("event_type"),
+            F.least(F.floor(F.col("value") / 100).cast("long"), F.lit(9)),
+        )
+    )
+    return out
