@@ -61,6 +61,7 @@ from . import graph  # noqa: E402,F401
 from . import trainprep  # noqa: E402,F401
 from . import entity  # noqa: E402,F401
 from . import assoc  # noqa: E402,F401
+from . import stats_ext  # noqa: E402,F401
 
 
 # The driver's correctness gate covers the FIRST 50 registry entries

@@ -1,0 +1,280 @@
+"""Statistical-inference extensions: exact two-sample KS drift, the
+Poisson bootstrap (the canonical distributed resampler), and Benford
+first-digit forensics.  All integer/decimal-exact by the engine's
+reproducibility discipline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import HASH_SPACE, portable_hash64, portable_hash64_sql
+from ..sources.tables import load_table
+from . import register
+
+# ---------------------------------------------------------------------------
+# Exact two-sample Kolmogorov-Smirnov: distribution drift between the
+# click and error event populations.  Counts are pre-aggregated per
+# DISTINCT value so the cumulative CDFs are tie-deterministic (a
+# row-level running sum would depend on the sort order among equal
+# values); the statistic stays integer via cross-multiplication
+# |c1·n2 − c2·n1| until one final division.
+# ---------------------------------------------------------------------------
+
+_KS_SQL = """
+WITH s AS (
+  SELECT value, CASE WHEN event_type = 'click' THEN 1 ELSE 2 END AS g
+  FROM events WHERE event_type IN ('click', 'error')
+),
+per_v AS (
+  SELECT value,
+         SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS d1,
+         SUM(CASE WHEN g = 2 THEN 1 ELSE 0 END) AS d2
+  FROM s GROUP BY value
+),
+c AS (
+  SELECT value,
+         SUM(d1) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING) AS c1,
+         SUM(d2) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING) AS c2,
+         SUM(d1) OVER () AS n1, SUM(d2) OVER () AS n2
+  FROM per_v
+),
+m AS (
+  SELECT value, c1, c2, n1, n2, ABS(c1 * n2 - c2 * n1) AS num,
+         MAX(ABS(c1 * n2 - c2 * n1)) OVER () AS max_num
+  FROM c
+)
+SELECT CAST(ANY_VALUE(n1) AS BIGINT) AS n1,
+       CAST(ANY_VALUE(n2) AS BIGINT) AS n2,
+       CAST(ANY_VALUE(max_num) AS BIGINT) AS ks_num,
+       CAST(ANY_VALUE(max_num) AS DOUBLE)
+         / (ANY_VALUE(n1) * ANY_VALUE(n2)) AS ks_stat,
+       MIN(CASE WHEN num = max_num THEN value END) AS ks_at_value
+FROM m
+"""
+
+
+@register("ks_two_sample_drift", _KS_SQL)
+def q_ks_two_sample_drift(spark, sf_dir):
+    """Exact two-sample KS statistic (click vs error value
+    distributions) with the location of the maximum CDF gap — the
+    nonparametric drift test PSI approximates in bands.
+
+    Scale plan: the population collapses to per-distinct-value counts
+    first (one aggregate); the cumulative window runs over the VALUE
+    domain, not the rows.  For a domain too large even for that, the
+    engine's KLL-sketch quantile gate is the approximate stand-in —
+    same pairing as exact vs HLL distinct."""
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.filter(F.col("event_type").isin("click", "error")).select(
+        "value",
+        F.when(F.col("event_type") == "click", 1).otherwise(2).alias("g"),
+    )
+    per_v = s.groupBy("value").agg(
+        F.sum(F.when(F.col("g") == 1, 1).otherwise(0)).alias("d1"),
+        F.sum(F.when(F.col("g") == 2, 1).otherwise(0)).alias("d2"),
+    )
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    c = per_v.select(
+        "value",
+        F.sum("d1").over(w).alias("c1"),
+        F.sum("d2").over(w).alias("c2"),
+        F.sum("d1").over(w_all).alias("n1"),
+        F.sum("d2").over(w_all).alias("n2"),
+    )
+    m = c.select(
+        "value",
+        "n1",
+        "n2",
+        F.abs(F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1")).alias("num"),
+    ).withColumn("max_num", F.max("num").over(w_all))
+    return m.agg(
+        F.first("n1").cast("long").alias("n1"),
+        F.first("n2").cast("long").alias("n2"),
+        F.first("max_num").cast("long").alias("ks_num"),
+        (F.first("max_num").cast("double") / (F.first("n1") * F.first("n2"))).alias(
+            "ks_stat"
+        ),
+        F.min(F.when(F.col("num") == F.col("max_num"), F.col("value"))).alias(
+            "ks_at_value"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Poisson bootstrap CI of the mean order price — THE distributed
+# bootstrap: instead of resampling n rows with replacement (which
+# needs global coordination), each row independently contributes a
+# Poisson(1) weight per replicate.  Weights come from the portable
+# hash via the exact Poisson inverse CDF, so every replicate is
+# deterministic and engine-identical.
+# ---------------------------------------------------------------------------
+
+_B = 50
+# cumulative Poisson(1) probabilities as exact double literals
+_POIS_CDF = [
+    0.3678794411714423,
+    0.7357588823428846,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+    0.9994058151824183,
+]
+
+
+def _boot_sql() -> str:
+    h = portable_hash64_sql(
+        "concat(CAST(rep AS VARCHAR), ':', CAST(o_orderkey AS VARCHAR))",
+        seed="boot:",
+    )
+    cases = " ".join(
+        f"WHEN u < {p} THEN {i}" for i, p in enumerate(_POIS_CDF)
+    )
+    return f"""
+WITH reps AS (SELECT unnest(range(0, {_B})) AS rep),
+w AS (
+  SELECT rep, o_totalprice, {h} / {float(HASH_SPACE)} AS u
+  FROM orders CROSS JOIN reps
+),
+pw AS (
+  SELECT rep, o_totalprice, CASE {cases} ELSE {len(_POIS_CDF)} END AS wt FROM w
+),
+means AS (
+  SELECT rep,
+         CAST(CAST(SUM(wt * CAST(o_totalprice AS DECIMAL(30, 6))) AS VARCHAR)
+              AS DOUBLE) / SUM(wt) AS m
+  FROM pw GROUP BY rep
+),
+ranked AS (
+  SELECT m, ROW_NUMBER() OVER (ORDER BY m) AS rk FROM means
+),
+full_mean AS (
+  SELECT CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30, 6))) AS VARCHAR)
+              AS DOUBLE) / COUNT(*) AS point FROM orders
+)
+SELECT {_B} AS n_replicates,
+       (SELECT point FROM full_mean) AS point_estimate,
+       MIN(CASE WHEN rk = 2 THEN m END) AS ci_lo,
+       MIN(CASE WHEN rk = {_B - 1} THEN m END) AS ci_hi
+FROM ranked
+"""
+
+
+@register("poisson_bootstrap_ci", _boot_sql())
+def q_poisson_bootstrap_ci(spark, sf_dir):
+    """~95% bootstrap CI for the mean order price from {_B} Poisson
+    replicates (order statistics 2 and {_B}−1 of the replicate means).
+    Replicate weights are a pure function of (seed, replicate, row key)
+    — the resampler re-runs bit-identically, and no replicate ever
+    materializes a resampled dataset: the fan-out is a map-side
+    explode of weights, each mean a decimal-exact weighted aggregate.
+
+    Scale plan: one scan fans out to B weighted partial aggregates
+    (map-side combine on rep); the B-row mean relation is dim-sized.
+    B scans nothing — the corpus is read ONCE."""
+    o = load_table(spark, sf_dir, "orders")
+    reps = F.explode(F.sequence(F.lit(0), F.lit(_B - 1))).alias("rep")
+    w = o.select("o_orderkey", "o_totalprice", reps)
+    u = (
+        portable_hash64(
+            F.concat(F.col("rep").cast("string"), F.lit(":"), F.col("o_orderkey").cast("string")),
+            seed="boot:",
+        )
+        / F.lit(float(HASH_SPACE))
+    )
+    wt = None
+    for i, p in enumerate(_POIS_CDF):
+        cond = u < p
+        wt = F.when(cond, i) if wt is None else wt.when(cond, i)
+    wt = wt.otherwise(len(_POIS_CDF))
+    pw = w.select("rep", "o_totalprice", wt.alias("wt"))
+    means = pw.groupBy("rep").agg(
+        (
+            F.sum(F.col("wt") * F.col("o_totalprice").cast("decimal(30, 6)"))
+            .cast("string")
+            .cast("double")
+            / F.sum("wt")
+        ).alias("m")
+    )
+    rk = Window.orderBy("m")
+    ranked = means.select("m", F.row_number().over(rk).alias("rk"))
+    point = o.agg(
+        (
+            F.sum(F.col("o_totalprice").cast("decimal(30, 6)"))
+            .cast("string")
+            .cast("double")
+            / F.count(F.lit(1))
+        ).alias("point_estimate")
+    )
+    return (
+        ranked.agg(
+            F.min(F.when(F.col("rk") == 2, F.col("m"))).alias("ci_lo"),
+            F.min(F.when(F.col("rk") == _B - 1, F.col("m"))).alias("ci_hi"),
+        )
+        .crossJoin(F.broadcast(point))
+        .select(
+            F.lit(_B).alias("n_replicates"),
+            "point_estimate",
+            "ci_lo",
+            "ci_hi",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit forensics over order totals: observed counts vs
+# the log10(1 + 1/d) expectation — the fraud/synthetic-data screen.
+# (The fixture's uniform-ish price generator deliberately FAILS
+# Benford — the report shows exactly how, which is the point of a
+# forensic query.)
+# ---------------------------------------------------------------------------
+
+_BENFORD_SQL = """
+WITH d AS (
+  -- floor, not CAST-to-BIGINT: DuckDB's double→BIGINT cast rounds to
+  -- nearest while Spark's truncates — floor() agrees everywhere
+  SELECT CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+              AS BIGINT) AS digit
+  FROM orders WHERE o_totalprice >= 1
+),
+n AS (SELECT COUNT(*) AS nn FROM d)
+SELECT digit,
+       CAST(COUNT(*) AS BIGINT) AS n_obs,
+       round(CAST(COUNT(*) AS DOUBLE) / ANY_VALUE(nn.nn), 6) AS obs_share,
+       round(log10(1 + 1.0 / digit), 6) AS benford_share
+FROM d CROSS JOIN n nn
+GROUP BY digit
+"""
+
+
+@register("benford_digit_test", _BENFORD_SQL)
+def q_benford_digit_test(spark, sf_dir):
+    """First-significant-digit distribution of order totals against
+    Benford's law.  Digit extraction goes through the integer part's
+    string form (identical in both engines — no float log10 flooring);
+    shares round at 1e-6.
+
+    Scale plan: single scan, 9-key map-side-combined count, 1-row
+    total broadcast."""
+    o = load_table(spark, sf_dir, "orders")
+    d = o.filter(F.col("o_totalprice") >= 1).select(
+        F.substring(F.floor(F.col("o_totalprice")).cast("string"), 1, 1)
+        .cast("long")
+        .alias("digit")
+    )
+    n = d.agg(F.count(F.lit(1)).alias("nn"))
+    return (
+        d.groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "digit",
+            "n_obs",
+            F.round(F.col("n_obs").cast("double") / F.col("nn"), 6).alias(
+                "obs_share"
+            ),
+            F.round(F.log10(1 + 1.0 / F.col("digit")), 6).alias("benford_share"),
+        )
+    )
