@@ -278,3 +278,143 @@ def q_benford_digit_test(spark, sf_dir):
             F.round(F.log10(1 + 1.0 / F.col("digit")), 6).alias("benford_share"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# A/B experiment readout with CUPED variance reduction: per-user
+# pre-period means as the control covariate, deterministic hash
+# assignment, θ = cov(X,Y)/var(X) from decimal-exact moments.
+# ---------------------------------------------------------------------------
+
+_AB_SPLIT_DAY = 15  # pre-period = first 15 days of the fixture month
+
+
+def _ab_sql() -> str:
+    from ..functions.hashing import portable_hash64_sql
+
+    h = portable_hash64_sql("CAST(user_id AS VARCHAR)", seed="ab:")
+    dec = "DECIMAL(30, 6)"
+    to_d = lambda e: f"CAST(CAST({e} AS VARCHAR) AS DOUBLE)"  # noqa: E731
+    return f"""
+WITH b AS (SELECT CAST(date_trunc('day', MIN(ts)) AS TIMESTAMP)
+             + INTERVAL {_AB_SPLIT_DAY} DAY AS cut FROM events),
+per_user AS (
+  SELECT user_id, {h} % 2 AS grp,
+         {to_d(f"SUM(CASE WHEN ts < cut THEN CAST(value AS {dec}) END)")}
+           / COUNT(CASE WHEN ts < cut THEN 1 END) AS x,
+         {to_d(f"SUM(CASE WHEN ts >= cut THEN CAST(value AS {dec}) END)")}
+           / COUNT(CASE WHEN ts >= cut THEN 1 END) AS y
+  FROM events CROSS JOIN b
+  GROUP BY user_id
+  HAVING COUNT(CASE WHEN ts < cut THEN 1 END) > 0
+     AND COUNT(CASE WHEN ts >= cut THEN 1 END) > 0
+),
+q AS (
+  SELECT user_id, grp,
+         CAST(round(x, 9) AS DECIMAL(38, 9)) AS xq,
+         CAST(round(y, 9) AS DECIMAL(38, 9)) AS yq
+  FROM per_user
+),
+mo AS (
+  SELECT COUNT(*) AS n,
+         {to_d('SUM(xq)')} AS sx, {to_d('SUM(yq)')} AS sy,
+         {to_d('SUM(xq * xq)')} AS sxx, {to_d('SUM(xq * yq)')} AS sxy
+  FROM q
+),
+theta AS (
+  SELECT (n * sxy - sx * sy) / (n * sxx - sx * sx) AS th, sx / n AS mx FROM mo
+),
+adj AS (
+  SELECT grp,
+         {to_d('SUM(yq)')} AS sy_g,
+         {to_d('SUM(xq)')} AS sx_g,
+         COUNT(*) AS n_g
+  FROM q GROUP BY grp
+)
+SELECT CAST(grp AS BIGINT) AS grp,
+       CAST(n_g AS BIGINT) AS n_users,
+       round(sy_g / n_g, 6) AS mean_y,
+       round(sy_g / n_g - t.th * (sx_g / n_g - t.mx), 6) AS mean_y_cuped
+FROM adj CROSS JOIN theta t
+"""
+
+
+@register("ab_cuped_readout", _ab_sql())
+def q_ab_cuped_readout(spark, sf_dir):
+    """Per-arm experiment readout: raw post-period mean and the
+    CUPED-adjusted mean (ŷ − θ(x̄_g − x̄), θ from global pre/post
+    covariance) under deterministic hash assignment.  Per-user means
+    are quantized to the 1e-9 grid before the moment sums (exact
+    DECIMAL thereafter), so θ and both adjusted means are identical
+    across engines.
+
+    Scale plan: one scan → user-keyed pre/post aggregate (map-side
+    combined); the moment relation is 1-row, broadcast into the 2-row
+    per-arm rollup.  CUPED at 100 TB costs exactly one extra pass over
+    the USER dimension, not the event log."""
+    from ..functions.hashing import portable_hash64
+
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.agg(
+        (F.date_trunc("day", F.min("ts")) + F.expr(f"INTERVAL {_AB_SPLIT_DAY} DAY")).alias("cut")
+    )
+    dec = "decimal(30, 6)"
+    per_user = (
+        ev.crossJoin(F.broadcast(b))
+        .groupBy("user_id")
+        .agg(
+            (portable_hash64("user_id", seed="ab:") % 2).alias("grp_raw"),
+            (
+                F.sum(F.when(F.col("ts") < F.col("cut"), F.col("value").cast(dec)))
+                .cast("string")
+                .cast("double")
+                / F.count(F.when(F.col("ts") < F.col("cut"), 1))
+            ).alias("x"),
+            (
+                F.sum(F.when(F.col("ts") >= F.col("cut"), F.col("value").cast(dec)))
+                .cast("string")
+                .cast("double")
+                / F.count(F.when(F.col("ts") >= F.col("cut"), 1))
+            ).alias("y"),
+            F.count(F.when(F.col("ts") < F.col("cut"), 1)).alias("pre_n"),
+            F.count(F.when(F.col("ts") >= F.col("cut"), 1)).alias("post_n"),
+        )
+        .filter((F.col("pre_n") > 0) & (F.col("post_n") > 0))
+    )
+    # grp must be an agg output (hash of the group key) — first() of the
+    # per-row hash is identical for all rows of the user
+    q = per_user.select(
+        F.col("grp_raw").alias("grp"),
+        F.round("x", 9).cast("decimal(38, 9)").alias("xq"),
+        F.round("y", 9).cast("decimal(38, 9)").alias("yq"),
+    )
+    to_d = lambda c: c.cast("string").cast("double")  # noqa: E731
+    mo = q.agg(
+        F.count(F.lit(1)).alias("n"),
+        to_d(F.sum("xq")).alias("sx"),
+        to_d(F.sum("yq")).alias("sy"),
+        to_d(F.sum(F.col("xq") * F.col("xq"))).alias("sxx"),
+        to_d(F.sum(F.col("xq") * F.col("yq"))).alias("sxy"),
+    )
+    theta = mo.select(
+        (
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        ).alias("th"),
+        (F.col("sx") / F.col("n")).alias("mx"),
+    )
+    adj = q.groupBy("grp").agg(
+        to_d(F.sum("yq")).alias("sy_g"),
+        to_d(F.sum("xq")).alias("sx_g"),
+        F.count(F.lit(1)).alias("n_g"),
+    )
+    return adj.crossJoin(F.broadcast(theta)).select(
+        F.col("grp").cast("long").alias("grp"),
+        F.col("n_g").cast("long").alias("n_users"),
+        F.round(F.col("sy_g") / F.col("n_g"), 6).alias("mean_y"),
+        F.round(
+            F.col("sy_g") / F.col("n_g")
+            - F.col("th") * (F.col("sx_g") / F.col("n_g") - F.col("mx")),
+            6,
+        ).alias("mean_y_cuped"),
+    )
