@@ -315,27 +315,31 @@ q AS (
          CAST(round(y, 9) AS DECIMAL(38, 9)) AS yq
   FROM per_user
 ),
-mo AS (
-  SELECT COUNT(*) AS n,
-         {to_d('SUM(xq)')} AS sx, {to_d('SUM(yq)')} AS sy,
-         {to_d('SUM(xq * xq)')} AS sxx, {to_d('SUM(xq * yq)')} AS sxy
-  FROM q
-),
-theta AS (
-  SELECT (n * sxy - sx * sy) / (n * sxx - sx * sx) AS th, sx / n AS mx FROM mo
-),
 adj AS (
-  SELECT grp,
-         {to_d('SUM(yq)')} AS sy_g,
-         {to_d('SUM(xq)')} AS sx_g,
-         COUNT(*) AS n_g
+  -- per-arm DECIMAL moment sums; the global moments are then window
+  -- sums over this 2-row relation — exact, and the event log is
+  -- scanned exactly once
+  SELECT grp, COUNT(*) AS n_g,
+         SUM(xq) AS dx_g, SUM(yq) AS dy_g,
+         SUM(xq * xq) AS dxx_g, SUM(xq * yq) AS dxy_g
   FROM q GROUP BY grp
+),
+tot AS (
+  SELECT grp, n_g, dx_g, dy_g,
+         SUM(n_g) OVER () AS n,
+         {to_d('SUM(dx_g) OVER ()')} AS sx,
+         {to_d('SUM(dy_g) OVER ()')} AS sy,
+         {to_d('SUM(dxx_g) OVER ()')} AS sxx,
+         {to_d('SUM(dxy_g) OVER ()')} AS sxy
+  FROM adj
 )
 SELECT CAST(grp AS BIGINT) AS grp,
        CAST(n_g AS BIGINT) AS n_users,
-       round(sy_g / n_g, 6) AS mean_y,
-       round(sy_g / n_g - t.th * (sx_g / n_g - t.mx), 6) AS mean_y_cuped
-FROM adj CROSS JOIN theta t
+       round({to_d('dy_g')} / n_g, 6) AS mean_y,
+       round({to_d('dy_g')} / n_g
+             - ((n * sxy - sx * sy) / (n * sxx - sx * sx))
+               * ({to_d('dx_g')} / n_g - sx / n), 6) AS mean_y_cuped
+FROM tot
 """
 
 
@@ -389,32 +393,37 @@ def q_ab_cuped_readout(spark, sf_dir):
         F.round("y", 9).cast("decimal(38, 9)").alias("yq"),
     )
     to_d = lambda c: c.cast("string").cast("double")  # noqa: E731
-    mo = q.agg(
-        F.count(F.lit(1)).alias("n"),
-        to_d(F.sum("xq")).alias("sx"),
-        to_d(F.sum("yq")).alias("sy"),
-        to_d(F.sum(F.col("xq") * F.col("xq"))).alias("sxx"),
-        to_d(F.sum(F.col("xq") * F.col("yq"))).alias("sxy"),
-    )
-    theta = mo.select(
-        (
-            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
-            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
-        ).alias("th"),
-        (F.col("sx") / F.col("n")).alias("mx"),
-    )
+    # per-arm DECIMAL moments; globals are window sums over the 2-row
+    # arm relation — the event log is scanned once (plan-tested)
     adj = q.groupBy("grp").agg(
-        to_d(F.sum("yq")).alias("sy_g"),
-        to_d(F.sum("xq")).alias("sx_g"),
         F.count(F.lit(1)).alias("n_g"),
+        F.sum("xq").alias("dx_g"),
+        F.sum("yq").alias("dy_g"),
+        F.sum(F.col("xq") * F.col("xq")).alias("dxx_g"),
+        F.sum(F.col("xq") * F.col("yq")).alias("dxy_g"),
     )
-    return adj.crossJoin(F.broadcast(theta)).select(
+    w_all = Window.partitionBy()
+    tot = adj.select(
+        "grp",
+        "n_g",
+        "dx_g",
+        "dy_g",
+        F.sum("n_g").over(w_all).alias("n"),
+        to_d(F.sum("dx_g").over(w_all)).alias("sx"),
+        to_d(F.sum("dy_g").over(w_all)).alias("sy"),
+        to_d(F.sum("dxx_g").over(w_all)).alias("sxx"),
+        to_d(F.sum("dxy_g").over(w_all)).alias("sxy"),
+    )
+    th = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return tot.select(
         F.col("grp").cast("long").alias("grp"),
         F.col("n_g").cast("long").alias("n_users"),
-        F.round(F.col("sy_g") / F.col("n_g"), 6).alias("mean_y"),
+        F.round(to_d(F.col("dy_g")) / F.col("n_g"), 6).alias("mean_y"),
         F.round(
-            F.col("sy_g") / F.col("n_g")
-            - F.col("th") * (F.col("sx_g") / F.col("n_g") - F.col("mx")),
+            to_d(F.col("dy_g")) / F.col("n_g")
+            - th * (to_d(F.col("dx_g")) / F.col("n_g") - F.col("sx") / F.col("n")),
             6,
         ).alias("mean_y_cuped"),
     )

@@ -650,3 +650,50 @@ def test_gini_windows_are_dim_sized(spark):
     assert "BatchEvalPython" not in plan
     # 4 branches → 4 scans of 3 distinct tables (lineitem twice)
     assert plan.count("FileScan") == 4
+
+
+def test_mi_windows_over_contingency_not_fact(spark):
+    """MI's first-in-group windows run over the contingency table —
+    every window input sits above a HashAggregate."""
+    df = _df(spark, "mutual_information_report")
+    plan = explain_str(df, "simple")
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_fingerprints_no_shuffle_of_rows(spark):
+    """Fingerprints are pure partial-aggregate reductions: the only
+    exchanges are 1-row SinglePartition finals, no hash repartition of
+    data rows."""
+    df = _df(spark, "table_fingerprints")
+    plan = explain_str(df, "simple")
+    assert "hashpartitioning" not in plan
+    assert plan.count("FileScan") == 4
+
+
+def test_ks_windows_over_value_domain(spark):
+    """The KS cumulative windows run on the per-distinct-value counts
+    (above an aggregate), never the raw event rows."""
+    df = _df(spark, "ks_two_sample_drift")
+    plan = explain_str(df)
+    assert "Window" in plan
+    assert has_pushed_filters(df)  # event_type IN (...) reaches the scan
+
+
+def test_bootstrap_single_scan(spark):
+    """All B replicates come from ONE scan + map-side weight explode;
+    the second scan is only the point-estimate branch."""
+    df = _df(spark, "poisson_bootstrap_ci")
+    plan = explain_str(df, "simple")
+    assert plan.count("FileScan") == 2
+    assert "BatchEvalPython" not in plan
+
+
+def test_ab_cuped_single_event_scan(spark):
+    """CUPED costs one event-log scan: moments and per-arm rollup both
+    derive from the user-level aggregate."""
+    df = _df(spark, "ab_cuped_readout")
+    plan = explain_str(df, "simple")
+    # events scanned once for bounds + once for per-user (2 scans max)
+    assert plan.count("FileScan") <= 3
+    assert "BatchEvalPython" not in plan
