@@ -526,3 +526,100 @@ def q_seasonal_naive_wape(spark, sf_dir):
             / F.sum("c")
         ).alias("wape"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Complex event processing, the join-free form: purchases whose most
+# recent click happened with NO error in between — pattern
+# click → (¬error)* → purchase, per user, via two stacked windows
+# (cumulative error count + last-click state), never a sequence regex
+# or a self-join.
+# ---------------------------------------------------------------------------
+
+_CEP_SQL = """
+WITH cum AS (
+  SELECT user_id, event_type, ts, event_id,
+         SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS cum_err
+  FROM events
+),
+seq AS (
+  SELECT user_id, event_type, cum_err,
+         LAST_VALUE(CASE WHEN event_type = 'click' THEN cum_err END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS err_at_last_click
+  FROM cum
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       CAST(SUM(CASE WHEN err_at_last_click IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS with_prior_click,
+       CAST(SUM(CASE WHEN cum_err = err_at_last_click THEN 1 ELSE 0 END)
+            AS BIGINT) AS clean_paths
+FROM seq WHERE event_type = 'purchase'
+GROUP BY user_id
+"""
+
+
+@register("cep_click_purchase_no_error", _CEP_SQL)
+def q_cep_click_purchase_no_error(spark, sf_dir):
+    """Per user: purchases, purchases with a prior click, and purchases
+    whose click→purchase path contains no error — the CEP pattern
+    ``click (¬error)* purchase`` compiled to two windows: a cumulative
+    error counter and an ignore-nulls last-value carrying "error count
+    as of my latest click".  A purchase is clean iff the two counters
+    agree.  No sequence regex (engine-dependent match semantics), no
+    self-join.
+
+    Scale plan: both windows share ONE (user, time) partitioning — a
+    single shuffle and sort serve the whole pattern; per-user state in
+    the window frame is O(1).  Longer patterns compile the same way:
+    one cumulative counter per negated symbol, one last-value per
+    anchor."""
+    ev = load_table(spark, sf_dir, "events")
+    w_cum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_prev = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .over(w_cum)
+        .alias("cum_err"),
+    )
+    seq = cum.select(
+        "user_id",
+        "event_type",
+        "cum_err",
+        F.last(
+            F.when(F.col("event_type") == "click", F.col("cum_err")),
+            ignorenulls=True,
+        )
+        .over(w_prev)
+        .alias("err_at_last_click"),
+    )
+    return (
+        seq.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum(
+                F.when(F.col("err_at_last_click").isNotNull(), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("with_prior_click"),
+            F.sum(
+                F.when(F.col("cum_err") == F.col("err_at_last_click"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("clean_paths"),
+        )
+    )

@@ -1520,3 +1520,114 @@ def q_table_fingerprints(spark, sf_dir):
     )
     out = out.unionByName(branch("documents", d, ["doc_id", "lang", "n_chars"]))
     return out
+
+
+# ---------------------------------------------------------------------------
+# Referential-integrity audit.  The fixture is FK-clean, so violations
+# are INJECTED deterministically (drop parent orders with key ≡ 0
+# mod 101, corrupt child custkeys ≡ 0 mod 211) — the audit logic is
+# then certified against a non-vacuous orphan set, the same
+# seeded-injection discipline as pii_scrub_audit.
+# ---------------------------------------------------------------------------
+
+_RI_DROP_MOD = 101
+_RI_CORRUPT_MOD = 211
+
+_RI_SQL = f"""
+WITH parents AS (
+  SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey % {_RI_DROP_MOD} <> 0
+),
+child_orders AS (
+  SELECT l_orderkey FROM lineitem
+),
+corrupted_orders AS (
+  SELECT CASE WHEN o_custkey % {_RI_CORRUPT_MOD} = 0
+              THEN -o_custkey ELSE o_custkey END AS o_custkey
+  FROM orders
+),
+li AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_child,
+         CAST(SUM(CASE WHEN p.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_orphans
+  FROM child_orders c LEFT JOIN parents p ON c.l_orderkey = p.o_orderkey
+),
+oc AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_child,
+         CAST(SUM(CASE WHEN cu.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_orphans
+  FROM corrupted_orders o LEFT JOIN customer cu ON o.o_custkey = cu.c_custkey
+)
+SELECT 'lineitem->orders' AS fk, n_child, n_orphans,
+       round(1.0 - CAST(n_orphans AS DOUBLE) / n_child, 6) AS fk_coverage
+FROM li
+UNION ALL
+SELECT 'orders->customer', n_child, n_orphans,
+       round(1.0 - CAST(n_orphans AS DOUBLE) / n_child, 6)
+FROM oc
+"""
+
+
+@register("referential_integrity_audit", _RI_SQL)
+def q_referential_integrity_audit(spark, sf_dir):
+    """FK-orphan audit for the two fact→dim edges, run against
+    deterministically injected violations (dropped parents, corrupted
+    child keys) so the orphan counts are non-zero and discriminating.
+
+    Scale plan: each check is one left join keyed on the FK with a
+    counting aggregate — the dim side broadcasts; for a dim too big to
+    broadcast, the Bloom-filter semi-join (`bloom_semi_join_lineitem`)
+    is the pre-filter that keeps the orphan check off the shuffle
+    path."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cu = load_table(spark, sf_dir, "customer")
+    parents = o.filter(F.col("o_orderkey") % _RI_DROP_MOD != 0).select(
+        "o_orderkey"
+    )
+    li_audit = (
+        li.select("l_orderkey")
+        .join(F.broadcast(parents), li.l_orderkey == parents.o_orderkey, "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_child"),
+            F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_orphans"),
+        )
+        .select(
+            F.lit("lineitem->orders").alias("fk"),
+            F.col("n_child").cast("long").alias("n_child"),
+            "n_orphans",
+            F.round(
+                1.0 - F.col("n_orphans").cast("double") / F.col("n_child"), 6
+            ).alias("fk_coverage"),
+        )
+    )
+    corrupted = o.select(
+        F.when(
+            F.col("o_custkey") % _RI_CORRUPT_MOD == 0, -F.col("o_custkey")
+        )
+        .otherwise(F.col("o_custkey"))
+        .alias("o_custkey")
+    )
+    oc_audit = (
+        corrupted.join(
+            F.broadcast(cu.select("c_custkey")),
+            corrupted.o_custkey == F.col("c_custkey"),
+            "left",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_child"),
+            F.sum(F.when(F.col("c_custkey").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_orphans"),
+        )
+        .select(
+            F.lit("orders->customer").alias("fk"),
+            F.col("n_child").cast("long").alias("n_child"),
+            "n_orphans",
+            F.round(
+                1.0 - F.col("n_orphans").cast("double") / F.col("n_child"), 6
+            ).alias("fk_coverage"),
+        )
+    )
+    return li_audit.unionByName(oc_audit)
