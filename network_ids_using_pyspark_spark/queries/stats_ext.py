@@ -427,3 +427,272 @@ def q_ab_cuped_readout(spark, sf_dir):
             6,
         ).alias("mean_y_cuped"),
     )
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation: recency/frequency/monetary quintiles per customer,
+# reported as the segment-cell histogram.
+# ---------------------------------------------------------------------------
+
+_RFM_SQL = """
+WITH mx AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS maxd FROM orders),
+base AS (
+  SELECT o_custkey,
+         date_diff('day', MAX(CAST(o_orderdate AS DATE)), ANY_VALUE(mx.maxd))
+           AS recency,
+         COUNT(*) AS frequency,
+         SUM(CAST(o_totalprice AS DECIMAL(30, 6))) AS monetary
+  FROM orders CROSS JOIN mx GROUP BY o_custkey
+),
+scored AS (
+  SELECT NTILE(5) OVER (ORDER BY recency DESC, o_custkey) AS r_sc,
+         NTILE(5) OVER (ORDER BY frequency, o_custkey) AS f_sc,
+         NTILE(5) OVER (ORDER BY monetary, o_custkey) AS m_sc
+  FROM base
+)
+SELECT r_sc, f_sc, m_sc, CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM scored GROUP BY 1, 2, 3
+"""
+
+
+@register("rfm_segment_counts", _RFM_SQL)
+def q_rfm_segment_counts(spark, sf_dir):
+    """RFM quintile segmentation (5×5×5 cells) of the customer base —
+    deterministic NTILE with (metric, custkey) tiebreaks; monetary
+    ranks on the exact DECIMAL sum so ordering never depends on float
+    accumulation.
+
+    Scale plan: the fact collapses to one row per customer first; the
+    three NTILEs are single-sort windows over the CUSTOMER dimension
+    (range-partitionable like every ranking op here), and the output
+    is ≤125 cells."""
+    o = load_table(spark, sf_dir, "orders")
+    mx = o.agg(F.max(F.col("o_orderdate").cast("date")).alias("maxd"))
+    base = (
+        o.crossJoin(F.broadcast(mx))
+        .groupBy("o_custkey")
+        .agg(
+            F.datediff(
+                F.first("maxd"), F.max(F.col("o_orderdate").cast("date"))
+            ).alias("recency"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.col("o_totalprice").cast("decimal(30, 6)")).alias("monetary"),
+        )
+    )
+    scored = base.select(
+        F.ntile(5)
+        .over(Window.orderBy(F.desc("recency"), F.asc("o_custkey")))
+        .alias("r_sc"),
+        F.ntile(5)
+        .over(Window.orderBy(F.asc("frequency"), F.asc("o_custkey")))
+        .alias("f_sc"),
+        F.ntile(5)
+        .over(Window.orderBy(F.asc("monetary"), F.asc("o_custkey")))
+        .alias("m_sc"),
+    )
+    return scored.groupBy("r_sc", "f_sc", "m_sc").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier repeat-purchase curve: survival of "time to next order"
+# with right-censoring at the observation end — the correct estimator
+# where the naive gap histogram (interorder_gap_histogram) is biased by
+# ignoring customers who have not yet reordered.
+# ---------------------------------------------------------------------------
+
+_KM_MAX_T = 60  # report the curve over the first 60 days
+
+
+def _km_sql() -> str:
+    return f"""
+WITH mx AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS maxd FROM orders),
+g AS (
+  SELECT date_diff('day', CAST(o_orderdate AS DATE),
+           LEAD(CAST(o_orderdate AS DATE)) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)) AS gap,
+         date_diff('day', CAST(o_orderdate AS DATE), mx.maxd) AS to_end
+  FROM orders CROSS JOIN mx
+),
+obs AS (
+  SELECT CASE WHEN gap IS NULL THEN to_end ELSE gap END AS t,
+         CASE WHEN gap IS NULL THEN 0 ELSE 1 END AS d
+  FROM g
+),
+per_t AS (
+  SELECT t, SUM(d) AS d_events, SUM(1 - d) AS c_censored
+  FROM obs GROUP BY t
+),
+risk AS (
+  SELECT t, d_events,
+         SUM(d_events + c_censored) OVER () 
+           - COALESCE(SUM(d_events + c_censored) OVER (
+               ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS at_risk
+  FROM per_t
+),
+km AS (
+  SELECT t, d_events, at_risk,
+         SUM(CAST(round(ln(1.0 - CAST(d_events AS DOUBLE) / at_risk), 9)
+                  AS DECIMAL(38, 9)))
+           OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS log_s
+  FROM risk WHERE d_events > 0 AND at_risk > d_events
+)
+SELECT CAST(t AS BIGINT) AS t_days,
+       CAST(d_events AS BIGINT) AS d_events,
+       CAST(at_risk AS BIGINT) AS at_risk,
+       round(exp(CAST(CAST(log_s AS VARCHAR) AS DOUBLE)), 6) AS survival
+FROM km WHERE t <= {_KM_MAX_T}
+"""
+
+
+@register("kaplan_meier_repeat_purchase", _km_sql())
+def q_kaplan_meier_repeat_purchase(spark, sf_dir):
+    """Kaplan-Meier estimate of P(no repeat order by day t): each
+    order contributes either its gap to the customer's next order
+    (event) or its distance to the dataset end (censored).  The
+    product-limit estimator runs in log space — per-time hazards
+    ln(1−d/n) quantized to 1e-9 and prefix-summed in exact DECIMAL —
+    so the curve is bit-stable under any partitioning.
+
+    Scale plan: one LEAD window per customer (bounded histories), then
+    everything operates on the per-distinct-time relation
+    (calendar-bounded); the at-risk prefix and the log-survival prefix
+    are windows over THAT, never the orders fact."""
+    o = load_table(spark, sf_dir, "orders")
+    mx = o.agg(F.max(F.col("o_orderdate").cast("date")).alias("maxd"))
+    w_cust = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    g = o.crossJoin(F.broadcast(mx)).select(
+        F.datediff(
+            F.lead(F.col("o_orderdate").cast("date")).over(w_cust),
+            F.col("o_orderdate").cast("date"),
+        ).alias("gap"),
+        F.datediff(F.col("maxd"), F.col("o_orderdate").cast("date")).alias("to_end"),
+    )
+    obs = g.select(
+        F.coalesce(F.col("gap"), F.col("to_end")).alias("t"),
+        F.when(F.col("gap").isNull(), 0).otherwise(1).alias("d"),
+    )
+    per_t = obs.groupBy("t").agg(
+        F.sum("d").alias("d_events"), F.sum(1 - F.col("d")).alias("c_censored")
+    )
+    w_all = Window.partitionBy()
+    w_prev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    risk = per_t.select(
+        "t",
+        "d_events",
+        (
+            F.sum(F.col("d_events") + F.col("c_censored")).over(w_all)
+            - F.coalesce(
+                F.sum(F.col("d_events") + F.col("c_censored")).over(w_prev),
+                F.lit(0),
+            )
+        ).alias("at_risk"),
+    )
+    w_cum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    km = risk.filter(
+        (F.col("d_events") > 0) & (F.col("at_risk") > F.col("d_events"))
+    ).select(
+        "t",
+        "d_events",
+        "at_risk",
+        F.sum(
+            F.round(
+                F.log(1.0 - F.col("d_events").cast("double") / F.col("at_risk")), 9
+            ).cast("decimal(38, 9)")
+        )
+        .over(w_cum)
+        .alias("log_s"),
+    )
+    return km.filter(F.col("t") <= _KM_MAX_T).select(
+        F.col("t").cast("long").alias("t_days"),
+        F.col("d_events").cast("long").alias("d_events"),
+        F.col("at_risk").cast("long").alias("at_risk"),
+        F.round(F.exp(F.col("log_s").cast("string").cast("double")), 6).alias(
+            "survival"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Revenue mix decomposition (price/volume/cross) between two periods —
+# the FP&A bridge: ΔRev per segment = Δn·p̄_A + n_A·Δp̄ + Δn·Δp̄.
+# ---------------------------------------------------------------------------
+
+_MIX_CUT = "1997-01-01"
+
+
+def _mix_sql() -> str:
+    dec = "DECIMAL(30, 6)"
+    to_d = lambda e: f"CAST(CAST({e} AS VARCHAR) AS DOUBLE)"  # noqa: E731
+    return f"""
+WITH per AS (
+  SELECT o_orderpriority AS segment,
+         CASE WHEN CAST(o_orderdate AS DATE) < DATE '{_MIX_CUT}'
+              THEN 'A' ELSE 'B' END AS period,
+         COUNT(*) AS n,
+         SUM(CAST(o_totalprice AS {dec})) AS rev_dec
+  FROM orders GROUP BY 1, 2
+),
+wide AS (
+  SELECT segment,
+         SUM(CASE WHEN period = 'A' THEN n ELSE 0 END) AS n_a,
+         SUM(CASE WHEN period = 'B' THEN n ELSE 0 END) AS n_b,
+         {to_d("SUM(CASE WHEN period = 'A' THEN rev_dec END)")} AS rev_a,
+         {to_d("SUM(CASE WHEN period = 'B' THEN rev_dec END)")} AS rev_b
+  FROM per GROUP BY segment
+)
+SELECT segment,
+       CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       round(rev_a, 6) AS rev_a, round(rev_b, 6) AS rev_b,
+       round((n_b - n_a) * (rev_a / n_a), 6) AS volume_effect,
+       round(n_a * (rev_b / n_b - rev_a / n_a), 6) AS price_effect,
+       round((n_b - n_a) * (rev_b / n_b - rev_a / n_a), 6) AS cross_effect
+FROM wide WHERE n_a > 0 AND n_b > 0
+"""
+
+
+@register("revenue_mix_decomposition", _mix_sql())
+def q_revenue_mix_decomposition(spark, sf_dir):
+    """Two-period revenue bridge per order-priority segment: the
+    volume/price/cross decomposition whose three effects sum exactly to
+    ΔRev (pinned by tests).  Revenue sums are exact DECIMAL; the
+    average prices divide once each and every downstream product uses
+    those identical doubles.
+
+    Scale plan: one scan → (segment, period) aggregate (map-side
+    combined, 2·|segments| cells); the pivot-to-wide and the bridge
+    arithmetic are dim-sized."""
+    o = load_table(spark, sf_dir, "orders")
+    dec = "decimal(30, 6)"
+    per = o.groupBy(
+        F.col("o_orderpriority").alias("segment"),
+        F.when(
+            F.col("o_orderdate").cast("date") < F.lit(_MIX_CUT).cast("date"), "A"
+        )
+        .otherwise("B")
+        .alias("period"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast(dec)).alias("rev_dec"),
+    )
+    to_d = lambda c: c.cast("string").cast("double")  # noqa: E731
+    wide = per.groupBy("segment").agg(
+        F.sum(F.when(F.col("period") == "A", F.col("n")).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("period") == "B", F.col("n")).otherwise(0)).alias("n_b"),
+        to_d(F.sum(F.when(F.col("period") == "A", F.col("rev_dec")))).alias("rev_a"),
+        to_d(F.sum(F.when(F.col("period") == "B", F.col("rev_dec")))).alias("rev_b"),
+    )
+    pa = F.col("rev_a") / F.col("n_a")
+    pb = F.col("rev_b") / F.col("n_b")
+    return wide.filter((F.col("n_a") > 0) & (F.col("n_b") > 0)).select(
+        "segment",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.round("rev_a", 6).alias("rev_a"),
+        F.round("rev_b", 6).alias("rev_b"),
+        F.round((F.col("n_b") - F.col("n_a")) * pa, 6).alias("volume_effect"),
+        F.round(F.col("n_a") * (pb - pa), 6).alias("price_effect"),
+        F.round((F.col("n_b") - F.col("n_a")) * (pb - pa), 6).alias("cross_effect"),
+    )

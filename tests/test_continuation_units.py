@@ -176,3 +176,35 @@ def test_hybrid_rrf_fusion_math(spark):
         if r.ql_rank > 0:
             want += 1.0 / (60 + r.ql_rank)
         assert abs(r.rrf - round(want, 6)) <= 1e-9
+
+
+def test_revenue_mix_effects_sum_to_delta(spark):
+    """The decomposition identity: volume + price + cross == ΔRev."""
+    rows = REGISTRY["revenue_mix_decomposition"][0](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        delta = r.rev_b - r.rev_a
+        total = r.volume_effect + r.price_effect + r.cross_effect
+        assert abs(total - delta) < 1e-3, (r.segment, total, delta)
+
+
+def test_kaplan_meier_monotone_decreasing(spark):
+    rows = sorted(
+        REGISTRY["kaplan_meier_repeat_purchase"][0](spark, SF_DIR).collect(),
+        key=lambda r: r.t_days,
+    )
+    assert rows
+    surv = [r.survival for r in rows]
+    assert all(0.0 < s2 <= s1 <= 1.0 for s1, s2 in zip(surv, surv[1:]))
+    assert all(r.at_risk >= r.d_events > 0 for r in rows)
+
+
+def test_rfm_cells_cover_all_customers(spark):
+    from network_ids_using_pyspark_spark.sources.tables import load_table
+
+    rows = REGISTRY["rfm_segment_counts"][0](spark, SF_DIR).collect()
+    n_cust = (
+        load_table(spark, SF_DIR, "orders").select("o_custkey").distinct().count()
+    )
+    assert sum(r.n_customers for r in rows) == n_cust
+    assert all(1 <= r.r_sc <= 5 and 1 <= r.f_sc <= 5 and 1 <= r.m_sc <= 5 for r in rows)
