@@ -941,3 +941,79 @@ def q_boilerplate_gram_share(spark, sf_dir):
             ).alias("boiler_share"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# MLM-style span masking: deterministic 15% token masking keyed on
+# (doc, position) — the training-example augmentation step, seeded so
+# every epoch regenerates the identical mask (or a new one by bumping
+# the seed), never RNG state.
+# ---------------------------------------------------------------------------
+
+_MASK_RATE = 15  # percent
+_MASK_SEED = "mask:"
+
+
+def _mask_sql() -> str:
+    from ..functions.hashing import portable_hash64_sql
+
+    h = portable_hash64_sql(
+        "concat(CAST(doc_id AS VARCHAR), ':', CAST(i AS VARCHAR))", seed=_MASK_SEED
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
+),
+m AS (
+  SELECT doc_id,
+         list_transform(range(1, len(w) + 1),
+           i -> CASE WHEN {h} % 100 < {_MASK_RATE}
+                     THEN '<MASK>' ELSE w[i] END) AS mw,
+         len(w) AS n_tok
+  FROM t
+)
+SELECT doc_id, array_to_string(mw, ' ') AS masked_text,
+       CAST(len(list_filter(mw, x -> x = '<MASK>')) AS BIGINT) AS n_masked,
+       CAST(n_tok AS BIGINT) AS n_tokens
+FROM m
+"""
+
+
+@register("span_mask_augment", _mask_sql())
+def q_span_mask_augment(spark, sf_dir):
+    """Deterministic {_MASK_RATE}% token masking per document (the MLM
+    data-augmentation op): mask token i of doc d iff
+    h(seed, d, i) mod 100 < {_MASK_RATE}.  Position-keyed hashing makes
+    the mask reproducible AND independent across epochs (bump the seed
+    per epoch) — replacing per-worker RNG state exactly as the
+    engine's sampling family does.
+
+    Scale plan: pure map-side array transform inside the scan stage —
+    zero shuffles; the mask decision is built-in md5 arithmetic, no
+    UDF."""
+    from ..functions.hashing import portable_hash64
+
+    docs = load_table(spark, sf_dir, "documents")
+    from ..operators.textops import tokens as tok_arr
+
+    t = docs.select("doc_id", tok_arr("text").alias("w"))
+    mask_expr = (
+        "transform(sequence(1, size(w)), i -> "
+        "CASE WHEN pmod(cast(conv(substring(md5(concat('"
+        + _MASK_SEED
+        + "', cast(doc_id as string), ':', cast(i as string))), 1, 15), 16, 10) "
+        f"as bigint), 100) < {_MASK_RATE} THEN '<MASK>' ELSE w[i - 1] END)"
+    )
+    m = t.select(
+        "doc_id",
+        F.expr(mask_expr).alias("mw"),
+        F.size("w").alias("n_tok"),
+    )
+    return m.select(
+        "doc_id",
+        F.array_join("mw", " ").alias("masked_text"),
+        F.size(F.filter(F.col("mw"), lambda x: x == F.lit("<MASK>")))
+        .cast("long")
+        .alias("n_masked"),
+        F.col("n_tok").cast("long").alias("n_tokens"),
+    )

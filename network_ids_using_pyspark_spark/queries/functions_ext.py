@@ -818,3 +818,68 @@ def q_dwell_time_by_type(spark, sf_dir):
             "mean_dwell_s"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# DAU / trailing-7-day WAU / stickiness — the product-analytics
+# engagement triple, with the sliding distinct-count done by map-side
+# day fan-out instead of a range join.
+# ---------------------------------------------------------------------------
+
+_WAU_SQL = """
+WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+fan AS (
+  SELECT d + CAST(i AS INTEGER) AS target_d, user_id
+  FROM du, UNNEST(range(0, 7)) AS r(i)
+),
+days AS (SELECT DISTINCT d FROM du),
+wau AS (
+  SELECT target_d AS d, COUNT(DISTINCT user_id) AS wau
+  FROM fan JOIN days ON fan.target_d = days.d
+  GROUP BY 1
+),
+dau AS (SELECT d, COUNT(*) AS dau FROM du GROUP BY d)
+SELECT CAST(dau.d AS TIMESTAMP) AS day,
+       CAST(dau.dau AS BIGINT) AS dau,
+       CAST(wau.wau AS BIGINT) AS wau,
+       round(CAST(dau.dau AS DOUBLE) / wau.wau, 6) AS stickiness
+FROM dau JOIN wau ON dau.d = wau.d
+"""
+
+
+@register("active_users_dau_wau", _WAU_SQL)
+def q_active_users_dau_wau(spark, sf_dir):
+    """Daily active users, trailing-7-day weekly actives, and the
+    DAU/WAU stickiness ratio.  The sliding DISTINCT is the interesting
+    part: each (day, user) pair fans out map-side to the 7 windows it
+    belongs to and ONE distinct-count aggregate does the rest — an
+    equi-plan, where the naive day-range join is a nested loop and a
+    per-day re-scan is 7× the IO.  Fan-out factor = window length,
+    bounded and explicit.
+
+    Scale plan: one scan → distinct (day, user) → ×7 map-side explode →
+    day-keyed distinct count (partial aggs combine).  The days dim
+    join prunes phantom windows past the calendar end."""
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select(F.col("ts").cast("date").alias("d"), "user_id").distinct()
+    fan = du.select(
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("i"), "d", "user_id"
+    ).select(F.date_add("d", F.col("i")).alias("target_d"), "user_id")
+    days = du.select("d").distinct()
+    wau = (
+        fan.join(F.broadcast(days), fan.target_d == days.d)
+        .groupBy("target_d")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    dau = du.groupBy("d").agg(F.count(F.lit(1)).alias("dau"))
+    return (
+        dau.join(wau, dau.d == wau.target_d)
+        .select(
+            F.col("d").cast("timestamp").alias("day"),
+            F.col("dau").cast("long").alias("dau"),
+            F.col("wau").cast("long").alias("wau"),
+            F.round(F.col("dau").cast("double") / F.col("wau"), 6).alias(
+                "stickiness"
+            ),
+        )
+    )
