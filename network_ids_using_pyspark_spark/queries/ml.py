@@ -710,6 +710,17 @@ def q_ml_isotonic_calibration(spark, sf_dir):
         featuresCol="scaled_features", labelCol="bin_label",
         maxIter=50, regParam=0.01,
     ).fit(train_b)
+    # save/load strips the training summary — without it the retained
+    # summary DataFrame drags the session ObservationManager into the
+    # transform closure (Task not serializable in warm sessions; same
+    # fix as ml_train_lr_binary)
+    import tempfile
+
+    from pyspark.ml.classification import LogisticRegressionModel
+
+    _mp = tempfile.mkdtemp(prefix="nids_iso_lr_") + "/model"
+    lr.write().overwrite().save(_mp)
+    lr = LogisticRegressionModel.load(_mp)
     p1 = vector_to_array(F.col("probability")).getItem(1)
     scored_train = lr.transform(train_b).select(
         p1.alias("p_raw"), F.col("bin_label").alias("label")
@@ -764,6 +775,15 @@ def q_ml_conformal_coverage(spark, sf_dir):
         featuresCol="scaled_features", labelCol="bin_label",
         maxIter=50, regParam=0.01,
     ).fit(train_b)
+    # strip the training summary (warm-session serializability; see
+    # ml_train_lr_binary)
+    import tempfile
+
+    from pyspark.ml.classification import LogisticRegressionModel
+
+    _mp = tempfile.mkdtemp(prefix="nids_conf_lr_") + "/model"
+    lr.write().overwrite().save(_mp)
+    lr = LogisticRegressionModel.load(_mp)
     p = vector_to_array(F.col("probability"))
     scored = lr.transform(test.withColumn("bin_label", to_bin)).select(
         F.col("bin_label").alias("label"),
