@@ -883,3 +883,170 @@ def q_active_users_dau_wau(spark, sf_dir):
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Sweep-line interval analytics: peak concurrent sessions.
+# ---------------------------------------------------------------------------
+
+_PEAK_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800 * 1000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sidx
+  FROM flagged
+),
+iv AS (
+  SELECT user_id, sidx, MIN(epoch_us(ts)) AS s_us, MAX(epoch_us(ts)) AS e_us
+  FROM sess GROUP BY 1, 2
+),
+pts AS (
+  SELECT s_us AS t, 1 AS delta FROM iv
+  UNION ALL
+  SELECT e_us + 1, -1 FROM iv
+),
+run AS (
+  SELECT t, SUM(delta) OVER (ORDER BY t, delta ROWS UNBOUNDED PRECEDING) AS conc
+  FROM pts
+),
+mx AS (SELECT MAX(conc) AS peak FROM run)
+SELECT CAST((SELECT COUNT(*) FROM iv) AS BIGINT) AS n_sessions,
+       CAST(mx.peak AS BIGINT) AS peak_concurrency,
+       CAST(MIN(CASE WHEN conc = mx.peak THEN t END) AS BIGINT) AS peak_at_us
+FROM run CROSS JOIN mx GROUP BY mx.peak
+"""
+
+
+@register("peak_concurrent_sessions", _PEAK_SQL)
+def q_peak_concurrent_sessions(spark, sf_dir):
+    """Maximum number of simultaneously open user sessions (30-min-gap
+    sessions), by the sweep line: +1 at each session start, −1 just
+    after its end, running sum, take the max — the interval-overlap
+    counting primitive (room occupancy, concurrent connections, license
+    peaks).  Tie rule: closings sort before openings at equal time
+    (delta ASC), so touching sessions never double-count.
+
+    Scale plan: sessionization is the per-user window; boundary points
+    are 2 rows per session; the sweep's global ordered window runs over
+    the SESSION relation (weeks of sessions ≪ events).  Distributed
+    form: range-partition time, per-partition sweeps seeded by the
+    prefix sums of partition deltas — one tiny boundary exchange."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t_us = F.unix_micros(F.col("ts"))
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        F.when(
+            F.lag(t_us).over(w).isNull()
+            | (t_us - F.lag(t_us).over(w) > 1800 * 1000000),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_sess"),
+    )
+    w_cum = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    sess = flagged.select(
+        "user_id", "ts", F.sum("new_sess").over(w_cum).alias("sidx")
+    )
+    iv = sess.groupBy("user_id", "sidx").agg(
+        F.min(F.unix_micros("ts")).alias("s_us"),
+        F.max(F.unix_micros("ts")).alias("e_us"),
+    )
+    pts = iv.select(F.col("s_us").alias("t"), F.lit(1).alias("delta")).unionByName(
+        iv.select((F.col("e_us") + 1).alias("t"), F.lit(-1).alias("delta"))
+    )
+    w_sweep = Window.orderBy("t", "delta").rowsBetween(Window.unboundedPreceding, 0)
+    run = pts.select("t", F.sum("delta").over(w_sweep).alias("conc"))
+    w_all = Window.partitionBy()
+    run = run.withColumn("peak", F.max("conc").over(w_all))
+    n_sessions = iv.agg(F.count(F.lit(1)).alias("n_sessions"))
+    return (
+        run.groupBy("peak")
+        .agg(
+            F.min(F.when(F.col("conc") == F.col("peak"), F.col("t"))).alias(
+                "peak_at_us"
+            )
+        )
+        .crossJoin(F.broadcast(n_sessions))
+        .select(
+            F.col("n_sessions").cast("long").alias("n_sessions"),
+            F.col("peak").cast("long").alias("peak_concurrency"),
+            F.col("peak_at_us").cast("long").alias("peak_at_us"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Conversion latency quantiles: exact p50/p90 of click→purchase time
+# per day (interpolated percentile on integer microsecond deltas).
+# ---------------------------------------------------------------------------
+
+_TTC_SQL = """
+WITH ordered AS (
+  SELECT user_id, event_type, ts,
+         MAX(CASE WHEN event_type = 'click' THEN epoch_us(ts) END)
+           OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS last_click_us
+  FROM events
+),
+conv AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         epoch_us(ts) - last_click_us AS ttc_us
+  FROM ordered
+  WHERE event_type = 'purchase' AND last_click_us IS NOT NULL
+)
+SELECT day, CAST(COUNT(*) AS BIGINT) AS n_conversions,
+       round(quantile_cont(ttc_us, 0.5) / 1000000.0, 6) AS p50_s,
+       round(quantile_cont(ttc_us, 0.9) / 1000000.0, 6) AS p90_s
+FROM conv GROUP BY day
+"""
+
+
+@register("conversion_latency_quantiles", _TTC_SQL)
+def q_conversion_latency_quantiles(spark, sf_dir):
+    """Daily p50/p90 of click→purchase latency: the running-max window
+    from the funnel query supplies the attributed click; percentiles
+    interpolate on exact integer microsecond deltas (Spark
+    ``percentile`` ≡ DuckDB ``quantile_cont``, both R-7), divided once
+    to seconds.
+
+    Scale plan: one user-windowed pass + a day-keyed exact percentile
+    (per-day groups are bounded); at unbounded group sizes the KLL
+    sketch gate is the stand-in, as everywhere in the engine."""
+    ev = load_table(spark, sf_dir, "events")
+    ts_us = F.unix_micros("ts")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(ts_us, "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ordered = ev.select(
+        "event_type",
+        "ts",
+        ts_us.alias("ts_us"),
+        F.max(F.when(F.col("event_type") == "click", ts_us)).over(w).alias(
+            "last_click_us"
+        ),
+    )
+    conv = ordered.filter(
+        (F.col("event_type") == "purchase") & F.col("last_click_us").isNotNull()
+    ).select(
+        F.date_trunc("day", "ts").alias("day"),
+        (F.col("ts_us") - F.col("last_click_us")).alias("ttc_us"),
+    )
+    return conv.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_conversions"),
+        F.round(F.expr("percentile(ttc_us, 0.5)") / 1000000.0, 6).alias("p50_s"),
+        F.round(F.expr("percentile(ttc_us, 0.9)") / 1000000.0, 6).alias("p90_s"),
+    )

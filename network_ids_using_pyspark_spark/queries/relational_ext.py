@@ -1238,3 +1238,79 @@ def q_interorder_gap_histogram(spark, sf_dir):
         .cast("long")
         .alias("week_bucket")
     ).agg(F.count(F.lit(1)).alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# Trending movers: parts with the largest demand-share change between
+# the two order-date halves, ranked by an INTEGER cross-multiplied
+# delta so the ordering never touches floats.
+# ---------------------------------------------------------------------------
+
+_TREND_CUT = "1997-01-01"
+_TREND_TOPK = 20
+
+_TRENDING_SQL = f"""
+WITH j AS (
+  SELECT l.l_partkey AS pk,
+         CASE WHEN CAST(o.o_orderdate AS DATE) < DATE '{_TREND_CUT}'
+              THEN 'A' ELSE 'B' END AS per
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+c AS (
+  SELECT pk,
+         SUM(CASE WHEN per = 'A' THEN 1 ELSE 0 END) AS n_a,
+         SUM(CASE WHEN per = 'B' THEN 1 ELSE 0 END) AS n_b
+  FROM j GROUP BY pk
+),
+t AS (SELECT SUM(n_a) AS tot_a, SUM(n_b) AS tot_b FROM c)
+SELECT pk, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       CAST(n_b * t.tot_a - n_a * t.tot_b AS BIGINT) AS delta_scaled,
+       round(CAST(n_b AS DOUBLE) / t.tot_b - CAST(n_a AS DOUBLE) / t.tot_a, 9)
+         AS share_delta
+FROM c CROSS JOIN t
+ORDER BY ABS(n_b * t.tot_a - n_a * t.tot_b) DESC, pk
+LIMIT {_TREND_TOPK}
+"""
+
+
+@register("trending_parts_rank_delta", _TRENDING_SQL)
+def q_trending_parts_rank_delta(spark, sf_dir):
+    """Top-{_TREND_TOPK} demand movers between the two halves of order
+    history: ranked by |n_b·tot_a − n_a·tot_b| — the share-delta
+    cleared of divisions, so the cut is exact-integer and engine-stable
+    even for near-tied movers.
+
+    Scale plan: fact join reduces to per-part period counts (map-side
+    combined); totals attach as a 1-row broadcast; the cut is
+    TakeOrderedAndProject."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("l_partkey").alias("pk"),
+        F.when(
+            F.col("o_orderdate").cast("date") < F.lit(_TREND_CUT).cast("date"), "A"
+        )
+        .otherwise("B")
+        .alias("per"),
+    )
+    c = j.groupBy("pk").agg(
+        F.sum(F.when(F.col("per") == "A", 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("per") == "B", 1).otherwise(0)).alias("n_b"),
+    )
+    t = c.agg(F.sum("n_a").alias("tot_a"), F.sum("n_b").alias("tot_b"))
+    scored = c.crossJoin(F.broadcast(t)).select(
+        "pk",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        (F.col("n_b") * F.col("tot_a") - F.col("n_a") * F.col("tot_b"))
+        .cast("long")
+        .alias("delta_scaled"),
+        F.round(
+            F.col("n_b").cast("double") / F.col("tot_b")
+            - F.col("n_a").cast("double") / F.col("tot_a"),
+            9,
+        ).alias("share_delta"),
+    )
+    return scored.orderBy(
+        F.abs(F.col("delta_scaled")).desc(), F.asc("pk")
+    ).limit(_TREND_TOPK)
