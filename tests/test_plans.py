@@ -697,3 +697,61 @@ def test_ab_cuped_single_event_scan(spark):
     # events scanned once for bounds + once for per-user (2 scans max)
     assert plan.count("FileScan") <= 3
     assert "BatchEvalPython" not in plan
+
+
+def test_cep_windows_share_one_partitioning(spark):
+    """Both CEP windows partition by user — one sort serves the whole
+    pattern; no self-join."""
+    df = _df(spark, "cep_click_purchase_no_error")
+    plan = explain_str(df, "simple")
+    assert "Join" not in plan
+    import re
+
+    specs = re.findall(r"windowspecdefinition\((\w+)#", explain_str(df))
+    assert specs and all(s == "user_id" for s in specs)
+
+
+def test_ri_audit_dims_broadcast(spark):
+    df = _df(spark, "referential_integrity_audit")
+    plan = explain_str(df, "simple")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_span_mask_zero_shuffles(spark):
+    """Masking is pure map-side array math inside the scan stage."""
+    df = _df(spark, "span_mask_augment")
+    assert count_shuffles(df) == 0
+    assert "BatchEvalPython" not in explain_str(df, "simple")
+
+
+def test_dau_wau_equi_fanout_no_nested_loop(spark):
+    """The sliding distinct uses the map-side day fan-out — an equi
+    join against the day dim, never a range nested-loop."""
+    df = _df(spark, "active_users_dau_wau")
+    plan = explain_str(df, "simple")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_rfm_windows_over_customer_dim(spark):
+    """All three NTILEs run above the per-customer aggregate."""
+    df = _df(spark, "rfm_segment_counts")
+    plan = explain_str(df, "simple")
+    assert plan.count("FileScan") <= 2  # orders + the 1-row max-date branch
+    assert "BatchEvalPython" not in plan
+
+
+def test_km_windows_over_time_dim(spark):
+    """The at-risk and log-survival prefixes run over the per-distinct-
+    time relation, not the orders fact: windows sit above aggregates."""
+    df = _df(spark, "kaplan_meier_repeat_purchase")
+    plan = explain_str(df, "simple")
+    assert "CartesianProduct" not in plan
+
+
+def test_trending_take_ordered_and_broadcast_totals(spark):
+    df = _df(spark, "trending_parts_rank_delta")
+    plan = explain_str(df, "simple")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
