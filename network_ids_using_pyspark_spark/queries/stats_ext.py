@@ -696,3 +696,71 @@ def q_revenue_mix_decomposition(spark, sf_dir):
         F.round(F.col("n_a") * (pb - pa), 6).alias("price_effect"),
         F.round((F.col("n_b") - F.col("n_a")) * (pb - pa), 6).alias("cross_effect"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact trimmed mean: per event type, the mean of values with the top
+# and bottom 5% of ROWS removed (rank-exact trimming, the robust
+# estimator between plain mean and median).
+# ---------------------------------------------------------------------------
+
+_TRIM_PCT = 5  # percent trimmed from EACH tail
+
+
+def _trim_sql() -> str:
+    dec = "DECIMAL(30, 6)"
+    return f"""
+WITH r AS (
+  SELECT event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS rk,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+),
+kept AS (
+  SELECT event_type, value, n FROM r
+  WHERE rk > (n * {_TRIM_PCT}) // 100
+    AND rk <= n - (n * {_TRIM_PCT}) // 100
+)
+SELECT event_type,
+       CAST(ANY_VALUE(n) AS BIGINT) AS n_total,
+       CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(CAST(SUM(CAST(value AS {dec})) AS VARCHAR) AS DOUBLE) / COUNT(*)
+         AS trimmed_mean
+FROM kept GROUP BY event_type
+"""
+
+
+@register("trimmed_mean_value", _trim_sql())
+def q_trimmed_mean_value(spark, sf_dir):
+    """{_TRIM_PCT}%-per-tail trimmed mean of event values per type:
+    trimming is RANK-exact (row_number with event_id tiebreak, integer
+    floor-div cutoffs — both engines drop the identical row set), and
+    the surviving mean is an exact DECIMAL sum with one division.
+    Joins the robust family beside the MAD and 3σ outlier gates.
+
+    Scale plan: one per-type sort window (partition-parallel across
+    types) then a type-keyed aggregate; at unbounded group sizes the
+    KLL-sketch quantile cut replaces the exact ranks, same pairing as
+    everywhere."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    w_n = Window.partitionBy("event_type")
+    r = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(w_n).alias("n"),
+    )
+    cut = F.expr(f"(n * {_TRIM_PCT}) div 100")
+    kept = r.filter((F.col("rk") > cut) & (F.col("rk") <= F.col("n") - cut))
+    return kept.groupBy("event_type").agg(
+        F.first("n").cast("long").alias("n_total"),
+        F.count(F.lit(1)).alias("n_kept"),
+        (
+            F.sum(F.col("value").cast("decimal(30, 6)"))
+            .cast("string")
+            .cast("double")
+            / F.count(F.lit(1))
+        ).alias("trimmed_mean"),
+    )

@@ -790,3 +790,120 @@ def q_mutual_information_report(spark, sf_dir):
         )
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# Labeling-function agreement: Cohen's kappa per LF pair — the
+# chance-corrected companion to weak_label_report's raw conflict
+# counts (two LFs can "agree" 90% by both abstaining; kappa exposes
+# that).
+# ---------------------------------------------------------------------------
+
+_KAPPA_LF_SQL = """
+  SELECT doc_id,
+    CASE WHEN n_chars > 400 THEN 1 WHEN n_chars < 80 THEN -1 ELSE 0 END AS lf_len,
+    CASE WHEN len(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) * 1.0
+              / len(regexp_split_to_array(trim(text), '\\s+')) < 0.35 THEN -1
+         WHEN len(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) * 1.0
+              / len(regexp_split_to_array(trim(text), '\\s+')) > 0.6 THEN 1
+         ELSE 0 END AS lf_rep,
+    CASE WHEN lang IN ('en', 'de') THEN 1 WHEN lang = 'zh' THEN -1
+         ELSE 0 END AS lf_lang
+  FROM documents
+"""
+
+
+def _kappa_pair_sql(pair: str, a: str, b: str) -> str:
+    # kappa = (N·Σ_agree − Σ_k n_a(k)·n_b(k)) / (N² − Σ_k n_a(k)·n_b(k))
+    # — cleared to integers; one final division.
+    return f"""
+  SELECT '{pair}' AS pair,
+         CAST(nn AS BIGINT) AS n,
+         CAST(po_num AS BIGINT) AS n_agree,
+         round(CAST(nn * po_num - pe_num AS DOUBLE)
+               / (nn * nn - pe_num), 6) AS kappa
+  FROM (
+    SELECT COUNT(*) AS nn,
+           SUM(CASE WHEN {a} = {b} THEN 1 ELSE 0 END) AS po_num,
+           (SELECT SUM(na * nb) FROM (
+              SELECT v, SUM(CASE WHEN src = 'a' THEN c ELSE 0 END) AS na,
+                        SUM(CASE WHEN src = 'b' THEN c ELSE 0 END) AS nb
+              FROM (
+                SELECT 'a' AS src, {a} AS v, COUNT(*) AS c FROM lf GROUP BY 2
+                UNION ALL
+                SELECT 'b', {b}, COUNT(*) FROM lf GROUP BY 2
+              ) GROUP BY v
+           )) AS pe_num
+    FROM lf
+  )
+"""
+
+
+_KAPPA_SQL = (
+    "WITH lf AS (" + _KAPPA_LF_SQL + ") "
+    + " UNION ALL ".join(
+        _kappa_pair_sql(p, a, b)
+        for p, a, b in [
+            ("len_vs_rep", "lf_len", "lf_rep"),
+            ("len_vs_lang", "lf_len", "lf_lang"),
+            ("rep_vs_lang", "lf_rep", "lf_lang"),
+        ]
+    )
+)
+
+
+@register("lf_agreement_kappa", _KAPPA_SQL)
+def q_lf_agreement_kappa(spark, sf_dir):
+    """Cohen's kappa for each labeling-function pair (same three LFs as
+    `weak_label_report`): observed agreement minus chance agreement
+    from the marginal vote distributions, the formula cleared to
+    N·Σagree − Σ nₐ(k)·n_b(k) over N² − Σ nₐ(k)·n_b(k) — all integer
+    until one division.
+
+    Scale plan: one corpus scan computes all LF votes map-side; each
+    pair needs only the 3×3 joint/marginal counts (constant-size
+    aggregates)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    ratio = F.size(F.array_distinct(toks)) * F.lit(1.0) / F.size(toks)
+    lf = d.select(
+        F.when(F.col("n_chars") > 400, 1)
+        .when(F.col("n_chars") < 80, -1)
+        .otherwise(0)
+        .alias("lf_len"),
+        F.when(ratio < 0.35, -1).when(ratio > 0.6, 1).otherwise(0).alias("lf_rep"),
+        F.when(F.col("lang").isin("en", "de"), 1)
+        .when(F.col("lang") == "zh", -1)
+        .otherwise(0)
+        .alias("lf_lang"),
+    )
+
+    def pair_branch(pair, a, b):
+        base = lf.agg(
+            F.count(F.lit(1)).alias("nn"),
+            F.sum(F.when(F.col(a) == F.col(b), 1).otherwise(0)).alias("po_num"),
+            *[
+                F.sum(F.when(F.col(a) == v, 1).otherwise(0)).alias(f"na_{i}")
+                for i, v in enumerate((-1, 0, 1))
+            ],
+            *[
+                F.sum(F.when(F.col(b) == v, 1).otherwise(0)).alias(f"nb_{i}")
+                for i, v in enumerate((-1, 0, 1))
+            ],
+        )
+        pe_num = sum(F.col(f"na_{i}") * F.col(f"nb_{i}") for i in range(3))
+        return base.select(
+            F.lit(pair).alias("pair"),
+            F.col("nn").cast("long").alias("n"),
+            F.col("po_num").cast("long").alias("n_agree"),
+            F.round(
+                (F.col("nn") * F.col("po_num") - pe_num).cast("double")
+                / (F.col("nn") * F.col("nn") - pe_num),
+                6,
+            ).alias("kappa"),
+        )
+
+    out = pair_branch("len_vs_rep", "lf_len", "lf_rep")
+    out = out.unionByName(pair_branch("len_vs_lang", "lf_len", "lf_lang"))
+    out = out.unionByName(pair_branch("rep_vs_lang", "lf_rep", "lf_lang"))
+    return out
