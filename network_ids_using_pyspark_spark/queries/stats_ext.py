@@ -764,3 +764,137 @@ def q_trimmed_mean_value(spark, sf_dir):
             / F.count(F.lit(1))
         ).alias("trimmed_mean"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling correlation: 7-day windowed Pearson r between click and
+# purchase daily volumes — integer moment sums inside the frame, one
+# closed-form evaluation per row.
+# ---------------------------------------------------------------------------
+
+_ROLL_W = 7
+
+_ROLLCORR_SQL = f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d,
+         SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS x,
+         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+  FROM events GROUP BY 1
+),
+w AS (
+  SELECT d, COUNT(*) OVER win AS n,
+         SUM(x) OVER win AS sx, SUM(y) OVER win AS sy,
+         SUM(x * x) OVER win AS sxx, SUM(y * y) OVER win AS syy,
+         SUM(x * y) OVER win AS sxy
+  FROM daily
+  WINDOW win AS (ORDER BY d ROWS BETWEEN {_ROLL_W - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT CAST(d AS TIMESTAMP) AS day, CAST(n AS BIGINT) AS n_days,
+       round((n * sxy - sx * sy)
+             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
+         AS corr{_ROLL_W}d
+FROM w WHERE n = {_ROLL_W}
+"""
+
+
+@register("rolling_correlation_counts", _ROLLCORR_SQL)
+def q_rolling_correlation_counts(spark, sf_dir):
+    """{_ROLL_W}-day rolling Pearson correlation between click and
+    purchase daily volumes — the co-movement monitor.  All five moment
+    sums are integer (counts), computed inside the frame; the closed
+    form evaluates identically on both engines and rounds at 1e-6.
+
+    Scale plan: the event log collapses to one row per day first; the
+    rolling frame runs over the calendar relation."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("x"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("y"),
+    )
+    win = Window.orderBy("d").rowsBetween(-(_ROLL_W - 1), 0)
+    w = daily.select(
+        "d",
+        F.count(F.lit(1)).over(win).alias("n"),
+        F.sum("x").over(win).alias("sx"),
+        F.sum("y").over(win).alias("sy"),
+        F.sum(F.col("x") * F.col("x")).over(win).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(win).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).over(win).alias("sxy"),
+    ).filter(F.col("n") == _ROLL_W)
+    corr = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return w.select(
+        F.col("d").cast("timestamp").alias("day"),
+        F.col("n").cast("long").alias("n_days"),
+        F.round(corr, 6).alias(f"corr{_ROLL_W}d"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lagged cross-correlation: does click volume LEAD purchase volume?
+# Pearson r of x(t) vs y(t+lag) for lags 0..5 — the lead-lag scan
+# behind "which metric moves first".
+# ---------------------------------------------------------------------------
+
+_XCORR_MAX_LAG = 5
+
+_XCORR_SQL = f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d,
+         SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS x,
+         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+  FROM events GROUP BY 1
+),
+lags AS (SELECT unnest(range(0, {_XCORR_MAX_LAG + 1})) AS lag),
+j AS (
+  SELECT l.lag, a.x, b.y
+  FROM lags l
+  JOIN daily a ON true
+  JOIN daily b ON b.d = a.d + CAST(l.lag AS INTEGER)
+)
+SELECT CAST(lag AS BIGINT) AS lag, CAST(COUNT(*) AS BIGINT) AS n_days,
+       round((COUNT(*) * SUM(x * y) - SUM(x) * SUM(y))
+             / (sqrt(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x))
+                * sqrt(COUNT(*) * SUM(y * y) - SUM(y) * SUM(y))), 6) AS r
+FROM j GROUP BY lag
+"""
+
+
+@register("lagged_cross_correlation", _XCORR_SQL)
+def q_lagged_cross_correlation(spark, sf_dir):
+    """Cross-correlation of click(t) against purchase(t+lag) for lags
+    0..{_XCORR_MAX_LAG}: integer moments per lag, closed-form r,
+    deterministic rounding.  (On the fixture's independent generators
+    the profile is flat noise — the oracle certifies the machinery, a
+    real deployment reads the argmax lag.)
+
+    Scale plan: both series live on the per-day relation; the lag
+    alignment is an equi-join on shifted days ({_XCORR_MAX_LAG + 1}×
+    calendar rows), then one grouped aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("x"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("y"),
+    )
+    daily = daily.localCheckpoint(eager=True)  # both join sides + lag fan-out
+    a = daily.select("d", "x").crossJoin(
+        F.broadcast(
+            daily.sparkSession.range(_XCORR_MAX_LAG + 1).select(
+                F.col("id").cast("int").alias("lag")
+            )
+        )
+    )
+    b = daily.select(F.col("d").alias("d_b"), "y")
+    j = a.join(b, F.date_add(a["d"], F.col("lag")) == b["d_b"]).select(
+        "lag", "x", "y"
+    )
+    n = F.count(F.lit(1))
+    corr = (n * F.sum(F.col("x") * F.col("y")) - F.sum("x") * F.sum("y")) / (
+        F.sqrt(n * F.sum(F.col("x") * F.col("x")) - F.sum("x") * F.sum("x"))
+        * F.sqrt(n * F.sum(F.col("y") * F.col("y")) - F.sum("y") * F.sum("y"))
+    )
+    return j.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n_days"), F.round(corr, 6).alias("r")
+    ).select(F.col("lag").cast("long").alias("lag"), "n_days", "r")
