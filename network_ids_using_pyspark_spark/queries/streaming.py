@@ -887,3 +887,45 @@ def q_stream_windowed_topk_users(spark, sf_dir):
         .filter(F.col("rk") <= 3)
         .select("window_start", "user_id", "n", F.col("rk").cast("long").alias("rk"))
     )
+
+
+@register(
+    "stream_tumbling_append_finalized",
+    """
+    WITH w AS (
+      SELECT date_trunc('hour', ts) AS window_start, event_type,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    mx AS (SELECT MAX(ts) AS m FROM events)
+    SELECT window_start, event_type, n
+    FROM w CROSS JOIN mx
+    WHERE window_start + INTERVAL 1 HOUR <= m - INTERVAL 1 HOUR
+    """,
+)
+def q_stream_tumbling_append_finalized(spark, sf_dir):
+    """APPEND-mode tumbling windows under a 1-hour watermark: only
+    FINALIZED windows (end ≤ final watermark = max event time − delay)
+    may be emitted — the exactly-once-emission semantics every
+    downstream consumer of an append stream relies on.  The oracle
+    states precisely that set from the batch side, so the hash check
+    certifies Spark's watermark finalization rule itself (the
+    complete-mode twin `stream_tumbling_counts` certifies the
+    arithmetic; this certifies the EMISSION contract).  Boundary note:
+    fixture timestamps never land exactly on an hour edge, so the ≤/<
+    distinction at watermark == window_end cannot bite.
+
+    Scale plan: identical state shape to the complete-mode twin, but
+    append mode is the production posture — state for finalized
+    windows is dropped at the watermark, so state size is O(open
+    windows), not O(history)."""
+    ev = stream_events(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("window.start").alias("window_start"), "event_type", "n"
+        )
+    )
+    return run_to_memory(agg, "append")
