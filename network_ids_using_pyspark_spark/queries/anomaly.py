@@ -623,3 +623,124 @@ def q_cep_click_purchase_no_error(spark, sf_dir):
             .alias("clean_paths"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Three-step strict funnel: view → click → purchase, each transition
+# within 24 h, compiled to two chained conditional running windows
+# (the n-step generalization of funnel_click_to_purchase's one-window
+# form — each step adds ONE window over the same user partitioning,
+# never a join).
+# ---------------------------------------------------------------------------
+
+_F3_WINDOW_US = 86_400 * 1_000_000
+
+_F3_SQL = f"""
+WITH p1 AS (
+  SELECT user_id, event_type, ts, epoch_us(ts) AS t,
+         MAX(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)
+           OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS last_view_us
+  FROM events
+),
+p2 AS (
+  SELECT user_id, event_type, ts, t,
+         MAX(CASE WHEN event_type = 'click' AND last_view_us IS NOT NULL
+                   AND t - last_view_us <= {_F3_WINDOW_US}
+                  THEN t END)
+           OVER (PARTITION BY user_id ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS anchor_us,
+         MAX(CASE WHEN event_type = 'click' THEN t END)
+           OVER (PARTITION BY user_id ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS last_click_us
+  FROM p1
+)
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       CAST(SUM(CASE WHEN last_click_us IS NOT NULL
+                      AND t - last_click_us <= {_F3_WINDOW_US}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_two_step,
+       CAST(SUM(CASE WHEN anchor_us IS NOT NULL
+                      AND t - anchor_us <= {_F3_WINDOW_US}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_three_step
+FROM p2 WHERE event_type = 'purchase'
+GROUP BY 1
+"""
+
+
+@register("funnel_three_step", _F3_SQL)
+def q_funnel_three_step(spark, sf_dir):
+    """Daily strict three-step funnel: purchases attributed to a click
+    within 24 h that itself followed a view within 24 h.  Step N's
+    state is a conditional running MAX over the SAME (user, time)
+    ordering as step N−1, so an n-step funnel is n windows on one
+    sort — the per-event cost is O(n), independent of history length,
+    where the join formulation is O(events²) per user.
+
+    Scale plan: two window passes sharing one user-keyed shuffle/sort,
+    then a day-keyed aggregate.  The ts→microsecond integers make the
+    24 h comparisons exact."""
+    ev = load_table(spark, sf_dir, "events")
+    t = F.unix_micros("ts")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(t, "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    p1 = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        t.alias("t"),
+        "event_id",
+        F.max(F.when(F.col("event_type") == "view", t)).over(w).alias(
+            "last_view_us"
+        ),
+    )
+    w2 = (
+        Window.partitionBy("user_id")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    click_ok = (
+        (F.col("event_type") == "click")
+        & F.col("last_view_us").isNotNull()
+        & (F.col("t") - F.col("last_view_us") <= _F3_WINDOW_US)
+    )
+    p2 = p1.select(
+        "event_type",
+        "ts",
+        "t",
+        F.max(F.when(click_ok, F.col("t"))).over(w2).alias("anchor_us"),
+        F.max(F.when(F.col("event_type") == "click", F.col("t"))).over(w2).alias(
+            "last_click_us"
+        ),
+    )
+    return (
+        p2.filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum(
+                F.when(
+                    F.col("last_click_us").isNotNull()
+                    & (F.col("t") - F.col("last_click_us") <= _F3_WINDOW_US),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_two_step"),
+            F.sum(
+                F.when(
+                    F.col("anchor_us").isNotNull()
+                    & (F.col("t") - F.col("anchor_us") <= _F3_WINDOW_US),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_three_step"),
+        )
+    )
