@@ -501,3 +501,74 @@ def q_session_variable_threshold(spark, sf_dir):
               FROM nids_sv_orders WHERE o_totalprice > ? GROUP BY o_orderpriority'
            USING nids_rev_threshold"""
     )
+
+
+# ---------------------------------------------------------------------------
+# Polymorphic UDTF: output schema decided at ANALYZE time from a
+# constant argument — the Spark 4 UDTF feature beyond the static-
+# schema `udtf_chunk_profile`.
+# ---------------------------------------------------------------------------
+
+_TOPTOK_K = 3
+
+_TOPTOK_SQL = f"""
+WITH t AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+  FROM documents
+),
+c AS (SELECT doc_id, tok, COUNT(*) AS n FROM t GROUP BY 1, 2),
+l AS (
+  SELECT doc_id, list(tok ORDER BY n DESC, tok ASC) AS lst FROM c GROUP BY doc_id
+)
+SELECT doc_id,
+       {", ".join(f"lst[{i + 1}] AS tok_{i}" for i in range(_TOPTOK_K))}
+FROM l
+"""
+
+
+@register("udtf_analyze_top_tokens", _TOPTOK_SQL)
+def q_udtf_analyze_top_tokens(spark, sf_dir):
+    """Per-doc top-{_TOPTOK_K} tokens as COLUMNS, via a UDTF whose
+    ``analyze()`` derives the output schema (tok_0..tok_k−1) from the
+    constant k argument at plan time — the polymorphic-UDTF surface
+    (static-schema UDTF: `udtf_chunk_profile`).  Tie-break (count desc,
+    token asc) matches the oracle's ordered list exactly.
+
+    Slow-path note, stated honestly: a UDTF evaluates row-at-a-time in
+    Python; the engine's NATIVE form of this op is
+    `top_terms_per_doc` (built-in expressions).  This entry certifies
+    the API surface, not a recommended hot path — same policy as the
+    MLlib twins."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import StringType, StructField, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    class TopTokens:
+        @staticmethod
+        def analyze(row: AnalyzeArgument, k: AnalyzeArgument) -> AnalyzeResult:
+            n = int(k.value)
+            return AnalyzeResult(
+                StructType(
+                    [StructField("doc_id", row.dataType["doc_id"].dataType)]
+                    + [StructField(f"tok_{i}", StringType()) for i in range(n)]
+                )
+            )
+
+        def eval(self, row, k: int):
+            from collections import Counter
+
+            toks = row.text.strip().split()
+            counts = Counter(toks)
+            top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[: int(k)]
+            vals = [t for t, _ in top]
+            vals += [None] * (int(k) - len(vals))
+            yield (row.doc_id, *vals)
+
+    topfn = udtf(TopTokens)
+    spark.udtf.register("nids_top_tokens", topfn)
+    load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    ).createOrReplaceTempView("nids_toptok_docs")
+    return spark.sql(
+        f"SELECT * FROM nids_top_tokens(TABLE(nids_toptok_docs), {_TOPTOK_K})"
+    )
