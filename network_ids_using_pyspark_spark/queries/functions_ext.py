@@ -1050,3 +1050,69 @@ def q_conversion_latency_quantiles(spark, sf_dir):
         F.round(F.expr("percentile(ttc_us, 0.5)") / 1000000.0, 6).alias("p50_s"),
         F.round(F.expr("percentile(ttc_us, 0.9)") / 1000000.0, 6).alias("p90_s"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TWAP: time-weighted average value per (type, day) — the step-function
+# integral ∫v dt / Δt, the correct mean for irregularly sampled
+# signals (finance TWAP, IoT sensor means).
+# ---------------------------------------------------------------------------
+
+_TWAP_SQL = """
+WITH s AS (
+  SELECT event_type, CAST(ts AS DATE) AS d, epoch_us(ts) AS t, value,
+         LEAD(epoch_us(ts)) OVER (PARTITION BY event_type, CAST(ts AS DATE)
+                                  ORDER BY ts, event_id) AS t_next
+  FROM events
+),
+seg AS (
+  SELECT event_type, d, value, t_next - t AS dur
+  FROM s WHERE t_next IS NOT NULL
+)
+SELECT event_type, CAST(d AS TIMESTAMP) AS day,
+       CAST(COUNT(*) AS BIGINT) AS n_segments,
+       CAST(SUM(dur) AS BIGINT) AS span_us,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(30, 6)) * dur) AS VARCHAR)
+            AS DOUBLE) / SUM(dur) AS twap
+FROM seg GROUP BY event_type, d
+"""
+
+
+@register("twap_daily_value", _TWAP_SQL)
+def q_twap_daily_value(spark, sf_dir):
+    """Daily TWAP per event type: each observation holds its value
+    until the next one (step interpolation), so the mean weights each
+    value by its holding duration — Σ vᵢ·Δtᵢ / ΣΔtᵢ with the numerator
+    in exact DECIMAL×int64 and one final division.  The arithmetic
+    mean over-weights bursts; TWAP is what a pricing/telemetry read
+    actually wants.
+
+    Scale plan: one LEAD window per (type, day) partition (bounded),
+    then a map-side-combined grouped aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    t = F.unix_micros("ts")
+    w = Window.partitionBy("event_type", F.col("ts").cast("date")).orderBy(
+        "ts", "event_id"
+    )
+    s = ev.select(
+        "event_type",
+        F.col("ts").cast("date").alias("d"),
+        "value",
+        (F.lead(t).over(w) - t).alias("dur"),
+    ).filter(F.col("dur").isNotNull())
+    return s.groupBy("event_type", "d").agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum("dur").cast("long").alias("span_us"),
+        (
+            F.sum(F.col("value").cast("decimal(30, 6)") * F.col("dur"))
+            .cast("string")
+            .cast("double")
+            / F.sum("dur")
+        ).alias("twap"),
+    ).select(
+        "event_type",
+        F.col("d").cast("timestamp").alias("day"),
+        "n_segments",
+        "span_us",
+        "twap",
+    )

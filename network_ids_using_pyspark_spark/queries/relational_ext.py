@@ -1314,3 +1314,73 @@ def q_trending_parts_rank_delta(spark, sf_dir):
     return scored.orderBy(
         F.abs(F.col("delta_scaled")).desc(), F.asc("pk")
     ).limit(_TREND_TOPK)
+
+
+# ---------------------------------------------------------------------------
+# Point-in-time feature join: the feature-store correctness op — each
+# purchase enriched with TWO feature tables of different freshness,
+# each as-of the purchase time (never a future leak).
+# ---------------------------------------------------------------------------
+
+_PIT_SQL = """
+WITH purchases AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+),
+f_click AS (
+  SELECT user_id, ts, MAX(value) AS click_value
+  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+),
+f_err AS (
+  SELECT user_id, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h,
+         COUNT(*) AS err_cnt
+  FROM events WHERE event_type = 'error' GROUP BY 1, 2
+)
+SELECT p.event_id, p.user_id, p.ts,
+       c.click_value AS asof_click_value,
+       e.err_cnt AS asof_hourly_errors
+FROM purchases p
+ASOF LEFT JOIN f_click c ON p.user_id = c.user_id AND p.ts >= c.ts
+ASOF LEFT JOIN f_err e ON p.user_id = e.user_id AND p.ts >= e.h
+"""
+
+
+@register("pit_feature_join", _PIT_SQL)
+def q_pit_feature_join(spark, sf_dir):
+    """Feature-store point-in-time join: purchases enriched with (a)
+    the user's latest click value and (b) the user's latest COMPLETED
+    hourly error count, each as-of the purchase timestamp — two as-of
+    joins with different time grains, the leakage-proof alternative to
+    the naive latest-value join that silently reads the future.
+
+    Scale plan: each as-of is the union+window form
+    (operators/asof.py) — one user-keyed shuffle per feature table, no
+    range-join explosion; feature tables of different freshness chain
+    without re-sorting the fact side more than once each."""
+    from ..operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    f_click = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("click_value"))
+    )
+    step1 = asof_join(
+        purchases, f_click, ["user_id"], "ts", ["click_value"]
+    ).select("event_id", "user_id", "ts", "asof_click_value")
+    f_err = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy("user_id", F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.count(F.lit(1)).alias("err_cnt"))
+        .select("user_id", F.col("h").alias("ts"), "err_cnt")
+    )
+    step2 = asof_join(step1, f_err, ["user_id"], "ts", ["err_cnt"]).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "asof_click_value",
+        F.col("asof_err_cnt").alias("asof_hourly_errors"),
+    )
+    return step2
