@@ -385,3 +385,102 @@ def q_cosine_topk_int8(spark, sf_dir):
     )
     c = quant.select(F.col("vec_id").alias("cand_vec_id"), F.col("qd").alias("ce"))
     return cosine_topk(q, c, k=5)
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka truncation eval: how much retrieval quality survives when
+# embeddings are cut to their leading 16/32 dims — the measurement
+# behind MRL-style "pay for the dims you need" serving.
+# ---------------------------------------------------------------------------
+
+_MRL_K = 10
+_MRL_DIMS = (16, 32)
+
+
+def _mrl_sql() -> str:
+    def topk_cte(name: str, dim_slice: str) -> str:
+        return f"""
+{name} AS (
+  SELECT q_vec_id, cand_vec_id FROM (
+    SELECT q.q_vec_id, c.cand_vec_id,
+           ROW_NUMBER() OVER (PARTITION BY q.q_vec_id ORDER BY
+             list_dot_product(q.qe{dim_slice}, c.ce{dim_slice})
+               / (sqrt(list_dot_product(q.qe{dim_slice}, q.qe{dim_slice}))
+                  * sqrt(list_dot_product(c.ce{dim_slice}, c.ce{dim_slice})))
+             DESC, c.cand_vec_id ASC) AS rk
+    FROM qv q CROSS JOIN cv c WHERE q.q_vec_id <> c.cand_vec_id
+  ) WHERE rk <= {_MRL_K}
+)"""
+
+    hit_cols = ",\n       ".join(
+        f"""CAST((SELECT COUNT(*) FROM t{d} x
+             WHERE x.q_vec_id = f.q_vec_id
+               AND x.cand_vec_id IN (SELECT cand_vec_id FROM full_t y
+                                     WHERE y.q_vec_id = f.q_vec_id))
+            AS BIGINT) AS hits_{d},
+       round(CAST((SELECT COUNT(*) FROM t{d} x
+             WHERE x.q_vec_id = f.q_vec_id
+               AND x.cand_vec_id IN (SELECT cand_vec_id FROM full_t y
+                                     WHERE y.q_vec_id = f.q_vec_id))
+            AS DOUBLE) / {_MRL_K}, 6) AS recall_{d}"""
+        for d in _MRL_DIMS
+    )
+    ctes = ",".join(
+        [
+            """qv AS (SELECT vec_id AS q_vec_id, CAST(embedding AS DOUBLE[]) AS qe
+             FROM embeddings WHERE vec_id < 8),
+cv AS (SELECT vec_id AS cand_vec_id, CAST(embedding AS DOUBLE[]) AS ce
+       FROM embeddings)""",
+            topk_cte("full_t", ""),
+        ]
+        + [topk_cte(f"t{d}", f"[1:{d}]") for d in _MRL_DIMS]
+    )
+    return f"""
+WITH {ctes}
+SELECT f.q_vec_id, CAST(COUNT(*) AS BIGINT) AS n_full,
+       {hit_cols}
+FROM full_t f GROUP BY f.q_vec_id
+"""
+
+
+@register("matryoshka_truncation_recall", _mrl_sql())
+def q_matryoshka_truncation_recall(spark, sf_dir):
+    """Recall@{_MRL_K} of 16- and 32-dim truncated embeddings against
+    the full 64-dim exact top-{_MRL_K} — the dimension/quality curve a
+    serving team reads before truncating an index (the random fixture
+    embeddings put truncated recall near chance, exactly what the
+    measurement should say for non-Matryoshka-trained vectors; the
+    int8 twin `ann_recall_eval`/`cosine_topk_int8` covers the
+    precision axis).
+
+    Scale plan: truncation is a map-side slice; each ranking reuses the
+    brute-force baseline machinery over the same broadcast query set,
+    and the recall join moves only (q, cand) id pairs."""
+    from ..operators.similarity import as_double_array, cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_vec_id"), as_double_array("embedding").alias("qe")
+    )
+    c = emb.select(
+        F.col("vec_id").alias("cand_vec_id"), as_double_array("embedding").alias("ce")
+    )
+    full_t = cosine_topk(q, c, k=_MRL_K).select("q_vec_id", "cand_vec_id")
+    base = full_t.groupBy("q_vec_id").agg(F.count(F.lit(1)).alias("n_full"))
+    out = base
+    for d in _MRL_DIMS:
+        qd = q.select("q_vec_id", F.slice("qe", 1, d).alias("qe"))
+        cd = c.select("cand_vec_id", F.slice("ce", 1, d).alias("ce"))
+        td = cosine_topk(qd, cd, k=_MRL_K).select("q_vec_id", "cand_vec_id")
+        hits = (
+            full_t.join(td, ["q_vec_id", "cand_vec_id"])
+            .groupBy("q_vec_id")
+            .agg(F.count(F.lit(1)).alias(f"hits_{d}"))
+        )
+        out = out.join(hits, "q_vec_id", "left").withColumn(
+            f"hits_{d}", F.coalesce(F.col(f"hits_{d}"), F.lit(0)).cast("long")
+        ).withColumn(
+            f"recall_{d}",
+            F.round(F.col(f"hits_{d}").cast("double") / _MRL_K, 6),
+        )
+    return out
