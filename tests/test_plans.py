@@ -755,3 +755,53 @@ def test_trending_take_ordered_and_broadcast_totals(spark):
     plan = explain_str(df, "simple")
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_funnel3_windows_share_user_partitioning(spark):
+    """All funnel-step windows partition by user — n-step funnel = n
+    windows on one sort, no join."""
+    df = _df(spark, "funnel_three_step")
+    plan = explain_str(df, "simple")
+    assert "Join" not in plan
+    import re
+
+    specs = re.findall(r"windowspecdefinition\((\w+)#", explain_str(df))
+    assert specs and all(s == "user_id" for s in specs)
+
+
+def test_twap_lead_window_then_agg(spark):
+    df = _df(spark, "twap_daily_value")
+    plan = explain_str(df, "simple")
+    assert "Join" not in plan
+    assert plan.count("FileScan") == 1
+
+
+def test_pit_feature_join_no_range_join(spark):
+    """Both as-of steps are union+window — never a range nested-loop."""
+    df = _df(spark, "pit_feature_join")
+    plan = explain_str(df, "simple")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_rolling_corr_windows_over_calendar(spark):
+    df = _df(spark, "rolling_correlation_counts")
+    plan = explain_str(df, "simple")
+    assert plan.count("FileScan") == 1
+    assert "Join" not in plan
+
+
+def test_trimmed_mean_partitioned_sort(spark):
+    """Rank windows partition by event_type — no global sort."""
+    import re
+
+    df = _df(spark, "trimmed_mean_value")
+    specs = re.findall(r"windowspecdefinition\((\w+)#", explain_str(df))
+    assert specs and all(s == "event_type" for s in specs)
+
+
+def test_kappa_single_scan_per_pair_branch(spark):
+    df = _df(spark, "lf_agreement_kappa")
+    plan = explain_str(df, "simple")
+    assert "Join" not in plan
+    assert plan.count("FileScan") == 3  # one per pair branch
