@@ -744,3 +744,90 @@ def q_funnel_three_step(spark, sf_dir):
             .alias("n_three_step"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Robust seasonal anomaly: remove the weekday-median seasonal profile,
+# flag residuals beyond 3·1.4826·MAD — STL-lite with a 50% breakdown
+# point, all integer (the float threshold 3·1.4826 is cleared to the
+# cross-multiplication |r|·10⁴ > 44478·MAD).
+# ---------------------------------------------------------------------------
+
+_SRA_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d,
+         dayofweek(CAST(ts AS DATE)) AS dow, COUNT(*) AS n
+  FROM events GROUP BY 1, 2, 3
+),
+med AS (
+  SELECT event_type, dow, quantile_disc(n, 0.5) AS wd_med
+  FROM daily GROUP BY 1, 2
+),
+res AS (
+  SELECT d.event_type, d.d, d.n - m.wd_med AS r, ABS(d.n - m.wd_med) AS absr
+  FROM daily d JOIN med m ON d.event_type = m.event_type AND d.dow = m.dow
+),
+mad AS (
+  SELECT event_type, quantile_disc(absr, 0.5) AS mad FROM res GROUP BY 1
+)
+SELECT r.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(MIN(m.mad) AS BIGINT) AS mad,
+       CAST(SUM(CASE WHEN r.absr * 10000 > 44478 * m.mad THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_anomalies,
+       MIN(CASE WHEN r.absr * 10000 > 44478 * m.mad THEN r.d END) AS first_anomaly_day
+FROM res r JOIN mad m ON r.event_type = m.event_type
+GROUP BY r.event_type
+"""
+
+
+@register("seasonal_robust_anomaly", _SRA_SQL)
+def q_seasonal_robust_anomaly(spark, sf_dir):
+    """Weekday-seasonal robust anomaly detection on daily volumes:
+    subtract each (type, weekday)'s lower-median profile, then flag
+    residuals past 3·1.4826·MAD — the STL-lite ops monitor that a
+    level shift can't poison (50% breakdown), complementing the
+    mean/variance `event_rate_anomaly`.
+
+    Scale plan: volumes collapse to the calendar relation first; both
+    medians are per-small-group lower medians (rank-pick, no
+    interpolation); every comparison is exact int64."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.col("ts").cast("date").alias("d"),
+        F.dayofweek(F.col("ts").cast("date")).alias("dow"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+    def lower_median(df, keys, col, out):
+        w = Window.partitionBy(*keys).orderBy(col)
+        wn = Window.partitionBy(*keys)
+        r = df.select(
+            *keys,
+            F.col(col),
+            F.row_number().over(w).alias("rk"),
+            F.count(F.lit(1)).over(wn).alias("cnt"),
+        )
+        return r.filter(F.col("rk") == F.expr("(cnt + 1) div 2")).select(
+            *keys, F.col(col).alias(out)
+        )
+
+    med = lower_median(daily, ["event_type", "dow"], "n", "wd_med")
+    res = daily.join(med, ["event_type", "dow"]).select(
+        "event_type",
+        "d",
+        (F.col("n") - F.col("wd_med")).alias("r"),
+        F.abs(F.col("n") - F.col("wd_med")).alias("absr"),
+    )
+    mad = lower_median(res, ["event_type"], "absr", "mad")
+    hit = F.col("absr") * 10000 > 44478 * F.col("mad")
+    return (
+        res.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.min("mad").cast("long").alias("mad"),
+            F.sum(F.when(hit, 1).otherwise(0)).cast("long").alias("n_anomalies"),
+            F.min(F.when(hit, F.col("d"))).alias("first_anomaly_day"),
+        )
+    )

@@ -1017,3 +1017,84 @@ def q_span_mask_augment(spark, sf_dir):
         .alias("n_masked"),
         F.col("n_tok").cast("long").alias("n_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Nucleus (top-p) vocabulary coverage per bigram context: how many
+# continuations cover 90% of the probability mass — the sampling-time
+# statistic behind top-p decoding, computed over the same corpus LM as
+# `bigram_lm_logloss`.
+# ---------------------------------------------------------------------------
+
+_NUC_P_NUM, _NUC_P_DEN = 9, 10  # p = 0.9 as an exact rational
+
+_NUCLEUS_SQL = f"""
+WITH t AS (
+  SELECT regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
+),
+big AS (
+  SELECT w[i] AS w1, w[i + 1] AS w2
+  FROM t, UNNEST(range(1, len(w))) AS r(i) WHERE len(w) >= 2
+),
+c AS (SELECT w1, w2, COUNT(*) AS n FROM big GROUP BY 1, 2),
+tot AS (SELECT w1, SUM(n) AS tot FROM c GROUP BY 1),
+ranked AS (
+  SELECT c.w1, c.n, t.tot,
+         SUM(c.n) OVER (PARTITION BY c.w1 ORDER BY c.n DESC, c.w2) AS cum
+  FROM c JOIN tot t ON c.w1 = t.w1
+)
+SELECT w1 AS context,
+       CAST(ANY_VALUE(tot) AS BIGINT) AS n_continuations,
+       CAST(COUNT(*) AS BIGINT) AS n_vocab,
+       CAST(SUM(CASE WHEN (cum - n) * {_NUC_P_DEN} < tot * {_NUC_P_NUM}
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_nucleus
+FROM ranked GROUP BY w1
+"""
+
+
+@register("nucleus_vocab_coverage", _NUCLEUS_SQL)
+def q_nucleus_vocab_coverage(spark, sf_dir):
+    """Per bigram context: continuation vocabulary size and its 0.9
+    nucleus (smallest prefix of the count-sorted continuations whose
+    mass reaches 90%).  Membership is the exact integer test
+    (cum_before·10 < tot·9) — a continuation is in the nucleus iff the
+    mass BEFORE it is still under p — so both engines cut the identical
+    prefix, ties broken by token.
+
+    Scale plan: bigram counts are the vocabulary-bounded LM relation;
+    the cumulative window partitions by context over THAT, never the
+    corpus."""
+    from pyspark.sql import Window
+
+    from ..operators.textops import tokens as tok_arr
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(tok_arr("text").alias("w")).filter(F.size("w") >= 2)
+    big = t.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(w) - 2), "
+                "i -> struct(w[i] AS w1, w[i + 1] AS w2))"
+            )
+        ).alias("b")
+    ).select("b.w1", "b.w2")
+    c = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n"))
+    tot = c.groupBy("w1").agg(F.sum("n").alias("tot"))
+    w_cum = Window.partitionBy("w1").orderBy(F.desc("n"), F.asc("w2")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ranked = c.join(F.broadcast(tot), "w1").withColumn(
+        "cum", F.sum("n").over(w_cum)
+    )
+    return ranked.groupBy(F.col("w1").alias("context")).agg(
+        F.first("tot").cast("long").alias("n_continuations"),
+        F.count(F.lit(1)).alias("n_vocab"),
+        F.sum(
+            F.when(
+                (F.col("cum") - F.col("n")) * _NUC_P_DEN < F.col("tot") * _NUC_P_NUM,
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_nucleus"),
+    )
