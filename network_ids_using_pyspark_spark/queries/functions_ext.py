@@ -1116,3 +1116,52 @@ def q_twap_daily_value(spark, sf_dir):
         "span_us",
         "twap",
     )
+
+
+# ---------------------------------------------------------------------------
+# Gaps-and-islands: longest consecutive-active-day streak per user,
+# reported as the streak-length histogram.
+# ---------------------------------------------------------------------------
+
+_STREAK_SQL = """
+WITH du AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+isl AS (
+  SELECT user_id,
+         d - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d)
+                  AS INTEGER) AS grp
+  FROM du
+),
+runs AS (
+  SELECT user_id, grp, COUNT(*) AS run_len FROM isl GROUP BY 1, 2
+),
+best AS (SELECT user_id, MAX(run_len) AS max_streak FROM runs GROUP BY 1)
+SELECT CAST(max_streak AS BIGINT) AS max_streak,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM best GROUP BY max_streak
+"""
+
+
+@register("user_activity_streaks", _STREAK_SQL)
+def q_user_activity_streaks(spark, sf_dir):
+    """Longest consecutive-day activity streak per user via the
+    gaps-and-islands identity (consecutive days share the constant
+    d − row_number), rolled into a streak-length histogram — the
+    engagement-streak metric, and the canonical islands pattern the
+    relational surface was missing.
+
+    Scale plan: distinct (user, day) first (calendar-bounded per
+    user); one per-user window, two tiny aggregates."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select("user_id", F.col("ts").cast("date").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    isl = du.select(
+        "user_id",
+        F.date_sub(F.col("d"), F.row_number().over(w)).alias("grp"),
+    )
+    runs = isl.groupBy("user_id", "grp").agg(F.count(F.lit(1)).alias("run_len"))
+    best = runs.groupBy("user_id").agg(F.max("run_len").alias("max_streak"))
+    return best.groupBy(F.col("max_streak").cast("long").alias("max_streak")).agg(
+        F.count(F.lit(1)).alias("n_users")
+    )

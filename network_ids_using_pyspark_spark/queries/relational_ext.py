@@ -1384,3 +1384,74 @@ def q_pit_feature_join(spark, sf_dir):
         F.col("asof_err_cnt").alias("asof_hourly_errors"),
     )
     return step2
+
+
+# ---------------------------------------------------------------------------
+# Hierarchical share-of-parent: nation revenue as a share of its
+# region, region as a share of world — the drill-down ratio pair every
+# BI hierarchy renders.
+# ---------------------------------------------------------------------------
+
+_SOP_SQL = """
+WITH rev AS (
+  SELECT r.r_name, n.n_name,
+         SUM(CAST(o.o_totalprice AS DECIMAL(30, 6))) AS rev_dec
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  GROUP BY 1, 2
+),
+w AS (
+  SELECT r_name, n_name, rev_dec,
+         SUM(rev_dec) OVER (PARTITION BY r_name) AS region_dec,
+         SUM(rev_dec) OVER () AS world_dec
+  FROM rev
+)
+SELECT r_name, n_name,
+       CAST(CAST(rev_dec AS VARCHAR) AS DOUBLE) AS revenue,
+       round(CAST(CAST(rev_dec AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(region_dec AS VARCHAR) AS DOUBLE), 6)
+         AS share_of_region,
+       round(CAST(CAST(region_dec AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(world_dec AS VARCHAR) AS DOUBLE), 6)
+         AS region_share_of_world
+FROM w
+"""
+
+
+@register("share_of_parent_rollup", _SOP_SQL)
+def q_share_of_parent_rollup(spark, sf_dir):
+    """Two-level contribution ratios over the region→nation hierarchy,
+    from ONE nation-grain aggregate: parent totals are windows over the
+    25-row nation relation (exact DECIMAL partials, correctly-rounded
+    casts), so the whole drill-down costs a single fact pass.
+
+    Scale plan: star joins broadcast; the only fact shuffle is the
+    nation-grain rollup; hierarchy windows are dim-sized."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    rev = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(30, 6)")).alias("rev_dec"))
+    )
+    w_region = Window.partitionBy("r_name")
+    w_world = Window.partitionBy()
+    to_d = lambda col: F.col(col).cast("string").cast("double")  # noqa: E731
+    out = rev.withColumn("region_dec", F.sum("rev_dec").over(w_region)).withColumn(
+        "world_dec", F.sum("rev_dec").over(w_world)
+    )
+    return out.select(
+        "r_name",
+        "n_name",
+        to_d("rev_dec").alias("revenue"),
+        F.round(to_d("rev_dec") / to_d("region_dec"), 6).alias("share_of_region"),
+        F.round(to_d("region_dec") / to_d("world_dec"), 6).alias(
+            "region_share_of_world"
+        ),
+    )
