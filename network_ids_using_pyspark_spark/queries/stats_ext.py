@@ -898,3 +898,169 @@ def q_lagged_cross_correlation(spark, sf_dir):
     return j.groupBy("lag").agg(
         F.count(F.lit(1)).alias("n_days"), F.round(corr, 6).alias("r")
     ).select(F.col("lag").cast("long").alias("lag"), "n_days", "r")
+
+
+# ---------------------------------------------------------------------------
+# Higher-moment profile: skewness and excess kurtosis per event type
+# from exact DECIMAL raw-moment sums (the central-moment algebra runs
+# on identical doubles afterward).
+# ---------------------------------------------------------------------------
+
+
+def _moments_sql() -> str:
+    dec = "DECIMAL(38, 6)"
+    to_d = lambda e: f"CAST(CAST({e} AS VARCHAR) AS DOUBLE)"  # noqa: E731
+    return f"""
+WITH m AS (
+  SELECT event_type, COUNT(*) AS n,
+         {to_d(f'SUM(CAST(value AS {dec}))')} AS s1,
+         {to_d(f'SUM(CAST(value AS {dec}) * CAST(value AS {dec}))')} AS s2,
+         {to_d(f'SUM(CAST(value AS {dec}) * CAST(value AS {dec}) * CAST(value AS {dec}))')} AS s3,
+         {to_d(f'SUM(CAST(value AS {dec}) * CAST(value AS {dec}) * CAST(value AS {dec}) * CAST(value AS {dec}))')} AS s4
+  FROM events GROUP BY event_type
+)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       round(s1 / n, 6) AS mean,
+       round((s2 - s1 * s1 / n) / n, 6) AS var_pop,
+       round(((s3 - 3 * (s1 / n) * s2 + 2 * n * (s1 / n) * (s1 / n) * (s1 / n)) / n)
+             / pow((s2 - s1 * s1 / n) / n, 1.5), 6) AS skewness,
+       round(((s4 - 4 * (s1 / n) * s3 + 6 * (s1 / n) * (s1 / n) * s2
+               - 3 * n * pow(s1 / n, 4)) / n)
+             / pow((s2 - s1 * s1 / n) / n, 2) - 3, 6) AS excess_kurtosis
+FROM m
+"""
+
+
+@register("higher_moments_profile", _moments_sql())
+def q_higher_moments_profile(spark, sf_dir):
+    """Population mean/variance/skewness/excess-kurtosis per event
+    type.  The four raw power sums accumulate in exact DECIMAL (order-
+    independent, unlike streaming central-moment updates); the central-
+    moment algebra then runs the identical double sequence on both
+    engines, rounded at 1e-6.  Extends the profiling family
+    (profile_max/min, value_stats_by_type) to shape statistics —
+    heavy-tail and asymmetry screens.
+
+    Scale plan: one scan, one |types|-key map-side-combined aggregate;
+    ≤6-decimal values keep s4 below DECIMAL(38,6) range for ~10¹² rows
+    per group at |value|≤10³ — past that, widen the scale, same plan."""
+    ev = load_table(spark, sf_dir, "events")
+    dec = "decimal(38, 6)"
+    v = F.col("value").cast(dec)
+    to_d = lambda c: c.cast("string").cast("double")  # noqa: E731
+    m = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        to_d(F.sum(v)).alias("s1"),
+        to_d(F.sum(v * v)).alias("s2"),
+        to_d(F.sum(v * v * v)).alias("s3"),
+        to_d(F.sum(v * v * v * v)).alias("s4"),
+    )
+    n = F.col("n")
+    mu = F.col("s1") / n
+    var = (F.col("s2") - F.col("s1") * F.col("s1") / n) / n
+    m3 = (
+        F.col("s3") - 3 * mu * F.col("s2") + 2 * n * mu * mu * mu
+    ) / n
+    m4 = (
+        F.col("s4")
+        - 4 * mu * F.col("s3")
+        + 6 * mu * mu * F.col("s2")
+        - 3 * n * F.pow(mu, 4)
+    ) / n
+    return m.select(
+        "event_type",
+        n.cast("long").alias("n"),
+        F.round(mu, 6).alias("mean"),
+        F.round(var, 6).alias("var_pop"),
+        F.round(m3 / F.pow(var, 1.5), 6).alias("skewness"),
+        F.round(m4 / F.pow(var, 2) - 3, 6).alias("excess_kurtosis"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Two-proportion z-test on conversion rates between the two halves of
+# the event timeline, z² cleared to exact integers (the same algebraic
+# discipline as event_rate_anomaly's z-test).
+# ---------------------------------------------------------------------------
+
+_PZ_Z2_NUM, _PZ_Z2_DEN = 384, 100  # z² = 3.84 ⇔ z = 1.96 (α = 0.05)
+
+_PROPZ_SQL = f"""
+WITH b AS (SELECT CAST(date_trunc('day', MIN(ts)) AS TIMESTAMP)
+             + INTERVAL 15 DAY AS cut FROM events),
+s AS (
+  SELECT CASE WHEN ts < cut THEN 'A' ELSE 'B' END AS per,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv
+  FROM events CROSS JOIN b
+  WHERE event_type IN ('click', 'purchase')
+),
+agg AS (
+  SELECT SUM(CASE WHEN per = 'A' THEN 1 ELSE 0 END) AS n_a,
+         SUM(CASE WHEN per = 'A' THEN conv ELSE 0 END) AS x_a,
+         SUM(CASE WHEN per = 'B' THEN 1 ELSE 0 END) AS n_b,
+         SUM(CASE WHEN per = 'B' THEN conv ELSE 0 END) AS x_b
+  FROM s
+)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(x_a AS BIGINT) AS x_a,
+       CAST(n_b AS BIGINT) AS n_b, CAST(x_b AS BIGINT) AS x_b,
+       round(CAST(x_a AS DOUBLE) / n_a - CAST(x_b AS DOUBLE) / n_b, 6)
+         AS rate_diff,
+       -- z² > 3.84 cleared of all divisions/sqrts:
+       -- (x_a·n_b − x_b·n_a)² · (n_a+n_b) · {_PZ_Z2_DEN}
+       --   > {_PZ_Z2_NUM} · n_a·n_b · x·(n_a+n_b−x)   where x = x_a+x_b
+       ((x_a * n_b - x_b * n_a) * (x_a * n_b - x_b * n_a) * (n_a + n_b)
+          * {_PZ_Z2_DEN}
+        > {_PZ_Z2_NUM} * n_a * n_b * (x_a + x_b)
+          * (n_a + n_b - x_a - x_b)) AS significant_95
+FROM agg
+"""
+
+
+@register("conversion_rate_ab_ztest", _PROPZ_SQL)
+def q_conversion_rate_ab_ztest(spark, sf_dir):
+    """Pooled two-proportion z-test: did the purchase share of
+    click+purchase traffic shift between the first and second half of
+    the month?  The significance boolean is the z² inequality cleared
+    of every division and square root — exact int64 (magnitudes ~10¹⁵
+    at sf0.1; the DECIMAL widening path is noted for beyond) — so the
+    verdict is bit-identical on any engine, the same discipline as
+    `event_rate_anomaly`.
+
+    Scale plan: one scan → 4 integers.  Inference at 100 TB is the
+    cheap part; the discipline is keeping it exact."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.agg(
+        (F.date_trunc("day", F.min("ts")) + F.expr("INTERVAL 15 DAY")).alias("cut")
+    )
+    s = (
+        ev.filter(F.col("event_type").isin("click", "purchase"))
+        .crossJoin(F.broadcast(b))
+        .select(
+            F.when(F.col("ts") < F.col("cut"), "A").otherwise("B").alias("per"),
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("conv"),
+        )
+    )
+    agg = s.agg(
+        F.sum(F.when(F.col("per") == "A", 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("per") == "A", F.col("conv")).otherwise(0)).alias("x_a"),
+        F.sum(F.when(F.col("per") == "B", 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(F.col("per") == "B", F.col("conv")).otherwise(0)).alias("x_b"),
+    )
+    d = F.col("x_a") * F.col("n_b") - F.col("x_b") * F.col("n_a")
+    x = F.col("x_a") + F.col("x_b")
+    n = F.col("n_a") + F.col("n_b")
+    return agg.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("x_a").cast("long").alias("x_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.col("x_b").cast("long").alias("x_b"),
+        F.round(
+            F.col("x_a").cast("double") / F.col("n_a")
+            - F.col("x_b").cast("double") / F.col("n_b"),
+            6,
+        ).alias("rate_diff"),
+        (
+            d * d * n * _PZ_Z2_DEN
+            > _PZ_Z2_NUM * F.col("n_a") * F.col("n_b") * x * (n - x)
+        ).alias("significant_95"),
+    )
