@@ -413,3 +413,89 @@ def q_containment_dedup_pairs(spark, sf_dir):
         )
     )
     return out.filter(F.col("containment") >= CONTAIN_T)
+
+
+# ---------------------------------------------------------------------------
+# Dedup-aware sharding: assign docs to shards by their FIRST MinHash
+# band signature instead of the doc id, so near-duplicates co-locate
+# and per-shard dedup becomes (mostly) global dedup — the sharding
+# design decision behind distributed dedup at corpus scale, measured
+# as the co-shard rate of the LSH candidate pairs under both schemes.
+# ---------------------------------------------------------------------------
+
+_SHARD_N = 8
+
+
+def _shard_sql() -> str:
+    from ..functions.hashing import portable_hash64_sql
+
+    band_key = "concat(CAST(sig_0 AS VARCHAR), ':', CAST(sig_1 AS VARCHAR), ':', CAST(sig_2 AS VARCHAR), ':', CAST(sig_3 AS VARCHAR))"
+    h_band = portable_hash64_sql(band_key, seed="shard:")
+    h_doc = portable_hash64_sql("CAST(doc_id AS VARCHAR)", seed="shard:")
+    return f"""
+WITH sigs AS ({_SIG_SQL}),
+assign AS (
+  SELECT doc_id,
+         {h_band} % {_SHARD_N} AS band_shard,
+         {h_doc} % {_SHARD_N} AS id_shard
+  FROM sigs
+),
+pairs AS ({_LSH_SQL})
+SELECT CAST(COUNT(*) AS BIGINT) AS n_candidate_pairs,
+       CAST(SUM(CASE WHEN a.band_shard = b.band_shard THEN 1 ELSE 0 END)
+            AS BIGINT) AS co_sharded_band,
+       CAST(SUM(CASE WHEN a.id_shard = b.id_shard THEN 1 ELSE 0 END)
+            AS BIGINT) AS co_sharded_id
+FROM pairs p
+JOIN assign a ON p.doc_a = a.doc_id
+JOIN assign b ON p.doc_b = b.doc_id
+"""
+
+
+@register("dedup_aware_sharding", _shard_sql())
+def q_dedup_aware_sharding(spark, sf_dir):
+    """Measures the sharding decision that makes distributed dedup
+    work: hashing docs to {_SHARD_N} shards by their first MinHash band
+    signature co-locates near-duplicate candidates (LSH pairs sharing
+    that band land in ONE shard by construction — co_sharded_band ≈
+    all pairs found via band 0), while id-hash sharding scatters them
+    (co_sharded_id ≈ 1/{_SHARD_N} of pairs).  The report is the
+    evidence a pipeline uses to choose signature-sharded dedup over
+    shuffle-everything dedup.
+
+    Scale plan: signatures and pairs reuse the registered MinHash
+    machinery; the assignment is map-side hashing; the measurement
+    joins move only (pair, shard) ids."""
+    from ..functions.hashing import portable_hash64
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, k=K)
+    band_key = F.concat_ws(
+        ":", *[F.col(f"sig_{i}").cast("string") for i in range(ROWS)]
+    )
+    assign = sigs.select(
+        "doc_id",
+        (portable_hash64(band_key, seed="shard:") % _SHARD_N).alias("band_shard"),
+        (portable_hash64("doc_id", seed="shard:") % _SHARD_N).alias("id_shard"),
+    )
+    pairs = minhash_lsh_pairs(sigs, bands=BANDS, rows=ROWS)
+    a = assign.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("band_shard").alias("bs_a"),
+        F.col("id_shard").alias("is_a"),
+    )
+    b = assign.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("band_shard").alias("bs_b"),
+        F.col("id_shard").alias("is_b"),
+    )
+    j = pairs.join(F.broadcast(a), "doc_a").join(F.broadcast(b), "doc_b")
+    return j.agg(
+        F.count(F.lit(1)).alias("n_candidate_pairs"),
+        F.sum(F.when(F.col("bs_a") == F.col("bs_b"), 1).otherwise(0))
+        .cast("long")
+        .alias("co_sharded_band"),
+        F.sum(F.when(F.col("is_a") == F.col("is_b"), 1).otherwise(0))
+        .cast("long")
+        .alias("co_sharded_id"),
+    )
