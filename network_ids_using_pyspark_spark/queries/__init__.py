@@ -165,7 +165,23 @@ _ROUND_PRIORITY = [
     # interorder_gap_histogram, dict_encoding_report,
     # target_encoding_loo, hash_uniformity_chi2, merge_upsert_orders,
     # gdpr_erasure_report, ml_isotonic_calibration (rows-only),
-    # feature_hash_profile, zipf_fit_report, dwell_time_by_type.
+    # feature_hash_profile, zipf_fit_report, dwell_time_by_type —
+    # and the third wave (also locally oracle-green): rfm_segment_counts,
+    # kaplan_meier_repeat_purchase, revenue_mix_decomposition,
+    # cep_click_purchase_no_error, referential_integrity_audit,
+    # span_mask_augment, active_users_dau_wau, peak_concurrent_sessions,
+    # conversion_latency_quantiles, trending_parts_rank_delta,
+    # lf_agreement_kappa, trimmed_mean_value, rolling_correlation_counts,
+    # lagged_cross_correlation, stream_tumbling_append_finalized,
+    # funnel_three_step, udtf_analyze_top_tokens, twap_daily_value,
+    # pit_feature_join, matryoshka_truncation_recall,
+    # seasonal_robust_anomaly, wau_hll_window_merge,
+    # nucleus_vocab_coverage, user_activity_streaks,
+    # share_of_parent_rollup, higher_moments_profile,
+    # conversion_rate_ab_ztest, mutual_information_report,
+    # table_fingerprints, ks_two_sample_drift, poisson_bootstrap_ci,
+    # benford_digit_test, ab_cuped_readout, dedup_aware_sharding,
+    # ml_conformal_coverage (rows-only).
 ]
 
 
