@@ -1631,3 +1631,97 @@ def q_referential_integrity_audit(spark, sf_dir):
         )
     )
     return li_audit.unionByName(oc_audit)
+
+
+# ---------------------------------------------------------------------------
+# Learned binning, fit/transform split: decile edges FIT on the first
+# order-date half, APPLIED to the second — the Bucketizer pattern with
+# the train/serve separation made explicit (edges must come from the
+# fit period only, or the serve-side distribution leaks in).
+# ---------------------------------------------------------------------------
+
+_BIN_CUT = "1997-01-01"
+_BIN_N = 10
+
+_BINNING_SQL = f"""
+WITH a AS (
+  SELECT o_totalprice FROM orders
+  WHERE CAST(o_orderdate AS DATE) < DATE '{_BIN_CUT}'
+),
+edges AS (
+  SELECT bin, MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+  FROM (
+    SELECT o_totalprice,
+           NTILE({_BIN_N}) OVER (ORDER BY o_totalprice) AS bin
+    FROM a
+  ) GROUP BY bin
+),
+b AS (
+  SELECT o_totalprice FROM orders
+  WHERE CAST(o_orderdate AS DATE) >= DATE '{_BIN_CUT}'
+),
+assigned AS (
+  SELECT e.bin
+  FROM b JOIN edges e
+    ON (b.o_totalprice >= e.lo OR e.bin = 1)
+   AND (b.o_totalprice <= e.hi OR e.bin = {_BIN_N})
+   AND (b.o_totalprice < (SELECT MIN(lo) FROM edges) AND e.bin = 1
+        OR b.o_totalprice > (SELECT MAX(hi) FROM edges) AND e.bin = {_BIN_N}
+        OR (b.o_totalprice >= e.lo AND b.o_totalprice <= e.hi))
+)
+SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_apply,
+       (SELECT lo FROM edges x WHERE x.bin = assigned.bin) AS lo,
+       (SELECT hi FROM edges x WHERE x.bin = assigned.bin) AS hi
+FROM assigned GROUP BY bin
+"""
+
+
+@register("learned_binning_apply", _BINNING_SQL)
+def q_learned_binning_apply(spark, sf_dir):
+    """Quantile-bin edges learned on the fit period, applied to the
+    serve period: per fitted decile, how many serve-period orders land
+    in it (out-of-range values clamp to the edge bins — the
+    Bucketizer convention).  Drift shows up as unequal bin masses,
+    which is exactly what this table is monitored for.
+
+    Scale plan: the fit side reduces to {_BIN_N} edge rows (the NTILE
+    runs on the fit period only — that exactness/scale tradeoff is
+    `equidepth_histogram`'s); the apply side joins the broadcast edge
+    relation with a range predicate — a {_BIN_N}-row nested-loop
+    probe, i.e. a map-side CASE in disguise."""
+    o = load_table(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+
+    a = o.filter(F.col("o_orderdate").cast("date") < F.lit(_BIN_CUT).cast("date"))
+    edges = (
+        a.select(
+            "o_totalprice",
+            F.ntile(_BIN_N).over(Window.orderBy("o_totalprice")).alias("bin"),
+        )
+        .groupBy("bin")
+        .agg(F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi"))
+    )
+    edges = edges.localCheckpoint(eager=True)  # fit artifact, used twice
+    bounds = edges.agg(
+        F.min("lo").alias("gmin"), F.max("hi").alias("gmax")
+    )
+    b = o.filter(
+        F.col("o_orderdate").cast("date") >= F.lit(_BIN_CUT).cast("date")
+    ).select("o_totalprice")
+    b = b.crossJoin(F.broadcast(bounds))
+    assigned = b.join(
+        F.broadcast(edges),
+        (
+            (F.col("o_totalprice") < F.col("gmin")) & (F.col("bin") == 1)
+        )
+        | ((F.col("o_totalprice") > F.col("gmax")) & (F.col("bin") == _BIN_N))
+        | (
+            (F.col("o_totalprice") >= F.col("lo"))
+            & (F.col("o_totalprice") <= F.col("hi"))
+        ),
+    )
+    return assigned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_apply"),
+        F.first("lo").alias("lo"),
+        F.first("hi").alias("hi"),
+    )

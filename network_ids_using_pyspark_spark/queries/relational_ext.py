@@ -1455,3 +1455,96 @@ def q_share_of_parent_rollup(spark, sf_dir):
             "region_share_of_world"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-decayed customer value: exponentially decayed LTV with a 180-day
+# half-life — recent revenue counts more, the scoring every retention /
+# prioritization model starts from.
+# ---------------------------------------------------------------------------
+
+_DECAY_HALF_LIFE_D = 180
+_DECAY_TOPK = 20
+
+
+# 2^(−age/HL) decomposed as 2^(−q) · 2^(−r/HL) with age = q·HL + r:
+# the 2^(−r/HL) sub-day constants are Python-computed literals (bit-
+# identical in both engines — libm pow() differs by 1-2 ulp between
+# JVM and C for fractional exponents, which price magnitudes amplify
+# past the rounding grid), and 2^(−q) is an exact power of two.
+_DECAY_FRACS = [2.0 ** (-r / _DECAY_HALF_LIFE_D) for r in range(_DECAY_HALF_LIFE_D)]
+
+
+def _decay_sql() -> str:
+    fracs = ", ".join(repr(v) for v in _DECAY_FRACS)
+    return f"""
+WITH mx AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS maxd FROM orders),
+aged AS (
+  SELECT o_custkey, o_totalprice,
+         date_diff('day', CAST(o_orderdate AS DATE), mx.maxd) AS age
+  FROM orders CROSS JOIN mx
+),
+w AS (
+  SELECT o_custkey,
+         CAST(round(
+           ([{fracs}])[(age % {_DECAY_HALF_LIFE_D}) + 1]
+             / pow(2.0, age // {_DECAY_HALF_LIFE_D}), 9) AS DECIMAL(11, 9)) AS wq,
+         -- operand widths chosen so wq·price = DECIMAL(32,15) fits the
+         -- 38-digit cap EXACTLY in both engines — a wider product gets
+         -- engine-specific truncation and the sums drift
+         CAST(o_totalprice AS DECIMAL(20, 6)) AS price
+  FROM aged
+)
+SELECT o_custkey,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       round(CAST(CAST(SUM(wq * price) AS VARCHAR) AS DOUBLE), 6)
+         AS decayed_value
+FROM w GROUP BY o_custkey
+ORDER BY SUM(wq * price) DESC, o_custkey
+LIMIT {_DECAY_TOPK}
+"""
+
+
+@register("time_decayed_customer_value", _decay_sql())
+def q_time_decayed_customer_value(spark, sf_dir):
+    """Top-{_DECAY_TOPK} customers by exponentially decayed revenue
+    (half-life {_DECAY_HALF_LIFE_D} days).  The decay weight
+    2^(−age/HL) is quantized to the 1e-9 DECIMAL grid per row, so the
+    weighted sum is exact and order-independent — a raw float-weighted
+    sum would drift under partitioning; the ORDER BY ranks on the
+    exact DECIMAL, not the rounded double.
+
+    Scale plan: one scan → customer-keyed weighted aggregate
+    (map-side combined) → TakeOrderedAndProject."""
+    o = load_table(spark, sf_dir, "orders")
+    mx = o.agg(F.max(F.col("o_orderdate").cast("date")).alias("maxd"))
+    age = F.datediff(F.col("maxd"), F.col("o_orderdate").cast("date"))
+    frac = F.element_at(
+        F.array(*[F.lit(v) for v in _DECAY_FRACS]),
+        (age % _DECAY_HALF_LIFE_D) + 1,
+    )
+    # 2^(−q) with integer q: exact powers of two, identical everywhere
+    wq = F.round(
+        frac / F.pow(F.lit(2.0), F.expr(f"datediff(maxd, cast(o_orderdate as date)) div {_DECAY_HALF_LIFE_D}")),
+        9,
+    ).cast("decimal(11, 9)")
+    w = o.crossJoin(F.broadcast(mx)).select(
+        "o_custkey",
+        wq.alias("wq"),
+        F.col("o_totalprice").cast("decimal(20, 6)").alias("price"),
+    )
+    agg = w.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("wq") * F.col("price")).alias("dv_dec"),
+    )
+    return (
+        agg.orderBy(F.desc("dv_dec"), F.asc("o_custkey"))
+        .limit(_DECAY_TOPK)
+        .select(
+            "o_custkey",
+            "n_orders",
+            F.round(F.col("dv_dec").cast("string").cast("double"), 6).alias(
+                "decayed_value"
+            ),
+        )
+    )
