@@ -1064,3 +1064,177 @@ def q_conversion_rate_ab_ztest(spark, sf_dir):
             > _PZ_Z2_NUM * F.col("n_a") * F.col("n_b") * x * (n - x)
         ).alias("significant_95"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Quantile treatment effects: per-decile distributional difference
+# between the hash-assigned A/B arms — what a mean-only readout
+# (ab_cuped_readout) can't see.
+# ---------------------------------------------------------------------------
+
+_QTE_PS = (0.1, 0.25, 0.5, 0.75, 0.9)
+
+
+def _qte_sql() -> str:
+    from ..functions.hashing import portable_hash64_sql
+
+    h = portable_hash64_sql("CAST(user_id AS VARCHAR)", seed="ab:")
+    rows = " UNION ALL ".join(
+        f"""SELECT {p} AS p,
+           round(quantile_cont(CASE WHEN grp = 0 THEN value END, {p}), 6) AS q_a,
+           round(quantile_cont(CASE WHEN grp = 1 THEN value END, {p}), 6) AS q_b,
+           round(round(quantile_cont(CASE WHEN grp = 1 THEN value END, {p}), 6)
+                 - round(quantile_cont(CASE WHEN grp = 0 THEN value END, {p}), 6), 6)
+             AS qte
+    FROM assigned"""
+        for p in _QTE_PS
+    )
+    return f"""
+WITH assigned AS (
+  SELECT value, {h} % 2 AS grp FROM events
+)
+{rows}
+"""
+
+
+@register("ab_quantile_treatment_effects", _qte_sql())
+def q_ab_quantile_treatment_effects(spark, sf_dir):
+    """Quantile treatment effects at p10/p25/p50/p75/p90 between the
+    same deterministic arms as `ab_cuped_readout` — the distributional
+    readout (a treatment can move the tails and leave the mean flat).
+    Interpolated exact quantiles (Spark percentile ≡ DuckDB
+    quantile_cont); the effect is differenced AFTER each side's 1e-6
+    rounding so both engines subtract identical doubles.
+
+    Scale plan: one scan; each quantile is the exact per-arm sort path
+    at certification scale with the KLL sketch as the declared
+    unbounded-scale stand-in."""
+    from ..functions.hashing import portable_hash64
+
+    ev = load_table(spark, sf_dir, "events")
+    assigned = ev.select(
+        "value", (portable_hash64("user_id", seed="ab:") % 2).alias("grp")
+    )
+    out = None
+    for p in _QTE_PS:
+        q_a = F.round(
+            F.expr(f"percentile(CASE WHEN grp = 0 THEN value END, {p})"), 6
+        )
+        q_b = F.round(
+            F.expr(f"percentile(CASE WHEN grp = 1 THEN value END, {p})"), 6
+        )
+        row = assigned.agg(
+            F.lit(p).alias("p"),
+            q_a.alias("q_a"),
+            q_b.alias("q_b"),
+        ).select("p", "q_a", "q_b", F.round(F.col("q_b") - F.col("q_a"), 6).alias("qte"))
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Neyman allocation: distribute a fixed sampling budget across strata
+# ∝ N_h·S_h (stratum size × within-stratum std) — the optimal-variance
+# design for stratified estimation, with largest-remainder integer
+# quotas that sum EXACTLY to the budget (token_budget_allocation's
+# apportionment discipline applied to sampling design).
+# ---------------------------------------------------------------------------
+
+_NEY_BUDGET = 1000
+
+
+def _neyman_sql() -> str:
+    dec = "DECIMAL(38, 6)"
+    to_d = lambda e: f"CAST(CAST({e} AS VARCHAR) AS DOUBLE)"  # noqa: E731
+    return f"""
+WITH m AS (
+  SELECT event_type, COUNT(*) AS n,
+         {to_d(f'SUM(CAST(value AS {dec}))')} AS s1,
+         {to_d(f'SUM(CAST(value AS {dec}) * CAST(value AS {dec}))')} AS s2
+  FROM events GROUP BY event_type
+),
+wgt AS (
+  SELECT event_type, n,
+         CAST(round(n * sqrt((s2 - s1 * s1 / n) / n), 6) AS DECIMAL(38, 6)) AS nh_sh
+  FROM m
+),
+tot AS (
+  SELECT event_type, n, nh_sh, SUM(nh_sh) OVER () AS tot_dec FROM wgt
+),
+quota AS (
+  SELECT event_type, n, nh_sh,
+         CAST((CAST(nh_sh * {_NEY_BUDGET} AS DECIMAL(38, 6)) * 1000000)
+              AS HUGEINT) // CAST(tot_dec * 1000000 AS HUGEINT) AS base_q,
+         CAST((CAST(nh_sh * {_NEY_BUDGET} AS DECIMAL(38, 6)) * 1000000)
+              AS HUGEINT) % CAST(tot_dec * 1000000 AS HUGEINT) AS rem_key
+  FROM tot
+),
+ranked AS (
+  SELECT event_type, n, base_q,
+         ROW_NUMBER() OVER (ORDER BY rem_key DESC, event_type) AS rk,
+         {_NEY_BUDGET} - SUM(base_q) OVER () AS missing
+  FROM quota
+)
+SELECT event_type, CAST(n AS BIGINT) AS stratum_n,
+       CAST(base_q + CASE WHEN rk <= missing THEN 1 ELSE 0 END AS BIGINT)
+         AS sample_quota
+FROM ranked
+"""
+
+
+@register("neyman_allocation", _neyman_sql())
+def q_neyman_allocation(spark, sf_dir):
+    """Per-stratum sample quotas for a {_NEY_BUDGET}-row budget by
+    Neyman allocation (∝ N_h·S_h, population std from exact DECIMAL
+    moments, quantized to 1e-6 before apportionment).  The
+    largest-remainder rounding guarantees Σ quotas = budget exactly —
+    the property the downstream stratified sampler requires.  All
+    division/remainder arithmetic runs on scaled integers, so quotas
+    are bit-identical across engines.
+
+    Scale plan: one scan → per-type moments; the apportionment runs on
+    the |types|-row relation (windows dim-sized)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    dec = "decimal(38, 6)"
+    v = F.col("value").cast(dec)
+    to_d = lambda c: c.cast("string").cast("double")  # noqa: E731
+    m = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        to_d(F.sum(v)).alias("s1"),
+        to_d(F.sum(v * v)).alias("s2"),
+    )
+    nh_sh = F.round(
+        F.col("n")
+        * F.sqrt((F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / F.col("n")),
+        6,
+    ).cast("decimal(38, 6)")
+    wgt = m.select("event_type", "n", nh_sh.alias("nh_sh"))
+    w_all = Window.partitionBy()
+    tot = wgt.withColumn("tot_dec", F.sum("nh_sh").over(w_all))
+    scaled = tot.select(
+        "event_type",
+        "n",
+        (F.col("nh_sh") * _NEY_BUDGET * 1000000).cast("decimal(38, 0)").alias("num"),
+        (F.col("tot_dec") * 1000000).cast("decimal(38, 0)").alias("den"),
+    )
+    quota = scaled.select(
+        "event_type",
+        "n",
+        F.expr("CAST(num div den AS BIGINT)").alias("base_q"),
+        (F.col("num") % F.col("den")).alias("rem_key"),
+    )
+    w_rk = Window.orderBy(F.desc("rem_key"), F.asc("event_type"))
+    ranked = quota.withColumn("rk", F.row_number().over(w_rk)).withColumn(
+        "missing", F.lit(_NEY_BUDGET) - F.sum("base_q").over(w_all)
+    )
+    return ranked.select(
+        "event_type",
+        F.col("n").cast("long").alias("stratum_n"),
+        (
+            F.col("base_q") + F.when(F.col("rk") <= F.col("missing"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("sample_quota"),
+    )
