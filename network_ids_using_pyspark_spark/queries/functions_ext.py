@@ -1165,3 +1165,89 @@ def q_user_activity_streaks(spark, sf_dir):
     return best.groupBy(F.col("max_streak").cast("long").alias("max_streak")).agg(
         F.count(F.lit(1)).alias("n_users")
     )
+
+
+# ---------------------------------------------------------------------------
+# Episode mining, exact base case: for every ordered type pair (A, B),
+# how many A-events are followed by a B within 1 hour in the same
+# user's timeline — windowed sequential-pattern support.
+# ---------------------------------------------------------------------------
+
+_EPI_WINDOW_US = 3_600_000_000  # 1 hour
+_EPI_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def _episode_sql() -> str:
+    nxt = ",\n         ".join(
+        f"MIN(CASE WHEN event_type = '{t}' THEN epoch_us(ts) END) OVER "
+        f"(PARTITION BY user_id ORDER BY ts DESC, event_id DESC "
+        f"ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS nxt_{i}"
+        for i, t in enumerate(_EPI_TYPES)
+    )
+    branches = " UNION ALL ".join(
+        f"""SELECT event_type AS a_type, '{t}' AS b_type,
+           CAST(COUNT(*) AS BIGINT) AS n_a,
+           CAST(SUM(CASE WHEN nxt_{i} IS NOT NULL
+                          AND nxt_{i} - t <= CAST({_EPI_WINDOW_US} AS BIGINT)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_followed
+    FROM s GROUP BY event_type"""
+        for i, t in enumerate(_EPI_TYPES)
+    )
+    return f"""
+WITH s AS (
+  SELECT user_id, event_type, epoch_us(ts) AS t,
+         {nxt}
+  FROM events
+)
+{branches}
+"""
+
+
+@register("episode_follow_counts", _episode_sql())
+def q_episode_follow_counts(spark, sf_dir):
+    """Windowed follows-within-1h support for all |types|² ordered
+    pairs: each event carries "time of my next X" for every type X via
+    a REVERSED running MIN (order DESC, frame up to 1 preceding —
+    algebraically identical to min-over-following but O(n) per
+    partition, where Spark's unbounded-FOLLOWING frame recomputes per
+    row).  The temporal generalization of `event_transition_matrix`
+    (immediate successor) toward episode mining.
+
+    Scale plan: |types| conditional running-min columns on ONE
+    user-keyed sort; adding pattern symbols adds columns, not passes;
+    the rollup is |types|²-sized."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    t_us = F.unix_micros("ts")
+    w_rev = (
+        Window.partitionBy("user_id")
+        .orderBy(F.desc("ts"), F.desc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    s = ev.select(
+        "event_type",
+        t_us.alias("t"),
+        *[
+            F.min(F.when(F.col("event_type") == t, t_us))
+            .over(w_rev)
+            .alias(f"nxt_{i}")
+            for i, t in enumerate(_EPI_TYPES)
+        ],
+    )
+    out = None
+    for i, t in enumerate(_EPI_TYPES):
+        row = s.groupBy(F.col("event_type").alias("a_type")).agg(
+            F.count(F.lit(1)).alias("n_a"),
+            F.sum(
+                F.when(
+                    F.col(f"nxt_{i}").isNotNull()
+                    & (F.col(f"nxt_{i}") - F.col("t") <= _EPI_WINDOW_US),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_followed"),
+        ).select("a_type", F.lit(t).alias("b_type"), "n_a", "n_followed")
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -1008,9 +1008,11 @@ SELECT CAST(n_a AS BIGINT) AS n_a, CAST(x_a AS BIGINT) AS x_a,
        -- z² > 3.84 cleared of all divisions/sqrts:
        -- (x_a·n_b − x_b·n_a)² · (n_a+n_b) · {_PZ_Z2_DEN}
        --   > {_PZ_Z2_NUM} · n_a·n_b · x·(n_a+n_b−x)   where x = x_a+x_b
-       ((x_a * n_b - x_b * n_a) * (x_a * n_b - x_b * n_a) * (n_a + n_b)
-          * {_PZ_Z2_DEN}
-        > {_PZ_Z2_NUM} * n_a * n_b * (x_a + x_b)
+       -- in DECIMAL(38,0): d² alone passes 2^63 once n ~ 4·10⁴
+       (CAST(x_a * n_b - x_b * n_a AS DECIMAL(38, 0))
+          * CAST(x_a * n_b - x_b * n_a AS DECIMAL(38, 0))
+          * (n_a + n_b) * {_PZ_Z2_DEN}
+        > CAST({_PZ_Z2_NUM} AS DECIMAL(38, 0)) * n_a * n_b * (x_a + x_b)
           * (n_a + n_b - x_a - x_b)) AS significant_95
 FROM agg
 """
@@ -1046,7 +1048,9 @@ def q_conversion_rate_ab_ztest(spark, sf_dir):
         F.sum(F.when(F.col("per") == "B", 1).otherwise(0)).alias("n_b"),
         F.sum(F.when(F.col("per") == "B", F.col("conv")).otherwise(0)).alias("x_b"),
     )
-    d = F.col("x_a") * F.col("n_b") - F.col("x_b") * F.col("n_a")
+    # DECIMAL(38,0) arithmetic: d² alone overflows int64 past n ~ 4e4
+    dec0 = "decimal(38, 0)"
+    d = (F.col("x_a") * F.col("n_b") - F.col("x_b") * F.col("n_a")).cast(dec0)
     x = F.col("x_a") + F.col("x_b")
     n = F.col("n_a") + F.col("n_b")
     return agg.select(
@@ -1061,7 +1065,11 @@ def q_conversion_rate_ab_ztest(spark, sf_dir):
         ).alias("rate_diff"),
         (
             d * d * n * _PZ_Z2_DEN
-            > _PZ_Z2_NUM * F.col("n_a") * F.col("n_b") * x * (n - x)
+            > F.lit(_PZ_Z2_NUM).cast(dec0)
+            * F.col("n_a")
+            * F.col("n_b")
+            * x
+            * (n - x)
         ).alias("significant_95"),
     )
 
