@@ -161,3 +161,123 @@ def q_hybrid_search_rrf(spark, sf_dir):
     ≤ pool rows.  No corpus-sized sort or window anywhere."""
     docs = load_table(spark, sf_dir, "documents")
     return hybrid_rrf_topk(docs, TERMS, k=_HY_K, pool=_HY_POOL)
+
+
+# ---------------------------------------------------------------------------
+# IR ranking metrics: MRR / P@5 / nDCG@5 of the BM25 ranking against
+# exact term-containment relevance — the retrieval-quality harness
+# (the lexical sibling of `ann_recall_eval`).
+# ---------------------------------------------------------------------------
+
+# relevance PARTIALLY aligned with the ranking (contains the high-idf
+# 'dup' but not 'stream'): saturated 1.0 — or flat 0.0 — metrics
+# certify nothing; this definition yields MRR 0.25 / P@5 0.2 at the
+# gate SF, exercising every branch of MRR/P@k/nDCG
+_IR_REL_TERM = "dup"
+_IR_K = 5
+_IR_POOL = 20
+
+
+def _ir_eval_sql() -> str:
+    bm = bm25_topk_sql(TERMS, _IR_POOL)
+    # 1/log2(i+1) discount constants as exact Python literals (libm
+    # parity discipline)
+    discounts = ", ".join(repr(1.0 / __import__("math").log2(i + 1)) for i in range(1, _IR_POOL + 1))
+    return f"""
+WITH ranked AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rk
+  FROM ({bm})
+),
+rel AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
+  )
+  WHERE len(list_filter(w, t -> t = '{_IR_REL_TERM}')) > 0
+    AND len(list_filter(w, t -> t = 'stream')) = 0
+),
+j AS (
+  SELECT r.rk, CASE WHEN rel.doc_id IS NOT NULL THEN 1 ELSE 0 END AS is_rel
+  FROM ranked r LEFT JOIN rel ON r.doc_id = rel.doc_id
+),
+n_rel AS (SELECT COUNT(*) AS nr FROM rel),
+d AS (SELECT unnest([{discounts}]) AS disc, generate_subscripts([{discounts}], 1) AS i)
+SELECT CAST((SELECT nr FROM n_rel) AS BIGINT) AS n_relevant,
+       round(COALESCE(1.0 / MIN(CASE WHEN is_rel = 1 THEN rk END), 0.0), 6) AS mrr,
+       round(CAST(SUM(CASE WHEN rk <= {_IR_K} THEN is_rel ELSE 0 END) AS DOUBLE)
+             / {_IR_K}, 6) AS p_at_{_IR_K},
+       round(
+         CAST(CAST(SUM(CASE WHEN rk <= {_IR_K} AND is_rel = 1
+                  THEN CAST(round((SELECT disc FROM d WHERE d.i = rk), 9)
+                            AS DECIMAL(20, 9)) ELSE CAST(0 AS DECIMAL(20, 9)) END)
+              AS VARCHAR) AS DOUBLE)
+         / (SELECT CAST(CAST(SUM(CAST(round(disc, 9) AS DECIMAL(20, 9)))
+                    AS VARCHAR) AS DOUBLE)
+            FROM d WHERE i <= LEAST({_IR_K}, (SELECT nr FROM n_rel))), 6)
+         AS ndcg_at_{_IR_K}
+FROM j
+"""
+
+
+@register("search_ranking_metrics", _ir_eval_sql())
+def q_search_ranking_metrics(spark, sf_dir):
+    """MRR, precision@{_IR_K}, and nDCG@{_IR_K} of the BM25 top-{_IR_POOL}
+    against exact containment relevance (docs containing
+    '{_IR_REL_TERM}').  Discount constants 1/log₂(i+1) are
+    Python-computed literals quantized to 1e-9 and summed in DECIMAL —
+    the libm/DECIMAL discipline — so DCG and the ideal DCG divide as
+    identical doubles.
+
+    Scale plan: the ranking is the existing TakeOrdered BM25 path; the
+    relevance join and all metric arithmetic run on the {_IR_POOL}-row
+    pool plus one corpus scan for the (small) relevant set."""
+    import math
+
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    ranked = bm25_topk(docs, TERMS, k=_IR_POOL).select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("bm25"), F.asc("doc_id")))
+        .alias("rk"),
+    )
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    rel = docs.filter(
+        F.array_contains(toks, _IR_REL_TERM) & ~F.array_contains(toks, "stream")
+    ).select("doc_id", F.lit(1).alias("is_rel"))
+    n_rel = rel.agg(F.count(F.lit(1)).alias("nr"))
+    j = ranked.join(F.broadcast(rel), "doc_id", "left").select(
+        "rk", F.coalesce("is_rel", F.lit(0)).alias("is_rel")
+    )
+    disc = [1.0 / math.log2(i + 1) for i in range(1, _IR_POOL + 1)]
+    disc_arr = F.array(*[F.lit(v) for v in disc])
+    dq = lambda c: F.round(c, 9).cast("decimal(20, 9)")  # noqa: E731
+    dcg_term = F.when(
+        (F.col("rk") <= _IR_K) & (F.col("is_rel") == 1),
+        dq(F.element_at(disc_arr, F.col("rk"))),
+    ).otherwise(F.lit(0).cast("decimal(20, 9)"))
+    agg = j.crossJoin(F.broadcast(n_rel)).agg(
+        F.first("nr").alias("nr"),
+        F.min(F.when(F.col("is_rel") == 1, F.col("rk"))).alias("first_rel"),
+        F.sum(F.when(F.col("rk") <= _IR_K, F.col("is_rel")).otherwise(0)).alias(
+            "hits_k"
+        ),
+        F.sum(dcg_term).cast("string").cast("double").alias("dcg"),
+    )
+    # ideal DCG over min(K, n_rel) positions, decimal-summed identically
+    idcg_expr = None
+    for i in range(1, _IR_K + 1):
+        term = F.when(
+            F.col("nr") >= i, dq(F.lit(disc[i - 1]))
+        ).otherwise(F.lit(0).cast("decimal(20, 9)"))
+        idcg_expr = term if idcg_expr is None else idcg_expr + term
+    return agg.select(
+        F.col("nr").cast("long").alias("n_relevant"),
+        F.round(
+            F.coalesce(F.lit(1.0) / F.col("first_rel"), F.lit(0.0)), 6
+        ).alias("mrr"),
+        F.round(F.col("hits_k").cast("double") / _IR_K, 6).alias(f"p_at_{_IR_K}"),
+        F.round(
+            F.col("dcg") / idcg_expr.cast("string").cast("double"), 6
+        ).alias(f"ndcg_at_{_IR_K}"),
+    )
