@@ -1246,3 +1246,72 @@ def q_neyman_allocation(spark, sf_dir):
         .cast("long")
         .alias("sample_quota"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Wilson score intervals for daily conversion rates — the CI that stays
+# inside [0,1] and behaves at small n, unlike the Wald interval.
+# ---------------------------------------------------------------------------
+
+_WILSON_Z = 1.959963984540054  # exact literal, shared by both engines
+
+_WILSON_SQL = f"""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         COUNT(*) AS n,
+         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS x
+  FROM events WHERE event_type IN ('click', 'purchase')
+  GROUP BY 1
+)
+SELECT day, CAST(n AS BIGINT) AS n, CAST(x AS BIGINT) AS x,
+       round(CAST(x AS DOUBLE) / n, 6) AS rate,
+       round(((CAST(x AS DOUBLE) / n) + {_WILSON_Z} * {_WILSON_Z} / (2 * n)
+              - {_WILSON_Z} * sqrt((CAST(x AS DOUBLE) / n)
+                  * (1 - CAST(x AS DOUBLE) / n) / n
+                  + {_WILSON_Z} * {_WILSON_Z} / (4.0 * n * n)))
+             / (1 + {_WILSON_Z} * {_WILSON_Z} / n), 6) AS wilson_lo,
+       round(((CAST(x AS DOUBLE) / n) + {_WILSON_Z} * {_WILSON_Z} / (2 * n)
+              + {_WILSON_Z} * sqrt((CAST(x AS DOUBLE) / n)
+                  * (1 - CAST(x AS DOUBLE) / n) / n
+                  + {_WILSON_Z} * {_WILSON_Z} / (4.0 * n * n)))
+             / (1 + {_WILSON_Z} * {_WILSON_Z} / n), 6) AS wilson_hi
+FROM daily
+"""
+
+
+@register("wilson_conversion_intervals", _WILSON_SQL)
+def q_wilson_conversion_intervals(spark, sf_dir):
+    """Daily purchase share of click+purchase traffic with 95% Wilson
+    score bounds.  Inputs are exact integers per day; the closed form
+    is one identical double sequence (z as a shared exact literal),
+    rounded at 1e-6 — the per-day uncertainty band the z-test
+    (`conversion_rate_ab_ztest`) summarizes across periods.
+
+    Scale plan: one scan → per-day counts (map-side combined); the
+    interval math is free."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+                "x"
+            ),
+        )
+    )
+    p = F.col("x").cast("double") / F.col("n")
+    z2 = _WILSON_Z * _WILSON_Z
+    center = p + z2 / (2 * F.col("n"))
+    margin = _WILSON_Z * F.sqrt(
+        p * (1 - p) / F.col("n") + z2 / (4.0 * F.col("n") * F.col("n"))
+    )
+    denom = 1 + z2 / F.col("n")
+    return daily.select(
+        "day",
+        F.col("n").cast("long").alias("n"),
+        F.col("x").cast("long").alias("x"),
+        F.round(p, 6).alias("rate"),
+        F.round((center - margin) / denom, 6).alias("wilson_lo"),
+        F.round((center + margin) / denom, 6).alias("wilson_hi"),
+    )
