@@ -805,3 +805,45 @@ def test_kappa_single_scan_per_pair_branch(spark):
     plan = explain_str(df, "simple")
     assert "Join" not in plan
     assert plan.count("FileScan") == 3  # one per pair branch
+
+
+def test_episode_reversed_running_min_not_following_frame(spark):
+    """The next-occurrence state uses the REVERSED running frame —
+    O(n) — never an unbounded-FOLLOWING frame (which Spark recomputes
+    per row).  All windows partition by user."""
+    df = _df(spark, "episode_follow_counts")
+    plan = explain_str(df)
+    assert "unboundedfollowing" not in plan.lower()
+    import re
+
+    specs = re.findall(r"windowspecdefinition\((\w+)#", plan)
+    assert specs and all(s == "user_id" for s in specs)
+
+
+def test_ir_metrics_pool_sized_windows(spark):
+    """The ranking cut is TakeOrdered; metric windows run on the pool."""
+    df = _df(spark, "search_ranking_metrics")
+    plan = explain_str(df, "simple")
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_wilson_single_aggregate(spark):
+    df = _df(spark, "wilson_conversion_intervals")
+    plan = explain_str(df, "simple")
+    assert count_shuffles(df) == 1
+    assert has_pushed_filters(df)
+
+
+def test_decayed_ltv_take_ordered(spark):
+    df = _df(spark, "time_decayed_customer_value")
+    plan = explain_str(df, "simple")
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_neyman_windows_dim_sized(spark):
+    """Apportionment windows run over the |types|-row moment relation."""
+    df = _df(spark, "neyman_allocation")
+    plan = explain_str(df, "simple")
+    assert plan.count("FileScan") == 1
