@@ -181,7 +181,10 @@ _ROUND_PRIORITY = [
     # conversion_rate_ab_ztest, mutual_information_report,
     # table_fingerprints, ks_two_sample_drift, poisson_bootstrap_ci,
     # benford_digit_test, ab_cuped_readout, dedup_aware_sharding,
-    # ml_conformal_coverage (rows-only).
+    # ml_conformal_coverage (rows-only), learned_binning_apply,
+    # time_decayed_customer_value, ab_quantile_treatment_effects,
+    # neyman_allocation, episode_follow_counts, search_ranking_metrics,
+    # wilson_conversion_intervals.
 ]
 
 
