@@ -1315,3 +1315,80 @@ def q_wilson_conversion_intervals(spark, sf_dir):
         F.round((center - margin) / denom, 6).alias("wilson_lo"),
         F.round((center + margin) / denom, 6).alias("wilson_hi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mann-Whitney U / AUC effect size between the click and error value
+# populations — the nonparametric "how often does a random click value
+# exceed a random error value", exact to the half-tie: 2U is a pure
+# integer from per-distinct-value cumulative counts.
+# ---------------------------------------------------------------------------
+
+_MWU_SQL = """
+WITH s AS (
+  SELECT value, CASE WHEN event_type = 'click' THEN 1 ELSE 2 END AS g
+  FROM events WHERE event_type IN ('click', 'error')
+),
+pv AS (
+  SELECT value,
+         SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS d1,
+         SUM(CASE WHEN g = 2 THEN 1 ELSE 0 END) AS d2
+  FROM s GROUP BY value
+),
+c AS (
+  SELECT value, d1, d2,
+         COALESCE(SUM(d1) OVER (ORDER BY value
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c1_lt,
+         SUM(d1) OVER () AS n1, SUM(d2) OVER () AS n2
+  FROM pv
+)
+SELECT CAST(ANY_VALUE(n1) AS BIGINT) AS n1,
+       CAST(ANY_VALUE(n2) AS BIGINT) AS n2,
+       CAST(SUM(d2 * (2 * c1_lt + d1)) AS BIGINT) AS two_u,
+       CAST(SUM(d2 * (2 * c1_lt + d1)) AS DOUBLE)
+         / (2.0 * ANY_VALUE(n1) * ANY_VALUE(n2)) AS auc,
+       round(CAST(SUM(d2 * (2 * c1_lt + d1)) AS DOUBLE)
+             / (ANY_VALUE(n1) * ANY_VALUE(n2)) - 1.0, 6) AS rank_biserial
+FROM c
+"""
+
+
+@register("mann_whitney_auc", _MWU_SQL)
+def q_mann_whitney_auc(spark, sf_dir):
+    """Exact Mann-Whitney statistic as 2U = Σ_v d₂(v)·(2·c₁(<v)+d₁(v))
+    over the per-distinct-value counts — "wins" count double, ties
+    once, so 2U is pure int64 and AUC = 2U/(2·n₁·n₂) / rank-biserial
+    r = 2·AUC−1 each divide once.  The distribution-free companion to
+    `ks_two_sample_drift` (KS asks "are they different anywhere", U
+    asks "which one is stochastically larger").
+
+    Scale plan: identical skeleton to the KS query — per-value
+    aggregate, cumulative window over the VALUE domain, 1-row out."""
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.filter(F.col("event_type").isin("click", "error")).select(
+        "value",
+        F.when(F.col("event_type") == "click", 1).otherwise(2).alias("g"),
+    )
+    pv = s.groupBy("value").agg(
+        F.sum(F.when(F.col("g") == 1, 1).otherwise(0)).alias("d1"),
+        F.sum(F.when(F.col("g") == 2, 1).otherwise(0)).alias("d2"),
+    )
+    w_lt = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.partitionBy()
+    c = pv.select(
+        "d1",
+        "d2",
+        F.coalesce(F.sum("d1").over(w_lt), F.lit(0)).alias("c1_lt"),
+        F.sum("d1").over(w_all).alias("n1"),
+        F.sum("d2").over(w_all).alias("n2"),
+    )
+    two_u = F.sum(F.col("d2") * (2 * F.col("c1_lt") + F.col("d1")))
+    return c.agg(
+        F.first("n1").cast("long").alias("n1"),
+        F.first("n2").cast("long").alias("n2"),
+        two_u.cast("long").alias("two_u"),
+        (two_u.cast("double") / (2.0 * F.first("n1") * F.first("n2"))).alias("auc"),
+        F.round(
+            two_u.cast("double") / (F.first("n1") * F.first("n2")) - 1.0, 6
+        ).alias("rank_biserial"),
+    )
