@@ -1392,3 +1392,124 @@ def q_mann_whitney_auc(spark, sf_dir):
             two_u.cast("double") / (F.first("n1") * F.first("n2")) - 1.0, 6
         ).alias("rank_biserial"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cramér's V for the same categorical pairs as the MI report — the
+# chi-square-based association strength on a fixed [0,1] scale.
+# ---------------------------------------------------------------------------
+
+
+def _cramer_pair_sql(pair: str, table: str, x: str, y: str) -> str:
+    # per-cell χ² term (o·N − n_x·n_y)² / (N·n_x·n_y), quantized 1e-9,
+    # DECIMAL-summed; V = sqrt(χ²/(N·min(r−1, c−1)))
+    return f"""
+  SELECT '{pair}' AS pair, CAST(nn AS BIGINT) AS n,
+         round(chi2, 6) AS chi2,
+         round(sqrt(chi2 / (nn * LEAST(rx - 1, cy - 1))), 6) AS cramers_v
+  FROM (
+    SELECT ANY_VALUE(nn) AS nn,
+           COUNT(DISTINCT x) AS rx, COUNT(DISTINCT y) AS cy,
+           -- observed-cell terms + the closed-form zero-cell mass:
+           -- Σ_zero n_x·n_y/N = (N² − Σ_obs n_x·n_y)/N
+           CAST(CAST(SUM(CAST(round(
+             CAST((nxy * nn - nx * ny) AS DOUBLE)
+               * (nxy * nn - nx * ny) / (CAST(nn AS DOUBLE) * nx * ny), 9)
+             AS DECIMAL(38, 9))) AS VARCHAR) AS DOUBLE)
+           + round(CAST(ANY_VALUE(nn) AS DOUBLE)
+                   - CAST(SUM(CAST(nx AS DECIMAL(38, 0)) * ny) AS DOUBLE)
+                     / ANY_VALUE(nn), 9) AS chi2
+    FROM (
+      SELECT x, y, nxy, nx, ny, nn FROM (
+        SELECT x, y, COUNT(*) AS nxy
+        FROM (SELECT {x} AS x, {y} AS y FROM {table}) GROUP BY 1, 2
+      )
+      JOIN (SELECT x, SUM(c) AS nx FROM (SELECT {x} AS x, COUNT(*) AS c FROM {table} GROUP BY 1) GROUP BY 1) USING (x)
+      JOIN (SELECT y, SUM(c) AS ny FROM (SELECT {y} AS y, COUNT(*) AS c FROM {table} GROUP BY 1) GROUP BY 1) USING (y)
+      CROSS JOIN (SELECT COUNT(*) AS nn FROM {table})
+    )
+  )
+"""
+
+
+_CRAMER_SQL = " UNION ALL ".join(
+    _cramer_pair_sql(p, t, x, y)
+    for p, t, x, y in [
+        ("events.type_x_hourband", "events", "event_type",
+         "CAST(EXTRACT(hour FROM ts) // 6 AS BIGINT)"),
+        ("orders.priority_x_status", "orders", "o_orderpriority", "o_orderstatus"),
+    ]
+)
+
+
+@register("cramers_v_report", _CRAMER_SQL)
+def q_cramers_v_report(spark, sf_dir):
+    """Cramér's V (χ²-based association on a [0,1] scale) for two of
+    the MI report's pairs — ZERO cells contribute exactly (observed 0,
+    expected >0: the term is e, not skipped), each per-cell term
+    quantized at 1e-9 then DECIMAL-summed; one sqrt on identical
+    doubles at the end.
+
+    Scale plan: the same contingency-table skeleton as
+    `mutual_information_report` — the fact collapses to |X|·|Y| cells
+    first."""
+    ev = load_table(spark, sf_dir, "events")
+    o = load_table(spark, sf_dir, "orders")
+
+    def branch(pair, df, x_col, y_col):
+        j = df.select(x_col.alias("x"), y_col.alias("y"))
+        cxy = j.groupBy("x", "y").agg(F.count(F.lit(1)).alias("nxy"))
+        cx = j.groupBy("x").agg(F.count(F.lit(1)).alias("nx"))
+        cy = j.groupBy("y").agg(F.count(F.lit(1)).alias("ny"))
+        nn = j.agg(F.count(F.lit(1)).alias("nn"))
+        base = (
+            cxy.join(F.broadcast(cx), "x")
+            .join(F.broadcast(cy), "y")
+            .crossJoin(F.broadcast(nn))
+        )
+        dev = (F.col("nxy") * F.col("nn") - F.col("nx") * F.col("ny")).cast("double")
+        term = F.round(
+            dev * dev / (F.col("nn").cast("double") * F.col("nx") * F.col("ny")), 9
+        ).cast("decimal(38, 9)")
+        # observed-cell terms + closed-form zero-cell mass
+        # (N² − Σ_obs n_x·n_y)/N — without it χ² understates whenever a
+        # contingency cell is empty
+        agg = base.agg(
+            F.first("nn").alias("nn"),
+            F.countDistinct("x").alias("rx"),
+            F.countDistinct("y").alias("cy"),
+            (
+                F.sum(term).cast("string").cast("double")
+                + F.round(
+                    F.first("nn").cast("double")
+                    - F.sum(
+                        F.col("nx").cast("decimal(38, 0)") * F.col("ny")
+                    ).cast("double")
+                    / F.first("nn"),
+                    9,
+                )
+            ).alias("chi2"),
+        )
+        return agg.select(
+            F.lit(pair).alias("pair"),
+            F.col("nn").cast("long").alias("n"),
+            F.round("chi2", 6).alias("chi2"),
+            F.round(
+                F.sqrt(
+                    F.col("chi2")
+                    / (F.col("nn") * F.least(F.col("rx") - 1, F.col("cy") - 1))
+                ),
+                6,
+            ).alias("cramers_v"),
+        )
+
+    out = branch(
+        "events.type_x_hourband", ev, F.col("event_type"),
+        F.expr("CAST(hour(ts) div 6 AS BIGINT)"),
+    )
+    return out.unionByName(
+        branch(
+            "orders.priority_x_status", o, F.col("o_orderpriority"),
+            F.col("o_orderstatus"),
+        )
+    )
