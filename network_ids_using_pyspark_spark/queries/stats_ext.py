@@ -1513,3 +1513,163 @@ def q_cramers_v_report(spark, sf_dir):
             F.col("o_orderstatus"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Decision-stump split scoring: exact information gain of each decile
+# threshold on `value` against the event-type label — what MLlib's
+# tree trainer computes internally with sketched bins, certified here
+# with exact counts and the quantized-log discipline.
+# ---------------------------------------------------------------------------
+
+_STUMP_BINS = 10
+
+
+def _stump_sql() -> str:
+    qln = lambda e: f"CAST(round(ln({e}), 9) AS DECIMAL(38, 9))"  # noqa: E731
+    to_d = lambda e: f"CAST(CAST({e} AS VARCHAR) AS DOUBLE)"  # noqa: E731
+    return f"""
+WITH b AS (
+  SELECT event_type AS label, value,
+         NTILE({_STUMP_BINS}) OVER (ORDER BY value, event_id) AS bucket
+  FROM events
+),
+bl AS (
+  SELECT bucket, label, COUNT(*) AS c, MAX(value) AS bmax
+  FROM b GROUP BY 1, 2
+),
+cum AS (
+  SELECT bucket, label,
+         SUM(c) OVER (PARTITION BY label ORDER BY bucket
+                      ROWS UNBOUNDED PRECEDING) AS cl
+  FROM bl
+),
+thrs AS (
+  -- thresholds on the BUCKET-grain relation: a running max over the
+  -- per-(bucket,label) rows would see different prefixes within a
+  -- bucket depending on label order
+  SELECT bucket,
+         MAX(mb) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS thr
+  FROM (SELECT bucket, MAX(bmax) AS mb FROM bl GROUP BY bucket)
+),
+tot AS (
+  SELECT label, SUM(c) AS tl FROM bl GROUP BY label
+),
+per_k AS (
+  SELECT cum.bucket AS k, thrs.thr,
+         SUM(cum.cl) AS n_left,
+         ANY_VALUE(nn.n) AS n,
+         {to_d(f"SUM(CASE WHEN cum.cl > 0 THEN CAST(cum.cl AS DECIMAL(38, 9)) * {qln('CAST(cum.cl AS DOUBLE)')} ELSE CAST(0 AS DECIMAL(38,9)) END)")} AS sl,
+         {to_d(f"SUM(CASE WHEN tot.tl - cum.cl > 0 THEN CAST(tot.tl - cum.cl AS DECIMAL(38, 9)) * {qln('CAST(tot.tl - cum.cl AS DOUBLE)')} ELSE CAST(0 AS DECIMAL(38,9)) END)")} AS sr,
+         {to_d(f"SUM(CAST(tot.tl AS DECIMAL(38, 9)) * {qln('CAST(tot.tl AS DOUBLE)')})")} AS st
+  FROM cum JOIN tot USING (label)
+  JOIN thrs ON cum.bucket = thrs.bucket
+  CROSS JOIN (SELECT COUNT(*) AS n FROM b) nn
+  WHERE cum.bucket < {_STUMP_BINS}
+  GROUP BY cum.bucket, thrs.thr
+)
+SELECT CAST(k AS BIGINT) AS k, thr AS threshold,
+       CAST(n_left AS BIGINT) AS n_left,
+       round(
+         (ln(n) - st / n)
+         - (CAST(n_left AS DOUBLE) / n)
+             * (CASE WHEN n_left > 0 THEN ln(n_left) ELSE 0 END - sl / GREATEST(n_left, 1))
+         - (CAST(n - n_left AS DOUBLE) / n)
+             * (CASE WHEN n - n_left > 0 THEN ln(n - n_left) ELSE 0 END
+                - sr / GREATEST(n - n_left, 1)), 6) AS info_gain
+FROM per_k
+"""
+
+
+@register("stump_split_gains", _stump_sql())
+def q_stump_split_gains(spark, sf_dir):
+    """Information gain of every decile threshold of `value` against
+    the event-type label — the split-scoring inner loop of a decision
+    tree, computed from EXACT per-(bucket, label) counts: each entropy
+    term n·ln(n) quantizes its log at 1e-9 and sums in DECIMAL, the
+    H-combination then runs an identical double sequence.  The
+    certified-exact twin of what `ml_train_dt` does internally with
+    sketched candidate bins (same pairing as exact vs HLL).
+
+    Scale plan: one global NTILE assignment (the exact form — at
+    unbounded scale the KLL edges replace it), then everything runs on
+    the {_STUMP_BINS}×|labels| relation."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.select(
+        F.col("event_type").alias("label"),
+        "value",
+        F.ntile(_STUMP_BINS).over(Window.orderBy("value", "event_id")).alias("bucket"),
+    )
+    bl = b.groupBy("bucket", "label").agg(
+        F.count(F.lit(1)).alias("c"), F.max("value").alias("bmax")
+    )
+    w_lbl = Window.partitionBy("label").orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = bl.select(
+        "bucket",
+        "label",
+        F.sum("c").over(w_lbl).alias("cl"),
+    )
+    # thresholds on the BUCKET-grain relation (label order inside a
+    # bucket must not affect the running max)
+    w_thr = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    thrs = (
+        bl.groupBy("bucket")
+        .agg(F.max("bmax").alias("mb"))
+        .select("bucket", F.max("mb").over(w_thr).alias("thr"))
+    )
+    cum = cum.join(F.broadcast(thrs), "bucket")
+    tot = bl.groupBy("label").agg(F.sum("c").alias("tl"))
+    nn = b.agg(F.count(F.lit(1)).alias("n"))
+    qln = lambda c: F.round(F.log(c), 9).cast("decimal(38, 9)")  # noqa: E731
+    d9 = "decimal(38, 9)"
+    zero9 = F.lit(0).cast(d9)
+    j = (
+        cum.join(F.broadcast(tot), "label")
+        .crossJoin(F.broadcast(nn))
+        .filter(F.col("bucket") < _STUMP_BINS)
+    )
+    cl = F.col("cl")
+    cr = F.col("tl") - F.col("cl")
+    per_k = j.groupBy("bucket", "thr").agg(
+        F.sum("cl").alias("n_left"),
+        F.first("n").alias("n"),
+        F.sum(
+            F.when(cl > 0, cl.cast(d9) * qln(cl.cast("double"))).otherwise(zero9)
+        )
+        .cast("string")
+        .cast("double")
+        .alias("sl"),
+        F.sum(
+            F.when(cr > 0, cr.cast(d9) * qln(cr.cast("double"))).otherwise(zero9)
+        )
+        .cast("string")
+        .cast("double")
+        .alias("sr"),
+        F.sum(F.col("tl").cast(d9) * qln(F.col("tl").cast("double")))
+        .cast("string")
+        .cast("double")
+        .alias("st"),
+    )
+    n = F.col("n")
+    nl = F.col("n_left")
+    nr = n - nl
+    h_root = F.log(n.cast("double")) - F.col("st") / n
+    h_l = F.when(nl > 0, F.log(nl.cast("double"))).otherwise(F.lit(0.0)) - F.col(
+        "sl"
+    ) / F.greatest(nl, F.lit(1))
+    h_r = F.when(nr > 0, F.log(nr.cast("double"))).otherwise(F.lit(0.0)) - F.col(
+        "sr"
+    ) / F.greatest(nr, F.lit(1))
+    return per_k.select(
+        F.col("bucket").cast("long").alias("k"),
+        F.col("thr").alias("threshold"),
+        nl.cast("long").alias("n_left"),
+        F.round(
+            h_root - (nl.cast("double") / n) * h_l - (nr.cast("double") / n) * h_r,
+            6,
+        ).alias("info_gain"),
+    )
