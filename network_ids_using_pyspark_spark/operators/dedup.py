@@ -194,7 +194,7 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash(docs: DataFrame, bits: int = 16, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def simhash(docs: DataFrame, bits: int = 32, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """SimHash fingerprint: each token votes ±1 on every bit of its
     hash; the fingerprint packs the vote signs.  Term frequency acts as
     the weight (tokens exploded, not distinct).  One explode + one
@@ -218,7 +218,7 @@ def simhash(docs: DataFrame, bits: int = 16, id_col: str = "doc_id", text_col: s
 
 def simhash_near_dup_pairs(
     fingerprints: DataFrame,
-    bits: int = 16,
+    bits: int = 32,
     bands: int = 4,
     max_hamming: int = 3,
     id_col: str = "doc_id",

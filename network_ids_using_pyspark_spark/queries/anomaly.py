@@ -244,8 +244,8 @@ def _portscan_sql(n: int = _N_FLOWS, threshold: int = _FANOUT_T) -> str:
 
 @register("portscan_detection", _portscan_sql())
 def q_portscan_detection(spark, sf_dir):
-    """Port-scan alerts: sources touching ≥ 40 distinct destination
-    ports within an hour.  Exact distinct via one (src, hour, port)
+    f"""Port-scan alerts: sources touching ≥ {_FANOUT_T} distinct
+    destination ports within an hour.  Exact distinct via one (src, hour, port)
     pre-dedup aggregate then a count — two shuffles on small keys; the
     100 TB variant swaps the exact distinct for HLL
     (approx_count_distinct) with zero dataflow change."""
@@ -637,7 +637,7 @@ _F3_WINDOW_US = 86_400 * 1_000_000
 
 _F3_SQL = f"""
 WITH p1 AS (
-  SELECT user_id, event_type, ts, epoch_us(ts) AS t,
+  SELECT user_id, event_type, ts, epoch_us(ts) AS t, event_id,
          MAX(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)
            OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
@@ -645,15 +645,15 @@ WITH p1 AS (
   FROM events
 ),
 p2 AS (
-  SELECT user_id, event_type, ts, t,
+  SELECT user_id, event_type, ts, t, event_id,
          MAX(CASE WHEN event_type = 'click' AND last_view_us IS NOT NULL
                    AND t - last_view_us <= {_F3_WINDOW_US}
                   THEN t END)
-           OVER (PARTITION BY user_id ORDER BY t
+           OVER (PARTITION BY user_id ORDER BY t, event_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
            AS anchor_us,
          MAX(CASE WHEN event_type = 'click' THEN t END)
-           OVER (PARTITION BY user_id ORDER BY t
+           OVER (PARTITION BY user_id ORDER BY t, event_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
            AS last_click_us
   FROM p1
@@ -702,7 +702,7 @@ def q_funnel_three_step(spark, sf_dir):
     )
     w2 = (
         Window.partitionBy("user_id")
-        .orderBy("t")
+        .orderBy("t", "event_id")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     click_ok = (

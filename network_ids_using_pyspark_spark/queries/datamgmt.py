@@ -1648,7 +1648,7 @@ WITH a AS (
   SELECT o_totalprice FROM orders
   WHERE CAST(o_orderdate AS DATE) < DATE '{_BIN_CUT}'
 ),
-edges AS (
+edges0 AS (
   SELECT bin, MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
   FROM (
     SELECT o_totalprice,
@@ -1656,22 +1656,25 @@ edges AS (
     FROM a
   ) GROUP BY bin
 ),
+edges AS (
+  SELECT bin, lo, hi, LEAD(lo) OVER (ORDER BY bin) AS next_lo FROM edges0
+),
 b AS (
   SELECT o_totalprice FROM orders
   WHERE CAST(o_orderdate AS DATE) >= DATE '{_BIN_CUT}'
 ),
+-- half-open bins from the edges: v -> bin k iff v >= lo_k and
+-- v < lo_(k+1); bin 1 unbounded below, bin N unbounded above — every
+-- serve value maps to EXACTLY one bin (no gap-drops, no tie
+-- double-counts)
 assigned AS (
-  SELECT e.bin
+  SELECT e.bin, e.lo, e.hi
   FROM b JOIN edges e
-    ON (b.o_totalprice >= e.lo OR e.bin = 1)
-   AND (b.o_totalprice <= e.hi OR e.bin = {_BIN_N})
-   AND (b.o_totalprice < (SELECT MIN(lo) FROM edges) AND e.bin = 1
-        OR b.o_totalprice > (SELECT MAX(hi) FROM edges) AND e.bin = {_BIN_N}
-        OR (b.o_totalprice >= e.lo AND b.o_totalprice <= e.hi))
+    ON (e.bin = 1 OR b.o_totalprice >= e.lo)
+   AND (e.bin = {_BIN_N} OR b.o_totalprice < e.next_lo)
 )
 SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_apply,
-       (SELECT lo FROM edges x WHERE x.bin = assigned.bin) AS lo,
-       (SELECT hi FROM edges x WHERE x.bin = assigned.bin) AS hi
+       ANY_VALUE(lo) AS lo, ANY_VALUE(hi) AS hi
 FROM assigned GROUP BY bin
 """
 
@@ -1701,23 +1704,23 @@ def q_learned_binning_apply(spark, sf_dir):
         .groupBy("bin")
         .agg(F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi"))
     )
-    edges = edges.localCheckpoint(eager=True)  # fit artifact, used twice
-    bounds = edges.agg(
-        F.min("lo").alias("gmin"), F.max("hi").alias("gmax")
+    edges = edges.localCheckpoint(eager=True)  # fit artifact
+    # half-open bins from the NEXT bin's lower edge: v -> bin k iff
+    # v >= lo_k and v < lo_(k+1), edge bins unbounded — exactly-one
+    # assignment even when adjacent fitted ranges leave gaps or share
+    # a tied boundary (hi_k == lo_(k+1))
+    edges = edges.withColumn(
+        "next_lo", F.lead("lo").over(Window.orderBy("bin"))
     )
     b = o.filter(
         F.col("o_orderdate").cast("date") >= F.lit(_BIN_CUT).cast("date")
     ).select("o_totalprice")
-    b = b.crossJoin(F.broadcast(bounds))
     assigned = b.join(
         F.broadcast(edges),
-        (
-            (F.col("o_totalprice") < F.col("gmin")) & (F.col("bin") == 1)
-        )
-        | ((F.col("o_totalprice") > F.col("gmax")) & (F.col("bin") == _BIN_N))
-        | (
-            (F.col("o_totalprice") >= F.col("lo"))
-            & (F.col("o_totalprice") <= F.col("hi"))
+        ((F.col("bin") == 1) | (F.col("o_totalprice") >= F.col("lo")))
+        & (
+            (F.col("bin") == _BIN_N)
+            | (F.col("o_totalprice") < F.col("next_lo"))
         ),
     )
     return assigned.groupBy("bin").agg(

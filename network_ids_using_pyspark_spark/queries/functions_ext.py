@@ -891,7 +891,7 @@ def q_active_users_dau_wau(spark, sf_dir):
 
 _PEAK_SQL = """
 WITH flagged AS (
-  SELECT user_id, ts,
+  SELECT user_id, ts, event_id,
          CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
                 OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800 * 1000000
               THEN 1 ELSE 0 END AS new_sess
@@ -899,7 +899,7 @@ WITH flagged AS (
 ),
 sess AS (
   SELECT user_id, ts,
-         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
                              ROWS UNBOUNDED PRECEDING) AS sidx
   FROM flagged
 ),
@@ -944,6 +944,7 @@ def q_peak_concurrent_sessions(spark, sf_dir):
     flagged = ev.select(
         "user_id",
         "ts",
+        "event_id",
         F.when(
             F.lag(t_us).over(w).isNull()
             | (t_us - F.lag(t_us).over(w) > 1800 * 1000000),
@@ -952,7 +953,7 @@ def q_peak_concurrent_sessions(spark, sf_dir):
         .otherwise(0)
         .alias("new_sess"),
     )
-    w_cum = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+    w_cum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
         Window.unboundedPreceding, 0
     )
     sess = flagged.select(

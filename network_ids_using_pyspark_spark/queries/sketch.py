@@ -218,7 +218,7 @@ def q_quantile_sketch_by_flag_check(spark, sf_dir):
 _HLL_UNION_SQL = """
 SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_n,
        true AS merge_equals_whole,
-       true AS union_within_3rsd
+       true AS union_within_5pct
 FROM events
 """
 
@@ -230,8 +230,10 @@ def q_hll_union_mergeability(spark, sf_dir):
     the stream, merged with ``hll_union``, must (a) equal the
     whole-stream sketch's estimate EXACTLY (register-wise merge is
     lossless for disjoint unions of the same data) and (b) land within
-    3×rsd of the exact distinct count.  Oracle states the exact count
-    and both booleans true.
+    5% of the exact distinct count — a deliberately loose ≈6×rsd bound
+    at lgK=14 (rsd ≈ 0.81%); the gate certifies MERGEABILITY, not the
+    estimator's variance.  Oracle states the exact count and both
+    booleans true.
 
     Scale plan: per-half sketches are map-side-combined partial
     aggregates (one register set per partition), the merge is a
@@ -255,7 +257,7 @@ def q_hll_union_mergeability(spark, sf_dir):
         (F.col("est_union") == F.col("est_whole")).alias("merge_equals_whole"),
         (
             F.abs(F.col("est_union") - F.col("exact_n")) <= 0.05 * F.col("exact_n")
-        ).alias("union_within_3rsd"),
+        ).alias("union_within_5pct"),
     )
 
 

@@ -1538,11 +1538,21 @@ bl AS (
   SELECT bucket, label, COUNT(*) AS c, MAX(value) AS bmax
   FROM b GROUP BY 1, 2
 ),
+tot AS (
+  SELECT label, SUM(c) AS tl FROM bl GROUP BY label
+),
+-- densify over the bucket x label grid BEFORE cumulating: a label with
+-- zero rows in bucket k must still contribute its carried-forward
+-- cumulative count to threshold k (sparse cum drops it entirely)
+grid AS (
+  SELECT t.label, t.tl, k.bucket
+  FROM tot t CROSS JOIN (SELECT DISTINCT bucket FROM bl) k
+),
 cum AS (
-  SELECT bucket, label,
-         SUM(c) OVER (PARTITION BY label ORDER BY bucket
+  SELECT g.bucket, g.label, g.tl,
+         SUM(COALESCE(bl.c, 0)) OVER (PARTITION BY g.label ORDER BY g.bucket
                       ROWS UNBOUNDED PRECEDING) AS cl
-  FROM bl
+  FROM grid g LEFT JOIN bl ON g.bucket = bl.bucket AND g.label = bl.label
 ),
 thrs AS (
   -- thresholds on the BUCKET-grain relation: a running max over the
@@ -1552,19 +1562,23 @@ thrs AS (
          MAX(mb) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS thr
   FROM (SELECT bucket, MAX(bmax) AS mb FROM bl GROUP BY bucket)
 ),
-tot AS (
-  SELECT label, SUM(c) AS tl FROM bl GROUP BY label
+-- root-entropy numerator from the label-total relation itself, not
+-- the bucket-k rows (independent of which labels bucket k contains)
+stn AS (
+  SELECT {to_d(f"SUM(CAST(tl AS DECIMAL(38, 9)) * {qln('CAST(tl AS DOUBLE)')})")} AS st
+  FROM tot
 ),
 per_k AS (
   SELECT cum.bucket AS k, thrs.thr,
          SUM(cum.cl) AS n_left,
          ANY_VALUE(nn.n) AS n,
+         ANY_VALUE(stn.st) AS st,
          {to_d(f"SUM(CASE WHEN cum.cl > 0 THEN CAST(cum.cl AS DECIMAL(38, 9)) * {qln('CAST(cum.cl AS DOUBLE)')} ELSE CAST(0 AS DECIMAL(38,9)) END)")} AS sl,
-         {to_d(f"SUM(CASE WHEN tot.tl - cum.cl > 0 THEN CAST(tot.tl - cum.cl AS DECIMAL(38, 9)) * {qln('CAST(tot.tl - cum.cl AS DOUBLE)')} ELSE CAST(0 AS DECIMAL(38,9)) END)")} AS sr,
-         {to_d(f"SUM(CAST(tot.tl AS DECIMAL(38, 9)) * {qln('CAST(tot.tl AS DOUBLE)')})")} AS st
-  FROM cum JOIN tot USING (label)
+         {to_d(f"SUM(CASE WHEN cum.tl - cum.cl > 0 THEN CAST(cum.tl - cum.cl AS DECIMAL(38, 9)) * {qln('CAST(cum.tl - cum.cl AS DOUBLE)')} ELSE CAST(0 AS DECIMAL(38,9)) END)")} AS sr
+  FROM cum
   JOIN thrs ON cum.bucket = thrs.bucket
   CROSS JOIN (SELECT COUNT(*) AS n FROM b) nn
+  CROSS JOIN stn
   WHERE cum.bucket < {_STUMP_BINS}
   GROUP BY cum.bucket, thrs.thr
 )
@@ -1605,13 +1619,21 @@ def q_stump_split_gains(spark, sf_dir):
     bl = b.groupBy("bucket", "label").agg(
         F.count(F.lit(1)).alias("c"), F.max("value").alias("bmax")
     )
+    tot = bl.groupBy("label").agg(F.sum("c").alias("tl"))
+    # densify over bucket x label BEFORE cumulating: a label absent
+    # from bucket k still carries its cumulative count into threshold k
+    grid = tot.crossJoin(F.broadcast(bl.select("bucket").distinct()))
+    dense = grid.join(
+        bl.select("bucket", "label", "c"), ["bucket", "label"], "left"
+    )
     w_lbl = Window.partitionBy("label").orderBy("bucket").rowsBetween(
         Window.unboundedPreceding, 0
     )
-    cum = bl.select(
+    cum = dense.select(
         "bucket",
         "label",
-        F.sum("c").over(w_lbl).alias("cl"),
+        "tl",
+        F.sum(F.coalesce(F.col("c"), F.lit(0))).over(w_lbl).alias("cl"),
     )
     # thresholds on the BUCKET-grain relation (label order inside a
     # bucket must not affect the running max)
@@ -1622,14 +1644,21 @@ def q_stump_split_gains(spark, sf_dir):
         .select("bucket", F.max("mb").over(w_thr).alias("thr"))
     )
     cum = cum.join(F.broadcast(thrs), "bucket")
-    tot = bl.groupBy("label").agg(F.sum("c").alias("tl"))
     nn = b.agg(F.count(F.lit(1)).alias("n"))
     qln = lambda c: F.round(F.log(c), 9).cast("decimal(38, 9)")  # noqa: E731
     d9 = "decimal(38, 9)"
     zero9 = F.lit(0).cast(d9)
+    # root-entropy numerator from the label totals themselves — a 1-row
+    # broadcast, independent of which labels any bucket happens to hold
+    stn = tot.agg(
+        F.sum(F.col("tl").cast(d9) * qln(F.col("tl").cast("double")))
+        .cast("string")
+        .cast("double")
+        .alias("st")
+    )
     j = (
-        cum.join(F.broadcast(tot), "label")
-        .crossJoin(F.broadcast(nn))
+        cum.crossJoin(F.broadcast(nn))
+        .crossJoin(F.broadcast(stn))
         .filter(F.col("bucket") < _STUMP_BINS)
     )
     cl = F.col("cl")
@@ -1637,6 +1666,7 @@ def q_stump_split_gains(spark, sf_dir):
     per_k = j.groupBy("bucket", "thr").agg(
         F.sum("cl").alias("n_left"),
         F.first("n").alias("n"),
+        F.first("st").alias("st"),
         F.sum(
             F.when(cl > 0, cl.cast(d9) * qln(cl.cast("double"))).otherwise(zero9)
         )
@@ -1649,10 +1679,6 @@ def q_stump_split_gains(spark, sf_dir):
         .cast("string")
         .cast("double")
         .alias("sr"),
-        F.sum(F.col("tl").cast(d9) * qln(F.col("tl").cast("double")))
-        .cast("string")
-        .cast("double")
-        .alias("st"),
     )
     n = F.col("n")
     nl = F.col("n_left")

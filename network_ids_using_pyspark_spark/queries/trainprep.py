@@ -660,8 +660,8 @@ def _mi_pair_sql(pair: str, table: str, x: str, y: str) -> str:
   FROM (
     SELECT ANY_VALUE(nn) AS nn,
            {to_d(f"SUM(CAST(nxy AS {t9}) * CAST(round(ln((CAST(nxy AS DOUBLE) * nn) / (CAST(nx AS DOUBLE) * ny)), 9) AS {t9}))")} AS mi_num,
-           {to_d(f"SUM(CASE WHEN first_y THEN CAST(nx AS {t9}) * CAST(round(ln(CAST(nx AS DOUBLE)), 9) AS {t9}) ELSE CAST(0 AS {t9}) END)")} AS hx_num,
-           {to_d(f"SUM(CASE WHEN first_x THEN CAST(ny AS {t9}) * CAST(round(ln(CAST(ny AS DOUBLE)), 9) AS {t9}) ELSE CAST(0 AS {t9}) END)")} AS hy_num
+           {to_d(f"SUM(CASE WHEN first_x THEN CAST(nx AS {t9}) * CAST(round(ln(CAST(nx AS DOUBLE)), 9) AS {t9}) ELSE CAST(0 AS {t9}) END)")} AS hx_num,
+           {to_d(f"SUM(CASE WHEN first_y THEN CAST(ny AS {t9}) * CAST(round(ln(CAST(ny AS DOUBLE)), 9) AS {t9}) ELSE CAST(0 AS {t9}) END)")} AS hy_num
     FROM (
       SELECT nxy, nx, ny, nn,
              ROW_NUMBER() OVER (PARTITION BY x ORDER BY y) = 1 AS first_x,
@@ -734,12 +734,12 @@ def q_mutual_information_report(spark, sf_dir):
             9,
         ).cast(t9)
         hx_term = F.when(
-            F.col("first_y"),
+            F.col("first_x"),
             F.col("nx").cast(t9)
             * F.round(F.log(F.col("nx").cast("double")), 9).cast(t9),
         ).otherwise(F.lit(0).cast(t9))
         hy_term = F.when(
-            F.col("first_x"),
+            F.col("first_y"),
             F.col("ny").cast(t9)
             * F.round(F.log(F.col("ny").cast("double")), 9).cast(t9),
         ).otherwise(F.lit(0).cast(t9))
