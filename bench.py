@@ -19,6 +19,43 @@ from network_ids_using_pyspark_spark.queries import REGISTRY
 from network_ids_using_pyspark_spark.session import get_spark
 
 
+# The stdout line is machine-parsed by the driver; 322 per-query
+# timings made it one enormous line that the driver's parser choked on
+# for three rounds (BENCH_r01-r03 `parsed: null`).  The line now
+# carries ONLY summary scalars plus this bounded headline subset;
+# the full per-query sweep lands in BENCH_DETAIL.json beside the repo.
+HEADLINE_QUERIES = [
+    "corpus_e2e_pipeline",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q6_forecast_revenue",
+    "q18_large_volume_customers",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "minhash_lsh_pairs",
+    "simhash_near_dup",
+    "cosine_topk",
+    "cosine_topk_ivf",
+    "embedding_near_dup",
+    "token_stats",
+    "text_quality",
+    "lang_id_predict",
+    "stream_tumbling_counts",
+    "stream_score_sink_roundtrip",
+    "ml_train_dt",
+    "scan_flows_csv_profile",
+    "passage_dedup_scrub",
+    "bm25_search_topk",
+    "sequence_packing_profile",
+    "salted_skew_join_revenue",
+    "asof_last_click_before_purchase",
+]
+
+_DETAIL_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+)
+
+
 def main() -> None:
     # The driver machine-parses stdout as ONE JSON line.  Redirecting
     # ``sys.stdout`` (rounds 1-2) was not enough: the Py4J-launched JVM
@@ -169,7 +206,10 @@ def _run() -> dict:
             print(f"bench: {name} FAILED: {e}", file=sys.stderr)
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
-    payload = {
+    n_failed = sum(1 for t in timings.values() if t < 0)
+    # full sweep → repo file; stdout gets the bounded headline subset
+    # only (the 322-entry dict is what kept the driver's parser choking)
+    detail = {
         "metric": "total_query_wall_sec",
         "value": total,
         "unit": "sec",
@@ -177,6 +217,25 @@ def _run() -> dict:
         "sf": float(sf),
         "cpus": cpus,
         "n_queries": len(timings),
+        "n_failed": n_failed,
+        "pipeline_baseline_comparison": pipeline,
+    }
+    try:
+        with open(_DETAIL_PATH, "w") as f:
+            json.dump(detail, f, indent=1, sort_keys=True)
+    except OSError as e:
+        print(f"bench: could not write {_DETAIL_PATH}: {e}", file=sys.stderr)
+    headline = {n: timings[n] for n in HEADLINE_QUERIES if n in timings}
+    payload = {
+        "metric": "total_query_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": headline or timings,
+        "sf": float(sf),
+        "cpus": cpus,
+        "n_queries": len(timings),
+        "n_failed": n_failed,
+        "detail_file": os.path.basename(_DETAIL_PATH),
         "pipeline_baseline_comparison": pipeline,
     }
     spark.stop()

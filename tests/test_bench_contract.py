@@ -39,3 +39,22 @@ def test_bench_stdout_is_single_json_line():
     assert payload["unit"] == "sec"
     assert len(payload["queries"]) == 2
     assert all(t >= 0 for t in payload["queries"].values()), payload["queries"]
+    # the r1-r3 parse failures were a single enormous line: the stdout
+    # payload must stay bounded no matter how many queries ran — the
+    # full sweep belongs in BENCH_DETAIL.json, not on stdout
+    assert len(lines[0]) < 8192, f"stdout line too long: {len(lines[0])} bytes"
+    detail = json.load(open(os.path.join(REPO, "BENCH_DETAIL.json")))
+    assert set(detail["queries"]) >= set(payload["queries"])
+    assert detail["n_queries"] == payload["n_queries"]
+
+
+def test_headline_queries_all_registered():
+    """A renamed registry entry must fail CI, not silently vanish from
+    the stdout headline dict."""
+    import bench
+    from network_ids_using_pyspark_spark.queries import REGISTRY
+
+    missing = [n for n in bench.HEADLINE_QUERIES if n not in REGISTRY]
+    assert not missing, missing
+    # bounded: ~25 entries keeps the stdout line well under the cap
+    assert len(bench.HEADLINE_QUERIES) <= 32
