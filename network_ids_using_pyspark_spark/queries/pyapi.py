@@ -433,7 +433,15 @@ def q_windowed_udf_rolling_median(spark, sf_dir):
     bit-exact, and the (ts, event_id) ordering is total so frames are
     identical.  Scale: one shuffle on event_type; each partition's
     frames evaluate in Arrow batches sliding locally — state is the
-    6-row frame, not the partition."""
+    6-row frame, not the partition.
+
+    PERFORMANCE NOTE — this query certifies UDF-in-window COMPOSITION;
+    it pays one Python aggregate evaluation (an Arrow round-trip) per
+    6-row frame, O(rows × frame) transfers.  A user who just wants a
+    rolling median should copy `windowed_native_rolling_median` below:
+    the identical statistic from `array_sort(collect_list(...))` over
+    the frame + `element_at` midpoint — pure JVM, same oracle, ~an
+    order of magnitude faster at scale."""
     import numpy as np
     from pyspark.sql import Window
     from pyspark.sql.functions import pandas_udf
@@ -451,6 +459,38 @@ def q_windowed_udf_rolling_median(spark, sf_dir):
     return ev.select(
         "event_id", exact_median("value").over(w).alias("roll_median")
     )
+
+
+@register("windowed_native_rolling_median", _WUDF_SQL)
+def q_windowed_native_rolling_median(spark, sf_dir):
+    """The PLAN-you-should-copy twin of `windowed_udf_rolling_median`:
+    the same rolling 6-row median per event type, same oracle, computed
+    entirely JVM-side — `array_sort(collect_list(value))` over the
+    frame, then the `element_at` midpoint (odd frame → middle element;
+    even frame → mean of the two middles, the quantile_cont(0.5) /
+    np.median interpolation rule).
+
+    No Python worker, no Arrow transfer: one shuffle on event_type,
+    whole-stage-codegen'd frame evaluation with O(frame log frame) sort
+    per row over a ≤6-element array.  The UDF twin exists to certify
+    custom-aggregate-in-window composition; this is the production
+    rolling median."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(-5, 0)
+    )
+    arr = F.array_sort(F.collect_list("value").over(w))
+    n = F.size(arr)
+    mid = ((n + 1) / 2).cast("int")  # ceil(n/2) for odd n
+    half = (n / 2).cast("int")
+    odd = F.element_at(arr, mid)
+    even = (F.element_at(arr, half) + F.element_at(arr, half + 1)) / 2.0
+    median = F.when(n % 2 == 1, odd).otherwise(even)
+    return ev.select("event_id", median.alias("roll_median"))
 
 
 # ---------------------------------------------------------------------------

@@ -73,15 +73,50 @@ def events_stream_schema(ts_field: T.DataType) -> T.StructType:
     )
 
 
-def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Engine op ``stream_flows``/``stream_events``: file-source stream of
-    the events fixture.  In production this is the same code with a Kafka
-    source; the transformations below are source-agnostic.
+def stream_events(
+    spark: SparkSession,
+    sf_dir: str,
+    source: str = "files",
+    kafka_options: dict[str, str] | None = None,
+) -> DataFrame:
+    """Engine op ``stream_flows``/``stream_events``: stream of the events
+    relation, source-parameterized; every transformation downstream is
+    source-agnostic.
 
+    ``source='files'`` (default): file stream over the parquet fixture.
     The ``ts`` physical encoding is derived from the parquet footer
     (like the batch ``load_table``), then normalized to a UTC-instant
     TimestampType — session tz is pinned to UTC, so the cast is
-    value-preserving; watermarks and ``window()`` require TimestampType."""
+    value-preserving; watermarks and ``window()`` require TimestampType.
+
+    ``source='kafka'``: the production seam — ``format("kafka")`` with
+    ``kafka_options`` (at minimum ``kafka.bootstrap.servers`` and
+    ``subscribe``; defaults target topic ``events``), the JSON message
+    value parsed through the SAME events schema, so the returned frame
+    is shape-identical to the file path.  The kafka connector package
+    is not in this sandbox, so the branch is dispatch-tested (Spark's
+    source resolution is reached) but not integration-tested — same
+    posture as the Cassandra sink format (sources/sinks.py)."""
+    if source == "kafka":
+        opts = {
+            "kafka.bootstrap.servers": "localhost:9092",
+            "subscribe": "events",
+            "startingOffsets": "earliest",
+            **(kafka_options or {}),
+        }
+        reader = spark.readStream.format("kafka")
+        for k, v in opts.items():
+            reader = reader.option(k, v)
+        raw = reader.load()
+        parsed = raw.select(
+            F.from_json(
+                F.col("value").cast("string"),
+                events_stream_schema(T.TimestampType()),
+            ).alias("e")
+        )
+        return parsed.select("e.*")
+    if source != "files":
+        raise ValueError(f"unknown stream source {source!r} (files|kafka)")
     ts_field, fix = _events_ts_encoding(sf_dir)
     if fix == "nanos":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -238,3 +238,25 @@ def test_events_ts_encoding_variants(spark, tmp_path):
     )
     with _pytest.raises(ValueError, match="drifted"):
         _events_ts_encoding(str(d))
+
+
+def test_stream_events_kafka_dispatch(spark):
+    """The kafka branch must reach Spark's data-source resolution (the
+    connector package is absent here, so resolution itself raises the
+    well-known 'Failed to find data source: kafka' guidance) — proving
+    the seam is wired end-to-end up to the missing jar, the same
+    posture as the Cassandra sink format dispatch."""
+    import pytest
+
+    from network_ids_using_pyspark_spark.streaming.stream import stream_events
+
+    with pytest.raises(Exception, match="(?i)kafka"):
+        stream_events(
+            spark,
+            SF_DIR,
+            source="kafka",
+            kafka_options={"kafka.bootstrap.servers": "broker:9092"},
+        )
+
+    with pytest.raises(ValueError, match="unknown stream source"):
+        stream_events(spark, SF_DIR, source="pulsar")
