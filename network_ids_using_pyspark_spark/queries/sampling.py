@@ -108,8 +108,16 @@ def q_add_row_id(spark, sf_dir):
 
 @register("stratified_sample_events", None)  # Bernoulli membership is Spark-specific
 def q_stratified_sample_events(spark, sf_dir):
-    """SURVEY.md §2.6 T1 — Spark's own seeded sampleBy (rows-only check;
-    determinism is covered by tests/test_sampling.py instead)."""
+    """SURVEY.md §2.6 T1 — Spark's own seeded sampleBy.
+
+    This is the ONE intentional engine-internal source of oracle
+    nondeterminism left in the registry: sampleBy membership comes from
+    Spark's XORShift Bernoulli draw seeded per partition, so no
+    cross-engine SQL can reproduce it — hence rows-only here, with
+    seeded-rerun determinism pinned by tests/test_sampling.py.  The
+    fully oracle-checked twin is `stratified_hash_sample_events`
+    (portable-hash membership, identical dataflow) — the form to use
+    when cross-run/cross-engine reproducibility matters."""
     ev = load_table(spark, sf_dir, "events")
     return stratified_sample(
         ev, "event_type", {"click": 0.1, "view": 0.2, "purchase": 0.5}, seed=0

@@ -847,3 +847,16 @@ def test_neyman_windows_dim_sized(spark):
     df = _df(spark, "neyman_allocation")
     plan = explain_str(df, "simple")
     assert plan.count("FileScan") == 1
+
+
+def test_poisson_bootstrap_single_scan_per_branch(spark):
+    """The B-replicate fan-out is a map-side Generate (explode of
+    hash-derived weights), never a per-replicate re-scan or join: the
+    plan holds exactly TWO orders scans regardless of B — one for the
+    replicate branch, one for the point estimate — so the cost is
+    linear in B only through rows flowing, not I/O."""
+    df = _df(spark, "poisson_bootstrap_ci")
+    plan = explain_str(df, "simple")
+    assert plan.count("FileScan") == 2, plan.count("FileScan")
+    assert "Generate explode" in plan  # the fan-out IS the explode
+    assert "SortMergeJoin" not in plan
