@@ -170,3 +170,54 @@ def lpa_sql_ctes(edges_cte: str, iters: int = 2) -> str:
             f"ORDER BY c DESC, lbl ASC) AS rk FROM cnt{i}) WHERE rk = 1)"
         )
     return "WITH " + ",\n".join(parts) + f"\nSELECT node, lbl FROM l{iters}"
+
+
+def kcore_nodes(edges: DataFrame, k: int, iters: int = 8, checkpoint: bool = True) -> DataFrame:
+    """k-core of an undirected graph by synchronous peeling: drop every
+    node with degree < ``k`` (within the surviving subgraph), recompute,
+    repeat ``iters`` supersteps.  ``edges`` must contain both directions
+    of every undirected edge, columns (src, dst); returns ``(node,)``
+    rows for the surviving set.
+
+    Peeling is monotone (the alive set only shrinks), so a fixpoint is
+    reached in at most |V| supersteps and typically a handful; callers
+    verify convergence by checking one further peel is a no-op (see
+    tests).  Deterministic — no ordering anywhere, so the oracle unrolls
+    the same supersteps as SQL CTEs (:func:`kcore_sql_ctes`).
+
+    Scale plan: each superstep = two semi-joins of the edge relation
+    against the (shrinking, dim-sized) alive set + one degree count on
+    src — the same one-shuffle skeleton as a PageRank superstep; edges
+    persist across supersteps; lineage cut per superstep."""
+    e = edges.persist()
+    alive = e.select(F.col("src").alias("node")).distinct()
+    for _ in range(iters):
+        ea = e.join(
+            alive.withColumnRenamed("node", "src"), "src", "left_semi"
+        ).join(alive.withColumnRenamed("node", "dst"), "dst", "left_semi")
+        deg = ea.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        alive = deg.filter(F.col("deg") >= k).select(F.col("src").alias("node"))
+        if checkpoint:
+            alive = alive.localCheckpoint(eager=False)
+    e.unpersist()
+    return alive
+
+
+def kcore_sql_ctes(edges_cte: str, k: int, iters: int = 8) -> str:
+    """DuckDB oracle: the same synchronous peeling, unrolled.
+    ``edges_cte`` must define ``edges``(src, dst), both directions
+    present.  Final relation: ``a{iters}``(node)."""
+    parts = [
+        edges_cte,
+        "a0 AS (SELECT DISTINCT src AS node FROM edges)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"d{i} AS (SELECT e.src, COUNT(*) AS deg FROM edges e "
+            f"JOIN a{i-1} s ON e.src = s.node "
+            f"JOIN a{i-1} t ON e.dst = t.node GROUP BY e.src)"
+        )
+        parts.append(
+            f"a{i} AS (SELECT src AS node FROM d{i} WHERE deg >= {k})"
+        )
+    return "WITH " + ",\n".join(parts)

@@ -244,11 +244,6 @@ def _portscan_sql(n: int = _N_FLOWS, threshold: int = _FANOUT_T) -> str:
 
 @register("portscan_detection", _portscan_sql())
 def q_portscan_detection(spark, sf_dir):
-    f"""Port-scan alerts: sources touching ≥ {_FANOUT_T} distinct
-    destination ports within an hour.  Exact distinct via one (src, hour, port)
-    pre-dedup aggregate then a count — two shuffles on small keys; the
-    100 TB variant swaps the exact distinct for HLL
-    (approx_count_distinct) with zero dataflow change."""
     df = spark.range(_N_FLOWS)
 
     def u(seed: str):
@@ -291,6 +286,12 @@ def q_portscan_detection(spark, sf_dir):
         .join(totals, ["src_id", "hour_bucket"])
         .select("src_id", "hour_bucket", "n_ports", "n_flows")
     )
+
+q_portscan_detection.__doc__ = f"""Port-scan alerts: sources touching ≥ {_FANOUT_T} distinct
+    destination ports within an hour.  Exact distinct via one (src, hour, port)
+    pre-dedup aggregate then a count — two shuffles on small keys; the
+    100 TB variant swaps the exact distinct for HLL
+    (approx_count_distinct) with zero dataflow change."""
 
 
 # ---------------------------------------------------------------------------

@@ -404,3 +404,88 @@ def q_adamic_adar_link_prediction(spark, sf_dir):
         "left_anti",
     )
     return out.orderBy(F.desc("aa_score"), F.asc("x"), F.asc("y")).limit(_AA_TOPK)
+
+
+from ..operators.graphops import kcore_nodes, kcore_sql_ctes  # noqa: E402
+
+# ---------------------------------------------------------------------------
+# k-core decomposition of the co-purchase graph: the densest-region
+# extractor (spam/mirror rings in a crawl graph, frequently-bundled
+# product cores here) — the subgraph where every node keeps >= k
+# neighbors after iteratively peeling low-degree nodes.
+# ---------------------------------------------------------------------------
+
+_KCORE_K = 3
+_KCORE_ITERS = 6
+
+_KCORE_EDGES_CTE = f"""pairs AS MATERIALIZED (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2
+  FROM lineitem a
+  JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+  HAVING COUNT(DISTINCT a.l_orderkey) >= {_TRI_SUPPORT}
+),
+-- MATERIALIZED: every unrolled superstep references edges twice; an
+-- inlined CTE would re-run the lineitem self-join O(iters) times
+edges AS MATERIALIZED (
+  SELECT p1 AS src, p2 AS dst FROM pairs
+  UNION ALL
+  SELECT p2 AS src, p1 AS dst FROM pairs
+)"""
+
+_KCORE_SQL = f"""
+{kcore_sql_ctes(_KCORE_EDGES_CTE, k=_KCORE_K, iters=_KCORE_ITERS)},
+fd AS (
+  SELECT e.src, COUNT(*) AS deg
+  FROM edges e
+  JOIN a{_KCORE_ITERS} s ON e.src = s.node
+  JOIN a{_KCORE_ITERS} t ON e.dst = t.node
+  GROUP BY e.src
+)
+SELECT {_KCORE_K} AS k,
+       CAST(COUNT(*) AS BIGINT) AS n_core_nodes,
+       CAST(COALESCE(SUM(deg), 0) // 2 AS BIGINT) AS n_core_edges,
+       CAST(COALESCE(MIN(deg), 0) AS BIGINT) AS min_core_degree
+FROM fd
+"""
+
+
+@register("kcore_decomposition", _KCORE_SQL)
+def q_kcore_decomposition(spark, sf_dir):
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = l.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p1"))
+    b = l.select(F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("p2"))
+    pairs = (
+        a.join(b, (F.col("ok") == F.col("ok2")) & (F.col("p1") < F.col("p2")))
+        .groupBy("p1", "p2")
+        .agg(F.countDistinct("ok").alias("support"))
+        .filter(F.col("support") >= _TRI_SUPPORT)
+        .select("p1", "p2")
+    )
+    edges = pairs.select(
+        F.col("p1").alias("src"), F.col("p2").alias("dst")
+    ).unionByName(pairs.select(F.col("p2").alias("src"), F.col("p1").alias("dst")))
+    core = kcore_nodes(edges, k=_KCORE_K, iters=_KCORE_ITERS)
+    ea = edges.join(
+        core.withColumnRenamed("node", "src"), "src", "left_semi"
+    ).join(core.withColumnRenamed("node", "dst"), "dst", "left_semi")
+    fd = ea.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    return fd.agg(
+        F.lit(_KCORE_K).alias("k"),
+        F.count(F.lit(1)).cast("long").alias("n_core_nodes"),
+        (F.coalesce(F.sum("deg"), F.lit(0)) / 2).cast("long").alias("n_core_edges"),
+        F.coalesce(F.min("deg"), F.lit(0)).cast("long").alias("min_core_degree"),
+    )
+
+q_kcore_decomposition.__doc__ = f"""{_KCORE_K}-core of the part co-purchase graph (support >=
+    {_TRI_SUPPORT} edges, the same signal graph as the triangle count):
+    synchronous peel for {_KCORE_ITERS} supersteps, then the core's
+    size, edge count, and minimum internal degree — the last being the
+    in-band proof the peel CONVERGED (min degree >= {_KCORE_K} iff one
+    more peel would be a no-op; tests assert both it and a brute-force
+    Python peel).
+
+    Scale plan: the alive set shrinks monotonically and is dim-sized
+    after the first peel; each superstep is two semi-joins + one count
+    on the persisted edge relation (operators/graphops.py::
+    kcore_nodes) — O(iters) shuffles, no window, no all-pairs."""

@@ -199,3 +199,106 @@ def q_kfold_cv_assignments(spark, sf_dir):
             F.countDistinct("user_id").cast("bigint").alias("n_users"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact-k deterministic samples: bottom-k by portable hash (uniform
+# without replacement) and Efraimidis-Spirakis (weighted without
+# replacement) — the fixed-size complements of the Bernoulli-style
+# hash_sample / weighted_doc_sample (whose output sizes are random
+# variables).  Both are TakeOrderedAndProject plans: map-side key
+# computation, per-partition top-k, k-row driver merge — no full sort,
+# no shuffle of the corpus.
+# ---------------------------------------------------------------------------
+
+_BK_K = 200
+
+_BOTTOMK_SQL = f"""
+SELECT doc_id, lang, n_chars
+FROM documents
+ORDER BY {portable_hash64_sql('doc_id', seed='bk:')} ASC, doc_id ASC
+LIMIT {_BK_K}
+"""
+
+
+@register("bottomk_uniform_sample", _BOTTOMK_SQL)
+def q_bottomk_uniform_sample(spark, sf_dir):
+    from ..functions.hashing import portable_hash64
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            portable_hash64("doc_id", seed="bk:").alias("hk"),
+        )
+        .orderBy(F.asc("hk"), F.asc("doc_id"))
+        .limit(_BK_K)
+        .select("doc_id", "lang", "n_chars")
+    )
+
+q_bottomk_uniform_sample.__doc__ = f"""Exactly-{_BK_K} uniform sample without replacement: keep the
+    documents with the {_BK_K} smallest portable-hash values — the
+    classic bottom-k sketch, which is simultaneously a uniform sample
+    AND mergeable (the bottom-k of a union is computable from the
+    per-shard bottom-k's, which is precisely what the distributed
+    plan does).  Membership is a pure function of doc_id, so the
+    sample is stable under appends of other rows, repartitioning, and
+    engine choice.
+
+    Scale plan: TakeOrderedAndProject — each partition keeps its local
+    {_BK_K} smallest keys, the driver merges k-row heaps; the corpus is
+    never sorted or shuffled."""
+
+
+_ES_K = 150
+
+# Efraimidis-Spirakis key: ln(u) / w with u = (h + 0.5) / 2^60 in (0,1)
+# and w = n_chars — top-k by key ≡ weighted sample without replacement.
+# The log is quantized at 1e-9 BEFORE the divide (the engine's standard
+# transcendental-parity discipline), so key comparisons are identical
+# across engines.
+_ES_KEY_SQL = (
+    f"round(ln(({portable_hash64_sql('doc_id', seed='es:')} + 0.5) / {16**15}), 9)"
+    " / n_chars"
+)
+
+_ES_SQL = f"""
+SELECT doc_id, source, n_chars
+FROM documents
+WHERE n_chars > 0
+ORDER BY {_ES_KEY_SQL} DESC, doc_id ASC
+LIMIT {_ES_K}
+"""
+
+
+@register("weighted_topk_sample_es", _ES_SQL)
+def q_weighted_topk_sample_es(spark, sf_dir):
+    from ..functions.hashing import HASH_SPACE, portable_hash64
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u = (portable_hash64("doc_id", seed="es:") + F.lit(0.5)) / F.lit(
+        float(HASH_SPACE)
+    )
+    key = F.round(F.log(u), 9) / F.col("n_chars")
+    return (
+        docs.select("doc_id", "source", "n_chars", key.alias("k"))
+        .orderBy(F.desc("k"), F.asc("doc_id"))
+        .limit(_ES_K)
+        .select("doc_id", "source", "n_chars")
+    )
+
+q_weighted_topk_sample_es.__doc__ = f"""Exactly-{_ES_K} WEIGHTED sample without replacement by the
+    Efraimidis-Spirakis A-Res scheme: each document draws
+    u = hash-uniform(0,1) and is ranked by u^(1/w) — equivalently
+    ln(u)/w, the form used here (monotone, and exp() never runs) —
+    with w = n_chars; the top {_ES_K} keys ARE the weighted sample.
+    Long documents win proportionally more often, the fixed-size
+    complement of `weighted_doc_sample`'s Bernoulli thinning; this is
+    the distribution DoReMi-style mixture sampling needs when the
+    output must be exactly k docs.
+
+    Scale plan: map-side key (one md5 + one quantized log per row),
+    then TakeOrderedAndProject — per-partition top-k, k-row merge;
+    mergeable across shards exactly like the bottom-k sketch."""

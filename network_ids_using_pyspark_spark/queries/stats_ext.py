@@ -1699,3 +1699,288 @@ def q_stump_split_gains(spark, sf_dir):
             6,
         ).alias("info_gain"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Welch's unequal-variance t-test + one-way ANOVA: the remaining two
+# classical mean-comparison tests (the z-test sibling is
+# conversion_rate_ab_ztest).  Moments accumulate in DECIMAL and every
+# double op runs in the same order on both engines, so the statistics
+# are bit-stable before the final 1e-6 rounding.
+# ---------------------------------------------------------------------------
+
+_WELCH_SQL = """
+WITH g AS (
+  SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 'urgent' ELSE 'other' END AS grp,
+         COUNT(*) AS n,
+         CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30, 6))) AS VARCHAR) AS DOUBLE) AS s,
+         CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30, 6)) * CAST(o_totalprice AS DECIMAL(30, 6))) AS VARCHAR) AS DOUBLE) AS ss
+  FROM orders GROUP BY 1
+),
+m AS (
+  SELECT grp, n, s / n AS mean, (ss - n * (s / n) * (s / n)) / (n - 1) AS var FROM g
+),
+w AS (
+  SELECT u.n AS n1, u.mean AS m1, u.var AS v1,
+         o.n AS n2, o.mean AS m2, o.var AS v2,
+         u.var / u.n + o.var / o.n AS se2
+  FROM (SELECT * FROM m WHERE grp = 'urgent') u
+  CROSS JOIN (SELECT * FROM m WHERE grp = 'other') o
+)
+SELECT CAST(n1 AS BIGINT) AS n_urgent, CAST(n2 AS BIGINT) AS n_other,
+       round(m1 - m2, 6) AS mean_diff,
+       round((m1 - m2) / sqrt(se2), 6) AS t_stat,
+       round(se2 * se2 / ((v1 / n1) * (v1 / n1) / (n1 - 1)
+                          + (v2 / n2) * (v2 / n2) / (n2 - 1)), 6) AS df_welch
+FROM w
+"""
+
+
+@register("welch_ttest_urgent_orders", _WELCH_SQL)
+def q_welch_ttest_urgent_orders(spark, sf_dir):
+    """Welch's unequal-variance t-test: do URGENT orders have a
+    different mean total price than the rest?  Group moments (n, Σx,
+    Σx²) come from ONE scan with decimal accumulation; means/variances
+    and the Welch-Satterthwaite df are closed-form doubles evaluated
+    in identical op order on both engines.
+
+    Scale plan: a 2-row conditional aggregate (map-side combined) and
+    scalar arithmetic — the entire test is one reduction regardless of
+    table size, the cheapest possible inference query."""
+    o = load_table(spark, sf_dir, "orders")
+    dec = "decimal(30, 6)"
+    to_d = lambda c: c.cast("string").cast("double")  # noqa: E731
+    x = F.col("o_totalprice").cast(dec)
+    g = o.groupBy(
+        F.when(F.col("o_orderpriority") == "1-URGENT", "urgent")
+        .otherwise("other")
+        .alias("grp")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        to_d(F.sum(x)).alias("s"),
+        to_d(F.sum(x * x)).alias("ss"),
+    )
+    mean = F.col("s") / F.col("n")
+    m = g.select(
+        "grp",
+        "n",
+        mean.alias("mean"),
+        ((F.col("ss") - F.col("n") * mean * mean) / (F.col("n") - 1)).alias("var"),
+    )
+    u = m.filter(F.col("grp") == "urgent").select(
+        F.col("n").alias("n1"), F.col("mean").alias("m1"), F.col("var").alias("v1")
+    )
+    ot = m.filter(F.col("grp") == "other").select(
+        F.col("n").alias("n2"), F.col("mean").alias("m2"), F.col("var").alias("v2")
+    )
+    w = u.crossJoin(F.broadcast(ot)).withColumn(
+        "se2", F.col("v1") / F.col("n1") + F.col("v2") / F.col("n2")
+    )
+    return w.select(
+        F.col("n1").cast("long").alias("n_urgent"),
+        F.col("n2").cast("long").alias("n_other"),
+        F.round(F.col("m1") - F.col("m2"), 6).alias("mean_diff"),
+        F.round((F.col("m1") - F.col("m2")) / F.sqrt("se2"), 6).alias("t_stat"),
+        F.round(
+            F.col("se2")
+            * F.col("se2")
+            / (
+                (F.col("v1") / F.col("n1"))
+                * (F.col("v1") / F.col("n1"))
+                / (F.col("n1") - 1)
+                + (F.col("v2") / F.col("n2"))
+                * (F.col("v2") / F.col("n2"))
+                / (F.col("n2") - 1)
+            ),
+            6,
+        ).alias("df_welch"),
+    )
+
+
+_ANOVA_SQL = """
+WITH g AS (
+  SELECT o_orderpriority AS grp, COUNT(*) AS n,
+         SUM(CAST(o_totalprice AS DECIMAL(30, 6))) AS s_dec,
+         CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30, 6))) AS VARCHAR) AS DOUBLE) AS s,
+         CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30, 6)) * CAST(o_totalprice AS DECIMAL(30, 6))) AS VARCHAR) AS DOUBLE) AS ss
+  FROM orders GROUP BY 1
+),
+tot AS (
+  -- grand total stays DECIMAL across the k-row sum (a double sum here
+  -- would be group-order-dependent and cascade into every SSB term)
+  SELECT SUM(n) AS nn, COUNT(*) AS k,
+         CAST(CAST(SUM(s_dec) AS VARCHAR) AS DOUBLE) AS st
+  FROM g
+),
+parts AS (
+  SELECT ANY_VALUE(t.nn) AS nn, ANY_VALUE(t.k) AS k,
+         CAST(CAST(SUM(CAST(round(g.n * (g.s / g.n - t.st / t.nn) * (g.s / g.n - t.st / t.nn), 6) AS DECIMAL(38, 6))) AS VARCHAR) AS DOUBLE) AS ssb,
+         CAST(CAST(SUM(CAST(round(g.ss - g.n * (g.s / g.n) * (g.s / g.n), 6) AS DECIMAL(38, 6))) AS VARCHAR) AS DOUBLE) AS ssw
+  FROM g CROSS JOIN tot t
+)
+SELECT CAST(nn AS BIGINT) AS n, CAST(k AS BIGINT) AS n_groups,
+       round((ssb / (k - 1)) / (ssw / (nn - k)), 6) AS f_stat,
+       round(ssb / (ssb + ssw), 6) AS eta_squared
+FROM parts
+"""
+
+
+@register("anova_oneway_priority", _ANOVA_SQL)
+def q_anova_oneway_priority(spark, sf_dir):
+    """One-way ANOVA of order total price across the five order
+    priorities: F = (SSB/(k−1)) / (SSW/(N−k)) with η² as the effect
+    size.  Same single-scan decimal-moment skeleton as the Welch test
+    generalized to k groups; the group relation is 5 rows, so the
+    between/within decomposition is dim-sized arithmetic.
+
+    Float-order discipline: each group's SSB/SSW term is computed in
+    identical double op order (so the per-group values match
+    bit-exactly), then quantized at 1e-6 and summed in DECIMAL — the
+    5-row sum is therefore independent of which order the engines
+    visit the groups.  Only the SCALE-INVARIANT statistics (F, η²) are
+    emitted: the raw sums of squares grow with N until the 1e-6
+    rounding grid falls below one double ulp, where round() itself
+    stops being cross-engine-stable — the ratios stay O(1) at any
+    scale factor."""
+    o = load_table(spark, sf_dir, "orders")
+    dec = "decimal(30, 6)"
+    to_d = lambda c: c.cast("string").cast("double")  # noqa: E731
+    x = F.col("o_totalprice").cast(dec)
+    g = o.groupBy(F.col("o_orderpriority").alias("grp")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("s_dec"),
+        to_d(F.sum(x)).alias("s"),
+        to_d(F.sum(x * x)).alias("ss"),
+    )
+    # grand total stays DECIMAL across the k-row sum (see oracle note)
+    tot = g.agg(
+        F.sum("n").alias("nn"),
+        F.count(F.lit(1)).alias("k"),
+        to_d(F.sum("s_dec")).alias("st"),
+    )
+    j = g.crossJoin(F.broadcast(tot))
+    gm = F.col("s") / F.col("n")
+    ov = F.col("st") / F.col("nn")
+    parts = j.agg(
+        F.first("nn").alias("nn"),
+        F.first("k").alias("k"),
+        to_d(
+            F.sum(
+                F.round(F.col("n") * (gm - ov) * (gm - ov), 6).cast(
+                    "decimal(38, 6)"
+                )
+            )
+        ).alias("ssb"),
+        to_d(
+            F.sum(
+                F.round(F.col("ss") - F.col("n") * gm * gm, 6).cast(
+                    "decimal(38, 6)"
+                )
+            )
+        ).alias("ssw"),
+    )
+    return parts.select(
+        F.col("nn").cast("long").alias("n"),
+        F.col("k").cast("long").alias("n_groups"),
+        F.round(
+            (F.col("ssb") / (F.col("k") - 1)) / (F.col("ssw") / (F.col("nn") - F.col("k"))),
+            6,
+        ).alias("f_stat"),
+        F.round(F.col("ssb") / (F.col("ssb") + F.col("ssw")), 6).alias("eta_squared"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Autocorrelation function of the daily event count at lags 1..7 —
+# the seasonality detector that motivates seasonal_naive_wape's weekly
+# lag.  Terms are quantized then summed in DECIMAL, so the day-order
+# of the aggregation never matters.
+# ---------------------------------------------------------------------------
+
+_ACF_MAXLAG = 7
+
+_ACF_SQL = f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, COUNT(*) AS c FROM events GROUP BY 1
+),
+m AS (
+  SELECT CAST(CAST(SUM(CAST(c AS DECIMAL(30, 6))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS mean,
+         COUNT(*) AS n
+  FROM daily
+),
+den AS (
+  SELECT CAST(CAST(SUM(CAST(round((c - m.mean) * (c - m.mean), 6) AS DECIMAL(38, 6))) AS VARCHAR) AS DOUBLE) AS den
+  FROM daily CROSS JOIN m
+),
+lags AS (SELECT unnest(range(1, {_ACF_MAXLAG + 1})) AS lag),
+num AS (
+  SELECT l.lag,
+         CAST(CAST(SUM(CAST(round((a.c - m.mean) * (b.c - m.mean), 6) AS DECIMAL(38, 6))) AS VARCHAR) AS DOUBLE) AS num,
+         COUNT(*) AS n_pairs
+  FROM daily a
+  CROSS JOIN lags l
+  JOIN daily b ON b.d = a.d + CAST(l.lag AS INTEGER)
+  CROSS JOIN m
+  GROUP BY l.lag
+)
+SELECT CAST(lag AS BIGINT) AS lag, CAST(n_pairs AS BIGINT) AS n_pairs,
+       round(num / den.den, 6) AS acf
+FROM num CROSS JOIN den
+"""
+
+
+@register("acf_daily_counts", _ACF_SQL)
+def q_acf_daily_counts(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    dec = "decimal(30, 6)"
+    to_d = lambda c: c.cast("string").cast("double")  # noqa: E731
+    m = daily.agg(
+        (to_d(F.sum(F.col("c").cast(dec))) / F.count(F.lit(1))).alias("mean"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    dm = daily.crossJoin(F.broadcast(m))
+    cterm = F.round((F.col("c") - F.col("mean")) * (F.col("c") - F.col("mean")), 6)
+    den = dm.agg(
+        to_d(F.sum(cterm.cast("decimal(38, 6)"))).alias("den")
+    )
+    lags = (
+        daily.sparkSession.range(1, _ACF_MAXLAG + 1)
+        .select(F.col("id").cast("int").alias("lag"))
+    )
+    a = dm.select("d", "c", "mean")
+    b = daily.select(F.col("d").alias("d2"), F.col("c").alias("c2"))
+    paired = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("d2") == F.expr("date_add(d, lag)"))
+    )
+    pterm = F.round(
+        (F.col("c") - F.col("mean")) * (F.col("c2") - F.col("mean")), 6
+    )
+    num = paired.groupBy("lag").agg(
+        to_d(F.sum(pterm.cast("decimal(38, 6)"))).alias("num"),
+        F.count(F.lit(1)).alias("n_pairs"),
+    )
+    return (
+        num.crossJoin(F.broadcast(den))
+        .select(
+            F.col("lag").cast("long").alias("lag"),
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+            F.round(F.col("num") / F.col("den"), 6).alias("acf"),
+        )
+    )
+
+q_acf_daily_counts.__doc__ = f"""Sample autocorrelation of the daily event count at lags
+    1..{_ACF_MAXLAG}: numerators pair each day with day+lag via an
+    equi-join on the date (never a window per lag), denominator is the
+    centered sum of squares; each centered product is quantized at
+    1e-6 and summed in DECIMAL, so day order can't perturb the sums.
+    A weekly cycle shows up as the lag-7 peak (this fixture's
+    generator has one) — the justification step before committing to
+    `seasonal_naive_wape`'s lag-7 forecaster.
+
+    Scale plan: the fact collapses to one row per day first; the
+    lag join and moments all run on the |days| relation (dim-sized).
+    """

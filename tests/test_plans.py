@@ -860,3 +860,14 @@ def test_poisson_bootstrap_single_scan_per_branch(spark):
     assert plan.count("FileScan") == 2, plan.count("FileScan")
     assert "Generate explode" in plan  # the fan-out IS the explode
     assert "SortMergeJoin" not in plan
+
+
+def test_exact_k_samplers_take_ordered(spark):
+    """bottom-k / Efraimidis-Spirakis: per-partition top-k + k-row
+    driver merge (TakeOrderedAndProject) — the corpus is never globally
+    sorted or exchanged."""
+    for name in ("bottomk_uniform_sample", "weighted_topk_sample_es"):
+        df = _df(spark, name)
+        plan = explain_str(df, "simple")
+        assert "TakeOrderedAndProject" in plan, name
+        assert count_shuffles(df) == 0, name

@@ -146,3 +146,37 @@ def test_simhash_default_is_32_bits():
         inspect.signature(simhash_near_dup_pairs).parameters["bits"].default
         == 32
     )
+
+
+def test_kcore_matches_brute_force_peel_and_converged(spark):
+    """k-core vs a plain Python peel-to-fixpoint over the same edge
+    list; the query's min_core_degree >= k certifies in-band that the
+    fixed superstep count reached the fixpoint."""
+    con = duckdb.connect()
+    edges = con.execute(
+        f"""
+        SELECT a.l_partkey AS p1, b.l_partkey AS p2
+        FROM read_parquet('{SF_DIR}/lineitem.parquet') a
+        JOIN read_parquet('{SF_DIR}/lineitem.parquet') b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING COUNT(DISTINCT a.l_orderkey) >= 2
+        """
+    ).fetchall()
+    adj: dict[int, set[int]] = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    k = 3
+    alive = set(adj)
+    while True:
+        drop = {u for u in alive if sum(1 for v in adj[u] if v in alive) < k}
+        if not drop:
+            break
+        alive -= drop
+    n_edges = sum(1 for u, v in edges if u in alive and v in alive)
+
+    row = REGISTRY["kcore_decomposition"][0](spark, SF_DIR).collect()[0]
+    assert row["n_core_nodes"] == len(alive)
+    assert row["n_core_edges"] == n_edges
+    if len(alive):
+        assert row["min_core_degree"] >= k  # fixpoint reached
