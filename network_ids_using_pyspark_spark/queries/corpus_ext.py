@@ -1098,3 +1098,78 @@ def q_nucleus_vocab_coverage(spark, sf_dir):
         .cast("long")
         .alias("n_nucleus"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-source quantile alignment: each source's length deciles against
+# the pooled corpus deciles — the fit artifact of quantile
+# normalization (mapping every source's distribution onto the pooled
+# one before mixing, so no source's length profile skews packing or
+# curriculum bins).
+# ---------------------------------------------------------------------------
+
+_QN_QS = [0.1, 0.25, 0.5, 0.75, 0.9]
+_QN_QS_SQL = ", ".join(str(q) for q in _QN_QS)
+
+_QN_SQL = f"""
+WITH pool AS (
+  SELECT unnest([{_QN_QS_SQL}]) AS q,
+         unnest(quantile_cont(n_chars, [{_QN_QS_SQL}])) AS pool_q
+  FROM documents
+),
+per_src AS (
+  SELECT source, unnest([{_QN_QS_SQL}]) AS q,
+         unnest(quantile_cont(n_chars, [{_QN_QS_SQL}])) AS src_q
+  FROM documents GROUP BY source
+)
+SELECT s.source, s.q, round(s.src_q, 6) AS src_q,
+       round(p.pool_q, 6) AS pool_q,
+       round(s.src_q / p.pool_q, 6) AS length_ratio
+FROM per_src s JOIN pool p USING (q)
+"""
+
+
+@register("quantile_norm_report", _QN_SQL)
+def q_quantile_norm_report(spark, sf_dir):
+    """Quantile-normalization fit report: each source's exact length
+    quantiles (p10/p25/p50/p75/p90) beside the pooled corpus's, with
+    the per-quantile ratio — ratio far from 1 marks the sources whose
+    documents need remapping before temperature mixing (a source of
+    10× longer documents eats 10× the token budget per doc).  Exact
+    interpolated quantiles on both engines (Spark `percentile` ≡
+    DuckDB `quantile_cont`).
+
+    Scale plan: one grouped exact-percentile aggregate per side —
+    the per-group sort the exact form costs is the declared
+    tradeoff, with `percentile_approx`/KLL as the unbounded-scale
+    stand-in (same pairing as `quantile_sketch_by_flag_check`)."""
+    docs = load_table(spark, sf_dir, "documents")
+    qs_arr = "array(" + ", ".join(str(q) for q in _QN_QS) + ")"
+    pool = docs.agg(
+        F.expr(f"percentile(n_chars, {qs_arr})").alias("pq")
+    ).select(
+        F.explode(
+            F.arrays_zip(
+                F.array(*[F.lit(q) for q in _QN_QS]).alias("q"),
+                F.col("pq").alias("pool_q"),
+            )
+        ).alias("z")
+    ).select(F.col("z.q").alias("q"), F.col("z.pool_q").alias("pool_q"))
+    per_src = docs.groupBy("source").agg(
+        F.expr(f"percentile(n_chars, {qs_arr})").alias("sq")
+    ).select(
+        "source",
+        F.explode(
+            F.arrays_zip(
+                F.array(*[F.lit(q) for q in _QN_QS]).alias("q"),
+                F.col("sq").alias("src_q"),
+            )
+        ).alias("z"),
+    ).select("source", F.col("z.q").alias("q"), F.col("z.src_q").alias("src_q"))
+    return per_src.join(F.broadcast(pool), "q").select(
+        "source",
+        "q",
+        F.round("src_q", 6).alias("src_q"),
+        F.round("pool_q", 6).alias("pool_q"),
+        F.round(F.col("src_q") / F.col("pool_q"), 6).alias("length_ratio"),
+    )

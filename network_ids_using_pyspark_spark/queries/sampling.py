@@ -19,7 +19,7 @@ from ..operators.sampling import (
     stratified_hash_sample,
     stratified_sample,
 )
-from ..functions.hashing import portable_hash64_sql
+from ..functions.hashing import hash_bucket_sql, portable_hash64_sql
 from . import register
 
 _H_ORDERKEY = portable_hash64_sql("o_orderkey", seed="s0")
@@ -302,3 +302,78 @@ q_weighted_topk_sample_es.__doc__ = f"""Exactly-{_ES_K} WEIGHTED sample without 
     Scale plan: map-side key (one md5 + one quantized log per row),
     then TakeOrderedAndProject — per-partition top-k, k-row merge;
     mergeable across shards exactly like the bottom-k sketch."""
+
+
+# ---------------------------------------------------------------------------
+# Group-aware split: assign by USER hash so every event of a user lands
+# in one side — the leakage-free split supervised models need when
+# rows within a group are correlated (the row-level split lets the
+# model memorize the user).  The leaked-user count is computed IN the
+# output and must be zero by construction.
+# ---------------------------------------------------------------------------
+
+_GS_TRAIN_PCT = 80
+
+_GROUPED_SPLIT_SQL = f"""
+WITH tagged AS (
+  SELECT user_id,
+         CASE WHEN ({hash_bucket_sql('user_id', 100, seed='gsplit')}) < {_GS_TRAIN_PCT}
+              THEN 'train' ELSE 'test' END AS part
+  FROM events
+),
+parts AS (
+  SELECT part, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+  FROM tagged GROUP BY part
+),
+leaked AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n
+  FROM (
+    SELECT user_id FROM tagged GROUP BY user_id
+    HAVING COUNT(DISTINCT part) > 1
+  )
+)
+SELECT p.part, p.n_rows, p.n_users, l.n AS leaked_users
+FROM parts p CROSS JOIN leaked l
+"""
+
+
+@register("grouped_split_no_leakage", _GROUPED_SPLIT_SQL)
+def q_grouped_split_no_leakage(spark, sf_dir):
+    """Group-aware (user-level) train/test split profile: membership is
+    a pure function of user_id's portable hash, so ALL of a user's
+    events land on one side — and the output carries the proof
+    (leaked_users, the count of users seen in both parts, necessarily 0).
+    Row-level splits leak identity features across the boundary; this
+    is the split discipline for any per-user model, and since
+    membership is a map-side filter, train/test extraction pushes down
+    to the scan exactly like `hash_sample_orders`.
+
+    Scale plan: one map-side hash + two aggregates over (part) and
+    (user); no row ever carries more than its tag."""
+    ev = load_table(spark, sf_dir, "events")
+    tagged = ev.select(
+        "user_id",
+        F.when(
+            hash_bucket(F.col("user_id"), 100, seed="gsplit") < _GS_TRAIN_PCT,
+            "train",
+        )
+        .otherwise("test")
+        .alias("part"),
+    )
+    parts = tagged.groupBy("part").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+    )
+    leaked = (
+        tagged.groupBy("user_id")
+        .agg(F.countDistinct("part").alias("np"))
+        .filter(F.col("np") > 1)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("leaked_users"))
+    )
+    return parts.crossJoin(F.broadcast(leaked)).select(
+        "part",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        "n_users",
+        "leaked_users",
+    )

@@ -1984,3 +1984,83 @@ q_acf_daily_counts.__doc__ = f"""Sample autocorrelation of the daily event count
     Scale plan: the fact collapses to one row per day first; the
     lag join and moments all run on the |days| relation (dim-sized).
     """
+
+
+# ---------------------------------------------------------------------------
+# Theil-Sen robust trend of the daily event count: the median of all
+# pairwise slopes — 29.3% breakdown point where OLS has 0%.  The
+# all-pairs relation is |days|², which is exactly why the slopes are
+# computed on the DAY-grain aggregate (dim-sized), never the fact.
+# ---------------------------------------------------------------------------
+
+_TS_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, COUNT(*) AS c FROM events GROUP BY 1
+),
+d0 AS (SELECT MIN(d) AS d0 FROM daily),
+idx AS (
+  SELECT CAST(d - d0.d0 AS BIGINT) AS x, c FROM daily CROSS JOIN d0
+),
+slopes AS (
+  SELECT CAST(b.c - a.c AS DOUBLE) / (b.x - a.x) AS s
+  FROM idx a JOIN idx b ON b.x > a.x
+),
+med AS (
+  SELECT round(quantile_cont(s, 0.5), 6) AS slope,
+         CAST(COUNT(*) AS BIGINT) AS n_pairs
+  FROM slopes
+),
+resid AS (
+  SELECT round(quantile_cont(c - m.slope * x, 0.5), 6) AS intercept,
+         CAST(COUNT(*) AS BIGINT) AS n_days
+  FROM idx CROSS JOIN med m
+)
+SELECT r.n_days, m.n_pairs, m.slope AS slope_per_day, r.intercept
+FROM med m CROSS JOIN resid r
+"""
+
+
+@register("theil_sen_daily_trend", _TS_SQL)
+def q_theil_sen_daily_trend(spark, sf_dir):
+    """Theil-Sen estimator of the daily event-count trend: slope =
+    median of all pairwise (c_j−c_i)/(x_j−x_i), intercept = median of
+    c − slope·x — the robust regression line a volume monitor fits
+    (one rogue day moves OLS arbitrarily; Theil-Sen shrugs off 29% of
+    days).  Each slope is ONE double divide of exact integers
+    (bit-identical across engines); the medians use the interpolated
+    rule shared by Spark `percentile` and DuckDB `quantile_cont`, and
+    the slope is quantized at 1e-6 before the residual pass.
+
+    Scale plan: the fact collapses to per-day counts first; the
+    all-pairs slope relation is |days|² on the DIM relation (~10⁵ rows
+    for a year), so 'quadratic' here is dim-sized arithmetic — the
+    pattern that makes exact Theil-Sen feasible at any event volume."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    d0 = daily.agg(F.min("d").alias("d0"))
+    idx = daily.crossJoin(F.broadcast(d0)).select(
+        F.datediff("d", "d0").cast("long").alias("x"), "c"
+    )
+    a = idx.select(F.col("x").alias("xa"), F.col("c").alias("ca"))
+    b = idx.select(F.col("x").alias("xb"), F.col("c").alias("cb"))
+    slopes = a.join(b, F.col("xb") > F.col("xa")).select(
+        ((F.col("cb") - F.col("ca")).cast("double") / (F.col("xb") - F.col("xa"))).alias("s")
+    )
+    med = slopes.agg(
+        F.round(F.expr("percentile(s, 0.5)"), 6).alias("slope"),
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+    )
+    resid = (
+        idx.crossJoin(F.broadcast(med))
+        .agg(
+            F.round(
+                F.expr("percentile(c - slope * x, 0.5)"), 6
+            ).alias("intercept"),
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+        )
+    )
+    return med.crossJoin(F.broadcast(resid)).select(
+        "n_days", "n_pairs", F.col("slope").alias("slope_per_day"), "intercept"
+    )
