@@ -832,3 +832,90 @@ def q_seasonal_robust_anomaly(spark, sf_dir):
             F.min(F.when(hit, F.col("d"))).alias("first_anomaly_day"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Attribution model comparison: for each purchase, the FIRST vs LAST
+# click inside the 24 h window — where the two canonical single-touch
+# models disagree is exactly where multi-touch modeling pays.
+# ---------------------------------------------------------------------------
+
+_ATTR_CMP_SQL = f"""
+WITH scored AS (
+  SELECT user_id, event_type, ts, epoch_us(ts) AS t,
+         MAX(CASE WHEN event_type = 'click' THEN epoch_us(ts) END)
+           OVER w AS last_click_us,
+         MIN(CASE WHEN event_type = 'click' THEN epoch_us(ts) END)
+           OVER (PARTITION BY user_id ORDER BY epoch_us(ts) ASC
+                 RANGE BETWEEN {_ATTR_WINDOW_S * 1_000_000} PRECEDING AND CURRENT ROW)
+           AS first_click_in_window_us
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       CAST(SUM(CASE WHEN last_click_us IS NOT NULL
+                      AND t - last_click_us <= {_ATTR_WINDOW_S * 1_000_000}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_attributed,
+       CAST(SUM(CASE WHEN first_click_in_window_us IS NOT NULL
+                      AND last_click_us IS NOT NULL
+                      AND t - last_click_us <= {_ATTR_WINDOW_S * 1_000_000}
+                      AND first_click_in_window_us <> last_click_us
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_models_disagree
+FROM scored WHERE event_type = 'purchase'
+GROUP BY 1
+"""
+
+
+@register("attribution_first_vs_last", _ATTR_CMP_SQL)
+def q_attribution_first_vs_last(spark, sf_dir):
+    """First-touch vs last-touch attribution per day: purchases with an
+    attributable click in the 24 h window, and how many of them the two
+    models would credit DIFFERENTLY (first click in window ≠ last
+    click) — the share of conversions whose credit assignment is a
+    modeling choice, the go/no-go diagnostic before building
+    multi-touch.  Last touch is the unbounded conditional running MAX
+    (windowed by construction via the ≤24 h test); first-in-window is
+    a RANGE-frame conditional MIN over exact microsecond integers.
+
+    Scale plan: both windows share ONE (user, time) sort; the RANGE
+    frame's state is the frame boundary, not history; day rollup is a
+    dim-sized aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    t = F.unix_micros("ts")
+    w_rows = (
+        Window.partitionBy("user_id")
+        .orderBy(t, "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_range = (
+        Window.partitionBy("user_id")
+        .orderBy(t.cast("long"))
+        .rangeBetween(-_ATTR_WINDOW_S * 1_000_000, 0)
+    )
+    click_t = F.when(F.col("event_type") == "click", t)
+    scored = ev.select(
+        "event_type",
+        "ts",
+        t.alias("t"),
+        F.max(click_t).over(w_rows).alias("last_click_us"),
+        F.min(click_t).over(w_range).alias("first_click_in_window_us"),
+    )
+    attributed = F.col("last_click_us").isNotNull() & (
+        F.col("t") - F.col("last_click_us") <= _ATTR_WINDOW_S * 1_000_000
+    )
+    disagree = (
+        F.col("first_click_in_window_us").isNotNull()
+        & attributed
+        & (F.col("first_click_in_window_us") != F.col("last_click_us"))
+    )
+    return (
+        scored.filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum(attributed.cast("long")).alias("n_attributed"),
+            F.sum(disagree.cast("long")).alias("n_models_disagree"),
+        )
+    )

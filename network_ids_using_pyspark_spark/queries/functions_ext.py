@@ -1252,3 +1252,88 @@ def q_episode_follow_counts(spark, sf_dir):
         ).select("a_type", F.lit(t).alias("b_type"), "n_a", "n_followed")
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention matrix: users grouped by first-activity week, the
+# classic product-analytics triangle (cohort × week-offset active
+# counts + retention share).
+# ---------------------------------------------------------------------------
+
+_COHORT_SQL = """
+WITH firstd AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS first_d FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT e.user_id,
+         CAST(date_trunc('week', f.first_d) AS DATE) AS cohort_week,
+         CAST((CAST(date_trunc('week', CAST(e.ts AS DATE)) AS DATE)
+               - CAST(date_trunc('week', f.first_d) AS DATE)) // 7 AS BIGINT) AS week_offset
+  FROM events e JOIN firstd f USING (user_id)
+),
+sizes AS (
+  SELECT cohort_week, COUNT(*) AS cohort_size
+  FROM (SELECT DISTINCT user_id, cohort_week FROM activity) GROUP BY cohort_week
+)
+SELECT a.cohort_week, a.week_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_active,
+       CAST(s.cohort_size AS BIGINT) AS cohort_size,
+       round(CAST(COUNT(*) AS DOUBLE) / s.cohort_size, 6) AS retention
+FROM activity a JOIN sizes s USING (cohort_week)
+GROUP BY a.cohort_week, a.week_offset, s.cohort_size
+"""
+
+
+@register("cohort_retention_matrix", _COHORT_SQL)
+def q_cohort_retention_matrix(spark, sf_dir):
+    """Weekly cohort retention triangle: each user joins the cohort of
+    their first active week; cell (cohort, offset) counts distinct
+    users of that cohort active `offset` weeks later, with the
+    retention share against the cohort size — THE growth-accounting
+    table (decay reads down a row, product changes read down a
+    diagonal).
+
+    Week arithmetic is date_trunc-based on both engines (Spark
+    date_trunc('week') and DuckDB's both snap to Monday), and the
+    offset is an integer day difference // 7 — no timestamp floats.
+
+    Scale plan: first-activity is one user-keyed aggregate; activity
+    dedups to (user, week) grain before counting, so the matrix
+    aggregate runs on |users|×|weeks-active| rows, and the cohort-size
+    join is dim-sized (|weeks| rows, broadcast)."""
+    ev = load_table(spark, sf_dir, "events")
+    firstd = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("first_d")
+    )
+    wk = lambda c: F.date_trunc("week", c).cast("date")  # noqa: E731
+    activity = (
+        ev.join(firstd, "user_id")
+        .select(
+            "user_id",
+            wk("first_d").alias("cohort_week"),
+            (
+                F.datediff(wk(F.col("ts").cast("date")), wk("first_d")) / 7
+            ).cast("long").alias("week_offset"),
+        )
+        .distinct()
+    )
+    sizes = (
+        activity.select("user_id", "cohort_week")
+        .distinct()
+        .groupBy("cohort_week")
+        .agg(F.count(F.lit(1)).alias("cohort_size"))
+    )
+    return (
+        activity.groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .join(F.broadcast(sizes), "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            F.col("n_active").cast("long").alias("n_active"),
+            F.col("cohort_size").cast("long").alias("cohort_size"),
+            F.round(
+                F.col("n_active").cast("double") / F.col("cohort_size"), 6
+            ).alias("retention"),
+        )
+    )
