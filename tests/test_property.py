@@ -1,0 +1,56 @@
+"""Property-based tests (hypothesis) for the pure-Python kernels the
+engine's correctness leans on — the PNG codec and the nearest-neighbor
+resampler.  These run entirely off-Spark, so the search is cheap."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from network_ids_using_pyspark_spark.functions.pngcodec import (
+    decode_png,
+    encode_png,
+    resize_nearest,
+    to_grayscale,
+)
+
+_dims = st.tuples(
+    st.integers(min_value=1, max_value=24),  # width
+    st.integers(min_value=1, max_value=24),  # height
+    st.sampled_from([1, 2, 3, 4]),  # channels
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(_dims, st.randoms(use_true_random=False))
+def test_png_roundtrip_any_pixels(dims, rnd):
+    w, h, ch = dims
+    px = bytes(rnd.randrange(256) for _ in range(w * h * ch))
+    assert decode_png(encode_png(w, h, px, ch)) == (w, h, ch, px)
+
+
+@settings(max_examples=60, deadline=None)
+@given(_dims, st.randoms(use_true_random=False))
+def test_resize_identity_and_bounds(dims, rnd):
+    w, h, ch = dims
+    px = bytes(rnd.randrange(256) for _ in range(w * h * ch))
+    # identity resize reproduces the buffer exactly
+    assert resize_nearest(px, w, h, ch, w, h) == px
+    # any resize only ever emits source sample values
+    out = resize_nearest(px, w, h, ch, 5, 3)
+    assert len(out) == 5 * 3 * ch
+    src_vals = set(px)
+    assert set(out) <= src_vals
+
+
+@settings(max_examples=60, deadline=None)
+@given(_dims, st.randoms(use_true_random=False))
+def test_grayscale_range_and_length(dims, rnd):
+    w, h, ch = dims
+    px = bytes(rnd.randrange(256) for _ in range(w * h * ch))
+    g = to_grayscale(px, ch)
+    assert len(g) == w * h
+    # luma of a constant-value pixel stays within 1 of that value
+    const = bytes([128] * (w * h * ch))
+    gc = to_grayscale(const, ch)
+    assert all(abs(v - 128) <= 1 for v in gc)
