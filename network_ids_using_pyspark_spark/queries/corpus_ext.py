@@ -25,7 +25,7 @@ from ..operators.textops import (
     repetition_stats,
     scrub_pii,
 )
-from ..functions.hashing import hash_bucket, hash_bucket_sql
+from ..functions.hashing import hash_bucket, hash_bucket_sql, portable_hash64_sql
 from ..sources.tables import load_table
 from . import register
 
@@ -1172,4 +1172,170 @@ def q_quantile_norm_report(spark, sf_dir):
         F.round("src_q", 6).alias("src_q"),
         F.round("pool_q", 6).alias("pool_q"),
         F.round(F.col("src_q") / F.col("pool_q"), 6).alias("length_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization + dedup accounting: the crawl-frontier hygiene
+# step (scheme/host case, www, default ports, fragments, tracking
+# queries, trailing slashes all collapse) — done entirely in native
+# string expressions so the canonicalizer is whole-stage-codegen'd.
+# ---------------------------------------------------------------------------
+
+_UC_VARIANTS = 4
+
+
+def _uc_canon_sql(u: str) -> str:
+    # 1 strip fragment, 2 strip query, 3 lowercase scheme://host and
+    # drop default port + www., 4 strip trailing slash
+    nofrag = f"regexp_replace(regexp_replace({u}, '#.*$', ''), '\\?.*$', '')"
+    pre = f"regexp_extract({nofrag}, '^(https?://[^/]+)', 1)"
+    canon_pre = (
+        f"regexp_replace(regexp_replace(lower({pre}), ':(443|80)$', ''),"
+        f" '://www\\.', '://')"
+    )
+    rest = f"substring({nofrag}, length({pre}) + 1)"
+    return f"regexp_replace(concat({canon_pre}, {rest}), '/$', '')"
+
+
+_UC_RAW_SQL = """
+  SELECT doc_id,
+         CASE CAST(doc_id % 4 AS INTEGER)
+           WHEN 0 THEN concat('https://Example.COM/p/', CAST(doc_id % 50 AS VARCHAR))
+           WHEN 1 THEN concat('https://www.example.com:443/p/', CAST(doc_id % 50 AS VARCHAR), '?utm_source=x')
+           WHEN 2 THEN concat('https://EXAMPLE.com/p/', CAST(doc_id % 50 AS VARCHAR), '#frag')
+           ELSE concat('https://example.com/p/', CAST(doc_id % 50 AS VARCHAR), '/')
+         END AS url
+  FROM documents
+"""
+
+_UC_SQL = f"""
+WITH raw AS ({_UC_RAW_SQL}),
+canon AS (
+  SELECT doc_id, url, {_uc_canon_sql('url')} AS curl FROM raw
+)
+SELECT regexp_extract(curl, 'https?://([^/]+)', 1) AS host,
+       CAST(COUNT(*) AS BIGINT) AS n_urls,
+       CAST(COUNT(DISTINCT url) AS BIGINT) AS n_distinct_raw,
+       CAST(COUNT(DISTINCT curl) AS BIGINT) AS n_canonical,
+       round(CAST(COUNT(DISTINCT url) AS DOUBLE) / COUNT(DISTINCT curl), 6)
+         AS variant_factor
+FROM canon GROUP BY 1
+"""
+
+
+@register("url_canonicalize_dedup", _UC_SQL)
+def q_url_canonicalize_dedup(spark, sf_dir):
+    """Frontier URL canonicalization audit: deterministic messy
+    variants (case, www, :443, tracking query, fragment, trailing
+    slash — one per doc, keyed on doc_id) collapse to their canonical
+    form; per host, raw-vs-canonical distinct counts and the variant
+    factor the canonicalizer removes.  A crawl frontier without this
+    step refetches every page up to `variant_factor` times.
+
+    The canonicalizer is pure regexp/lower/substring expressions —
+    identical semantics on both engines, no UDF, fully pushed into the
+    scan stage.
+
+    Scale plan: canonicalization is map-side; the only shuffle carries
+    (host, url) pairs for the distinct counts — at the frontier's
+    scale the distinct pair becomes a bottom-k/HLL sketch with the
+    same dataflow."""
+    docs = load_table(spark, sf_dir, "documents")
+    b = (F.col("doc_id") % 50).cast("string")
+    raw = docs.select(
+        "doc_id",
+        F.when(
+            (F.col("doc_id") % 4) == 0,
+            F.concat(F.lit("https://Example.COM/p/"), b),
+        )
+        .when(
+            (F.col("doc_id") % 4) == 1,
+            F.concat(F.lit("https://www.example.com:443/p/"), b, F.lit("?utm_source=x")),
+        )
+        .when(
+            (F.col("doc_id") % 4) == 2,
+            F.concat(F.lit("https://EXAMPLE.com/p/"), b, F.lit("#frag")),
+        )
+        .otherwise(F.concat(F.lit("https://example.com/p/"), b, F.lit("/")))
+        .alias("url"),
+    )
+    staged = raw.select(
+        "doc_id",
+        "url",
+        F.regexp_replace(
+            F.regexp_replace(F.col("url"), "#.*$", ""), "\\?.*$", ""
+        ).alias("nofrag"),
+    ).withColumn("pre", F.regexp_extract("nofrag", "^(https?://[^/]+)", 1))
+    canon_pre = F.regexp_replace(
+        F.regexp_replace(F.lower(F.col("pre")), ":(443|80)$", ""),
+        "://www\\.",
+        "://",
+    )
+    rest = F.expr("substring(nofrag, length(pre) + 1)")
+    curl = F.regexp_replace(F.concat(canon_pre, rest), "/$", "")
+    canon = staged.select("doc_id", "url", curl.alias("curl"))
+    return canon.groupBy(
+        F.regexp_extract("curl", "https?://([^/]+)", 1).alias("host")
+    ).agg(
+        F.count(F.lit(1)).alias("n_urls"),
+        F.countDistinct("url").cast("bigint").alias("n_distinct_raw"),
+        F.countDistinct("curl").cast("bigint").alias("n_canonical"),
+        F.round(
+            F.countDistinct("url").cast("double") / F.countDistinct("curl"), 6
+        ).alias("variant_factor"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-source document cap: bound any one source's share of the corpus
+# by keeping its hash-top-K documents — the anti-monoculture control
+# beside temperature mixing (a single crawled domain must not swamp
+# the mixture no matter how big its dump is).
+# ---------------------------------------------------------------------------
+
+_CAP_K = 300
+
+_CAP_SQL = f"""
+WITH ranked AS (
+  SELECT source, doc_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY {portable_hash64_sql('doc_id', seed='cap:')} ASC, doc_id ASC
+         ) AS rk
+  FROM documents
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN rk <= {_CAP_K} THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(COUNT(*) - SUM(CASE WHEN rk <= {_CAP_K} THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+FROM ranked GROUP BY source
+"""
+
+
+@register("per_source_capped_sample", _CAP_SQL)
+def q_per_source_capped_sample(spark, sf_dir):
+    """Per-source cap accounting: each source keeps its hash-smallest
+    {K} documents (a uniform, deterministic, append-stable choice —
+    the bottom-k rule applied per group), everything beyond the cap is
+    dropped.  Sources under the cap keep everything; dominant sources
+    are clipped — the hard ceiling that complements proportional
+    temperature mixing.
+
+    Scale plan: the rank window partitions by source (parallel across
+    sources; for a pathological mega-source the per-group bottom-K is
+    computed with the mergeable bottom-k aggregate instead of a full
+    sort — same result by construction).  Output is dim-sized."""
+    from ..functions.hashing import portable_hash64
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        portable_hash64("doc_id", seed="cap:").asc(), F.col("doc_id").asc()
+    )
+    ranked = docs.select("source", "doc_id", F.row_number().over(w).alias("rk"))
+    kept = F.when(F.col("rk") <= _CAP_K, 1).otherwise(0)
+    return ranked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(kept).cast("bigint").alias("n_kept"),
+        (F.count(F.lit(1)) - F.sum(kept)).cast("bigint").alias("n_dropped"),
     )
