@@ -180,3 +180,78 @@ def test_kcore_matches_brute_force_peel_and_converged(spark):
     assert row["n_core_edges"] == n_edges
     if len(alive):
         assert row["min_core_degree"] >= k  # fixpoint reached
+
+
+def test_welch_and_anova_match_python(spark):
+    """Welch t / one-way ANOVA against textbook-formula recomputation
+    in plain Python over the same table (shared-bug guard: the oracle
+    mirrors the engine's algorithm, these don't)."""
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT o_orderpriority, o_totalprice FROM read_parquet('{SF_DIR}/orders.parquet')"
+    ).fetchall()
+    groups: dict = {}
+    for g, v in rows:
+        groups.setdefault(g, []).append(v)
+
+    # Welch: urgent vs rest
+    urgent = groups.get("1-URGENT", [])
+    other = [v for g, vs in groups.items() if g != "1-URGENT" for v in vs]
+
+    def mv(xs):
+        n = len(xs)
+        m = sum(xs) / n
+        v = sum((x - m) ** 2 for x in xs) / (n - 1)
+        return n, m, v
+
+    n1, m1, v1 = mv(urgent)
+    n2, m2, v2 = mv(other)
+    se2 = v1 / n1 + v2 / n2
+    t = (m1 - m2) / math.sqrt(se2)
+    df = se2 * se2 / ((v1 / n1) ** 2 / (n1 - 1) + (v2 / n2) ** 2 / (n2 - 1))
+    r = REGISTRY["welch_ttest_urgent_orders"][0](spark, SF_DIR).collect()[0]
+    assert r["n_urgent"] == n1 and r["n_other"] == n2
+    assert abs(r["t_stat"] - t) < 1e-4, (r["t_stat"], t)
+    assert abs(r["df_welch"] - df) / df < 1e-6
+
+    # one-way ANOVA over all five priorities
+    nn = len(rows)
+    k = len(groups)
+    grand = sum(v for _, v in rows) / nn
+    ssb = sum(len(vs) * (sum(vs) / len(vs) - grand) ** 2 for vs in groups.values())
+    ssw = sum(
+        (x - sum(vs) / len(vs)) ** 2 for vs in groups.values() for x in vs
+    )
+    f = (ssb / (k - 1)) / (ssw / (nn - k))
+    eta2 = ssb / (ssb + ssw)
+    ra = REGISTRY["anova_oneway_priority"][0](spark, SF_DIR).collect()[0]
+    assert ra["n"] == nn and ra["n_groups"] == k
+    assert abs(ra["f_stat"] - f) < 1e-3, (ra["f_stat"], f)
+    assert abs(ra["eta_squared"] - eta2) < 1e-6
+
+
+def test_theil_sen_matches_python(spark):
+    """Median-of-slopes recomputed brute force (statistics.median uses
+    the same interpolated rule for even counts)."""
+    import statistics
+
+    con = duckdb.connect()
+    daily = con.execute(
+        f"""SELECT CAST(ts AS DATE) AS d, COUNT(*) FROM
+            read_parquet('{SF_DIR}/events.parquet') GROUP BY 1 ORDER BY 1"""
+    ).fetchall()
+    d0 = min(d for d, _ in daily)
+    pts = [((d - d0).days, c) for d, c in daily]
+    slopes = [
+        (cb - ca) / (xb - xa)
+        for i, (xa, ca) in enumerate(pts)
+        for xb, cb in pts[i + 1 :]
+        if xb > xa
+    ]
+    slope = statistics.median(slopes)
+    r = REGISTRY["theil_sen_daily_trend"][0](spark, SF_DIR).collect()[0]
+    assert r["n_days"] == len(pts)
+    assert r["n_pairs"] == len(slopes)
+    assert abs(r["slope_per_day"] - slope) < 1e-5
+    intercept = statistics.median(c - round(slope, 6) * x for x, c in pts)
+    assert abs(r["intercept"] - intercept) < 1e-5
