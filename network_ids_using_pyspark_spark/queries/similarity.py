@@ -484,3 +484,188 @@ def q_matryoshka_truncation_recall(spark, sf_dir):
             F.round(F.col(f"hits_{d}").cast("double") / _MRL_K, 6),
         )
     return out
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) with asymmetric distance (ADC): the
+# memory-bound ANN standard — each vector compresses to M sub-space
+# code ids; query distances are M table lookups instead of a D-dim
+# scan.  Codebooks here are the deterministic first-CODES subvectors
+# (the IVF centroid trick), swapped for per-subspace KMeans in
+# production with zero dataflow change.
+# ---------------------------------------------------------------------------
+
+_PQ_M = 4          # subspaces
+_PQ_CODES = 16     # codewords per subspace
+_PQ_DSUB = 16      # 64-dim fixture / 4
+_PQ_K = 5
+_PQ_NQ = 8
+
+# squared L2 via three dot products, SAME op order both engines:
+# (dot_aa - 2*dot_ab) + dot_bb
+_L2 = "((list_dot_product({a}, {a}) - 2 * list_dot_product({a}, {b})) + list_dot_product({b}, {b}))"
+
+
+def _pq_sql() -> str:
+    l2 = _L2
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    subs AS (
+      SELECT vec_id, m,
+             v[(m * {_PQ_DSUB} + 1):((m + 1) * {_PQ_DSUB})] AS sub
+      FROM e CROSS JOIN (SELECT unnest(range(0, {_PQ_M})) AS m)
+    ),
+    cb AS (
+      SELECT m, CAST(vec_id AS BIGINT) AS j, sub AS w FROM subs WHERE vec_id < {_PQ_CODES}
+    ),
+    codes AS (
+      SELECT vec_id, m, j AS code, d FROM (
+        SELECT s.vec_id, s.m, cb.j,
+               {l2.format(a='s.sub', b='cb.w')} AS d,
+               ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+                 ORDER BY {l2.format(a='s.sub', b='cb.w')} ASC, cb.j ASC) AS ark
+        FROM subs s JOIN cb USING (m)
+      ) WHERE ark = 1
+    ),
+    qd AS (
+      SELECT s.vec_id AS q_vec_id, s.m, cb.j,
+             round({l2.format(a='s.sub', b='cb.w')}, 9) AS dq
+      FROM subs s JOIN cb USING (m)
+      WHERE s.vec_id < {_PQ_NQ}
+    ),
+    adc AS (
+      SELECT qd.q_vec_id, c.vec_id AS cand_vec_id,
+             CAST(CAST(SUM(CAST(qd.dq AS DECIMAL(38, 9))) AS VARCHAR) AS DOUBLE) AS approx_d
+      FROM codes c JOIN qd ON c.m = qd.m AND c.code = qd.j
+      WHERE c.vec_id <> qd.q_vec_id
+      GROUP BY 1, 2
+    ),
+    pq_top AS (
+      SELECT q_vec_id, cand_vec_id FROM (
+        SELECT q_vec_id, cand_vec_id,
+               ROW_NUMBER() OVER (PARTITION BY q_vec_id
+                 ORDER BY approx_d ASC, cand_vec_id ASC) AS rk
+        FROM adc
+      ) WHERE rk <= {_PQ_K}
+    ),
+    exact_top AS (
+      SELECT q_vec_id, cand_vec_id FROM (
+        SELECT q.vec_id AS q_vec_id, c.vec_id AS cand_vec_id,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                 ORDER BY {l2.format(a='q.v', b='c.v')} ASC, c.vec_id ASC) AS rk
+        FROM e q CROSS JOIN e c
+        WHERE q.vec_id < {_PQ_NQ} AND c.vec_id <> q.vec_id
+      ) WHERE rk <= {_PQ_K}
+    )
+    SELECT x.q_vec_id,
+           CAST(COUNT(p.cand_vec_id) AS BIGINT) AS n_hit,
+           round(CAST(COUNT(p.cand_vec_id) AS DOUBLE) / {_PQ_K}, 6) AS recall_at_{_PQ_K}
+    FROM exact_top x
+    LEFT JOIN pq_top p
+      ON x.q_vec_id = p.q_vec_id AND x.cand_vec_id = p.cand_vec_id
+    GROUP BY x.q_vec_id
+    """
+
+
+@register("pq_adc_recall", _pq_sql())
+def q_pq_adc_recall(spark, sf_dir):
+    """Product quantization end to end, recall-audited: 64-dim vectors
+    compress to {M} sub-space codes ({CODES} codewords each, ≈
+    D·8 bytes → M·log2(CODES) bits); queries rank candidates by the
+    asymmetric distance (sum of M precomputed query-to-codeword
+    table entries, each quantized at 1e-9 and summed in DECIMAL so the
+    M-term sum is order-free); output is per-query recall@5 against
+    the exact-L2 top-5.  Honest-recall discipline of `ann_recall_eval`
+    applied to the compression path.
+
+    Scale plan: encoding is a candidate × (M·CODES) broadcast join —
+    map-side, one pass, then the corpus is M small ints per vector;
+    the ADC table is |queries|·M·CODES rows (broadcast); serving
+    touches codes only — the 100 TB corpus is never rescanned at query
+    time.  Codebooks: deterministic first-{CODES} subvectors here,
+    per-subspace KMeans in production (dataflow unchanged)."""
+    from ..operators.similarity import dot
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", as_double_array("embedding").alias("v"))
+    ms = e.sparkSession.range(_PQ_M).select(F.col("id").cast("int").alias("m"))
+    subs = e.crossJoin(F.broadcast(ms)).select(
+        "vec_id",
+        "m",
+        F.expr(f"slice(v, m * {_PQ_DSUB} + 1, {_PQ_DSUB})").alias("sub"),
+    )
+    cb = subs.filter(F.col("vec_id") < _PQ_CODES).select(
+        "m", F.col("vec_id").alias("j"), F.col("sub").alias("w")
+    )
+
+    def l2(a, b):
+        return (dot(a, a) - 2 * dot(a, b)) + dot(b, b)
+
+    paired = subs.join(F.broadcast(cb), "m")
+    d = l2(F.col("sub"), F.col("w"))
+    from pyspark.sql import Window
+
+    w_ark = Window.partitionBy("vec_id", "m").orderBy(d.asc(), F.col("j").asc())
+    codes = (
+        paired.select("vec_id", "m", "j", F.row_number().over(w_ark).alias("ark"))
+        .filter(F.col("ark") == 1)
+        .select("vec_id", "m", F.col("j").alias("code"))
+    )
+    qd = (
+        subs.filter(F.col("vec_id") < _PQ_NQ)
+        .join(F.broadcast(cb), "m")
+        .select(
+            F.col("vec_id").alias("q_vec_id"),
+            "m",
+            "j",
+            F.round(l2(F.col("sub"), F.col("w")), 9).alias("dq"),
+        )
+    )
+    adc = (
+        codes.join(
+            F.broadcast(qd),
+            (codes.m == qd.m) & (codes.code == qd.j) & (codes.vec_id != qd.q_vec_id),
+        )
+        .groupBy("q_vec_id", F.col("vec_id").alias("cand_vec_id"))
+        .agg(
+            F.sum(F.col("dq").cast("decimal(38, 9)"))
+            .cast("string")
+            .cast("double")
+            .alias("approx_d")
+        )
+    )
+    w_pq = Window.partitionBy("q_vec_id").orderBy(
+        F.col("approx_d").asc(), F.col("cand_vec_id").asc()
+    )
+    pq_top = (
+        adc.select("q_vec_id", "cand_vec_id", F.row_number().over(w_pq).alias("rk"))
+        .filter(F.col("rk") <= _PQ_K)
+        .select("q_vec_id", "cand_vec_id")
+    )
+    q = e.filter(F.col("vec_id") < _PQ_NQ).select(
+        F.col("vec_id").alias("q_vec_id"), F.col("v").alias("qv")
+    )
+    c = e.select(F.col("vec_id").alias("cand_vec_id"), F.col("v").alias("cv"))
+    ex = q.crossJoin(c).filter(F.col("cand_vec_id") != F.col("q_vec_id"))
+    w_ex = Window.partitionBy("q_vec_id").orderBy(
+        l2(F.col("qv"), F.col("cv")).asc(), F.col("cand_vec_id").asc()
+    )
+    exact_top = (
+        ex.select("q_vec_id", "cand_vec_id", F.row_number().over(w_ex).alias("rk"))
+        .filter(F.col("rk") <= _PQ_K)
+        .select("q_vec_id", "cand_vec_id")
+    )
+    hit = exact_top.join(
+        pq_top.withColumnRenamed("cand_vec_id", "p_cand").withColumnRenamed(
+            "q_vec_id", "p_q"
+        ),
+        (F.col("q_vec_id") == F.col("p_q"))
+        & (F.col("cand_vec_id") == F.col("p_cand")),
+        "left",
+    )
+    return hit.groupBy("q_vec_id").agg(
+        F.count("p_cand").cast("long").alias("n_hit"),
+        F.round(F.count("p_cand").cast("double") / _PQ_K, 6).alias(
+            f"recall_at_{_PQ_K}"
+        ),
+    )
