@@ -2064,3 +2064,252 @@ def q_theil_sen_daily_trend(spark, sf_dir):
     return med.crossJoin(F.broadcast(resid)).select(
         "n_days", "n_pairs", F.col("slope").alias("slope_per_day"), "intercept"
     )
+
+
+# ---------------------------------------------------------------------------
+# OLS regression as pure dataflow, oracle-checked end to end: one scan
+# builds the normal-equation moments as EXACT decimals (the features
+# are small integers, so every cross-moment is an exact decimal
+# product — no quantization anywhere), then the 3x3 system solves in
+# closed form with identical double-op order on both engines.  What
+# MLlib's LinearRegression does iteratively, certified exactly.
+# ---------------------------------------------------------------------------
+
+# shared closed-form solve (adjugate / determinant) over the moment
+# names — ONE template generates both engines so the formulas cannot
+# drift apart.  Matrix: [[n,s1,s2],[s1,s11,s12],[s2,s12,s22]]; rhs:
+# [sy, s1y, s2y].
+_OLS_DET = "(n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2) + s2 * (s1 * s12 - s11 * s2))"
+_OLS_B0 = f"((sy * (s11 * s22 - s12 * s12) - s1y * (s1 * s22 - s12 * s2) + s2y * (s1 * s12 - s11 * s2)) / {_OLS_DET})"
+_OLS_B1 = f"((n * (s1y * s22 - s12 * s2y) - s1 * (sy * s22 - s2y * s2) + s2 * (sy * s12 - s1y * s2)) / {_OLS_DET})"
+_OLS_B2 = f"((n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - sy * s12) + s2 * (s1 * s1y - sy * s11)) / {_OLS_DET})"
+_OLS_SSE = f"(syy - ({_OLS_B0} * sy + {_OLS_B1} * s1y + {_OLS_B2} * s2y))"
+_OLS_SST = "(syy - sy * sy / n)"
+
+_OLS_SQL = f"""
+WITH m AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(CAST(SUM(x1) AS VARCHAR) AS DOUBLE) AS s1,
+         CAST(CAST(SUM(x2) AS VARCHAR) AS DOUBLE) AS s2,
+         CAST(CAST(SUM(x1 * x1) AS VARCHAR) AS DOUBLE) AS s11,
+         CAST(CAST(SUM(x1 * x2) AS VARCHAR) AS DOUBLE) AS s12,
+         CAST(CAST(SUM(x2 * x2) AS VARCHAR) AS DOUBLE) AS s22,
+         CAST(CAST(SUM(y) AS VARCHAR) AS DOUBLE) AS sy,
+         CAST(CAST(SUM(x1 * y) AS VARCHAR) AS DOUBLE) AS s1y,
+         CAST(CAST(SUM(x2 * y) AS VARCHAR) AS DOUBLE) AS s2y,
+         CAST(CAST(SUM(y * y) AS VARCHAR) AS DOUBLE) AS syy
+  FROM (
+    SELECT CAST(EXTRACT(month FROM CAST(o_orderdate AS DATE)) AS BIGINT) AS x1,
+           CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS x2,
+           CAST(o_totalprice AS DECIMAL(30, 6)) AS y
+    FROM orders
+  )
+)
+SELECT CAST(n AS BIGINT) AS n,
+       round({_OLS_B0}, 6) AS b_intercept,
+       round({_OLS_B1}, 6) AS b_month,
+       round({_OLS_B2}, 6) AS b_urgent,
+       round(1.0 - {_OLS_SSE} / {_OLS_SST}, 6) AS r_squared
+FROM m
+"""
+
+
+@register("ols_regression_exact", _OLS_SQL)
+def q_ols_regression_exact(spark, sf_dir):
+    """Ordinary least squares, trained in ONE aggregate: y =
+    o_totalprice on (order month, urgent flag).  Because both features
+    are small integers, every normal-equation moment (Σx, Σx², Σxy,
+    Σy²) accumulates as an EXACT decimal — zero quantization, zero
+    float-order sensitivity — and the closed-form 3×3 solve
+    (adjugate/det) runs the same double expression tree on both
+    engines, generated from one template so the formulas cannot drift.
+    Outputs: coefficients and R² (all O(1)-magnitude after the final
+    divide).
+
+    Scale plan: training IS one map-side-combined aggregate over the
+    fact scan — the cheapest possible 'fit' at 100 TB (what MLlib's
+    LinearRegression needs iterative passes for, p=2 needs none).  The
+    same moment template extends to any p with p²/2 decimal sums."""
+    o = load_table(spark, sf_dir, "orders")
+    to_d = lambda c: c.cast("string").cast("double")  # noqa: E731
+    src = o.select(
+        F.month(F.col("o_orderdate").cast("date")).cast("long").alias("x1"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0).alias("x2"),
+        F.col("o_totalprice").cast("decimal(30, 6)").alias("y"),
+    )
+    m = src.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        to_d(F.sum("x1")).alias("s1"),
+        to_d(F.sum("x2")).alias("s2"),
+        to_d(F.sum(F.col("x1") * F.col("x1"))).alias("s11"),
+        to_d(F.sum(F.col("x1") * F.col("x2"))).alias("s12"),
+        to_d(F.sum(F.col("x2") * F.col("x2"))).alias("s22"),
+        to_d(F.sum("y")).alias("sy"),
+        to_d(F.sum(F.col("x1") * F.col("y"))).alias("s1y"),
+        to_d(F.sum(F.col("x2") * F.col("y"))).alias("s2y"),
+        to_d(F.sum(F.col("y") * F.col("y"))).alias("syy"),
+    )
+    return m.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(F.expr(_OLS_B0), 6).alias("b_intercept"),
+        F.round(F.expr(_OLS_B1), 6).alias("b_month"),
+        F.round(F.expr(_OLS_B2), 6).alias("b_urgent"),
+        F.round(F.expr(f"1.0 - {_OLS_SSE} / {_OLS_SST}"), 6).alias("r_squared"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Logistic regression by unrolled IRLS (Newton) — oracle-checked GLM
+# TRAINING as pure dataflow.  Each iteration: one scan computes the
+# weighted normal-equation moments (every per-row term quantized at
+# 1e-9 and summed in DECIMAL, so row order never matters), the 3x3
+# Newton step solves with the SAME adjugate template as OLS, and the
+# sigmoid is quantized to the 1e-9 grid so exp() library differences
+# can't leak through.  Three iterations unrolled on both engines.
+# ---------------------------------------------------------------------------
+
+_IRLS_T = 3
+
+# sigmoid on the 1e-9 grid, clamped away from {0,1} for the log-loss
+_IRLS_P = (
+    "least(greatest(round(1.0 / (1.0 + exp(-(b0 + b1 * x1 + b2 * x2))), 9),"
+    " 0.000000001), 0.999999999)"
+)
+
+_IRLS_SRC = """
+  SELECT CAST(EXTRACT(month FROM CAST(o_orderdate AS DATE)) AS BIGINT) AS x1,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS x2,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+  FROM orders
+"""
+
+
+def _irls_q9_sum(term: str) -> str:
+    return (
+        f"CAST(CAST(SUM(CAST(round({term}, 9) AS DECIMAL(38, 9))) AS VARCHAR)"
+        " AS DOUBLE)"
+    )
+
+
+def _irls_sql(iters: int = _IRLS_T) -> str:
+    parts = [f"s AS ({_IRLS_SRC})", "b0_ AS (SELECT 0.0 AS b0, 0.0 AS b1, 0.0 AS b2)"]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"r{i} AS (SELECT x1, x2, y, {_IRLS_P} AS p, b0, b1, b2 "
+            f"FROM s CROSS JOIN b{i-1}_)"
+        )
+        # moment names chosen to REUSE the OLS adjugate/det template:
+        # H -> (n,s1,s2,s11,s12,s22), g -> (sy,s1y,s2y)
+        parts.append(
+            f"a{i} AS (SELECT ANY_VALUE(b0) AS b0, ANY_VALUE(b1) AS b1, ANY_VALUE(b2) AS b2, "
+            f"{_irls_q9_sum('p * (1.0 - p)')} AS n, "
+            f"{_irls_q9_sum('p * (1.0 - p) * x1')} AS s1, "
+            f"{_irls_q9_sum('p * (1.0 - p) * x2')} AS s2, "
+            f"{_irls_q9_sum('p * (1.0 - p) * x1 * x1')} AS s11, "
+            f"{_irls_q9_sum('p * (1.0 - p) * x1 * x2')} AS s12, "
+            f"{_irls_q9_sum('p * (1.0 - p) * x2 * x2')} AS s22, "
+            f"{_irls_q9_sum('(y - p)')} AS sy, "
+            f"{_irls_q9_sum('(y - p) * x1')} AS s1y, "
+            f"{_irls_q9_sum('(y - p) * x2')} AS s2y "
+            f"FROM r{i})"
+        )
+        parts.append(
+            f"b{i}_ AS (SELECT b0 + {_OLS_B0} AS b0, b1 + {_OLS_B1} AS b1, "
+            f"b2 + {_OLS_B2} AS b2 FROM a{i})"
+        )
+    t = iters
+    parts.append(
+        f"rf AS (SELECT x1, x2, y, {_IRLS_P} AS p FROM s CROSS JOIN b{t}_)"
+    )
+    parts.append(
+        "loss AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+        + _irls_q9_sum(
+            "y * round(ln(p), 9) + (1 - y) * round(ln(1.0 - p), 9)"
+        )
+        + " AS ll FROM rf)"
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT l.n,
+       round(b.b0, 6) AS b_intercept,
+       round(b.b1, 6) AS b_month,
+       round(b.b2, 6) AS b_urgent,
+       round(-l.ll / l.n, 6) AS log_loss
+FROM b{t}_ b CROSS JOIN loss l
+"""
+    )
+
+
+@register("logreg_irls_exact", _irls_sql())
+def q_logreg_irls_exact(spark, sf_dir):
+    """Logistic regression (is the order finished?) on (month, urgent)
+    trained by three unrolled Newton/IRLS steps — distributed GLM
+    training certified through the full oracle gate, which MLlib's
+    rows-only LogisticRegression cannot be.  Per iteration: ONE fact
+    scan reduces to nine weighted moments (each row term quantized at
+    1e-9 → DECIMAL sum → double, so partition order can't move a bit),
+    and the Newton step is the same closed-form 3×3 adjugate solve as
+    `ols_regression_exact` — one shared template, two consumers.  The
+    sigmoid and the final log-loss quantize every transcendental to
+    the 1e-9 grid (the engine's standard discipline), with p clamped
+    off {0,1}.
+
+    Scale plan: T iterations = T map-side-combined aggregates over the
+    scan — no gradient state, no driver-side vectors beyond the 3
+    coefficients riding a 1-row broadcast.  Convergence is textbook
+    Newton (quadratic near the optimum; the unit test pins the fit
+    against scikit-free numpy IRLS run to convergence)."""
+    o = load_table(spark, sf_dir, "orders")
+    to_d = lambda c: c.cast("string").cast("double")  # noqa: E731
+    src = o.select(
+        F.month(F.col("o_orderdate").cast("date")).cast("long").alias("x1"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0).alias("x2"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
+    )
+
+    def q9_sum(term):
+        return to_d(F.sum(F.round(term, 9).cast("decimal(38, 9)")))
+
+    beta = src.sparkSession.range(1).select(
+        F.lit(0.0).alias("b0"), F.lit(0.0).alias("b1"), F.lit(0.0).alias("b2")
+    )
+    p_expr = F.expr(_IRLS_P)
+    for _ in range(_IRLS_T):
+        r = src.crossJoin(F.broadcast(beta)).withColumn("p", p_expr)
+        w = F.col("p") * (1.0 - F.col("p"))
+        resid = F.col("y") - F.col("p")
+        a = r.agg(
+            F.first("b0").alias("b0"),
+            F.first("b1").alias("b1"),
+            F.first("b2").alias("b2"),
+            q9_sum(w).alias("n"),
+            q9_sum(w * F.col("x1")).alias("s1"),
+            q9_sum(w * F.col("x2")).alias("s2"),
+            q9_sum(w * F.col("x1") * F.col("x1")).alias("s11"),
+            q9_sum(w * F.col("x1") * F.col("x2")).alias("s12"),
+            q9_sum(w * F.col("x2") * F.col("x2")).alias("s22"),
+            q9_sum(resid).alias("sy"),
+            q9_sum(resid * F.col("x1")).alias("s1y"),
+            q9_sum(resid * F.col("x2")).alias("s2y"),
+        )
+        beta = a.select(
+            (F.col("b0") + F.expr(_OLS_B0)).alias("b0"),
+            (F.col("b1") + F.expr(_OLS_B1)).alias("b1"),
+            (F.col("b2") + F.expr(_OLS_B2)).alias("b2"),
+        )
+    rf = src.crossJoin(F.broadcast(beta)).withColumn("p", p_expr)
+    ll_term = F.col("y") * F.round(F.log("p"), 9) + (1 - F.col("y")) * F.round(
+        F.log(1.0 - F.col("p")), 9
+    )
+    loss = rf.agg(
+        F.count(F.lit(1)).cast("long").alias("n"), q9_sum(ll_term).alias("ll")
+    )
+    return beta.crossJoin(F.broadcast(loss)).select(
+        "n",
+        F.round("b0", 6).alias("b_intercept"),
+        F.round("b1", 6).alias("b_month"),
+        F.round("b2", 6).alias("b_urgent"),
+        F.round(-F.col("ll") / F.col("n"), 6).alias("log_loss"),
+    )

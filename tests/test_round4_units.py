@@ -255,3 +255,65 @@ def test_theil_sen_matches_python(spark):
     assert abs(r["slope_per_day"] - slope) < 1e-5
     intercept = statistics.median(c - round(slope, 6) * x for x, c in pts)
     assert abs(r["intercept"] - intercept) < 1e-5
+
+
+def test_ols_matches_numpy_lstsq(spark):
+    """Closed-form OLS against numpy's QR-based lstsq on the same
+    design matrix (entirely different algorithm and library)."""
+    import numpy as np
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""SELECT CAST(EXTRACT(month FROM CAST(o_orderdate AS DATE)) AS BIGINT),
+                   CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END,
+                   o_totalprice
+            FROM read_parquet('{SF_DIR}/orders.parquet')"""
+    ).fetchall()
+    X = np.array([[1.0, r[0], r[1]] for r in rows])
+    y = np.array([r[2] for r in rows])
+    beta, *_ = np.linalg.lstsq(X, y, rcond=None)
+    pred = X @ beta
+    sse = float(((y - pred) ** 2).sum())
+    sst = float(((y - y.mean()) ** 2).sum())
+    r2 = 1 - sse / sst
+    r = REGISTRY["ols_regression_exact"][0](spark, SF_DIR).collect()[0]
+    assert r["n"] == len(rows)
+    assert abs(r["b_intercept"] - beta[0]) < 1e-3
+    assert abs(r["b_month"] - beta[1]) < 1e-4
+    assert abs(r["b_urgent"] - beta[2]) < 1e-4
+    assert abs(r["r_squared"] - r2) < 1e-6
+
+
+def test_logreg_irls_matches_numpy_newton(spark):
+    """Three engine IRLS steps vs numpy Newton run to convergence —
+    Newton is quadratically convergent on this well-conditioned 2-
+    feature problem, so 3 steps should land within ~1e-3 of the MLE."""
+    import numpy as np
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""SELECT CAST(EXTRACT(month FROM CAST(o_orderdate AS DATE)) AS BIGINT),
+                   CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END,
+                   CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END
+            FROM read_parquet('{SF_DIR}/orders.parquet')"""
+    ).fetchall()
+    X = np.array([[1.0, r[0], r[1]] for r in rows])
+    y = np.array([float(r[2]) for r in rows])
+    beta = np.zeros(3)
+    for _ in range(25):
+        p = 1.0 / (1.0 + np.exp(-(X @ beta)))
+        W = p * (1 - p)
+        H = X.T @ (X * W[:, None])
+        g = X.T @ (y - p)
+        step = np.linalg.solve(H, g)
+        beta = beta + step
+        if np.abs(step).max() < 1e-12:
+            break
+    p = 1.0 / (1.0 + np.exp(-(X @ beta)))
+    ll = -np.mean(y * np.log(p) + (1 - y) * np.log(1 - p))
+    r = REGISTRY["logreg_irls_exact"][0](spark, SF_DIR).collect()[0]
+    assert r["n"] == len(rows)
+    assert abs(r["b_intercept"] - beta[0]) < 2e-3
+    assert abs(r["b_month"] - beta[1]) < 2e-3
+    assert abs(r["b_urgent"] - beta[2]) < 2e-3
+    assert abs(r["log_loss"] - ll) < 1e-4
