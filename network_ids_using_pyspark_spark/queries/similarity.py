@@ -669,3 +669,128 @@ def q_pq_adc_recall(spark, sf_dir):
             f"recall_at_{_PQ_K}"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Lloyd's k-means, unrolled and oracle-checked: deterministic first-K
+# init, argmin assignment with id tiebreak, per-dimension DECIMAL-mean
+# centroid updates — the algorithm `mllib_kmeans_*` runs as a rows-only
+# twin, here certified through the full value-hash gate.
+# ---------------------------------------------------------------------------
+
+_KM_K = 8
+_KM_T = 3
+
+_KM_L2 = "((list_dot_product({a}, {a}) - 2 * list_dot_product({a}, {b})) + list_dot_product({b}, {b}))"
+
+
+def _kmeans_sql(k: int = _KM_K, iters: int = _KM_T) -> str:
+    parts = [
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        f"c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {k})",
+    ]
+    for i in range(1, iters + 1):
+        d = _KM_L2.format(a="e.v", b="c.cv")
+        parts.append(
+            f"a{i} AS (SELECT vec_id, v, cid FROM ("
+            f"SELECT e.vec_id, e.v, c.cid, "
+            f"ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY {d} ASC, c.cid ASC) AS rk "
+            f"FROM e CROSS JOIN c{i-1} c) WHERE rk = 1)"
+        )
+        # per-dimension decimal-exact mean, array rebuilt in dim order
+        parts.append(
+            f"c{i} AS (SELECT cid, list(m ORDER BY dim) AS cv FROM ("
+            f"SELECT cid, dim, CAST(CAST(SUM(CAST(val AS DECIMAL(38, 12))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS m "
+            f"FROM (SELECT cid, t.dim, v[t.dim] AS val FROM a{i} "
+            f"CROSS JOIN (SELECT unnest(range(1, len((SELECT v FROM e LIMIT 1)) + 1)) AS dim) t) "
+            f"GROUP BY cid, dim) GROUP BY cid)"
+        )
+    t = iters
+    dfin = _KM_L2.format(a="a.v", b="c.cv")
+    parts.append(
+        f"scored AS (SELECT a.cid, round({dfin}, 9) AS d2 "
+        f"FROM a{t} a JOIN c{t} c USING (cid))"
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + """
+SELECT CAST(cid AS BIGINT) AS cid, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(CAST(SUM(CAST(d2 AS DECIMAL(38, 9))) AS VARCHAR) AS DOUBLE) AS wcss
+FROM scored GROUP BY cid
+"""
+    )
+
+
+@register("kmeans_lloyd_exact", _kmeans_sql())
+def q_kmeans_lloyd_exact(spark, sf_dir):
+    """Lloyd's k-means over the embeddings (k=8, 3 unrolled
+    iterations): deterministic first-k init, squared-L2 argmin
+    assignment (cid tiebreak), centroid update as per-dimension
+    DECIMAL-exact means — every float the two engines compare is
+    produced by the same expression tree, so the final cluster sizes
+    AND within-cluster sum of squares hash-match exactly.  The
+    rows-only `mllib_kmeans_*` twins certify the library; this
+    certifies the ALGORITHM.
+
+    Scale plan: per iteration, assignment is a k-row broadcast cross
+    join + argmin (map-side; the window partitions by vec_id), and the
+    update is one (cid, dim)-keyed decimal aggregate — k·D cells.
+    The posexplode fans each vector to D rows only inside the update
+    aggregate, map-side combined; nothing quadratic anywhere."""
+    from pyspark.sql import Window
+
+    from ..operators.similarity import dot
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", as_double_array("embedding").alias("v"))
+    cents = e.filter(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+
+    def l2(a, b):
+        return (dot(a, a) - 2 * dot(a, b)) + dot(b, b)
+
+    assigned = None
+    for _ in range(_KM_T):
+        paired = e.crossJoin(F.broadcast(cents))
+        w = Window.partitionBy("vec_id").orderBy(
+            l2(F.col("v"), F.col("cv")).asc(), F.col("cid").asc()
+        )
+        assigned = (
+            paired.select("vec_id", "v", "cid", F.row_number().over(w).alias("rk"))
+            .filter(F.col("rk") == 1)
+            .select("vec_id", "v", "cid")
+        )
+        dims = assigned.select(
+            "cid", F.posexplode("v").alias("dim", "val")
+        )
+        means = dims.groupBy("cid", "dim").agg(
+            (
+                F.sum(F.col("val").cast("decimal(38, 12)"))
+                .cast("string")
+                .cast("double")
+                / F.count(F.lit(1))
+            ).alias("m")
+        )
+        cents = (
+            means.groupBy("cid")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("dim", "m"))
+                ).alias("dm")
+            )
+            .select(
+                "cid", F.transform("dm", lambda s: s["m"]).alias("cv")
+            )
+        )
+    scored = assigned.join(cents, "cid").select(
+        "cid", F.round(l2(F.col("v"), F.col("cv")), 9).alias("d2")
+    )
+    return scored.groupBy("cid").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("d2").cast("decimal(38, 9)"))
+        .cast("string")
+        .cast("double")
+        .alias("wcss"),
+    ).select(F.col("cid").cast("long").alias("cid"), "n", "wcss")

@@ -317,3 +317,40 @@ def test_logreg_irls_matches_numpy_newton(spark):
     assert abs(r["b_month"] - beta[1]) < 2e-3
     assert abs(r["b_urgent"] - beta[2]) < 2e-3
     assert abs(r["log_loss"] - ll) < 1e-4
+
+
+def test_kmeans_lloyd_matches_numpy(spark):
+    """Engine Lloyd's vs a numpy reimplementation: same init, same
+    tiebreak, same iteration count — sizes equal, WCSS within 1e-6
+    relative."""
+    import numpy as np
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""SELECT vec_id, CAST(embedding AS DOUBLE[])
+            FROM read_parquet('{SF_DIR}/embeddings.parquet') ORDER BY vec_id"""
+    ).fetchall()
+    ids = np.array([r[0] for r in rows])
+    X = np.array([r[1] for r in rows])
+    k, iters = 8, 3
+    C = X[ids < k].copy()
+    for _ in range(iters):
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)  # argmin takes the lowest index on ties
+        for c in range(k):
+            if (assign == c).any():
+                C[c] = X[assign == c].mean(axis=0)
+    d2 = ((X - C[assign]) ** 2).sum(axis=1)
+    expected = {
+        c: (int((assign == c).sum()), float(d2[assign == c].sum()))
+        for c in range(k)
+        if (assign == c).any()
+    }
+    got = {
+        r["cid"]: (r["n"], r["wcss"])
+        for r in REGISTRY["kmeans_lloyd_exact"][0](spark, SF_DIR).collect()
+    }
+    assert set(got) == set(expected)
+    for c, (n, wcss) in expected.items():
+        assert got[c][0] == n, (c, got[c][0], n)
+        assert abs(got[c][1] - wcss) / max(wcss, 1e-9) < 1e-6
