@@ -9,7 +9,13 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from ..functions.hashing import HASH_SPACE, portable_hash64, portable_hash64_sql
+from ..functions.hashing import (
+    HASH_SPACE,
+    hash_bucket,
+    hash_bucket_sql,
+    portable_hash64,
+    portable_hash64_sql,
+)
 from ..sources.tables import load_table
 from . import register
 
@@ -2312,4 +2318,165 @@ def q_logreg_irls_exact(spark, sf_dir):
         F.round("b1", 6).alias("b_month"),
         F.round("b2", 6).alias("b_urgent"),
         F.round(-F.col("ll") / F.col("n"), 6).alias("log_loss"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gaussian Naive Bayes, trained AND applied through the oracle gate —
+# the certified twin of the reference's NaiveBayes stage (rows-only
+# `ml_train_nb` certifies the MLlib library; this certifies the
+# algorithm): per-class decimal moments -> quantized-log likelihoods ->
+# argmax classification of a hash-held-out test split -> confusion
+# counts.
+# ---------------------------------------------------------------------------
+
+_GNB_PI2 = "6.283185307179586"  # 2*pi as an exact literal on both engines
+
+
+def _gnb_sql() -> str:
+    split = hash_bucket_sql("o_orderkey", 10, seed="gnb:")
+    q9s = lambda t: (  # noqa: E731
+        f"CAST(CAST(SUM(CAST(round({t}, 9) AS DECIMAL(38, 9))) AS VARCHAR) AS DOUBLE)"
+    )
+    ll = (
+        "(prior_ln - 0.5 * (lnv1 + (x1 - m1) * (x1 - m1) / v1)"
+        " - 0.5 * (lnv2 + (x2 - m2) * (x2 - m2) / v2))"
+    )
+    return f"""
+WITH src AS (
+  SELECT o_orderkey, o_orderstatus AS cls,
+         CAST(EXTRACT(month FROM CAST(o_orderdate AS DATE)) AS DOUBLE) AS x1,
+         o_totalprice / 1000.0 AS x2,
+         ({split}) AS bkt
+  FROM orders
+),
+train AS (SELECT * FROM src WHERE bkt < 8),
+test AS (SELECT * FROM src WHERE bkt >= 8),
+stats AS (
+  SELECT cls, COUNT(*) AS n_c,
+         {q9s('x1')} / COUNT(*) AS m1,
+         {q9s('x1 * x1')} / COUNT(*) AS s11,
+         {q9s('x2')} / COUNT(*) AS m2,
+         {q9s('x2 * x2')} / COUNT(*) AS s22
+  FROM train GROUP BY cls
+),
+model AS (
+  SELECT cls, n_c,
+         round(ln(CAST(n_c AS DOUBLE) / (SELECT COUNT(*) FROM train)), 9) AS prior_ln,
+         m1, s11 - m1 * m1 AS v1,
+         round(ln({_GNB_PI2} * (s11 - m1 * m1)), 9) AS lnv1,
+         m2, s22 - m2 * m2 AS v2,
+         round(ln({_GNB_PI2} * (s22 - m2 * m2)), 9) AS lnv2
+  FROM stats
+),
+scored AS (
+  SELECT t.o_orderkey, t.cls AS actual, m.cls AS predicted,
+         ROW_NUMBER() OVER (PARTITION BY t.o_orderkey
+           ORDER BY {ll} DESC, m.cls ASC) AS rk
+  FROM test t CROSS JOIN model m
+)
+SELECT actual, predicted, CAST(COUNT(*) AS BIGINT) AS n
+FROM scored WHERE rk = 1
+GROUP BY actual, predicted
+"""
+
+
+@register("gnb_train_confusion_exact", _gnb_sql())
+def q_gnb_train_confusion_exact(spark, sf_dir):
+    """Gaussian Naive Bayes end to end: train per-class Gaussians of
+    (order month, price/1000) on the hash-80% split, classify the held
+    -out 20% by quantized-log-likelihood argmax (class-name tiebreak),
+    output the confusion matrix — the certified-exact counterpart of
+    the reference's NaiveBayes stage (modelling.py:139-151), whose
+    MLlib twin is necessarily rows-only.
+
+    Determinism: moments are 1e-9-quantized DECIMAL sums (row order
+    can't move a bit), each ln() is rounded to the same grid before it
+    enters the likelihood (libm differences can't leak), and the
+    remaining arithmetic is identical-double expressions — so the
+    argmax, and therefore every confusion cell, matches the oracle
+    exactly.
+
+    Scale plan: training is one grouped aggregate (|classes| rows);
+    scoring is a |classes|-row broadcast cross join + per-row argmax —
+    both map-side; the confusion rollup is |classes|² cells."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    to_d = lambda c: c.cast("string").cast("double")  # noqa: E731
+    src = o.select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("cls"),
+        F.month(F.col("o_orderdate").cast("date")).cast("double").alias("x1"),
+        (F.col("o_totalprice") / 1000.0).alias("x2"),
+        hash_bucket("o_orderkey", 10, seed="gnb:").alias("bkt"),
+    )
+    train = src.filter(F.col("bkt") < 8)
+    test = src.filter(F.col("bkt") >= 8)
+
+    def q9s(t):
+        return to_d(F.sum(F.round(t, 9).cast("decimal(38, 9)")))
+
+    stats = train.groupBy("cls").agg(
+        F.count(F.lit(1)).alias("n_c"),
+        (q9s(F.col("x1")) / F.count(F.lit(1))).alias("m1"),
+        (q9s(F.col("x1") * F.col("x1")) / F.count(F.lit(1))).alias("s11"),
+        (q9s(F.col("x2")) / F.count(F.lit(1))).alias("m2"),
+        (q9s(F.col("x2") * F.col("x2")) / F.count(F.lit(1))).alias("s22"),
+    )
+    n_train = train.agg(F.count(F.lit(1)).alias("n_train"))
+    pi2 = float(_GNB_PI2)
+    model = stats.crossJoin(F.broadcast(n_train)).select(
+        "cls",
+        F.round(F.log(F.col("n_c").cast("double") / F.col("n_train")), 9).alias(
+            "prior_ln"
+        ),
+        "m1",
+        (F.col("s11") - F.col("m1") * F.col("m1")).alias("v1"),
+        F.round(F.log(pi2 * (F.col("s11") - F.col("m1") * F.col("m1"))), 9).alias(
+            "lnv1"
+        ),
+        "m2",
+        (F.col("s22") - F.col("m2") * F.col("m2")).alias("v2"),
+        F.round(F.log(pi2 * (F.col("s22") - F.col("m2") * F.col("m2"))), 9).alias(
+            "lnv2"
+        ),
+    )
+    m = model
+    paired = test.crossJoin(
+        F.broadcast(
+            m.select(
+                F.col("cls").alias("mcls"),
+                "prior_ln",
+                "m1",
+                "v1",
+                "lnv1",
+                "m2",
+                "v2",
+                "lnv2",
+            )
+        )
+    )
+    ll = (
+        F.col("prior_ln")
+        - 0.5
+        * (
+            F.col("lnv1")
+            + (F.col("x1") - F.col("m1")) * (F.col("x1") - F.col("m1")) / F.col("v1")
+        )
+        - 0.5
+        * (
+            F.col("lnv2")
+            + (F.col("x2") - F.col("m2")) * (F.col("x2") - F.col("m2")) / F.col("v2")
+        )
+    )
+    w = Window.partitionBy("o_orderkey").orderBy(ll.desc(), F.col("mcls").asc())
+    scored = paired.select(
+        "o_orderkey",
+        F.col("cls").alias("actual"),
+        F.col("mcls").alias("predicted"),
+        F.row_number().over(w).alias("rk"),
+    ).filter(F.col("rk") == 1)
+    return scored.groupBy("actual", "predicted").agg(
+        F.count(F.lit(1)).alias("n")
     )

@@ -354,3 +354,50 @@ def test_kmeans_lloyd_matches_numpy(spark):
     for c, (n, wcss) in expected.items():
         assert got[c][0] == n, (c, got[c][0], n)
         assert abs(got[c][1] - wcss) / max(wcss, 1e-9) < 1e-6
+
+
+def test_gnb_matches_numpy(spark):
+    """Engine GNB confusion matrix vs a numpy reimplementation of
+    Gaussian NB with the same split, MLE variances, and tiebreak."""
+    import math as _m
+
+    import numpy as np
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""SELECT o_orderkey, o_orderstatus,
+                   CAST(EXTRACT(month FROM CAST(o_orderdate AS DATE)) AS DOUBLE),
+                   o_totalprice / 1000.0,
+                   CAST(concat('0x', substring(md5(concat('gnb:', CAST(o_orderkey AS VARCHAR))), 1, 15)) AS BIGINT) % 10
+            FROM read_parquet('{SF_DIR}/orders.parquet')"""
+    ).fetchall()
+    train = [(c, x1, x2) for _, c, x1, x2, b in rows if b < 8]
+    test = [(c, x1, x2) for _, c, x1, x2, b in rows if b >= 8]
+    classes = sorted({c for c, _, _ in train})
+    n = len(train)
+    model = {}
+    for c in classes:
+        xs = np.array([(x1, x2) for cc, x1, x2 in train if cc == c])
+        mu = xs.mean(axis=0)
+        var = xs.var(axis=0)  # MLE
+        model[c] = (_m.log(len(xs) / n), mu, var)
+    conf: dict = {}
+    for c, x1, x2 in test:
+        best, best_ll = None, None
+        for mc in classes:
+            pl, mu, var = model[mc]
+            ll = pl - 0.5 * sum(
+                _m.log(2 * _m.pi * var[i]) + (([x1, x2][i] - mu[i]) ** 2) / var[i]
+                for i in range(2)
+            )
+            if best_ll is None or ll > best_ll + 1e-12:
+                best, best_ll = mc, ll
+        conf[(c, best)] = conf.get((c, best), 0) + 1
+    got = {
+        (r["actual"], r["predicted"]): r["n"]
+        for r in REGISTRY["gnb_train_confusion_exact"][0](spark, SF_DIR).collect()
+    }
+    assert sum(got.values()) == len(test)
+    # allow a handful of boundary flips from the 1e-9 quantization
+    diff = sum(abs(got.get(k, 0) - conf.get(k, 0)) for k in set(got) | set(conf))
+    assert diff <= max(2, len(test) // 500), (diff, len(test))
