@@ -794,3 +794,135 @@ def q_kmeans_lloyd_exact(spark, sf_dir):
         .cast("double")
         .alias("wcss"),
     ).select(F.col("cid").cast("long").alias("cid"), "n", "wcss")
+
+
+# ---------------------------------------------------------------------------
+# PCA leading component by power iteration, oracle-checked: the
+# covariance matrix accumulates from 1e-9-quantized centered products
+# (row order free), then five unrolled matrix-vector steps with
+# quantized norms — certifying the algorithm behind the rows-only
+# `pca_embedding_variance` MLlib twin.
+# ---------------------------------------------------------------------------
+
+_PCA_D = 64
+_PCA_T = 5
+_PCA_TOP = 8
+
+
+def _pca_q9s(t: str) -> str:
+    return (
+        f"CAST(CAST(SUM(CAST(round({t}, 9) AS DECIMAL(38, 9))) AS VARCHAR)"
+        " AS DOUBLE)"
+    )
+
+
+def _pca_sql() -> str:
+    parts = [
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        f"dims AS (SELECT unnest(range(1, {_PCA_D + 1})) AS i)",
+        "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM e)",
+        f"m AS (SELECT d.i, {_pca_q9s('e.v[d.i]')} / ANY_VALUE(nn.n) AS mi "
+        "FROM e CROSS JOIN dims d CROSS JOIN nn GROUP BY d.i)",
+        "cells AS (SELECT e.vec_id, d.i, e.v[d.i] - m.mi AS c "
+        "FROM e CROSS JOIN dims d JOIN m ON m.i = d.i)",
+        f"cov AS MATERIALIZED (SELECT a.i, b.i AS j, {_pca_q9s('a.c * b.c')} / ANY_VALUE(nn.n) AS cij "
+        "FROM cells a JOIN cells b USING (vec_id) CROSS JOIN nn GROUP BY a.i, b.i)",
+        "w0 AS (SELECT i, 1.0 AS w FROM dims)",
+    ]
+    for t in range(1, _PCA_T + 1):
+        parts.append(
+            f"u{t} AS (SELECT cov.i, {_pca_q9s('cov.cij * w.w')} AS u "
+            f"FROM cov JOIN w{t-1} w ON w.i = cov.j GROUP BY cov.i)"
+        )
+        parts.append(
+            f"nm{t} AS (SELECT round(sqrt({_pca_q9s('u * u')}), 9) AS s FROM u{t})"
+        )
+        parts.append(
+            f"w{t} AS (SELECT u.i, u.u / nm.s AS w FROM u{t} u CROSS JOIN nm{t} nm)"
+        )
+    t = _PCA_T
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT CAST(i AS BIGINT) AS dim, round(w, 6) AS loading,
+       (SELECT round(s, 6) FROM nm{t}) AS eigenvalue
+FROM w{t}
+ORDER BY abs(w) DESC, i ASC LIMIT {_PCA_TOP}
+"""
+    )
+
+
+@register("pca_power_iteration_exact", _pca_sql())
+def q_pca_power_iteration_exact(spark, sf_dir):
+    """Leading principal component of the embedding covariance by five
+    unrolled power-iteration steps, bit-exact across engines: the
+    covariance accumulates from 1e-9-quantized centered products in
+    DECIMAL (partition order can't move a bit), each matvec re-
+    quantizes the same way, and the per-step norm rounds to the grid
+    before dividing — so the top-{_PCA_TOP} loadings and the Rayleigh
+    eigenvalue estimate hash-match exactly.  The rows-only MLlib
+    `pca_embedding_variance` twin certifies the library; this
+    certifies the algorithm.
+
+    Scale plan: the covariance is ONE pass over the (vector, dim)
+    cells — the self-join fans each vector to D² products map-side and
+    the aggregate reduces to D² cells; all five iterations then run on
+    the D²-row matrix relation (dim-sized, broadcast-joined with the
+    D-row vector).  At 10⁵+ dims you'd sketch (randomized SVD) — the
+    documented tradeoff, same as exact-vs-KLL quantiles."""
+    from ..operators.similarity import dot  # noqa: F401  (family marker)
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    to_d = lambda c: c.cast("string").cast("double")  # noqa: E731
+
+    def q9s(t):
+        return to_d(F.sum(F.round(t, 9).cast("decimal(38, 9)")))
+
+    e = emb.select("vec_id", as_double_array("embedding").alias("v"))
+    dims = e.sparkSession.range(1, _PCA_D + 1).select(
+        F.col("id").cast("int").alias("i")
+    )
+    nn = e.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    base = e.crossJoin(F.broadcast(dims)).select(
+        "vec_id", "i", F.element_at("v", F.col("i")).alias("xi")
+    )
+    m = (
+        base.crossJoin(F.broadcast(nn))
+        .groupBy("i")
+        .agg((q9s(F.col("xi")) / F.first("n")).alias("mi"))
+    )
+    cells = base.join(F.broadcast(m), "i").select(
+        "vec_id", "i", (F.col("xi") - F.col("mi")).alias("c")
+    )
+    a = cells.select("vec_id", F.col("i").alias("ai"), F.col("c").alias("ac"))
+    b = cells.select("vec_id", F.col("i").alias("j"), F.col("c").alias("bc"))
+    cov = (
+        a.join(b, "vec_id")
+        .crossJoin(F.broadcast(nn))
+        .groupBy(F.col("ai").alias("i"), "j")
+        .agg((q9s(F.col("ac") * F.col("bc")) / F.first("n")).alias("cij"))
+    )
+    cov = cov.localCheckpoint(eager=False)
+    w = dims.select("i", F.lit(1.0).alias("w"))
+    norm = None
+    for _ in range(_PCA_T):
+        u = (
+            cov.join(F.broadcast(w.withColumnRenamed("i", "j")), "j")
+            .groupBy("i")
+            .agg(q9s(F.col("cij") * F.col("w")).alias("u"))
+        )
+        norm = u.agg(F.round(F.sqrt(q9s(F.col("u") * F.col("u"))), 9).alias("s"))
+        w = u.crossJoin(F.broadcast(norm)).select(
+            "i", (F.col("u") / F.col("s")).alias("w")
+        )
+    return (
+        w.crossJoin(F.broadcast(norm))
+        .select(
+            F.col("i").cast("long").alias("dim"),
+            F.round("w", 6).alias("loading"),
+            F.round("s", 6).alias("eigenvalue"),
+        )
+        .orderBy(F.abs(F.col("loading")).desc(), F.col("dim").asc())
+        .limit(_PCA_TOP)
+    )

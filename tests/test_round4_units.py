@@ -401,3 +401,35 @@ def test_gnb_matches_numpy(spark):
     # allow a handful of boundary flips from the 1e-9 quantization
     diff = sum(abs(got.get(k, 0) - conf.get(k, 0)) for k in set(got) | set(conf))
     assert diff <= max(2, len(test) // 500), (diff, len(test))
+
+
+def test_pca_power_iteration_matches_numpy(spark):
+    """Algorithm parity: numpy running the SAME five power steps from
+    the all-ones start must land on the same loadings and norm (the
+    near-random fixture spectrum has lambda2/lambda1 ~ 0.93, so five
+    steps are honestly pre-convergence — the query certifies the
+    ITERATION, with a sanity band against the true top eigenvalue)."""
+    import numpy as np
+
+    con = duckdb.connect()
+    X = np.array(
+        [
+            r[0]
+            for r in con.execute(
+                f"SELECT CAST(embedding AS DOUBLE[]) FROM read_parquet('{SF_DIR}/embeddings.parquet')"
+            ).fetchall()
+        ]
+    )
+    C = np.cov(X.T, bias=True)
+    w = np.ones(64)
+    for _ in range(5):
+        u = C @ w
+        s = float(np.linalg.norm(u))
+        w = u / s
+    rows = REGISTRY["pca_power_iteration_exact"][0](spark, SF_DIR).collect()
+    assert abs(rows[0]["eigenvalue"] - s) < 1e-5, (rows[0]["eigenvalue"], s)
+    for r in rows:
+        assert abs(r["loading"] - w[r["dim"] - 1]) < 1e-5, r
+    # and the Rayleigh estimate is in the true top eigenvalue's band
+    top_val = float(np.linalg.eigvalsh(C)[-1])
+    assert 0.7 * top_val < rows[0]["eigenvalue"] <= top_val * 1.0001
