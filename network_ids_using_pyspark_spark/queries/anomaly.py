@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from ..functions.hashing import HASH_SPACE, portable_hash64
+from ..functions.hashing import HASH_SPACE, portable_hash64, portable_hash64_sql
 from ..sources.tables import load_table
 from . import register
 
@@ -918,4 +918,144 @@ def q_attribution_first_vs_last(spark, sf_dir):
             F.sum(attributed.cast("long")).alias("n_attributed"),
             F.sum(disagree.cast("long")).alias("n_models_disagree"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Beaconing detection: the C2-callback pattern (a compromised host
+# phones home on a near-fixed interval) shows up as an anomalously low
+# coefficient of variation of inter-event gaps.  Organic users are
+# bursty (CV ~ 1); beacons are metronomes (CV ~ 0).  Synthetic beacon
+# users are injected deterministically so the detector is certified
+# against a non-vacuous positive set (the portscan discipline).
+# ---------------------------------------------------------------------------
+
+_BEACON_MOD = 97          # user_id % 97 == 0 -> rewritten as a beacon
+_BEACON_PERIOD_US = 300_000_000      # 5-minute callback
+_BEACON_JITTER_US = 5_000_000        # +-2.5 s deterministic jitter
+_BEACON_CV2_T = "0.01"   # flag when var/mean^2 < this (CV < 0.1)
+_BEACON_MIN_GAPS = 10
+_BEACON_T0_US = 1_500_000_000_000_000
+
+
+def _beacon_sql() -> str:
+    h = portable_hash64_sql(
+        "concat(CAST(user_id AS VARCHAR), ':', CAST(rn AS VARCHAR))",
+        seed="bjit:",
+    )
+    return f"""
+WITH ranked AS (
+  SELECT user_id, epoch_us(ts) AS t_us,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts), event_id) AS rn,
+         (user_id % {_BEACON_MOD} = 0) AS is_beacon_truth
+  FROM events
+),
+eff AS (
+  SELECT user_id, is_beacon_truth,
+         CASE WHEN is_beacon_truth
+              THEN {_BEACON_T0_US} + rn * {_BEACON_PERIOD_US}
+                   + ({h} % {_BEACON_JITTER_US}) - {_BEACON_JITTER_US // 2}
+              ELSE t_us END AS t_eff,
+         rn
+  FROM ranked
+),
+gaps AS (
+  SELECT user_id, is_beacon_truth,
+         t_eff - LAG(t_eff) OVER (PARTITION BY user_id ORDER BY rn) AS g
+  FROM eff
+),
+stats AS (
+  SELECT user_id, is_beacon_truth,
+         COUNT(g) AS n_gaps,
+         CAST(CAST(SUM(CAST(g AS DECIMAL(19, 0))) AS VARCHAR) AS DOUBLE) AS s,
+         CAST(CAST(SUM(CAST(g AS DECIMAL(19, 0)) * CAST(g AS DECIMAL(19, 0))) AS VARCHAR) AS DOUBLE) AS ss
+  FROM gaps WHERE g IS NOT NULL
+  GROUP BY user_id, is_beacon_truth
+),
+scored AS (
+  SELECT user_id, is_beacon_truth,
+         (ss / n_gaps - (s / n_gaps) * (s / n_gaps))
+           / ((s / n_gaps) * (s / n_gaps)) < {_BEACON_CV2_T} AS flagged
+  FROM stats WHERE n_gaps >= {_BEACON_MIN_GAPS}
+)
+SELECT is_beacon_truth, flagged, CAST(COUNT(*) AS BIGINT) AS n_users
+FROM scored GROUP BY 1, 2
+"""
+
+
+@register("beaconing_periodicity_detection", _beacon_sql())
+def q_beaconing_periodicity_detection(spark, sf_dir):
+    """C2-beacon detector over event streams: per user with >=
+    {min_gaps} inter-event gaps, flag when the squared coefficient of
+    variation of the gap lengths drops below {t} (CV < 0.1 — a
+    metronome, not a human).  Users with user_id % {mod} == 0 have
+    their timelines deterministically rewritten as 5-minute callbacks
+    with hash jitter, so the output confusion table certifies both the
+    hit on injected beacons AND the non-firing on organic traffic.
+
+    Exactness: gaps are integer microseconds; Σg and Σg² accumulate in
+    DECIMAL (exact); the CV² test is a single identical-double
+    comparison — the statistic never touches a float sum.
+
+    Scale plan: one (user, time)-sorted window pass for ranks and
+    gaps, then a user-keyed moment aggregate — the same single-shuffle
+    skeleton as sessionization; at IDS scale the user key is (src,
+    dst) and nothing else changes."""
+    ev = load_table(spark, sf_dir, "events")
+    w_rank = Window.partitionBy("user_id").orderBy(
+        F.unix_micros("ts"), "event_id"
+    )
+    ranked = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("t_us"),
+        F.row_number().over(w_rank).alias("rn"),
+        (F.col("user_id") % _BEACON_MOD == 0).alias("is_beacon_truth"),
+    )
+    jit = (
+        F.pmod(
+            portable_hash64(
+                F.concat(
+                    F.col("user_id").cast("string"),
+                    F.lit(":"),
+                    F.col("rn").cast("string"),
+                ),
+                seed="bjit:",
+            ),
+            F.lit(_BEACON_JITTER_US),
+        )
+        - _BEACON_JITTER_US // 2
+    )
+    eff = ranked.select(
+        "user_id",
+        "is_beacon_truth",
+        "rn",
+        F.when(
+            F.col("is_beacon_truth"),
+            F.lit(_BEACON_T0_US)
+            + F.col("rn").cast("long") * _BEACON_PERIOD_US
+            + jit,
+        )
+        .otherwise(F.col("t_us"))
+        .alias("t_eff"),
+    )
+    w_gap = Window.partitionBy("user_id").orderBy("rn")
+    gaps = eff.select(
+        "user_id",
+        "is_beacon_truth",
+        (F.col("t_eff") - F.lag("t_eff").over(w_gap)).alias("g"),
+    ).filter(F.col("g").isNotNull())
+    g0 = F.col("g").cast("decimal(19, 0)")
+    stats = gaps.groupBy("user_id", "is_beacon_truth").agg(
+        F.count("g").alias("n_gaps"),
+        F.sum(g0).cast("string").cast("double").alias("s"),
+        F.sum(g0 * g0).cast("string").cast("double").alias("ss"),
+    )
+    mean = F.col("s") / F.col("n_gaps")
+    cv2 = (F.col("ss") / F.col("n_gaps") - mean * mean) / (mean * mean)
+    scored = stats.filter(F.col("n_gaps") >= _BEACON_MIN_GAPS).select(
+        "is_beacon_truth", (cv2 < float(_BEACON_CV2_T)).alias("flagged")
+    )
+    return scored.groupBy("is_beacon_truth", "flagged").agg(
+        F.count(F.lit(1)).alias("n_users")
     )
