@@ -1337,3 +1337,84 @@ def q_cohort_retention_matrix(spark, sf_dir):
             ).alias("retention"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Daily bounce rate: share of sessions with exactly one event — the
+# staple engagement KPI, built on the same 30-min-gap sessionization
+# as peak_concurrent_sessions.
+# ---------------------------------------------------------------------------
+
+_BOUNCE_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800 * 1000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sidx
+  FROM flagged
+),
+per_sess AS (
+  SELECT user_id, sidx,
+         CAST(date_trunc('day', MIN(ts)) AS TIMESTAMP) AS day,
+         COUNT(*) AS n_events
+  FROM sess GROUP BY user_id, sidx
+)
+SELECT day,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounces,
+       round(CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS bounce_rate
+FROM per_sess GROUP BY day
+"""
+
+
+@register("bounce_rate_daily", _BOUNCE_SQL)
+def q_bounce_rate_daily(spark, sf_dir):
+    """Daily bounce rate: 30-min-gap sessions collapsing to a single
+    event, as a share of the day's sessions (day = session start) —
+    the engagement KPI beside DAU/WAU and peak concurrency, sharing
+    their sessionization machinery and total-order discipline
+    (event_id tiebreaks everywhere).
+
+    Scale plan: one (user, time) window pass to mark sessions, one
+    (user, sidx) aggregate to the session grain, one day rollup —
+    the session relation is weeks-of-sessions sized, never events."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t_us = F.unix_micros(F.col("ts"))
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.lag(t_us).over(w).isNull()
+            | (t_us - F.lag(t_us).over(w) > 1800 * 1000000),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_sess"),
+    )
+    w_cum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    sess = flagged.select(
+        "user_id", "ts", F.sum("new_sess").over(w_cum).alias("sidx")
+    )
+    per_sess = sess.groupBy("user_id", "sidx").agg(
+        F.date_trunc("day", F.min("ts")).alias("day"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    bounce = F.when(F.col("n_events") == 1, 1).otherwise(0)
+    return per_sess.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum(bounce).cast("long").alias("n_bounces"),
+        F.round(
+            F.sum(bounce).cast("double") / F.count(F.lit(1)), 6
+        ).alias("bounce_rate"),
+    )

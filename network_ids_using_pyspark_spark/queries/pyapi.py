@@ -612,3 +612,99 @@ def q_udtf_analyze_top_tokens(spark, sf_dir):
     return spark.sql(
         f"SELECT * FROM nids_top_tokens(TABLE(nids_toptok_docs), {_TOPTOK_K})"
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling robust z-score flags — the outlier detector that composes
+# TWO frame medians (value median, then MAD) entirely in native array
+# expressions: the production form of the rolling-median family.
+# ---------------------------------------------------------------------------
+
+_RRZ_FRAME = 11  # current row + 10 preceding
+_RRZ_K = "5.0"   # |x - med| > K * MAD  (MAD scale, not sigma)
+
+
+def _rrz_median_sql(arr: str) -> str:
+    n = f"len({arr})"
+    return (
+        f"CASE WHEN {n} % 2 = 1 THEN {arr}[({n} + 1) // 2] "
+        f"ELSE ({arr}[{n} // 2] + {arr}[{n} // 2 + 1]) / 2.0 END"
+    )
+
+
+_RRZ_SQL = f"""
+WITH framed AS (
+  SELECT event_id, user_id, value,
+         list_sort(list(value) OVER (
+           PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+           ROWS BETWEEN {_RRZ_FRAME - 1} PRECEDING AND CURRENT ROW
+         )) AS arr
+  FROM events
+),
+med AS (
+  SELECT event_id, user_id, value, arr,
+         {_rrz_median_sql('arr')} AS m
+  FROM framed
+),
+madded AS (
+  SELECT event_id, user_id, value, m,
+         list_sort(list_transform(arr, x -> abs(x - m))) AS dev
+  FROM med
+)
+SELECT event_id, user_id,
+       (abs(value - m) > {_RRZ_K} * ({_rrz_median_sql('dev')})
+        AND ({_rrz_median_sql('dev')}) > 0) AS is_outlier
+FROM madded
+"""
+
+
+@register("rolling_robust_zscore_flags", _RRZ_SQL)
+def q_rolling_robust_zscore_flags(spark, sf_dir):
+    """Per-user rolling robust outlier flags: over each {frame}-row
+    trailing frame, median and MAD compose as two native array
+    operations (sorted collect_list midpoint, then the sorted
+    absolute-deviation midpoint) — |x − med| > {k}·MAD flags the point.
+    Robust to the outliers a rolling mean/stddev would chase; the
+    whole detector is whole-stage codegen, no Python anywhere — the
+    same plan discipline as `windowed_native_rolling_median` with one
+    more composition level.
+
+    Exactness: medians are midpoints of identical sorted doubles; the
+    flag is one comparison — no float accumulation at all.
+
+    Scale plan: one user-keyed shuffle/sort; each row's state is its
+    ≤{frame}-element frame array (two O(f log f) sorts per row)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(-(_RRZ_FRAME - 1), 0)
+    )
+    arr = F.array_sort(F.collect_list("value").over(w))
+
+    def midpoint(a):
+        n = F.size(a)
+        odd = F.element_at(a, ((n + 1) / 2).cast("int"))
+        even = (
+            F.element_at(a, (n / 2).cast("int"))
+            + F.element_at(a, (n / 2).cast("int") + 1)
+        ) / 2.0
+        return F.when(n % 2 == 1, odd).otherwise(even)
+
+    framed = ev.select("event_id", "user_id", "value", arr.alias("arr"))
+    med = framed.withColumn("m", midpoint(F.col("arr")))
+    dev = F.array_sort(
+        F.transform(F.col("arr"), lambda x: F.abs(x - F.col("m")))
+    )
+    madded = med.withColumn("mad", midpoint(dev))
+    k = float(_RRZ_K)
+    return madded.select(
+        "event_id",
+        "user_id",
+        (
+            (F.abs(F.col("value") - F.col("m")) > k * F.col("mad"))
+            & (F.col("mad") > 0)
+        ).alias("is_outlier"),
+    )
