@@ -1339,3 +1339,67 @@ def q_per_source_capped_sample(spark, sf_dir):
         F.sum(kept).cast("bigint").alias("n_kept"),
         (F.count(F.lit(1)) - F.sum(kept)).cast("bigint").alias("n_dropped"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted median document length per source: the token-weighted
+# center of mass (an unweighted median over-represents short docs;
+# budgets are spent in tokens, not documents).
+# ---------------------------------------------------------------------------
+
+_WMED_SQL = """
+WITH w AS (
+  SELECT source, doc_id, n_chars AS v, n_chars AS wt FROM documents
+),
+cum AS (
+  SELECT source, v, wt,
+         SUM(wt) OVER (PARTITION BY source ORDER BY v, doc_id
+                       ROWS UNBOUNDED PRECEDING) AS cw,
+         SUM(wt) OVER (PARTITION BY source) AS tw
+  FROM w
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(ANY_VALUE(tw) AS BIGINT) AS total_weight,
+       CAST(MIN(CASE WHEN 2 * cw >= tw THEN v END) AS BIGINT) AS weighted_median
+FROM cum GROUP BY source
+"""
+
+
+@register("weighted_median_length_by_source", _WMED_SQL)
+def q_weighted_median_length_by_source(spark, sf_dir):
+    """Per source, the length value at which half the source's TOKEN
+    mass sits below (weight = n_chars): the lower weighted median —
+    first value whose cumulative weight reaches half the total, on the
+    (value, doc_id) total order.  Compare with `quantile_norm_report`'s
+    unweighted p50 to see how much short-doc count inflation hides.
+
+    Exactness: weights are integers, the cumulative sums exact, the
+    pick a pure comparison — no interpolation, no floats.
+
+    Scale plan: one window pass per source partition over the doc
+    relation, then a per-source aggregate; the 100 TB form computes
+    the same pick from a per-source weighted KLL sketch."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select(
+        "source", "doc_id", F.col("n_chars").alias("v"), F.col("n_chars").alias("wt")
+    )
+    win = Window.partitionBy("source").orderBy("v", "doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    win_all = Window.partitionBy("source")
+    cum = w.select(
+        "source",
+        "v",
+        F.sum("wt").over(win).alias("cw"),
+        F.sum("wt").over(win_all).alias("tw"),
+    )
+    return cum.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.first("tw").cast("long").alias("total_weight"),
+        F.min(F.when(2 * F.col("cw") >= F.col("tw"), F.col("v")))
+        .cast("long")
+        .alias("weighted_median"),
+    )

@@ -147,3 +147,154 @@ def q_snm_candidate_pairs(spark, sf_dir):
     return cands.withColumn("bal_diff", F.col("bal_b") - F.col("bal_a")).filter(
         F.col("bal_diff") <= _SNM_T
     )
+
+
+# ---------------------------------------------------------------------------
+# Blocking recall eval: inject known typos and measure exactly where
+# the deletion-neighborhood blocking radius ends — complete at edit
+# distance 1, blind at 2.  The entity-resolution twin of
+# `dedup_recall_eval` (a blocking scheme must publish its recall
+# boundary, not just its candidates).
+# ---------------------------------------------------------------------------
+
+_BLK_P1 = 12  # substitution position (inside the digit zone)
+_BLK_P2 = 14  # second substitution for the d=2 clones
+
+_BLOCKING_EVAL_SQL = f"""
+WITH names AS (SELECT DISTINCT c_name AS nm FROM customer),
+t1 AS (
+  SELECT nm, substring(nm, 1, {_BLK_P1 - 1}) || 'X' || substring(nm, {_BLK_P1 + 1}) AS typo
+  FROM names
+),
+t2 AS (
+  SELECT nm,
+         substring(nm, 1, {_BLK_P1 - 1}) || 'X'
+           || substring(nm, {_BLK_P1 + 1}, {_BLK_P2 - _BLK_P1 - 1}) || 'Y'
+           || substring(nm, {_BLK_P2 + 1}) AS typo
+  FROM names
+),
+corpus AS (
+  SELECT nm FROM names
+  UNION SELECT typo FROM t1
+  UNION SELECT typo FROM t2
+),
+dels AS (
+  SELECT nm, substring(nm, 1, i - 1) || substring(nm, i + 1) AS variant
+  FROM corpus, UNNEST(range(1, len(nm) + 1)) AS t(i)
+),
+cands AS (
+  SELECT DISTINCT LEAST(a.nm, b.nm) AS nm_a, GREATEST(a.nm, b.nm) AS nm_b
+  FROM dels a JOIN dels b ON a.variant = b.variant AND a.nm <> b.nm
+),
+found1 AS (
+  SELECT COUNT(*) AS n FROM t1
+  JOIN cands ON LEAST(nm, typo) = nm_a AND GREATEST(nm, typo) = nm_b
+),
+found2 AS (
+  SELECT COUNT(*) AS n FROM t2
+  JOIN cands ON LEAST(nm, typo) = nm_a AND GREATEST(nm, typo) = nm_b
+)
+SELECT 'substitution_d1' AS error_type,
+       CAST((SELECT COUNT(*) FROM t1) AS BIGINT) AS n_truth,
+       CAST((SELECT n FROM found1) AS BIGINT) AS n_found,
+       round(CAST((SELECT n FROM found1) AS DOUBLE)
+             / (SELECT COUNT(*) FROM t1), 6) AS recall
+UNION ALL
+SELECT 'substitution_d2',
+       CAST((SELECT COUNT(*) FROM t2) AS BIGINT),
+       CAST((SELECT n FROM found2) AS BIGINT),
+       round(CAST((SELECT n FROM found2) AS DOUBLE)
+             / (SELECT COUNT(*) FROM t2), 6)
+"""
+
+
+@register("blocking_recall_eval", _BLOCKING_EVAL_SQL)
+def q_blocking_recall_eval(spark, sf_dir):
+    """Deletion-neighborhood blocking, recall-audited against injected
+    typos: every customer name gets a 1-substitution clone (edit
+    distance 1 — the blocking is provably COMPLETE there, recall must
+    be 1.0) and a 2-substitution clone (distance 2 — outside the
+    1-deletion radius, recall must be 0.0 unless a coincidental
+    variant collides).  The output states the blocking boundary as
+    data; widening the radius means 2-deletion neighborhoods, at 
+    |name|² variants per record — the documented cost of d=2.
+
+    Scale plan: identical to `fuzzy_name_pairs_symspell` — the variant
+    explode is map-side, candidates come from the variant equi-join;
+    the truth joins are string equality on dim-sized relations."""
+    cu = load_table(spark, sf_dir, "customer")
+    names = cu.select(F.col("c_name").alias("nm")).distinct()
+    sub1 = F.concat(
+        F.substring("nm", 1, _BLK_P1 - 1),
+        F.lit("X"),
+        F.expr(f"substring(nm, {_BLK_P1 + 1})"),
+    )
+    sub2 = F.concat(
+        F.substring("nm", 1, _BLK_P1 - 1),
+        F.lit("X"),
+        F.expr(f"substring(nm, {_BLK_P1 + 1}, {_BLK_P2 - _BLK_P1 - 1})"),
+        F.lit("Y"),
+        F.expr(f"substring(nm, {_BLK_P2 + 1})"),
+    )
+    t1 = names.select("nm", sub1.alias("typo"))
+    t2 = names.select("nm", sub2.alias("typo"))
+    corpus = (
+        names.select("nm")
+        .unionByName(t1.select(F.col("typo").alias("nm")))
+        .unionByName(t2.select(F.col("typo").alias("nm")))
+        .distinct()
+    )
+    dels = corpus.select(
+        "nm",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(nm)), i -> "
+                "concat(substring(nm, 1, i - 1), substring(nm, i + 1)))"
+            )
+        ).alias("variant"),
+    )
+    a = dels.select(F.col("nm").alias("na"), "variant")
+    b = dels.select(F.col("nm").alias("nb"), "variant")
+    cands = (
+        a.join(b, ["variant"])
+        .filter(F.col("na") != F.col("nb"))
+        .select(
+            F.least("na", "nb").alias("nm_a"),
+            F.greatest("na", "nb").alias("nm_b"),
+        )
+        .distinct()
+    )
+
+    def found(t):
+        return (
+            t.join(
+                cands,
+                (F.least("nm", "typo") == F.col("nm_a"))
+                & (F.greatest("nm", "typo") == F.col("nm_b")),
+                "left_semi",
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    n1 = t1.agg(F.count(F.lit(1)).alias("n_truth"))
+    n2 = t2.agg(F.count(F.lit(1)).alias("n_truth"))
+    f1, f2 = found(t1), found(t2)
+    row1 = (
+        n1.crossJoin(F.broadcast(f1))
+        .select(
+            F.lit("substitution_d1").alias("error_type"),
+            F.col("n_truth").cast("long").alias("n_truth"),
+            F.col("n").cast("long").alias("n_found"),
+            F.round(F.col("n").cast("double") / F.col("n_truth"), 6).alias("recall"),
+        )
+    )
+    row2 = (
+        n2.crossJoin(F.broadcast(f2))
+        .select(
+            F.lit("substitution_d2").alias("error_type"),
+            F.col("n_truth").cast("long").alias("n_truth"),
+            F.col("n").cast("long").alias("n_found"),
+            F.round(F.col("n").cast("double") / F.col("n_truth"), 6).alias("recall"),
+        )
+    )
+    return row1.unionByName(row2)
