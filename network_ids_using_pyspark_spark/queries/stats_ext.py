@@ -2480,3 +2480,95 @@ def q_gnb_train_confusion_exact(spark, sf_dir):
     return scored.groupBy("actual", "predicted").agg(
         F.count(F.lit(1)).alias("n")
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-class precision / recall / F1 from the certified GNB confusion
+# matrix — the oracle-checked counterpart of the reference's per-label
+# MulticlassClassificationEvaluator sweep (modelling.py:160-176),
+# which is rows-only when MLlib computes it.
+# ---------------------------------------------------------------------------
+
+_GNB_METRICS_SQL = f"""
+WITH conf AS (SELECT * FROM ({_gnb_sql()})),
+classes AS (
+  SELECT actual AS cls FROM conf UNION SELECT predicted FROM conf
+),
+per AS (
+  SELECT c.cls,
+         COALESCE((SELECT SUM(n) FROM conf WHERE actual = c.cls AND predicted = c.cls), 0) AS tp,
+         COALESCE((SELECT SUM(n) FROM conf WHERE predicted = c.cls AND actual <> c.cls), 0) AS fp,
+         COALESCE((SELECT SUM(n) FROM conf WHERE actual = c.cls AND predicted <> c.cls), 0) AS fn
+  FROM classes c
+)
+SELECT cls, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+       CAST(fn AS BIGINT) AS fn,
+       round(CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / (tp + fp) ELSE 0.0 END, 6) AS precision,
+       round(CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / (tp + fn) ELSE 0.0 END, 6) AS recall,
+       round(CASE WHEN 2 * tp + fp + fn > 0
+                  THEN 2.0 * tp / (2 * tp + fp + fn) ELSE 0.0 END, 6) AS f1
+FROM per
+"""
+
+
+@register("gnb_per_class_metrics", _GNB_METRICS_SQL)
+def q_gnb_per_class_metrics(spark, sf_dir):
+    """Per-class precision/recall/F1 over the certified GNB confusion
+    matrix — the oracle-checked counterpart of the reference's
+    per-label evaluator sweep (modelling.py:160-176; the MLlib version
+    is rows-only by nature).  F1 uses the 2tp/(2tp+fp+fn) form — one
+    division of exact integers, no precision·recall float chaining.
+
+    Scale plan: the confusion relation is |classes|² rows; everything
+    here is dim-sized arithmetic on top of the GNB query's plan."""
+    conf = q_gnb_train_confusion_exact(spark, sf_dir)
+    classes = (
+        conf.select(F.col("actual").alias("cls"))
+        .unionByName(conf.select(F.col("predicted").alias("cls")))
+        .distinct()
+    )
+    tp = conf.filter(F.col("actual") == F.col("predicted")).select(
+        F.col("actual").alias("cls"), F.col("n").alias("tp")
+    )
+    fp = (
+        conf.filter(F.col("actual") != F.col("predicted"))
+        .groupBy(F.col("predicted").alias("cls"))
+        .agg(F.sum("n").alias("fp"))
+    )
+    fn = (
+        conf.filter(F.col("actual") != F.col("predicted"))
+        .groupBy(F.col("actual").alias("cls"))
+        .agg(F.sum("n").alias("fn"))
+    )
+    per = (
+        classes.join(F.broadcast(tp), "cls", "left")
+        .join(F.broadcast(fp), "cls", "left")
+        .join(F.broadcast(fn), "cls", "left")
+        .select(
+            "cls",
+            F.coalesce("tp", F.lit(0)).cast("long").alias("tp"),
+            F.coalesce("fp", F.lit(0)).cast("long").alias("fp"),
+            F.coalesce("fn", F.lit(0)).cast("long").alias("fn"),
+        )
+    )
+    prec = F.when(
+        F.col("tp") + F.col("fp") > 0,
+        F.col("tp").cast("double") / (F.col("tp") + F.col("fp")),
+    ).otherwise(0.0)
+    rec = F.when(
+        F.col("tp") + F.col("fn") > 0,
+        F.col("tp").cast("double") / (F.col("tp") + F.col("fn")),
+    ).otherwise(0.0)
+    f1 = F.when(
+        2 * F.col("tp") + F.col("fp") + F.col("fn") > 0,
+        2.0 * F.col("tp") / (2 * F.col("tp") + F.col("fp") + F.col("fn")),
+    ).otherwise(0.0)
+    return per.select(
+        "cls",
+        "tp",
+        "fp",
+        "fn",
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(f1, 6).alias("f1"),
+    )
