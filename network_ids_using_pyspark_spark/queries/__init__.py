@@ -139,7 +139,22 @@ _ROUND_PRIORITY = [
     "cusum_changepoint",
     "cep_click_purchase_no_error",
     # --- 50-entry window boundary ---
-    # Remaining never-certified backlog after this window (~128
+    # Round-5 rotation: LEAD with the round-4 additions (all locally
+    # oracle-verified at sf0.001/0.01/0.1 with vanilla sessions, never
+    # driver-windowed): the certified classical-ML family
+    # (ols_regression_exact, logreg_irls_exact, kmeans_lloyd_exact,
+    # gnb_train_confusion_exact, gnb_per_class_metrics,
+    # pca_power_iteration_exact), the honest-eval pair
+    # (dedup_recall_eval, blocking_recall_eval), pq_adc_recall,
+    # beaconing_periodicity_detection, the exact-k samplers
+    # (bottomk_uniform_sample, weighted_topk_sample_es),
+    # kcore_decomposition, theil_sen_daily_trend, welch/anova/acf,
+    # cohort_retention_matrix, attribution_first_vs_last,
+    # url_canonicalize_dedup, per_source_capped_sample,
+    # grouped_split_no_leakage, quantile_norm_report,
+    # weighted_median_length_by_source, rolling_robust_zscore_flags,
+    # windowed_native_rolling_median, bounce_rate_daily — then resume
+    # the remaining never-certified backlog (~128
     # queries, all locally oracle-green via tests/test_parity.py —
     # rotate in over rounds 5-6), by family: the functions_ext/window
     # tail (lag_value_delta, range_frame_hour_sum, json_props_stats,
