@@ -2345,7 +2345,7 @@ def _gnb_sql() -> str:
     return f"""
 WITH src AS (
   SELECT o_orderkey, o_orderstatus AS cls,
-         CAST(EXTRACT(month FROM CAST(o_orderdate AS DATE)) AS DOUBLE) AS x1,
+         CAST(EXTRACT(year FROM CAST(o_orderdate AS DATE)) AS DOUBLE) AS x1,
          o_totalprice / 1000.0 AS x2,
          ({split}) AS bkt
   FROM orders
@@ -2384,7 +2384,7 @@ GROUP BY actual, predicted
 @register("gnb_train_confusion_exact", _gnb_sql())
 def q_gnb_train_confusion_exact(spark, sf_dir):
     """Gaussian Naive Bayes end to end: train per-class Gaussians of
-    (order month, price/1000) on the hash-80% split, classify the held
+    (order year, price/1000) on the hash-80% split, classify the held
     -out 20% by quantized-log-likelihood argmax (class-name tiebreak),
     output the confusion matrix — the certified-exact counterpart of
     the reference's NaiveBayes stage (modelling.py:139-151), whose
@@ -2407,7 +2407,7 @@ def q_gnb_train_confusion_exact(spark, sf_dir):
     src = o.select(
         "o_orderkey",
         F.col("o_orderstatus").alias("cls"),
-        F.month(F.col("o_orderdate").cast("date")).cast("double").alias("x1"),
+        F.year(F.col("o_orderdate").cast("date")).cast("double").alias("x1"),
         (F.col("o_totalprice") / 1000.0).alias("x2"),
         hash_bucket("o_orderkey", 10, seed="gnb:").alias("bkt"),
     )
@@ -2571,4 +2571,191 @@ def q_gnb_per_class_metrics(spark, sf_dir):
         F.round(prec, 6).alias("precision"),
         F.round(rec, 6).alias("recall"),
         F.round(f1, 6).alias("f1"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Reliability diagram for the certified GNB: confidence deciles vs
+# empirical accuracy — the calibration audit (a model can be accurate
+# and badly calibrated; serving thresholds need THIS table).
+# ---------------------------------------------------------------------------
+
+
+def _gnb_calib_sql() -> str:
+    split = hash_bucket_sql("o_orderkey", 10, seed="gnb:")
+    ll = (
+        "(prior_ln - 0.5 * (lnv1 + (x1 - m1) * (x1 - m1) / v1)"
+        " - 0.5 * (lnv2 + (x2 - m2) * (x2 - m2) / v2))"
+    )
+    q9s = lambda t: (  # noqa: E731
+        f"CAST(CAST(SUM(CAST(round({t}, 9) AS DECIMAL(38, 9))) AS VARCHAR) AS DOUBLE)"
+    )
+    return f"""
+WITH src AS (
+  SELECT o_orderkey, o_orderstatus AS cls,
+         CAST(EXTRACT(year FROM CAST(o_orderdate AS DATE)) AS DOUBLE) AS x1,
+         o_totalprice / 1000.0 AS x2,
+         ({split}) AS bkt
+  FROM orders
+),
+train AS (SELECT * FROM src WHERE bkt < 8),
+test AS (SELECT * FROM src WHERE bkt >= 8),
+stats AS (
+  SELECT cls, COUNT(*) AS n_c,
+         {q9s('x1')} / COUNT(*) AS m1,
+         {q9s('x1 * x1')} / COUNT(*) AS s11,
+         {q9s('x2')} / COUNT(*) AS m2,
+         {q9s('x2 * x2')} / COUNT(*) AS s22
+  FROM train GROUP BY cls
+),
+model AS (
+  SELECT cls, n_c,
+         round(ln(CAST(n_c AS DOUBLE) / (SELECT COUNT(*) FROM train)), 9) AS prior_ln,
+         m1, s11 - m1 * m1 AS v1,
+         round(ln({_GNB_PI2} * (s11 - m1 * m1)), 9) AS lnv1,
+         m2, s22 - m2 * m2 AS v2,
+         round(ln({_GNB_PI2} * (s22 - m2 * m2)), 9) AS lnv2
+  FROM stats
+),
+scored AS (
+  SELECT t.o_orderkey, t.cls AS actual, m.cls AS predicted,
+         round({ll}, 9) AS ll,
+         ROW_NUMBER() OVER (PARTITION BY t.o_orderkey
+           ORDER BY {ll} DESC, m.cls ASC) AS rk
+  FROM test t CROSS JOIN model m
+),
+-- softmax over the (quantized) log-likelihoods: confidence of the
+-- argmax class; log-sum-exp anchored at the max for stability
+conf AS (
+  SELECT o_orderkey,
+         MAX(CASE WHEN rk = 1 THEN actual END) AS actual,
+         MAX(CASE WHEN rk = 1 THEN predicted END) AS predicted,
+         round(1.0 / (CAST(CAST(SUM(CAST(round(exp(ll - mx), 9) AS DECIMAL(38, 9))) AS VARCHAR) AS DOUBLE)), 9) AS confidence
+  FROM (SELECT *, MAX(ll) OVER (PARTITION BY o_orderkey) AS mx FROM scored)
+  GROUP BY o_orderkey
+)
+SELECT LEAST(CAST(floor(confidence * 100) AS BIGINT), 99) AS conf_pctbin,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       {q9s('confidence')} / COUNT(*) AS avg_confidence,
+       round(CAST(SUM(CASE WHEN actual = predicted THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS accuracy
+FROM conf GROUP BY 1
+"""
+
+
+@register("gnb_calibration_curve", _gnb_calib_sql())
+def q_gnb_calibration_curve(spark, sf_dir):
+    """Reliability diagram for the certified GNB: the argmax class's
+    softmax confidence (log-sum-exp anchored at the row max, quantized
+    at 1e-9), binned into deciles, against the empirical accuracy in
+    each bin — where avg_confidence and accuracy diverge is exactly
+    the miscalibration a serving threshold must correct for (the
+    isotonic/conformal rows-only queries are the corrections; this is
+    the certified diagnosis).
+
+    Determinism: log-likelihoods quantized before both the argmax and
+    the softmax; the confidence re-quantizes after exp so libm can't
+    leak; bin membership is floor arithmetic on the grid value.
+
+    Scale plan: same broadcast scoring join as the confusion query,
+    plus one per-row window max over the |classes|-row group and a
+    <=100-cell rollup."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    to_d = lambda c: c.cast("string").cast("double")  # noqa: E731
+    src = o.select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("cls"),
+        F.year(F.col("o_orderdate").cast("date")).cast("double").alias("x1"),
+        (F.col("o_totalprice") / 1000.0).alias("x2"),
+        hash_bucket("o_orderkey", 10, seed="gnb:").alias("bkt"),
+    )
+    train = src.filter(F.col("bkt") < 8)
+    test = src.filter(F.col("bkt") >= 8)
+
+    def q9s(t):
+        return to_d(F.sum(F.round(t, 9).cast("decimal(38, 9)")))
+
+    stats = train.groupBy("cls").agg(
+        F.count(F.lit(1)).alias("n_c"),
+        (q9s(F.col("x1")) / F.count(F.lit(1))).alias("m1"),
+        (q9s(F.col("x1") * F.col("x1")) / F.count(F.lit(1))).alias("s11"),
+        (q9s(F.col("x2")) / F.count(F.lit(1))).alias("m2"),
+        (q9s(F.col("x2") * F.col("x2")) / F.count(F.lit(1))).alias("s22"),
+    )
+    n_train = train.agg(F.count(F.lit(1)).alias("n_train"))
+    pi2 = float(_GNB_PI2)
+    model = stats.crossJoin(F.broadcast(n_train)).select(
+        F.col("cls").alias("mcls"),
+        F.round(F.log(F.col("n_c").cast("double") / F.col("n_train")), 9).alias(
+            "prior_ln"
+        ),
+        "m1",
+        (F.col("s11") - F.col("m1") * F.col("m1")).alias("v1"),
+        F.round(F.log(pi2 * (F.col("s11") - F.col("m1") * F.col("m1"))), 9).alias(
+            "lnv1"
+        ),
+        "m2",
+        (F.col("s22") - F.col("m2") * F.col("m2")).alias("v2"),
+        F.round(F.log(pi2 * (F.col("s22") - F.col("m2") * F.col("m2"))), 9).alias(
+            "lnv2"
+        ),
+    )
+    paired = test.crossJoin(F.broadcast(model))
+    ll_raw = (
+        F.col("prior_ln")
+        - 0.5
+        * (
+            F.col("lnv1")
+            + (F.col("x1") - F.col("m1")) * (F.col("x1") - F.col("m1")) / F.col("v1")
+        )
+        - 0.5
+        * (
+            F.col("lnv2")
+            + (F.col("x2") - F.col("m2")) * (F.col("x2") - F.col("m2")) / F.col("v2")
+        )
+    )
+    w_rk = Window.partitionBy("o_orderkey").orderBy(ll_raw.desc(), F.col("mcls").asc())
+    scored = paired.select(
+        "o_orderkey",
+        F.col("cls").alias("actual"),
+        F.col("mcls").alias("predicted"),
+        F.round(ll_raw, 9).alias("ll"),
+        F.row_number().over(w_rk).alias("rk"),
+    )
+    w_mx = Window.partitionBy("o_orderkey")
+    conf = (
+        scored.withColumn("mx", F.max("ll").over(w_mx))
+        .groupBy("o_orderkey")
+        .agg(
+            F.max(F.when(F.col("rk") == 1, F.col("actual"))).alias("actual"),
+            F.max(F.when(F.col("rk") == 1, F.col("predicted"))).alias("predicted"),
+            F.round(
+                1.0
+                / F.sum(
+                    F.round(F.exp(F.col("ll") - F.col("mx")), 9).cast(
+                        "decimal(38, 9)"
+                    )
+                )
+                .cast("string")
+                .cast("double"),
+                9,
+            ).alias("confidence"),
+        )
+    )
+    return conf.groupBy(
+        F.least(F.floor(F.col("confidence") * 100).cast("long"), F.lit(99)).alias(
+            "conf_pctbin"
+        )
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        (q9s(F.col("confidence")) / F.count(F.lit(1))).alias("avg_confidence"),
+        F.round(
+            F.sum(F.when(F.col("actual") == F.col("predicted"), 1).otherwise(0)).cast(
+                "double"
+            )
+            / F.count(F.lit(1)),
+            6,
+        ).alias("accuracy"),
     )

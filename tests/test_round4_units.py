@@ -366,7 +366,7 @@ def test_gnb_matches_numpy(spark):
     con = duckdb.connect()
     rows = con.execute(
         f"""SELECT o_orderkey, o_orderstatus,
-                   CAST(EXTRACT(month FROM CAST(o_orderdate AS DATE)) AS DOUBLE),
+                   CAST(EXTRACT(year FROM CAST(o_orderdate AS DATE)) AS DOUBLE),
                    o_totalprice / 1000.0,
                    CAST(concat('0x', substring(md5(concat('gnb:', CAST(o_orderkey AS VARCHAR))), 1, 15)) AS BIGINT) % 10
             FROM read_parquet('{SF_DIR}/orders.parquet')"""
