@@ -2305,6 +2305,11 @@ def q_logreg_irls_exact(spark, sf_dir):
             (F.col("b1") + F.expr(_OLS_B1)).alias("b1"),
             (F.col("b2") + F.expr(_OLS_B2)).alias("b2"),
         )
+    # the fitted coefficients feed BOTH the output row and the loss
+    # pass — materialize once (a 1-row, 3-column frame; the 3-scan
+    # training job runs here) so the iteration lineage isn't recomputed
+    # per consumer
+    beta = beta.localCheckpoint(eager=True)
     rf = src.crossJoin(F.broadcast(beta)).withColumn("p", p_expr)
     ll_term = F.col("y") * F.round(F.log("p"), 9) + (1 - F.col("y")) * F.round(
         F.log(1.0 - F.col("p")), 9

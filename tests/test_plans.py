@@ -871,3 +871,37 @@ def test_exact_k_samplers_take_ordered(spark):
         plan = explain_str(df, "simple")
         assert "TakeOrderedAndProject" in plan, name
         assert count_shuffles(df) == 0, name
+
+
+def test_logreg_irls_scan_count_is_linear_in_iterations(spark):
+    """3 Newton steps + the loss pass + the point estimate = bounded
+    scans, no per-row state: coefficients must ride broadcasts, never
+    a SortMergeJoin."""
+    df = _df(spark, "logreg_irls_exact")
+    plan = explain_str(df, "simple")
+    # the T-scan training job materializes into the checkpointed 1-row
+    # coefficient frame; the serving plan re-scans orders exactly once
+    # (the loss pass) — referencing the coefficients twice must NOT
+    # replay the iteration lineage
+    assert plan.count("FileScan") == 1, plan.count("FileScan")
+    assert "SortMergeJoin" not in plan
+
+
+def test_gnb_scoring_is_broadcast(spark):
+    """Model and scoring: the |classes|-row model reaches every test
+    row via broadcast (nested-loop on a 3-row build side), never a
+    shuffled join."""
+    df = _df(spark, "gnb_train_confusion_exact")
+    plan = explain_str(df, "simple")
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_pq_encode_broadcasts_codebook(spark):
+    """PQ encoding joins every (vector, subspace) against the M*CODES
+    codebook — dim-sized, must broadcast; the corpus never shuffles
+    for the encode."""
+    df = _df(spark, "pq_adc_recall")
+    plan = explain_str(df, "simple")
+    assert plan.count("BroadcastHashJoin") >= 2  # encode + ADC joins
+    assert "CartesianProduct" not in plan
