@@ -598,6 +598,9 @@ def q_dedup_recall_eval(spark, sf_dir):
     pairs = minhash_lsh_pairs(
         minhash_signatures(corpus, k=K), bands=BANDS, rows=ROWS
     )
+    # pairs feed the found filter AND the total count — materialize
+    # once so the LSH pipeline isn't replayed per consumer
+    pairs = pairs.localCheckpoint(eager=True)
     n_tok = F.size(w)
     mut_n_tok = F.size(F.split(F.trim(F.col("text")), r"\s+"))
     truth = (

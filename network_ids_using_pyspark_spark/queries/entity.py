@@ -264,6 +264,8 @@ def q_blocking_recall_eval(spark, sf_dir):
         )
         .distinct()
     )
+    # candidates feed both truth probes — materialize once
+    cands = cands.localCheckpoint(eager=True)
 
     def found(t):
         return (

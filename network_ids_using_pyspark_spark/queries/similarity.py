@@ -762,6 +762,10 @@ def q_kmeans_lloyd_exact(spark, sf_dir):
             .filter(F.col("rk") == 1)
             .select("vec_id", "v", "cid")
         )
+        # the assignment feeds BOTH the centroid update and (on the
+        # last iteration) the WCSS scoring — cut lineage so neither
+        # consumer replays the argmin chain
+        assigned = assigned.localCheckpoint(eager=False)
         dims = assigned.select(
             "cid", F.posexplode("v").alias("dim", "val")
         )
@@ -783,8 +787,9 @@ def q_kmeans_lloyd_exact(spark, sf_dir):
             .select(
                 "cid", F.transform("dm", lambda s: s["m"]).alias("cv")
             )
+            .localCheckpoint(eager=False)  # k rows; cuts the iteration chain
         )
-    scored = assigned.join(cents, "cid").select(
+    scored = assigned.join(F.broadcast(cents), "cid").select(
         "cid", F.round(l2(F.col("v"), F.col("cv")), 9).alias("d2")
     )
     return scored.groupBy("cid").agg(
@@ -911,6 +916,7 @@ def q_pca_power_iteration_exact(spark, sf_dir):
             cov.join(F.broadcast(w.withColumnRenamed("i", "j")), "j")
             .groupBy("i")
             .agg(q9s(F.col("cij") * F.col("w")).alias("u"))
+            .localCheckpoint(eager=False)  # D rows; u feeds norm AND w
         )
         norm = u.agg(F.round(F.sqrt(q9s(F.col("u") * F.col("u"))), 9).alias("s"))
         w = u.crossJoin(F.broadcast(norm)).select(

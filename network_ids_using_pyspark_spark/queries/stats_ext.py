@@ -2057,7 +2057,7 @@ def q_theil_sen_daily_trend(spark, sf_dir):
     med = slopes.agg(
         F.round(F.expr("percentile(s, 0.5)"), 6).alias("slope"),
         F.count(F.lit(1)).cast("long").alias("n_pairs"),
-    )
+    ).localCheckpoint(eager=True)  # 1 row; feeds residuals AND output
     resid = (
         idx.crossJoin(F.broadcast(med))
         .agg(
