@@ -932,3 +932,115 @@ def q_pca_power_iteration_exact(spark, sf_dir):
         .orderBy(F.abs(F.col("loading")).desc(), F.col("dim").asc())
         .limit(_PCA_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact k-NN classification over the embeddings, accuracy-audited:
+# the seventh member of the certified classical-ML family.
+# ---------------------------------------------------------------------------
+
+_KNN_K = 5
+_KNN_NQ = 40  # hash-held-out query set
+
+
+def _knn_sql() -> str:
+    l2 = _KM_L2
+    split = f"(CAST(concat('0x', substring(md5(concat('knn:', CAST(vec_id AS VARCHAR))), 1, 15)) AS BIGINT) % 10)"
+    return f"""
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v, ({split}) AS bkt
+  FROM embeddings
+),
+test AS (SELECT * FROM e WHERE bkt = 0),
+train AS (SELECT * FROM e WHERE bkt <> 0),
+nn AS (
+  SELECT q_vec_id, actual, label FROM (
+    SELECT t.vec_id AS q_vec_id, t.label AS actual, c.label,
+           ROW_NUMBER() OVER (PARTITION BY t.vec_id
+             ORDER BY {l2.format(a='t.v', b='c.v')} ASC, c.vec_id ASC) AS rk
+    FROM test t CROSS JOIN train c
+  ) WHERE rk <= {_KNN_K}
+),
+voted AS (
+  SELECT q_vec_id, actual, label AS predicted FROM (
+    SELECT q_vec_id, actual, label,
+           ROW_NUMBER() OVER (PARTITION BY q_vec_id
+             ORDER BY COUNT(*) DESC, label ASC) AS vrk
+    FROM nn GROUP BY q_vec_id, actual, label
+  ) WHERE vrk = 1
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_test,
+       CAST(SUM(CASE WHEN actual = predicted THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+       round(CAST(SUM(CASE WHEN actual = predicted THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS accuracy
+FROM voted
+"""
+
+
+@register("knn_classifier_exact", _knn_sql())
+def q_knn_classifier_exact(spark, sf_dir):
+    """Exact {k}-NN label classification of a hash-held-out tenth of
+    the embeddings against the rest: squared-L2 neighbors (vec_id
+    tiebreak), majority vote (count desc, label asc), held-out
+    accuracy — nearest-neighbor classification certified through the
+    full oracle gate (the MLlib ANN twins are rows-only).  Random
+    64-dim embeddings give near-chance accuracy; the number is the
+    honest baseline the ANN recall variants are compared against.
+
+    Scale plan: the brute-force scoring is the documented exact
+    baseline (broadcast query side over the candidate scan, same as
+    `cosine_topk`); the LSH/IVF/PQ paths are the approximate
+    twins with published recall."""
+    from pyspark.sql import Window
+
+    from ..functions.hashing import hash_bucket
+    from ..operators.similarity import dot
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id",
+        "label",
+        as_double_array("embedding").alias("v"),
+        hash_bucket("vec_id", 10, seed="knn:").alias("bkt"),
+    )
+    test = e.filter(F.col("bkt") == 0).select(
+        F.col("vec_id").alias("q_vec_id"),
+        F.col("label").alias("actual"),
+        F.col("v").alias("qv"),
+    )
+    train = e.filter(F.col("bkt") != 0).select(
+        F.col("vec_id").alias("cand_vec_id"),
+        F.col("label").alias("clabel"),
+        F.col("v").alias("cv"),
+    )
+
+    def l2(a, b):
+        return (dot(a, a) - 2 * dot(a, b)) + dot(b, b)
+
+    paired = test.crossJoin(train)
+    w_nn = Window.partitionBy("q_vec_id").orderBy(
+        l2(F.col("qv"), F.col("cv")).asc(), F.col("cand_vec_id").asc()
+    )
+    nn = (
+        paired.select(
+            "q_vec_id", "actual", "clabel", F.row_number().over(w_nn).alias("rk")
+        )
+        .filter(F.col("rk") <= _KNN_K)
+    )
+    w_vote = Window.partitionBy("q_vec_id").orderBy(
+        F.col("c").desc(), F.col("clabel").asc()
+    )
+    voted = (
+        nn.groupBy("q_vec_id", "actual", "clabel")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("vrk", F.row_number().over(w_vote))
+        .filter(F.col("vrk") == 1)
+    )
+    correct = F.when(F.col("actual") == F.col("clabel"), 1).otherwise(0)
+    return voted.agg(
+        F.count(F.lit(1)).cast("long").alias("n_test"),
+        F.sum(correct).cast("long").alias("n_correct"),
+        F.round(F.sum(correct).cast("double") / F.count(F.lit(1)), 6).alias(
+            "accuracy"
+        ),
+    )

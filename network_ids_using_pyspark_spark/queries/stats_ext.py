@@ -2764,3 +2764,76 @@ def q_gnb_calibration_curve(spark, sf_dir):
             6,
         ).alias("accuracy"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Ridge regression: the OLS normal equations with l2 regularization on
+# the non-intercept diagonal — same exact-decimal moments, same shared
+# adjugate solve, one lambda.
+# ---------------------------------------------------------------------------
+
+_RIDGE_LAMBDA = 1000.0
+
+_RIDGE_SQL = f"""
+WITH m AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(CAST(SUM(x1) AS VARCHAR) AS DOUBLE) AS s1,
+         CAST(CAST(SUM(x2) AS VARCHAR) AS DOUBLE) AS s2,
+         CAST(CAST(SUM(x1 * x1) AS VARCHAR) AS DOUBLE) + {_RIDGE_LAMBDA} AS s11,
+         CAST(CAST(SUM(x1 * x2) AS VARCHAR) AS DOUBLE) AS s12,
+         CAST(CAST(SUM(x2 * x2) AS VARCHAR) AS DOUBLE) + {_RIDGE_LAMBDA} AS s22,
+         CAST(CAST(SUM(y) AS VARCHAR) AS DOUBLE) AS sy,
+         CAST(CAST(SUM(x1 * y) AS VARCHAR) AS DOUBLE) AS s1y,
+         CAST(CAST(SUM(x2 * y) AS VARCHAR) AS DOUBLE) AS s2y,
+         CAST(CAST(SUM(y * y) AS VARCHAR) AS DOUBLE) AS syy
+  FROM (
+    SELECT CAST(EXTRACT(month FROM CAST(o_orderdate AS DATE)) AS BIGINT) AS x1,
+           CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS x2,
+           CAST(o_totalprice AS DECIMAL(30, 6)) AS y
+    FROM orders
+  )
+)
+SELECT CAST(n AS BIGINT) AS n,
+       round({_OLS_B0}, 6) AS b_intercept,
+       round({_OLS_B1}, 6) AS b_month,
+       round({_OLS_B2}, 6) AS b_urgent
+FROM m
+"""
+
+
+@register("ridge_regression_exact", _RIDGE_SQL)
+def q_ridge_regression_exact(spark, sf_dir):
+    """Ridge regression (λ = {lam}) on the same design as
+    `ols_regression_exact`: the exact-decimal normal-equation moments
+    gain λ on the two non-intercept diagonal entries, then the SAME
+    shared adjugate template solves — demonstrating that the certified
+    closed-form solver parameterizes regularization with two added
+    constants and zero dataflow change (the shrinkage of b_month /
+    b_urgent toward 0 vs the OLS run is visible in the outputs).
+
+    Scale plan: identical to OLS — one map-side-combined aggregate IS
+    the fit."""
+    o = load_table(spark, sf_dir, "orders")
+    to_d = lambda c: c.cast("string").cast("double")  # noqa: E731
+    src = o.select(
+        F.month(F.col("o_orderdate").cast("date")).cast("long").alias("x1"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0).alias("x2"),
+        F.col("o_totalprice").cast("decimal(30, 6)").alias("y"),
+    )
+    m = src.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        to_d(F.sum("x1")).alias("s1"),
+        to_d(F.sum("x2")).alias("s2"),
+        (to_d(F.sum(F.col("x1") * F.col("x1"))) + _RIDGE_LAMBDA).alias("s11"),
+        to_d(F.sum(F.col("x1") * F.col("x2"))).alias("s12"),
+        (to_d(F.sum(F.col("x2") * F.col("x2"))) + _RIDGE_LAMBDA).alias("s22"),
+        to_d(F.sum("y")).alias("sy"),
+        to_d(F.sum(F.col("x1") * F.col("y"))).alias("s1y"),
+        to_d(F.sum(F.col("x2") * F.col("y"))).alias("s2y"),
+    )
+    return m.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(F.expr(_OLS_B0), 6).alias("b_intercept"),
+        F.round(F.expr(_OLS_B1), 6).alias("b_month"),
+        F.round(F.expr(_OLS_B2), 6).alias("b_urgent"),
+    )
