@@ -2837,3 +2837,209 @@ def q_ridge_regression_exact(spark, sf_dir):
         F.round(F.expr(_OLS_B1), 6).alias("b_month"),
         F.round(F.expr(_OLS_B2), 6).alias("b_urgent"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact ROC-AUC of the certified GNB's class-'F' posterior — the
+# ranking-quality member of the certified eval chain (confusion →
+# per-class → calibration → AUC), via the tie-aware Mann-Whitney U on
+# integer counts.
+# ---------------------------------------------------------------------------
+
+
+def _gnb_auc_sql() -> str:
+    split = hash_bucket_sql("o_orderkey", 10, seed="gnb:")
+    ll = (
+        "(prior_ln - 0.5 * (lnv1 + (x1 - m1) * (x1 - m1) / v1)"
+        " - 0.5 * (lnv2 + (x2 - m2) * (x2 - m2) / v2))"
+    )
+    q9s = lambda t: (  # noqa: E731
+        f"CAST(CAST(SUM(CAST(round({t}, 9) AS DECIMAL(38, 9))) AS VARCHAR) AS DOUBLE)"
+    )
+    return f"""
+WITH src AS (
+  SELECT o_orderkey, o_orderstatus AS cls,
+         CAST(EXTRACT(year FROM CAST(o_orderdate AS DATE)) AS DOUBLE) AS x1,
+         o_totalprice / 1000.0 AS x2,
+         ({split}) AS bkt
+  FROM orders
+),
+train AS (SELECT * FROM src WHERE bkt < 8),
+test AS (SELECT * FROM src WHERE bkt >= 8),
+stats AS (
+  SELECT cls, COUNT(*) AS n_c,
+         {q9s('x1')} / COUNT(*) AS m1,
+         {q9s('x1 * x1')} / COUNT(*) AS s11,
+         {q9s('x2')} / COUNT(*) AS m2,
+         {q9s('x2 * x2')} / COUNT(*) AS s22
+  FROM train GROUP BY cls
+),
+model AS (
+  SELECT cls, n_c,
+         round(ln(CAST(n_c AS DOUBLE) / (SELECT COUNT(*) FROM train)), 9) AS prior_ln,
+         m1, s11 - m1 * m1 AS v1,
+         round(ln({_GNB_PI2} * (s11 - m1 * m1)), 9) AS lnv1,
+         m2, s22 - m2 * m2 AS v2,
+         round(ln({_GNB_PI2} * (s22 - m2 * m2)), 9) AS lnv2
+  FROM stats
+),
+scored AS (
+  SELECT t.o_orderkey, t.cls AS actual, m.cls AS mcls, round({ll}, 9) AS ll
+  FROM test t CROSS JOIN model m
+),
+probs AS (
+  SELECT o_orderkey,
+         MAX(CASE WHEN actual = 'F' THEN 1 ELSE 0 END) AS is_pos,
+         round(
+           (CASE WHEN MAX(CASE WHEN mcls = 'F' THEN ll END) IS NULL THEN 0.0
+                 ELSE exp(MAX(CASE WHEN mcls = 'F' THEN ll END) - MAX(ll)) END)
+           / (CAST(CAST(SUM(CAST(round(exp(ll - mx), 9) AS DECIMAL(38, 9))) AS VARCHAR) AS DOUBLE)),
+           9) AS score
+  FROM (SELECT *, MAX(ll) OVER (PARTITION BY o_orderkey) AS mx FROM scored)
+  GROUP BY o_orderkey
+),
+per_v AS (
+  SELECT score,
+         SUM(is_pos) AS n_pos,
+         SUM(1 - is_pos) AS n_neg
+  FROM probs GROUP BY score
+),
+cum AS (
+  SELECT n_pos, n_neg,
+         COALESCE(SUM(n_neg) OVER (ORDER BY score
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS neg_below
+  FROM per_v
+),
+u AS (
+  SELECT SUM(n_pos * (2 * neg_below + n_neg)) AS u2,
+         SUM(n_pos) AS p, SUM(n_neg) AS n
+  FROM cum
+)
+SELECT CAST(p AS BIGINT) AS n_pos, CAST(n AS BIGINT) AS n_neg,
+       round(CAST(u2 AS DOUBLE) / (2.0 * p * n), 6) AS auc
+FROM u
+"""
+
+
+@register("gnb_auc_exact", _gnb_auc_sql())
+def q_gnb_auc_exact(spark, sf_dir):
+    """Exact ROC-AUC of the GNB's class-'F' posterior on the held-out
+    split: the tie-aware Mann-Whitney identity 2U = Σ_v n_pos(v) ·
+    (2·neg_below(v) + n_neg(v)) over the DISTINCT quantized scores —
+    all integer until one final division, so ties (which the 1e-9
+    score grid creates deliberately) are handled exactly, never by
+    row-order luck.  Completes the certified eval chain: confusion →
+    per-class P/R/F1 → calibration → ranking quality.
+
+    Scale plan: scoring is the broadcast model join; the U statistic
+    runs on the DISTINCT-score relation (grid-bounded), one ordered
+    window over it."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    to_d = lambda c: c.cast("string").cast("double")  # noqa: E731
+    src = o.select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("cls"),
+        F.year(F.col("o_orderdate").cast("date")).cast("double").alias("x1"),
+        (F.col("o_totalprice") / 1000.0).alias("x2"),
+        hash_bucket("o_orderkey", 10, seed="gnb:").alias("bkt"),
+    )
+    train = src.filter(F.col("bkt") < 8)
+    test = src.filter(F.col("bkt") >= 8)
+
+    def q9s(t):
+        return to_d(F.sum(F.round(t, 9).cast("decimal(38, 9)")))
+
+    stats = train.groupBy("cls").agg(
+        F.count(F.lit(1)).alias("n_c"),
+        (q9s(F.col("x1")) / F.count(F.lit(1))).alias("m1"),
+        (q9s(F.col("x1") * F.col("x1")) / F.count(F.lit(1))).alias("s11"),
+        (q9s(F.col("x2")) / F.count(F.lit(1))).alias("m2"),
+        (q9s(F.col("x2") * F.col("x2")) / F.count(F.lit(1))).alias("s22"),
+    )
+    n_train = train.agg(F.count(F.lit(1)).alias("n_train"))
+    pi2 = float(_GNB_PI2)
+    model = stats.crossJoin(F.broadcast(n_train)).select(
+        F.col("cls").alias("mcls"),
+        F.round(F.log(F.col("n_c").cast("double") / F.col("n_train")), 9).alias(
+            "prior_ln"
+        ),
+        "m1",
+        (F.col("s11") - F.col("m1") * F.col("m1")).alias("v1"),
+        F.round(F.log(pi2 * (F.col("s11") - F.col("m1") * F.col("m1"))), 9).alias(
+            "lnv1"
+        ),
+        "m2",
+        (F.col("s22") - F.col("m2") * F.col("m2")).alias("v2"),
+        F.round(F.log(pi2 * (F.col("s22") - F.col("m2") * F.col("m2"))), 9).alias(
+            "lnv2"
+        ),
+    )
+    paired = test.crossJoin(F.broadcast(model))
+    ll_raw = (
+        F.col("prior_ln")
+        - 0.5
+        * (
+            F.col("lnv1")
+            + (F.col("x1") - F.col("m1")) * (F.col("x1") - F.col("m1")) / F.col("v1")
+        )
+        - 0.5
+        * (
+            F.col("lnv2")
+            + (F.col("x2") - F.col("m2")) * (F.col("x2") - F.col("m2")) / F.col("v2")
+        )
+    )
+    scored = paired.select(
+        "o_orderkey",
+        F.col("cls").alias("actual"),
+        F.col("mcls").alias("mcls"),
+        F.round(ll_raw, 9).alias("ll"),
+    )
+    w_mx = Window.partitionBy("o_orderkey")
+    probs = (
+        scored.withColumn("mx", F.max("ll").over(w_mx))
+        .groupBy("o_orderkey")
+        .agg(
+            F.max(F.when(F.col("actual") == "F", 1).otherwise(0)).alias("is_pos"),
+            F.round(
+                F.coalesce(
+                    F.exp(
+                        F.max(F.when(F.col("mcls") == "F", F.col("ll")))
+                        - F.max("ll")
+                    ),
+                    F.lit(0.0),
+                )
+                / F.sum(
+                    F.round(F.exp(F.col("ll") - F.col("mx")), 9).cast(
+                        "decimal(38, 9)"
+                    )
+                )
+                .cast("string")
+                .cast("double"),
+                9,
+            ).alias("score"),
+        )
+    )
+    per_v = probs.groupBy("score").agg(
+        F.sum("is_pos").alias("n_pos"),
+        F.sum(1 - F.col("is_pos")).alias("n_neg"),
+    )
+    w_cum = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    cum = per_v.select(
+        "n_pos",
+        "n_neg",
+        F.coalesce(F.sum("n_neg").over(w_cum), F.lit(0)).alias("neg_below"),
+    )
+    u = cum.agg(
+        F.sum(F.col("n_pos") * (2 * F.col("neg_below") + F.col("n_neg"))).alias("u2"),
+        F.sum("n_pos").alias("p"),
+        F.sum("n_neg").alias("n"),
+    )
+    return u.select(
+        F.col("p").cast("long").alias("n_pos"),
+        F.col("n").cast("long").alias("n_neg"),
+        F.round(F.col("u2").cast("double") / (2.0 * F.col("p") * F.col("n")), 6).alias(
+            "auc"
+        ),
+    )

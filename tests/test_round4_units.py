@@ -433,3 +433,55 @@ def test_pca_power_iteration_matches_numpy(spark):
     # and the Rayleigh estimate is in the true top eigenvalue's band
     top_val = float(np.linalg.eigvalsh(C)[-1])
     assert 0.7 * top_val < rows[0]["eigenvalue"] <= top_val * 1.0001
+
+
+def test_gnb_auc_matches_sklearn_free_python(spark):
+    """Exact AUC vs a plain-Python tie-aware rank computation over the
+    same scores (recomputed with numpy GNB posteriors — independent of
+    the engine's quantized pipeline up to the 1e-9 grid)."""
+    import math as _m
+
+    import numpy as np
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""SELECT o_orderkey, o_orderstatus,
+                   CAST(EXTRACT(year FROM CAST(o_orderdate AS DATE)) AS DOUBLE),
+                   o_totalprice / 1000.0,
+                   CAST(concat('0x', substring(md5(concat('gnb:', CAST(o_orderkey AS VARCHAR))), 1, 15)) AS BIGINT) % 10
+            FROM read_parquet('{SF_DIR}/orders.parquet')"""
+    ).fetchall()
+    train = [(c, x1, x2) for _, c, x1, x2, b in rows if b < 8]
+    test = [(c, x1, x2) for _, c, x1, x2, b in rows if b >= 8]
+    classes = sorted({c for c, _, _ in train})
+    n = len(train)
+    model = {}
+    for c in classes:
+        xs = np.array([(x1, x2) for cc, x1, x2 in train if cc == c])
+        model[c] = (_m.log(len(xs) / n), xs.mean(axis=0), xs.var(axis=0))
+    pairs = []
+    for c, x1, x2 in test:
+        lls = {}
+        for mc in classes:
+            pl, mu, var = model[mc]
+            lls[mc] = pl - 0.5 * sum(
+                _m.log(2 * _m.pi * var[i]) + (([x1, x2][i] - mu[i]) ** 2) / var[i]
+                for i in range(2)
+            )
+        mx = max(lls.values())
+        denom = sum(_m.exp(v - mx) for v in lls.values())
+        score = _m.exp(lls["F"] - mx) / denom if "F" in lls else 0.0
+        pairs.append((1 if c == "F" else 0, round(score, 9)))
+    pos = sorted(s for y, s in pairs if y == 1)
+    neg = sorted(s for y, s in pairs if y == 0)
+    import bisect
+
+    u = 0.0
+    for s in pos:
+        below = bisect.bisect_left(neg, s)
+        ties = bisect.bisect_right(neg, s) - below
+        u += below + 0.5 * ties
+    auc = u / (len(pos) * len(neg))
+    r = REGISTRY["gnb_auc_exact"][0](spark, SF_DIR).collect()[0]
+    assert r["n_pos"] == len(pos) and r["n_neg"] == len(neg)
+    assert abs(r["auc"] - auc) < 1e-4, (r["auc"], auc)
