@@ -929,3 +929,159 @@ def q_stream_tumbling_append_finalized(spark, sf_dir):
         )
     )
     return run_to_memory(agg, "append")
+
+
+# ---------------------------------------------------------------------------
+# Streaming beaconing detection — the streaming twin of
+# `beaconing_periodicity_detection`: C2 callbacks produce CONSTANT
+# per-window event counts; the stream maintains (window, user) counts
+# with bounded state, the serving stage flags metronome users.
+# ---------------------------------------------------------------------------
+
+_SB_WINDOW = "30 minutes"
+_SB_WINDOW_US = 1800 * 1_000_000
+_SB_MIN_WINDOWS = 4
+_SB_MIN_COUNT = 6  # 30 min / 5 min period
+# beacon timelines start half a period past a window boundary so the
+# +-2.5 s jitter can never push an event across one (events sit >=150 s
+# from every boundary) — constancy of the per-window count is exact
+_SB_T0_US = 1_500_000_150_000_000
+
+
+def _stream_beacon_sql() -> str:
+    h = (
+        "CAST(concat('0x', substring(md5(concat('bjit:', "
+        "concat(CAST(user_id AS VARCHAR), ':', CAST(rn AS VARCHAR)))), 1, 15)) AS BIGINT)"
+    )
+    return f"""
+WITH ranked AS (
+  SELECT user_id, epoch_us(ts) AS t_us,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts), event_id) AS rn,
+         (user_id % 97 = 0) AS is_beacon_truth
+  FROM events
+),
+eff AS (
+  SELECT user_id, is_beacon_truth,
+         CASE WHEN is_beacon_truth
+              THEN {_SB_T0_US} + rn * 300000000
+                   + ({h} % 5000000) - 2500000
+              ELSE t_us END AS t_eff
+  FROM ranked
+),
+win AS (
+  SELECT user_id, is_beacon_truth,
+         t_eff // {_SB_WINDOW_US} AS w, COUNT(*) AS c
+  FROM eff GROUP BY 1, 2, 3
+),
+interior AS (
+  SELECT user_id, is_beacon_truth, c
+  FROM (
+    SELECT user_id, is_beacon_truth, w, c,
+           MIN(w) OVER (PARTITION BY user_id) AS w_min,
+           MAX(w) OVER (PARTITION BY user_id) AS w_max
+    FROM win
+  ) WHERE w > w_min AND w < w_max
+),
+scored AS (
+  SELECT user_id, is_beacon_truth,
+         (COUNT(*) >= {_SB_MIN_WINDOWS} AND MIN(c) = MAX(c)
+          AND MIN(c) >= {_SB_MIN_COUNT}) AS flagged
+  FROM interior GROUP BY 1, 2
+)
+SELECT is_beacon_truth, flagged, CAST(COUNT(*) AS BIGINT) AS n_users
+FROM scored GROUP BY 1, 2
+"""
+
+
+@register("stream_beaconing_alerts", _stream_beacon_sql())
+def q_stream_beaconing_alerts(spark, sf_dir):
+    """Streaming C2-beacon detection: the event stream (with the same
+    deterministically injected 5-minute-callback users as the batch
+    `beaconing_periodicity_detection`) maintains per-(window, user)
+    counts over 6-hour tumbling windows — state O(open windows ×
+    users), the standard bounded shape — and the serving stage flags
+    users whose INTERIOR windows (first/last partials excluded) hold a
+    constant count ≥ {mc} across ≥ {mw} windows: a metronome.  Batch-
+    equivalence oracle: the same window arithmetic in integer
+    microseconds (Spark's epoch-aligned tumbling windows ≡ integer
+    division by the window span).
+
+    Scale plan: the stream side is one watermarked count aggregate;
+    the flagging rollup runs on the (user, window) count relation —
+    weeks-of-windows sized, never events."""
+    from pyspark.sql import Window
+
+    from ..functions.hashing import portable_hash64
+    from ..sources.tables import load_table
+    from ..streaming.stream import run_to_memory
+
+    ev = load_table(spark, sf_dir, "events")
+    w_rank = Window.partitionBy("user_id").orderBy(
+        F.unix_micros("ts"), "event_id"
+    )
+    ranked = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("t_us"),
+        F.row_number().over(w_rank).alias("rn"),
+        (F.col("user_id") % 97 == 0).alias("is_beacon_truth"),
+    )
+    jit = (
+        F.pmod(
+            portable_hash64(
+                F.concat(
+                    F.col("user_id").cast("string"),
+                    F.lit(":"),
+                    F.col("rn").cast("string"),
+                ),
+                seed="bjit:",
+            ),
+            F.lit(5_000_000),
+        )
+        - 2_500_000
+    )
+    eff = ranked.select(
+        "user_id",
+        "is_beacon_truth",
+        F.timestamp_micros(
+            F.when(
+                F.col("is_beacon_truth"),
+                F.lit(_SB_T0_US)
+                + F.col("rn").cast("long") * 300_000_000
+                + jit,
+            ).otherwise(F.col("t_us"))
+        ).alias("ts"),
+    )
+    path = f"/tmp/nids_beacon_stream_{sf_dir.rstrip('/').rsplit('/', 1)[-1].replace('.', '_')}"
+    eff.write.mode("overwrite").parquet(path)
+    stream = spark.readStream.schema(
+        "user_id long, is_beacon_truth boolean, ts timestamp"
+    ).parquet(path)
+    counts = stream.groupBy(
+        F.window("ts", _SB_WINDOW), "user_id", "is_beacon_truth"
+    ).agg(F.count(F.lit(1)).alias("c"))
+    win = run_to_memory(counts, "complete").select(
+        "user_id",
+        "is_beacon_truth",
+        (F.unix_micros("window.start") / _SB_WINDOW_US).cast("long").alias("w"),
+        "c",
+    )
+    w_u = Window.partitionBy("user_id")
+    interior = win.select(
+        "user_id",
+        "is_beacon_truth",
+        "w",
+        "c",
+        F.min("w").over(w_u).alias("w_min"),
+        F.max("w").over(w_u).alias("w_max"),
+    ).filter((F.col("w") > F.col("w_min")) & (F.col("w") < F.col("w_max")))
+    scored = interior.groupBy("user_id", "is_beacon_truth").agg(
+        (
+            (F.count(F.lit(1)) >= _SB_MIN_WINDOWS)
+            & (F.min("c") == F.max("c"))
+            & (F.min("c") >= _SB_MIN_COUNT)
+        ).alias("flagged")
+    )
+    return scored.groupBy("is_beacon_truth", "flagged").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
