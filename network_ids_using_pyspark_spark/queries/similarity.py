@@ -1044,3 +1044,134 @@ def q_knn_classifier_exact(spark, sf_dir):
             "accuracy"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Grid-density clustering (DBSCAN-lite): core cells by local density,
+# clusters as connected components of the 8-neighborhood core-cell
+# graph — density clustering certified end to end (DBSCAN itself is
+# point-radius based; the grid form is its standard scalable
+# approximation and is exactly reproducible).
+# ---------------------------------------------------------------------------
+
+_DB_EPS = 0.1
+_DB_MINPTS = 4
+_DB_ITERS = 10
+_DB_OFF = 100  # cell-coordinate offset -> positive label encoding
+
+
+def _dbscan_sql() -> str:
+    parts = [
+        "pts AS (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings)",
+        f"cells AS (SELECT CAST(floor(e[1] / {_DB_EPS}) AS BIGINT) AS cx, "
+        f"CAST(floor(e[2] / {_DB_EPS}) AS BIGINT) AS cy, COUNT(*) AS c "
+        "FROM pts GROUP BY 1, 2)",
+        f"core AS (SELECT cx, cy, c, (cx + {_DB_OFF}) * 1000 + (cy + {_DB_OFF}) AS lbl0 "
+        f"FROM cells WHERE c >= {_DB_MINPTS})",
+        "edges AS (SELECT a.cx AS ax, a.cy AS ay, b.cx AS bx, b.cy AS by "
+        "FROM core a JOIN core b ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1)",
+        "l0 AS (SELECT cx, cy, lbl0 AS lbl FROM core)",
+    ]
+    for i in range(1, _DB_ITERS + 1):
+        parts.append(
+            f"l{i} AS (SELECT e.ax AS cx, e.ay AS cy, MIN(l.lbl) AS lbl "
+            f"FROM edges e JOIN l{i-1} l ON e.bx = l.cx AND e.by = l.cy "
+            "GROUP BY e.ax, e.ay)"
+        )
+    t = _DB_ITERS
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f""",
+clustered AS (
+  SELECT l.lbl AS cluster, COUNT(*) AS n_cells,
+         CAST(SUM(c.c) AS BIGINT) AS n_points
+  FROM l{t} l JOIN core c ON l.cx = c.cx AND l.cy = c.cy
+  GROUP BY l.lbl
+),
+noise AS (
+  SELECT CAST(-1 AS BIGINT) AS cluster,
+         CAST(COUNT(*) AS BIGINT) AS n_cells,
+         CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n_points
+  FROM cells WHERE c < {_DB_MINPTS}
+)
+SELECT CAST(cluster AS BIGINT) AS cluster, CAST(n_cells AS BIGINT) AS n_cells, n_points FROM clustered
+UNION ALL
+SELECT cluster, n_cells, n_points FROM noise
+"""
+    )
+
+
+@register("dbscan_grid_clusters", _dbscan_sql())
+def q_dbscan_grid_clusters(spark, sf_dir):
+    """Density clustering over the first two embedding dimensions:
+    cells of side {eps} with >= {minpts} points are core; clusters are
+    connected components of the 8-neighborhood core-cell graph
+    (min-label propagation, {iters} supersteps — far beyond the grid
+    diameter, so the fixpoint is certain); sparse cells report as the
+    cluster = −1 noise row.  Density clustering joins the certified
+    family beside the centroid-based k-means — the two disagree
+    exactly where cluster shape is non-convex, which is the point.
+
+    Scale plan: the point cloud collapses to the cell grid in ONE
+    map-side-combined aggregate; everything after runs on the
+    dim-sized cell relation (the 100 TB cost is the scan, not the
+    clustering)."""
+    from pyspark.sql import Window  # noqa: F401  (module convention)
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pts = emb.select(as_double_array("embedding").alias("e"))
+    cells = (
+        pts.select(
+            F.floor(F.element_at("e", 1) / _DB_EPS).cast("long").alias("cx"),
+            F.floor(F.element_at("e", 2) / _DB_EPS).cast("long").alias("cy"),
+        )
+        .groupBy("cx", "cy")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    cells = cells.localCheckpoint(eager=True)  # feeds core AND noise
+    core = cells.filter(F.col("c") >= _DB_MINPTS).select(
+        "cx",
+        "cy",
+        "c",
+        ((F.col("cx") + _DB_OFF) * 1000 + (F.col("cy") + _DB_OFF)).alias("lbl"),
+    )
+    core = core.localCheckpoint(eager=True)  # dim-sized; reused everywhere
+    a = core.select(F.col("cx").alias("ax"), F.col("cy").alias("ay"))
+    b = core.select(F.col("cx").alias("bx"), F.col("cy").alias("by"))
+    edges = a.join(
+        b,
+        (F.abs(F.col("ax") - F.col("bx")) <= 1)
+        & (F.abs(F.col("ay") - F.col("by")) <= 1),
+    ).localCheckpoint(eager=True)
+    lbl = core.select("cx", "cy", "lbl")
+    for _ in range(_DB_ITERS):
+        lbl = (
+            edges.join(
+                lbl.select(
+                    F.col("cx").alias("bx"), F.col("cy").alias("by"), "lbl"
+                ),
+                ["bx", "by"],
+            )
+            .groupBy(F.col("ax").alias("cx"), F.col("ay").alias("cy"))
+            .agg(F.min("lbl").alias("lbl"))
+            .localCheckpoint(eager=False)
+        )
+    clustered = (
+        lbl.join(core.select("cx", "cy", "c"), ["cx", "cy"])
+        .groupBy(F.col("lbl").alias("cluster"))
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.sum("c").cast("long").alias("n_points"),
+        )
+    )
+    noise = cells.filter(F.col("c") < _DB_MINPTS).agg(
+        F.lit(-1).cast("long").alias("cluster"),
+        F.count(F.lit(1)).alias("n_cells"),
+        F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n_points"),
+    )
+    return clustered.select(
+        F.col("cluster").cast("long").alias("cluster"),
+        F.col("n_cells").cast("long").alias("n_cells"),
+        "n_points",
+    ).unionByName(noise)

@@ -485,3 +485,43 @@ def test_gnb_auc_matches_sklearn_free_python(spark):
     r = REGISTRY["gnb_auc_exact"][0](spark, SF_DIR).collect()[0]
     assert r["n_pos"] == len(pos) and r["n_neg"] == len(neg)
     assert abs(r["auc"] - auc) < 1e-4, (r["auc"], auc)
+
+
+def test_dbscan_grid_matches_brute_force(spark):
+    """Grid clusters vs a plain-Python flood fill over the same core
+    cells (and that 10 supersteps truly reached the fixpoint)."""
+    con = duckdb.connect()
+    cells = con.execute(
+        f"""SELECT CAST(floor(e[1] / 0.1) AS BIGINT),
+                   CAST(floor(e[2] / 0.1) AS BIGINT), COUNT(*)
+            FROM (SELECT CAST(embedding AS DOUBLE[]) e
+                  FROM read_parquet('{SF_DIR}/embeddings.parquet'))
+            GROUP BY 1, 2"""
+    ).fetchall()
+    core = {(x, y): c for x, y, c in cells if c >= 4}
+    seen: set = set()
+    comps = []
+    for start in core:
+        if start in seen:
+            continue
+        comp, stack = set(), [start]
+        while stack:
+            u = stack.pop()
+            if u in seen:
+                continue
+            seen.add(u)
+            comp.add(u)
+            for dx in (-1, 0, 1):
+                for dy in (-1, 0, 1):
+                    v = (u[0] + dx, u[1] + dy)
+                    if v in core and v not in seen:
+                        stack.append(v)
+        comps.append(comp)
+    expected = sorted(
+        (len(c), sum(core[u] for u in c)) for c in comps
+    )
+    rows = REGISTRY["dbscan_grid_clusters"][0](spark, SF_DIR).collect()
+    got = sorted((r["n_cells"], r["n_points"]) for r in rows if r["cluster"] != -1)
+    assert got == expected, (got, expected)
+    noise = [r for r in rows if r["cluster"] == -1][0]
+    assert noise["n_cells"] == sum(1 for _, _, c in cells if c < 4)
