@@ -51,7 +51,9 @@ HEADLINE_QUERIES = [
     "asof_last_click_before_purchase",
 ]
 
-_DETAIL_PATH = os.path.join(
+# Overridable so smoke runs (e.g. the bench-contract test's 2-query
+# subset) never overwrite the committed full-sweep artifact.
+_DETAIL_PATH = os.environ.get("SPARK_GRAFT_DETAIL_PATH") or os.path.join(
     os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
 )
 

@@ -15,13 +15,17 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def test_bench_stdout_is_single_json_line():
+def test_bench_stdout_is_single_json_line(tmp_path):
+    detail_path = str(tmp_path / "BENCH_DETAIL.json")
     env = dict(
         os.environ,
         SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
         SPARK_GRAFT_CPUS="4",
         SPARK_GRAFT_BENCH_LIMIT="2",  # smoke: contract, not coverage
         SPARK_GRAFT_SKIP_BASELINE="1",
+        # the smoke subset must not clobber the committed full-sweep
+        # artifact at the repo root
+        SPARK_GRAFT_DETAIL_PATH=detail_path,
     )
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
@@ -43,9 +47,12 @@ def test_bench_stdout_is_single_json_line():
     # payload must stay bounded no matter how many queries ran — the
     # full sweep belongs in BENCH_DETAIL.json, not on stdout
     assert len(lines[0]) < 8192, f"stdout line too long: {len(lines[0])} bytes"
-    detail = json.load(open(os.path.join(REPO, "BENCH_DETAIL.json")))
+    detail = json.load(open(detail_path))
     assert set(detail["queries"]) >= set(payload["queries"])
     assert detail["n_queries"] == payload["n_queries"]
+    # the repo-root artifact must have survived the smoke run untouched
+    repo_detail = json.load(open(os.path.join(REPO, "BENCH_DETAIL.json")))
+    assert repo_detail["n_queries"] > 300
 
 
 def test_headline_queries_all_registered():
