@@ -62,6 +62,7 @@ from . import trainprep  # noqa: E402,F401
 from . import entity  # noqa: E402,F401
 from . import assoc  # noqa: E402,F401
 from . import stats_ext  # noqa: E402,F401
+from . import tokenizer  # noqa: E402,F401
 
 
 # The driver's correctness gate covers the FIRST 50 registry entries
