@@ -1,12 +1,13 @@
-"""Tokenizer training over the corpus: byte-pair-encoding merge learning.
+"""Tokenizer training + application over the corpus: BPE merge learning.
 
 The classic LLM-pipeline step the rest of the text family feeds into:
-given the cleaned corpus, learn the first K BPE merges.  The reference
-(modelling.py / ISAA notebook) has no tokenizer stage at all — this is
-north-star surface for the 100 TB training-data engine, built the way
-production BPE trainers work (Sennrich et al. 2016): train on the
-*word histogram*, not the raw corpus, so the iterative part runs over
-|vocab| rows no matter how big the corpus is.
+given the cleaned corpus, learn the first K BPE merges, then tokenize
+the corpus with them.  The reference (modelling.py / ISAA notebook) has
+no tokenizer stage at all — this is north-star surface for the 100 TB
+training-data engine, built the way production BPE trainers work
+(Sennrich et al. 2016): train on the *word histogram*, not the raw
+corpus, so the iterative part runs over |vocab| rows no matter how big
+the corpus is.
 
 Exactness trick shared by both engines: a word's symbol sequence is
 encoded as ``(s1)(s2)...(sk)`` — every symbol individually wrapped —
@@ -28,12 +29,13 @@ posture (same as kmeans_lloyd_exact / pca_power_iteration_exact).
 Scale plan: one corpus scan builds the histogram (map-side-combined
 count on the word), then K iterations each do explode→partial-agg→
 1-row argmax over the |vocab|-sized relation.  At 100 TB, |vocab| is
-millions of rows — executor-trivial; the corpus is never re-read.
+millions of rows — executor-trivial; the corpus is never re-read until
+tokenization applies the final vocabulary back with one equi-join.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
+from pyspark.sql import DataFrame, functions as F
 
 from ..sources.tables import load_table
 from . import register
@@ -80,11 +82,15 @@ w{s + 1} AS MATERIALIZED (
 )"""
 
 
-_BPE_SQL = (
+_BPE_CTES = (
     "WITH "
     + _BPE_HIST_SQL
     + ","
     + ",".join(_bpe_stage_sql(s) for s in range(_BPE_K))
+)
+
+_BPE_SQL = (
+    _BPE_CTES
     + "\n"
     + "\nUNION ALL ".join(
         f"SELECT CAST({s + 1} AS INTEGER) AS merge_rank, a AS left_sym,"
@@ -93,18 +99,38 @@ _BPE_SQL = (
     )
 )
 
+_BPE_APPLY_SQL = (
+    _BPE_CTES
+    + f""",
+vocab AS MATERIALIZED (
+  SELECT replace(replace(w, '(', ''), ')', '') AS tok,
+         CAST(len(string_split(substring(w, 2, length(w) - 2), ')(')) AS BIGINT)
+           AS n_syms
+  FROM w{_BPE_K}
+),
+doctoks AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id,
+           UNNEST(regexp_split_to_array(trim(lower(text)), '[^0-9a-z]+')) AS tok
+    FROM documents
+  )
+  WHERE tok <> ''
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(n_syms) AS BIGINT) AS n_bpe_tokens,
+       CAST(SUM(length(tok)) AS BIGINT) AS n_chars_alnum,
+       round(CAST(SUM(length(tok)) AS DOUBLE)
+             / CAST(SUM(n_syms) AS DOUBLE), 6) AS chars_per_token
+FROM doctoks JOIN vocab USING (tok)
+GROUP BY doc_id
+"""
+)
 
-@register("bpe_merge_training", _BPE_SQL)
-def q_bpe_merge_training(spark, sf_dir):
-    """Learn the first K BPE merges from the corpus word histogram.
 
-    Output: one row per merge — rank, the two merged symbols, the new
-    symbol, and the pair's frequency-weighted count at selection time.
-    Tie-break is total (count DESC, then pair lexicographic) so the
-    merge table is reproducible across engines and partitionings.
-    """
-    docs = load_table(spark, sf_dir, "documents")
-    words = (
+def _word_histogram(docs: DataFrame) -> DataFrame:
+    """Corpus → (encoded word, frequency): the one corpus-wide scan."""
+    return (
         docs.select(
             F.explode(F.split(F.trim(F.lower("text")), "[^0-9a-z]+")).alias("tok")
         )
@@ -113,15 +139,19 @@ def q_bpe_merge_training(spark, sf_dir):
         .agg(F.count(F.lit(1)).cast("long").alias("freq"))
         .localCheckpoint(eager=True)
     )
+
+
+def _split_syms(col: str = "w"):
+    return F.split(F.expr(f"substring({col}, 2, length({col}) - 2)"), r"\)\(")
+
+
+def _learn_merges(words: DataFrame) -> tuple[list[DataFrame], DataFrame]:
+    """K BPE iterations over the histogram.  Returns the per-rank 1-row
+    merge relations and the final merged-symbol histogram."""
     merges = []
     for rank in range(1, _BPE_K + 1):
         pairs = (
-            words.select(
-                F.split(
-                    F.expr("substring(w, 2, length(w) - 2)"), r"\)\("
-                ).alias("syms"),
-                "freq",
-            )
+            words.select(_split_syms().alias("syms"), "freq")
             .filter(F.size("syms") >= 2)  # sequence() would descend on size 1
             .select(
                 F.explode(
@@ -168,7 +198,65 @@ def q_bpe_merge_training(spark, sf_dir):
             )
             .localCheckpoint(eager=True)
         )
+    return merges, words
+
+
+@register("bpe_merge_training", _BPE_SQL)
+def q_bpe_merge_training(spark, sf_dir):
+    """Learn the first K BPE merges from the corpus word histogram.
+
+    Output: one row per merge — rank, the two merged symbols, the new
+    symbol, and the pair's frequency-weighted count at selection time.
+    Tie-break is total (count DESC, then pair lexicographic) so the
+    merge table is reproducible across engines and partitionings.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    merges, _ = _learn_merges(_word_histogram(docs))
     out = merges[0]
     for m in merges[1:]:
         out = out.unionByName(m)
     return out
+
+
+@register("bpe_tokenize_profile", _BPE_APPLY_SQL)
+def q_bpe_tokenize_profile(spark, sf_dir):
+    """Tokenize the corpus with the learned merges: per-document BPE
+    token counts and the chars-per-token compression ratio (the number
+    a tokenizer team actually tracks when sizing a vocab).
+
+    The trained vocabulary (final histogram state) already carries each
+    word's post-merge symbol count, so application is ONE equi-join of
+    the corpus word stream against the |vocab| relation — the corpus is
+    never re-processed per merge.  At 100 TB the join shuffles on the
+    word (or broadcasts: a fixed 100k-entry vocab is broadcast-sized);
+    per-doc token totals are map-side-combinable sums."""
+    docs = load_table(spark, sf_dir, "documents")
+    _, words = _learn_merges(_word_histogram(docs))
+    vocab = words.select(
+        F.translate("w", "()", "").alias("tok"),
+        F.size(_split_syms()).cast("long").alias("n_syms"),
+    )
+    doctoks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower("text")), "[^0-9a-z]+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    return (
+        doctoks.join(vocab, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_syms").cast("long").alias("n_bpe_tokens"),
+            F.sum(F.length("tok")).cast("long").alias("n_chars_alnum"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_bpe_tokens",
+            "n_chars_alnum",
+            F.round(
+                F.col("n_chars_alnum").cast("double")
+                / F.col("n_bpe_tokens").cast("double"),
+                6,
+            ).alias("chars_per_token"),
+        )
+    )
