@@ -1175,3 +1175,84 @@ def q_dbscan_grid_clusters(spark, sf_dir):
         F.col("n_cells").cast("long").alias("n_cells"),
         "n_points",
     ).unionByName(noise)
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining: the contrastive-training data-prep step — for
+# each anchor, the most-similar vectors that carry a DIFFERENT label.
+# These near-miss negatives are what embedding-model trainers actually
+# feed the loss (easy random negatives teach nothing); mining them is a
+# corpus-engine job, not a trainer job.
+# ---------------------------------------------------------------------------
+
+_HNEG_NQ = 16  # anchors
+_HNEG_K = 5
+
+_HNEG_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS q_vec_id, label AS q_label,
+         CAST(embedding AS DOUBLE[]) AS qe
+  FROM embeddings WHERE vec_id < {_HNEG_NQ}
+), c AS (
+  SELECT vec_id AS cand_vec_id, label AS cand_label,
+         CAST(embedding AS DOUBLE[]) AS ce
+  FROM embeddings
+), sims AS (
+  SELECT q_vec_id, q_label, cand_vec_id, cand_label,
+         list_dot_product(qe, ce)
+           / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ce, ce))) AS sim
+  FROM c, q
+  WHERE q_label <> cand_label
+)
+SELECT q_vec_id, q_label, cand_vec_id, cand_label, sim, rk FROM (
+  SELECT q_vec_id, q_label, cand_vec_id, cand_label, sim,
+         ROW_NUMBER() OVER (PARTITION BY q_vec_id
+                            ORDER BY sim DESC, cand_vec_id ASC) AS rk
+  FROM sims
+) WHERE rk <= {_HNEG_K}
+"""
+
+
+@register("hard_negative_mining", _HNEG_SQL)
+def q_hard_negative_mining(spark, sf_dir):
+    """Top-k cross-label nearest neighbors per anchor — hard negatives
+    for contrastive training.  Same exact-fold cosine and broadcast
+    anchor-side shape as `cosine_topk` (the brute-force contract; at
+    100 TB the candidate pass swaps to the IVF/LSH bucketed variants,
+    `operators/similarity.py:92,143`, with the label-mismatch filter
+    applied inside the bucket join).  The label filter runs BEFORE
+    ranking, so negatives never displace into lower ranks when a
+    same-label vector is nearer — rank is within the negative set, the
+    semantics the loss wants."""
+    from ..operators.similarity import _cosine_pre, l2_norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < _HNEG_NQ).select(
+        F.col("vec_id").alias("q_vec_id"),
+        F.col("label").alias("q_label"),
+        as_double_array("embedding").alias("qe"),
+    ).withColumn("__qn", l2_norm(F.col("qe")))
+    c = emb.select(
+        F.col("vec_id").alias("cand_vec_id"),
+        F.col("label").alias("cand_label"),
+        as_double_array("embedding").alias("ce"),
+    ).withColumn("__cn", l2_norm(F.col("ce")))
+    sims = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("q_label") != F.col("cand_label"))
+        .select(
+            "q_vec_id",
+            "q_label",
+            "cand_vec_id",
+            "cand_label",
+            _cosine_pre(
+                F.col("qe"), F.col("ce"), F.col("__qn"), F.col("__cn")
+            ).alias("sim"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("q_vec_id").orderBy(F.desc("sim"), F.asc("cand_vec_id"))
+    return sims.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= _HNEG_K
+    )
