@@ -281,3 +281,202 @@ def q_search_ranking_metrics(spark, sf_dir):
             F.col("dcg") / idcg_expr.cast("string").cast("double"), 6
         ).alias(f"ndcg_at_{_IR_K}"),
     )
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified reranking: the retrieval step between ANN candidate
+# generation and the context window — greedily pick results that are
+# relevant to the query but not redundant with what's already picked
+# (Carbonell & Goldstein 1998).  Runs over a per-query shortlist by
+# construction (the pool IS the output of the top-k retrievers above),
+# so the iterative part is constant-sized no matter the corpus scale —
+# the same histogram-not-corpus posture as BPE training.
+# ---------------------------------------------------------------------------
+
+_MMR_Q = 0  # anchor vector
+_MMR_POOL = 12
+_MMR_K = 5
+_MMR_L = 0.7  # relevance weight
+_MMR_ML = 0.3  # diversity weight — literal, NOT computed as 1-0.7
+#               (Python's 1 - 0.7 is 0.30000000000000004; the SQL
+#                literal 0.3 is not — both sides use this constant)
+
+
+def _mmr_sql() -> str:
+    cos = (
+        "list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qe)"
+        " / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),"
+        " CAST(e.embedding AS DOUBLE[]))) * q.qn)"
+    )
+    parts = [
+        f"""
+WITH q AS MATERIALIZED (
+  SELECT CAST(embedding AS DOUBLE[]) AS qe,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                               CAST(embedding AS DOUBLE[]))) AS qn
+  FROM embeddings WHERE vec_id = {_MMR_Q}
+),
+pool AS MATERIALIZED (
+  SELECT vec_id, rel FROM (
+    SELECT vec_id, rel, ROW_NUMBER() OVER (ORDER BY rel DESC, vec_id) AS rnk
+    FROM (
+      SELECT e.vec_id, {cos} AS rel
+      FROM embeddings e, q WHERE e.vec_id <> {_MMR_Q}
+    )
+  ) WHERE rnk <= {_MMR_POOL}
+),
+pe AS MATERIALIZED (
+  SELECT p.vec_id, p.rel, CAST(e.embedding AS DOUBLE[]) AS ve,
+         sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                               CAST(e.embedding AS DOUBLE[]))) AS nrm
+  FROM pool p JOIN embeddings e USING (vec_id)
+),
+pp AS MATERIALIZED (
+  SELECT a.vec_id AS va, b.vec_id AS vb,
+         list_dot_product(a.ve, b.ve) / (a.nrm * b.nrm) AS sim
+  FROM pe a, pe b WHERE a.vec_id <> b.vec_id
+),
+s0 AS MATERIALIZED (
+  SELECT vec_id, rel, 0.0 AS max_sim_sel, {_MMR_L} * rel AS mmr
+  FROM pe ORDER BY mmr DESC, vec_id LIMIT 1
+),
+sel1 AS MATERIALIZED (SELECT vec_id FROM s0)"""
+    ]
+    for s in range(1, _MMR_K):
+        parts.append(f"""
+s{s} AS MATERIALIZED (
+  SELECT vec_id, rel, ms AS max_sim_sel,
+         {_MMR_L} * rel - {_MMR_ML} * ms AS mmr
+  FROM (
+    SELECT p.vec_id, p.rel, MAX(pp.sim) AS ms
+    FROM pe p JOIN pp ON pp.va = p.vec_id
+      AND pp.vb IN (SELECT vec_id FROM sel{s})
+    WHERE p.vec_id NOT IN (SELECT vec_id FROM sel{s})
+    GROUP BY p.vec_id, p.rel
+  )
+  ORDER BY mmr DESC, vec_id LIMIT 1
+),
+sel{s + 1} AS MATERIALIZED (
+  SELECT vec_id FROM sel{s} UNION ALL SELECT vec_id FROM s{s}
+)""")
+    finals = "\nUNION ALL ".join(
+        f"SELECT CAST({s + 1} AS INTEGER) AS mmr_rank, vec_id,"
+        f" rel AS rel_sim, max_sim_sel AS max_sim_selected,"
+        f" mmr AS mmr_score FROM s{s}"
+        for s in range(_MMR_K)
+    )
+    return ",".join(parts) + "\n" + finals
+
+
+@register("mmr_diversified_rerank", _mmr_sql())
+def q_mmr_diversified_rerank(spark, sf_dir):
+    """Greedy MMR selection of K results from the cosine top-{pool}:
+    each step takes argmax of λ·rel − (1−λ)·max-sim-to-selected with a
+    total (score DESC, vec_id) tie-break.  All cosines are the same
+    sequential fold as `cosine_topk` (with per-row precomputed norms),
+    so both engines walk an identical score sequence.
+
+    Scale plan: pool construction is the existing top-k machinery
+    (broadcast anchor, TakeOrderedAndProject); the K-step greedy loop
+    touches only the pool-sized relations (argmax via 1-row broadcast,
+    lineage cut per step) — per-query cost is O(pool²), independent of
+    corpus size."""
+    from pyspark.sql import Window
+
+    from ..operators.similarity import _cosine_pre, as_double_array, l2_norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = (
+        emb.filter(F.col("vec_id") == _MMR_Q)
+        .select(as_double_array("embedding").alias("qe"))
+        .withColumn("qn", l2_norm(F.col("qe")))
+    )
+    scored = (
+        emb.filter(F.col("vec_id") != _MMR_Q)
+        .select("vec_id", as_double_array("embedding").alias("ve"))
+        .withColumn("nrm", l2_norm(F.col("ve")))
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "ve",
+            "nrm",
+            _cosine_pre(
+                F.col("qe"), F.col("ve"), F.col("qn"), F.col("nrm")
+            ).alias("rel"),
+        )
+    )
+    pe = (
+        scored.orderBy(F.desc("rel"), F.asc("vec_id"))
+        .limit(_MMR_POOL)
+        .localCheckpoint(eager=True)
+    )
+    a = pe.select(
+        F.col("vec_id").alias("va"), F.col("ve").alias("vea"), F.col("nrm").alias("na")
+    )
+    b = pe.select(
+        F.col("vec_id").alias("vb"), F.col("ve").alias("veb"), F.col("nrm").alias("nb")
+    )
+    pp = (
+        a.crossJoin(b)
+        .filter(F.col("va") != F.col("vb"))
+        .select(
+            "va",
+            "vb",
+            _cosine_pre(
+                F.col("vea"), F.col("veb"), F.col("na"), F.col("nb")
+            ).alias("sim"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    cand = pe.select("vec_id", "rel")
+    sel = None
+    picks = []
+    for s in range(_MMR_K):
+        if sel is None:
+            stage = cand.select(
+                "vec_id",
+                "rel",
+                F.lit(0.0).alias("max_sim_sel"),
+                (F.lit(_MMR_L) * F.col("rel")).alias("mmr"),
+            )
+        else:
+            ms = (
+                pp.join(F.broadcast(sel.select(F.col("vec_id").alias("vb"))), "vb")
+                .groupBy(F.col("va").alias("vec_id"))
+                .agg(F.max("sim").alias("ms"))
+            )
+            stage = (
+                cand.join(sel, "vec_id", "left_anti")
+                .join(ms, "vec_id")
+                .select(
+                    "vec_id",
+                    "rel",
+                    F.col("ms").alias("max_sim_sel"),
+                    (
+                        F.lit(_MMR_L) * F.col("rel")
+                        - F.lit(_MMR_ML) * F.col("ms")
+                    ).alias("mmr"),
+                )
+            )
+        best = (
+            stage.orderBy(F.desc("mmr"), F.asc("vec_id"))
+            .limit(1)
+            .localCheckpoint(eager=True)
+        )
+        picks.append(
+            best.select(
+                F.lit(s + 1).cast("int").alias("mmr_rank"),
+                "vec_id",
+                F.col("rel").alias("rel_sim"),
+                F.col("max_sim_sel").alias("max_sim_selected"),
+                F.col("mmr").alias("mmr_score"),
+            )
+        )
+        newsel = best.select("vec_id")
+        sel = (
+            newsel if sel is None else sel.unionByName(newsel)
+        ).localCheckpoint(eager=True)
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionByName(p)
+    return out
