@@ -3043,3 +3043,146 @@ def q_gnb_auc_exact(spark, sf_dir):
             "auc"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Model-based quality filtering (the CCNet / fastText-filter design):
+# train a tiny logistic classifier to recognize a reference slice of
+# the corpus (here: English docs) from cheap text statistics, score
+# EVERY document, and report retention per stratum.  This is the
+# certified-exact skeleton of "train a quality classifier on weak
+# labels, filter the crawl with it" — the third consumer of the
+# OLS/IRLS adjugate templates above.
+# ---------------------------------------------------------------------------
+
+_QCF_T = 0.44  # retention threshold on the 1e-9-grid score
+
+
+def _qcf_sql(iters: int = _IRLS_T) -> str:
+    stop_sql = "['the', 'a', 'and', 'of', 'to', 'in']"  # queries/text.py list
+    toks = r"regexp_split_to_array(trim(text), '\s+')"
+    parts = [
+        f"""s AS (
+  SELECT lang,
+         round(CAST(len(list_filter({toks}, t -> list_contains({stop_sql}, t)))
+                    AS DOUBLE) / len({toks}), 9) AS x1,
+         round(len({toks}) / 100.0, 9) AS x2,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM documents WHERE len({toks}) > 0
+)""",
+        "b0_ AS (SELECT 0.0 AS b0, 0.0 AS b1, 0.0 AS b2)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"r{i} AS (SELECT x1, x2, y, {_IRLS_P} AS p, b0, b1, b2 "
+            f"FROM s CROSS JOIN b{i-1}_)"
+        )
+        parts.append(
+            f"a{i} AS (SELECT ANY_VALUE(b0) AS b0, ANY_VALUE(b1) AS b1, ANY_VALUE(b2) AS b2, "
+            f"{_irls_q9_sum('p * (1.0 - p)')} AS n, "
+            f"{_irls_q9_sum('p * (1.0 - p) * x1')} AS s1, "
+            f"{_irls_q9_sum('p * (1.0 - p) * x2')} AS s2, "
+            f"{_irls_q9_sum('p * (1.0 - p) * x1 * x1')} AS s11, "
+            f"{_irls_q9_sum('p * (1.0 - p) * x1 * x2')} AS s12, "
+            f"{_irls_q9_sum('p * (1.0 - p) * x2 * x2')} AS s22, "
+            f"{_irls_q9_sum('(y - p)')} AS sy, "
+            f"{_irls_q9_sum('(y - p) * x1')} AS s1y, "
+            f"{_irls_q9_sum('(y - p) * x2')} AS s2y "
+            f"FROM r{i})"
+        )
+        parts.append(
+            f"b{i}_ AS (SELECT b0 + {_OLS_B0} AS b0, b1 + {_OLS_B1} AS b1, "
+            f"b2 + {_OLS_B2} AS b2 FROM a{i})"
+        )
+    parts.append(
+        f"rf AS (SELECT lang, {_IRLS_P} AS p FROM s CROSS JOIN b{iters}_)"
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       round({_irls_q9_sum('p')} / COUNT(*), 6) AS mean_score,
+       CAST(SUM(CASE WHEN p >= {_QCF_T} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_retained,
+       round(CAST(SUM(CASE WHEN p >= {_QCF_T} THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS retained_share
+FROM rf GROUP BY lang
+"""
+    )
+
+
+@register("quality_classifier_filter", _qcf_sql())
+def q_quality_classifier_filter(spark, sf_dir):
+    """Train-and-apply model-based corpus filtering: a logistic
+    classifier (stopword ratio, tokens/100 → is-English) fitted by the
+    same unrolled IRLS as `logreg_irls_exact`, then scored over the
+    whole corpus with per-language retention at the fixed threshold.
+
+    Every transcendental hits the 1e-9 grid before aggregation and all
+    moments are DECIMAL sums, so training, scoring, and the threshold
+    comparison are bit-identical across engines and partitionings.
+
+    Scale plan: T+1 map-side-combined scans of the corpus (T Newton
+    steps + final scoring), a 3-coefficient 1-row broadcast between
+    passes — the cheapest honest "train a filter model on 100 TB and
+    apply it" shape; the per-language rollup is |langs|-sized."""
+    docs = load_table(spark, sf_dir, "documents")
+    to_d = lambda c: c.cast("string").cast("double")  # noqa: E731
+    stop = ["the", "a", "and", "of", "to", "in"]
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    nstop = F.size(
+        F.filter(toks, lambda t: t.isin(stop))
+    )
+    src = (
+        docs.filter(F.size(toks) > 0)
+        .select(
+            "lang",
+            F.round(nstop.cast("double") / F.size(toks), 9).alias("x1"),
+            F.round(F.size(toks) / F.lit(100.0), 9).alias("x2"),
+            F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+        )
+    )
+
+    def q9_sum(term):
+        return to_d(F.sum(F.round(term, 9).cast("decimal(38, 9)")))
+
+    beta = src.sparkSession.range(1).select(
+        F.lit(0.0).alias("b0"), F.lit(0.0).alias("b1"), F.lit(0.0).alias("b2")
+    )
+    p_expr = F.expr(_IRLS_P)
+    for _ in range(_IRLS_T):
+        r = src.crossJoin(F.broadcast(beta)).withColumn("p", p_expr)
+        w = F.col("p") * (1.0 - F.col("p"))
+        resid = F.col("y") - F.col("p")
+        a = r.agg(
+            F.first("b0").alias("b0"),
+            F.first("b1").alias("b1"),
+            F.first("b2").alias("b2"),
+            q9_sum(w).alias("n"),
+            q9_sum(w * F.col("x1")).alias("s1"),
+            q9_sum(w * F.col("x2")).alias("s2"),
+            q9_sum(w * F.col("x1") * F.col("x1")).alias("s11"),
+            q9_sum(w * F.col("x1") * F.col("x2")).alias("s12"),
+            q9_sum(w * F.col("x2") * F.col("x2")).alias("s22"),
+            q9_sum(resid).alias("sy"),
+            q9_sum(resid * F.col("x1")).alias("s1y"),
+            q9_sum(resid * F.col("x2")).alias("s2y"),
+        )
+        beta = a.select(
+            (F.col("b0") + F.expr(_OLS_B0)).alias("b0"),
+            (F.col("b1") + F.expr(_OLS_B1)).alias("b1"),
+            (F.col("b2") + F.expr(_OLS_B2)).alias("b2"),
+        )
+    beta = beta.localCheckpoint(eager=True)
+    rf = src.crossJoin(F.broadcast(beta)).withColumn("p", p_expr)
+    keep = F.when(F.col("p") >= _QCF_T, 1).otherwise(0)
+    return rf.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(q9_sum(F.col("p")) / F.count(F.lit(1)), 6).alias("mean_score"),
+        F.sum(keep).cast("long").alias("n_retained"),
+        F.round(
+            F.sum(keep).cast("double") / F.count(F.lit(1)), 6
+        ).alias("retained_share"),
+    )
