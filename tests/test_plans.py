@@ -905,3 +905,53 @@ def test_pq_encode_broadcasts_codebook(spark):
     plan = explain_str(df, "simple")
     assert plan.count("BroadcastHashJoin") >= 2  # encode + ADC joins
     assert "CartesianProduct" not in plan
+
+
+def test_bpe_training_stays_on_histogram(spark):
+    """The K merge iterations run over the checkpointed word histogram:
+    the returned merge table's plan must contain NO corpus FileScan
+    (the one corpus pass happened at histogram build) and no shuffled
+    join — the argmax rides 1-row broadcasts."""
+    df = _df(spark, "bpe_merge_training")
+    plan = explain_str(df, "simple")
+    assert "FileScan parquet" not in plan, "corpus must not be re-scanned"
+    assert "SortMergeJoin" not in plan
+
+
+def test_bpe_tokenize_single_corpus_join(spark):
+    """Applying the trained vocab is ONE equi-join of the corpus word
+    stream against the vocab relation — never a merge-per-pass replay,
+    never a cartesian."""
+    df = _df(spark, "bpe_tokenize_profile")
+    plan = explain_str(df, "simple")
+    assert plan.count("FileScan parquet") == 1  # the corpus word stream
+    assert "CartesianProduct" not in plan
+
+
+def test_hard_negative_anchor_broadcast(spark):
+    """The anchor side is broadcast against the candidate scan; the
+    label-mismatch filter must not force a shuffled join."""
+    df = _df(spark, "hard_negative_mining")
+    plan = explain_str(df, "simple")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_mmr_loop_pool_sized(spark):
+    """The greedy MMR loop touches only checkpointed pool-sized
+    relations: one corpus FileScan builds the pool; the K selection
+    steps must not re-scan it or fall into a sort-merge join."""
+    df = _df(spark, "mmr_diversified_rerank")
+    plan = explain_str(df, "simple")
+    assert "FileScan parquet" not in plan  # pool + pairs are checkpointed
+    assert "SortMergeJoin" not in plan
+
+
+def test_quality_filter_scan_linear_in_iterations(spark):
+    """Same contract as logreg_irls: referencing the checkpointed
+    coefficients must not replay training lineage — the serving plan
+    re-scans documents exactly once for the scoring pass."""
+    df = _df(spark, "quality_classifier_filter")
+    plan = explain_str(df, "simple")
+    assert plan.count("FileScan") == 1, plan.count("FileScan")
+    assert "SortMergeJoin" not in plan
