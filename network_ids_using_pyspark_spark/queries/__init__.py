@@ -142,8 +142,10 @@ _ROUND_PRIORITY = [
     # --- 50-entry window boundary ---
     # Round-5 rotation: LEAD with the round-4 additions (all locally
     # oracle-verified at sf0.001/0.01/0.1 with vanilla sessions, never
-    # driver-windowed): the BPE tokenizer pair (bpe_merge_training,
-    # bpe_tokenize_profile), the certified classical-ML family
+    # driver-windowed): the tokenizer/retrieval/filter layer
+    # (bpe_merge_training, bpe_tokenize_profile, hard_negative_mining,
+    # mmr_diversified_rerank, quality_classifier_filter), the
+    # certified classical-ML family
     # (ols_regression_exact, logreg_irls_exact, kmeans_lloyd_exact,
     # gnb_train_confusion_exact, gnb_per_class_metrics,
     # pca_power_iteration_exact), the honest-eval pair
