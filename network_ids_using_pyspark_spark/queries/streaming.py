@@ -1085,3 +1085,83 @@ def q_stream_beaconing_alerts(spark, sf_dir):
     return scored.groupBy("is_beacon_truth", "flagged").agg(
         F.count(F.lit(1)).alias("n_users")
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming tokenization: arriving documents are tokenized against the
+# STATIC trained BPE vocabulary — the shape of an incremental-crawl
+# pipeline feeding a tokenizer whose merges were learned offline.
+# ---------------------------------------------------------------------------
+
+
+def _stream_bpe_sql() -> str:
+    from .tokenizer import _BPE_CTES, _BPE_K
+
+    return (
+        _BPE_CTES
+        + f""",
+vocab AS MATERIALIZED (
+  SELECT replace(replace(w, '(', ''), ')', '') AS tok,
+         CAST(len(string_split(substring(w, 2, length(w) - 2), ')(')) AS BIGINT)
+           AS n_syms
+  FROM w{_BPE_K}
+),
+doctoks AS (
+  SELECT lang, tok FROM (
+    SELECT lang,
+           UNNEST(regexp_split_to_array(trim(lower(text)), '[^0-9a-z]+')) AS tok
+    FROM documents
+  )
+  WHERE tok <> ''
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(n_syms) AS BIGINT) AS n_bpe_tokens
+FROM doctoks JOIN vocab USING (tok)
+GROUP BY lang
+"""
+    )
+
+
+@register("stream_bpe_tokenize_totals", _stream_bpe_sql())
+def q_stream_bpe_tokenize_totals(spark, sf_dir):
+    """Stream-static tokenizer application: the BPE vocabulary is
+    trained offline on the static corpus (checkpointed, |vocab|-sized),
+    then every arriving micro-batch's word stream equi-joins it and
+    per-language token totals aggregate in complete mode.  Integer
+    aggregates only — deterministic under any micro-batch slicing,
+    hence the full batch-equivalence oracle.
+
+    Scale plan: the static side is the trained vocab (broadcast-sized
+    in production); the stream side shuffles only (lang, partial sums)
+    — per-batch cost is linear in batch tokens, state is |langs| rows."""
+    from ..sources.tables import load_table
+    from ..streaming.stream import run_to_memory, stream_documents
+    from .tokenizer import _learn_merges, _split_syms, _word_histogram
+
+    _, words = _learn_merges(
+        _word_histogram(load_table(spark, sf_dir, "documents"))
+    )
+    vocab = words.select(
+        F.translate("w", "()", "").alias("tok"),
+        F.size(_split_syms()).cast("long").alias("n_syms"),
+    )
+    doctoks = (
+        stream_documents(spark, sf_dir)
+        .select(
+            "lang",
+            F.explode(
+                F.split(F.trim(F.lower("text")), "[^0-9a-z]+")
+            ).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+    )
+    agg = (
+        doctoks.join(vocab, "tok")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_syms").cast("long").alias("n_bpe_tokens"),
+        )
+    )
+    return run_to_memory(agg, "complete")
