@@ -129,3 +129,91 @@ def q_cross_corpus_dedup_report(spark, sf_dir):
             F.sum(F.col("flagged_id").isNotNull().cast("long")).alias("n_quarantined"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ExactSubstr-style duplicated-span extraction (Lee et al. 2022,
+# "Deduplicating Training Data Makes Language Models Better"): find the
+# maximal character spans that occur verbatim in MORE THAN ONE document.
+# The suffix-array construction of the paper is replaced by the
+# distributed-friendly equivalent: stride-1 k-gram fingerprints, a
+# doc-frequency gate, and an islands-and-gaps run merge — same spans
+# for any duplication of length >= the k-gram width, no global index.
+# ---------------------------------------------------------------------------
+
+_XS_K = 20  # k-gram width (chars): minimum detectable duplication
+_XS_MIN = 50  # minimum reported span length (the paper's 50-char bar)
+
+_XS_SQL = f"""
+WITH grams AS (
+  SELECT doc_id, i, substring(md5(substring(text, i, {_XS_K})), 1, 16) AS g
+  FROM documents, UNNEST(range(1, length(text) - {_XS_K} + 2)) AS t(i)
+  WHERE length(text) >= {_XS_K}
+),
+dup AS (SELECT g FROM grams GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2),
+marked AS (SELECT doc_id, i FROM grams JOIN dup USING (g)),
+runs AS (
+  SELECT doc_id, i,
+         i - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+  FROM marked
+)
+SELECT doc_id,
+       CAST(MIN(i) AS BIGINT) AS span_start,
+       CAST(MAX(i) - MIN(i) + {_XS_K} AS BIGINT) AS span_len
+FROM runs GROUP BY doc_id, grp
+HAVING MAX(i) - MIN(i) + {_XS_K} >= {_XS_MIN}
+"""
+
+
+@register("exact_substring_dup_spans", _XS_SQL)
+def q_exact_substring_dup_spans(spark, sf_dir):
+    """Maximal cross-document verbatim spans ≥ {min} chars.
+
+    Every stride-1 {k}-char gram is fingerprinted (md5/16 — the shuffle
+    carries 16-byte keys, never text); grams whose doc-frequency is ≥ 2
+    mark their start positions; consecutive marked positions merge into
+    maximal spans with the islands-and-gaps trick (i − row_number is
+    constant within a run).  Cross-doc only (within-doc repetition is
+    `repetition_profile`'s job).
+
+    Scale plan: the gram explode is map-side with factor ≈ doc length —
+    the honest linear cost the paper's suffix array also pays; the
+    doc-frequency gate is one grouped agg on the fingerprint; the run
+    merge windows per doc_id (parallel across docs, never global)."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") >= _XS_K
+    )
+    grams = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, length(text) - {_XS_K} + 1),"
+                f" i -> substring(md5(substring(text, i, {_XS_K})), 1, 16))"
+            )
+        ).alias("p", "g"),
+    ).select("doc_id", (F.col("p") + 1).alias("i"), "g")
+    dup = (
+        grams.groupBy("g")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .filter(F.col("df") >= 2)
+        .select("g")
+    )
+    marked = grams.join(dup, "g").select("doc_id", "i")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("i")
+    runs = marked.withColumn("grp", F.col("i") - F.row_number().over(w))
+    return (
+        runs.groupBy("doc_id", "grp")
+        .agg(
+            F.min("i").cast("long").alias("span_start"),
+            (F.max("i") - F.min("i") + _XS_K).cast("long").alias("span_len"),
+        )
+        .filter(F.col("span_len") >= _XS_MIN)
+        .select("doc_id", "span_start", "span_len")
+    )
+
+
+q_exact_substring_dup_spans.__doc__ = q_exact_substring_dup_spans.__doc__.format(
+    min=_XS_MIN, k=_XS_K
+)
