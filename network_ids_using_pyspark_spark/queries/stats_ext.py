@@ -3186,3 +3186,127 @@ def q_quality_classifier_filter(spark, sf_dir):
             F.sum(keep).cast("double") / F.count(F.lit(1)), 6
         ).alias("retained_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Holt linear (double-exponential) smoothing as a NATIVE array fold —
+# the recurrence class one step up from the scalar EWMA fold
+# (`user_value_ewma`): the accumulator is a STRUCT (level, trend, step,
+# sse), updated per day on the 1e-9 grid, so a genuinely sequential
+# state recurrence runs entirely inside whole-stage codegen with a
+# bit-exact DuckDB list_reduce twin.
+# ---------------------------------------------------------------------------
+
+_HOLT_A = 0.5  # level smoothing
+_HOLT_B = 0.3  # trend smoothing  (1-b written as the literal 0.7)
+
+# Oracle NOTE: the obvious list_reduce twin is WRONG in DuckDB 1.0 —
+# a struct-building lambda evaluates fields sequentially against the
+# accumulator, so a later field's expression sees an EARLIER field's
+# new value (verified: the trend update read the already-updated
+# level, silently diverging from the recurrence).  A recursive CTE has
+# unambiguous semantics, so the oracle steps the recurrence that way.
+_HOLT_SQL = f"""
+WITH RECURSIVE daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d, CAST(COUNT(*) AS DOUBLE) AS y
+  FROM orders GROUP BY 1
+),
+sr AS (SELECT ROW_NUMBER() OVER (ORDER BY d) AS rn, y FROM daily),
+rec AS (
+  SELECT CAST(2 AS BIGINT) AS i,
+         (SELECT y FROM sr WHERE rn = 2) AS l,
+         round((SELECT y FROM sr WHERE rn = 2)
+               - (SELECT y FROM sr WHERE rn = 1), 9) AS t,
+         CAST(0.0 AS DOUBLE) AS s
+  UNION ALL
+  SELECT rec.i + 1,
+         round({_HOLT_A} * sr.y + {_HOLT_A} * (rec.l + rec.t), 9),
+         round({_HOLT_B} * (round({_HOLT_A} * sr.y
+                                  + {_HOLT_A} * (rec.l + rec.t), 9)
+                            - rec.l) + 0.7 * rec.t, 9),
+         round(rec.s + (sr.y - (rec.l + rec.t)) * (sr.y - (rec.l + rec.t)), 9)
+  FROM rec JOIN sr ON sr.rn = rec.i + 1
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM sr) AS n_days,
+       round(l, 6) AS level_final,
+       round(t, 6) AS trend_final,
+       round(l + t, 6) AS forecast_next,
+       round(sqrt(s / ((SELECT COUNT(*) FROM sr) - 2)), 6) AS rmse
+FROM rec WHERE i = (SELECT COUNT(*) FROM sr)
+"""
+
+
+@register("holt_linear_forecast", _HOLT_SQL)
+def q_holt_linear_forecast(spark, sf_dir):
+    """Holt linear smoothing of the daily order-count series: level and
+    trend fold left-to-right over the date-sorted array with every
+    update rounded to the 1e-9 grid; output is the final state, the
+    one-step forecast, and the in-sample one-step RMSE.  Init follows
+    the textbook convention (level=y₂, trend=y₂−y₁, errors accumulate
+    from the third point).
+
+    Scale plan: the fold is per-SERIES, not per-corpus — the heavy part
+    is the daily rollup (one map-side-combined agg over the fact
+    table); the array fold runs over |days| elements.  For thousands
+    of parallel series the same fold partitions by series key — never
+    a global window over raw rows."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(F.count(F.lit(1)).cast("double").alias("y"))
+    )
+    ser = daily.agg(
+        F.array_sort(F.collect_list(F.struct("d", "y"))).alias("a"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    xs = F.transform(
+        F.col("a"),
+        lambda e: F.struct(
+            e["y"].alias("l"),
+            F.lit(0.0).alias("t"),
+            F.lit(1).cast("long").alias("i"),
+            F.lit(0.0).alias("s"),
+        ),
+    )
+
+    def step(acc, x):
+        l2 = F.round(
+            F.lit(_HOLT_A) * x["l"] + F.lit(_HOLT_A) * (acc["l"] + acc["t"]), 9
+        )
+        t2 = F.round(
+            F.lit(_HOLT_B) * (l2 - acc["l"]) + F.lit(0.7) * acc["t"], 9
+        )
+        err = x["l"] - (acc["l"] + acc["t"])
+        s2 = F.round(acc["s"] + err * err, 9)
+        return F.when(
+            acc["i"] == 1,
+            F.struct(
+                x["l"].alias("l"),
+                F.round(x["l"] - acc["l"], 9).alias("t"),
+                F.lit(2).cast("long").alias("i"),
+                F.lit(0.0).alias("s"),
+            ),
+        ).otherwise(
+            F.struct(
+                l2.alias("l"),
+                t2.alias("t"),
+                (acc["i"] + 1).alias("i"),
+                s2.alias("s"),
+            )
+        )
+
+    folded = ser.select(
+        "n",
+        F.aggregate(
+            F.slice(xs, 2, F.size(xs) - 1),
+            F.element_at(xs, 1),
+            step,
+        ).alias("f"),
+    )
+    return folded.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.round(F.col("f.l"), 6).alias("level_final"),
+        F.round(F.col("f.t"), 6).alias("trend_final"),
+        F.round(F.col("f.l") + F.col("f.t"), 6).alias("forecast_next"),
+        F.round(F.sqrt(F.col("f.s") / (F.col("n") - 2)), 6).alias("rmse"),
+    )
