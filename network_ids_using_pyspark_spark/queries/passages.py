@@ -167,7 +167,12 @@ HAVING MAX(i) - MIN(i) + {_XS_K} >= {_XS_MIN}
 
 @register("exact_substring_dup_spans", _XS_SQL)
 def q_exact_substring_dup_spans(spark, sf_dir):
-    """Maximal cross-document verbatim spans ≥ {min} chars.
+    """Maximal duplicated-coverage spans ≥ {min} chars: regions in
+    which EVERY {k}-char gram also occurs in at least one other
+    document.  (The standard gram-run approximation of suffix-array
+    ExactSubstr: a merged span's neighboring grams may be duplicated
+    against different partner docs, so the span as a whole need not
+    have a single verbatim twin — each of its {k}-grams does.)
 
     Every stride-1 {k}-char gram is fingerprinted (md5/16 — the shuffle
     carries 16-byte keys, never text); grams whose doc-frequency is ≥ 2

@@ -222,3 +222,66 @@ def test_quality_filter_matches_numpy_newton(spark):
         assert out[lang]["n"] == int(mask.sum())
         assert abs(out[lang]["mean_score"] - float(p[mask].mean())) < 1e-5
         assert out[lang]["n_retained"] == int((p[mask] >= _QCF_T).sum())
+
+
+def test_holt_linear_matches_python_fold(spark):
+    """The engine's struct-accumulator fold vs an explicit plain-Python
+    recurrence (also guards the oracle's recursive-CTE rewrite — the
+    naive DuckDB list_reduce twin was verifiably wrong, see the SQL
+    comment in stats_ext.py)."""
+    import math
+
+    con = duckdb.connect()
+    ys = [
+        r[0]
+        for r in con.execute(
+            f"""SELECT CAST(COUNT(*) AS DOUBLE) FROM read_parquet('{SF_DIR}/orders.parquet')
+                GROUP BY CAST(o_orderdate AS DATE) ORDER BY CAST(o_orderdate AS DATE)"""
+        ).fetchall()
+    ]
+    l, t, s = ys[1], round(ys[1] - ys[0], 9), 0.0
+    for x in ys[2:]:
+        e = x - (l + t)
+        l2 = round(0.5 * x + 0.5 * (l + t), 9)
+        t2 = round(0.3 * (l2 - l) + 0.7 * t, 9)
+        s = round(s + e * e, 9)
+        l, t = l2, t2
+    r = REGISTRY["holt_linear_forecast"][0](spark, SF_DIR).collect()[0]
+    assert r["n_days"] == len(ys)
+    assert r["level_final"] == round(l, 6)
+    assert r["trend_final"] == round(t, 6)
+    assert r["forecast_next"] == round(l + t, 6)
+    assert r["rmse"] == round(math.sqrt(s / (len(ys) - 2)), 6)
+
+
+def test_exact_substring_spans_sound_and_maximal(spark):
+    """Every reported span must be fully covered by cross-doc duplicated
+    k-grams (soundness) and not extendable by one position on either
+    side (maximality) — recomputed from the raw texts in plain Python."""
+    from network_ids_using_pyspark_spark.queries.passages import _XS_K, _XS_MIN
+
+    con = duckdb.connect()
+    texts = dict(
+        con.execute(
+            f"SELECT doc_id, text FROM read_parquet('{SF_DIR}/documents.parquet')"
+        ).fetchall()
+    )
+    owners = {}
+    for doc_id, text in texts.items():
+        for i in range(len(text) - _XS_K + 1):
+            owners.setdefault(text[i : i + _XS_K], set()).add(doc_id)
+    dup = {g for g, d in owners.items() if len(d) >= 2}
+    rows = REGISTRY["exact_substring_dup_spans"][0](spark, SF_DIR).collect()
+    assert rows, "fixture contains exact dup docs — spans must exist"
+    for r in rows:
+        text = texts[r["doc_id"]]
+        lo = r["span_start"] - 1  # SQL positions are 1-based
+        hi = lo + r["span_len"]
+        assert r["span_len"] >= _XS_MIN
+        starts = range(lo, hi - _XS_K + 1)
+        assert all(text[i : i + _XS_K] in dup for i in starts)
+        if lo > 0:
+            assert text[lo - 1 : lo - 1 + _XS_K] not in dup
+        if hi < len(text):
+            i = hi - _XS_K + 1
+            assert text[i : i + _XS_K] not in dup
