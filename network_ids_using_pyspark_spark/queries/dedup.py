@@ -632,3 +632,142 @@ def q_dedup_recall_eval(spark, sf_dir):
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup-style semantic dedup (Abbas et al., 2023, arXiv:2303.09540):
+# cluster the embedding space, then prune near-duplicates WITHIN each
+# cluster only — the all-pairs cosine matrix is never materialised
+# corpus-wide, just cluster-locally.  Clustering here is the
+# deterministic single-pass assignment to the first-K seed vectors
+# (the full Lloyd algorithm is certified separately by
+# `kmeans_lloyd_exact`); the keeper rule is the paper's: within a
+# near-dup pair, KEEP the member farther from its centroid (lower
+# cosine-to-centroid), prune the closer one; ties break on vec_id.
+# ---------------------------------------------------------------------------
+
+_SD_K = 8  # clusters (first-K deterministic seeds)
+_SD_T = 0.3  # within-cluster cosine prune threshold (~25-70% per-cluster prune on fixtures)
+
+_SD_COS = (
+    "round(list_dot_product({a}, {b})"
+    " / (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 9)"
+)
+
+_SEMDEDUP_SQL = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {_SD_K}),
+a AS (SELECT vec_id, v, cid FROM (
+  SELECT e.vec_id, e.v, c.cid,
+         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                            ORDER BY {_SD_COS.format(a='e.v', b='c.cv')} DESC,
+                                     c.cid ASC) AS rk
+  FROM e CROSS JOIN c) WHERE rk = 1),
+m AS (SELECT a.vec_id, a.v, a.cid,
+             {_SD_COS.format(a='a.v', b='c.cv')} AS dc
+      FROM a JOIN c ON a.cid = c.cid),
+pruned AS (
+  SELECT DISTINCT x.vec_id FROM m x JOIN m y
+    ON x.cid = y.cid AND x.vec_id <> y.vec_id
+   AND {_SD_COS.format(a='x.v', b='y.v')} >= {_SD_T}
+   AND (y.dc < x.dc OR (y.dc = x.dc AND y.vec_id < x.vec_id)))
+SELECT CAST(m.cid AS BIGINT) AS cid,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(SUM(CASE WHEN p.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_pruned,
+       CAST(SUM(CASE WHEN p.vec_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN p.vec_id IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS retention
+FROM m LEFT JOIN pruned p ON m.vec_id = p.vec_id
+GROUP BY m.cid
+"""
+
+
+@register("semdedup_prune_report", _SEMDEDUP_SQL)
+def q_semdedup_prune_report(spark, sf_dir):
+    """SemDeDup semantic dedup report: assign every embedding to its
+    max-cosine seed centroid (first-{_SD_K} vectors, cid tiebreak),
+    then inside each cluster prune any member that has a neighbour at
+    cosine ≥ {_SD_T} which the keeper rule prefers (farther from the
+    centroid wins; vec_id breaks exact ties).  Output is per-cluster
+    members / pruned / kept / retention — the knob sheet an LLM-corpus
+    curator reads before committing a semantic-dedup pass.
+
+    Scale plan: the assignment is a K-row broadcast cross join + argmin
+    window (map-side; partitioned by vec_id).  The pair join shuffles
+    ONCE on cid and is quadratic only within a cluster — exactly the
+    SemDeDup contract: K grows with corpus size so cluster occupancy
+    stays bounded (the paper runs K=50k for LAION-440M; a skewed giant
+    cluster is re-clustered recursively).  Cosines are rounded to the
+    1e-9 grid so argmax order and the prune predicate are engine-portable.
+    All folds are the sequential-left-fold `dot` — never SIMD-reassociated."""
+    from pyspark.sql import Window
+
+    from ..operators.similarity import as_double_array, cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", as_double_array("embedding").alias("v"))
+    c = e.filter(F.col("vec_id") < _SD_K).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    paired = e.crossJoin(F.broadcast(c))
+    w = Window.partitionBy("vec_id").orderBy(
+        F.round(cosine(F.col("v"), F.col("cv")), 9).desc(), F.col("cid").asc()
+    )
+    a = (
+        paired.select("vec_id", "v", "cid", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "v", "cid")
+    )
+    m = a.join(F.broadcast(c), "cid").select(
+        "vec_id",
+        "v",
+        "cid",
+        F.round(cosine(F.col("v"), F.col("cv")), 9).alias("dc"),
+    )
+    # m feeds both sides of the pair join AND the final report — cut
+    # lineage so the argmax chain is not replayed three times
+    m = m.localCheckpoint(eager=False)
+    x = m.select(
+        F.col("vec_id").alias("x_id"),
+        F.col("v").alias("x_v"),
+        F.col("cid").alias("x_cid"),
+        F.col("dc").alias("x_dc"),
+    )
+    y = m.select(
+        F.col("vec_id").alias("y_id"),
+        F.col("v").alias("y_v"),
+        F.col("cid").alias("y_cid"),
+        F.col("dc").alias("y_dc"),
+    )
+    pruned = (
+        x.join(
+            y,
+            (F.col("x_cid") == F.col("y_cid"))
+            & (F.col("x_id") != F.col("y_id"))
+            & (F.round(cosine(F.col("x_v"), F.col("y_v")), 9) >= _SD_T)
+            & (
+                (F.col("y_dc") < F.col("x_dc"))
+                | ((F.col("y_dc") == F.col("x_dc")) & (F.col("y_id") < F.col("x_id")))
+            ),
+        )
+        .select(F.col("x_id").alias("vec_id"))
+        .distinct()
+        .withColumn("is_pruned", F.lit(1))
+    )
+    return (
+        m.join(pruned, "vec_id", "left")
+        .groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.sum(F.when(F.col("is_pruned").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_pruned"),
+            F.sum(F.when(F.col("is_pruned").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept"),
+            (
+                F.sum(F.when(F.col("is_pruned").isNull(), 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("retention"),
+        )
+        .select(F.col("cid").cast("long").alias("cid"), "n_members", "n_pruned", "n_kept", "retention")
+    )
