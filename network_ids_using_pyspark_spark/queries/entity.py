@@ -300,3 +300,95 @@ def q_blocking_recall_eval(spark, sf_dir):
         )
     )
     return row1.unionByName(row2)
+
+
+# ---------------------------------------------------------------------------
+# ER capstone: golden-record merge.  pairs → cluster label → one merged
+# survivor row per cluster, the step that turns candidate matching into
+# a deliverable master table.  Clustering is SINGLE-ROUND star
+# assignment (label = min of the closed pair-neighborhood), not
+# transitive closure: the lev-1 name graph is near-hypercube-connected
+# on this fixture (every name joins ~L·9 neighbours), so a recursive
+# closure would chain essentially the whole table into one giant
+# component — the classic ER over-merge failure.  Star assignment is
+# the standard bounded-diameter alternative (Hassanzadeh & Miller,
+# VLDB J. 2009); it is exactly the FIRST superstep of the min-label
+# propagation that `dedup_clusters` runs to fixpoint on sparse graphs.
+# ---------------------------------------------------------------------------
+
+_GOLDEN_TOPK = 50
+
+_GOLDEN_SQL = f"""
+WITH names AS (SELECT DISTINCT c_name AS nm FROM customer),
+dels AS (
+  SELECT DISTINCT nm,
+         substring(nm, 1, i - 1) || substring(nm, i + 1) AS variant
+  FROM names, UNNEST(range(1, len(nm) + 1)) AS t(i)
+),
+cands AS (
+  SELECT a.nm AS nm_a, b.nm AS nm_b
+  FROM dels a JOIN dels b ON a.variant = b.variant
+  WHERE a.nm < b.nm
+  UNION
+  SELECT LEAST(a.nm, b.nm) AS nm_a, GREATEST(a.nm, b.nm) AS nm_b
+  FROM dels a JOIN names b ON a.variant = b.nm
+),
+pairs AS (SELECT nm_a, nm_b FROM cands WHERE levenshtein(nm_a, nm_b) = 1),
+sym AS (
+  SELECT nm_a AS nm, nm_b AS nb FROM pairs
+  UNION ALL
+  SELECT nm_b AS nm, nm_a AS nb FROM pairs
+),
+asg AS (SELECT nm, LEAST(nm, MIN(nb)) AS cluster FROM sym GROUP BY nm),
+golden AS (
+  SELECT cluster,
+         CAST(COUNT(*) AS BIGINT) AS n_members,
+         CAST(MIN(c.c_custkey) AS BIGINT) AS rep_custkey,
+         MAX(c.c_acctbal) AS max_acctbal,
+         CAST(COUNT(DISTINCT c.c_nationkey) AS BIGINT) AS n_nations
+  FROM asg JOIN customer c ON c.c_name = asg.nm
+  GROUP BY cluster
+)
+SELECT cluster, n_members, rep_custkey, max_acctbal, n_nations
+FROM golden
+ORDER BY n_members DESC, cluster ASC
+LIMIT {_GOLDEN_TOPK}
+"""
+
+
+@register("er_golden_records", _GOLDEN_SQL)
+def q_er_golden_records(spark, sf_dir):
+    """Golden-record merge over the fuzzy customer-name match graph:
+    every name in a lev-1 pair is assigned the MIN of its closed
+    neighborhood as cluster label (single-round star assignment — see
+    module note on why transitive closure over-merges here), then each
+    cluster emits ONE merged record: member count, representative
+    custkey (min), merged account balance (max — "most complete/best
+    value wins" survivorship), and the distinct-nation count as a
+    conflict signal.  Top-{_GOLDEN_TOPK} clusters by size, total order.
+
+    Scale plan: deletion-neighborhood blocking is linear in names
+    (L variants each); the variant equi-join is the only candidate
+    generator (never all-pairs); star assignment is ONE map-side-
+    combined groupBy (no iteration, no giant-component risk); the
+    attribute merge is one aggregate over a name-keyed join; final
+    top-k is TakeOrderedAndProject."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+    pairs = edit1_pairs(cust.select(F.col("c_name").alias("nm")))
+    sym = pairs.select(F.col("nm_a").alias("nm"), F.col("nm_b").alias("nb")).unionByName(
+        pairs.select(F.col("nm_b").alias("nm"), F.col("nm_a").alias("nb"))
+    )
+    asg = sym.groupBy("nm").agg(F.least(F.col("nm"), F.min("nb")).alias("cluster"))
+    golden = (
+        asg.join(cust, asg.nm == cust.c_name)
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.min("c_custkey").cast("long").alias("rep_custkey"),
+            F.max("c_acctbal").alias("max_acctbal"),
+            F.countDistinct("c_nationkey").cast("long").alias("n_nations"),
+        )
+    )
+    return golden.orderBy(F.desc("n_members"), F.asc("cluster")).limit(_GOLDEN_TOPK)
