@@ -489,3 +489,98 @@ q_kcore_decomposition.__doc__ = f"""{_KCORE_K}-core of the part co-purchase grap
     after the first peel; each superstep is two semi-joins + one count
     on the persisted edge relation (operators/graphops.py::
     kcore_nodes) — O(iters) shuffles, no window, no all-pairs."""
+
+
+# ---------------------------------------------------------------------------
+# Weighted single-source shortest paths: k-round Bellman-Ford over the
+# customer–supplier trade graph, edge weight = cheapest line price ever
+# traded on that relationship.  The missing WEIGHTED member of the
+# graph family (BFS is hop-count reachability; PageRank is mass
+# propagation) — "cheapest k-hop procurement reach" from one seed.
+# ---------------------------------------------------------------------------
+
+_SSSP_SEED = "c0"
+_SSSP_HOPS = 3
+_SSSP_TOPK = 50
+
+_SSSP_SQL = f"""
+WITH RECURSIVE pe AS (
+  SELECT 'c' || CAST(o.o_custkey AS VARCHAR) AS src,
+         's' || CAST(l.l_suppkey AS VARCHAR) AS dst,
+         MIN(l.l_extendedprice) AS w
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  GROUP BY 1, 2
+),
+edges AS (
+  SELECT src, dst, w FROM pe
+  UNION ALL
+  SELECT dst AS src, src AS dst, w FROM pe
+),
+paths(node, d, i) AS (
+  SELECT '{_SSSP_SEED}' AS node, CAST(0.0 AS DOUBLE) AS d, 0 AS i
+  UNION ALL
+  SELECT e.dst, p.d + e.w, p.i + 1
+  FROM paths p JOIN edges e ON e.src = p.node
+  WHERE p.i < {_SSSP_HOPS}
+)
+SELECT node, MIN(d) AS dist
+FROM paths GROUP BY node
+ORDER BY dist ASC, node ASC
+LIMIT {_SSSP_TOPK}
+"""
+
+
+@register("sssp_cheapest_reach", _SSSP_SQL)
+def q_sssp_cheapest_reach(spark, sf_dir):
+    """Weighted SSSP, {_SSSP_HOPS} Bellman-Ford rounds from one seed
+    node: edge weight is the MIN line price ever traded between a
+    customer and a supplier, distance is the cheapest weighted path,
+    output the {_SSSP_TOPK} nearest nodes (total order on dist, node).
+
+    The oracle's recursive CTE enumerates every path of length ≤ k and
+    MINs at the end — exponential in principle.  The engine relaxes
+    instead: each round joins the CURRENT tentative-distance relation
+    (one row per node, min-combined) with the edge list, so per-round
+    work is |frontier ⋈ edges| and the path explosion never
+    materializes — that min-combine-per-superstep is exactly what makes
+    Bellman-Ford viable at 100 TB where path enumeration is not.
+    Distances stay bit-portable because both engines build candidate
+    sums with the same (dist + w) tree and MIN is order-free.
+
+    Scale plan: edge build is one shuffle (groupBy pair, map-side
+    combined); each round is one shuffle on dst; tentative distances
+    are localCheckpointed per round so the k-round lineage never
+    replays; final top-k is TakeOrderedAndProject."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice"
+    )
+    pe = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .agg(F.min("l_extendedprice").alias("w"))
+    )
+    edges = pe.unionByName(
+        pe.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    ).localCheckpoint(eager=False)  # feeds every relaxation round
+    dist = spark.createDataFrame(
+        [(_SSSP_SEED, 0.0)], "node string, d double"
+    )
+    for _ in range(_SSSP_HOPS):
+        relax = dist.join(edges, dist.node == edges.src).select(
+            F.col("dst").alias("node"), (F.col("d") + F.col("w")).alias("d")
+        )
+        dist = (
+            dist.unionByName(relax)
+            .groupBy("node")
+            .agg(F.min("d").alias("d"))
+            .localCheckpoint(eager=False)  # cut the per-round lineage
+        )
+    return (
+        dist.select("node", F.col("d").alias("dist"))
+        .orderBy(F.asc("dist"), F.asc("node"))
+        .limit(_SSSP_TOPK)
+    )
