@@ -3310,3 +3310,149 @@ def q_holt_linear_forecast(spark, sf_dir):
         F.round(F.col("f.l") + F.col("f.t"), 6).alias("forecast_next"),
         F.round(F.sqrt(F.col("f.s") / (F.col("n") - 2)), 6).alias("rmse"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Holt-Winters ADDITIVE SEASONAL smoothing (period 7) — the seasonal
+# completion of `holt_linear_forecast`.  Same engine design: the state
+# fold runs natively over the date-sorted array with every update on
+# the 1e-9 grid; the accumulator now carries the rolling last-m
+# seasonal components as an array column.  Same oracle design: a
+# recursive CTE (NOT list_reduce — see the Holt oracle note on
+# DuckDB's sequential struct-lambda evaluation) stepping the identical
+# recurrence, with the level update inlined into the trend update on
+# both engines so the expression trees match term-for-term.
+# Init is the textbook one-season convention: level = mean of season 1,
+# trend = (mean of season 2 − mean of season 1)/m, seasonals = season-1
+# deviations from the level (daily counts are integer-valued doubles,
+# so the init means are EXACT under any summation order).
+# ---------------------------------------------------------------------------
+
+_HW_M = 7  # weekly season on the daily series
+_HW_A, _HW_CA = 0.4, 0.6  # level alpha, 1-alpha (written as literals)
+_HW_B, _HW_CB = 0.2, 0.8  # trend beta, 1-beta
+_HW_G, _HW_CG = 0.3, 0.7  # seasonal gamma, 1-gamma
+
+_HW_LNEW = f"round({_HW_A} * (sr.y - rec.s[1]) + {_HW_CA} * (rec.l + rec.b), 9)"
+
+_HW_SQL = f"""
+WITH RECURSIVE daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d, CAST(COUNT(*) AS DOUBLE) AS y
+  FROM orders GROUP BY 1
+),
+sr AS (SELECT ROW_NUMBER() OVER (ORDER BY d) AS rn, y FROM daily),
+n AS (SELECT COUNT(*) AS c FROM sr),
+init AS (
+  SELECT round((SELECT SUM(y) FROM sr WHERE rn <= {_HW_M}) / {_HW_M}, 9) AS l0,
+         round(((SELECT SUM(y) FROM sr WHERE rn BETWEEN {_HW_M + 1} AND {2 * _HW_M}) / {_HW_M}
+                - (SELECT SUM(y) FROM sr WHERE rn <= {_HW_M}) / {_HW_M}) / {_HW_M}, 9) AS b0
+),
+s0 AS (
+  SELECT list(round(y - (SELECT l0 FROM init), 9) ORDER BY rn) AS s
+  FROM sr WHERE rn <= {_HW_M}
+),
+rec AS (
+  SELECT CAST({_HW_M} AS BIGINT) AS i,
+         (SELECT l0 FROM init) AS l,
+         (SELECT b0 FROM init) AS b,
+         (SELECT s FROM s0) AS s,
+         CAST(0.0 AS DOUBLE) AS sse
+  UNION ALL
+  SELECT rec.i + 1,
+         {_HW_LNEW},
+         round({_HW_B} * ({_HW_LNEW} - rec.l) + {_HW_CB} * rec.b, 9),
+         list_concat(rec.s[2:{_HW_M}],
+                     [round({_HW_G} * (sr.y - rec.l - rec.b) + {_HW_CG} * rec.s[1], 9)]),
+         round(rec.sse + (sr.y - (rec.l + rec.b + rec.s[1]))
+                         * (sr.y - (rec.l + rec.b + rec.s[1])), 9)
+  FROM rec JOIN sr ON sr.rn = rec.i + 1
+)
+SELECT (SELECT CAST(c AS BIGINT) FROM n) AS n_days,
+       round(l, 6) AS level_final,
+       round(b, 6) AS trend_final,
+       round(l + b + s[1], 6) AS forecast_next,
+       round(sqrt(sse / ((SELECT c FROM n) - {_HW_M})), 6) AS rmse
+FROM rec WHERE i = (SELECT c FROM n)
+"""
+
+
+@register("holt_winters_seasonal_forecast", _HW_SQL)
+def q_holt_winters_seasonal_forecast(spark, sf_dir):
+    """Holt-Winters additive seasonal smoothing of the daily order
+    counts, weekly period: level/trend/seasonal state folds over the
+    sorted series, output the final state, the one-step seasonal
+    forecast, and the in-sample one-step RMSE (errors accumulate from
+    the first post-init point).
+
+    Scale plan: identical to Holt — the daily rollup is the only
+    corpus-scale stage (map-side-combined agg); the fold is per-series
+    over |days| elements, and for a fleet of series the same fold
+    partitions by series key.  The seasonal array in the accumulator
+    is m elements, rotated by slice+append per step — O(m) per day,
+    never a window over raw rows."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.count(F.lit(1)).cast("double").alias("y")
+    )
+    ser = daily.agg(
+        F.array_sort(F.collect_list(F.struct("d", "y"))).alias("a"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    ys = F.transform(F.col("a"), lambda e: e["y"])
+
+    def fold_sum(arr):
+        return F.aggregate(arr, F.lit(0.0), lambda acc, v: acc + v)
+
+    l0 = F.round(fold_sum(F.slice(ys, 1, _HW_M)) / _HW_M, 9)
+    b0 = F.round(
+        (
+            fold_sum(F.slice(ys, _HW_M + 1, _HW_M)) / _HW_M
+            - fold_sum(F.slice(ys, 1, _HW_M)) / _HW_M
+        )
+        / _HW_M,
+        9,
+    )
+    s0 = F.transform(F.slice(ys, 1, _HW_M), lambda y: F.round(y - l0, 9))
+    acc0 = F.struct(
+        l0.alias("l"), b0.alias("b"), s0.alias("s"), F.lit(0.0).alias("sse")
+    )
+
+    def step(acc, y):
+        head = F.element_at(acc["s"], 1)
+        lnew = F.round(
+            F.lit(_HW_A) * (y - head) + F.lit(_HW_CA) * (acc["l"] + acc["b"]), 9
+        )
+        bnew = F.round(
+            F.lit(_HW_B) * (lnew - acc["l"]) + F.lit(_HW_CB) * acc["b"], 9
+        )
+        snew = F.concat(
+            F.slice(acc["s"], 2, _HW_M - 1),
+            F.array(
+                F.round(
+                    F.lit(_HW_G) * (y - acc["l"] - acc["b"])
+                    + F.lit(_HW_CG) * head,
+                    9,
+                )
+            ),
+        )
+        err = y - (acc["l"] + acc["b"] + head)
+        return F.struct(
+            lnew.alias("l"),
+            bnew.alias("b"),
+            snew.alias("s"),
+            F.round(acc["sse"] + err * err, 9).alias("sse"),
+        )
+
+    folded = ser.select(
+        "n",
+        F.aggregate(F.slice(ys, _HW_M + 1, F.size(ys) - _HW_M), acc0, step).alias("f"),
+    )
+    return folded.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.round(F.col("f.l"), 6).alias("level_final"),
+        F.round(F.col("f.b"), 6).alias("trend_final"),
+        F.round(
+            F.col("f.l") + F.col("f.b") + F.element_at(F.col("f.s"), 1), 6
+        ).alias("forecast_next"),
+        F.round(F.sqrt(F.col("f.sse") / (F.col("n") - _HW_M)), 6).alias("rmse"),
+    )

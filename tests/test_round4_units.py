@@ -525,3 +525,45 @@ def test_dbscan_grid_matches_brute_force(spark):
     assert got == expected, (got, expected)
     noise = [r for r in rows if r["cluster"] == -1][0]
     assert noise["n_cells"] == sum(1 for _, _, c in cells if c < 4)
+
+
+def test_holt_winters_matches_python(spark):
+    """Level/trend/seasonal fold against an independent plain-Python
+    Holt-Winters implementation over the same daily series (the oracle
+    mirrors the engine's recurrence, so only an outside recomputation
+    can catch a shared state-update mistake)."""
+    con = duckdb.connect()
+    ys = [
+        float(r[1])
+        for r in con.execute(
+            f"""SELECT CAST(o_orderdate AS DATE) AS d,
+                       CAST(COUNT(*) AS DOUBLE) AS y
+                FROM read_parquet('{SF_DIR}/orders.parquet')
+                GROUP BY 1 ORDER BY 1"""
+        ).fetchall()
+    ]
+    con.close()
+
+    m, a, ca, b, cb, g, cg = 7, 0.4, 0.6, 0.2, 0.8, 0.3, 0.7
+    r9 = lambda v: round(v, 9)  # noqa: E731 — the engines' 1e-9 grid
+    l = r9(sum(ys[:m]) / m)
+    t = r9((sum(ys[m : 2 * m]) / m - sum(ys[:m]) / m) / m)
+    s = [r9(y - l) for y in ys[:m]]
+    sse = 0.0
+    for y in ys[m:]:
+        err = y - (l + t + s[0])
+        lnew = r9(a * (y - s[0]) + ca * (l + t))
+        tnew = r9(b * (lnew - l) + cb * t)
+        s = s[1:] + [r9(g * (y - l - t) + cg * s[0])]
+        l, t = lnew, tnew
+        sse = r9(sse + err * err)
+
+    fn, _ = REGISTRY["holt_winters_seasonal_forecast"]
+    row = fn(spark, SF_DIR).collect()[0]
+    assert row["n_days"] == len(ys)
+    assert abs(row["level_final"] - l) < 1e-6
+    assert abs(row["trend_final"] - t) < 1e-6
+    assert abs(row["forecast_next"] - (l + t + s[0])) < 1e-6
+    assert abs(row["rmse"] - math.sqrt(sse / (len(ys) - m))) < 1e-6
+
+
