@@ -1728,3 +1728,98 @@ def q_learned_binning_apply(spark, sf_dir):
         F.first("lo").alias("lo"),
         F.first("hi").alias("hi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Functional-dependency audit — schema profiling for DENORMALIZED
+# lakehouse tables.  On a flattened fact relation the join-induced FDs
+# (l_orderkey → order attributes) are exactly what a normalization /
+# deduplication pass would rediscover; the audit measures, per
+# candidate FD, how far the relation is from satisfying it: violating
+# key count and the g3 measure (min fraction of rows to delete so the
+# FD holds — Kivinen & Mannila, TCS 1995).
+# ---------------------------------------------------------------------------
+
+_FD_CANDIDATES = [
+    ("l_orderkey->o_orderdate", "l_orderkey", "o_orderdate"),
+    ("l_orderkey->o_orderpriority", "l_orderkey", "o_orderpriority"),
+    ("l_orderkey->l_linestatus", "l_orderkey", "l_linestatus"),
+    ("l_orderkey->l_suppkey", "l_orderkey", "l_suppkey"),
+    ("l_returnflag->o_orderpriority", "l_returnflag", "o_orderpriority"),
+]
+
+
+def _fd_sql() -> str:
+    per_fd = []
+    for name, lhs, rhs in _FD_CANDIDATES:
+        per_fd.append(f"""
+  SELECT '{name}' AS fd,
+         CAST(SUM(cnt) AS BIGINT) AS n_rows,
+         CAST(COUNT(*) AS BIGINT) AS n_keys,
+         CAST(SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating_keys,
+         CAST(SUM(cnt - maxcnt) AS DOUBLE) / SUM(cnt) AS g3_rate
+  FROM (
+    SELECT {lhs}, SUM(c) AS cnt, MAX(c) AS maxcnt, COUNT(*) AS n_rhs
+    FROM (SELECT {lhs}, {rhs}, COUNT(*) AS c FROM denorm GROUP BY 1, 2)
+    GROUP BY 1
+  )""")
+    return (
+        """WITH denorm AS (
+  SELECT l.l_orderkey, l.l_returnflag, l.l_linestatus, l.l_suppkey, o.o_orderdate, o.o_orderpriority
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+)"""
+        + "\nUNION ALL".join(per_fd)
+    )
+
+
+@register("functional_dependency_audit", _fd_sql())
+def q_functional_dependency_audit(spark, sf_dir):
+    """Audit candidate functional dependencies on the denormalized
+    lineitem⨝orders relation: per FD, the key count, how many keys map
+    to more than one RHS value, and the g3 violation rate (fraction of
+    rows that would need deleting for the FD to hold — 0.0 means the
+    FD is exact, as the join-induced order-attribute FDs are).
+
+    Scale plan: each FD is two stacked map-side-combined aggregates —
+    (lhs, rhs) counts, then a per-lhs rollup to (total, max, distinct
+    rhs) — so per-FD cost is one shuffle on lhs; the denormalizing
+    join runs ONCE and fans out to all candidates; violation math is
+    all integer, the rate is one final division."""
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_linestatus", "l_suppkey"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    denorm = l.join(o, l.l_orderkey == o.o_orderkey).select(
+        "l_orderkey", "l_returnflag", "l_linestatus", "l_suppkey",
+        "o_orderdate", "o_orderpriority"
+    )
+    # one physical build of the denormalized relation for all five FDs
+    denorm = denorm.localCheckpoint(eager=False)
+    reports = []
+    for name, lhs, rhs in _FD_CANDIDATES:
+        kv = denorm.groupBy(lhs, rhs).agg(F.count(F.lit(1)).alias("c"))
+        per_key = kv.groupBy(lhs).agg(
+            F.sum("c").alias("cnt"),
+            F.max("c").alias("maxcnt"),
+            F.count(F.lit(1)).alias("n_rhs"),
+        )
+        reports.append(
+            per_key.agg(
+                F.lit(name).alias("fd"),
+                F.sum("cnt").cast("long").alias("n_rows"),
+                F.count(F.lit(1)).cast("long").alias("n_keys"),
+                F.sum(F.when(F.col("n_rhs") > 1, 1).otherwise(0))
+                .cast("long")
+                .alias("n_violating_keys"),
+                (
+                    F.sum(F.col("cnt") - F.col("maxcnt")).cast("double")
+                    / F.sum("cnt")
+                ).alias("g3_rate"),
+            )
+        )
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out
