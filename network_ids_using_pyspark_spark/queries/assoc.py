@@ -106,3 +106,145 @@ def q_assoc_rules_lift(spark, sf_dir):
             ).alias("lift"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Item-item collaborative filtering — the SERVING side of the basket
+# family: cosine similarity over co-occurrence vectors (the classic
+# Sarwar et al., WWW 2001 item-kNN), then top-k recommendations per
+# user by summed neighbour similarity, already-owned items excluded.
+# `assoc_rules_lift` explains the pairs; this ranks them for a user.
+# ---------------------------------------------------------------------------
+
+_CF_MINCO = 2  # minimum co-basket count for an item pair to get a similarity
+_CF_USERS = 50  # deterministic serving sample: custkey < 50
+_CF_K = 3  # recommendations per user
+
+_ITEMCF_SQL = f"""
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+sup AS (SELECT l_partkey AS item, CAST(COUNT(*) AS BIGINT) AS c FROM items GROUP BY 1),
+co AS (
+  SELECT a.l_partkey AS ia, b.l_partkey AS ib, CAST(COUNT(*) AS BIGINT) AS n_co
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= {_CF_MINCO}
+),
+sim0 AS (
+  SELECT ia, ib,
+         round(CAST(n_co AS DOUBLE)
+               / sqrt(CAST(sa.c AS DOUBLE) * CAST(sb.c AS DOUBLE)), 9) AS sim
+  FROM co JOIN sup sa ON co.ia = sa.item JOIN sup sb ON co.ib = sb.item
+),
+sims AS (
+  SELECT ia, ib, sim FROM sim0
+  UNION ALL
+  SELECT ib AS ia, ia AS ib, sim FROM sim0
+),
+prof AS (
+  SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS item
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  WHERE o.o_custkey < {_CF_USERS}
+),
+scored AS (
+  SELECT p.u, s.ib AS item,
+         CAST(CAST(SUM(CAST(s.sim AS DECIMAL(38, 9))) AS VARCHAR) AS DOUBLE) AS score,
+         CAST(COUNT(*) AS BIGINT) AS n_contrib
+  FROM prof p JOIN sims s ON s.ia = p.item
+  WHERE NOT EXISTS (SELECT 1 FROM prof q WHERE q.u = p.u AND q.item = s.ib)
+  GROUP BY 1, 2
+)
+SELECT u AS custkey, CAST(rk AS BIGINT) AS rec_rank, item, score, n_contrib FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY u ORDER BY score DESC, item ASC) AS rk
+  FROM scored
+) WHERE rk <= {_CF_K}
+"""
+
+
+@register("itemcf_topk_recs", _ITEMCF_SQL)
+def q_itemcf_topk_recs(spark, sf_dir):
+    """Item-kNN recommendations: cosine similarity between items from
+    DISTINCT co-basket counts (support ≥ {_CF_MINCO} prunes the noise
+    tail before any similarity math), user score for a candidate item
+    = decimal-exact sum of similarities to the user's owned items,
+    owned items anti-joined out, top-{_CF_K} per user over a sampled
+    user cohort (total order: score desc, item asc).
+
+    Scale plan: the similarity matrix inherits the apriori-pruned
+    basket self-join from `assoc_rules_lift` (bounded by basket size,
+    never item×item); serving joins the user-profile relation to the
+    similarity relation on the OWNED-item key — one shuffle — and the
+    per-user top-k is a rank window over the scored candidates.  At
+    100 TB the sims relation is the small side (items ≪ interactions)
+    and broadcasts; similarities are pre-rounded to the 1e-9 grid and
+    summed as DECIMAL so ranking order is engine-portable."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    sup = items.groupBy(F.col("l_partkey").alias("item")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    a = items.select(F.col("l_orderkey"), F.col("l_partkey").alias("ia"))
+    b = items.select(F.col("l_orderkey"), F.col("l_partkey").alias("ib"))
+    co = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("ia") < F.col("ib"))
+        .groupBy("ia", "ib")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_co"))
+        .filter(F.col("n_co") >= _CF_MINCO)
+    )
+    sa = sup.select(F.col("item").alias("ia"), F.col("c").alias("ca"))
+    sb = sup.select(F.col("item").alias("ib"), F.col("c").alias("cb"))
+    sim0 = (
+        co.join(F.broadcast(sa), "ia")
+        .join(F.broadcast(sb), "ib")
+        .select(
+            "ia",
+            "ib",
+            F.round(
+                F.col("n_co").cast("double")
+                / F.sqrt(F.col("ca").cast("double") * F.col("cb").cast("double")),
+                9,
+            ).alias("sim"),
+        )
+    )
+    sims = sim0.select("ia", "ib", "sim").unionByName(
+        sim0.select(F.col("ib").alias("ia"), F.col("ia").alias("ib"), "sim")
+    )
+    prof = (
+        o.filter(F.col("o_custkey") < _CF_USERS)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("u"), F.col("l_partkey").alias("item"))
+        .distinct()
+        .localCheckpoint(eager=False)  # feeds the score join AND the owned-item anti join
+    )
+    cand = prof.join(
+        sims.withColumnRenamed("ia", "item"), "item"
+    ).select("u", F.col("ib").alias("cand_item"), "sim")
+    cand = cand.join(
+        prof.select("u", F.col("item").alias("cand_item")),
+        ["u", "cand_item"],
+        "left_anti",
+    )
+    scored = cand.groupBy("u", "cand_item").agg(
+        F.sum(F.col("sim").cast("decimal(38, 9)"))
+        .cast("string")
+        .cast("double")
+        .alias("score"),
+        F.count(F.lit(1)).cast("long").alias("n_contrib"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("u").orderBy(F.desc("score"), F.asc("cand_item"))
+    return (
+        scored.select(
+            "u", "cand_item", "score", "n_contrib", F.row_number().over(w).alias("rk")
+        )
+        .filter(F.col("rk") <= _CF_K)
+        .select(
+            F.col("u").alias("custkey"),
+            F.col("rk").cast("long").alias("rec_rank"),
+            F.col("cand_item").alias("item"),
+            "score",
+            "n_contrib",
+        )
+    )
