@@ -955,3 +955,68 @@ def test_quality_filter_scan_linear_in_iterations(spark):
     plan = explain_str(df, "simple")
     assert plan.count("FileScan") == 1, plan.count("FileScan")
     assert "SortMergeJoin" not in plan
+
+
+def test_semdedup_assignment_broadcast_pairs_equi_join(spark):
+    """SemDeDup's centroid assignment is a K-row broadcast; the
+    within-cluster pair stage must be an EQUI-join on cid (cluster-
+    local quadratic is the SemDeDup contract), never a nested-loop
+    over the corpus."""
+    df = _df(spark, "semdedup_prune_report")
+    plan = explain_str(df, "simple")
+    # the assignment chain is localCheckpointed away: the live plan reads
+    # the materialized membership, so no corpus FileScan and no
+    # nested-loop join anywhere above the checkpoint
+    assert "FileScan parquet" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the pair join keys on the cluster id — an equi join on x_cid/y_cid
+    assert "SortMergeJoin [x_cid" in plan or "ShuffledHashJoin [x_cid" in plan
+
+
+def test_er_golden_records_take_ordered(spark):
+    """Golden-record merge: star assignment + survivorship is pure
+    aggregation (no iteration, no window over raw rows) and the final
+    top-k is TakeOrderedAndProject."""
+    df = _df(spark, "er_golden_records")
+    plan = explain_str(df, "simple")
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+
+
+def test_sssp_relaxation_rounds_bounded(spark):
+    """Bellman-Ford: tentative distances are localCheckpointed per
+    round, so the final plan must not replay the k-round join chain —
+    at most one live join (the last relaxation) above the checkpoint
+    scans, and the top-k is TakeOrderedAndProject."""
+    df = _df(spark, "sssp_cheapest_reach")
+    plan = explain_str(df, "simple")
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("FileScan parquet") == 0  # all rounds checkpointed
+
+
+def test_holt_winters_single_corpus_scan(spark):
+    """The seasonal fold runs over ONE collected daily series: a single
+    orders scan, one aggregate chain, no join anywhere."""
+    df = _df(spark, "holt_winters_seasonal_forecast")
+    plan = explain_str(df, "simple")
+    assert plan.count("FileScan parquet") == 1
+    assert "Join" not in plan
+
+
+def test_fd_audit_one_denorm_build(spark):
+    """Five FD candidates must share ONE build of the denormalized
+    relation (localCheckpoint), not five lineitem⨝orders joins."""
+    df = _df(spark, "functional_dependency_audit")
+    plan = explain_str(df, "simple")
+    assert "FileScan parquet" not in plan  # denorm checkpointed once
+    assert "Join" not in plan  # per-FD work is pure aggregation
+
+
+def test_itemcf_sims_broadcast_profile_anti_join(spark):
+    """Item-kNN serving: the similarity relation is the small side —
+    support relations broadcast into it — and owned items are removed
+    by an anti join (never a collected set)."""
+    df = _df(spark, "itemcf_topk_recs")
+    plan = explain_str(df, "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "LeftAnti" in plan
