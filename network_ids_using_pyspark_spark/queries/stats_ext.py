@@ -3456,3 +3456,130 @@ def q_holt_winters_seasonal_forecast(spark, sf_dir):
         ).alias("forecast_next"),
         F.round(F.sqrt(F.col("f.sse") / (F.col("n") - _HW_M)), 6).alias("rmse"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Difference-in-differences — the panel-data member of the causal
+# family (CUPED, z-test, QTE are single-period).  2×2 cell moments in
+# one scan; the DiD estimate and its Welch-style SE are closed-form
+# doubles evaluated in identical op order on both engines.
+# ---------------------------------------------------------------------------
+
+_DID_CUT = "2024-01-16"  # treatment switch-on date (fixture spans Jan 2024)
+
+_DID_CELL = """
+  SELECT CASE WHEN user_id % 2 = 1 THEN 'T' ELSE 'C' END AS grp,
+         CASE WHEN CAST(ts AS DATE) >= DATE '{cut}' THEN 'post' ELSE 'pre' END AS period,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(CAST(SUM(CAST(round(value, 9) AS DECIMAL(38, 9))) AS VARCHAR) AS DOUBLE) AS s,
+         CAST(CAST(SUM(CAST(round(value, 9) AS DECIMAL(38, 9))
+                       * CAST(round(value, 9) AS DECIMAL(38, 9))) AS VARCHAR) AS DOUBLE) AS ss
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY 1, 2
+"""
+
+_DID_SQL = f"""
+WITH cells AS ({_DID_CELL.format(cut=_DID_CUT)}),
+m AS (
+  SELECT grp, period, n, s / n AS mean,
+         (ss - n * (s / n) * (s / n)) / (n - 1) AS var
+  FROM cells
+),
+w AS (
+  SELECT
+    (SELECT n FROM m WHERE grp = 'T' AND period = 'pre') AS n_t_pre,
+    (SELECT n FROM m WHERE grp = 'T' AND period = 'post') AS n_t_post,
+    (SELECT n FROM m WHERE grp = 'C' AND period = 'pre') AS n_c_pre,
+    (SELECT n FROM m WHERE grp = 'C' AND period = 'post') AS n_c_post,
+    (SELECT mean FROM m WHERE grp = 'T' AND period = 'pre') AS m_t_pre,
+    (SELECT mean FROM m WHERE grp = 'T' AND period = 'post') AS m_t_post,
+    (SELECT mean FROM m WHERE grp = 'C' AND period = 'pre') AS m_c_pre,
+    (SELECT mean FROM m WHERE grp = 'C' AND period = 'post') AS m_c_post,
+    (SELECT var / n FROM m WHERE grp = 'T' AND period = 'pre')
+      + (SELECT var / n FROM m WHERE grp = 'T' AND period = 'post')
+      + (SELECT var / n FROM m WHERE grp = 'C' AND period = 'pre')
+      + (SELECT var / n FROM m WHERE grp = 'C' AND period = 'post') AS se2
+)
+SELECT n_t_pre, n_t_post, n_c_pre, n_c_post,
+       round(m_t_pre, 6) AS mean_t_pre,
+       round(m_t_post, 6) AS mean_t_post,
+       round(m_c_pre, 6) AS mean_c_pre,
+       round(m_c_post, 6) AS mean_c_post,
+       round((m_t_post - m_t_pre) - (m_c_post - m_c_pre), 6) AS did_estimate,
+       round(sqrt(se2), 6) AS did_se,
+       round(((m_t_post - m_t_pre) - (m_c_post - m_c_pre)) / sqrt(se2), 6) AS did_t
+FROM w
+"""
+
+
+@register("diff_in_diff_readout", _DID_SQL)
+def q_diff_in_diff_readout(spark, sf_dir):
+    """Difference-in-differences on purchase values: treatment = odd
+    user ids, post-period = from {_DID_CUT}; DiD estimate = (T,post −
+    T,pre) − (C,post − C,pre) with a four-cell Welch-style standard
+    error.  On an A/A-like fixture the estimate should hover near 0 —
+    the readout is the parallel-trends sanity sheet, not a significance
+    claim.
+
+    Scale plan: the whole analysis is ONE conditional aggregate over
+    the filtered fact stream (map-side combined, 4 output rows) plus
+    scalar arithmetic — cost is a single reduction at any corpus size.
+    Moments accumulate as 1e-9-quantized DECIMAL so cell means are
+    bit-identical across engines and partitionings."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    to_d = lambda c: c.cast("string").cast("double")  # noqa: E731
+    x = F.round(F.col("value"), 9).cast("decimal(38, 9)")
+    cells = e.groupBy(
+        F.when(F.col("user_id") % 2 == 1, "T").otherwise("C").alias("grp"),
+        F.when(
+            F.col("ts").cast("date") >= F.lit(_DID_CUT).cast("date"), "post"
+        )
+        .otherwise("pre")
+        .alias("period"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        to_d(F.sum(x)).alias("s"),
+        to_d(F.sum(x * x)).alias("ss"),
+    )
+    mean = F.col("s") / F.col("n")
+    m = cells.select(
+        "grp",
+        "period",
+        "n",
+        mean.alias("mean"),
+        ((F.col("ss") - F.col("n") * mean * mean) / (F.col("n") - 1)).alias("var"),
+    )
+
+    def cell(grp, period, pfx):
+        return m.filter((F.col("grp") == grp) & (F.col("period") == period)).select(
+            F.col("n").alias(f"n_{pfx}"),
+            F.col("mean").alias(f"m_{pfx}"),
+            (F.col("var") / F.col("n")).alias(f"vn_{pfx}"),
+        )
+
+    w = (
+        cell("T", "pre", "t_pre")
+        .crossJoin(F.broadcast(cell("T", "post", "t_post")))
+        .crossJoin(F.broadcast(cell("C", "pre", "c_pre")))
+        .crossJoin(F.broadcast(cell("C", "post", "c_post")))
+        .withColumn(
+            "se2",
+            F.col("vn_t_pre") + F.col("vn_t_post") + F.col("vn_c_pre") + F.col("vn_c_post"),
+        )
+    )
+    did = (F.col("m_t_post") - F.col("m_t_pre")) - (
+        F.col("m_c_post") - F.col("m_c_pre")
+    )
+    return w.select(
+        "n_t_pre",
+        "n_t_post",
+        "n_c_pre",
+        "n_c_post",
+        F.round("m_t_pre", 6).alias("mean_t_pre"),
+        F.round("m_t_post", 6).alias("mean_t_post"),
+        F.round("m_c_pre", 6).alias("mean_c_pre"),
+        F.round("m_c_post", 6).alias("mean_c_post"),
+        F.round(did, 6).alias("did_estimate"),
+        F.round(F.sqrt("se2"), 6).alias("did_se"),
+        F.round(did / F.sqrt("se2"), 6).alias("did_t"),
+    )
