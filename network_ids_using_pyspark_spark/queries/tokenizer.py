@@ -260,3 +260,227 @@ def q_bpe_tokenize_profile(spark, sf_dir):
             ).alias("chars_per_token"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM tokenizer (SentencePiece-style, Kudo 2018): seed a piece
+# vocabulary from substring frequencies, segment every word by Viterbi
+# under the unigram log-probs, then report the hard-EM usage counts —
+# the E-step + count-M-step of the unigram trainer, certified bit-exact.
+# The BPE pair above is the merge-based tokenizer; this is the
+# probabilistic one, and together they are the two vocabularies used in
+# practice.  Viterbi runs as UNROLLED dp stages over the word-position
+# grid (the k-means/BPE pattern): stage i picks, per word, the best
+# (score, smallest-j) arc into position i from the dp rows of earlier
+# positions — scores are 1e-9-grid partial sums, so argmax order is
+# engine-portable.
+# ---------------------------------------------------------------------------
+
+_UNI_L = 4  # max piece length
+_UNI_W = 12  # unrolled dp stages ≥ max word length (fixture max is 8)
+_UNI_TOP = 30  # pieces reported
+
+
+def _uni_stage_sql(i: int) -> str:
+    return f"""
+s{i} AS MATERIALIZED (
+  SELECT w, i, score, pieces FROM (
+    SELECT a.w, {i} AS i,
+           round(d.score + a.lp, 9) AS score,
+           list_append(d.pieces, a.piece) AS pieces, a.j,
+           ROW_NUMBER() OVER (PARTITION BY a.w
+                              ORDER BY round(d.score + a.lp, 9) DESC, a.j ASC) AS rn
+    FROM arcs a JOIN d{i - 1} d ON d.w = a.w AND d.i = a.j
+    WHERE a.i = {i}
+  ) WHERE rn = 1
+),
+d{i} AS MATERIALIZED (
+  SELECT * FROM d{i - 1} UNION ALL SELECT w, i, score, pieces FROM s{i}
+)"""
+
+
+_UNI_SQL = (
+    r"""
+WITH words AS MATERIALIZED (
+  SELECT tok AS w, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM (
+    SELECT UNNEST(regexp_split_to_array(trim(lower(text)), '[^0-9a-z]+')) AS tok
+    FROM documents
+  )
+  WHERE tok <> ''
+  GROUP BY 1
+),
+occ AS (
+  SELECT substring(w, p, k) AS piece, freq
+  FROM words,
+       UNNEST(range(1, LEAST("""
+    + str(_UNI_L)
+    + r""", length(w)) + 1)) AS tk(k),
+       UNNEST(range(1, length(w) - k + 2)) AS tp(p)
+),
+vocab0 AS MATERIALIZED (
+  SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt FROM occ GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM vocab0),
+vocab AS MATERIALIZED (
+  SELECT piece, cnt,
+         round(ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE)), 9) AS lp
+  FROM vocab0 CROSS JOIN tot
+),
+arcs AS MATERIALIZED (
+  SELECT g.w, g.i, g.j, v.lp, g.piece
+  FROM (
+    SELECT w, i, j, substring(w, j + 1, i - j) AS piece
+    FROM words,
+         UNNEST(range(1, length(w) + 1)) AS ti(i),
+         UNNEST(range(GREATEST(0, i - """
+    + str(_UNI_L)
+    + r"""), i)) AS tj(j)
+  ) g JOIN vocab v ON v.piece = g.piece
+),
+d0 AS MATERIALIZED (
+  SELECT w, CAST(0 AS BIGINT) AS i, CAST(0.0 AS DOUBLE) AS score,
+         CAST([] AS VARCHAR[]) AS pieces
+  FROM words
+),
+"""
+    + ",".join(_uni_stage_sql(i) for i in range(1, _UNI_W + 1))
+    + f"""
+, seg AS (
+  SELECT d.w, d.pieces, d.score, wo.freq
+  FROM d{_UNI_W} d JOIN words wo ON wo.w = d.w
+  WHERE d.i = length(d.w)
+),
+used AS (
+  SELECT t.piece, CAST(SUM(freq) AS BIGINT) AS used_count
+  FROM seg, UNNEST(pieces) AS t(piece)
+  GROUP BY 1
+)
+SELECT u.piece, v.cnt AS seed_count, round(v.lp, 6) AS lp_seed, u.used_count
+FROM used u JOIN vocab v ON v.piece = u.piece
+ORDER BY u.used_count DESC, u.piece ASC
+LIMIT {_UNI_TOP}
+"""
+)
+
+
+@register("unigram_viterbi_tokenize", _UNI_SQL)
+def q_unigram_viterbi_tokenize(spark, sf_dir):
+    """Unigram-LM segmentation: seed piece probabilities from
+    frequency-weighted substring counts (lengths ≤ {_UNI_L}), Viterbi
+    the best segmentation of every distinct word, and report the
+    top-{_UNI_TOP} pieces by hard-EM usage count with their seed
+    counts and log-probs.  Single characters are always in the vocab,
+    so every word is segmentable.
+
+    Scale plan: like BPE, everything iterative runs on the WORD
+    HISTOGRAM, never the corpus — one corpus scan builds it, and the
+    dp grid is |distinct words| × word length rows.  The arc relation
+    (word, position, predecessor, piece log-prob) is built once by an
+    equi-join on the piece string; each unrolled stage is one
+    arcs⨝dp join + per-word rank window over stage-sized relations,
+    localCheckpointed so the 12-stage lineage never replays.  At
+    100 TB the vocab and dp relations stay executor-trivial while the
+    corpus scan parallelizes freely."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(
+            F.explode(F.split(F.trim(F.lower("text")), "[^0-9a-z]+")).alias("tok")
+        )
+        .filter(F.col("tok") != "")
+        .groupBy(F.col("tok").alias("w"))
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+        .localCheckpoint(eager=True)
+    )
+    occ = words.select(
+        F.explode(
+            F.expr(
+                f"flatten(transform(sequence(1, least({_UNI_L}, length(w))),"
+                " k -> transform(sequence(1, length(w) - k + 1),"
+                " p -> substring(w, p, k))))"
+            )
+        ).alias("piece"),
+        "freq",
+    )
+    vocab0 = occ.groupBy("piece").agg(F.sum("freq").cast("long").alias("cnt"))
+    tot = vocab0.agg(F.sum("cnt").cast("long").alias("total"))
+    vocab = (
+        vocab0.crossJoin(F.broadcast(tot))
+        .select(
+            "piece",
+            "cnt",
+            F.round(
+                F.log(F.col("cnt").cast("double") / F.col("total").cast("double")), 9
+            ).alias("lp"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    grid = words.select(
+        "w",
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(1, length(w)),"
+                f" i -> transform(sequence(greatest(0, i - {_UNI_L}), i - 1),"
+                " j -> struct(i AS i, j AS j,"
+                " substring(w, j + 1, i - j) AS piece))))"
+            )
+        ).alias("g"),
+    ).select("w", F.col("g.i").alias("i"), F.col("g.j").alias("j"), F.col("g.piece").alias("piece"))
+    arcs = (
+        grid.join(F.broadcast(vocab.select("piece", "lp")), "piece")
+        .select("w", F.col("i").cast("long").alias("i"), F.col("j").cast("long").alias("j"), "lp", "piece")
+        .localCheckpoint(eager=True)
+    )
+    from pyspark.sql import Window
+
+    dp = words.select(
+        "w",
+        F.lit(0).cast("long").alias("i"),
+        F.lit(0.0).alias("score"),
+        F.expr("CAST(array() AS array<string>)").alias("pieces"),
+    )
+    for i in range(1, _UNI_W + 1):
+        cand = (
+            arcs.filter(F.col("i") == i)
+            .withColumnRenamed("i", "ai")
+            .join(
+                dp.select(
+                    F.col("w").alias("dw"), F.col("i").alias("di"), "score", "pieces"
+                ),
+                (F.col("dw") == F.col("w")) & (F.col("di") == F.col("j")),
+            )
+            .select(
+                "w",
+                F.lit(i).cast("long").alias("i"),
+                F.round(F.col("score") + F.col("lp"), 9).alias("score"),
+                F.concat("pieces", F.array("piece")).alias("pieces"),
+                "j",
+            )
+        )
+        win = Window.partitionBy("w").orderBy(F.desc("score"), F.asc("j"))
+        winner = (
+            cand.select("w", "i", "score", "pieces", F.row_number().over(win).alias("rn"))
+            .filter(F.col("rn") == 1)
+            .select("w", "i", "score", "pieces")
+        )
+        dp = dp.unionByName(winner).localCheckpoint(eager=False)
+    seg = dp.join(
+        words.select(F.col("w").alias("sw"), "freq"),
+        (F.col("sw") == F.col("w")) & (F.col("i") == F.length("w")),
+    ).select("w", "pieces", "freq")
+    used = (
+        seg.select(F.explode("pieces").alias("piece"), "freq")
+        .groupBy("piece")
+        .agg(F.sum("freq").cast("long").alias("used_count"))
+    )
+    return (
+        used.join(F.broadcast(vocab), "piece")
+        .select(
+            "piece",
+            F.col("cnt").alias("seed_count"),
+            F.round("lp", 6).alias("lp_seed"),
+            "used_count",
+        )
+        .orderBy(F.desc("used_count"), F.asc("piece"))
+        .limit(_UNI_TOP)
+    )

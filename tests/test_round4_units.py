@@ -567,3 +567,54 @@ def test_holt_winters_matches_python(spark):
     assert abs(row["rmse"] - math.sqrt(sse / (len(ys) - m))) < 1e-6
 
 
+
+
+def test_unigram_viterbi_matches_python(spark):
+    """Viterbi segmentation + hard-EM usage counts against an
+    independent plain-Python dynamic program over the same word
+    histogram (the unrolled-CTE oracle mirrors the engine's dp, so
+    only an outside recomputation can catch a shared dp mistake)."""
+    con = duckdb.connect()
+    hist = dict(
+        con.execute(
+            f"""SELECT tok, COUNT(*) FROM (
+                  SELECT UNNEST(regexp_split_to_array(trim(lower(text)), '[^0-9a-z]+')) AS tok
+                  FROM read_parquet('{SF_DIR}/documents.parquet'))
+                WHERE tok <> '' GROUP BY 1"""
+        ).fetchall()
+    )
+    con.close()
+
+    L = 4
+    vocab: dict[str, int] = {}
+    for w, f in hist.items():
+        for k in range(1, min(L, len(w)) + 1):
+            for p in range(len(w) - k + 1):
+                vocab[w[p : p + k]] = vocab.get(w[p : p + k], 0) + f
+    total = sum(vocab.values())
+    lp = {p: round(math.log(c / total), 9) for p, c in vocab.items()}
+
+    used: dict[str, int] = {}
+    for w, f in hist.items():
+        n = len(w)
+        dp = [(0.0, -1)] + [(-math.inf, -1)] * n  # (score, back)
+        for i in range(1, n + 1):
+            best, bj = -math.inf, -1
+            for j in range(max(0, i - L), i):
+                s = round(dp[j][0] + lp[w[j:i]], 9)
+                if s > best:  # strict: smallest j wins ties, as the engines do
+                    best, bj = s, j
+            dp[i] = (best, bj)
+        pos = n
+        while pos > 0:
+            j = dp[pos][1]
+            used[w[j:pos]] = used.get(w[j:pos], 0) + f
+            pos = j
+
+    fn, _ = REGISTRY["unigram_viterbi_tokenize"]
+    rows = fn(spark, SF_DIR).collect()
+    expected = sorted(used.items(), key=lambda kv: (-kv[1], kv[0]))[: len(rows)]
+    got = [(r["piece"], r["used_count"]) for r in rows]
+    assert got == expected
+    for r in rows:
+        assert r["seed_count"] == vocab[r["piece"]]
