@@ -222,3 +222,136 @@ def q_exact_substring_dup_spans(spark, sf_dir):
 q_exact_substring_dup_spans.__doc__ = q_exact_substring_dup_spans.__doc__.format(
     min=_XS_MIN, k=_XS_K
 )
+
+
+# ---------------------------------------------------------------------------
+# Suffix-array construction by prefix doubling (Manber–Myers /
+# Larsson–Sadakane) over a concatenated document sample — the PAPER
+# algorithm behind ExactSubstr dedup, whose gram-run approximation is
+# `exact_substring_dup_spans`.  Each level sorts positions by their
+# first 2^j characters via (rank, rank-at-offset) re-ranking; the
+# output is the per-level convergence profile: group counts, positions
+# still tied, and the largest tie group.  A tie at level j certifies a
+# repeated substring of length ≥ 2^j, so the profile brackets the
+# longest repeat to a power-of-two band.
+# ---------------------------------------------------------------------------
+
+_SA_DOCS = 8  # deterministic sample: doc_id < 8 (~2.3k chars concatenated)
+_SA_LEVELS = 13  # 2^13 = 8192 ≥ any plausible sample length → total order
+_SA_SEP = 1  # chr(1) separator, absent from the corpus alphabet
+
+
+def _sa_sql() -> str:
+    parts = [
+        f"""docs8 AS MATERIALIZED (
+  SELECT doc_id, text FROM documents WHERE doc_id < {_SA_DOCS}
+),
+strs AS MATERIALIZED (
+  SELECT doc_id, text || chr({_SA_SEP}) AS t,
+         SUM(length(text) + 1) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS off
+  FROM docs8
+),
+pos AS MATERIALIZED (
+  SELECT COALESCE(off, 0) + i AS p, substring(t, i, 1) AS c
+  FROM strs, UNNEST(range(1, length(t) + 1)) AS ti(i)
+),
+r0 AS MATERIALIZED (SELECT p, DENSE_RANK() OVER (ORDER BY c) AS r FROM pos)"""
+    ]
+    for j in range(_SA_LEVELS):
+        parts.append(
+            f"""r{j + 1} AS MATERIALIZED (
+  SELECT a.p, DENSE_RANK() OVER (ORDER BY a.r, COALESCE(b.r, 0)) AS r
+  FROM r{j} a LEFT JOIN r{j} b ON b.p = a.p + {1 << j}
+)"""
+        )
+    levels = "\nUNION ALL ".join(
+        f"""SELECT CAST({j} AS INTEGER) AS level, CAST({1 << j} AS BIGINT) AS span,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS n_tied_pos,
+       CAST(MAX(c) AS BIGINT) AS max_group
+FROM (SELECT r, COUNT(*) AS c FROM r{j} GROUP BY r)"""
+        for j in range(_SA_LEVELS + 1)
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + levels
+
+
+@register("suffix_array_doubling_profile", _sa_sql())
+def q_suffix_array_doubling_profile(spark, sf_dir):
+    """Prefix-doubling suffix ranking over the chr(1)-joined text of
+    the first {_SA_DOCS} documents: level j ranks every position by
+    its first 2^j characters, re-ranking from (own rank, rank 2^j
+    ahead, missing → 0).  Output is one row per level — distinct rank
+    groups, positions in tied groups, largest group — down to the
+    total order the distinct suffix lengths guarantee by the last
+    level.  Ties surviving at level j certify a repeated substring of
+    length ≥ 2^j somewhere in the sample.
+
+    Scale plan: this IS the distributed suffix-array recipe — each of
+    the O(log n) levels is one self-equi-join on position offset plus
+    one sort-based re-rank.  The global ordering a dense_rank implies
+    is the algorithm's essence, realized at 100 TB as a range-
+    partitioned sort (Spark's sort shuffle) per level over (rank,
+    next-rank) pairs — fixed-width keys, never text; the corpus text
+    appears only in the level-0 single-character ranking.  Here the
+    relation is sample-bounded so the single-partition window is
+    harmless; ranks are localCheckpointed per level so the 13-level
+    lineage never replays."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs8 = docs.filter(F.col("doc_id") < _SA_DOCS).select("doc_id", "text")
+    woff = (
+        Window.orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    strs = docs8.select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(chr(_SA_SEP))).alias("t"),
+        F.sum(F.length("text") + 1).over(woff).alias("off"),
+    )
+    pos = (
+        strs.select("t", "off", F.explode(F.sequence(F.lit(1), F.length("t"))).alias("i"))
+        .select(
+            (F.coalesce(F.col("off"), F.lit(0)) + F.col("i")).cast("long").alias("p"),
+            F.expr("substring(t, i, 1)").alias("c"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    ranks = pos.select(
+        "p", F.dense_rank().over(Window.orderBy("c")).cast("long").alias("r")
+    ).localCheckpoint(eager=False)
+    profiles = []
+    for j in range(_SA_LEVELS + 1):
+        g = ranks.groupBy("r").agg(F.count(F.lit(1)).alias("c"))
+        profiles.append(
+            g.agg(
+                F.lit(j).cast("int").alias("level"),
+                F.lit(1 << j).cast("long").alias("span"),
+                F.count(F.lit(1)).cast("long").alias("n_groups"),
+                F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0))
+                .cast("long")
+                .alias("n_tied_pos"),
+                F.max("c").cast("long").alias("max_group"),
+            )
+        )
+        if j < _SA_LEVELS:
+            gap = 1 << j
+            b = ranks.select(
+                (F.col("p") - gap).alias("bp"), F.col("r").alias("rr")
+            )
+            ranks = (
+                ranks.join(b, ranks.p == b.bp, "left")
+                .select(
+                    "p",
+                    F.dense_rank()
+                    .over(Window.orderBy(F.col("r"), F.coalesce(F.col("rr"), F.lit(0))))
+                    .cast("long")
+                    .alias("r"),
+                )
+                .localCheckpoint(eager=False)
+            )
+    out = profiles[0]
+    for pr in profiles[1:]:
+        out = out.unionByName(pr)
+    return out

@@ -618,3 +618,30 @@ def test_unigram_viterbi_matches_python(spark):
     assert got == expected
     for r in rows:
         assert r["seed_count"] == vocab[r["piece"]]
+
+
+def test_suffix_doubling_matches_python_substrings(spark):
+    """Level-j rank groups must equal equality classes of the literal
+    length-2^j substrings (Python slices) of the same concatenated
+    sample — the textbook invariant of prefix doubling, checked from
+    first principles rather than through the mirrored oracle."""
+    from collections import Counter
+
+    con = duckdb.connect()
+    texts = [
+        r[0]
+        for r in con.execute(
+            f"""SELECT text FROM read_parquet('{SF_DIR}/documents.parquet')
+                WHERE doc_id < 8 ORDER BY doc_id"""
+        ).fetchall()
+    ]
+    con.close()
+    s = "".join(t + chr(1) for t in texts)
+
+    rows = REGISTRY["suffix_array_doubling_profile"][0](spark, SF_DIR).collect()
+    for r in rows:
+        span = r["span"]
+        groups = Counter(s[p : p + span] for p in range(len(s)))
+        assert r["n_groups"] == len(groups), (r["level"], r["n_groups"], len(groups))
+        assert r["n_tied_pos"] == sum(c for c in groups.values() if c > 1)
+        assert r["max_group"] == max(groups.values())
