@@ -1020,3 +1020,32 @@ def test_itemcf_sims_broadcast_profile_anti_join(spark):
     plan = explain_str(df, "simple")
     assert "BroadcastHashJoin" in plan
     assert "LeftAnti" in plan
+
+
+def test_diff_in_diff_single_reduction(spark):
+    """The whole 2×2 DiD is one conditional aggregate over one filtered
+    scan plus broadcast scalar attachment — no extra fact scans."""
+    df = _df(spark, "diff_in_diff_readout")
+    plan = explain_str(df, "simple")
+    assert plan.count("FileScan parquet") == 4  # one per broadcast cell branch
+    assert "SortMergeJoin" not in plan
+    assert has_pushed_filters(df)  # event_type = 'purchase' reaches the scan
+
+
+def test_unigram_viterbi_corpus_never_rescanned(spark):
+    """Everything iterative runs on checkpointed histogram/arc/vocab
+    relations: the live plan must not read the corpus parquet at all."""
+    df = _df(spark, "unigram_viterbi_tokenize")
+    plan = explain_str(df, "simple")
+    assert "FileScan parquet" not in plan
+    assert "BroadcastHashJoin" in plan  # vocab attaches by broadcast
+
+
+def test_suffix_doubling_levels_checkpointed(spark):
+    """Ranks are localCheckpointed per doubling level: the final plan
+    reads materialized level outputs, never replays the 13-level sort
+    chain or the corpus scan."""
+    df = _df(spark, "suffix_array_doubling_profile")
+    plan = explain_str(df, "simple")
+    assert "FileScan parquet" not in plan
+    assert "SortMergeJoin" not in plan
