@@ -907,3 +907,101 @@ def q_lf_agreement_kappa(spark, sf_dir):
     out = out.unionByName(pair_branch("len_vs_lang", "lf_len", "lf_lang"))
     out = out.unionByName(pair_branch("rep_vs_lang", "lf_rep", "lf_lang"))
     return out
+
+
+# ---------------------------------------------------------------------------
+# Negative-sampling table — the word2vec/contrastive-training sampler
+# (Mikolov et al. 2013): token probability ∝ count^0.75, materialized
+# as a cumulative-range lookup table a trainer broadcasts and probes
+# with a uniform hash.  Weights are 1e-9-quantized and accumulated as
+# DECIMAL, so the cumulative boundaries are bit-identical across
+# engines and partitionings — the table is REPRODUCIBLE, which is what
+# distinguishes a data-pipeline artifact from an RNG call.
+# ---------------------------------------------------------------------------
+
+_NEG_POW = 0.75
+_NEG_B = 4096  # bucket granularity of the integer lookup index
+
+
+_NEG_SQL = f"""
+WITH hist AS (
+  SELECT tok AS word, CAST(COUNT(*) AS BIGINT) AS n
+  FROM (
+    SELECT UNNEST(regexp_split_to_array(trim(lower(text)), '[^0-9a-z]+')) AS tok
+    FROM documents
+  )
+  WHERE tok <> ''
+  GROUP BY 1
+),
+wt AS (
+  SELECT word, n,
+         CAST(round(pow(CAST(n AS DOUBLE), {_NEG_POW}), 9) AS DECIMAL(38, 9)) AS w
+  FROM hist
+),
+tot AS (SELECT SUM(w) AS t FROM wt),
+cum AS (
+  SELECT word, n, w,
+         SUM(w) OVER (ORDER BY n DESC, word ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ch,
+         t
+  FROM wt CROSS JOIN tot
+)
+SELECT word, n,
+       round(CAST(CAST(w AS VARCHAR) AS DOUBLE) / CAST(CAST(t AS VARCHAR) AS DOUBLE), 9) AS prob,
+       round(CAST(CAST(ch - w AS VARCHAR) AS DOUBLE) / CAST(CAST(t AS VARCHAR) AS DOUBLE), 9) AS cum_lo,
+       round(CAST(CAST(ch AS VARCHAR) AS DOUBLE) / CAST(CAST(t AS VARCHAR) AS DOUBLE), 9) AS cum_hi,
+       CAST(floor(CAST(CAST(ch AS VARCHAR) AS DOUBLE) / CAST(CAST(t AS VARCHAR) AS DOUBLE) * {_NEG_B})
+            - floor(CAST(CAST(ch - w AS VARCHAR) AS DOUBLE) / CAST(CAST(t AS VARCHAR) AS DOUBLE) * {_NEG_B}) AS BIGINT) AS n_buckets
+FROM cum
+"""
+
+
+@register("negative_sampling_table", _NEG_SQL)
+def q_negative_sampling_table(spark, sf_dir):
+    """Unigram^{_NEG_POW} negative-sampling table over the corpus word
+    histogram: per token — count, sampling probability, the cumulative
+    [cum_lo, cum_hi) range a uniform draw maps through, and how many of
+    the {_NEG_B} integer index buckets the token owns.  Downweighting
+    frequent tokens by the 3/4 power is the standard negative-sampling
+    distribution for word2vec-style and contrastive objectives.
+
+    Scale plan: one corpus scan builds the histogram (map-side
+    combined); everything after runs on the |vocab| relation.  The
+    cumulative window orders by (count desc, token) over vocab rows —
+    at web scale that is a range-partitioned sort over millions of
+    rows, nothing corpus-sized.  The finished table is broadcast-sized
+    by construction: that is its purpose."""
+    docs = load_table(spark, sf_dir, "documents")
+    hist = (
+        docs.select(
+            F.explode(F.split(F.trim(F.lower("text")), "[^0-9a-z]+")).alias("tok")
+        )
+        .filter(F.col("tok") != "")
+        .groupBy(F.col("tok").alias("word"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    wt = hist.select(
+        "word",
+        "n",
+        F.round(F.pow(F.col("n").cast("double"), F.lit(_NEG_POW)), 9)
+        .cast("decimal(38, 9)")
+        .alias("w"),
+    )
+    tot = wt.agg(F.sum("w").alias("t"))
+    wcum = Window.orderBy(F.desc("n"), F.asc("word")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = wt.crossJoin(F.broadcast(tot)).select(
+        "word", "n", "w", F.sum("w").over(wcum).alias("ch"), "t"
+    )
+    to_d = lambda c: c.cast("string").cast("double")  # noqa: E731
+    lo = to_d(F.col("ch") - F.col("w")) / to_d(F.col("t"))
+    hi = to_d(F.col("ch")) / to_d(F.col("t"))
+    return cum.select(
+        "word",
+        "n",
+        F.round(to_d(F.col("w")) / to_d(F.col("t")), 9).alias("prob"),
+        F.round(lo, 9).alias("cum_lo"),
+        F.round(hi, 9).alias("cum_hi"),
+        (F.floor(hi * _NEG_B) - F.floor(lo * _NEG_B)).cast("long").alias("n_buckets"),
+    )
