@@ -404,3 +404,143 @@ def q_wau_hll_window_merge(spark, sf_dir):
             ).alias("hll_within_5pct"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) set sketch — the SET-OPERATION member of the
+# sketch family: HLL answers |A|, KMV's bottom-k hash signature also
+# answers |A ∩ B| / |A ∪ B| (Beyer et al., SIGMOD 2007).  Estimated
+# per-source-pair bigram-vocabulary Jaccard vs the exact value, both
+# in one query, so the sketch's error is measured honestly in-band.
+# ---------------------------------------------------------------------------
+
+_KMV_K = 64
+_KMV_REF = "src0"  # every other source compared against this one
+
+
+def _kmv_sql() -> str:
+    from ..functions.hashing import portable_hash64_sql as h
+
+    return f"""
+WITH toks AS (
+  SELECT source, regexp_split_to_array(trim(lower(text)), '[^0-9a-z]+') AS ts
+  FROM documents
+),
+bg AS (
+  SELECT DISTINCT source, ts[i] || ' ' || ts[i + 1] AS bigram
+  FROM toks, UNNEST(range(1, len(ts))) AS t(i)
+  WHERE ts[i] <> '' AND ts[i + 1] <> ''
+),
+hashed AS (
+  SELECT source, bigram, {h("bigram", seed="kmv:")} AS h FROM bg
+),
+a AS (SELECT bigram, h FROM hashed WHERE source = '{_KMV_REF}'),
+b AS (SELECT source AS cmp, bigram, h FROM hashed WHERE source <> '{_KMV_REF}'),
+cmps AS (SELECT DISTINCT cmp FROM b),
+a_exp AS (SELECT c.cmp, a.bigram, a.h, 1 AS in_a FROM cmps c CROSS JOIN a),
+merged AS (
+  SELECT COALESCE(a.cmp, b.cmp) AS cmp,
+         COALESCE(a.bigram, b.bigram) AS bigram,
+         COALESCE(a.h, b.h) AS h,
+         COALESCE(a.in_a, 0) AS in_a,
+         CASE WHEN b.bigram IS NULL THEN 0 ELSE 1 END AS in_b
+  FROM a_exp a FULL OUTER JOIN b ON a.cmp = b.cmp AND a.bigram = b.bigram
+),
+ranked AS (
+  SELECT cmp, in_a, in_b,
+         ROW_NUMBER() OVER (PARTITION BY cmp ORDER BY h ASC, bigram ASC) AS rk
+  FROM merged
+)
+SELECT cmp AS source,
+       CAST(SUM(in_a) AS BIGINT) AS n_ref,
+       CAST(SUM(in_b) AS BIGINT) AS n_src,
+       round(CAST(SUM(in_a * in_b) AS DOUBLE) / SUM(CAST(1 AS BIGINT)), 6) AS j_exact,
+       round(CAST(SUM(CASE WHEN rk <= {_KMV_K} THEN in_a * in_b ELSE 0 END) AS DOUBLE)
+             / {_KMV_K}, 6) AS j_kmv,
+       round(abs(CAST(SUM(in_a * in_b) AS DOUBLE) / SUM(CAST(1 AS BIGINT))
+                 - CAST(SUM(CASE WHEN rk <= {_KMV_K} THEN in_a * in_b ELSE 0 END) AS DOUBLE)
+                   / {_KMV_K}), 6) AS abs_err
+FROM ranked
+GROUP BY cmp
+"""
+
+
+@register("kmv_jaccard_sources", _kmv_sql())
+def q_kmv_jaccard_sources(spark, sf_dir):
+    """Per-source bigram-vocabulary Jaccard against '{_KMV_REF}': the
+    exact value and the bottom-{_KMV_K} KMV estimate (fraction of the
+    union's k smallest hashes that fall in the intersection), with the
+    absolute error in-band — the honest-eval discipline the ANN family
+    uses, applied to the sketch family.
+
+    Scale plan: the sketch's whole point is that only the BOTTOM-K
+    hashes of each source's vocabulary would ever be exchanged at
+    100 TB — per-partition bottom-k (TakeOrdered-shaped) then a k-sized
+    merge per source, with the union/intersection decided purely on the
+    16-byte hash signatures.  This query additionally carries the full
+    vocabularies to compute the exact Jaccard the estimate is judged
+    against; drop the exact branch and the shuffle is k rows per
+    source."""
+    from ..functions.hashing import portable_hash64
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.split(F.trim(F.lower("text")), "[^0-9a-z]+").alias("ts")
+    )
+    bg = (
+        toks.select(
+            "source",
+            F.explode(
+                F.expr(
+                    "filter(transform(sequence(1, size(ts) - 1),"
+                    " i -> struct(element_at(ts, i) AS w1,"
+                    " element_at(ts, i + 1) AS w2)),"
+                    " p -> p.w1 <> '' AND p.w2 <> '')"
+                )
+            ).alias("p"),
+        )
+        .select("source", F.concat_ws(" ", F.col("p.w1"), F.col("p.w2")).alias("bigram"))
+        .distinct()
+    )
+    hashed = bg.select(
+        "source", "bigram", portable_hash64("bigram", seed="kmv:").alias("h")
+    ).localCheckpoint(eager=False)  # feeds the ref side, the cmp side, and cmps
+    a = hashed.filter(F.col("source") == _KMV_REF).select("bigram", "h")
+    b = hashed.filter(F.col("source") != _KMV_REF).select(
+        F.col("source").alias("cmp"), "bigram", "h"
+    )
+    cmps = b.select("cmp").distinct()
+    a_exp = cmps.crossJoin(F.broadcast(a)).select(
+        "cmp", "bigram", "h", F.lit(1).alias("in_a")
+    )
+    merged = a_exp.alias("a").join(
+        b.alias("b"),
+        (F.col("a.cmp") == F.col("b.cmp")) & (F.col("a.bigram") == F.col("b.bigram")),
+        "full_outer",
+    ).select(
+        F.coalesce(F.col("a.cmp"), F.col("b.cmp")).alias("cmp"),
+        F.coalesce(F.col("a.bigram"), F.col("b.bigram")).alias("bigram"),
+        F.coalesce(F.col("a.h"), F.col("b.h")).alias("h"),
+        F.coalesce(F.col("a.in_a"), F.lit(0)).alias("in_a"),
+        F.when(F.col("b.bigram").isNull(), 0).otherwise(1).alias("in_b"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cmp").orderBy(F.asc("h"), F.asc("bigram"))
+    ranked = merged.select(
+        "cmp", "in_a", "in_b", F.row_number().over(w).alias("rk")
+    )
+    inter = F.sum(F.col("in_a") * F.col("in_b"))
+    kmv_inter = F.sum(
+        F.when(F.col("rk") <= _KMV_K, F.col("in_a") * F.col("in_b")).otherwise(0)
+    )
+    union_n = F.sum(F.lit(1).cast("long"))
+    return ranked.groupBy(F.col("cmp").alias("source")).agg(
+        F.sum("in_a").cast("long").alias("n_ref"),
+        F.sum("in_b").cast("long").alias("n_src"),
+        F.round(inter.cast("double") / union_n, 6).alias("j_exact"),
+        F.round(kmv_inter.cast("double") / _KMV_K, 6).alias("j_kmv"),
+        F.round(
+            F.abs(inter.cast("double") / union_n - kmv_inter.cast("double") / _KMV_K), 6
+        ).alias("abs_err"),
+    )
