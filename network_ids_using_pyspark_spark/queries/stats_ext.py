@@ -3583,3 +3583,113 @@ def q_diff_in_diff_readout(spark, sf_dir):
         F.round(F.sqrt("se2"), 6).alias("did_se"),
         F.round(did / F.sqrt("se2"), 6).alias("did_t"),
     )
+
+
+# ---------------------------------------------------------------------------
+# STL-lite decomposition of the daily order-count series: trend =
+# centered 7-day moving average, seasonal = day-of-week mean of the
+# detrended interior, residual = what remains.  The decomposition
+# sheet behind `seasonal_naive_wape` / `seasonal_robust_anomaly`:
+# those queries consume weekly structure, this one reports it.
+# Day-of-week comes from an epoch-anchored day difference (mod 7), not
+# an engine dow() function — Spark and DuckDB disagree on week-start
+# conventions, day arithmetic they agree on.
+# ---------------------------------------------------------------------------
+
+_STL_EPOCH = "1992-01-06"  # a Monday: dow 0 = Monday on both engines
+
+_STL_SQL = f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d, CAST(COUNT(*) AS DOUBLE) AS y
+  FROM orders GROUP BY 1
+),
+tr AS (
+  SELECT d, y,
+         CASE WHEN COUNT(*) OVER w = 7
+              THEN round(SUM(y) OVER w / 7, 9) END AS trend
+  FROM daily
+  WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+det AS (
+  SELECT CAST(datediff('day', DATE '{_STL_EPOCH}', d) % 7 AS BIGINT) AS dow,
+         round(y - trend, 9) AS dt
+  FROM tr WHERE trend IS NOT NULL
+),
+seas AS (
+  SELECT dow,
+         CAST(COUNT(*) AS BIGINT) AS n_days,
+         round(CAST(CAST(SUM(CAST(dt AS DECIMAL(38, 9))) AS VARCHAR) AS DOUBLE)
+               / COUNT(*), 9) AS seasonal
+  FROM det GROUP BY dow
+),
+resid AS (
+  SELECT det.dow, round(det.dt - seas.seasonal, 9) AS r
+  FROM det JOIN seas ON det.dow = seas.dow
+)
+SELECT s.dow, s.n_days, round(s.seasonal, 6) AS seasonal,
+       round(CAST(CAST(SUM(CAST(r.r AS DECIMAL(38, 9))) AS VARCHAR) AS DOUBLE)
+             / s.n_days, 6) + 0.0 AS resid_mean,
+       round(CAST(CAST(SUM(CAST(round(r.r * r.r, 9) AS DECIMAL(38, 9))) AS VARCHAR) AS DOUBLE)
+             / s.n_days, 6) AS resid_msq
+FROM seas s JOIN resid r ON r.dow = s.dow
+GROUP BY s.dow, s.n_days, s.seasonal
+"""
+
+
+@register("stl_decompose_profile", _STL_SQL)
+def q_stl_decompose_profile(spark, sf_dir):
+    """Trend/seasonal/residual decomposition, one row per day-of-week:
+    the seasonal component (mean detrended deviation), and the
+    residual mean and mean-square after removing both trend and
+    seasonality.  Residual mean ≈ 0 by construction; resid_msq is the
+    irreducible noise floor a forecaster compares models against.
+
+    Scale plan: the corpus-scale work is the daily rollup (map-side
+    combined); the moving-average window and the dow aggregates run
+    over |days| rows.  For a fleet of series everything partitions by
+    series key — the decomposition is embarrassingly parallel across
+    series."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.count(F.lit(1)).cast("double").alias("y")
+    )
+    w = Window.orderBy("d").rowsBetween(-3, 3)
+    tr = daily.select(
+        "d",
+        "y",
+        F.when(
+            F.count(F.lit(1)).over(w) == 7, F.round(F.sum("y").over(w) / 7, 9)
+        ).alias("trend"),
+    )
+    det = tr.filter(F.col("trend").isNotNull()).select(
+        (F.datediff(F.col("d"), F.lit(_STL_EPOCH).cast("date")) % 7)
+        .cast("long")
+        .alias("dow"),
+        F.round(F.col("y") - F.col("trend"), 9).alias("dt"),
+    )
+    det = det.localCheckpoint(eager=False)  # feeds seasonal AND residual
+    to_d = lambda c: c.cast("string").cast("double")  # noqa: E731
+    seas = det.groupBy("dow").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.round(
+            to_d(F.sum(F.col("dt").cast("decimal(38, 9)"))) / F.count(F.lit(1)), 9
+        ).alias("seasonal"),
+    )
+    resid = det.join(F.broadcast(seas), "dow").select(
+        "dow", "n_days", "seasonal", F.round(F.col("dt") - F.col("seasonal"), 9).alias("r")
+    )
+    return resid.groupBy("dow", "n_days", "seasonal").agg(
+        (
+            F.round(
+                to_d(F.sum(F.col("r").cast("decimal(38, 9)"))) / F.col("n_days"), 6
+            )
+            + F.lit(0.0)  # −0.0 → +0.0: DuckDB's round keeps the sign bit
+        ).alias("resid_mean"),
+        F.round(
+            to_d(F.sum(F.round(F.col("r") * F.col("r"), 9).cast("decimal(38, 9)")))
+            / F.col("n_days"),
+            6,
+        ).alias("resid_msq"),
+    ).select("dow", "n_days", F.round("seasonal", 6).alias("seasonal"), "resid_mean", "resid_msq")
