@@ -1049,3 +1049,31 @@ def test_suffix_doubling_levels_checkpointed(spark):
     plan = explain_str(df, "simple")
     assert "FileScan parquet" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_negative_sampling_vocab_sized_window(spark):
+    """The cumulative window runs over the vocab relation, and the
+    1-row weight total attaches by broadcast — one corpus scan total."""
+    df = _df(spark, "negative_sampling_table")
+    plan = explain_str(df, "simple")
+    assert plan.count("FileScan parquet") <= 2  # hist + the 1-row total branch
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_kmv_union_is_equi_join(spark):
+    """The per-source set union is a FULL OUTER equi join on (cmp,
+    bigram); the reference vocabulary fans out by broadcast."""
+    df = _df(spark, "kmv_jaccard_sources")
+    plan = explain_str(df, "simple")
+    assert "FullOuter" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_stl_single_scan_seasonal_broadcast(spark):
+    """One orders scan; the 7-row seasonal relation attaches back to
+    the detrended series by broadcast."""
+    df = _df(spark, "stl_decompose_profile")
+    plan = explain_str(df, "simple")
+    assert "FileScan parquet" not in plan  # detrended interior checkpointed
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
