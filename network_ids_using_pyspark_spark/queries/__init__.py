@@ -140,7 +140,15 @@ _ROUND_PRIORITY = [
     "cusum_changepoint",
     "cep_click_purchase_no_error",
     # --- 50-entry window boundary ---
-    # Round-5 rotation: LEAD with the round-4 additions (all locally
+    # Round-5 rotation: LEAD with the final round-4 batch (locally
+    # oracle-verified at sf0.001 AND sf0.01 with vanilla sessions,
+    # never driver-windowed): semdedup_prune_report, er_golden_records,
+    # sssp_cheapest_reach, holt_winters_seasonal_forecast,
+    # functional_dependency_audit, itemcf_topk_recs,
+    # diff_in_diff_readout, unigram_viterbi_tokenize,
+    # suffix_array_doubling_profile, negative_sampling_table,
+    # kmv_jaccard_sources, stl_decompose_profile — then the earlier
+    # round-4 additions below (all locally
     # oracle-verified at sf0.001/0.01/0.1 with vanilla sessions, never
     # driver-windowed): the tokenizer/retrieval/filter layer
     # (bpe_merge_training, bpe_tokenize_profile, hard_negative_mining,
