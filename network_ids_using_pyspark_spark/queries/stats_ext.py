@@ -3693,3 +3693,133 @@ def q_stl_decompose_profile(spark, sf_dir):
             6,
         ).alias("resid_msq"),
     ).select("dow", "n_days", F.round("seasonal", 6).alias("seasonal"), "resid_mean", "resid_msq")
+
+
+# ---------------------------------------------------------------------------
+# Huber M-estimator of location by IRLS — the ESTIMATOR member of the
+# robust family (MAD flags outliers, trimmed mean deletes a fixed
+# fraction; Huber downweights smoothly with a 1.345·MAD elbow, the
+# textbook 95%-efficiency tuning).  Three unrolled reweighting passes:
+# weights and weighted terms are 1e-9-quantized and decimal-summed, so
+# every iterate is bit-identical across engines.
+# ---------------------------------------------------------------------------
+
+_HUB_K = 1.345
+_HUB_T = 3
+
+_HUB_D9 = "CAST(round({x}, 9) AS DECIMAL(38, 9))"
+
+
+def _huber_iter_sql(i: int) -> str:
+    w = f"LEAST(1.0, {_HUB_K} * (SELECT s FROM scale) / abs(v - (SELECT m FROM mu{i})))"
+    return f"""
+mu{i + 1} AS MATERIALIZED (
+  SELECT round(
+    CAST(CAST(SUM({_HUB_D9.format(x=f'({w}) * v')}) AS VARCHAR) AS DOUBLE)
+    / CAST(CAST(SUM({_HUB_D9.format(x=w)}) AS VARCHAR) AS DOUBLE), 9) AS m
+  FROM vals
+  WHERE v <> (SELECT m FROM mu{i}) OR abs(v - (SELECT m FROM mu{i})) > 0
+)"""
+
+
+_HUB_SQL = (
+    f"""
+WITH vals AS MATERIALIZED (SELECT o_totalprice AS v FROM orders),
+mu0 AS MATERIALIZED (SELECT round(median(v), 9) AS m FROM vals),
+scale AS MATERIALIZED (
+  SELECT round(1.4826 * median(abs(v - (SELECT m FROM mu0))), 9) AS s FROM vals
+),"""
+    + ",".join(_huber_iter_sql(i) for i in range(_HUB_T))
+    + f"""
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM vals) AS n,
+       round((SELECT m FROM mu0), 6) AS median_init,
+       round((SELECT s FROM scale), 6) AS mad_scale,
+       round((SELECT m FROM mu{_HUB_T}), 6) AS mu_huber,
+       round((SELECT CAST(CAST(SUM({_HUB_D9.format(x='v')}) AS VARCHAR) AS DOUBLE) / COUNT(*) FROM vals), 6) AS mean_plain,
+       (SELECT CAST(SUM(CASE WHEN abs(v - (SELECT m FROM mu{_HUB_T}))
+                              > {_HUB_K} * (SELECT s FROM scale) THEN 1 ELSE 0 END) AS BIGINT)
+        FROM vals) AS n_downweighted
+"""
+)
+
+
+@register("huber_location_irls", _HUB_SQL)
+def q_huber_location_irls(spark, sf_dir):
+    """Huber-robust location of the order total-price column:
+    median/MAD init, {_HUB_T} IRLS reweighting passes with the
+    {_HUB_K}·MAD elbow, reported beside the plain mean and the count
+    of observations the final fit downweights.  On TPC-H's symmetric
+    prices the two centers should nearly agree — the interesting use
+    is exactly when they don't.
+
+    Values exactly AT the current iterate are excluded from each
+    reweighted mean (both engines identically) so the k·s/|v−μ| weight
+    never divides by zero; at weight 1 such a point would only pull μ
+    toward where it already is, so the exclusion is estimator-neutral
+    to first order and exact ties are measure-zero on price data.
+
+    Scale plan: the iterative part is {_HUB_T} map-side-combined
+    weighted-moment aggregates over the value scan with the current
+    iterate riding a 1-row broadcast (scalar-subquery pattern); the
+    exact median/MAD init is the one sort-based step — at 100 TB swap
+    it for the GK-sketch quantiles, the iterations are unchanged."""
+    o = load_table(spark, sf_dir, "orders")
+    vals = o.select(F.col("o_totalprice").alias("v")).localCheckpoint(eager=False)
+    to_d = lambda c: c.cast("string").cast("double")  # noqa: E731
+    d9 = lambda c: F.round(c, 9).cast("decimal(38, 9)")  # noqa: E731
+    mu = vals.agg(F.round(F.median("v"), 9).alias("m"))
+    scale = (
+        vals.crossJoin(F.broadcast(mu))
+        .agg(F.round(1.4826 * F.median(F.abs(F.col("v") - F.col("m"))), 9).alias("s"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(_HUB_T):
+        w = F.least(
+            F.lit(1.0),
+            F.lit(_HUB_K) * F.col("s") / F.abs(F.col("v") - F.col("m")),
+        )
+        mu = (
+            vals.crossJoin(F.broadcast(mu))
+            .crossJoin(F.broadcast(scale))
+            .filter(
+                (F.col("v") != F.col("m")) | (F.abs(F.col("v") - F.col("m")) > 0)
+            )
+            .agg(
+                F.round(
+                    to_d(F.sum(d9(w * F.col("v")))) / to_d(F.sum(d9(w))), 9
+                ).alias("m")
+            )
+            .localCheckpoint(eager=True)  # 1 row; cut the per-pass lineage
+        )
+    n_down = (
+        vals.crossJoin(F.broadcast(mu))
+        .crossJoin(F.broadcast(scale))
+        .agg(
+            F.sum(
+                F.when(
+                    F.abs(F.col("v") - F.col("m")) > F.lit(_HUB_K) * F.col("s"), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_downweighted")
+        )
+    )
+    stats = vals.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(to_d(F.sum(d9(F.col("v")))) / F.count(F.lit(1)), 6).alias("mean_plain"),
+    )
+    mu0 = vals.agg(F.round(F.median("v"), 9).alias("m0"))
+    return (
+        stats.crossJoin(F.broadcast(mu0))
+        .crossJoin(F.broadcast(scale))
+        .crossJoin(F.broadcast(mu))
+        .crossJoin(F.broadcast(n_down))
+        .select(
+            "n",
+            F.round(F.col("m0"), 6).alias("median_init"),
+            F.round(F.col("s"), 6).alias("mad_scale"),
+            F.round(F.col("m"), 6).alias("mu_huber"),
+            "mean_plain",
+            "n_downweighted",
+        )
+    )
