@@ -1477,3 +1477,145 @@ def q_wasserstein_length_drift(spark, sf_dir):
             ).alias("mean_shift"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Dataset card — the per-source governance sheet an LLM-data release
+# ships with (Gebru et al., "Datasheets for Datasets"): volume,
+# language mix, exact-duplicate exposure, token statistics and
+# type-token ratio, each column a one-aggregate composition of
+# operators certified elsewhere in the registry.
+# ---------------------------------------------------------------------------
+
+_CARD_SQL = """
+WITH base AS (
+  SELECT source, lang, doc_id, n_chars, md5(text) AS fp,
+         len(list_filter(regexp_split_to_array(trim(lower(text)), '[^0-9a-z]+'),
+                         t -> t <> '')) AS n_toks
+  FROM documents
+),
+fpc AS (SELECT fp, COUNT(*) AS nfp FROM base GROUP BY fp),
+words AS (
+  SELECT source, tok FROM (
+    SELECT source,
+           UNNEST(regexp_split_to_array(trim(lower(text)), '[^0-9a-z]+')) AS tok
+    FROM documents
+  ) WHERE tok <> ''
+),
+wstats AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_words,
+         CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_types
+  FROM words GROUP BY source
+),
+langtop AS (
+  SELECT source, lang AS top_lang, cnt AS top_lang_n FROM (
+    SELECT source, lang, COUNT(*) AS cnt,
+           ROW_NUMBER() OVER (PARTITION BY source
+                              ORDER BY COUNT(*) DESC, lang ASC) AS rn
+    FROM base GROUP BY source, lang
+  ) WHERE rn = 1
+),
+agg AS (
+  SELECT b.source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(b.n_chars) AS BIGINT) AS total_chars,
+         CAST(COUNT(DISTINCT b.lang) AS BIGINT) AS n_langs,
+         CAST(SUM(CASE WHEN f.nfp > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+         CAST(SUM(b.n_toks) AS BIGINT) AS n_tokens
+  FROM base b JOIN fpc f ON b.fp = f.fp
+  GROUP BY b.source
+)
+SELECT a.source, a.n_docs, a.total_chars, a.n_langs,
+       l.top_lang,
+       round(CAST(l.top_lang_n AS DOUBLE) / a.n_docs, 6) AS top_lang_share,
+       a.n_dup_docs,
+       round(CAST(a.n_tokens AS DOUBLE) / a.n_docs, 6) AS mean_tokens,
+       round(CAST(w.n_types AS DOUBLE) / w.n_words, 6) AS type_token_ratio
+FROM agg a
+JOIN langtop l ON l.source = a.source
+JOIN wstats w ON w.source = a.source
+"""
+
+
+@register("dataset_card_report", _CARD_SQL)
+def q_dataset_card_report(spark, sf_dir):
+    """Per-source dataset card: document and character volume, language
+    count and dominant language share, documents exposed to an exact
+    duplicate ANYWHERE in the corpus (cross-source — the release-risk
+    number, not the within-source one), mean tokens per doc, and the
+    type-token ratio (lexical diversity).  One governance row per
+    source, every column a certified-operator composition.
+
+    Scale plan: two corpus scans (doc-level stats + the word stream),
+    each feeding map-side-combined aggregates keyed by source; the
+    duplicate exposure joins the doc relation to the fingerprint-count
+    relation on the 16-byte hash (shuffle on fp, never text); the
+    lang argmax is a per-source window over the |sources × langs|
+    relation."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks_arr = F.expr(
+        "filter(split(trim(lower(text)), '[^0-9a-z]+'), t -> t <> '')"
+    )
+    base = docs.select(
+        "source",
+        "lang",
+        "doc_id",
+        "n_chars",
+        F.md5("text").alias("fp"),
+        F.size(toks_arr).alias("n_toks"),
+    ).localCheckpoint(eager=False)  # feeds fp counts, lang argmax, volume agg
+    fpc = base.groupBy("fp").agg(F.count(F.lit(1)).alias("nfp"))
+    words = (
+        docs.select(
+            "source",
+            F.explode(F.split(F.trim(F.lower("text")), "[^0-9a-z]+")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+    )
+    wstats = words.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+        F.countDistinct("tok").cast("long").alias("n_types"),
+    )
+    from pyspark.sql import Window
+
+    lc = base.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("cnt"))
+    wl = Window.partitionBy("source").orderBy(F.desc("cnt"), F.asc("lang"))
+    langtop = (
+        lc.select("source", "lang", "cnt", F.row_number().over(wl).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .select("source", F.col("lang").alias("top_lang"), F.col("cnt").alias("top_lang_n"))
+    )
+    agg = (
+        base.join(fpc, "fp")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.countDistinct("lang").cast("long").alias("n_langs"),
+            F.sum(F.when(F.col("nfp") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_docs"),
+            F.sum("n_toks").cast("long").alias("n_tokens"),
+        )
+    )
+    return (
+        agg.join(F.broadcast(langtop), "source")
+        .join(F.broadcast(wstats), "source")
+        .select(
+            "source",
+            "n_docs",
+            "total_chars",
+            "n_langs",
+            "top_lang",
+            F.round(F.col("top_lang_n").cast("double") / F.col("n_docs"), 6).alias(
+                "top_lang_share"
+            ),
+            "n_dup_docs",
+            F.round(F.col("n_tokens").cast("double") / F.col("n_docs"), 6).alias(
+                "mean_tokens"
+            ),
+            F.round(F.col("n_types").cast("double") / F.col("n_words"), 6).alias(
+                "type_token_ratio"
+            ),
+        )
+    )
