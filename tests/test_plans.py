@@ -1077,3 +1077,44 @@ def test_stl_single_scan_seasonal_broadcast(spark):
     assert "FileScan parquet" not in plan  # detrended interior checkpointed
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_wasserstein_rank_window_per_source(spark):
+    """The rank window partitions by source (parallel), and the
+    reference order statistics attach by broadcast."""
+    df = _df(spark, "wasserstein_length_drift")
+    plan = explain_str(df, "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_cms_join_size_sketch_sized_dot_product(spark):
+    """Each side compresses to d×w counters before any join: the
+    dot-product joins run on sketch-sized relations (hash equi joins),
+    never a key-level join of the raw sides in the estimate branch."""
+    df = _df(spark, "cms_join_size_estimate")
+    plan = explain_str(df, "simple")
+    assert "CartesianProduct" not in plan
+    # true-size branches keep their per-key joins (that's the point of
+    # reporting honesty); the estimate must stay equi-join shaped
+    assert "BroadcastNestedLoopJoin" not in plan or plan.count(
+        "BroadcastNestedLoopJoin"
+    ) <= 2  # only the 1-row scalar attachments
+
+
+def test_huber_iterations_are_broadcast_scalar(spark):
+    """Each IRLS pass re-scans the checkpointed value relation with the
+    iterate as a 1-row broadcast — no joins wider than scalars."""
+    df = _df(spark, "huber_location_irls")
+    plan = explain_str(df, "simple")
+    assert "SortMergeJoin" not in plan
+    assert "FileScan parquet" not in plan  # values checkpointed once
+
+
+def test_dataset_card_two_corpus_scans(spark):
+    """The card is two corpus passes (doc stats via checkpoint + word
+    stream) with dim-sized broadcast attachments."""
+    df = _df(spark, "dataset_card_report")
+    plan = explain_str(df, "simple")
+    assert plan.count("FileScan parquet") == 1  # word stream; doc stats checkpointed
+    assert "BroadcastHashJoin" in plan
