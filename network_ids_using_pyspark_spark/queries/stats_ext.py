@@ -3823,3 +3823,110 @@ def q_huber_location_irls(spark, sf_dir):
             "n_downweighted",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Holt fleet: the SAME fold `holt_linear_forecast` certifies on one
+# series, partitioned by series key — one forecast state per event
+# type.  This is the claim every fold docstring makes ("for a fleet,
+# partition by the series key") made concrete and oracle-checked: the
+# recursive-CTE oracle steps all series simultaneously, keyed on
+# (event_type, rn).
+# ---------------------------------------------------------------------------
+
+_HFLEET_SQL = f"""
+WITH RECURSIVE daily AS (
+  SELECT event_type AS et, CAST(date_trunc('day', ts) AS DATE) AS d,
+         CAST(COUNT(*) AS DOUBLE) AS y
+  FROM events GROUP BY 1, 2
+),
+sr AS (SELECT et, ROW_NUMBER() OVER (PARTITION BY et ORDER BY d) AS rn, y FROM daily),
+ns AS (SELECT et, CAST(COUNT(*) AS BIGINT) AS n FROM sr GROUP BY et),
+rec AS (
+  SELECT s2.et, CAST(2 AS BIGINT) AS i, s2.y AS l,
+         round(s2.y - s1.y, 9) AS t, CAST(0.0 AS DOUBLE) AS s
+  FROM sr s1 JOIN sr s2 ON s1.et = s2.et AND s1.rn = 1 AND s2.rn = 2
+  UNION ALL
+  SELECT rec.et, rec.i + 1,
+         round({_HOLT_A} * sr.y + {_HOLT_A} * (rec.l + rec.t), 9),
+         round({_HOLT_B} * (round({_HOLT_A} * sr.y
+                                  + {_HOLT_A} * (rec.l + rec.t), 9)
+                            - rec.l) + 0.7 * rec.t, 9),
+         round(rec.s + (sr.y - (rec.l + rec.t)) * (sr.y - (rec.l + rec.t)), 9)
+  FROM rec JOIN sr ON sr.et = rec.et AND sr.rn = rec.i + 1
+)
+SELECT rec.et AS event_type, ns.n AS n_days,
+       round(rec.l, 6) AS level_final,
+       round(rec.t, 6) AS trend_final,
+       round(rec.l + rec.t, 6) AS forecast_next,
+       round(sqrt(rec.s / (ns.n - 2)), 6) AS rmse
+FROM rec JOIN ns ON ns.et = rec.et AND rec.i = ns.n
+"""
+
+
+@register("holt_fleet_by_type", _HFLEET_SQL)
+def q_holt_fleet_by_type(spark, sf_dir):
+    """Holt linear smoothing run as a FLEET: one fold per event type
+    over its daily-count series, identical recurrence and literals to
+    `holt_linear_forecast`, one forecast row per series.
+
+    Scale plan: the daily rollup is one map-side-combined aggregate
+    keyed by (series, day); the folds then run inside a per-series
+    groupBy — embarrassingly parallel across thousands or millions of
+    series, each fold touching only its own |days| elements.  No
+    global window, no cross-series shuffle beyond the rollup."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.col("event_type"),
+        F.date_trunc("day", F.col("ts")).cast("date").alias("d"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("y"))
+    ser = daily.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("d", "y"))).alias("a"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    xs = F.transform(
+        F.col("a"),
+        lambda e_: F.struct(
+            e_["y"].alias("l"),
+            F.lit(0.0).alias("t"),
+            F.lit(1).cast("long").alias("i"),
+            F.lit(0.0).alias("s"),
+        ),
+    )
+
+    def step(acc, x):
+        l2 = F.round(
+            F.lit(_HOLT_A) * x["l"] + F.lit(_HOLT_A) * (acc["l"] + acc["t"]), 9
+        )
+        t2 = F.round(F.lit(_HOLT_B) * (l2 - acc["l"]) + F.lit(0.7) * acc["t"], 9)
+        err = x["l"] - (acc["l"] + acc["t"])
+        s2 = F.round(acc["s"] + err * err, 9)
+        return F.when(
+            acc["i"] == 1,
+            F.struct(
+                x["l"].alias("l"),
+                F.round(x["l"] - acc["l"], 9).alias("t"),
+                F.lit(2).cast("long").alias("i"),
+                F.lit(0.0).alias("s"),
+            ),
+        ).otherwise(
+            F.struct(
+                l2.alias("l"), t2.alias("t"), (acc["i"] + 1).alias("i"), s2.alias("s")
+            )
+        )
+
+    folded = ser.select(
+        "event_type",
+        "n",
+        F.aggregate(F.slice(xs, 2, F.size(xs) - 1), F.element_at(xs, 1), step).alias(
+            "f"
+        ),
+    )
+    return folded.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_days"),
+        F.round(F.col("f.l"), 6).alias("level_final"),
+        F.round(F.col("f.t"), 6).alias("trend_final"),
+        F.round(F.col("f.l") + F.col("f.t"), 6).alias("forecast_next"),
+        F.round(F.sqrt(F.col("f.s") / (F.col("n") - 2)), 6).alias("rmse"),
+    )
