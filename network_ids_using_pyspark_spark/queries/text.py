@@ -632,3 +632,124 @@ def q_zipf_fit_report(spark, sf_dir):
             (F.col("sy") - F.col("zipf_slope") * F.col("sx")) / F.col("n_points"), 6
         ).alias("intercept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PPMI co-occurrence associations — the count-based distributional-
+# semantics table (Church & Hanks 1990; Levy & Goldberg 2014 showed
+# word2vec's SGNS implicitly factorizes it): symmetric ±2-window
+# co-occurrence counts, positive pointwise mutual information per
+# pair, top pairs reported.  The pre-neural embedding baseline a
+# training-data platform keeps around as the cheap sanity mirror for
+# its learned vectors.
+# ---------------------------------------------------------------------------
+
+_PPMI_WIN = 2
+_PPMI_TOP = 40
+
+_PPMI_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(lower(text)), '[^0-9a-z]+'),
+                     t -> t <> '') AS ts
+  FROM documents
+),
+pairs0 AS (
+  SELECT ts[i] AS w, ts[i + o] AS c
+  FROM toks,
+       UNNEST(range(1, len(ts) + 1)) AS ti(i),
+       UNNEST(range(1, {_PPMI_WIN} + 1)) AS to_(o)
+  WHERE i + o <= len(ts)
+),
+pairs AS (
+  SELECT w, c FROM pairs0
+  UNION ALL
+  SELECT c AS w, w AS c FROM pairs0
+),
+cwc AS (SELECT w, c, CAST(COUNT(*) AS BIGINT) AS n_pair FROM pairs GROUP BY 1, 2),
+cw AS (SELECT w, CAST(SUM(n_pair) AS BIGINT) AS n_w FROM cwc GROUP BY 1),
+tot AS (SELECT CAST(SUM(n_pair) AS BIGINT) AS n FROM cwc)
+SELECT w AS word, c AS context, n_pair,
+       round(GREATEST(0.0,
+         round(ln((CAST(n_pair AS DOUBLE) * CAST(tot.n AS DOUBLE))
+                  / (CAST(a.n_w AS DOUBLE) * CAST(b.n_w AS DOUBLE))), 9)), 6) AS ppmi
+FROM cwc
+JOIN cw a USING (w)
+JOIN cw b ON b.w = cwc.c
+CROSS JOIN tot
+ORDER BY round(GREATEST(0.0,
+         round(ln((CAST(n_pair AS DOUBLE) * CAST(tot.n AS DOUBLE))
+                  / (CAST(a.n_w AS DOUBLE) * CAST(b.n_w AS DOUBLE))), 9)), 6) DESC,
+         word ASC, context ASC
+LIMIT {_PPMI_TOP}
+"""
+
+
+@register("ppmi_cooccurrence_topk", _PPMI_SQL)
+def q_ppmi_cooccurrence_topk(spark, sf_dir):
+    """Top-{_PPMI_TOP} word-context associations by positive PMI over
+    symmetric ±{_PPMI_WIN}-token windows: pair counts, marginals, and
+    ppmi = max(0, ln(C(w,c)·N / (C(w)·C(c)))) on the 1e-9 grid (then
+    1e-6 for display), total order (ppmi desc, pair lexicographic).
+
+    Scale plan: pair generation is MAP-SIDE (offsets materialized from
+    each doc's token array — no self-join on position); the count
+    relation is vocab²-bounded, far under the corpus; marginals attach
+    by broadcast and the top-k is TakeOrderedAndProject.  The N scalar
+    rides a 1-row broadcast."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.expr("filter(split(trim(lower(text)), '[^0-9a-z]+'), t -> t <> '')").alias(
+            "ts"
+        )
+    )
+    pairs0 = toks.select(
+        F.explode(
+            F.expr(
+                f"""flatten(transform(sequence(1, size(ts)),
+                     i -> filter(transform(sequence(1, {_PPMI_WIN}),
+                                  o -> CASE WHEN i + o <= size(ts)
+                                       THEN struct(element_at(ts, i) AS w,
+                                                   element_at(ts, i + o) AS c) END),
+                                 p -> p IS NOT NULL)))"""
+            )
+        ).alias("p")
+    ).select(F.col("p.w").alias("w"), F.col("p.c").alias("c"))
+    pairs = pairs0.unionByName(
+        pairs0.select(F.col("c").alias("w"), F.col("w").alias("c"))
+    )
+    cwc = pairs.groupBy("w", "c").agg(F.count(F.lit(1)).cast("long").alias("n_pair"))
+    cwc = cwc.localCheckpoint(eager=False)  # feeds marginals AND the scored join
+    cw = cwc.groupBy("w").agg(F.sum("n_pair").cast("long").alias("n_w"))
+    tot = cwc.agg(F.sum("n_pair").cast("long").alias("n"))
+    ppmi = F.round(
+        F.greatest(
+            F.lit(0.0),
+            F.round(
+                F.log(
+                    (F.col("n_pair").cast("double") * F.col("n").cast("double"))
+                    / (F.col("n_w").cast("double") * F.col("n_c").cast("double"))
+                ),
+                9,
+            ),
+        ),
+        6,
+    )
+    return (
+        cwc.join(F.broadcast(cw), "w")
+        .join(
+            F.broadcast(
+                cw.select(F.col("w").alias("c"), F.col("n_w").alias("n_c"))
+            ),
+            "c",
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("w").alias("word"),
+            F.col("c").alias("context"),
+            "n_pair",
+            ppmi.alias("ppmi"),
+        )
+        .orderBy(F.desc("ppmi"), F.asc("word"), F.asc("context"))
+        .limit(_PPMI_TOP)
+    )
