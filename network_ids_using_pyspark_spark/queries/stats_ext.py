@@ -3930,3 +3930,99 @@ def q_holt_fleet_by_type(spark, sf_dir):
         F.round(F.col("f.l") + F.col("f.t"), 6).alias("forecast_next"),
         F.round(F.sqrt(F.col("f.s") / (F.col("n") - 2)), 6).alias("rmse"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Distribution-free median CI from order statistics: ranks n/2 ∓
+# z·√n/2 bracket the median with ~95% coverage by the binomial
+# argument (no normality assumption on the DATA — the normal approx is
+# only to the Binomial(n, ½) rank distribution).  The inference
+# counterpart of the exact-median operators: not just the point
+# estimate, but how sure the sample size lets you be.
+# ---------------------------------------------------------------------------
+
+_MCI_Z = 1.959964  # two-sided 95%
+
+_MCI_SQL = f"""
+WITH vals AS (
+  SELECT event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS rk,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+),
+bounds AS (
+  SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+         CAST(GREATEST(1, floor(MAX(n) / 2.0 - {_MCI_Z} * sqrt(CAST(MAX(n) AS DOUBLE)) / 2)) AS BIGINT) AS k_lo,
+         CAST(LEAST(MAX(n), ceil(MAX(n) / 2.0 + 1 + {_MCI_Z} * sqrt(CAST(MAX(n) AS DOUBLE)) / 2)) AS BIGINT) AS k_hi
+  FROM vals GROUP BY event_type
+)
+SELECT b.event_type, b.n,
+       round((SELECT median(value) FROM vals v
+              WHERE v.event_type = b.event_type), 6) AS median_value,
+       round(MIN(CASE WHEN v.rk = b.k_lo THEN v.value END), 6) AS ci_lo,
+       round(MIN(CASE WHEN v.rk = b.k_hi THEN v.value END), 6) AS ci_hi,
+       b.k_lo, b.k_hi
+FROM bounds b JOIN vals v ON v.event_type = b.event_type
+GROUP BY b.event_type, b.n, b.k_lo, b.k_hi
+"""
+
+
+@register("median_ci_order_stats", _MCI_SQL)
+def q_median_ci_order_stats(spark, sf_dir):
+    """Per-event-type median of the value column with its
+    distribution-free ~95% CI: the order statistics at ranks
+    n/2 ∓ {_MCI_Z}·√n/2 (clamped to [1, n], deterministic rank
+    tiebreak on event_id).
+
+    Scale plan: one rank window PARTITIONED BY TYPE (parallel across
+    groups; at 100 TB swap the exact ranks for the GK sketch's
+    rank-error guarantee — the CI formula consumes ranks, so a sketch
+    with rank tolerance composes directly); the bound arithmetic is a
+    per-type scalar aggregate."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    vals = e.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    ).localCheckpoint(eager=False)  # feeds bounds, the median agg, and the pick
+    nmax = F.max("n")
+    bounds = vals.groupBy("event_type").agg(
+        nmax.cast("long").alias("n"),
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.floor(nmax / 2.0 - F.lit(_MCI_Z) * F.sqrt(nmax.cast("double")) / 2).cast(
+                "long"
+            ),
+        ).alias("k_lo"),
+        F.least(
+            nmax.cast("long"),
+            F.ceil(nmax / 2.0 + 1 + F.lit(_MCI_Z) * F.sqrt(nmax.cast("double")) / 2).cast(
+                "long"
+            ),
+        ).alias("k_hi"),
+    )
+    meds = vals.groupBy("event_type").agg(
+        F.round(F.median("value"), 6).alias("median_value")
+    )
+    return (
+        vals.select("event_type", "value", "rk")
+        .join(F.broadcast(bounds.withColumnRenamed("event_type", "bet")),
+              F.col("event_type") == F.col("bet"))
+        .groupBy("event_type", "n", "k_lo", "k_hi")
+        .agg(
+            F.round(
+                F.min(F.when(F.col("rk") == F.col("k_lo"), F.col("value"))), 6
+            ).alias("ci_lo"),
+            F.round(
+                F.min(F.when(F.col("rk") == F.col("k_hi"), F.col("value"))), 6
+            ).alias("ci_hi"),
+        )
+        .join(F.broadcast(meds), "event_type")
+        .select("event_type", "n", "median_value", "ci_lo", "ci_hi", "k_lo", "k_hi")
+    )
