@@ -1118,3 +1118,31 @@ def test_dataset_card_two_corpus_scans(spark):
     plan = explain_str(df, "simple")
     assert plan.count("FileScan parquet") == 1  # word stream; doc stats checkpointed
     assert "BroadcastHashJoin" in plan
+
+
+def test_holt_fleet_no_global_window(spark):
+    """The fleet fold partitions by series key: no empty-partition-spec
+    window, no join — one rollup, one grouped fold."""
+    df = _df(spark, "holt_fleet_by_type")
+    plan = explain_str(df, "simple")
+    assert "Join" not in plan
+    assert plan.count("FileScan parquet") == 1
+
+
+def test_ppmi_pairs_map_side_marginals_broadcast(spark):
+    """Pair generation must come from the doc token arrays (no
+    positional self-join); marginals and the N scalar broadcast."""
+    df = _df(spark, "ppmi_cooccurrence_topk")
+    plan = explain_str(df, "simple")
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_median_ci_rank_window_partitioned(spark):
+    """The rank window partitions by event_type; bound arithmetic and
+    the median relation attach by broadcast."""
+    df = _df(spark, "median_ci_order_stats")
+    plan = explain_str(df, "simple")
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
