@@ -649,27 +649,29 @@ def q_dedup_recall_eval(spark, sf_dir):
 _SD_K = 8  # clusters (first-K deterministic seeds)
 _SD_T = 0.3  # within-cluster cosine prune threshold (~25-70% per-cluster prune on fixtures)
 
-_SD_COS = (
-    "round(list_dot_product({a}, {b})"
-    " / (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 9)"
-)
-
+# norms are computed ONCE per vector/centroid and reused by every
+# cosine — bit-identical to the inline sqrt(dot(a,a))*sqrt(dot(b,b))
+# form (same fold on the same doubles), but the quadratic pair stage
+# does one array fold per pair instead of three.
 _SEMDEDUP_SQL = f"""
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {_SD_K}),
-a AS (SELECT vec_id, v, cid FROM (
-  SELECT e.vec_id, e.v, c.cid,
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                  sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                        CAST(embedding AS DOUBLE[]))) AS nv
+           FROM embeddings),
+c AS (SELECT vec_id AS cid, v AS cv, nv AS cn FROM e WHERE vec_id < {_SD_K}),
+a AS (SELECT vec_id, v, nv, cid FROM (
+  SELECT e.vec_id, e.v, e.nv, c.cid,
          ROW_NUMBER() OVER (PARTITION BY e.vec_id
-                            ORDER BY {_SD_COS.format(a='e.v', b='c.cv')} DESC,
+                            ORDER BY round(list_dot_product(e.v, c.cv) / (e.nv * c.cn), 9) DESC,
                                      c.cid ASC) AS rk
   FROM e CROSS JOIN c) WHERE rk = 1),
-m AS (SELECT a.vec_id, a.v, a.cid,
-             {_SD_COS.format(a='a.v', b='c.cv')} AS dc
+m AS (SELECT a.vec_id, a.v, a.nv, a.cid,
+             round(list_dot_product(a.v, c.cv) / (a.nv * c.cn), 9) AS dc
       FROM a JOIN c ON a.cid = c.cid),
 pruned AS (
   SELECT DISTINCT x.vec_id FROM m x JOIN m y
     ON x.cid = y.cid AND x.vec_id <> y.vec_id
-   AND {_SD_COS.format(a='x.v', b='y.v')} >= {_SD_T}
+   AND round(list_dot_product(x.v, y.v) / (x.nv * y.nv), 9) >= {_SD_T}
    AND (y.dc < x.dc OR (y.dc = x.dc AND y.vec_id < x.vec_id)))
 SELECT CAST(m.cid AS BIGINT) AS cid,
        CAST(COUNT(*) AS BIGINT) AS n_members,
@@ -701,27 +703,31 @@ def q_semdedup_prune_report(spark, sf_dir):
     All folds are the sequential-left-fold `dot` — never SIMD-reassociated."""
     from pyspark.sql import Window
 
-    from ..operators.similarity import as_double_array, cosine
+    from ..operators.similarity import _cosine_pre, as_double_array, dot, l2_norm
 
     emb = load_table(spark, sf_dir, "embeddings")
-    e = emb.select("vec_id", as_double_array("embedding").alias("v"))
+    e = emb.select("vec_id", as_double_array("embedding").alias("v")).select(
+        "vec_id", "v", l2_norm(F.col("v")).alias("nv")
+    )
     c = e.filter(F.col("vec_id") < _SD_K).select(
-        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv"), F.col("nv").alias("cn")
     )
     paired = e.crossJoin(F.broadcast(c))
     w = Window.partitionBy("vec_id").orderBy(
-        F.round(cosine(F.col("v"), F.col("cv")), 9).desc(), F.col("cid").asc()
+        F.round(_cosine_pre(F.col("v"), F.col("cv"), F.col("nv"), F.col("cn")), 9).desc(),
+        F.col("cid").asc(),
     )
     a = (
-        paired.select("vec_id", "v", "cid", F.row_number().over(w).alias("rk"))
+        paired.select("vec_id", "v", "nv", "cid", F.row_number().over(w).alias("rk"))
         .filter(F.col("rk") == 1)
-        .select("vec_id", "v", "cid")
+        .select("vec_id", "v", "nv", "cid")
     )
     m = a.join(F.broadcast(c), "cid").select(
         "vec_id",
         "v",
+        "nv",
         "cid",
-        F.round(cosine(F.col("v"), F.col("cv")), 9).alias("dc"),
+        F.round(_cosine_pre(F.col("v"), F.col("cv"), F.col("nv"), F.col("cn")), 9).alias("dc"),
     )
     # m feeds both sides of the pair join AND the final report — cut
     # lineage so the argmax chain is not replayed three times
@@ -729,12 +735,14 @@ def q_semdedup_prune_report(spark, sf_dir):
     x = m.select(
         F.col("vec_id").alias("x_id"),
         F.col("v").alias("x_v"),
+        F.col("nv").alias("x_nv"),
         F.col("cid").alias("x_cid"),
         F.col("dc").alias("x_dc"),
     )
     y = m.select(
         F.col("vec_id").alias("y_id"),
         F.col("v").alias("y_v"),
+        F.col("nv").alias("y_nv"),
         F.col("cid").alias("y_cid"),
         F.col("dc").alias("y_dc"),
     )
@@ -743,7 +751,15 @@ def q_semdedup_prune_report(spark, sf_dir):
             y,
             (F.col("x_cid") == F.col("y_cid"))
             & (F.col("x_id") != F.col("y_id"))
-            & (F.round(cosine(F.col("x_v"), F.col("y_v")), 9) >= _SD_T)
+            & (
+                F.round(
+                    _cosine_pre(
+                        F.col("x_v"), F.col("y_v"), F.col("x_nv"), F.col("y_nv")
+                    ),
+                    9,
+                )
+                >= _SD_T
+            )
             & (
                 (F.col("y_dc") < F.col("x_dc"))
                 | ((F.col("y_dc") == F.col("x_dc")) & (F.col("y_id") < F.col("x_id")))
