@@ -1275,3 +1275,164 @@ def q_hard_negative_mining(spark, sf_dir):
     return sims.withColumn("rk", F.row_number().over(w)).filter(
         F.col("rk") <= _HNEG_K
     )
+
+
+# ---------------------------------------------------------------------------
+# k-center coreset selection (Gonzalez 1985 greedy farthest-point, the
+# 2-approximation): pick K representatives maximizing coverage — the
+# CORESET member of the curation family (SemDeDup prunes redundancy,
+# k-means summarizes mass, k-center guarantees every point has a
+# nearby representative, the property active-learning and data-pruning
+# selection actually needs).  Each step promotes the point farthest
+# from the current set; min-distances fold forward so the corpus is
+# never rescanned against all centers.
+# ---------------------------------------------------------------------------
+
+_KC_K = 8
+
+_KC_L2 = "(saa{a} - 2 * list_dot_product({va}, {vb}) + saa{b})"
+
+
+def _kcenter_sql(k: int = _KC_K) -> str:
+    parts = [
+        """e AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         list_dot_product(CAST(embedding AS DOUBLE[]),
+                          CAST(embedding AS DOUBLE[])) AS saa
+  FROM embeddings
+),
+c0 AS MATERIALIZED (SELECT vec_id, v, saa FROM e WHERE vec_id = 0),
+m0 AS MATERIALIZED (
+  SELECT e.vec_id, e.v, e.saa,
+         round(e.saa - 2 * list_dot_product(e.v, c.v) + c.saa, 9) AS mind
+  FROM e CROSS JOIN c0 c
+)"""
+    ]
+    for i in range(1, k):
+        parts.append(
+            f"""b{i} AS MATERIALIZED (
+  SELECT vec_id, v, saa FROM m{i - 1} ORDER BY mind DESC, vec_id ASC LIMIT 1
+),
+m{i} AS MATERIALIZED (
+  SELECT m.vec_id, m.v, m.saa,
+         LEAST(m.mind, round(m.saa - 2 * list_dot_product(m.v, b.v) + b.saa, 9)) AS mind
+  FROM m{i - 1} m CROSS JOIN b{i} b
+)"""
+        )
+    centers = "\n  UNION ALL ".join(
+        ["SELECT 0 AS rank, vec_id, v, saa FROM c0"]
+        + [f"SELECT {i} AS rank, vec_id, v, saa FROM b{i}" for i in range(1, k)]
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f""",
+centers AS MATERIALIZED ({centers}),
+assigned AS (
+  SELECT e.vec_id, c.rank, c.vec_id AS center_id,
+         round(e.saa - 2 * list_dot_product(e.v, c.v) + c.saa, 9) AS d2,
+         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                            ORDER BY round(e.saa - 2 * list_dot_product(e.v, c.v) + c.saa, 9) ASC,
+                                     c.rank ASC) AS rk
+  FROM e CROSS JOIN centers c
+)
+SELECT CAST(rank AS BIGINT) AS sel_rank,
+       CAST(center_id AS BIGINT) AS center_vec_id,
+       CAST(COUNT(*) AS BIGINT) AS n_assigned,
+       round(MAX(d2), 6) AS radius_sq
+FROM assigned WHERE rk = 1
+GROUP BY rank, center_id
+"""
+    )
+
+
+@register("kcenter_coreset_select", _kcenter_sql())
+def q_kcenter_coreset_select(spark, sf_dir):
+    """Greedy k-center coreset over the embeddings (K={_KC_K}, seeded
+    at vec_id 0): each step promotes the point with the largest
+    min-squared-distance to the selected set (vec_id tiebreak), then
+    every point is assigned to its nearest center and each center
+    reports its selection rank, population, and coverage radius² —
+    the max-coverage guarantee sheet of the 2-approximation.
+
+    Scale plan: the point self-dot is computed once; each of the K−1
+    steps is ONE scan of the checkpointed (point, mind) relation —
+    the new center rides a 1-row broadcast, mind folds forward with a
+    LEAST, and the argmax is TakeOrdered-shaped.  Total work K scans,
+    never K×centers rescans; distances stay on the 1e-9 grid so the
+    greedy choice sequence is engine-portable."""
+    from pyspark.sql import Window
+
+    from ..operators.similarity import as_double_array, dot
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = (
+        emb.select("vec_id", as_double_array("embedding").alias("v"))
+        .select("vec_id", "v", dot(F.col("v"), F.col("v")).alias("saa"))
+        .localCheckpoint(eager=True)
+    )
+
+    def d2(va, vb, sa, sb):
+        return F.round(sa - 2 * dot(va, vb) + sb, 9)
+
+    c0 = e.filter(F.col("vec_id") == 0).select(
+        F.lit(0).alias("rank"),
+        F.col("vec_id").alias("cid"),
+        F.col("v").alias("cv"),
+        F.col("saa").alias("csaa"),
+    ).localCheckpoint(eager=True)
+    m = e.crossJoin(F.broadcast(c0.select("cv", "csaa"))).select(
+        "vec_id",
+        "v",
+        "saa",
+        d2(F.col("v"), F.col("cv"), F.col("saa"), F.col("csaa")).alias("mind"),
+    ).localCheckpoint(eager=True)
+    centers = [c0]
+    for i in range(1, _KC_K):
+        b = (
+            m.orderBy(F.desc("mind"), F.asc("vec_id"))
+            .limit(1)
+            .select(
+                F.lit(i).alias("rank"),
+                F.col("vec_id").alias("cid"),
+                F.col("v").alias("cv"),
+                F.col("saa").alias("csaa"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        centers.append(b)
+        m = (
+            m.crossJoin(F.broadcast(b.select("cv", "csaa")))
+            .select(
+                "vec_id",
+                "v",
+                "saa",
+                F.least(
+                    F.col("mind"),
+                    d2(F.col("v"), F.col("cv"), F.col("saa"), F.col("csaa")),
+                ).alias("mind"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    cents = centers[0]
+    for c in centers[1:]:
+        cents = cents.unionByName(c)
+    cents = cents.localCheckpoint(eager=True)
+    paired = e.crossJoin(F.broadcast(cents))
+    dd = d2(F.col("v"), F.col("cv"), F.col("saa"), F.col("csaa"))
+    wa = Window.partitionBy("vec_id").orderBy(dd.asc(), F.col("rank").asc())
+    assigned = (
+        paired.select(
+            "vec_id", "rank", "cid", dd.alias("d2"), F.row_number().over(wa).alias("rk")
+        )
+        .filter(F.col("rk") == 1)
+    )
+    return assigned.groupBy("rank", "cid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_assigned"),
+        F.round(F.max("d2"), 6).alias("radius_sq"),
+    ).select(
+        F.col("rank").cast("long").alias("sel_rank"),
+        F.col("cid").cast("long").alias("center_vec_id"),
+        "n_assigned",
+        "radius_sq",
+    )

@@ -1146,3 +1146,13 @@ def test_median_ci_rank_window_partitioned(spark):
     plan = explain_str(df, "simple")
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_kcenter_steps_scan_checkpointed_relation(spark):
+    """Each greedy step scans the checkpointed (point, mind) relation
+    with the new center as a 1-row broadcast: no corpus FileScan, no
+    sort-merge join, argmax TakeOrdered-shaped."""
+    df = _df(spark, "kcenter_coreset_select")
+    plan = explain_str(df, "simple")
+    assert "FileScan parquet" not in plan
+    assert "SortMergeJoin" not in plan
