@@ -1005,3 +1005,83 @@ def q_negative_sampling_table(spark, sf_dir):
         F.round(hi, 9).alias("cum_hi"),
         (F.floor(hi * _NEG_B) - F.floor(lo * _NEG_B)).cast("long").alias("n_buckets"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Temporal-split leakage audit — the time-series counterpart of
+# `grouped_split_no_leakage`: split at a date boundary (the only split
+# that respects causality for forecasting / next-event models) and
+# report how many entities STRADDLE it, because any user-level
+# aggregate feature computed on the full span leaks future information
+# into the training side for exactly those entities.
+# ---------------------------------------------------------------------------
+
+_TSPLIT_CUT = "2024-01-22"  # ~72/28 on the fixture's January span
+
+_TSPLIT_SQL = f"""
+WITH tagged AS (
+  SELECT event_type, user_id,
+         CASE WHEN CAST(ts AS DATE) < DATE '{_TSPLIT_CUT}' THEN 1 ELSE 0 END AS is_train
+  FROM events
+),
+per_user AS (
+  SELECT event_type, user_id,
+         CAST(SUM(is_train) AS BIGINT) AS n_train,
+         CAST(SUM(1 - is_train) AS BIGINT) AS n_test
+  FROM tagged GROUP BY 1, 2
+)
+SELECT event_type,
+       CAST(SUM(n_train) AS BIGINT) AS n_train_rows,
+       CAST(SUM(n_test) AS BIGINT) AS n_test_rows,
+       CAST(SUM(CASE WHEN n_train > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_users_train,
+       CAST(SUM(CASE WHEN n_test > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_users_test,
+       CAST(SUM(CASE WHEN n_train > 0 AND n_test > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_straddling_users,
+       round(CAST(SUM(CASE WHEN n_train > 0 AND n_test > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+             / SUM(CASE WHEN n_test > 0 THEN 1 ELSE 0 END), 6) AS test_user_leak_rate
+FROM per_user
+GROUP BY event_type
+"""
+
+
+@register("temporal_split_leakage", _TSPLIT_SQL)
+def q_temporal_split_leakage(spark, sf_dir):
+    """Audit a train/test split at {_TSPLIT_CUT}: per event type, row
+    and user counts on each side and the users present on BOTH — the
+    population for whom any full-span user-level feature would leak
+    the future into training.  test_user_leak_rate near 1.0 (as on
+    this fixture's active users) is the warning that user aggregates
+    must be computed train-side only.
+
+    Scale plan: one scan, two stacked map-side-combined aggregates
+    (per-(type, user) counts, then the type rollup) — the same shape
+    at any corpus size; the date predicate is scan-evaluable."""
+    e = load_table(spark, sf_dir, "events")
+    tagged = e.select(
+        "event_type",
+        "user_id",
+        F.when(
+            F.col("ts").cast("date") < F.lit(_TSPLIT_CUT).cast("date"), 1
+        )
+        .otherwise(0)
+        .alias("is_train"),
+    )
+    per_user = tagged.groupBy("event_type", "user_id").agg(
+        F.sum("is_train").cast("long").alias("n_train"),
+        F.sum(1 - F.col("is_train")).cast("long").alias("n_test"),
+    )
+    straddle = F.sum(
+        F.when((F.col("n_train") > 0) & (F.col("n_test") > 0), 1).otherwise(0)
+    )
+    test_users = F.sum(F.when(F.col("n_test") > 0, 1).otherwise(0))
+    return per_user.groupBy("event_type").agg(
+        F.sum("n_train").cast("long").alias("n_train_rows"),
+        F.sum("n_test").cast("long").alias("n_test_rows"),
+        F.sum(F.when(F.col("n_train") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_users_train"),
+        test_users.cast("long").alias("n_users_test"),
+        straddle.cast("long").alias("n_straddling_users"),
+        F.round(straddle.cast("double") / test_users, 6).alias(
+            "test_user_leak_rate"
+        ),
+    )
