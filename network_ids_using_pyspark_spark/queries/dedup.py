@@ -787,3 +787,129 @@ def q_semdedup_prune_report(spark, sf_dir):
         )
         .select(F.col("cid").cast("long").alias("cid"), "n_members", "n_pruned", "n_kept", "retention")
     )
+
+
+# ---------------------------------------------------------------------------
+# LSH parameter sweep — the banding tuning sheet: with K=16 signature
+# values, (bands, rows) ∈ {(8,2), (4,4), (2,8)} trades recall against
+# candidate volume along the S-curve P(capture) = 1-(1-J^r)^b.  Each
+# config's measured recall/precision against the exact-Jaccard truth
+# set sits beside its theoretical capture probability at the truth
+# threshold — the sheet that justifies the production (4,4) choice.
+# ---------------------------------------------------------------------------
+
+_SWEEP_CONFIGS = [(8, 2), (4, 4), (2, 8)]
+
+
+def _sweep_sql() -> str:
+    def bands_cte(tag: str, b: int, r: int) -> str:
+        parts = []
+        for i in range(b):
+            cols = ", ".join(f"CAST(sig_{i * r + j} AS VARCHAR)" for j in range(r))
+            parts.append(
+                f"SELECT doc_id, {i} AS band, md5(concat_ws(',', {cols})) AS band_key FROM sig"
+            )
+        u = " UNION ALL ".join(parts)
+        return f"""bands_{tag} AS ({u}),
+cand_{tag} AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands_{tag} a JOIN bands_{tag} b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+)"""
+
+    rows_sql = []
+    ctes = []
+    for b, r in _SWEEP_CONFIGS:
+        tag = f"b{b}r{r}"
+        ctes.append(bands_cte(tag, b, r))
+        theory = round(1 - (1 - JACCARD_T ** r) ** b, 6)
+        rows_sql.append(f"""
+  SELECT '{b}x{r}' AS config,
+         CAST({b} AS BIGINT) AS bands, CAST({r} AS BIGINT) AS rows_per_band,
+         {theory} AS capture_prob_at_t,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM cand_{tag}) AS n_candidates,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_truth,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM cand_{tag} c
+          JOIN truth t ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b) AS n_found,
+         round((SELECT CAST(COUNT(*) AS DOUBLE) FROM cand_{tag} c
+                JOIN truth t ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b)
+               / (SELECT COUNT(*) FROM truth), 6) AS recall,
+         round((SELECT CAST(COUNT(*) AS DOUBLE) FROM cand_{tag} c
+                JOIN truth t ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b)
+               / (SELECT COUNT(*) FROM cand_{tag}), 6) AS precision""")
+    return (
+        f"""WITH {_SHINGLES_CTE},
+sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+truth AS MATERIALIZED (
+  SELECT doc_a, doc_b FROM (
+    SELECT doc_a, doc_b,
+           CAST(n_inter AS DOUBLE) / CAST(x.n_sh + y.n_sh - n_inter AS DOUBLE) AS jaccard
+    FROM inter JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+  ) WHERE jaccard >= {JACCARD_T}
+),
+hh AS (SELECT doc_id, {_BASE_H} AS h FROM sh),
+sig AS MATERIALIZED (SELECT doc_id, {_SIG_COLS} FROM hh GROUP BY doc_id),
+"""
+        + ",\n".join(ctes)
+        + "\nUNION ALL".join(rows_sql)
+    )
+
+
+@register("lsh_parameter_sweep", _sweep_sql())
+def q_lsh_parameter_sweep(spark, sf_dir):
+    """Banding sweep over the shared 16-value MinHash signatures:
+    per (bands, rows) config — the theoretical capture probability at
+    the truth threshold, measured candidate volume, and recall /
+    precision against the exact-Jaccard truth set.  More bands →
+    higher recall and more candidates; the sweep quantifies the trade
+    the production config buys.
+
+    Scale plan: signatures build ONCE (the one corpus-scan stage,
+    checkpointed) and each config is a band-key equi-join over the
+    signature relation — O(collisions) work per config; the truth set
+    is the inverted-index bounded Jaccard join, computed once and
+    checkpointed, and exists here for honest evaluation (production
+    sweeps sample it)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sig = minhash_signatures(docs, k=K).localCheckpoint(eager=True)
+    truth = (
+        jaccard_pairs(docs, JACCARD_T)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    n_truth = truth.count()
+    out = None
+    for b, r in _SWEEP_CONFIGS:
+        cand = minhash_lsh_pairs(sig, bands=b, rows=r).localCheckpoint(eager=False)
+        found = cand.join(truth, ["doc_a", "doc_b"])
+        theory = round(1 - (1 - JACCARD_T ** r) ** b, 6)
+        row = (
+            cand.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+            .crossJoin(
+                F.broadcast(
+                    found.agg(F.count(F.lit(1)).cast("long").alias("n_found"))
+                )
+            )
+            .select(
+                F.lit(f"{b}x{r}").alias("config"),
+                F.lit(b).cast("long").alias("bands"),
+                F.lit(r).cast("long").alias("rows_per_band"),
+                F.lit(theory).alias("capture_prob_at_t"),
+                "n_candidates",
+                F.lit(n_truth).cast("long").alias("n_truth"),
+                "n_found",
+                F.round(F.col("n_found").cast("double") / F.lit(n_truth), 6).alias(
+                    "recall"
+                ),
+                F.round(
+                    F.col("n_found").cast("double") / F.col("n_candidates"), 6
+                ).alias("precision"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -1156,3 +1156,13 @@ def test_kcenter_steps_scan_checkpointed_relation(spark):
     plan = explain_str(df, "simple")
     assert "FileScan parquet" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_lsh_sweep_shares_signature_build(spark):
+    """All three banding configs must read the ONE checkpointed
+    signature relation — no corpus FileScan in the live plan, no
+    nested-loop candidate generation anywhere."""
+    df = _df(spark, "lsh_parameter_sweep")
+    plan = explain_str(df, "simple")
+    assert "FileScan parquet" not in plan
+    assert "NestedLoopJoin" not in plan and "CartesianProduct" not in plan
