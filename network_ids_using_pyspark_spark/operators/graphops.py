@@ -36,6 +36,7 @@ def pagerank_int(
     iters: int = 3,
     checkpoint: bool = True,
     materialize: bool = True,
+    seeds: "list | None" = None,
 ) -> DataFrame:
     """Integer PageRank over a directed edge list ``(src, dst)``.
 
@@ -43,6 +44,12 @@ def pagerank_int(
     undirected graph as both edge directions); dangling-node mass is
     therefore never lost.  Returns ``(node, rank)`` with ``rank`` the
     scaled integer score after ``iters`` synchronous supersteps.
+
+    ``seeds`` switches uniform teleport to PERSONALIZED PageRank: the
+    per-step (1−d) restart mass — N·RANK_MASS·0.15 in total, kept in
+    the same integer arithmetic — is deposited only on the seed nodes
+    (split evenly), so rank measures proximity to the seed set instead
+    of global centrality.  ``None`` (default) is classic PageRank.
 
     ``checkpoint`` (default on) cuts rank lineage per superstep with a
     lazy ``localCheckpoint`` so plan depth stays O(1) at any iteration
@@ -57,7 +64,21 @@ def pagerank_int(
     # node frame itself) ever rescans the fact tables.
     e_d = edges.join(deg, "src").persist()
     nodes = e_d.select(F.col("src").alias("node")).distinct().persist()
-    ranks = nodes.withColumn("rank", F.lit(RANK_MASS).cast("long"))
+    if seeds is None:
+        base = F.lit(BASE)
+    else:
+        # per-seed integer share of the total restart mass; the node
+        # count rides a 1-row broadcast (never a collect)
+        n1 = nodes.agg(F.count(F.lit(1)).alias("_n"))
+        nodes = nodes.crossJoin(F.broadcast(n1)).persist()
+        base = F.when(
+            F.col("node").isin(list(seeds)),
+            F.expr(
+                f"({DAMP_DEN - DAMP_NUM} * CAST({RANK_MASS} AS BIGINT) * _n)"
+                f" DIV ({DAMP_DEN} * {len(seeds)})"
+            ),
+        ).otherwise(F.lit(0))
+    ranks = nodes.select("node").withColumn("rank", F.lit(RANK_MASS).cast("long"))
     for _ in range(iters):
         contrib = (
             e_d.join(ranks, e_d.src == ranks.node)
@@ -70,7 +91,7 @@ def pagerank_int(
             .select(
                 "node",
                 (
-                    F.lit(BASE)
+                    base
                     + F.expr(f"({DAMP_NUM} * coalesce(c, 0)) DIV {DAMP_DEN}")
                 ).cast("long").alias("rank"),
             )
@@ -88,10 +109,23 @@ def pagerank_int(
     return ranks
 
 
-def pagerank_sql_ctes(edges_cte: str, iters: int = 3) -> str:
+def pagerank_sql_ctes(
+    edges_cte: str, iters: int = 3, seeds: "list | None" = None
+) -> str:
     """DuckDB oracle: the same integer power iteration, unrolled as
     CTEs.  ``edges_cte`` must define a relation named ``edges`` with
-    columns (src, dst)."""
+    columns (src, dst).  ``seeds`` mirrors :func:`pagerank_int`'s
+    personalized-teleport arithmetic exactly."""
+    if seeds is None:
+        base = str(BASE)
+    else:
+        seed_list = ", ".join(f"'{x}'" for x in seeds)
+        base = (
+            f"(CASE WHEN n.node IN ({seed_list}) THEN "
+            f"({DAMP_DEN - DAMP_NUM} * CAST({RANK_MASS} AS BIGINT)"
+            f" * (SELECT COUNT(*) FROM nodes)) // ({DAMP_DEN} * {len(seeds)})"
+            f" ELSE 0 END)"
+        )
     parts = [
         edges_cte,
         "deg AS (SELECT src AS node, COUNT(*) AS outdeg FROM edges GROUP BY src)",
@@ -105,7 +139,7 @@ def pagerank_sql_ctes(edges_cte: str, iters: int = 3) -> str:
             f"JOIN deg d ON e.src = d.node GROUP BY e.dst)"
         )
         parts.append(
-            f"r{i} AS (SELECT n.node, CAST({BASE} + ({DAMP_NUM} * COALESCE(c.c, 0)) // {DAMP_DEN} AS BIGINT) AS rank "
+            f"r{i} AS (SELECT n.node, CAST({base} + ({DAMP_NUM} * COALESCE(c.c, 0)) // {DAMP_DEN} AS BIGINT) AS rank "
             f"FROM nodes n LEFT JOIN c{i} c ON n.node = c.node)"
         )
     return "WITH " + ",\n".join(parts) + f"\nSELECT node, rank FROM r{iters}"

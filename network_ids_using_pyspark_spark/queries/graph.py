@@ -584,3 +584,58 @@ def q_sssp_cheapest_reach(spark, sf_dir):
         .orderBy(F.asc("dist"), F.asc("node"))
         .limit(_SSSP_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# Personalized PageRank from one seed — the proximity walk behind
+# graph-based recommendation ("which suppliers sit closest to THIS
+# customer's neighborhood by random-walk mass?"), reusing pagerank_int
+# with the restart mass deposited only on the seed.  Where SSSP gives
+# cheapest single paths, PPR aggregates over ALL walks — the two
+# complementary graph-proximity notions.
+# ---------------------------------------------------------------------------
+
+_PPR_SEED = "c0"
+
+_PPR_SQL = f"""
+SELECT node, rank FROM (
+  {pagerank_sql_ctes(_EDGES_CTE, iters=3, seeds=[_PPR_SEED])}
+) ranked
+WHERE rank > 0
+ORDER BY rank DESC, node ASC
+LIMIT {_TOPK}
+"""
+
+
+@register("ppr_trade_graph", _PPR_SQL)
+def q_ppr_trade_graph(spark, sf_dir):
+    """Top-{50} trade-graph nodes by personalized PageRank from seed
+    '{_PPR_SEED}' (3 supersteps, 0.85 damping, integer arithmetic):
+    the (1−d) restart mass lands only on the seed, so rank measures
+    random-walk proximity to that customer's neighborhood rather than
+    global centrality (`pagerank_trade_graph`).  Zero-rank nodes
+    (unreached at this iteration depth) are filtered.
+
+    Scale plan: identical to the uniform variant — one shuffle per
+    superstep on dst, edge⋈degree persisted once, the node count for
+    the seed's teleport share riding a 1-row broadcast; the final
+    top-k is TakeOrderedAndProject."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    ranks = pagerank_int(edges, iters=3, seeds=[_PPR_SEED])
+    return (
+        ranks.filter(F.col("rank") > 0)
+        .orderBy(F.desc("rank"), F.asc("node"))
+        .limit(_TOPK)
+    )
