@@ -645,3 +645,104 @@ def test_suffix_doubling_matches_python_substrings(spark):
         assert r["n_groups"] == len(groups), (r["level"], r["n_groups"], len(groups))
         assert r["n_tied_pos"] == sum(c for c in groups.values() if c > 1)
         assert r["max_group"] == max(groups.values())
+
+
+def test_kcenter_greedy_matches_python(spark):
+    """Greedy selection sequence and coverage radii against a direct
+    Python implementation of Gonzalez farthest-point over the same
+    vectors (the unrolled oracle mirrors the engine's fold; this
+    doesn't)."""
+    con = duckdb.connect()
+    vecs = {
+        r[0]: [float(x) for x in r[1]]
+        for r in con.execute(
+            f"SELECT vec_id, CAST(embedding AS DOUBLE[]) FROM read_parquet('{SF_DIR}/embeddings.parquet')"
+        ).fetchall()
+    }
+    con.close()
+
+    def d2(a, b):
+        saa = sum(x * x for x in a)
+        sbb = sum(x * x for x in b)
+        dab = 0.0
+        for x, y in zip(a, b):
+            dab += x * y
+        return round(saa - 2 * dab + sbb, 9)
+
+    centers = [0]
+    mind = {i: d2(v, vecs[0]) for i, v in vecs.items()}
+    for _ in range(7):
+        nxt = max(mind.items(), key=lambda kv: (kv[1], -kv[0]))[0]
+        centers.append(nxt)
+        for i, v in vecs.items():
+            mind[i] = min(mind[i], d2(v, vecs[nxt]))
+    assign: dict[int, list] = {c: [] for c in centers}
+    for i, v in vecs.items():
+        best = min(
+            ((d2(v, vecs[c]), r) for r, c in enumerate(centers)),
+        )
+        assign[centers[best[1]]].append(best[0])
+
+    rows = {r["sel_rank"]: r for r in REGISTRY["kcenter_coreset_select"][0](spark, SF_DIR).collect()}
+    assert [rows[r]["center_vec_id"] for r in range(8)] == centers
+    for r, c in enumerate(centers):
+        assert rows[r]["n_assigned"] == len(assign[c])
+        assert abs(rows[r]["radius_sq"] - round(max(assign[c]), 6)) < 1e-9
+
+
+def test_itemcf_scores_match_python(spark):
+    """Item-kNN recommendation scores against a brute-force Python
+    recomputation over the same baskets."""
+    con = duckdb.connect()
+    items = con.execute(
+        f"""SELECT DISTINCT l_orderkey, l_partkey
+            FROM read_parquet('{SF_DIR}/lineitem.parquet')"""
+    ).fetchall()
+    prof_rows = con.execute(
+        f"""SELECT DISTINCT o.o_custkey, l.l_partkey
+            FROM read_parquet('{SF_DIR}/orders.parquet') o
+            JOIN read_parquet('{SF_DIR}/lineitem.parquet') l
+              ON o.o_orderkey = l.l_orderkey
+            WHERE o.o_custkey < 50"""
+    ).fetchall()
+    con.close()
+    baskets: dict[int, set] = {}
+    item_sup: dict[int, int] = {}
+    for ok, pk in items:
+        baskets.setdefault(ok, set()).add(pk)
+        item_sup[pk] = item_sup.get(pk, 0) + 1
+    co: dict[tuple, int] = {}
+    for ok, parts in baskets.items():
+        ps = sorted(parts)
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                co[(ps[i], ps[j])] = co.get((ps[i], ps[j]), 0) + 1
+    sims: dict[int, list] = {}
+    for (a, b), n in co.items():
+        if n < 2:
+            continue
+        s = round(n / math.sqrt(item_sup[a] * item_sup[b]), 9)
+        sims.setdefault(a, []).append((b, s))
+        sims.setdefault(b, []).append((a, s))
+    prof: dict[int, set] = {}
+    for u, pk in prof_rows:
+        prof.setdefault(u, set()).add(pk)
+    from decimal import Decimal
+
+    expected: dict[int, dict] = {}
+    for u, owned in prof.items():
+        scores: dict[int, Decimal] = {}
+        for it in owned:
+            for cand, s in sims.get(it, []):
+                if cand in owned:
+                    continue
+                scores[cand] = scores.get(cand, Decimal(0)) + Decimal(str(s))
+        top = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+        expected[u] = {
+            rank + 1: (item, float(sc)) for rank, (item, sc) in enumerate(top)
+        }
+    rows = REGISTRY["itemcf_topk_recs"][0](spark, SF_DIR).collect()
+    for r in rows:
+        item, sc = expected[r["custkey"]][r["rec_rank"]]
+        assert r["item"] == item, (r, item)
+        assert abs(r["score"] - sc) < 1e-9
