@@ -147,7 +147,12 @@ _ROUND_PRIORITY = [
     # functional_dependency_audit, itemcf_topk_recs,
     # diff_in_diff_readout, unigram_viterbi_tokenize,
     # suffix_array_doubling_profile, negative_sampling_table,
-    # kmv_jaccard_sources, stl_decompose_profile — then the earlier
+    # kmv_jaccard_sources, stl_decompose_profile,
+    # wasserstein_length_drift, cms_join_size_estimate,
+    # huber_location_irls, dataset_card_report, holt_fleet_by_type,
+    # ppmi_cooccurrence_topk, median_ci_order_stats,
+    # kcenter_coreset_select, temporal_split_leakage,
+    # lsh_parameter_sweep, ppr_trade_graph — then the earlier
     # round-4 additions below (all locally
     # oracle-verified at sf0.001/0.01/0.1 with vanilla sessions, never
     # driver-windowed): the tokenizer/retrieval/filter layer
