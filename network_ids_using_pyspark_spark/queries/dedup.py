@@ -882,7 +882,8 @@ def q_lsh_parameter_sweep(spark, sf_dir):
         .select("doc_a", "doc_b")
         .localCheckpoint(eager=True)
     )
-    n_truth = truth.count()
+    # the truth count rides a 1-row broadcast (G4 pattern, no collect)
+    nt = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
     out = None
     for b, r in _SWEEP_CONFIGS:
         cand = minhash_lsh_pairs(sig, bands=b, rows=r).localCheckpoint(eager=False)
@@ -895,17 +896,18 @@ def q_lsh_parameter_sweep(spark, sf_dir):
                     found.agg(F.count(F.lit(1)).cast("long").alias("n_found"))
                 )
             )
+            .crossJoin(F.broadcast(nt))
             .select(
                 F.lit(f"{b}x{r}").alias("config"),
                 F.lit(b).cast("long").alias("bands"),
                 F.lit(r).cast("long").alias("rows_per_band"),
                 F.lit(theory).alias("capture_prob_at_t"),
                 "n_candidates",
-                F.lit(n_truth).cast("long").alias("n_truth"),
+                "n_truth",
                 "n_found",
-                F.round(F.col("n_found").cast("double") / F.lit(n_truth), 6).alias(
-                    "recall"
-                ),
+                F.round(
+                    F.col("n_found").cast("double") / F.col("n_truth"), 6
+                ).alias("recall"),
                 F.round(
                     F.col("n_found").cast("double") / F.col("n_candidates"), 6
                 ).alias("precision"),
