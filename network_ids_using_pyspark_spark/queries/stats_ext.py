@@ -4026,3 +4026,106 @@ def q_median_ci_order_stats(spark, sf_dir):
         .join(F.broadcast(meds), "event_type")
         .select("event_type", "n", "median_value", "ci_lo", "ci_hi", "k_lo", "k_hi")
     )
+
+
+# ---------------------------------------------------------------------------
+# Wald SPRT monitor — the SEQUENTIAL member of the testing family
+# (z-test/CUPED/QTE are fixed-horizon): cumulative log-likelihood
+# ratio of daily purchase-share against pre-registered H0/H1 rates,
+# with the Wald decision boundaries and the first crossing day.  The
+# per-trial log terms are Python-computed 1e-9 literals and the walk
+# accumulates as DECIMAL, so the day a boundary is crossed — the whole
+# point of sequential testing — is engine-identical.
+# ---------------------------------------------------------------------------
+
+_SPRT_P0, _SPRT_P1 = 0.19, 0.21  # pre-registered null / alternative share
+_SPRT_L1 = round(__import__("math").log(_SPRT_P1 / _SPRT_P0), 9)  # per success
+_SPRT_L0 = round(__import__("math").log((1 - _SPRT_P1) / (1 - _SPRT_P0)), 9)  # per failure
+_SPRT_BOUND = round(__import__("math").log(0.95 / 0.05), 9)  # alpha = beta = 0.05
+
+_SPRT_SQL = f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d,
+         CAST(COUNT(*) AS BIGINT) AS n_trials,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_success
+  FROM events GROUP BY 1
+),
+walk AS (
+  SELECT d, n_trials, n_success,
+         CAST(CAST(SUM(CAST(round(n_success * {_SPRT_L1}
+                                   + (n_trials - n_success) * {_SPRT_L0}, 9) AS DECIMAL(38, 9)))
+                   OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS VARCHAR) AS DOUBLE) AS llr
+  FROM daily
+),
+flagged AS (
+  SELECT *, CASE WHEN llr >= {_SPRT_BOUND} THEN 'accept_h1'
+                 WHEN llr <= -{_SPRT_BOUND} THEN 'accept_h0'
+                 ELSE 'continue' END AS state
+  FROM walk
+)
+SELECT d, n_trials, n_success, round(llr, 6) AS llr, state,
+       (SELECT MIN(d) FROM flagged f2 WHERE f2.state <> 'continue') AS first_decision_day
+FROM flagged
+"""
+
+
+@register("sprt_ab_monitor", _SPRT_SQL)
+def q_sprt_ab_monitor(spark, sf_dir):
+    """Daily Wald SPRT walk on the purchase share (H0 p={_SPRT_P0} vs
+    H1 p={_SPRT_P1}, α=β=0.05): per day the trial/success counts, the
+    cumulative log-likelihood ratio, the boundary state, and the first
+    decision day (null if the walk never leaves the continue band —
+    the fixture sits near the indifference point by design, the regime
+    where sequential monitoring earns its keep).
+
+    Scale plan: one map-side-combined daily aggregate over the fact
+    stream; the walk is a cumulative window over |days| rows with
+    DECIMAL accumulation of pre-quantized increments — the corpus is
+    touched once however long the experiment runs."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_trials"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("n_success"),
+    )
+    from pyspark.sql import Window
+
+    inc = F.round(
+        F.col("n_success") * F.lit(_SPRT_L1)
+        + (F.col("n_trials") - F.col("n_success")) * F.lit(_SPRT_L0),
+        9,
+    )
+    wcum = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    walk = daily.select(
+        "d",
+        "n_trials",
+        "n_success",
+        F.sum(inc.cast("decimal(38, 9)"))
+        .over(wcum)
+        .cast("string")
+        .cast("double")
+        .alias("llr"),
+    )
+    flagged = walk.select(
+        "*",
+        F.when(F.col("llr") >= _SPRT_BOUND, "accept_h1")
+        .when(F.col("llr") <= -_SPRT_BOUND, "accept_h0")
+        .otherwise("continue")
+        .alias("state"),
+    ).localCheckpoint(eager=False)  # feeds the rows AND the first-decision scalar
+    first = flagged.filter(F.col("state") != "continue").agg(
+        F.min("d").alias("first_decision_day")
+    )
+    return (
+        flagged.crossJoin(F.broadcast(first))
+        .select(
+            "d",
+            "n_trials",
+            "n_success",
+            F.round("llr", 6).alias("llr"),
+            "state",
+            "first_decision_day",
+        )
+    )

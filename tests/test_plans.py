@@ -1169,3 +1169,12 @@ def test_lsh_sweep_shares_signature_build(spark):
     # the only nested-loop joins are the 1-row scalar-count attachments
     # (the G4 pattern); candidate∩truth runs as an equi join
     assert "SortMergeJoin [doc_a" in plan or "ShuffledHashJoin [doc_a" in plan
+
+
+def test_sprt_single_scan_walk(spark):
+    """The SPRT walk is one daily aggregate + a |days|-row cumulative
+    window; the first-decision scalar attaches by broadcast."""
+    df = _df(spark, "sprt_ab_monitor")
+    plan = explain_str(df, "simple")
+    assert plan.count("FileScan parquet") <= 1
+    assert "SortMergeJoin" not in plan
