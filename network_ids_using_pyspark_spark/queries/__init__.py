@@ -152,7 +152,7 @@ _ROUND_PRIORITY = [
     # huber_location_irls, dataset_card_report, holt_fleet_by_type,
     # ppmi_cooccurrence_topk, median_ci_order_stats,
     # kcenter_coreset_select, temporal_split_leakage,
-    # lsh_parameter_sweep, ppr_trade_graph — then the earlier
+    # lsh_parameter_sweep, ppr_trade_graph, sprt_ab_monitor — then the earlier
     # round-4 additions below (all locally
     # oracle-verified at sf0.001/0.01/0.1 with vanilla sessions, never
     # driver-windowed): the tokenizer/retrieval/filter layer
