@@ -1377,11 +1377,13 @@ SELECT 'events' AS table_name, CAST(n_before AS BIGINT) AS n_before,
        CAST((SELECT COUNT(*) FROM subjects) AS BIGINT) AS n_subjects
 FROM ev
 UNION ALL
-SELECT 'customer', n_before, n_deleted, n_before - n_deleted,
-       (SELECT COUNT(*) FROM subjects) FROM cu
+SELECT 'customer', CAST(n_before AS BIGINT), CAST(n_deleted AS BIGINT),
+       CAST(n_before - n_deleted AS BIGINT),
+       CAST((SELECT COUNT(*) FROM subjects) AS BIGINT) FROM cu
 UNION ALL
-SELECT 'orders', n_before, n_deleted, n_before - n_deleted,
-       (SELECT COUNT(*) FROM subjects) FROM o
+SELECT 'orders', CAST(n_before AS BIGINT), CAST(n_deleted AS BIGINT),
+       CAST(n_before - n_deleted AS BIGINT),
+       CAST((SELECT COUNT(*) FROM subjects) AS BIGINT) FROM o
 """
 
 
