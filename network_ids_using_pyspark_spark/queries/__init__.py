@@ -63,6 +63,7 @@ from . import entity  # noqa: E402,F401
 from . import assoc  # noqa: E402,F401
 from . import stats_ext  # noqa: E402,F401
 from . import tokenizer  # noqa: E402,F401
+from . import rangescale  # noqa: E402,F401
 
 
 # The driver's correctness gate covers the FIRST 50 registry entries

@@ -1,0 +1,333 @@
+"""Scale-safe twins of the six global-window queries.
+
+VERDICT r4 flagged six green-but-weak queries whose plans collapse to
+one task at 100 TB — a global NTILE / total-order window over a raw
+table grain (`equidepth_histogram`, `stump_split_gains`,
+`rfm_segment_counts`, `learned_binning_apply`) or a single global sort
+(`snm_candidate_pairs`, `pareto_frontier_orders`).  Each `_scaled`
+twin here computes the IDENTICAL output through one shared primitive
+(operators/rangepart.py) and therefore shares the exact twin's oracle
+SQL verbatim:
+
+* NTILE family → ``exact_rank_select``: cutpoints at the NTILE
+  boundary ranks found by histogram narrowing (map-side-combined
+  aggregates only), then a map-side bucket CASE.  Exact, because
+  NTILE bucket membership is a pure function of a row's position
+  relative to the boundary tuples of the same total order.
+* sort family → ``equiwidth_bucket_expr``: a contiguous map-side
+  bucketing (ties never straddle buckets), per-bucket windows for the
+  local pass, and a bounded boundary exchange — per-bucket seeds for
+  Pareto's running max, head/tail fringe rows for SNM's cross-bucket
+  neighbor pairs — handled on the driver over O(buckets) rows (the
+  G4 bounded-collect pattern).
+
+The exact forms stay registered as the certification gates; plan
+tests (tests/test_rangescale.py) assert the twins contain NO
+`Exchange SinglePartition` and no `Window` over an unpartitioned
+frame on the raw grain.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..operators.rangepart import (
+    equiwidth_bucket_expr,
+    exact_rank_select,
+    ntile_boundaries,
+    ntile_sizes,
+)
+from ..sources.tables import load_table
+from . import register
+from .datamgmt import _BIN_CUT, _BIN_N, _BINNING_SQL
+from .entity import _SNM_SQL, _SNM_T, _SNM_W
+from .functions_ext import _ED_BINS, _EQUIDEPTH_SQL
+from .relational_ext import _PARETO_SQL
+from .stats_ext import _RFM_SQL, _STUMP_BINS, _stump_sql, stump_gains_from_bucketed
+
+_N_BUCKETS = 32  # range buckets for the sort-family twins; ≫ at scale
+
+
+def _bucket_from_cuts(cuts: list[tuple], cols: list[str]):
+    """NTILE bucket id from boundary tuples: 1 + #{cuts strictly below
+    the row} under the lexicographic (cols) order — a map-side CASE."""
+    expr = F.lit(1)
+    for cut in cuts:
+        above = F.lit(False)
+        # row > cut lexicographically
+        prefix_eq = F.lit(True)
+        for c, cv in zip(cols, cut):
+            above = above | (prefix_eq & (F.col(c) > F.lit(cv)))
+            prefix_eq = prefix_eq & (F.col(c) == F.lit(cv))
+        expr = expr + F.when(above, 1).otherwise(0)
+    return expr.cast("int")
+
+
+@register("equidepth_histogram_scaled", _EQUIDEPTH_SQL)
+def q_equidepth_histogram_scaled(spark, sf_dir):
+    """`equidepth_histogram` without the global NTILE: bucket sizes
+    are NTILE arithmetic on one COUNT, and each bucket's lo/hi are the
+    values at its boundary ranks, rank-selected by histogram
+    narrowing.  (lo/hi depend on value ranks only — ties at a
+    boundary yield the same boundary value whichever side each tied
+    row lands on — so no composite tiebreak is needed.)  Output and
+    oracle identical to the exact gate; no sort anywhere."""
+    o = load_table(spark, sf_dir, "orders").select("o_totalprice")
+    n = o.count()
+    bounds = ntile_boundaries(n, _ED_BINS)
+    sizes = ntile_sizes(n, _ED_BINS)
+    ranks = sorted({1, *bounds, *[b + 1 for b in bounds[:-1]]})
+    vals = exact_rank_select(o, ["o_totalprice"], ranks)
+    rows, prev = [], 0
+    for k in range(_ED_BINS):
+        lo = vals[prev + 1][0]
+        hi = vals[bounds[k]][0]
+        rows.append((k + 1, sizes[k], lo, hi))
+        prev = bounds[k]
+    return spark.createDataFrame(
+        rows, "bin int, n long, lo double, hi double"
+    )
+
+
+@register("stump_split_gains_scaled", _stump_sql())
+def q_stump_split_gains_scaled(spark, sf_dir):
+    """`stump_split_gains` without the global NTILE: the decile
+    boundary (value, event_id) tuples are rank-selected, bucket
+    assignment becomes a map-side lexicographic CASE (exact NTILE
+    reproduction, ties split by event_id exactly as the window's
+    tiebreak does), and the shared entropy downstream runs unchanged
+    on the bins×labels grain."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        F.col("event_type").alias("label"), "value", "event_id"
+    )
+    n = base.count()
+    cut_ranks = ntile_boundaries(n, _STUMP_BINS)[:-1]
+    cuts_by_rank = exact_rank_select(base, ["value", "event_id"], cut_ranks)
+    cuts = [cuts_by_rank[r] for r in cut_ranks]
+    b = base.select(
+        "label",
+        "value",
+        _bucket_from_cuts(cuts, ["value", "event_id"]).alias("bucket"),
+    )
+    return stump_gains_from_bucketed(b)
+
+
+@register("rfm_segment_counts_scaled", _RFM_SQL)
+def q_rfm_segment_counts_scaled(spark, sf_dir):
+    """`rfm_segment_counts` with the three customer-grain NTILE(5)
+    windows replaced by three rank-selected cutpoint sets + map-side
+    CASEs.  Recency ranks descending, so the selection runs ascending
+    on its negation (exact for integer day counts); monetary cutpoints
+    carry the exact DECIMAL sum.  The customer-grain base is
+    checkpointed once (the fit-artifact pattern) so the narrowing
+    passes never re-aggregate the orders fact."""
+    o = load_table(spark, sf_dir, "orders")
+    mx = o.agg(F.max(F.col("o_orderdate").cast("date")).alias("maxd"))
+    base = (
+        o.crossJoin(F.broadcast(mx))
+        .groupBy("o_custkey")
+        .agg(
+            F.datediff(
+                F.first("maxd"), F.max(F.col("o_orderdate").cast("date"))
+            ).alias("recency"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.col("o_totalprice").cast("decimal(30, 6)")).alias("monetary"),
+        )
+        .withColumn("neg_recency", -F.col("recency"))
+        .localCheckpoint(eager=True)
+    )
+    n = base.count()
+    cut_ranks = ntile_boundaries(n, 5)[:-1]
+
+    def cuts_for(cols):
+        by_rank = exact_rank_select(base, cols, cut_ranks)
+        return [by_rank[r] for r in cut_ranks]
+
+    scored = base.select(
+        _bucket_from_cuts(
+            cuts_for(["neg_recency", "o_custkey"]), ["neg_recency", "o_custkey"]
+        ).alias("r_sc"),
+        _bucket_from_cuts(
+            cuts_for(["frequency", "o_custkey"]), ["frequency", "o_custkey"]
+        ).alias("f_sc"),
+        _bucket_from_cuts(
+            cuts_for(["monetary", "o_custkey"]), ["monetary", "o_custkey"]
+        ).alias("m_sc"),
+    )
+    return scored.groupBy("r_sc", "f_sc", "m_sc").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+
+
+@register("learned_binning_apply_scaled", _BINNING_SQL)
+def q_learned_binning_apply_scaled(spark, sf_dir):
+    """`learned_binning_apply` with the fit-side NTILE replaced by
+    rank-selected decile edges (lo_k = value at the bucket's first
+    rank, hi_k = value at its boundary rank — tie-independent exactly
+    as in `equidepth_histogram_scaled`).  The serve side is unchanged:
+    a broadcast half-open range probe, i.e. a map-side CASE."""
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(
+        F.col("o_orderdate").cast("date") < F.lit(_BIN_CUT).cast("date")
+    ).select("o_totalprice")
+    n = a.count()
+    bounds = ntile_boundaries(n, _BIN_N)
+    ranks = sorted({1, *bounds, *[b + 1 for b in bounds[:-1]]})
+    vals = exact_rank_select(a, ["o_totalprice"], ranks)
+    rows, prev = [], 0
+    for k in range(_BIN_N):
+        rows.append((k + 1, vals[prev + 1][0], vals[bounds[k]][0]))
+        prev = bounds[k]
+    edge_rows = [
+        (bin_, lo, hi, rows[i + 1][1] if i + 1 < _BIN_N else None)
+        for i, (bin_, lo, hi) in enumerate(rows)
+    ]
+    edges = spark.createDataFrame(
+        edge_rows, "bin int, lo double, hi double, next_lo double"
+    )
+    b = o.filter(
+        F.col("o_orderdate").cast("date") >= F.lit(_BIN_CUT).cast("date")
+    ).select("o_totalprice")
+    assigned = b.join(
+        F.broadcast(edges),
+        ((F.col("bin") == 1) | (F.col("o_totalprice") >= F.col("lo")))
+        & ((F.col("bin") == _BIN_N) | (F.col("o_totalprice") < F.col("next_lo"))),
+    )
+    return assigned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_apply"),
+        F.first("lo").alias("lo"),
+        F.first("hi").alias("hi"),
+    )
+
+
+@register("snm_candidate_pairs_scaled", _SNM_SQL)
+def q_snm_candidate_pairs_scaled(spark, sf_dir):
+    """`snm_candidate_pairs` without the global sort: contiguous
+    equi-width buckets on the blocking key (ties can't straddle), a
+    per-bucket window emits each record's next-w neighbors INSIDE its
+    bucket, and the cross-bucket pairs — only ever reachable from a
+    bucket's last w rows into the following buckets' first w rows —
+    are reconstructed on the driver from the collected fringe
+    (≤ 2·w·buckets rows, the bounded boundary exchange the exact
+    form's docstring promised).  Output identical to the windowed
+    gate, oracle shared verbatim."""
+    c = load_table(spark, sf_dir, "customer")
+    lohi = c.agg(
+        F.min("c_acctbal").alias("lo"), F.max("c_acctbal").alias("hi")
+    ).collect()[0]
+    bexpr = equiwidth_bucket_expr("c_acctbal", lohi["lo"], lohi["hi"], _N_BUCKETS)
+    s = c.select("c_custkey", "c_acctbal", bexpr.alias("bkt"))
+    w_b = Window.partitionBy("bkt").orderBy(F.asc("c_acctbal"), F.asc("c_custkey"))
+    w_cnt = Window.partitionBy("bkt")
+    s2 = s.select(
+        "c_custkey",
+        "c_acctbal",
+        "bkt",
+        F.row_number().over(w_b).alias("rn"),
+        F.count(F.lit(1)).over(w_cnt).alias("n_b"),
+        *[F.lead("c_custkey", i).over(w_b).alias(f"k{i}") for i in range(1, _SNM_W + 1)],
+        *[F.lead("c_acctbal", i).over(w_b).alias(f"b{i}") for i in range(1, _SNM_W + 1)],
+    )
+    cands = None
+    for i in range(1, _SNM_W + 1):
+        part = s2.filter(F.col(f"k{i}").isNotNull()).select(
+            F.col("c_custkey").alias("cust_a"),
+            F.col(f"k{i}").alias("cust_b"),
+            F.col("c_acctbal").alias("bal_a"),
+            F.col(f"b{i}").alias("bal_b"),
+        )
+        cands = part if cands is None else cands.unionByName(part)
+    # boundary fringe: first/last w rows of every non-empty bucket
+    fringe = (
+        s2.filter((F.col("rn") <= _SNM_W) | (F.col("rn") > F.col("n_b") - _SNM_W))
+        .select("bkt", "rn", "n_b", "c_custkey", "c_acctbal")
+        .collect()
+    )
+    heads: dict[int, list] = {}
+    tails: dict[int, list] = {}
+    counts: dict[int, int] = {}
+    for r in fringe:
+        counts[r["bkt"]] = r["n_b"]
+        if r["rn"] <= _SNM_W:
+            heads.setdefault(r["bkt"], []).append(r)
+        if r["rn"] > r["n_b"] - _SNM_W:
+            tails.setdefault(r["bkt"], []).append(r)
+    order = sorted(counts)
+    for b in order:
+        heads.get(b, []).sort(key=lambda r: r["rn"])
+    cross = []
+    for pos, b in enumerate(order):
+        # the first w global successors AFTER bucket b's last row
+        after = []
+        for b2 in order[pos + 1 :]:
+            after.extend(heads.get(b2, []))
+            if len(after) >= _SNM_W:
+                break
+        for a in tails.get(b, []):
+            in_bucket = counts[b] - a["rn"]  # neighbors covered by the window
+            for off in range(in_bucket + 1, _SNM_W + 1):
+                idx = off - in_bucket - 1
+                if idx < len(after):
+                    nb = after[idx]
+                    cross.append(
+                        (a["c_custkey"], nb["c_custkey"], a["c_acctbal"], nb["c_acctbal"])
+                    )
+    cross_df = spark.createDataFrame(
+        cross, "cust_a long, cust_b long, bal_a double, bal_b double"
+    )
+    return (
+        cands.unionByName(cross_df)
+        .withColumn("bal_diff", F.col("bal_b") - F.col("bal_a"))
+        .filter(F.col("bal_diff") <= _SNM_T)
+    )
+
+
+@register("pareto_frontier_orders_scaled", _PARETO_SQL)
+def q_pareto_frontier_orders_scaled(spark, sf_dir):
+    """`pareto_frontier_orders` without the global sort: contiguous
+    price buckets, each running its own (price DESC, key ASC) window
+    max seeded with the max date of all HIGHER-price buckets — the
+    per-bucket maxima are one tiny aggregate whose prefix max is
+    folded on the driver into a bucket→seed CASE (the promised
+    boundary exchange).  Equal prices share a bucket, so the within-
+    bucket running max sees exactly the rows the global window would.
+    Output identical to the exact gate, oracle shared verbatim."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+    lohi = o.agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    ).collect()[0]
+    bexpr = equiwidth_bucket_expr("o_totalprice", lohi["lo"], lohi["hi"], _N_BUCKETS)
+    t = o.withColumn("bkt", bexpr)
+    bmax = {
+        r["bkt"]: r["mx"]
+        for r in t.groupBy("bkt").agg(F.max("o_orderdate").alias("mx")).collect()
+    }
+    seeds, run = {}, None
+    for b in sorted(bmax, reverse=True):  # higher bucket = higher price
+        seeds[b] = run
+        run = bmax[b] if run is None else max(run, bmax[b])
+    seed_col = F.lit(None).cast("timestamp")
+    for b, sd in seeds.items():
+        if sd is not None:
+            seed_col = F.when(F.col("bkt") == b, F.lit(sd)).otherwise(seed_col)
+    w = (
+        Window.partitionBy("bkt")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = t.select(
+        "o_orderkey",
+        "o_totalprice",
+        "o_orderdate",
+        F.greatest(
+            F.max("o_orderdate").over(w), seed_col
+        ).alias("best_date_above"),
+    )
+    return ranked.filter(
+        F.col("best_date_above").isNull()
+        | (F.col("o_orderdate") > F.col("best_date_above"))
+    ).select("o_orderkey", "o_totalprice", "o_orderdate")

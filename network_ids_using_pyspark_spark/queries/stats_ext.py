@@ -1611,9 +1611,11 @@ def q_stump_split_gains(spark, sf_dir):
     certified-exact twin of what `ml_train_dt` does internally with
     sketched candidate bins (same pairing as exact vs HLL).
 
-    Scale plan: one global NTILE assignment (the exact form — at
-    unbounded scale the KLL edges replace it), then everything runs on
-    the {_STUMP_BINS}×|labels| relation."""
+    Scale plan: one global NTILE assignment (the deliberately exact
+    form kept as the certification gate); `stump_split_gains_scaled`
+    (queries/rangescale.py) computes the identical output with
+    rank-selected cutpoints and a map-side bucket CASE — no global
+    sort — and shares this oracle."""
     from pyspark.sql import Window
 
     ev = load_table(spark, sf_dir, "events")
@@ -1622,6 +1624,13 @@ def q_stump_split_gains(spark, sf_dir):
         "value",
         F.ntile(_STUMP_BINS).over(Window.orderBy("value", "event_id")).alias("bucket"),
     )
+    return stump_gains_from_bucketed(b)
+
+
+def stump_gains_from_bucketed(b):
+    """Shared downstream of both stump twins: exact information gain
+    per threshold from a (label, value, bucket) relation — everything
+    past bucket assignment runs on the bins×labels grain."""
     bl = b.groupBy("bucket", "label").agg(
         F.count(F.lit(1)).alias("c"), F.max("value").alias("bmax")
     )
@@ -1642,12 +1651,15 @@ def q_stump_split_gains(spark, sf_dir):
         F.sum(F.coalesce(F.col("c"), F.lit(0))).over(w_lbl).alias("cl"),
     )
     # thresholds on the BUCKET-grain relation (label order inside a
-    # bucket must not affect the running max)
-    w_thr = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    # bucket must not affect the running max); the prefix max runs as
+    # a broadcast triangular self-join over the ≤bins-row relation —
+    # no unpartitioned window anywhere in either stump twin
+    bm = bl.groupBy("bucket").agg(F.max("bmax").alias("mb"))
     thrs = (
-        bl.groupBy("bucket")
-        .agg(F.max("bmax").alias("mb"))
-        .select("bucket", F.max("mb").over(w_thr).alias("thr"))
+        bm.alias("a")
+        .join(F.broadcast(bm.alias("p")), F.col("p.bucket") <= F.col("a.bucket"))
+        .groupBy(F.col("a.bucket").alias("bucket"))
+        .agg(F.max("p.mb").alias("thr"))
     )
     cum = cum.join(F.broadcast(thrs), "bucket")
     nn = b.agg(F.count(F.lit(1)).alias("n"))

@@ -1,0 +1,145 @@
+"""Scale contract + first-principles checks for the rangescale twins
+(queries/rangescale.py, operators/rangepart.py) — VERDICT r4 ask #3:
+the six global-window queries get scale-safe twins with NO
+single-partition window/sort over the raw grain, sharing the exact
+forms' oracles."""
+
+from __future__ import annotations
+
+import random
+import re
+
+from pyspark.sql import functions as F
+
+from network_ids_using_pyspark_spark.operators.rangepart import (
+    exact_rank_select,
+    ntile_boundaries,
+    ntile_sizes,
+)
+from network_ids_using_pyspark_spark.plans.inspect import count_shuffles, explain_str
+from network_ids_using_pyspark_spark.queries import REGISTRY
+
+from .conftest import SF_DIR
+
+SCALED = [
+    "equidepth_histogram_scaled",
+    "stump_split_gains_scaled",
+    "rfm_segment_counts_scaled",
+    "learned_binning_apply_scaled",
+    "snm_candidate_pairs_scaled",
+    "pareto_frontier_orders_scaled",
+]
+
+# a Window whose child exchange is SinglePartition = the one-task sort
+# the twins exist to eliminate (scalar 1-row aggregate finals elsewhere
+# in a plan are the legitimate G4 pattern and are NOT matched)
+_WIN_SP = re.compile(r"Window[^\n]*\n(?:[^\n]*Sort[^\n]*\n)?[^\n]*Exchange SinglePartition")
+
+
+def _df(spark, name):
+    return REGISTRY[name][0](spark, SF_DIR)
+
+
+def test_scaled_twins_share_exact_oracles():
+    for name in SCALED:
+        exact = name.removesuffix("_scaled")
+        assert REGISTRY[name][1] == REGISTRY[exact][1], name
+
+
+def test_no_single_partition_window_in_any_scaled_twin(spark):
+    for name in SCALED:
+        plan = explain_str(_df(spark, name), "simple")
+        assert not _WIN_SP.search(plan), f"{name} has a one-task window:\n{plan}"
+        assert "ntile" not in plan, f"{name} still NTILEs in-plan"
+
+
+def test_exact_stump_no_single_partition_window_downstream(spark):
+    # the shared downstream's bucket-grain prefix max is a broadcast
+    # triangular join now — the exact twin's ONLY one-task window left
+    # is the raw-grain NTILE it exists to gate
+    plan = explain_str(_df(spark, "stump_split_gains"), "simple")
+    matches = _WIN_SP.findall(plan)
+    assert matches  # the raw-grain gate NTILE (re-derived per subplan)
+    assert all("ntile" in m for m in matches), matches
+
+
+def test_equidepth_scaled_is_windowless(spark):
+    plan = explain_str(_df(spark, "equidepth_histogram_scaled"), "simple")
+    assert "Window" not in plan and "Sort" not in plan
+
+
+def test_rfm_scaled_single_shuffle_map_side_scoring(spark):
+    df = _df(spark, "rfm_segment_counts_scaled")
+    plan = explain_str(df, "simple")
+    assert "Window" not in plan  # scoring is a map-side CASE
+    assert count_shuffles(df) == 1  # only the final 125-cell group-by
+
+
+def test_binning_scaled_broadcast_probe(spark):
+    df = _df(spark, "learned_binning_apply_scaled")
+    plan = explain_str(df, "simple")
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 10-row range probe
+    assert count_shuffles(df) == 1
+
+
+def test_snm_pareto_windows_are_bucket_partitioned(spark):
+    for name in ("snm_candidate_pairs_scaled", "pareto_frontier_orders_scaled"):
+        plan = explain_str(_df(spark, name), "formatted")
+        # the per-bucket window shuffles on bkt, never to one task
+        assert "hashpartitioning(bkt" in plan, name
+
+
+# ---------------------------------------------------------------------------
+# first-principles checks of the primitive itself
+# ---------------------------------------------------------------------------
+
+
+def test_ntile_arithmetic_matches_definition():
+    assert ntile_sizes(10, 4) == [3, 3, 2, 2]
+    assert ntile_boundaries(10, 4) == [3, 6, 8, 10]
+    assert ntile_sizes(7, 7) == [1] * 7
+    assert sum(ntile_sizes(1001, 16)) == 1001
+
+
+def test_exact_rank_select_matches_python_sort(spark):
+    rng = random.Random(42)
+    data = [(rng.uniform(-100, 100), i) for i in range(5000)]
+    # heavy ties to force tiebreak narrowing on the second column
+    data += [(7.5, 100000 + i) for i in range(3000)]
+    df = spark.createDataFrame(data, "v double, k long")
+    truth = sorted(data)
+    n = len(data)
+    ranks = [1, 2, 17, n // 3, n // 2, n - 1, n]
+    got = exact_rank_select(df, ["v", "k"], ranks, bins=16, small=64)
+    for r in ranks:
+        assert got[r] == truth[r - 1], r
+
+
+def test_exact_rank_select_single_column_with_duplicates(spark):
+    vals = [float(x) for x in [5, 1, 3, 3, 3, 9, 7, 1, 5, 3]]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    truth = sorted(vals)
+    got = exact_rank_select(df, ["v"], list(range(1, 11)), bins=4, small=2)
+    assert [got[r][0] for r in range(1, 11)] == truth
+
+
+def test_equidepth_scaled_equals_exact_twin(spark):
+    a = _df(spark, "equidepth_histogram").collect()
+    b = _df(spark, "equidepth_histogram_scaled").collect()
+    key = lambda r: r["bin"]  # noqa: E731
+    assert sorted([tuple(r) for r in a], key=lambda t: t[0]) == sorted(
+        [tuple(r) for r in b], key=lambda t: t[0]
+    )
+
+
+def test_snm_scaled_equals_exact_twin(spark):
+    a = {tuple(r) for r in _df(spark, "snm_candidate_pairs").collect()}
+    b = {tuple(r) for r in _df(spark, "snm_candidate_pairs_scaled").collect()}
+    assert a == b
+
+
+def test_pareto_scaled_equals_exact_twin(spark):
+    a = {tuple(r) for r in _df(spark, "pareto_frontier_orders").collect()}
+    b = {tuple(r) for r in _df(spark, "pareto_frontier_orders_scaled").collect()}
+    assert a == b
