@@ -65,3 +65,35 @@ def test_headline_queries_all_registered():
     assert not missing, missing
     # bounded: ~25 entries keeps the stdout line well under the cap
     assert len(bench.HEADLINE_QUERIES) <= 32
+
+
+def test_no_per_query_regression_vs_previous_round():
+    """Round-over-round bench regression gate (VERDICT r4 ask #5): the
+    committed per-round sweeps BENCH_DETAIL_r{N}.json are diffed — a
+    query that got >2x slower AND lost >1s absolute vs the previous
+    round fails CI with the offender list.  (The absolute guard keeps
+    sub-second JVM/GC noise from flagging; real scale regressions on
+    sf0.1 show up in seconds.)"""
+    import glob
+    import re as _re
+
+    snaps = sorted(
+        glob.glob(os.path.join(REPO, "BENCH_DETAIL_r*.json")),
+        key=lambda p: int(_re.search(r"_r(\d+)", p).group(1)),
+    )
+    if len(snaps) < 2:
+        import pytest
+
+        pytest.skip("fewer than two per-round sweeps committed yet")
+    prev, cur = (json.load(open(p)) for p in snaps[-2:])
+    # comparable = same sf and cpu budget, query present in both
+    assert cur.get("sf") == prev.get("sf") and cur.get("cpus") == prev.get("cpus")
+    regressed = {
+        q: (prev["queries"][q], t)
+        for q, t in cur["queries"].items()
+        if q in prev["queries"]
+        and t > 2 * prev["queries"][q]
+        and t - prev["queries"][q] > 1.0
+    }
+    assert not regressed, f"per-query regressions vs {snaps[-2]}: {regressed}"
+    assert cur["n_failed"] == 0
