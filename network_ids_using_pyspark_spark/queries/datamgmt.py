@@ -1690,10 +1690,12 @@ def q_learned_binning_apply(spark, sf_dir):
     which is exactly what this table is monitored for.
 
     Scale plan: the fit side reduces to {_BIN_N} edge rows (the NTILE
-    runs on the fit period only — that exactness/scale tradeoff is
-    `equidepth_histogram`'s); the apply side joins the broadcast edge
-    relation with a range predicate — a {_BIN_N}-row nested-loop
-    probe, i.e. a map-side CASE in disguise."""
+    runs on the fit period only — the exact gate form;
+    `learned_binning_apply_scaled` in queries/rangescale.py fits the
+    same edges by rank selection with no sort, identical output and
+    shared oracle); the apply side joins the broadcast edge relation
+    with a range predicate — a {_BIN_N}-row nested-loop probe, i.e. a
+    map-side CASE in disguise."""
     o = load_table(spark, sf_dir, "orders")
     from pyspark.sql import Window
 

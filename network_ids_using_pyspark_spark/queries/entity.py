@@ -115,11 +115,12 @@ def q_snm_candidate_pairs(spark, sf_dir):
     LEAD windows: each record pairs with its next {_SNM_W} sorted
     neighbors, so candidate generation is O(n·w) with NO self-join.
 
-    Scale note: the single global sort is the textbook SNM cost; the
-    distributed form range-partitions the sort key and duplicates only
-    each partition's trailing w rows to its successor (constant
-    boundary overlap) — semantics identical, which is why the windowed
-    form is the right contract to certify.  Sort-key skew (many equal
+    Scale note: the single global sort is the textbook SNM cost — the
+    exact gate form.  `snm_candidate_pairs_scaled`
+    (queries/rangescale.py) IS the distributed form: contiguous range
+    buckets, per-bucket LEAD windows, and the constant boundary
+    overlap reconstructed from each bucket's head/tail fringe —
+    identical output, shared oracle.  Sort-key skew (many equal
     balances) is tiebroken by key, keeping the order total."""
     c = load_table(spark, sf_dir, "customer")
     w = Window.orderBy(F.asc("c_acctbal"), F.asc("c_custkey"))

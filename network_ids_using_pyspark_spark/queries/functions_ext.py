@@ -693,13 +693,14 @@ def q_equidepth_histogram(spark, sf_dir):
     the tiebreak makes bucket assignment deterministic, so both
     engines emit identical edges bit-for-bit.
 
-    Scale note: an unpartitioned NTILE is a single-partition sort — the
-    deliberately exact form, correct up to the ~10⁸-row scale where
-    range-partition boundary jobs actually run.  Past that, the
-    engine's KLL-sketch path (`quantile_sketch_check`) computes the
-    same edges approximately with a mergeable map-side sketch; this
-    query is the exact gate those edges are validated against (same
-    pairing as exact vs HLL distinct counts)."""
+    Scale note: an unpartitioned NTILE is a single-partition sort —
+    the deliberately exact form, kept as the certification gate.
+    `equidepth_histogram_scaled` (queries/rangescale.py) computes the
+    IDENTICAL output — same oracle, bit-for-bit — with rank-selected
+    boundary values (operators/rangepart.py histogram narrowing, no
+    sort anywhere) and is the form to run at 100 TB; the KLL-sketch
+    path (`quantile_sketch_check`) remains the approximate
+    alternative where rank tolerance is acceptable."""
     orders = load_table(spark, sf_dir, "orders")
     w = Window.orderBy(F.asc("o_totalprice"), F.asc("o_orderkey"))
     return (

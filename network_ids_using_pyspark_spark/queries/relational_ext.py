@@ -1098,12 +1098,12 @@ def q_pareto_frontier_orders(spark, sf_dir):
     equal-price rows dominate later keys exactly as the oracle does).
 
     Scale note: the global-order window is a single-partition sort —
-    exact-skyline cost.  The distributed form range-partitions on
-    price and runs the same pass per partition with each partition's
-    running max seeded from its upper neighbors' maxima (one tiny
-    boundary exchange); 2-D skylines are alsotypically cut first by a
-    coarse grid filter.  At fixture scale the direct form is the
-    honest baseline."""
+    the exact gate form.  `pareto_frontier_orders_scaled`
+    (queries/rangescale.py) IS the distributed form: contiguous price
+    buckets each run the same pass with their running max seeded from
+    the upper buckets' maxima (one tiny boundary exchange) —
+    identical output, shared oracle.  2-D skylines are also typically
+    cut first by a coarse grid filter."""
     o = load_table(spark, sf_dir, "orders")
     w = (
         Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))

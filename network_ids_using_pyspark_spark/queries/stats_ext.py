@@ -469,9 +469,11 @@ def q_rfm_segment_counts(spark, sf_dir):
     accumulation.
 
     Scale plan: the fact collapses to one row per customer first; the
-    three NTILEs are single-sort windows over the CUSTOMER dimension
-    (range-partitionable like every ranking op here), and the output
-    is ≤125 cells."""
+    three NTILEs are single-sort windows over the CUSTOMER dimension —
+    the exact gate form.  `rfm_segment_counts_scaled`
+    (queries/rangescale.py) replaces them with rank-selected quintile
+    cutpoints + a map-side CASE (identical output, shared oracle, no
+    single-task sort) and is the 100 TB form."""
     o = load_table(spark, sf_dir, "orders")
     mx = o.agg(F.max(F.col("o_orderdate").cast("date")).alias("maxd"))
     base = (
