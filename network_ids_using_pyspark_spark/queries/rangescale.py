@@ -29,6 +29,8 @@ frame on the raw grain.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
@@ -331,3 +333,106 @@ def q_pareto_frontier_orders_scaled(spark, sf_dir):
         F.col("best_date_above").isNull()
         | (F.col("o_orderdate") > F.col("best_date_above"))
     ).select("o_orderkey", "o_totalprice", "o_orderdate")
+
+
+# ---------------------------------------------------------------------------
+# First-class consumers of the rank-selection primitive (not twins):
+# exact tail percentiles and a winsorized mean, the two statistics a
+# 100 TB data-quality pass wants exact but can never afford a global
+# sort for.  Both oracles express the identical rank definitions with
+# window functions — fine for DuckDB at certification scale, which is
+# precisely the asymmetry the primitive exists for.
+# ---------------------------------------------------------------------------
+
+_PCTS = [0.5, 0.9, 0.99, 0.999]
+
+_PCT_SQL = f"""
+WITH ranked AS (
+  SELECT o_totalprice AS v,
+         ROW_NUMBER() OVER (ORDER BY o_totalprice) AS rn,
+         COUNT(*) OVER () AS n
+  FROM orders
+),
+ps AS (SELECT UNNEST(ARRAY{_PCTS}) AS p)
+SELECT ps.p, CAST(r.rn AS BIGINT) AS rk, r.v AS value
+FROM ps JOIN ranked r ON r.rn = CAST(ceil(ps.p * r.n) AS BIGINT)
+"""
+
+
+@register("exact_percentiles_scaled", _PCT_SQL)
+def q_exact_percentiles_scaled(spark, sf_dir):
+    """Exact p50/p90/p99/p99.9 of the order total (value at rank
+    ceil(p·n), the discrete lower quantile) WITHOUT any sort: all four
+    ranks resolve in one shared histogram-narrowing descent.  The
+    exact-tail complement of `quantile_sketch_check` (KLL gives rank
+    tolerance; billing/SLO cutoffs often need the exact order
+    statistic).
+
+    Scale plan: one COUNT + 2-3 map-side-combined histogram passes
+    (≤1024-cell collects) + a ≤4096-row remainder resolve — the corpus
+    is scanned a constant number of times and never shuffled."""
+    o = load_table(spark, sf_dir, "orders").select("o_totalprice")
+    n = o.count()
+    ranks = {p: math.ceil(p * n) for p in _PCTS}
+    vals = exact_rank_select(o, ["o_totalprice"], list(ranks.values()))
+    rows = [(p, ranks[p], vals[ranks[p]][0]) for p in _PCTS]
+    return spark.createDataFrame(rows, "p double, rk long, value double")
+
+
+_WINS_LO, _WINS_HI = 0.01, 0.99
+
+_WINS_SQL = f"""
+WITH ranked AS (
+  SELECT o_totalprice AS v,
+         ROW_NUMBER() OVER (ORDER BY o_totalprice) AS rn,
+         COUNT(*) OVER () AS n
+  FROM orders
+),
+caps AS (
+  SELECT MIN(CASE WHEN rn = CAST(ceil({_WINS_LO} * n) AS BIGINT) THEN v END) AS lo,
+         MIN(CASE WHEN rn = CAST(ceil({_WINS_HI} * n) AS BIGINT) THEN v END) AS hi
+  FROM ranked
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       caps.lo AS cap_lo, caps.hi AS cap_hi,
+       CAST(SUM(CASE WHEN v < caps.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped_lo,
+       CAST(SUM(CASE WHEN v > caps.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped_hi,
+       round(CAST(CAST(SUM(CAST(round(GREATEST(caps.lo, LEAST(caps.hi, v)), 9)
+                                AS DECIMAL(38, 9))) AS VARCHAR) AS DOUBLE)
+             / COUNT(*), 6) AS mean_winsorized
+FROM ranked CROSS JOIN caps
+GROUP BY caps.lo, caps.hi
+"""
+
+
+@register("winsorized_mean_orders", _WINS_SQL)
+def q_winsorized_mean_orders(spark, sf_dir):
+    """Winsorized mean of the order total (caps at the exact p1/p99
+    order statistics, values clamped — the ROBUST mean that keeps n
+    constant where `trimmed_mean_value` deletes): caps rank-selected
+    with no sort, then one map-side clamp + decimal-exact mean, with
+    the clamp counts reported for drift monitoring.
+
+    Scale plan: the caps are two ranks in one narrowing descent; the
+    mean is a single map-side-combined decimal aggregate — two corpus
+    scans total, zero shuffles of data rows."""
+    o = load_table(spark, sf_dir, "orders").select(F.col("o_totalprice").alias("v"))
+    n = o.count()
+    r_lo, r_hi = math.ceil(_WINS_LO * n), math.ceil(_WINS_HI * n)
+    vals = exact_rank_select(o, ["v"], [r_lo, r_hi])
+    lo, hi = vals[r_lo][0], vals[r_hi][0]
+    clamped = F.greatest(F.lit(lo), F.least(F.lit(hi), F.col("v")))
+    return o.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min(F.lit(lo)).alias("cap_lo"),
+        F.min(F.lit(hi)).alias("cap_hi"),
+        F.sum(F.when(F.col("v") < lo, 1).otherwise(0)).cast("long").alias("n_clamped_lo"),
+        F.sum(F.when(F.col("v") > hi, 1).otherwise(0)).cast("long").alias("n_clamped_hi"),
+        F.round(
+            F.sum(F.round(clamped, 9).cast("decimal(38, 9)"))
+            .cast("string")
+            .cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_winsorized"),
+    )

@@ -143,3 +143,33 @@ def test_pareto_scaled_equals_exact_twin(spark):
     a = {tuple(r) for r in _df(spark, "pareto_frontier_orders").collect()}
     b = {tuple(r) for r in _df(spark, "pareto_frontier_orders_scaled").collect()}
     assert a == b
+
+
+def test_exact_percentiles_matches_python(spark):
+    import pyarrow.parquet as pq
+
+    v = sorted(pq.read_table(f"{SF_DIR}/orders.parquet", columns=["o_totalprice"]).column(0).to_pylist())
+    import math as _m
+
+    rows = {r["p"]: r for r in _df(spark, "exact_percentiles_scaled").collect()}
+    n = len(v)
+    for p in (0.5, 0.9, 0.99, 0.999):
+        rk = _m.ceil(p * n)
+        assert rows[p]["rk"] == rk
+        assert rows[p]["value"] == v[rk - 1]
+
+
+def test_winsorized_mean_matches_python(spark):
+    import math as _m
+
+    import pyarrow.parquet as pq
+
+    v = sorted(pq.read_table(f"{SF_DIR}/orders.parquet", columns=["o_totalprice"]).column(0).to_pylist())
+    n = len(v)
+    lo, hi = v[_m.ceil(0.01 * n) - 1], v[_m.ceil(0.99 * n) - 1]
+    mean = sum(min(hi, max(lo, x)) for x in v) / n
+    r = _df(spark, "winsorized_mean_orders").collect()[0]
+    assert (r["n"], r["cap_lo"], r["cap_hi"]) == (n, lo, hi)
+    assert r["n_clamped_lo"] == sum(1 for x in v if x < lo)
+    assert r["n_clamped_hi"] == sum(1 for x in v if x > hi)
+    assert abs(r["mean_winsorized"] - mean) < 1e-4
