@@ -936,9 +936,11 @@ def q_peak_concurrent_sessions(spark, sf_dir):
 
     Scale plan: sessionization is the per-user window; boundary points
     are 2 rows per session; the sweep's global ordered window runs over
-    the SESSION relation (weeks of sessions ≪ events).  Distributed
-    form: range-partition time, per-partition sweeps seeded by the
-    prefix sums of partition deltas — one tiny boundary exchange."""
+    the SESSION relation (weeks of sessions ≪ events) — the exact gate
+    form.  `peak_concurrent_sessions_scaled` (queries/rangescale.py)
+    IS the distributed form: time-bucketed per-partition sweeps seeded
+    by the prefix sums of bucket deltas — identical output, shared
+    oracle."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     t_us = F.unix_micros(F.col("ts"))

@@ -44,6 +44,7 @@ from ..sources.tables import load_table
 from . import register
 from .datamgmt import _BIN_CUT, _BIN_N, _BINNING_SQL
 from .entity import _SNM_SQL, _SNM_T, _SNM_W
+from . import functions_ext as _functions_ext
 from .functions_ext import _ED_BINS, _EQUIDEPTH_SQL
 from .relational_ext import _PARETO_SQL
 from .stats_ext import _RFM_SQL, _STUMP_BINS, _stump_sql, stump_gains_from_bucketed
@@ -435,4 +436,94 @@ def q_winsorized_mean_orders(spark, sf_dir):
             / F.count(F.lit(1)),
             6,
         ).alias("mean_winsorized"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Seventh twin: the sweep-line interval counter.  The exact form's only
+# scale risk is the global ordered running sum over the boundary-point
+# relation; the same bucket + driver-folded-seed machinery as Pareto
+# distributes it exactly.
+# ---------------------------------------------------------------------------
+
+
+@register("peak_concurrent_sessions_scaled", _functions_ext._PEAK_SQL)
+def q_peak_concurrent_sessions_scaled(spark, sf_dir):
+    """`peak_concurrent_sessions` with the sweep's global running sum
+    range-distributed: boundary points (+1 session start, −1 just
+    after end) bucket contiguously on time (pure function of t, so the
+    closings-before-openings tie rule inside a timestamp never splits
+    across buckets), each bucket runs its own cumulative sum seeded by
+    the driver-folded prefix of the per-bucket delta totals — the
+    "tiny boundary exchange" the exact form's docstring promises.
+    Output and oracle identical to the sweep-line gate."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t_us = F.unix_micros(F.col("ts"))
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.lag(t_us).over(w).isNull()
+            | (t_us - F.lag(t_us).over(w) > 1800 * 1000000),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_sess"),
+    )
+    w_cum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    sess = flagged.select(
+        "user_id", "ts", F.sum("new_sess").over(w_cum).alias("sidx")
+    )
+    iv = (
+        sess.groupBy("user_id", "sidx")
+        .agg(
+            F.min(F.unix_micros("ts")).alias("s_us"),
+            F.max(F.unix_micros("ts")).alias("e_us"),
+        )
+        .localCheckpoint(eager=True)  # session relation: feeds pts twice + n
+    )
+    pts = iv.select(F.col("s_us").alias("t"), F.lit(1).alias("delta")).unionByName(
+        iv.select((F.col("e_us") + 1).alias("t"), F.lit(-1).alias("delta"))
+    )
+    lohi = pts.agg(F.min("t").alias("lo"), F.max("t").alias("hi")).collect()[0]
+    bexpr = equiwidth_bucket_expr("t", lohi["lo"], lohi["hi"], _N_BUCKETS)
+    bp = pts.withColumn("bkt", bexpr)
+    bsums = {
+        r["bkt"]: r["s"]
+        for r in bp.groupBy("bkt").agg(F.sum("delta").alias("s")).collect()
+    }
+    seeds, run_total = {}, 0
+    for b in sorted(bsums):
+        seeds[b] = run_total
+        run_total += bsums[b]
+    seed_col = F.lit(0).cast("long")
+    for b, sd in seeds.items():
+        if sd:
+            seed_col = F.when(F.col("bkt") == b, F.lit(sd)).otherwise(seed_col)
+    w_sweep = Window.partitionBy("bkt").orderBy("t", "delta").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    run = bp.select(
+        "t", (F.sum("delta").over(w_sweep) + seed_col).alias("conc")
+    )
+    peak = run.agg(F.max("conc").alias("peak"))
+    n_sessions = iv.agg(F.count(F.lit(1)).alias("n_sessions"))
+    return (
+        run.crossJoin(F.broadcast(peak))
+        .groupBy("peak")
+        .agg(
+            F.min(F.when(F.col("conc") == F.col("peak"), F.col("t"))).alias(
+                "peak_at_us"
+            )
+        )
+        .crossJoin(F.broadcast(n_sessions))
+        .select(
+            F.col("n_sessions").cast("long").alias("n_sessions"),
+            F.col("peak").cast("long").alias("peak_concurrency"),
+            F.col("peak_at_us").cast("long").alias("peak_at_us"),
+        )
     )

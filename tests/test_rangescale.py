@@ -28,6 +28,7 @@ SCALED = [
     "learned_binning_apply_scaled",
     "snm_candidate_pairs_scaled",
     "pareto_frontier_orders_scaled",
+    "peak_concurrent_sessions_scaled",
 ]
 
 # a Window whose child exchange is SinglePartition = the one-task sort
@@ -84,10 +85,20 @@ def test_binning_scaled_broadcast_probe(spark):
 
 
 def test_snm_pareto_windows_are_bucket_partitioned(spark):
-    for name in ("snm_candidate_pairs_scaled", "pareto_frontier_orders_scaled"):
+    for name in (
+        "snm_candidate_pairs_scaled",
+        "pareto_frontier_orders_scaled",
+        "peak_concurrent_sessions_scaled",
+    ):
         plan = explain_str(_df(spark, name), "formatted")
         # the per-bucket window shuffles on bkt, never to one task
         assert "hashpartitioning(bkt" in plan, name
+
+
+def test_peak_scaled_equals_exact_twin(spark):
+    a = [tuple(r) for r in _df(spark, "peak_concurrent_sessions").collect()]
+    b = [tuple(r) for r in _df(spark, "peak_concurrent_sessions_scaled").collect()]
+    assert a == b
 
 
 # ---------------------------------------------------------------------------
