@@ -49,6 +49,8 @@ HEADLINE_QUERIES = [
     "sequence_packing_profile",
     "salted_skew_join_revenue",
     "asof_last_click_before_purchase",
+    "equidepth_histogram_scaled",
+    "rfm_segment_counts_scaled",
 ]
 
 # Overridable so smoke runs (e.g. the bench-contract test's 2-query

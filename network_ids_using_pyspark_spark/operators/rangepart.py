@@ -166,7 +166,14 @@ def equiwidth_bucket_expr(col: str, lo: float, hi: float, nbuckets: int) -> Colu
     """Map-side contiguous bucket id in [0, nbuckets) over a numeric
     column: a pure function of the value, so equal values (window-tie
     groups) never straddle a bucket boundary.  `lo`/`hi` come from one
-    min/max aggregate; degenerate lo==hi collapses to bucket 0."""
+    min/max aggregate; degenerate lo==hi collapses to bucket 0.
+
+    Output exactness of the rangescale twins never depends on WHERE
+    the boundaries fall — any deterministic ordered contiguous
+    partition works — so under value skew the drop-in upgrade is
+    equi-DEPTH boundaries from ``exact_rank_select`` (one extra
+    narrowing descent buys balanced tasks); equi-width is the default
+    because it costs a single min/max aggregate."""
     if hi <= lo:
         return F.lit(0)
     dcol = F.col(col).cast("double")

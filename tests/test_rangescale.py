@@ -184,3 +184,31 @@ def test_winsorized_mean_matches_python(spark):
     assert r["n_clamped_lo"] == sum(1 for x in v if x < lo)
     assert r["n_clamped_hi"] == sum(1 for x in v if x > hi)
     assert abs(r["mean_winsorized"] - mean) < 1e-4
+
+
+def test_exact_rank_select_degenerate_edges(spark):
+    # all-identical values: the tiebreak column resolves the rank
+    df = spark.createDataFrame([(1.0, i) for i in range(10000)], "v double, k long")
+    got = exact_rank_select(df, ["v", "k"], [1, 5000, 10000], bins=8, small=256)
+    assert got[1] == (1.0, 0) and got[5000] == (1.0, 4999) and got[10000] == (1.0, 9999)
+    # all-identical, single column: bounded fallback resolve
+    assert exact_rank_select(df.select("v"), ["v"], [3], bins=8, small=256)[3] == (1.0,)
+    # n smaller than the grid
+    df2 = spark.createDataFrame([(float(x),) for x in [9, 1, 5]], "v double")
+    got = exact_rank_select(df2, ["v"], [1, 2, 3], bins=1024, small=1)
+    assert [got[r][0] for r in (1, 2, 3)] == [1.0, 5.0, 9.0]
+    # extreme magnitudes keep the grid arithmetic finite
+    import random as _random
+
+    rng = _random.Random(7)
+    data = [(rng.choice([-1e300, -1.5, 0.0, 2.5, 1e300]),) for _ in range(5000)]
+    truth = sorted(v for (v,) in data)
+    got = exact_rank_select(
+        spark.createDataFrame(data, "v double"), ["v"], [1, 2500, 5000], bins=16, small=64
+    )
+    assert [got[r][0] for r in (1, 2500, 5000)] == [truth[0], truth[2499], truth[4999]]
+    # rank bounds enforced
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        exact_rank_select(df2, ["v"], [0])
