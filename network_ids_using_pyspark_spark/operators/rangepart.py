@@ -61,6 +61,26 @@ def ntile_boundaries(n: int, k: int) -> list[int]:
     return out
 
 
+def locate_ranks(
+    hist: dict[int, int], pairs: list[tuple[int, int]]
+) -> dict[int, list[tuple[int, int]]]:
+    """Pure rank arithmetic of one narrowing pass: given exact per-bin
+    counts (bins keyed by their ORDER position) and (global_rank,
+    local_rank) targets, return {bin: [(global_rank, rank local to
+    that bin)]} for every bin that contains a target.  Exactness of
+    the whole descent reduces to this function plus exact counting —
+    property-tested off-Spark in tests/test_property.py."""
+    cum = 0
+    needed: dict[int, list[tuple[int, int]]] = {}
+    for b in sorted(hist):
+        c = hist[b]
+        for g, loc in pairs:
+            if cum < loc <= cum + c:
+                needed.setdefault(b, []).append((g, loc - cum))
+        cum += c
+    return needed
+
+
 def _resolve_small(cdf: DataFrame, cols: list[str], pairs, count: int) -> dict:
     """Collect a bounded candidate remainder and read the target local
     ranks off a driver-side sort of the NATIVE column values."""
@@ -140,14 +160,7 @@ def exact_rank_select(
             r["__b"]: r["count"]
             for r in cdf.groupBy(binx.alias("__b")).count().collect()
         }
-        cum = 0
-        needed: dict[int, list] = {}
-        for b in sorted(hist):
-            c = hist[b]
-            for g, loc in pairs:
-                if cum < loc <= cum + c:
-                    needed.setdefault(b, []).append((g, loc - cum))
-            cum += c
+        needed = locate_ranks(hist, pairs)
         per_bin = width / bins
         for b, sub in needed.items():
             # the exact bin predicate re-derives membership; the padded

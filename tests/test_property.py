@@ -54,3 +54,45 @@ def test_grayscale_range_and_length(dims, rnd):
     const = bytes([128] * (w * h * ch))
     gc = to_grayscale(const, ch)
     assert all(abs(v - 128) <= 1 for v in gc)
+
+
+# ---------------------------------------------------------------------------
+# rank-location arithmetic (operators/rangepart.py): the pure kernel
+# the exact-rank-selection descent reduces to.  If this locates every
+# global rank in the right bin with the right local offset for ANY
+# histogram, the distributed selection is exact whenever the per-bin
+# counts are (and Spark's groupBy counts are).
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=50), min_size=1, max_size=40),
+    st.data(),
+)
+def test_locate_ranks_matches_flat_scan(counts, data):
+    from network_ids_using_pyspark_spark.operators.rangepart import locate_ranks
+
+    hist = {b: c for b, c in enumerate(counts) if c > 0}
+    n = sum(hist.values())
+    if n == 0:
+        assert locate_ranks(hist, [(1, 1)]) == {}
+        return
+    ranks = data.draw(
+        st.lists(st.integers(min_value=1, max_value=n), min_size=1, max_size=8)
+    )
+    pairs = [(r, r) for r in sorted(set(ranks))]
+    needed = locate_ranks(hist, pairs)
+    # flat truth: element at global rank r lives in the bin where the
+    # running total first reaches r
+    flat = []
+    for b in sorted(hist):
+        flat.extend([b] * hist[b])
+    located = {g: (b, loc) for b, sub in needed.items() for g, loc in sub}
+    assert set(located) == {r for r, _ in pairs}
+    for g, (b, loc) in located.items():
+        assert flat[g - 1] == b  # right bin
+        # right local offset: loc-th element of bin b is global rank g
+        before = sum(hist[x] for x in hist if x < b)
+        assert before + loc == g
+        assert 1 <= loc <= hist[b]
