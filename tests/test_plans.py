@@ -1178,3 +1178,35 @@ def test_sprt_single_scan_walk(spark):
     plan = explain_str(df, "simple")
     assert plan.count("FileScan parquet") <= 1
     assert "SortMergeJoin" not in plan
+
+
+def test_gopher_and_c4_ride_the_scan(spark):
+    """Both published-rule filters are pure higher-order array
+    expressions: zero shuffles, no joins, no windows — at 100 TB the
+    whole pass pipelines inside the parquet scan stage."""
+    for name in ("gopher_quality_filter", "c4_line_filter_report"):
+        df = _df(spark, name)
+        assert count_shuffles(df) == 0, name
+        plan = explain_str(df, "simple")
+        assert "Join" not in plan and "Window" not in plan, name
+
+
+def test_hits_supersteps_broadcast_topk_no_global_sort(spark):
+    """Each HITS superstep attaches a node-set-sized (dimension-scale)
+    score relation by broadcast, and the final top-k is per-partition
+    heaps — never a sort-merge join or a full global sort."""
+    df = _df(spark, "hits_hub_authority")
+    plan = explain_str(df, "simple")
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_kn_lm_relations_broadcast(spark):
+    """The four KN model relations are vocabulary-bounded and must
+    attach to the scoring pass by broadcast — the corpus is never
+    shuffled on the skewed token key."""
+    df = _df(spark, "kn_bigram_score")
+    plan = explain_str(df, "simple")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan

@@ -1,0 +1,173 @@
+"""First-principles checks for the round-5 quality/graph additions
+(same discipline as test_round5_units.py: the DuckDB oracle mirrors
+each query's algorithm, so these recompute from the raw parquet in
+plain Python — independent of both engines)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import re
+from collections import Counter, defaultdict
+
+import pyarrow.parquet as pq
+
+from network_ids_using_pyspark_spark.queries import REGISTRY
+
+from .conftest import SF_DIR
+
+_WS = re.compile(r"\s+")
+
+
+def _docs():
+    t = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+    return list(zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()))
+
+
+def test_gopher_quality_filter_matches_python(spark):
+    stops = {"the", "be", "to", "of", "and", "that", "have", "with"}
+    expect = {}
+    for doc_id, text in _docs():
+        if doc_id % 7 == 0:
+            text += " ### ## #"
+        if doc_id % 11 == 0:
+            text += " wait... more... hmm..."
+        w = _WS.split(text.strip())
+        n = len(w)
+        mean_wl = sum(len(t) for t in w) / n
+        n_sym = text.count("#") + text.count("...")
+        sym_r = n_sym / n
+        alpha = sum(1 for t in w if re.search("[A-Za-z]", t)) / n
+        n_stop = sum(1 for t in w if t in stops)
+        keep = (
+            50 <= n <= 100000
+            and 3.0 <= mean_wl <= 10.0
+            and sym_r <= 0.1
+            and alpha >= 0.8
+            and n_stop >= 2
+        )
+        expect[doc_id] = (n, mean_wl, sym_r, alpha, n_stop, keep)
+    rows = REGISTRY["gopher_quality_filter"][0](spark, SF_DIR).collect()
+    assert len(rows) == len(expect)
+    for r in rows:
+        n, mean_wl, sym_r, alpha, n_stop, keep = expect[r["doc_id"]]
+        assert r["n_words"] == n
+        assert abs(r["mean_word_len"] - mean_wl) < 1e-12
+        assert abs(r["symbol_word_ratio"] - sym_r) < 1e-12
+        assert abs(r["alpha_word_frac"] - alpha) < 1e-12
+        assert r["n_stopwords"] == n_stop
+        assert r["keep"] == keep
+    # non-vacuity: both decisions must occur
+    kept = {r["keep"] for r in rows}
+    assert kept == {True, False}
+
+
+def test_c4_line_filter_report_matches_python(spark):
+    width = 12
+    expect = {}
+    for doc_id, text in _docs():
+        w = _WS.split(text.strip())
+        nl = math.ceil(len(w) / width)
+        lines = []
+        for i in range(nl):
+            line = " ".join(w[i * width : (i + 1) * width])
+            if (doc_id * 31 + i) % 17 == 0:
+                line += " lorem ipsum"
+            if (doc_id * 13 + i) % 19 == 0:
+                line += " {code}"
+            if (doc_id * 7 + i) % 23 == 0:
+                line += " enable javascript now ok"
+            if (doc_id + i) % 4 != 0:
+                line += "."
+            lines.append(line)
+        kept = [
+            l
+            for l in lines
+            if l.endswith(".") and len(_WS.split(l)) >= 5 and "javascript" not in l
+        ]
+        dropped = (
+            any("lorem ipsum" in l for l in lines)
+            or any("{" in l for l in lines)
+            or len(kept) < 3
+        )
+        expect[doc_id] = (
+            len(lines),
+            len(kept),
+            sum(len(l) for l in kept),
+            dropped,
+            hashlib.md5("\n".join(kept).encode()).hexdigest(),
+        )
+    rows = REGISTRY["c4_line_filter_report"][0](spark, SF_DIR).collect()
+    assert len(rows) == len(expect)
+    for r in rows:
+        nl, nk, nc, dropped, md5 = expect[r["doc_id"]]
+        assert (r["n_lines"], r["n_lines_kept"], r["n_chars_kept"]) == (nl, nk, nc)
+        assert r["doc_dropped"] == dropped
+        assert r["kept_md5"] == md5
+    assert {r["doc_dropped"] for r in rows} == {True, False}
+
+
+def test_hits_hub_authority_matches_python(spark):
+    o = pq.read_table(f"{SF_DIR}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+    li = pq.read_table(f"{SF_DIR}/lineitem.parquet", columns=["l_orderkey", "l_suppkey"])
+    cust_of = dict(
+        zip(o.column("o_orderkey").to_pylist(), o.column("o_custkey").to_pylist())
+    )
+    pairs = set()
+    for ok, sk in zip(
+        li.column("l_orderkey").to_pylist(), li.column("l_suppkey").to_pylist()
+    ):
+        pairs.add((cust_of[ok], sk))
+    auth1 = Counter(s for _, s in pairs)
+    hub1 = defaultdict(int)
+    for c, s in pairs:
+        hub1[c] += auth1[s]
+    auth2 = defaultdict(int)
+    for c, s in pairs:
+        auth2[s] += hub1[c]
+    top_auth = sorted(auth2.items(), key=lambda kv: (-kv[1], kv[0]))[:25]
+    top_hub = sorted(hub1.items(), key=lambda kv: (-kv[1], kv[0]))[:25]
+    rows = REGISTRY["hits_hub_authority"][0](spark, SF_DIR).collect()
+    got_auth = [(r["node"], r["score"]) for r in rows if r["side"] == "supplier"]
+    got_hub = [(r["node"], r["score"]) for r in rows if r["side"] == "customer"]
+    assert got_auth == top_auth
+    assert got_hub == top_hub
+
+
+def test_kn_bigram_score_matches_python(spark):
+    D = 0.75
+    big_by_doc = {}
+    all_bigrams = []
+    for doc_id, text in _docs():
+        w = _WS.split(text.strip())
+        if len(w) < 2:
+            continue
+        bgs = list(zip(w, w[1:]))
+        big_by_doc[doc_id] = bgs
+        all_bigrams.extend(bgs)
+    cb = Counter(all_bigrams)
+    n_ctx = Counter(w1 for w1, _ in all_bigrams)
+    n_follow = defaultdict(set)
+    n_prec = defaultdict(set)
+    for w1, w2 in all_bigrams:
+        n_follow[w1].add(w2)
+        n_prec[w2].add(w1)
+    n_types = len(cb)
+    rows = {
+        r["doc_id"]: r for r in REGISTRY["kn_bigram_score"][0](spark, SF_DIR).collect()
+    }
+    assert set(rows) == set(big_by_doc)
+    for doc_id, bgs in big_by_doc.items():
+        total = 0.0
+        for w1, w2 in bgs:
+            p = (
+                max(cb[(w1, w2)] - D, 0.0)
+                + D * len(n_follow[w1]) * (len(n_prec[w2]) / n_types)
+            ) / n_ctx[w1]
+            total += round(math.log2(p), 6)
+        r = rows[doc_id]
+        assert r["n_bigrams"] == len(bgs)
+        assert abs(r["mean_kn_bits"] - (-total / len(bgs))) < 1e-6
+        # a valid probability: mean bits must be positive (p < 1 for
+        # every bigram in a corpus with >1 context)
+        assert r["mean_kn_bits"] > 0
