@@ -4143,3 +4143,160 @@ def q_sprt_ab_monitor(spark, sf_dir):
             "first_decision_day",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Propensity-weighted causal effect (IPW / Hájek estimator): the
+# observational-data complement to the randomized-experiment readouts
+# (`ab_cuped_readout`, `diff_in_diff_readout`).  The propensity model
+# P(urgent | month, finished) is fitted by the SAME unrolled IRLS as
+# `logreg_irls_exact`, then the treated/control outcome means are
+# reweighted by 1/p and 1/(1-p) — every per-row weight quantized to
+# the 1e-9 grid and DECIMAL-summed, so fit and estimate are bit-exact
+# across engines and partitionings.
+# ---------------------------------------------------------------------------
+
+_IPW_SRC = """
+  SELECT CAST(EXTRACT(month FROM CAST(o_orderdate AS DATE)) AS BIGINT) AS x1,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS x2,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS y,
+         CAST(o_totalprice AS DOUBLE) AS yo
+  FROM orders
+"""
+
+
+def _ipw_sql(iters: int = _IRLS_T) -> str:
+    parts = [f"s AS ({_IPW_SRC})", "b0_ AS (SELECT 0.0 AS b0, 0.0 AS b1, 0.0 AS b2)"]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"r{i} AS (SELECT x1, x2, y, {_IRLS_P} AS p, b0, b1, b2 "
+            f"FROM s CROSS JOIN b{i-1}_)"
+        )
+        parts.append(
+            f"a{i} AS (SELECT ANY_VALUE(b0) AS b0, ANY_VALUE(b1) AS b1, ANY_VALUE(b2) AS b2, "
+            f"{_irls_q9_sum('p * (1.0 - p)')} AS n, "
+            f"{_irls_q9_sum('p * (1.0 - p) * x1')} AS s1, "
+            f"{_irls_q9_sum('p * (1.0 - p) * x2')} AS s2, "
+            f"{_irls_q9_sum('p * (1.0 - p) * x1 * x1')} AS s11, "
+            f"{_irls_q9_sum('p * (1.0 - p) * x1 * x2')} AS s12, "
+            f"{_irls_q9_sum('p * (1.0 - p) * x2 * x2')} AS s22, "
+            f"{_irls_q9_sum('(y - p)')} AS sy, "
+            f"{_irls_q9_sum('(y - p) * x1')} AS s1y, "
+            f"{_irls_q9_sum('(y - p) * x2')} AS s2y "
+            f"FROM r{i})"
+        )
+        parts.append(
+            f"b{i}_ AS (SELECT b0 + {_OLS_B0} AS b0, b1 + {_OLS_B1} AS b1, "
+            f"b2 + {_OLS_B2} AS b2 FROM a{i})"
+        )
+    t = iters
+    parts.append(
+        f"rf AS (SELECT x1, x2, y, yo, {_IRLS_P} AS p FROM s CROSS JOIN b{t}_)"
+    )
+    parts.append(
+        "ipw AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(SUM(y) AS BIGINT) AS n_treated, "
+        + _irls_q9_sum("y / p")
+        + " AS sw_t, "
+        + _irls_q9_sum("y * yo / p")
+        + " AS swy_t, "
+        + _irls_q9_sum("(1 - y) / (1.0 - p)")
+        + " AS sw_c, "
+        + _irls_q9_sum("(1 - y) * yo / (1.0 - p)")
+        + " AS swy_c FROM rf)"
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT i.n, i.n_treated,
+       round(b.b0, 6) AS b_intercept,
+       round(b.b1, 6) AS b_month,
+       round(b.b2, 6) AS b_fstatus,
+       round(i.swy_t / i.sw_t, 6) AS mean_treated_ipw,
+       round(i.swy_c / i.sw_c, 6) AS mean_control_ipw,
+       round(i.swy_t / i.sw_t - i.swy_c / i.sw_c, 6) AS ate_ipw
+FROM b{t}_ b CROSS JOIN ipw i
+"""
+    )
+
+
+@register("propensity_ipw_ate", _ipw_sql())
+def q_propensity_ipw_ate(spark, sf_dir):
+    """Average treatment effect of URGENT priority on order value by
+    inverse-propensity weighting (Horvitz-Thompson weights, Hájek
+    normalization): the propensity P(urgent | month, finished-status)
+    is fitted by three unrolled Newton/IRLS steps (the
+    `logreg_irls_exact` template verbatim), then treated and control
+    means are reweighted by 1/p and 1/(1-p).  The sigmoid's 1e-9 clamp
+    doubles as the standard IPW overlap clamp.
+
+    Scale plan: T+1 map-side-combined fact scans (T Newton steps + one
+    weighted-mean pass) with a 3-coefficient 1-row broadcast between
+    passes — identical shape to `quality_classifier_filter`; nothing
+    driver-side but the 1-row beta."""
+    o = load_table(spark, sf_dir, "orders")
+    to_d = lambda c: c.cast("string").cast("double")  # noqa: E731
+    src = o.select(
+        F.month(F.col("o_orderdate").cast("date")).cast("long").alias("x1"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("x2"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0).alias("y"),
+        F.col("o_totalprice").cast("double").alias("yo"),
+    )
+
+    def q9_sum(term):
+        return to_d(F.sum(F.round(term, 9).cast("decimal(38, 9)")))
+
+    beta = src.sparkSession.range(1).select(
+        F.lit(0.0).alias("b0"), F.lit(0.0).alias("b1"), F.lit(0.0).alias("b2")
+    )
+    p_expr = F.expr(_IRLS_P)
+    for _ in range(_IRLS_T):
+        r = src.crossJoin(F.broadcast(beta)).withColumn("p", p_expr)
+        w = F.col("p") * (1.0 - F.col("p"))
+        resid = F.col("y") - F.col("p")
+        a = r.agg(
+            F.first("b0").alias("b0"),
+            F.first("b1").alias("b1"),
+            F.first("b2").alias("b2"),
+            q9_sum(w).alias("n"),
+            q9_sum(w * F.col("x1")).alias("s1"),
+            q9_sum(w * F.col("x2")).alias("s2"),
+            q9_sum(w * F.col("x1") * F.col("x1")).alias("s11"),
+            q9_sum(w * F.col("x1") * F.col("x2")).alias("s12"),
+            q9_sum(w * F.col("x2") * F.col("x2")).alias("s22"),
+            q9_sum(resid).alias("sy"),
+            q9_sum(resid * F.col("x1")).alias("s1y"),
+            q9_sum(resid * F.col("x2")).alias("s2y"),
+        )
+        beta = a.select(
+            (F.col("b0") + F.expr(_OLS_B0)).alias("b0"),
+            (F.col("b1") + F.expr(_OLS_B1)).alias("b1"),
+            (F.col("b2") + F.expr(_OLS_B2)).alias("b2"),
+        )
+    beta = beta.localCheckpoint(eager=True)
+    rf = src.crossJoin(F.broadcast(beta)).withColumn("p", p_expr)
+    t_col, p_col, yo = F.col("y"), F.col("p"), F.col("yo")
+    agg = rf.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("n_treated"),
+        F.round(F.first("b0"), 6).alias("b_intercept"),
+        F.round(F.first("b1"), 6).alias("b_month"),
+        F.round(F.first("b2"), 6).alias("b_fstatus"),
+        q9_sum(t_col / p_col).alias("sw_t"),
+        q9_sum(t_col * yo / p_col).alias("swy_t"),
+        q9_sum((1 - t_col) / (1.0 - p_col)).alias("sw_c"),
+        q9_sum((1 - t_col) * yo / (1.0 - p_col)).alias("swy_c"),
+    )
+    return agg.select(
+        "n",
+        "n_treated",
+        "b_intercept",
+        "b_month",
+        "b_fstatus",
+        F.round(F.col("swy_t") / F.col("sw_t"), 6).alias("mean_treated_ipw"),
+        F.round(F.col("swy_c") / F.col("sw_c"), 6).alias("mean_control_ipw"),
+        F.round(
+            F.col("swy_t") / F.col("sw_t") - F.col("swy_c") / F.col("sw_c"), 6
+        ).alias("ate_ipw"),
+    )

@@ -1210,3 +1210,13 @@ def test_kn_lm_relations_broadcast(spark):
     plan = explain_str(df, "simple")
     assert plan.count("BroadcastHashJoin") >= 3
     assert "SortMergeJoin" not in plan
+
+
+def test_ipw_final_pass_is_single_scan_broadcast_beta(spark):
+    """The IPW estimate is one fact scan with the fitted 3-coefficient
+    beta attached as a 1-row broadcast (Newton passes already ran at
+    checkpoint time) — no wide joins anywhere."""
+    df = _df(spark, "propensity_ipw_ate")
+    plan = explain_str(df, "simple")
+    assert "SortMergeJoin" not in plan
+    assert plan.count("FileScan parquet") <= 1

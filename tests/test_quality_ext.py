@@ -171,3 +171,46 @@ def test_kn_bigram_score_matches_python(spark):
         # a valid probability: mean bits must be positive (p < 1 for
         # every bigram in a corpus with >1 context)
         assert r["mean_kn_bits"] > 0
+
+
+def test_propensity_ipw_ate_matches_python(spark):
+    o = pq.read_table(
+        f"{SF_DIR}/orders.parquet",
+        columns=["o_orderdate", "o_orderstatus", "o_orderpriority", "o_totalprice"],
+    )
+    x1 = [d.month for d in o.column("o_orderdate").to_pylist()]
+    x2 = [1 if s == "F" else 0 for s in o.column("o_orderstatus").to_pylist()]
+    t = [1 if p == "1-URGENT" else 0 for p in o.column("o_orderpriority").to_pylist()]
+    yo = [float(v) for v in o.column("o_totalprice").to_pylist()]
+    n = len(t)
+    b0 = b1 = b2 = 0.0
+    for _ in range(3):
+        m = [0.0] * 9  # n,s1,s2,s11,s12,s22,sy,s1y,s2y
+        for a, b, y in zip(x1, x2, t):
+            p = min(max(round(1.0 / (1.0 + math.exp(-(b0 + b1 * a + b2 * b))), 9), 1e-9), 1 - 1e-9)
+            w, r = p * (1 - p), y - p
+            m[0] += w; m[1] += w * a; m[2] += w * b
+            m[3] += w * a * a; m[4] += w * a * b; m[5] += w * b * b
+            m[6] += r; m[7] += r * a; m[8] += r * b
+        N, s1, s2, s11, s12, s22, sy, s1y, s2y = m
+        det = N * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2) + s2 * (s1 * s12 - s11 * s2)
+        b0 += (sy * (s11 * s22 - s12 * s12) - s1y * (s1 * s22 - s12 * s2) + s2y * (s1 * s12 - s11 * s2)) / det
+        b1 += (N * (s1y * s22 - s12 * s2y) - s1 * (sy * s22 - s2y * s2) + s2 * (sy * s12 - s1y * s2)) / det
+        b2 += (N * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - sy * s12) + s2 * (s1 * s1y - sy * s11)) / det
+    sw_t = swy_t = sw_c = swy_c = 0.0
+    for a, b, y, v in zip(x1, x2, t, yo):
+        p = min(max(round(1.0 / (1.0 + math.exp(-(b0 + b1 * a + b2 * b))), 9), 1e-9), 1 - 1e-9)
+        if y:
+            sw_t += 1.0 / p
+            swy_t += v / p
+        else:
+            sw_c += 1.0 / (1.0 - p)
+            swy_c += v / (1.0 - p)
+    row = REGISTRY["propensity_ipw_ate"][0](spark, SF_DIR).collect()[0]
+    assert row["n"] == n and row["n_treated"] == sum(t)
+    assert abs(row["b_intercept"] - b0) < 1e-4
+    assert abs(row["b_month"] - b1) < 1e-4
+    assert abs(row["b_fstatus"] - b2) < 1e-4
+    assert abs(row["mean_treated_ipw"] - swy_t / sw_t) < 1.0
+    assert abs(row["mean_control_ipw"] - swy_c / sw_c) < 1.0
+    assert abs(row["ate_ipw"] - (swy_t / sw_t - swy_c / sw_c)) < 1.0
