@@ -1220,3 +1220,15 @@ def test_ipw_final_pass_is_single_scan_broadcast_beta(spark):
     plan = explain_str(df, "simple")
     assert "SortMergeJoin" not in plan
     assert plan.count("FileScan parquet") <= 1
+
+
+def test_geo_grid_join_is_hash_join_never_theta(spark):
+    """The spatial proximity join must run as an equi hash join on the
+    compound cell key (small side exploded 9x and broadcast) — never a
+    cartesian/nested-loop theta join, at any scale."""
+    for name in ("geo_grid_neighbor_pairs", "geo_grid_knn_suppliers"):
+        df = _df(spark, name)
+        plan = explain_str(df, "simple")
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoop" not in plan, name
+        assert plan.count("BroadcastHashJoin") >= 1, name

@@ -214,3 +214,44 @@ def test_propensity_ipw_ate_matches_python(spark):
     assert abs(row["mean_treated_ipw"] - swy_t / sw_t) < 1.0
     assert abs(row["mean_control_ipw"] - swy_c / sw_c) < 1.0
     assert abs(row["ate_ipw"] - (swy_t / sw_t - swy_c / sw_c)) < 1.0
+
+
+def test_geo_grid_neighbor_pairs_matches_bruteforce(spark):
+    """Brute-force all-pairs recompute (the O(n*m) form the grid join
+    exists to avoid) must agree exactly with the bucketed plan."""
+    from network_ids_using_pyspark_spark.queries.geo import _CELL, _R2, _WORLD
+
+    def coord(key, seed):
+        h = int(hashlib.md5(f"{seed}{key}".encode()).hexdigest()[:15], 16)
+        return h % _WORLD
+
+    c = pq.read_table(f"{SF_DIR}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    s = pq.read_table(f"{SF_DIR}/supplier.parquet", columns=["s_suppkey"])
+    n = pq.read_table(f"{SF_DIR}/nation.parquet", columns=["n_nationkey", "n_name"])
+    nname = dict(zip(n.column("n_nationkey").to_pylist(), n.column("n_name").to_pylist()))
+    supp = [
+        (k, coord(k, "geo:sx:"), coord(k, "geo:sy:"))
+        for k in s.column("s_suppkey").to_pylist()
+    ]
+    per_nation = defaultdict(lambda: [0, set(), None])
+    knn = defaultdict(list)
+    for ck, nk in zip(c.column("c_custkey").to_pylist(), c.column("c_nationkey").to_pylist()):
+        cx, cy = coord(ck, "geo:cx:"), coord(ck, "geo:cy:")
+        for sk, sx, sy in supp:
+            d2 = (cx - sx) ** 2 + (cy - sy) ** 2
+            if d2 <= _R2:
+                agg = per_nation[nname[nk]]
+                agg[0] += 1
+                agg[1].add(ck)
+                agg[2] = d2 if agg[2] is None else min(agg[2], d2)
+                knn[ck].append((d2, sk))
+    rows = REGISTRY["geo_grid_neighbor_pairs"][0](spark, SF_DIR).collect()
+    got = {r["n_name"]: (r["n_pairs"], r["n_customers_covered"], r["min_d2"]) for r in rows}
+    want = {k: (v[0], len(v[1]), v[2]) for k, v in per_nation.items()}
+    assert got == want
+    krows = REGISTRY["geo_grid_knn_suppliers"][0](spark, SF_DIR).collect()
+    got_knn = defaultdict(list)
+    for r in sorted(krows, key=lambda r: (r["c_custkey"], r["rnk"])):
+        got_knn[r["c_custkey"]].append((r["d2"], r["s_suppkey"]))
+    want_knn = {ck: sorted(v)[:3] for ck, v in knn.items()}
+    assert dict(got_knn) == want_knn
