@@ -4300,3 +4300,195 @@ def q_propensity_ipw_ate(spark, sf_dir):
             F.col("swy_t") / F.col("sw_t") - F.col("swy_c") / F.col("sw_c"), 6
         ).alias("ate_ipw"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Doubly-robust (AIPW) treatment effect: augments the IPW estimate
+# with per-arm OLS outcome models, so the estimate stays consistent if
+# EITHER the propensity model OR the outcome model is right (Robins,
+# Rotnitzky & Zhao 1994).  Propensity = the `logreg_irls_exact`
+# template; outcome models = the `ols_regression_exact` closed-form
+# template fitted separately on treated and control rows; the
+# augmented per-row term is quantized at 1e-9 and DECIMAL-summed.
+# ---------------------------------------------------------------------------
+
+
+def _aipw_moments_sql(pred: str) -> str:
+    return f"""
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(CAST(SUM(x1) AS VARCHAR) AS DOUBLE) AS s1,
+         CAST(CAST(SUM(x2) AS VARCHAR) AS DOUBLE) AS s2,
+         CAST(CAST(SUM(x1 * x1) AS VARCHAR) AS DOUBLE) AS s11,
+         CAST(CAST(SUM(x1 * x2) AS VARCHAR) AS DOUBLE) AS s12,
+         CAST(CAST(SUM(x2 * x2) AS VARCHAR) AS DOUBLE) AS s22,
+         CAST(CAST(SUM(yd) AS VARCHAR) AS DOUBLE) AS sy,
+         CAST(CAST(SUM(x1 * yd) AS VARCHAR) AS DOUBLE) AS s1y,
+         CAST(CAST(SUM(x2 * yd) AS VARCHAR) AS DOUBLE) AS s2y
+  FROM (SELECT x1, x2, CAST(yo AS DECIMAL(30, 6)) AS yd FROM s WHERE {pred})
+"""
+
+
+_AIPW_DR = (
+    "((a0 + a1 * x1 + a2 * x2) - (c0 + c1 * x1 + c2 * x2)"
+    " + y * (yo - (a0 + a1 * x1 + a2 * x2)) / p"
+    " - (1 - y) * (yo - (c0 + c1 * x1 + c2 * x2)) / (1.0 - p))"
+)
+
+
+def _aipw_sql(iters: int = _IRLS_T) -> str:
+    parts = [f"s AS ({_IPW_SRC})", "b0_ AS (SELECT 0.0 AS b0, 0.0 AS b1, 0.0 AS b2)"]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"r{i} AS (SELECT x1, x2, y, {_IRLS_P} AS p, b0, b1, b2 "
+            f"FROM s CROSS JOIN b{i-1}_)"
+        )
+        parts.append(
+            f"a{i} AS (SELECT ANY_VALUE(b0) AS b0, ANY_VALUE(b1) AS b1, ANY_VALUE(b2) AS b2, "
+            f"{_irls_q9_sum('p * (1.0 - p)')} AS n, "
+            f"{_irls_q9_sum('p * (1.0 - p) * x1')} AS s1, "
+            f"{_irls_q9_sum('p * (1.0 - p) * x2')} AS s2, "
+            f"{_irls_q9_sum('p * (1.0 - p) * x1 * x1')} AS s11, "
+            f"{_irls_q9_sum('p * (1.0 - p) * x1 * x2')} AS s12, "
+            f"{_irls_q9_sum('p * (1.0 - p) * x2 * x2')} AS s22, "
+            f"{_irls_q9_sum('(y - p)')} AS sy, "
+            f"{_irls_q9_sum('(y - p) * x1')} AS s1y, "
+            f"{_irls_q9_sum('(y - p) * x2')} AS s2y "
+            f"FROM r{i})"
+        )
+        parts.append(
+            f"b{i}_ AS (SELECT b0 + {_OLS_B0} AS b0, b1 + {_OLS_B1} AS b1, "
+            f"b2 + {_OLS_B2} AS b2 FROM a{i})"
+        )
+    t = iters
+    parts.append(f"mtm AS ({_aipw_moments_sql('y = 1')})")
+    parts.append(
+        f"mt AS (SELECT {_OLS_B0} AS a0, {_OLS_B1} AS a1, {_OLS_B2} AS a2 FROM mtm)"
+    )
+    parts.append(f"mcm AS ({_aipw_moments_sql('y = 0')})")
+    parts.append(
+        f"mc AS (SELECT {_OLS_B0} AS c0, {_OLS_B1} AS c1, {_OLS_B2} AS c2 FROM mcm)"
+    )
+    parts.append(
+        f"rf AS (SELECT x1, x2, y, yo, {_IRLS_P} AS p, a0, a1, a2, c0, c1, c2 "
+        f"FROM s CROSS JOIN b{t}_ CROSS JOIN mt CROSS JOIN mc)"
+    )
+    parts.append(
+        "fin AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(SUM(y) AS BIGINT) AS n_treated, "
+        "ANY_VALUE(a0) AS a0, ANY_VALUE(c0) AS c0, "
+        + _irls_q9_sum(_AIPW_DR)
+        + " AS sdr FROM rf)"
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT f.n, f.n_treated,
+       round(f.a0, 6) AS mt_intercept,
+       round(f.c0, 6) AS mc_intercept,
+       round(b.b0, 6) AS ps_intercept,
+       round(f.sdr / f.n, 6) AS ate_aipw
+FROM fin f CROSS JOIN b{t}_ b
+"""
+    )
+
+
+@register("aipw_doubly_robust_ate", _aipw_sql())
+def q_aipw_doubly_robust_ate(spark, sf_dir):
+    """Doubly-robust (AIPW) average treatment effect of URGENT
+    priority on order value: the IPW estimate augmented with per-arm
+    OLS outcome models m1/m0(month, finished-status), consistent if
+    either model is correctly specified.  Propensity comes from the
+    `logreg_irls_exact` unrolled-Newton template, the outcome models
+    from the `ols_regression_exact` closed-form template on the
+    treated/control splits, and the per-row augmented term rides the
+    1e-9 DECIMAL grid.
+
+    Scale plan: T Newton scans + ONE grouped-moment scan for both
+    outcome models + one estimation scan, with three 1-row coefficient
+    relations broadcast into the final pass — every pass map-side
+    combined; nothing driver-side but 1-row betas."""
+    o = load_table(spark, sf_dir, "orders")
+    to_d = lambda c: c.cast("string").cast("double")  # noqa: E731
+    src = o.select(
+        F.month(F.col("o_orderdate").cast("date")).cast("long").alias("x1"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("x2"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0).alias("y"),
+        F.col("o_totalprice").cast("double").alias("yo"),
+    )
+
+    def q9_sum(term):
+        return to_d(F.sum(F.round(term, 9).cast("decimal(38, 9)")))
+
+    beta = src.sparkSession.range(1).select(
+        F.lit(0.0).alias("b0"), F.lit(0.0).alias("b1"), F.lit(0.0).alias("b2")
+    )
+    p_expr = F.expr(_IRLS_P)
+    for _ in range(_IRLS_T):
+        r = src.crossJoin(F.broadcast(beta)).withColumn("p", p_expr)
+        w = F.col("p") * (1.0 - F.col("p"))
+        resid = F.col("y") - F.col("p")
+        a = r.agg(
+            F.first("b0").alias("b0"),
+            F.first("b1").alias("b1"),
+            F.first("b2").alias("b2"),
+            q9_sum(w).alias("n"),
+            q9_sum(w * F.col("x1")).alias("s1"),
+            q9_sum(w * F.col("x2")).alias("s2"),
+            q9_sum(w * F.col("x1") * F.col("x1")).alias("s11"),
+            q9_sum(w * F.col("x1") * F.col("x2")).alias("s12"),
+            q9_sum(w * F.col("x2") * F.col("x2")).alias("s22"),
+            q9_sum(resid).alias("sy"),
+            q9_sum(resid * F.col("x1")).alias("s1y"),
+            q9_sum(resid * F.col("x2")).alias("s2y"),
+        )
+        beta = a.select(
+            (F.col("b0") + F.expr(_OLS_B0)).alias("b0"),
+            (F.col("b1") + F.expr(_OLS_B1)).alias("b1"),
+            (F.col("b2") + F.expr(_OLS_B2)).alias("b2"),
+        )
+    beta = beta.localCheckpoint(eager=True)
+
+    def _ols_arm(pred, names):
+        yd = F.col("yo").cast("decimal(30, 6)")
+        m = src.filter(pred).agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            to_d(F.sum("x1")).alias("s1"),
+            to_d(F.sum("x2")).alias("s2"),
+            to_d(F.sum(F.col("x1") * F.col("x1"))).alias("s11"),
+            to_d(F.sum(F.col("x1") * F.col("x2"))).alias("s12"),
+            to_d(F.sum(F.col("x2") * F.col("x2"))).alias("s22"),
+            to_d(F.sum(yd)).alias("sy"),
+            to_d(F.sum(F.col("x1") * yd)).alias("s1y"),
+            to_d(F.sum(F.col("x2") * yd)).alias("s2y"),
+        )
+        return m.select(
+            F.expr(_OLS_B0).alias(names[0]),
+            F.expr(_OLS_B1).alias(names[1]),
+            F.expr(_OLS_B2).alias(names[2]),
+        ).localCheckpoint(eager=True)
+
+    mt = _ols_arm(F.col("y") == 1, ("a0", "a1", "a2"))
+    mc = _ols_arm(F.col("y") == 0, ("c0", "c1", "c2"))
+    rf = (
+        src.crossJoin(F.broadcast(beta))
+        .withColumn("p", p_expr)
+        .crossJoin(F.broadcast(mt))
+        .crossJoin(F.broadcast(mc))
+    )
+    fin = rf.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("n_treated"),
+        F.round(F.first("a0"), 6).alias("mt_intercept"),
+        F.round(F.first("c0"), 6).alias("mc_intercept"),
+        F.round(F.first("b0"), 6).alias("ps_intercept"),
+        q9_sum(F.expr(_AIPW_DR)).alias("sdr"),
+    )
+    return fin.select(
+        "n",
+        "n_treated",
+        "mt_intercept",
+        "mc_intercept",
+        "ps_intercept",
+        F.round(F.col("sdr") / F.col("n"), 6).alias("ate_aipw"),
+    )

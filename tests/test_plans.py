@@ -1232,3 +1232,21 @@ def test_geo_grid_join_is_hash_join_never_theta(spark):
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoop" not in plan, name
         assert plan.count("BroadcastHashJoin") >= 1, name
+
+
+def test_aipw_final_pass_is_single_scan_broadcast_models(spark):
+    """AIPW estimation = one fact scan with three 1-row coefficient
+    relations (propensity beta + two outcome models) broadcast in."""
+    df = _df(spark, "aipw_doubly_robust_ate")
+    plan = explain_str(df, "simple")
+    assert "SortMergeJoin" not in plan
+    assert plan.count("FileScan parquet") <= 1
+
+
+def test_shapley_coalition_side_all_broadcast(spark):
+    """Everything past the one fact pass lives on the 16-row coalition
+    relation: no sort-merge join, no unbounded cartesian anywhere."""
+    df = _df(spark, "shapley_channel_attribution")
+    plan = explain_str(df, "simple")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -255,3 +255,183 @@ def test_geo_grid_neighbor_pairs_matches_bruteforce(spark):
         got_knn[r["c_custkey"]].append((r["d2"], r["s_suppkey"]))
     want_knn = {ck: sorted(v)[:3] for ck, v in knn.items()}
     assert dict(got_knn) == want_knn
+
+
+def test_aipw_matches_python(spark):
+    o = pq.read_table(
+        f"{SF_DIR}/orders.parquet",
+        columns=["o_orderdate", "o_orderstatus", "o_orderpriority", "o_totalprice"],
+    )
+    x1 = [d.month for d in o.column("o_orderdate").to_pylist()]
+    x2 = [1 if s == "F" else 0 for s in o.column("o_orderstatus").to_pylist()]
+    t = [1 if p == "1-URGENT" else 0 for p in o.column("o_orderpriority").to_pylist()]
+    yo = [float(v) for v in o.column("o_totalprice").to_pylist()]
+    b0 = b1 = b2 = 0.0
+    for _ in range(3):
+        m = [0.0] * 9
+        for a, b, y in zip(x1, x2, t):
+            p = min(max(round(1.0 / (1.0 + math.exp(-(b0 + b1 * a + b2 * b))), 9), 1e-9), 1 - 1e-9)
+            w, r = p * (1 - p), y - p
+            m[0] += w; m[1] += w * a; m[2] += w * b
+            m[3] += w * a * a; m[4] += w * a * b; m[5] += w * b * b
+            m[6] += r; m[7] += r * a; m[8] += r * b
+        N, s1, s2, s11, s12, s22, sy, s1y, s2y = m
+        det = N * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2) + s2 * (s1 * s12 - s11 * s2)
+        b0 += (sy * (s11 * s22 - s12 * s12) - s1y * (s1 * s22 - s12 * s2) + s2y * (s1 * s12 - s11 * s2)) / det
+        b1 += (N * (s1y * s22 - s12 * s2y) - s1 * (sy * s22 - s2y * s2) + s2 * (sy * s12 - s1y * s2)) / det
+        b2 += (N * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - sy * s12) + s2 * (s1 * s1y - sy * s11)) / det
+
+    def ols(sel):
+        N = s1 = s2 = s11 = s12 = s22 = sy = s1y = s2y = 0.0
+        for a, b, y, keep in zip(x1, x2, yo, sel):
+            if not keep:
+                continue
+            N += 1; s1 += a; s2 += b; s11 += a * a; s12 += a * b; s22 += b * b
+            sy += y; s1y += a * y; s2y += b * y
+        det = N * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2) + s2 * (s1 * s12 - s11 * s2)
+        return (
+            (sy * (s11 * s22 - s12 * s12) - s1y * (s1 * s22 - s12 * s2) + s2y * (s1 * s12 - s11 * s2)) / det,
+            (N * (s1y * s22 - s12 * s2y) - s1 * (sy * s22 - s2y * s2) + s2 * (sy * s12 - s1y * s2)) / det,
+            (N * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - sy * s12) + s2 * (s1 * s1y - sy * s11)) / det,
+        )
+
+    a0, a1, a2 = ols([y == 1 for y in t])
+    c0, c1, c2 = ols([y == 0 for y in t])
+    sdr = 0.0
+    for a, b, y, v in zip(x1, x2, t, yo):
+        p = min(max(round(1.0 / (1.0 + math.exp(-(b0 + b1 * a + b2 * b))), 9), 1e-9), 1 - 1e-9)
+        m1 = a0 + a1 * a + a2 * b
+        m0 = c0 + c1 * a + c2 * b
+        sdr += (m1 - m0) + y * (v - m1) / p - (1 - y) * (v - m0) / (1.0 - p)
+    row = REGISTRY["aipw_doubly_robust_ate"][0](spark, SF_DIR).collect()[0]
+    assert row["n"] == len(t) and row["n_treated"] == sum(t)
+    assert abs(row["mt_intercept"] - a0) < 1e-3
+    assert abs(row["mc_intercept"] - c0) < 1e-3
+    assert abs(row["ps_intercept"] - b0) < 1e-4
+    assert abs(row["ate_aipw"] - sdr / len(t)) < 1.0
+
+
+def _journeys():
+    """Per-user event journeys truncated at the first purchase."""
+    t = pq.read_table(
+        f"{SF_DIR}/events.parquet", columns=["user_id", "ts", "event_id", "event_type"]
+    )
+    by_user = defaultdict(list)
+    for u, ts, eid, et in zip(
+        t.column("user_id").to_pylist(),
+        t.column("ts").to_pylist(),
+        t.column("event_id").to_pylist(),
+        t.column("event_type").to_pylist(),
+    ):
+        by_user[u].append((ts, eid, et))
+    out = {}
+    for u, evs in by_user.items():
+        evs.sort()
+        kept = []
+        for _, _, et in evs:
+            kept.append(et)
+            if et == "purchase":
+                break
+        out[u] = kept
+    return out
+
+
+def test_shapley_attribution_matches_python(spark):
+    channels = ["click", "error", "signup", "view"]
+    bits = {c: 1 << i for i, c in enumerate(channels)}
+    conv_by_mask = Counter()
+    users_touched = Counter()
+    conv_touched = Counter()
+    for kept in _journeys().values():
+        conv = 1 if kept[-1] == "purchase" else 0
+        mask = 0
+        for et in kept:
+            mask |= bits.get(et, 0)
+        conv_by_mask[mask] += conv
+        for c, b in bits.items():
+            if mask & b:
+                users_touched[c] += 1
+                conv_touched[c] += conv
+    v = {
+        s: sum(n for m, n in conv_by_mask.items() if (m & s) == m)
+        for s in range(16)
+    }
+    w = {0: 6, 1: 2, 2: 2, 3: 6}
+    tot = v[15] - v[0]
+    rows = {
+        r["channel"]: r
+        for r in REGISTRY["shapley_channel_attribution"][0](spark, SF_DIR).collect()
+    }
+    assert set(rows) == set(channels)
+    phi_sum = 0.0
+    for c, b in bits.items():
+        phi_num = sum(
+            w[bin(s).count("1")] * (v[s | b] - v[s])
+            for s in range(16)
+            if not (s & b)
+        )
+        r = rows[c]
+        assert r["users_touched"] == users_touched[c]
+        assert r["conv_touched"] == conv_touched[c]
+        assert abs(r["shapley_conversions"] - phi_num / 24.0) < 1e-6
+        assert abs(r["shapley_share"] - phi_num / (24.0 * tot)) < 1e-6
+        phi_sum += r["shapley_conversions"]
+    # efficiency property: Shapley values sum to v(N) - v(empty)
+    assert abs(phi_sum - tot) < 1e-4
+
+
+def test_markov_attribution_matches_python(spark):
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q9 = Decimal("0.000000001")
+
+    def d9(x: float) -> Decimal:
+        return Decimal(repr(x)).quantize(q9, rounding=ROUND_HALF_UP)
+
+    channels = ["click", "error", "signup", "view"]
+    trans = Counter()
+    for kept in _journeys().values():
+        prev = "start"
+        for et in kept:
+            dst = "conv" if et == "purchase" else et
+            trans[(prev, dst)] += 1
+            prev = dst
+        if prev != "conv":
+            trans[(prev, "null")] += 1
+    src_tot = Counter()
+    for (s, _), n in trans.items():
+        src_tot[s] += n
+    pm = {(s, d): n / src_tot[s] for (s, d), n in trans.items()}
+    pm[("conv", "conv")] = 1.0
+    pm[("null", "null")] = 1.0
+
+    def absorb(mat):
+        vec = {"start": 1.0}
+        for _ in range(16):
+            nxt = defaultdict(Decimal)
+            for (s, d), p in mat.items():
+                if s in vec:
+                    nxt[d] += d9(vec[s] * p)
+            vec = {d: float(x) for d, x in nxt.items()}
+        return vec.get("conv", 0.0)
+
+    p_base = absorb(pm)
+    re = {}
+    for c in channels:
+        mat = defaultdict(float)
+        for (s, d), p in pm.items():
+            if s == c:
+                continue
+            mat[(s, "null" if d == c else d)] += p
+        re[c] = round(1.0 - absorb(dict(mat)) / p_base, 9)
+    re_sum = float(sum(d9(x) for x in re.values()))
+    rows = {
+        r["channel"]: r
+        for r in REGISTRY["markov_attribution_removal"][0](spark, SF_DIR).collect()
+    }
+    assert set(rows) == set(channels)
+    for c in channels:
+        r = rows[c]
+        assert abs(r["p_conv_base"] - p_base) < 1e-6
+        assert abs(r["removal_effect"] - re[c]) < 1e-6
+        assert abs(r["attribution_share"] - re[c] / re_sum) < 1e-6
