@@ -67,6 +67,7 @@ from . import rangescale  # noqa: E402,F401
 from . import quality_ext  # noqa: E402,F401
 from . import geo  # noqa: E402,F401
 from . import attribution  # noqa: E402,F401
+from . import causal_ext  # noqa: E402,F401
 
 
 # The driver's correctness gate covers the FIRST 50 registry entries

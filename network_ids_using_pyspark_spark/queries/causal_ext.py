@@ -1,0 +1,412 @@
+"""Second causal-inference batch: regression discontinuity, T-learner
+uplift, and coarsened exact matching.
+
+Extends the causal family (`propensity_ipw_ate`, `aipw_doubly_robust_ate`,
+`diff_in_diff_readout`, `ab_cuped_readout`) with three estimators a
+growth/experimentation platform runs daily:
+
+- sharp regression discontinuity (Imbens & Lemieux 2008): local-linear
+  fits on both sides of a running-variable cutoff, effect = intercept
+  jump at the cutoff;
+- T-learner uplift by segment (Künzel et al. 2019): per-arm outcome
+  models, predicted uplift compared to the actual per-cell treatment
+  contrast;
+- coarsened exact matching ATT (Iacus, King & Porro 2012): exact
+  matching on coarsened covariate strata with CEM weights.
+
+Cross-engine discipline follows the `ols_regression_exact` /
+`logreg_irls_exact` templates: integer/decimal moments accumulate
+EXACTLY; any double per-row term with group fan-in > 2 is quantized to
+the 1e-9 grid and DECIMAL-summed; closed-form solves are generated
+from one shared expression template so the engine and the oracle can
+never drift apart.
+
+Scale notes (100 TB bar): every estimator here is one or two map-side
+combined aggregates over the fact scan plus arithmetic on tiny
+(≤ |strata|) relations broadcast back — no global windows, no joins on
+the fact grain, nothing driver-side but 1-row coefficient relations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from . import register
+from .stats_ext import _irls_q9_sum
+
+
+def _ols3(p: str) -> tuple[str, str, str]:
+    """Prefix-parameterized 3x3 normal-equation solve over moments
+    {p}n, {p}s1, {p}s2, {p}s11, {p}s12, {p}s22, {p}sy, {p}s1y, {p}s2y.
+    With p='' this reproduces stats_ext._OLS_B0/B1/B2 byte-for-byte
+    (asserted by tests/test_causal_ext.py), so both engines and every
+    consumer share ONE expression tree."""
+    det = (
+        f"({p}n * ({p}s11 * {p}s22 - {p}s12 * {p}s12)"
+        f" - {p}s1 * ({p}s1 * {p}s22 - {p}s12 * {p}s2)"
+        f" + {p}s2 * ({p}s1 * {p}s12 - {p}s11 * {p}s2))"
+    )
+    b0 = (
+        f"(({p}sy * ({p}s11 * {p}s22 - {p}s12 * {p}s12)"
+        f" - {p}s1y * ({p}s1 * {p}s22 - {p}s12 * {p}s2)"
+        f" + {p}s2y * ({p}s1 * {p}s12 - {p}s11 * {p}s2)) / {det})"
+    )
+    b1 = (
+        f"(({p}n * ({p}s1y * {p}s22 - {p}s12 * {p}s2y)"
+        f" - {p}s1 * ({p}sy * {p}s22 - {p}s2y * {p}s2)"
+        f" + {p}s2 * ({p}sy * {p}s12 - {p}s1y * {p}s2)) / {det})"
+    )
+    b2 = (
+        f"(({p}n * ({p}s11 * {p}s2y - {p}s1y * {p}s12)"
+        f" - {p}s1 * ({p}s1 * {p}s2y - {p}sy * {p}s12)"
+        f" + {p}s2 * ({p}s1 * {p}s1y - {p}sy * {p}s11)) / {det})"
+    )
+    return b0, b1, b2
+
+# ---------------------------------------------------------------------------
+# Sharp regression discontinuity: P(urgent) on order value around a
+# fixed cutoff.  Running variable u = (o_totalprice - C) / H is a
+# single IEEE division (identical on both engines); within the
+# bandwidth |u| <= 1 each side gets a local-linear fit y ~ b0 + b1*u
+# by the closed-form 2x2 solve; the discontinuity is the intercept
+# jump at u = 0.
+# ---------------------------------------------------------------------------
+
+_RDD_CUT = 250000.0  # cutoff on o_totalprice (config)
+_RDD_BW = 100000.0  # uniform-kernel bandwidth (config)
+
+# 2x2 normal-equation solve over PREFIXED moments (the same template
+# instantiates the left/right side on both engines): columns
+# {p}_n, {p}_s1, {p}_s11, {p}_sy, {p}_s1y solve
+# [[n, s1], [s1, s11]] beta = [sy, s1y].
+
+
+def _ll_det(p: str) -> str:
+    return f"({p}_n * {p}_s11 - {p}_s1 * {p}_s1)"
+
+
+def _ll_b0(p: str) -> str:
+    return f"(({p}_sy * {p}_s11 - {p}_s1y * {p}_s1) / {_ll_det(p)})"
+
+
+def _ll_b1(p: str) -> str:
+    return f"(({p}_n * {p}_s1y - {p}_s1 * {p}_sy) / {_ll_det(p)})"
+
+
+def _rdd_sql() -> str:
+    def side(tag: str, pred: str) -> str:
+        only = lambda t: f"CASE WHEN {pred} THEN {t} END"  # noqa: E731
+        return (
+            f"SUM(CASE WHEN {pred} THEN 1 ELSE 0 END) * 1.0 AS {tag}_n,\n"
+            f"  {_irls_q9_sum(only('u'))} AS {tag}_s1,\n"
+            f"  {_irls_q9_sum(only('u * u'))} AS {tag}_s11,\n"
+            f"  CAST(CAST(SUM({only('y')}) AS VARCHAR) AS DOUBLE) AS {tag}_sy,\n"
+            f"  {_irls_q9_sum(only('u * y'))} AS {tag}_s1y"
+        )
+
+    return f"""
+WITH u AS (
+  SELECT (CAST(o_totalprice AS DOUBLE) - {_RDD_CUT}) / {_RDD_BW} AS u,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS y
+  FROM orders
+  WHERE abs((CAST(o_totalprice AS DOUBLE) - {_RDD_CUT}) / {_RDD_BW}) <= 1.0
+),
+m AS (
+  SELECT {side('l', 'u < 0')},
+  {side('r', 'u >= 0')}
+  FROM u
+)
+SELECT CAST(l_n AS BIGINT) AS n_left,
+       CAST(r_n AS BIGINT) AS n_right,
+       round({_ll_b0('l')}, 6) AS y_left_at_cut,
+       round({_ll_b0('r')}, 6) AS y_right_at_cut,
+       round({_ll_b1('r')} - {_ll_b1('l')}, 6) AS slope_change,
+       round({_ll_b0('r')} - {_ll_b0('l')}, 6) AS rdd_effect
+FROM m
+"""
+
+
+@register("rdd_cutoff_effect", _rdd_sql())
+def q_rdd_cutoff_effect(spark, sf_dir):
+    """Sharp regression discontinuity of URGENT-priority probability
+    at a fixed order-value cutoff: local-linear fits (uniform kernel,
+    bandwidth H) on both sides of u = (o_totalprice - C)/H, effect =
+    the intercept jump at u = 0 (Imbens & Lemieux 2008).  u is one
+    IEEE division so it is bit-identical across engines; the moment
+    sums u, u², u·y ride the 1e-9 DECIMAL grid; both sides solve the
+    SAME closed-form 2×2 template.
+
+    Scale plan: the bandwidth predicate is pushed into the parquet
+    scan (only |u| ≤ 1 rows survive the filter), both side fits come
+    from ONE map-side combined aggregate with conditional sums, and
+    everything after lives on a 1-row relation."""
+    o = load_table(spark, sf_dir, "orders")
+    to_d = lambda c: c.cast("string").cast("double")  # noqa: E731
+    u = (
+        o.select(
+            ((F.col("o_totalprice").cast("double") - _RDD_CUT) / _RDD_BW).alias("u"),
+            F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0).alias("y"),
+        )
+        .filter(F.abs(F.col("u")) <= 1.0)
+        .withColumn("side", F.when(F.col("u") < 0, F.lit("l")).otherwise(F.lit("r")))
+    )
+
+    def q9_sum(term):
+        return to_d(F.sum(F.round(term, 9).cast("decimal(38, 9)")))
+
+    def side_agg(tag):
+        only = lambda t: F.when(F.col("side") == tag, t)  # noqa: E731
+        return [
+            F.count(only(F.lit(1))).cast("double").alias(f"{tag}_n"),
+            q9_sum(only(F.col("u"))).alias(f"{tag}_s1"),
+            q9_sum(only(F.col("u") * F.col("u"))).alias(f"{tag}_s11"),
+            to_d(F.sum(only(F.col("y")))).alias(f"{tag}_sy"),
+            q9_sum(only(F.col("u") * F.col("y"))).alias(f"{tag}_s1y"),
+        ]
+
+    m = u.agg(*(side_agg("l") + side_agg("r")))
+    return m.select(
+        F.col("l_n").cast("long").alias("n_left"),
+        F.col("r_n").cast("long").alias("n_right"),
+        F.round(F.expr(_ll_b0("l")), 6).alias("y_left_at_cut"),
+        F.round(F.expr(_ll_b0("r")), 6).alias("y_right_at_cut"),
+        F.round(F.expr(_ll_b1("r")) - F.expr(_ll_b1("l")), 6).alias("slope_change"),
+        F.round(F.expr(_ll_b0("r")) - F.expr(_ll_b0("l")), 6).alias("rdd_effect"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# T-learner uplift by segment: per-arm OLS outcome models on
+# (month, finished-status), then the 24-cell segment grid compares the
+# model's predicted uplift against the actual per-cell contrast.
+# Features are small integers and y is decimal, so every moment is
+# EXACT (the `ols_regression_exact` discipline) — no quantization at
+# all in this query.
+# ---------------------------------------------------------------------------
+
+_TL_SRC = """
+  SELECT CAST(EXTRACT(month FROM CAST(o_orderdate AS DATE)) AS BIGINT) AS x1,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS x2,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS t,
+         CAST(o_totalprice AS DECIMAL(30, 6)) AS y
+  FROM orders
+"""
+
+
+def _tl_arm_sql(arm: int) -> str:
+    return f"""
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(CAST(SUM(x1) AS VARCHAR) AS DOUBLE) AS s1,
+         CAST(CAST(SUM(x2) AS VARCHAR) AS DOUBLE) AS s2,
+         CAST(CAST(SUM(x1 * x1) AS VARCHAR) AS DOUBLE) AS s11,
+         CAST(CAST(SUM(x1 * x2) AS VARCHAR) AS DOUBLE) AS s12,
+         CAST(CAST(SUM(x2 * x2) AS VARCHAR) AS DOUBLE) AS s22,
+         CAST(CAST(SUM(y) AS VARCHAR) AS DOUBLE) AS sy,
+         CAST(CAST(SUM(x1 * y) AS VARCHAR) AS DOUBLE) AS s1y,
+         CAST(CAST(SUM(x2 * y) AS VARCHAR) AS DOUBLE) AS s2y
+  FROM s WHERE t = {arm}
+"""
+
+
+_TL_SQL = f"""
+WITH s AS ({_TL_SRC}),
+mt_ AS ({_tl_arm_sql(1)}),
+mt AS (SELECT {_ols3('')[0]} AS a0, {_ols3('')[1]} AS a1, {_ols3('')[2]} AS a2 FROM mt_),
+mc_ AS ({_tl_arm_sql(0)}),
+mc AS (SELECT {_ols3('')[0]} AS c0, {_ols3('')[1]} AS c1, {_ols3('')[2]} AS c2 FROM mc_),
+cells AS (
+  SELECT x1, x2,
+         CAST(SUM(t) AS BIGINT) AS n_t,
+         CAST(SUM(1 - t) AS BIGINT) AS n_c,
+         CAST(CAST(SUM(CASE WHEN t = 1 THEN y END) AS VARCHAR) AS DOUBLE) AS sy_t,
+         CAST(CAST(SUM(CASE WHEN t = 0 THEN y END) AS VARCHAR) AS DOUBLE) AS sy_c
+  FROM s GROUP BY x1, x2
+)
+SELECT x1 AS month, x2 AS finished, n_t, n_c,
+       round((a0 - c0) + (a1 - c1) * x1 + (a2 - c2) * x2, 6) AS uplift_pred,
+       round(sy_t / n_t - sy_c / n_c, 6) AS uplift_actual
+FROM cells CROSS JOIN mt CROSS JOIN mc
+WHERE n_t > 0 AND n_c > 0
+ORDER BY month, finished
+"""
+
+
+@register("uplift_tlearner_segments", _TL_SQL)
+def q_uplift_tlearner_segments(spark, sf_dir):
+    """T-learner uplift audit (Künzel et al. 2019): fit separate OLS
+    outcome models on the treated (URGENT) and control arms over
+    (order month, finished-status), predict per-segment uplift
+    m1(x) - m0(x) on the 24-cell segment grid, and compare against the
+    ACTUAL per-cell treatment contrast — the standard check that a
+    heterogeneous-effect model's segments are real.  Integer features
+    + decimal y make every moment exact; the closed-form solve shares
+    the `ols_regression_exact` adjugate template.
+
+    Scale plan: ONE fact scan computes both arms' moments with
+    conditional sums, a second grouped aggregate builds the ≤24-cell
+    grid (map-side combined on the tiny (month, status) key), and the
+    two 1-row coefficient relations broadcast onto the grid.  No
+    windows, no fact-grain joins."""
+    o = load_table(spark, sf_dir, "orders")
+    to_d = lambda c: c.cast("string").cast("double")  # noqa: E731
+    src = o.select(
+        F.month(F.col("o_orderdate").cast("date")).cast("long").alias("x1"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("x2"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0).alias("t"),
+        F.col("o_totalprice").cast("decimal(30, 6)").alias("y"),
+    )
+
+    def arm_moments(arm, p):
+        only = lambda t: F.when(F.col("t") == arm, t)  # noqa: E731
+        return [
+            F.count(only(F.lit(1))).cast("double").alias(f"{p}n"),
+            to_d(F.sum(only(F.col("x1")))).alias(f"{p}s1"),
+            to_d(F.sum(only(F.col("x2")))).alias(f"{p}s2"),
+            to_d(F.sum(only(F.col("x1") * F.col("x1")))).alias(f"{p}s11"),
+            to_d(F.sum(only(F.col("x1") * F.col("x2")))).alias(f"{p}s12"),
+            to_d(F.sum(only(F.col("x2") * F.col("x2")))).alias(f"{p}s22"),
+            to_d(F.sum(only(F.col("y")))).alias(f"{p}sy"),
+            to_d(F.sum(only(F.col("x1") * F.col("y")))).alias(f"{p}s1y"),
+            to_d(F.sum(only(F.col("x2") * F.col("y")))).alias(f"{p}s2y"),
+        ]
+
+    tb0, tb1, tb2 = _ols3("t_")
+    cb0, cb1, cb2 = _ols3("c_")
+    coef = src.agg(*(arm_moments(1, "t_") + arm_moments(0, "c_"))).select(
+        F.expr(tb0).alias("a0"),
+        F.expr(tb1).alias("a1"),
+        F.expr(tb2).alias("a2"),
+        F.expr(cb0).alias("c0"),
+        F.expr(cb1).alias("c1"),
+        F.expr(cb2).alias("c2"),
+    )
+    cells = src.groupBy("x1", "x2").agg(
+        F.sum("t").cast("long").alias("n_t"),
+        F.sum(1 - F.col("t")).cast("long").alias("n_c"),
+        to_d(F.sum(F.when(F.col("t") == 1, F.col("y")))).alias("sy_t"),
+        to_d(F.sum(F.when(F.col("t") == 0, F.col("y")))).alias("sy_c"),
+    )
+    return (
+        cells.filter((F.col("n_t") > 0) & (F.col("n_c") > 0))
+        .crossJoin(F.broadcast(coef))
+        .select(
+            F.col("x1").alias("month"),
+            F.col("x2").alias("finished"),
+            "n_t",
+            "n_c",
+            F.round(
+                (F.col("a0") - F.col("c0"))
+                + (F.col("a1") - F.col("c1")) * F.col("x1")
+                + (F.col("a2") - F.col("c2")) * F.col("x2"),
+                6,
+            ).alias("uplift_pred"),
+            F.round(
+                F.col("sy_t") / F.col("n_t") - F.col("sy_c") / F.col("n_c"), 6
+            ).alias("uplift_actual"),
+        )
+        .orderBy("month", "finished")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Coarsened exact matching ATT: coarsen covariates to (month,
+# finished-status) strata, keep strata populated on BOTH arms, weight
+# each matched-stratum control group by m_t_s / m_c_s, and read the
+# ATT off the weighted contrast (Iacus, King & Porro 2012).
+# ---------------------------------------------------------------------------
+
+_CEM_SQL = f"""
+WITH s AS ({_TL_SRC}),
+strata AS (
+  SELECT x1, x2,
+         CAST(SUM(t) AS BIGINT) AS m_t,
+         CAST(SUM(1 - t) AS BIGINT) AS m_c,
+         CAST(CAST(SUM(CASE WHEN t = 1 THEN y END) AS VARCHAR) AS DOUBLE) AS sy_t,
+         CAST(CAST(SUM(CASE WHEN t = 0 THEN y END) AS VARCHAR) AS DOUBLE) AS sy_c
+  FROM s GROUP BY x1, x2
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_strata_total,
+         CAST(SUM(CASE WHEN m_t > 0 AND m_c > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_strata_matched,
+         CAST(SUM(CASE WHEN m_t > 0 AND m_c > 0 THEN m_t ELSE 0 END) AS BIGINT)
+           AS n_treated_matched,
+         CAST(SUM(CASE WHEN m_t > 0 AND m_c > 0 THEN m_c ELSE 0 END) AS BIGINT)
+           AS n_control_matched,
+         CAST(CAST(SUM(CASE WHEN m_t > 0 AND m_c > 0
+                            THEN CAST(sy_t AS DECIMAL(38, 9)) END) AS VARCHAR)
+              AS DOUBLE) AS sum_y_t,
+         {_irls_q9_sum(
+             "CASE WHEN m_t > 0 AND m_c > 0 "
+             "THEN (CAST(m_t AS DOUBLE) / CAST(m_c AS DOUBLE)) * sy_c END"
+         )} AS sum_wy_c
+  FROM strata
+)
+SELECT n_strata_total, n_strata_matched, n_treated_matched, n_control_matched,
+       round(sum_y_t / n_treated_matched - sum_wy_c / n_treated_matched, 6)
+         AS att_cem
+FROM agg
+"""
+
+
+@register("cem_matching_att", _CEM_SQL)
+def q_cem_matching_att(spark, sf_dir):
+    """Coarsened-exact-matching ATT of URGENT priority on order value:
+    strata = (order month, finished-status); strata populated on both
+    arms are kept; each matched stratum's control outcome sum is
+    weighted by m_t/m_c (the CEM weight normalized so weighted control
+    mass equals treated mass), so ATT = Σy_t/M_t - Σ(m_t/m_c)·Σy_c/M_t.
+    Per-stratum sums are exact decimals; the weighted control terms
+    (one IEEE division + product per stratum) ride the 1e-9 DECIMAL
+    grid because the stratum fan-in exceeds 2.
+
+    Scale plan: one map-side combined group-by on the coarsened key
+    (cardinality = |strata| ≪ rows), then a second aggregate over the
+    tiny strata relation — matching without any row-level join, the
+    reason CEM is THE matching estimator that survives 100 TB."""
+    o = load_table(spark, sf_dir, "orders")
+    to_d = lambda c: c.cast("string").cast("double")  # noqa: E731
+    src = o.select(
+        F.month(F.col("o_orderdate").cast("date")).cast("long").alias("x1"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("x2"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0).alias("t"),
+        F.col("o_totalprice").cast("decimal(30, 6)").alias("y"),
+    )
+    strata = src.groupBy("x1", "x2").agg(
+        F.sum("t").cast("long").alias("m_t"),
+        F.sum(1 - F.col("t")).cast("long").alias("m_c"),
+        to_d(F.sum(F.when(F.col("t") == 1, F.col("y")))).alias("sy_t"),
+        to_d(F.sum(F.when(F.col("t") == 0, F.col("y")))).alias("sy_c"),
+    )
+    matched = (F.col("m_t") > 0) & (F.col("m_c") > 0)
+    w_term = (F.col("m_t").cast("double") / F.col("m_c").cast("double")) * F.col(
+        "sy_c"
+    )
+    agg = strata.agg(
+        F.count(F.lit(1)).cast("long").alias("n_strata_total"),
+        F.sum(F.when(matched, 1).otherwise(0)).cast("long").alias("n_strata_matched"),
+        F.sum(F.when(matched, F.col("m_t")).otherwise(0))
+        .cast("long")
+        .alias("n_treated_matched"),
+        F.sum(F.when(matched, F.col("m_c")).otherwise(0))
+        .cast("long")
+        .alias("n_control_matched"),
+        to_d(F.sum(F.when(matched, F.col("sy_t").cast("decimal(38, 9)")))).alias(
+            "sum_y_t"
+        ),
+        to_d(
+            F.sum(F.round(F.when(matched, w_term), 9).cast("decimal(38, 9)"))
+        ).alias("sum_wy_c"),
+    )
+    return agg.select(
+        "n_strata_total",
+        "n_strata_matched",
+        "n_treated_matched",
+        "n_control_matched",
+        F.round(
+            F.col("sum_y_t") / F.col("n_treated_matched")
+            - F.col("sum_wy_c") / F.col("n_treated_matched"),
+            6,
+        ).alias("att_cem"),
+    )

@@ -1,0 +1,126 @@
+"""First-principles checks for the second causal batch (rdd_cutoff_
+effect, uplift_tlearner_segments, cem_matching_att): each statistic is
+recomputed from the raw parquet in plain Python/numpy, independent of
+both engines, so a shared engine/oracle algorithmic bug cannot pass."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+import numpy as np
+import pyarrow.parquet as pq
+
+from network_ids_using_pyspark_spark.queries import REGISTRY
+from network_ids_using_pyspark_spark.queries.causal_ext import (
+    _RDD_BW,
+    _RDD_CUT,
+    _ols3,
+)
+from network_ids_using_pyspark_spark.queries.stats_ext import (
+    _OLS_B0,
+    _OLS_B1,
+    _OLS_B2,
+)
+
+from .conftest import SF_DIR
+
+
+def test_ols3_template_matches_stats_ext():
+    assert _ols3("") == (_OLS_B0, _OLS_B1, _OLS_B2)
+
+
+def _orders():
+    t = pq.read_table(
+        f"{SF_DIR}/orders.parquet",
+        columns=["o_orderdate", "o_orderstatus", "o_orderpriority", "o_totalprice"],
+    )
+    x1 = [d.month for d in t.column("o_orderdate").to_pylist()]
+    x2 = [1 if s == "F" else 0 for s in t.column("o_orderstatus").to_pylist()]
+    tr = [1 if p == "1-URGENT" else 0 for p in t.column("o_orderpriority").to_pylist()]
+    y = [float(v) for v in t.column("o_totalprice").to_pylist()]
+    return x1, x2, tr, y
+
+
+def test_rdd_cutoff_effect_matches_python(spark):
+    _, _, tr, y = _orders()
+    sides = {"l": [], "r": []}
+    for t, v in zip(tr, y):
+        u = (v - _RDD_CUT) / _RDD_BW
+        if abs(u) <= 1.0:
+            sides["l" if u < 0 else "r"].append((u, t))
+
+    def fit(pts):
+        n = float(len(pts))
+        s1 = sum(u for u, _ in pts)
+        s11 = sum(u * u for u, _ in pts)
+        sy = float(sum(t for _, t in pts))
+        s1y = sum(u * t for u, t in pts)
+        det = n * s11 - s1 * s1
+        return (sy * s11 - s1y * s1) / det, (n * s1y - s1 * sy) / det
+
+    b0l, b1l = fit(sides["l"])
+    b0r, b1r = fit(sides["r"])
+    row = REGISTRY["rdd_cutoff_effect"][0](spark, SF_DIR).collect()[0]
+    assert row["n_left"] == len(sides["l"])
+    assert row["n_right"] == len(sides["r"])
+    assert abs(row["y_left_at_cut"] - b0l) < 1e-5
+    assert abs(row["y_right_at_cut"] - b0r) < 1e-5
+    assert abs(row["slope_change"] - (b1r - b1l)) < 1e-5
+    assert abs(row["rdd_effect"] - (b0r - b0l)) < 1e-5
+
+
+def _np_ols(x1, x2, y):
+    X = np.column_stack([np.ones(len(x1)), x1, x2])
+    return np.linalg.solve(X.T @ X, X.T @ np.asarray(y))
+
+
+def test_uplift_tlearner_segments_matches_python(spark):
+    x1, x2, tr, y = _orders()
+    arm = lambda a: [i for i, t in enumerate(tr) if t == a]  # noqa: E731
+    it, ic = arm(1), arm(0)
+    bt = _np_ols([x1[i] for i in it], [x2[i] for i in it], [y[i] for i in it])
+    bc = _np_ols([x1[i] for i in ic], [x2[i] for i in ic], [y[i] for i in ic])
+    cells = defaultdict(lambda: [0, 0, 0.0, 0.0])  # n_t, n_c, sy_t, sy_c
+    for a, b, t, v in zip(x1, x2, tr, y):
+        c = cells[(a, b)]
+        if t:
+            c[0] += 1
+            c[2] += v
+        else:
+            c[1] += 1
+            c[3] += v
+    rows = REGISTRY["uplift_tlearner_segments"][0](spark, SF_DIR).collect()
+    want = {k: c for k, c in cells.items() if c[0] > 0 and c[1] > 0}
+    assert {(r["month"], r["finished"]) for r in rows} == set(want)
+    for r in rows:
+        n_t, n_c, sy_t, sy_c = want[(r["month"], r["finished"])]
+        assert (r["n_t"], r["n_c"]) == (n_t, n_c)
+        pred = (bt[0] - bc[0]) + (bt[1] - bc[1]) * r["month"] + (bt[2] - bc[2]) * r[
+            "finished"
+        ]
+        assert abs(r["uplift_pred"] - pred) < 1e-3
+        assert abs(r["uplift_actual"] - (sy_t / n_t - sy_c / n_c)) < 1e-4
+
+
+def test_cem_matching_att_matches_python(spark):
+    x1, x2, tr, y = _orders()
+    strata = defaultdict(lambda: [0, 0, 0.0, 0.0])
+    for a, b, t, v in zip(x1, x2, tr, y):
+        c = strata[(a, b)]
+        if t:
+            c[0] += 1
+            c[2] += v
+        else:
+            c[1] += 1
+            c[3] += v
+    matched = {k: c for k, c in strata.items() if c[0] > 0 and c[1] > 0}
+    m_t = sum(c[0] for c in matched.values())
+    m_c = sum(c[1] for c in matched.values())
+    sum_y_t = sum(c[2] for c in matched.values())
+    sum_wy_c = sum((c[0] / c[1]) * c[3] for c in matched.values())
+    row = REGISTRY["cem_matching_att"][0](spark, SF_DIR).collect()[0]
+    assert row["n_strata_total"] == len(strata)
+    assert row["n_strata_matched"] == len(matched)
+    assert row["n_treated_matched"] == m_t
+    assert row["n_control_matched"] == m_c
+    assert abs(row["att_cem"] - (sum_y_t / m_t - sum_wy_c / m_t)) < 1e-4

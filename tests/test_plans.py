@@ -1250,3 +1250,31 @@ def test_shapley_coalition_side_all_broadcast(spark):
     plan = explain_str(df, "simple")
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_rdd_cutoff_single_scan_filter_pushed(spark):
+    """Sharp RD = ONE filtered fact scan feeding one conditional-sum
+    aggregate; both side fits are arithmetic on the 1-row result."""
+    df = _df(spark, "rdd_cutoff_effect")
+    plan = explain_str(df, "simple")
+    assert plan.count("FileScan parquet") == 1
+    assert "SortMergeJoin" not in plan and "Window" not in plan
+
+
+def test_uplift_tlearner_two_scans_broadcast_coef(spark):
+    """T-learner = one moments scan (both arms via conditional sums) +
+    one cell-grid scan, coefficients broadcast onto the tiny grid."""
+    df = _df(spark, "uplift_tlearner_segments")
+    plan = explain_str(df, "simple")
+    assert plan.count("FileScan parquet") == 2
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row coef relation
+
+
+def test_cem_matching_single_scan_no_join(spark):
+    """CEM matches on the coarsened stratum KEY — one group-by, a
+    second aggregate over the tiny strata relation, zero joins."""
+    df = _df(spark, "cem_matching_att")
+    plan = explain_str(df, "simple")
+    assert plan.count("FileScan parquet") == 1
+    assert "Join" not in plan and "Window" not in plan
