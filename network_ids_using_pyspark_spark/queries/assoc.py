@@ -248,3 +248,81 @@ def q_itemcf_topk_recs(spark, sf_dir):
             "n_contrib",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# GSP-style gap-allowed sequential patterns: distinct-user support of
+# ordered event-type TRIPLES as subsequences (not necessarily
+# contiguous — the contiguous counterpart is `event_type_trigrams`).
+# The engine checks containment with a greedy single-pass automaton
+# per (user, pattern); the oracle states the same predicate as the
+# exists-i<j<k triple join.  Greedy-earliest matching is exact for
+# subsequence containment, so the two forms agree row-for-row.
+# ---------------------------------------------------------------------------
+
+_GSP_TOPK = 20
+
+_GSP_SQL = f"""
+WITH e AS (SELECT user_id, ts, event_id, event_type FROM events)
+SELECT a.event_type AS t1, b.event_type AS t2, c.event_type AS t3,
+       CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS support
+FROM e a
+JOIN e b ON b.user_id = a.user_id
+        AND (b.ts > a.ts OR (b.ts = a.ts AND b.event_id > a.event_id))
+JOIN e c ON c.user_id = b.user_id
+        AND (c.ts > b.ts OR (c.ts = b.ts AND c.event_id > b.event_id))
+GROUP BY 1, 2, 3
+ORDER BY support DESC, t1, t2, t3
+LIMIT {_GSP_TOPK}
+"""
+
+
+@register("gsp_subsequence_support", _GSP_SQL)
+def q_gsp_subsequence_support(spark, sf_dir):
+    """Top-{k} gap-allowed sequential patterns (GSP / PrefixSpan
+    support counting, Srikant & Agrawal 1996): for every ordered
+    event-type triple, the number of DISTINCT users whose
+    (ts, event_id)-ordered journey contains it as a subsequence.
+
+    The engine builds each user's sorted type sequence once (ONE
+    user-keyed shuffle), broadcasts the |types|³ = 125-row pattern
+    relation onto it, and evaluates containment with a greedy 3-state
+    automaton via `F.aggregate` — O(|patterns| · journey length) per
+    user, all map-side, versus the oracle's O(L³) triple join (fine at
+    sf0.01, stated for auditability).  Support counting is a map-side
+    combined group-by on ≤125 keys and the cut is
+    TakeOrderedAndProject.
+
+    Scale plan: linear in corpus size with a bounded pattern relation;
+    a power user with n events costs 125·n automaton steps, never n³.
+    Longer patterns extend the same automaton; candidate pruning
+    (classic GSP level-wise) would drop dominated patterns between
+    rounds."""
+    ev = load_table(spark, sf_dir, "events")
+    seqs = ev.groupBy("user_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+            lambda s: s["event_type"],
+        ).alias("seq")
+    )
+    types = ev.select(F.col("event_type").alias("t")).distinct()
+    pats = (
+        types.select(F.col("t").alias("t1"))
+        .crossJoin(types.select(F.col("t").alias("t2")))
+        .crossJoin(types.select(F.col("t").alias("t3")))
+    )
+    state = lambda acc, x: (  # noqa: E731
+        F.when((acc == 0) & (x == F.col("t1")), F.lit(1))
+        .when((acc == 1) & (x == F.col("t2")), F.lit(2))
+        .when((acc == 2) & (x == F.col("t3")), F.lit(3))
+        .otherwise(acc)
+    )
+    hits = seqs.crossJoin(F.broadcast(pats)).filter(
+        F.aggregate(F.col("seq"), F.lit(0), state) == 3
+    )
+    return (
+        hits.groupBy("t1", "t2", "t3")
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+        .orderBy(F.desc("support"), "t1", "t2", "t3")
+        .limit(_GSP_TOPK)
+    )

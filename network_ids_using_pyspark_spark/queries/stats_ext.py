@@ -4492,3 +4492,154 @@ def q_aipw_doubly_robust_ate(spark, sf_dir):
         "ps_intercept",
         F.round(F.col("sdr") / F.col("n"), 6).alias("ate_aipw"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Benjamini-Hochberg FDR screen: one Welch z-test per event_type
+# (A/B split by event_id parity), normal p-values via the
+# Abramowitz-Stegun 7.1.26 erf polynomial (one shared template, so
+# libm differences cannot leak), then the BH step-up at q = 0.10 over
+# the tiny per-type relation.
+# ---------------------------------------------------------------------------
+
+_BH_Q = 0.10
+
+# erf(x) ~ 1 - poly(1/(1+0.3275911 x)) * exp(-x^2), max abs err 1.5e-7
+# (Abramowitz & Stegun 7.1.26); p = 1 - erf(|z| / sqrt(2)) quantized
+# to the 1e-9 grid AFTER the exp, the same discipline as _IRLS_P.
+_BH_ERF_T = "(1.0 / (1.0 + 0.3275911 * bh_x))"
+_BH_P = (
+    "round(((((1.061405429 * bh_t - 1.453152027) * bh_t + 1.421413741)"
+    " * bh_t - 0.284496736) * bh_t + 0.254829592) * bh_t"
+    " * exp(-(bh_x * bh_x)), 9)"
+)
+# Welch z over per-side moments (n/sv/svv per side a, b) — one shared
+# expression tree: side variance then the z statistic.
+_BH_VAR = "(({p}svv - {p}sv * {p}sv / {p}n) / ({p}n - 1.0))"
+_BH_Z = (
+    f"round((a_sv / a_n - b_sv / b_n) /"
+    f" sqrt({_BH_VAR.format(p='a_')} / a_n + {_BH_VAR.format(p='b_')} / b_n), 9)"
+)
+
+
+def _bh_sql() -> str:
+    side = lambda p, g: (  # noqa: E731
+        f"SUM(CASE WHEN grp = {g} THEN 1 ELSE 0 END) * 1.0 AS {p}n,\n"
+        f"  {_irls_q9_sum(f'CASE WHEN grp = {g} THEN v END')} AS {p}sv,\n"
+        f"  {_irls_q9_sum(f'CASE WHEN grp = {g} THEN v * v END')} AS {p}svv"
+    )
+    return f"""
+WITH s AS (
+  SELECT event_type, CAST(event_id % 2 AS BIGINT) AS grp,
+         CAST(value AS DOUBLE) AS v
+  FROM events
+),
+m AS (
+  SELECT event_type,
+  {side('a_', 0)},
+  {side('b_', 1)}
+  FROM s GROUP BY event_type
+),
+z_ AS (
+  SELECT event_type, CAST(a_n AS BIGINT) AS n_a, CAST(b_n AS BIGINT) AS n_b,
+         round(a_sv / a_n - b_sv / b_n, 6) AS mean_diff,
+         {_BH_Z} AS z
+  FROM m
+),
+p_ AS (
+  SELECT *, {_BH_P} AS p_value
+  FROM (SELECT *, {_BH_ERF_T} AS bh_t
+        FROM (SELECT *, abs(z) / sqrt(2.0) AS bh_x FROM z_))
+),
+r_ AS (
+  SELECT event_type, n_a, n_b, mean_diff, round(z, 6) AS z_stat, p_value,
+         CAST(ROW_NUMBER() OVER (ORDER BY p_value, event_type) AS BIGINT)
+           AS bh_rank,
+         CAST(COUNT(*) OVER () AS BIGINT) AS n_tests
+  FROM p_
+)
+SELECT event_type, n_a, n_b, mean_diff, z_stat, p_value, bh_rank,
+       CAST(CASE WHEN bh_rank <= MAX(CASE WHEN p_value <= bh_rank * {_BH_Q}
+                                               / n_tests
+                                          THEN bh_rank ELSE 0 END) OVER ()
+                 THEN 1 ELSE 0 END AS BIGINT) AS rejected
+FROM r_
+ORDER BY bh_rank
+"""
+
+
+@register("fdr_bh_metric_screen", _bh_sql())
+def q_fdr_bh_metric_screen(spark, sf_dir):
+    """Multiple-testing screen with Benjamini-Hochberg FDR control
+    (Benjamini & Hochberg 1995): per event_type, a Welch z-test of
+    mean(value) between the even/odd event_id halves (a deterministic
+    A/A-style split), p-values from the Abramowitz-Stegun 7.1.26 erf
+    polynomial, then the BH step-up at q = 0.10 — reject the smallest
+    k p-values where p_(k) <= k·q/m.  Per-side moments ride the 1e-9
+    DECIMAL grid; z and p are quantized AFTER the sqrt/exp so libm
+    last-ulp differences cannot cross engines.
+
+    Scale plan: ONE map-side combined group-by on event_type builds
+    all moments; the BH ranking windows run over the |types|-row
+    relation (≤ a few hundred metrics in practice), never the fact
+    grain."""
+    ev = load_table(spark, sf_dir, "events")
+    to_d = lambda c: c.cast("string").cast("double")  # noqa: E731
+    s = ev.select(
+        "event_type",
+        (F.col("event_id") % 2).cast("long").alias("grp"),
+        F.col("value").cast("double").alias("v"),
+    )
+
+    def q9_sum(term):
+        return to_d(F.sum(F.round(term, 9).cast("decimal(38, 9)")))
+
+    def side(p, g):
+        only = lambda t: F.when(F.col("grp") == g, t)  # noqa: E731
+        return [
+            F.count(only(F.lit(1))).cast("double").alias(f"{p}n"),
+            q9_sum(only(F.col("v"))).alias(f"{p}sv"),
+            q9_sum(only(F.col("v") * F.col("v"))).alias(f"{p}svv"),
+        ]
+
+    m = s.groupBy("event_type").agg(*(side("a_", 0) + side("b_", 1)))
+    z = m.select(
+        "event_type",
+        F.col("a_n").cast("long").alias("n_a"),
+        F.col("b_n").cast("long").alias("n_b"),
+        F.round(F.col("a_sv") / F.col("a_n") - F.col("b_sv") / F.col("b_n"), 6).alias(
+            "mean_diff"
+        ),
+        F.expr(_BH_Z).alias("z"),
+    )
+    p = (
+        z.withColumn("bh_x", F.abs(F.col("z")) / F.sqrt(F.lit(2.0)))
+        .withColumn("bh_t", F.expr(_BH_ERF_T))
+        .withColumn("p_value", F.expr(_BH_P))
+    )
+    w_rank = Window.orderBy("p_value", "event_type")
+    r = p.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        "mean_diff",
+        F.round(F.col("z"), 6).alias("z_stat"),
+        "p_value",
+        F.row_number().over(w_rank).cast("long").alias("bh_rank"),
+        F.count(F.lit(1)).over(Window.partitionBy()).cast("long").alias("n_tests"),
+    )
+    w_all = Window.partitionBy()
+    k_max = F.max(
+        F.when(
+            F.col("p_value") <= F.col("bh_rank") * _BH_Q / F.col("n_tests"),
+            F.col("bh_rank"),
+        ).otherwise(0)
+    ).over(w_all)
+    return (
+        r.withColumn(
+            "rejected",
+            F.when(F.col("bh_rank") <= k_max, 1).otherwise(0).cast("long"),
+        )
+        .drop("n_tests")
+        .orderBy("bh_rank")
+    )

@@ -124,3 +124,79 @@ def test_cem_matching_att_matches_python(spark):
     assert row["n_treated_matched"] == m_t
     assert row["n_control_matched"] == m_c
     assert abs(row["att_cem"] - (sum_y_t / m_t - sum_wy_c / m_t)) < 1e-4
+
+
+def test_gsp_subsequence_support_matches_python(spark):
+    t = pq.read_table(
+        f"{SF_DIR}/events.parquet", columns=["user_id", "ts", "event_id", "event_type"]
+    )
+    rows = sorted(
+        zip(
+            t.column("user_id").to_pylist(),
+            t.column("ts").to_pylist(),
+            t.column("event_id").to_pylist(),
+            t.column("event_type").to_pylist(),
+        ),
+        key=lambda r: (r[0], r[1], r[2]),
+    )
+    journeys = defaultdict(list)
+    for u, _, _, et in rows:
+        journeys[u].append(et)
+    types = sorted({et for _, _, _, et in rows})
+
+    def contains(seq, pat):
+        i = 0
+        for x in seq:
+            if i < 3 and x == pat[i]:
+                i += 1
+        return i == 3
+
+    support = defaultdict(int)
+    for seq in journeys.values():
+        for a in types:
+            for b in types:
+                for c in types:
+                    if contains(seq, (a, b, c)):
+                        support[(a, b, c)] += 1
+    want = sorted(support.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got = [
+        ((r["t1"], r["t2"], r["t3"]), r["support"])
+        for r in REGISTRY["gsp_subsequence_support"][0](spark, SF_DIR).collect()
+    ]
+    assert got == want
+
+
+def test_fdr_bh_metric_screen_matches_python(spark):
+    import math
+
+    t = pq.read_table(
+        f"{SF_DIR}/events.parquet", columns=["event_type", "event_id", "value"]
+    )
+    sides = defaultdict(lambda: ([], []))
+    for et, eid, v in zip(
+        t.column("event_type").to_pylist(),
+        t.column("event_id").to_pylist(),
+        t.column("value").to_pylist(),
+    ):
+        sides[et][eid % 2].append(float(v))
+    stats = {}
+    for et, (a, b) in sides.items():
+        ma, mb = sum(a) / len(a), sum(b) / len(b)
+        va = sum((x - ma) ** 2 for x in a) / (len(a) - 1)
+        vb = sum((x - mb) ** 2 for x in b) / (len(b) - 1)
+        z = (ma - mb) / math.sqrt(va / len(a) + vb / len(b))
+        p = math.erfc(abs(z) / math.sqrt(2.0))
+        stats[et] = (len(a), len(b), ma - mb, z, p)
+    ranked = sorted(stats.items(), key=lambda kv: (kv[1][4], kv[0]))
+    m = len(ranked)
+    k_max = max(
+        (k for k, (_, s) in enumerate(ranked, 1) if s[4] <= k * 0.10 / m), default=0
+    )
+    rows = REGISTRY["fdr_bh_metric_screen"][0](spark, SF_DIR).collect()
+    assert [r["event_type"] for r in rows] == [et for et, _ in ranked]
+    for rank, (r, (et, (na, nb, md, z, p))) in enumerate(zip(rows, ranked), 1):
+        assert (r["n_a"], r["n_b"], r["bh_rank"]) == (na, nb, rank)
+        assert abs(r["mean_diff"] - md) < 1e-5
+        assert abs(r["z_stat"] - z) < 1e-5
+        assert abs(r["p_value"] - p) < 1e-6  # A&S 7.1.26 poly vs libm erfc
+        assert r["rejected"] == (1 if rank <= k_max else 0)

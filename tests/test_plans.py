@@ -1278,3 +1278,22 @@ def test_cem_matching_single_scan_no_join(spark):
     plan = explain_str(df, "simple")
     assert plan.count("FileScan parquet") == 1
     assert "Join" not in plan and "Window" not in plan
+
+
+def test_gsp_patterns_broadcast_topk_cut(spark):
+    """GSP support = one user-keyed shuffle + broadcast 125-row pattern
+    relation + map-side automaton; the cut is TakeOrdered, never a
+    global sort of the support relation."""
+    df = _df(spark, "gsp_subsequence_support")
+    plan = explain_str(df, "simple")
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_fdr_bh_windows_only_on_type_grain(spark):
+    """BH ranking windows run over the |types|-row aggregate, fed by
+    ONE map-side combined scan of the fact table."""
+    df = _df(spark, "fdr_bh_metric_screen")
+    plan = explain_str(df, "simple")
+    assert plan.count("FileScan parquet") == 1
+    assert "SortMergeJoin" not in plan and "Join" not in plan
