@@ -200,3 +200,62 @@ def test_fdr_bh_metric_screen_matches_python(spark):
         assert abs(r["z_stat"] - z) < 1e-5
         assert abs(r["p_value"] - p) < 1e-6  # A&S 7.1.26 poly vs libm erfc
         assert r["rejected"] == (1 if rank <= k_max else 0)
+
+
+def test_cox_ph_exact_matches_python(spark):
+    import math
+
+    t = pq.read_table(
+        f"{SF_DIR}/orders.parquet",
+        columns=["o_custkey", "o_orderdate", "o_orderkey", "o_orderpriority"],
+    )
+    rows = sorted(
+        zip(
+            t.column("o_custkey").to_pylist(),
+            [d.date() for d in t.column("o_orderdate").to_pylist()],
+            t.column("o_orderkey").to_pylist(),
+            t.column("o_orderpriority").to_pylist(),
+        )
+    )
+    maxd = max(r[1] for r in rows)
+    obs = []
+    for i, (ck, d, _, pr) in enumerate(rows):
+        nxt = rows[i + 1] if i + 1 < len(rows) else None
+        x = 1 if pr == "1-URGENT" else 0
+        if nxt and nxt[0] == ck:
+            obs.append(((nxt[1] - d).days, 1, x))
+        else:
+            obs.append(((maxd - d).days, 0, x))
+    per_t = defaultdict(lambda: [0.0, 0.0, 0, 0])  # d, s1, m0, m1
+    for tt, d, x in obs:
+        c = per_t[tt]
+        c[0] += d
+        c[1] += d * x
+        c[2] += 1 - x
+        c[3] += x
+    tot0 = sum(c[2] for c in per_t.values())
+    tot1 = sum(c[3] for c in per_t.values())
+    ev = []
+    run0 = run1 = 0
+    for tt in sorted(per_t):
+        d, s1, m0, m1 = per_t[tt]
+        if d > 0:
+            ev.append((d, s1, float(tot0 - run0), float(tot1 - run1)))
+        run0 += m0
+        run1 += m1
+    b = 0.0
+    for _ in range(3):
+        eb = math.exp(b)
+        su = sum(s1 - d * (n1 * eb) / (n0 + n1 * eb) for d, s1, n0, n1 in ev)
+        si = sum(
+            d * (n0 * n1 * eb) / (n0 + n1 * eb) ** 2 for d, s1, n0, n1 in ev
+        )
+        b += su / si
+    eb = math.exp(b)
+    si = sum(d * (n0 * n1 * eb) / (n0 + n1 * eb) ** 2 for d, s1, n0, n1 in ev)
+    row = REGISTRY["cox_ph_exact"][0](spark, SF_DIR).collect()[0]
+    assert row["n_obs"] == len(obs)
+    assert row["n_events"] == sum(d for _, d, _ in obs)
+    assert abs(row["beta_urgent"] - b) < 1e-5
+    assert abs(row["hazard_ratio"] - math.exp(b)) < 1e-5
+    assert abs(row["se_beta"] - 1.0 / math.sqrt(si)) < 1e-5

@@ -1297,3 +1297,16 @@ def test_fdr_bh_windows_only_on_type_grain(spark):
     plan = explain_str(df, "simple")
     assert plan.count("FileScan parquet") == 1
     assert "SortMergeJoin" not in plan and "Join" not in plan
+
+
+def test_cox_newton_never_rescans_fact(spark):
+    """Cox PH: the fact is scanned once for the observation build (the
+    per-time relation is checkpointed); the three Newton iterations
+    and the SE pass run on that tiny relation plus 1-row betas."""
+    df = _df(spark, "cox_ph_exact")
+    plan = explain_str(df, "simple")
+    # the n_obs/n_events pass + its broadcast max-date scalar — the
+    # Newton side reads only the checkpointed per-time relation
+    assert plan.count("FileScan parquet") == 2
+    assert "ExistingRDD" in plan
+    assert "SortMergeJoin" not in plan
