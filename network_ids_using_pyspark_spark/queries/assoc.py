@@ -326,3 +326,86 @@ def q_gsp_subsequence_support(spark, sf_dir):
         .orderBy(F.desc("support"), "t1", "t2", "t3")
         .limit(_GSP_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# MLlib PrefixSpan twin of `gsp_subsequence_support` — with an EXACT
+# oracle: because our events are single-item itemsets, PrefixSpan's
+# frequent sequential patterns up to length 3 are precisely the
+# subsequence supports the length-1/2/3 join CTEs below count, with
+# minCount = ceil(minSupport * n_sequences) (the same double product
+# MLlib computes).  Unlike the FP-Growth twin (rows-only by declared
+# contract), this one is fully certifiable.
+# ---------------------------------------------------------------------------
+
+_PS_MINSUP = 0.05  # fraction of user sequences
+
+_PS_ORDER = "(b.ts > a.ts OR (b.ts = a.ts AND b.event_id > a.event_id))"
+
+_PS_SQL = f"""
+WITH e AS (SELECT user_id, ts, event_id, event_type FROM events),
+nu AS (SELECT CAST(COUNT(DISTINCT user_id) AS DOUBLE) AS n_seq FROM e),
+l1 AS (
+  SELECT event_type AS pattern, CAST(COUNT(DISTINCT user_id) AS BIGINT)
+           AS support
+  FROM e GROUP BY 1
+),
+l2 AS (
+  SELECT a.event_type || '>' || b.event_type AS pattern,
+         CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS support
+  FROM e a JOIN e b ON b.user_id = a.user_id AND {_PS_ORDER}
+  GROUP BY 1
+),
+l3 AS (
+  SELECT a.event_type || '>' || b.event_type || '>' || c.event_type AS pattern,
+         CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS support
+  FROM e a
+  JOIN e b ON b.user_id = a.user_id AND {_PS_ORDER}
+  JOIN e c ON c.user_id = b.user_id
+          AND (c.ts > b.ts OR (c.ts = b.ts AND c.event_id > b.event_id))
+  GROUP BY 1
+),
+allp AS (
+  SELECT pattern, 1 AS length, support FROM l1
+  UNION ALL SELECT pattern, 2, support FROM l2
+  UNION ALL SELECT pattern, 3, support FROM l3
+)
+SELECT pattern, CAST(length AS INTEGER) AS length, support
+FROM allp CROSS JOIN nu
+WHERE support >= ceil(CAST({_PS_MINSUP} AS DOUBLE) * n_seq)
+ORDER BY support DESC, pattern
+"""
+
+
+@register("mllib_prefixspan_patterns", _PS_SQL)
+def q_mllib_prefixspan_patterns(spark, sf_dir):
+    """Frequent sequential patterns via MLlib PrefixSpan (Pei et al.
+    2001) over user event journeys (single-item itemsets, minSupport =
+    {sup}, maxPatternLength 3) — the distributed projected-database
+    miner, certified against an exact oracle: with singleton itemsets,
+    its output IS the length-≤3 subsequence-support table, threshold
+    ceil(minSupport · n_sequences) exactly as MLlib computes it.
+
+    Scale plan: PrefixSpan partitions by pattern prefix and recursively
+    projects suffix databases — each worker holds one projection, never
+    the global sequence set; the journey build is the same ONE
+    user-keyed shuffle as `gsp_subsequence_support`.  The oracle's
+    O(L³) joins are the certification gate, not the scale path."""
+    from pyspark.ml.fpm import PrefixSpan
+
+    ev = load_table(spark, sf_dir, "events")
+    seqs = ev.groupBy("user_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+            lambda s: F.array(s["event_type"]),
+        ).alias("sequence")
+    )
+    ps = PrefixSpan(
+        minSupport=_PS_MINSUP, maxPatternLength=3, sequenceCol="sequence"
+    )
+    out = ps.findFrequentSequentialPatterns(seqs)
+    return out.select(
+        F.array_join(F.flatten("sequence"), ">").alias("pattern"),
+        F.size(F.flatten("sequence")).cast("int").alias("length"),
+        F.col("freq").cast("long").alias("support"),
+    ).orderBy(F.desc("support"), "pattern")

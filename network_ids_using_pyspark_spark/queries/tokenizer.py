@@ -484,3 +484,90 @@ def q_unigram_viterbi_tokenize(spark, sf_dir):
         .orderBy(F.desc("used_count"), F.asc("piece"))
         .limit(_UNI_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer fertility by language: the multilingual-equity readout
+# (tokens per word / chars per token by lang) of the corpus-trained
+# BPE vocabulary — the number a tokenizer team compares across
+# languages before fixing a vocab (high fertility = that language
+# pays more sequence length per word).
+# ---------------------------------------------------------------------------
+
+_BPE_FERTILITY_SQL = (
+    _BPE_CTES
+    + f""",
+vocab AS MATERIALIZED (
+  SELECT replace(replace(w, '(', ''), ')', '') AS tok,
+         CAST(len(string_split(substring(w, 2, length(w) - 2), ')(')) AS BIGINT)
+           AS n_syms
+  FROM w{_BPE_K}
+),
+doctoks AS (
+  SELECT doc_id, lang, tok FROM (
+    SELECT doc_id, lang,
+           UNNEST(regexp_split_to_array(trim(lower(text)), '[^0-9a-z]+')) AS tok
+    FROM documents
+  )
+  WHERE tok <> ''
+)
+SELECT lang,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(n_syms) AS BIGINT) AS n_bpe_tokens,
+       round(CAST(SUM(n_syms) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+         AS tokens_per_word,
+       round(CAST(SUM(length(tok)) AS DOUBLE) / CAST(SUM(n_syms) AS DOUBLE), 6)
+         AS chars_per_token
+FROM doctoks JOIN vocab USING (tok)
+GROUP BY lang
+ORDER BY lang
+"""
+)
+
+
+@register("bpe_fertility_by_lang", _BPE_FERTILITY_SQL)
+def q_bpe_fertility_by_lang(spark, sf_dir):
+    """Fertility of the corpus-trained BPE vocabulary BY LANGUAGE:
+    tokens-per-word and chars-per-token for each lang bucket under the
+    one shared vocabulary — the standard multilingual tokenizer-equity
+    metric (a language with higher fertility pays more context length
+    per word, cf. the fertility analyses around multilingual BPE).
+    Training is byte-identical to `bpe_merge_training`; application is
+    the same vocab equi-join as `bpe_tokenize_profile` with the lang
+    column carried through and the rollup on lang instead of doc.
+
+    Scale plan: training cost is |vocab|-bounded (histogram-space BPE);
+    the apply join broadcasts the fixed-size vocab against the word
+    stream, and the per-lang rollup is a map-side combined group-by on
+    a handful of keys.  Integer sums + one final division per metric —
+    nothing to quantize."""
+    docs = load_table(spark, sf_dir, "documents")
+    _, words = _learn_merges(_word_histogram(docs))
+    vocab = words.select(
+        F.translate("w", "()", "").alias("tok"),
+        F.size(_split_syms()).cast("long").alias("n_syms"),
+    )
+    doctoks = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(F.trim(F.lower("text")), "[^0-9a-z]+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    return (
+        doctoks.join(F.broadcast(vocab), "tok")
+        .groupBy("lang")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_syms").cast("long").alias("n_bpe_tokens"),
+            F.round(
+                F.sum("n_syms").cast("double") / F.count(F.lit(1)).cast("double"), 6
+            ).alias("tokens_per_word"),
+            F.round(
+                F.sum(F.length("tok")).cast("double")
+                / F.sum("n_syms").cast("double"),
+                6,
+            ).alias("chars_per_token"),
+        )
+        .orderBy("lang")
+    )

@@ -259,3 +259,50 @@ def test_cox_ph_exact_matches_python(spark):
     assert abs(row["beta_urgent"] - b) < 1e-5
     assert abs(row["hazard_ratio"] - math.exp(b)) < 1e-5
     assert abs(row["se_beta"] - 1.0 / math.sqrt(si)) < 1e-5
+
+
+def test_mllib_prefixspan_matches_python(spark):
+    import math
+
+    t = pq.read_table(
+        f"{SF_DIR}/events.parquet", columns=["user_id", "ts", "event_id", "event_type"]
+    )
+    rows = sorted(
+        zip(
+            t.column("user_id").to_pylist(),
+            t.column("ts").to_pylist(),
+            t.column("event_id").to_pylist(),
+            t.column("event_type").to_pylist(),
+        ),
+        key=lambda r: (r[0], r[1], r[2]),
+    )
+    journeys = defaultdict(list)
+    for u, _, _, et in rows:
+        journeys[u].append(et)
+    types = sorted({et for _, _, _, et in rows})
+
+    def contains(seq, pat):
+        i = 0
+        for x in seq:
+            if i < len(pat) and x == pat[i]:
+                i += 1
+        return i == len(pat)
+
+    pats = (
+        [(a,) for a in types]
+        + [(a, b) for a in types for b in types]
+        + [(a, b, c) for a in types for b in types for c in types]
+    )
+    support = {
+        p: sum(1 for seq in journeys.values() if contains(seq, p)) for p in pats
+    }
+    min_count = math.ceil(0.05 * len(journeys))
+    want = sorted(
+        ((">".join(p), len(p), s) for p, s in support.items() if s >= min_count),
+        key=lambda r: (-r[2], r[0]),
+    )
+    got = [
+        (r["pattern"], r["length"], r["support"])
+        for r in REGISTRY["mllib_prefixspan_patterns"][0](spark, SF_DIR).collect()
+    ]
+    assert got == want

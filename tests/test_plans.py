@@ -1310,3 +1310,12 @@ def test_cox_newton_never_rescans_fact(spark):
     assert plan.count("FileScan parquet") == 2
     assert "ExistingRDD" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_bpe_fertility_vocab_broadcast(spark):
+    """Fertility apply = the word stream equi-joined against the
+    BROADCAST vocab (fixed-size), rolled up map-side on lang."""
+    df = _df(spark, "bpe_fertility_by_lang")
+    plan = explain_str(df, "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -285,3 +285,35 @@ def test_exact_substring_spans_sound_and_maximal(spark):
         if hi < len(text):
             i = hi - _XS_K + 1
             assert text[i : i + _XS_K] not in dup
+
+
+def test_bpe_fertility_by_lang_matches_python(spark):
+    from collections import defaultdict
+
+    from network_ids_using_pyspark_spark.queries.tokenizer import _BPE_K
+
+    _, vocab = _python_bpe(_BPE_K)
+    n_syms = {"".join(syms): len(syms) for syms in vocab}
+    con = duckdb.connect()
+    langs = [
+        lng
+        for (lng,) in con.execute(
+            f"SELECT lang FROM read_parquet('{SF_DIR}/documents.parquet')"
+        ).fetchall()
+    ]
+    agg = defaultdict(lambda: [set(), 0, 0, 0])  # docs, words, toks, chars
+    for doc_id, (lang, words) in enumerate(zip(langs, _doc_words())):
+        for w in words:
+            a = agg[lang]
+            a[0].add(doc_id)
+            a[1] += 1
+            a[2] += n_syms[w]
+            a[3] += len(w)
+    rows = REGISTRY["bpe_fertility_by_lang"][0](spark, SF_DIR).collect()
+    assert [r["lang"] for r in rows] == sorted(agg)
+    for r in rows:
+        docs, nw, nt, nc = agg[r["lang"]]
+        assert r["n_docs"] == len(docs)
+        assert (r["n_words"], r["n_bpe_tokens"]) == (nw, nt)
+        assert abs(r["tokens_per_word"] - nt / nw) < 1e-6
+        assert abs(r["chars_per_token"] - nc / nt) < 1e-6
