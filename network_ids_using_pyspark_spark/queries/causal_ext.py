@@ -410,3 +410,140 @@ def q_cem_matching_att(spark, sf_dir):
             6,
         ).alias("att_cem"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Chow structural-break test on the daily revenue trend: pooled vs
+# per-segment local-linear fits around a KNOWN break date; the F
+# statistic is the classic ((SSE_p - SSE_1 - SSE_2)/k) /
+# ((SSE_1 + SSE_2)/(n - 2k)) with k = 2 (Chow 1960).  Complements
+# `cusum_changepoint` (unknown break location) with the inferential
+# test for a hypothesized one.
+# ---------------------------------------------------------------------------
+
+_CHOW_EPOCH = "1995-01-01"  # day-index origin
+_CHOW_BREAK = "1998-01-01"  # hypothesized break date
+
+
+def _ll_sse(p: str) -> str:
+    """Residual SSE of the {p}-prefixed local-linear fit:
+    syy - (b0*sy + b1*s1y), same moment names as _ll_b0/_ll_b1."""
+    return f"({p}_syy - ({_ll_b0(p)} * {p}_sy + {_ll_b1(p)} * {p}_s1y))"
+
+
+def _chow_moments_sql(tag: str, pred: str) -> str:
+    only = lambda t: f"CASE WHEN {pred} THEN {t} END"  # noqa: E731
+    return (
+        f"SUM(CASE WHEN {pred} THEN 1 ELSE 0 END) * 1.0 AS {tag}_n,\n"
+        f"  {_irls_q9_sum(only('t'))} AS {tag}_s1,\n"
+        f"  {_irls_q9_sum(only('t * t'))} AS {tag}_s11,\n"
+        f"  {_irls_q9_sum(only('r'))} AS {tag}_sy,\n"
+        f"  {_irls_q9_sum(only('t * r'))} AS {tag}_s1y,\n"
+        f"  {_irls_q9_sum(only('r * r'))} AS {tag}_syy"
+    )
+
+
+def _chow_pool(expr_fn) -> str:
+    """Instantiate a _ll template on pooled moments (a+b sums)."""
+    out = expr_fn("p")
+    for m in ("n", "s1y", "s11", "s1", "syy", "sy"):  # longest-first
+        out = out.replace(f"p_{m}", f"(a_{m} + b_{m})")
+    return out
+
+
+def _chow_sql() -> str:
+    sse_split = f"({_ll_sse('a')} + {_ll_sse('b')})"
+    sse_pool = _chow_pool(_ll_sse)
+    return f"""
+WITH daily AS (
+  SELECT CAST(date_diff('day', DATE '{_CHOW_EPOCH}',
+                        CAST(o_orderdate AS DATE)) AS DOUBLE) AS t,
+         CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30, 6))) AS VARCHAR)
+              AS DOUBLE) AS r,
+         CASE WHEN CAST(o_orderdate AS DATE) < DATE '{_CHOW_BREAK}'
+              THEN 1 ELSE 0 END AS pre
+  FROM orders GROUP BY 1, 3
+),
+m AS (
+  SELECT {_chow_moments_sql('a', 'pre = 1')},
+  {_chow_moments_sql('b', 'pre = 0')}
+  FROM daily
+)
+SELECT CAST(a_n AS BIGINT) AS n_pre,
+       CAST(b_n AS BIGINT) AS n_post,
+       round({_ll_b1('a')}, 6) AS slope_pre,
+       round({_ll_b1('b')}, 6) AS slope_post,
+       round({sse_pool} / 1e9, 6) AS sse_pooled_1e9,
+       round({sse_split} / 1e9, 6) AS sse_split_1e9,
+       round((({sse_pool} - {sse_split}) / 2.0)
+             / ({sse_split} / (a_n + b_n - 4.0)), 6) AS f_stat
+FROM m
+"""
+
+
+@register("chow_break_test", _chow_sql())
+def q_chow_break_test(spark, sf_dir):
+    """Chow test for a structural break in the daily revenue trend at
+    a hypothesized date (Chow 1960): pooled vs per-segment linear fits
+    of daily revenue on the day index, F = ((SSE_p - SSE_1 - SSE_2)/2)
+    / ((SSE_1 + SSE_2)/(n - 4)).  The 2x2 solves and SSEs instantiate
+    the SAME prefix-parameterized template as `rdd_cutoff_effect`
+    (pooled moments are literally the a+b sums, substituted textually,
+    so no third scan and no formula drift); daily revenue is an exact
+    DECIMAL sum cast once to double, and every day-grain moment rides
+    the 1e-9 DECIMAL grid.
+
+    Scale plan: one map-side combined group-by to the day grain, then
+    ONE aggregate over the day relation computes both segments' (and
+    thus the pooled) moments with conditional sums — the fact is
+    scanned once, the test is arithmetic on a 1-row relation."""
+    o = load_table(spark, sf_dir, "orders")
+    to_d = lambda c: c.cast("string").cast("double")  # noqa: E731
+    daily = (
+        o.groupBy(
+            F.col("o_orderdate").cast("date").alias("day"),
+        )
+        .agg(to_d(F.sum(F.col("o_totalprice").cast("decimal(30, 6)"))).alias("r"))
+        .select(
+            F.datediff(F.col("day"), F.lit(_CHOW_EPOCH).cast("date"))
+            .cast("double")
+            .alias("t"),
+            "r",
+            F.when(F.col("day") < F.lit(_CHOW_BREAK).cast("date"), 1)
+            .otherwise(0)
+            .alias("pre"),
+        )
+    )
+
+    def q9_sum(term):
+        return to_d(F.sum(F.round(term, 9).cast("decimal(38, 9)")))
+
+    def seg(tag, flag):
+        only = lambda c: F.when(F.col("pre") == flag, c)  # noqa: E731
+        return [
+            F.count(only(F.lit(1))).cast("double").alias(f"{tag}_n"),
+            q9_sum(only(F.col("t"))).alias(f"{tag}_s1"),
+            q9_sum(only(F.col("t") * F.col("t"))).alias(f"{tag}_s11"),
+            q9_sum(only(F.col("r"))).alias(f"{tag}_sy"),
+            q9_sum(only(F.col("t") * F.col("r"))).alias(f"{tag}_s1y"),
+            q9_sum(only(F.col("r") * F.col("r"))).alias(f"{tag}_syy"),
+        ]
+
+    m = daily.agg(*(seg("a", 1) + seg("b", 0)))
+    sse_split = f"({_ll_sse('a')} + {_ll_sse('b')})"
+    sse_pool = _chow_pool(_ll_sse)
+    return m.select(
+        F.col("a_n").cast("long").alias("n_pre"),
+        F.col("b_n").cast("long").alias("n_post"),
+        F.round(F.expr(_ll_b1("a")), 6).alias("slope_pre"),
+        F.round(F.expr(_ll_b1("b")), 6).alias("slope_post"),
+        F.round(F.expr(sse_pool) / 1e9, 6).alias("sse_pooled_1e9"),
+        F.round(F.expr(sse_split) / 1e9, 6).alias("sse_split_1e9"),
+        F.round(
+            F.expr(
+                f"(({sse_pool} - {sse_split}) / 2.0)"
+                f" / ({sse_split} / (a_n + b_n - 4.0))"
+            ),
+            6,
+        ).alias("f_stat"),
+    )

@@ -1085,3 +1085,89 @@ def q_temporal_split_leakage(spark, sf_dir):
             "test_user_leak_rate"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Preference-pair mining (DPO/RLHF data prep): within each
+# (lang, source) bucket, pair the highest- and lowest-quality document
+# as (chosen, rejected) when a real quality margin exists — the
+# distributed construction step for preference-optimization datasets
+# built from heuristic or model-scored corpora.
+# ---------------------------------------------------------------------------
+
+_PREF_SQL = """
+WITH sc AS (
+  SELECT lang, source, doc_id,
+         round(CAST(length(regexp_replace(text, '[^0-9a-zA-Z]', '', 'g'))
+                    AS DOUBLE) / CAST(length(text) AS DOUBLE), 9) AS score
+  FROM documents WHERE length(text) > 0
+),
+r AS (
+  SELECT lang, source, doc_id, score,
+         ROW_NUMBER() OVER (PARTITION BY lang, source
+                            ORDER BY score DESC, doc_id DESC) AS rb,
+         ROW_NUMBER() OVER (PARTITION BY lang, source
+                            ORDER BY score ASC, doc_id ASC) AS rw,
+         COUNT(*) OVER (PARTITION BY lang, source) AS n_docs
+  FROM sc
+)
+SELECT b.lang, b.source, CAST(b.n_docs AS BIGINT) AS n_docs,
+       b.doc_id AS chosen_doc_id, w.doc_id AS rejected_doc_id,
+       round(b.score, 6) AS chosen_score, round(w.score, 6) AS rejected_score,
+       round(b.score - w.score, 6) AS margin
+FROM r b JOIN r w ON b.lang = w.lang AND b.source = w.source
+                 AND b.rb = 1 AND w.rw = 1
+WHERE b.n_docs >= 2 AND b.score - w.score > 0
+ORDER BY b.lang, b.source
+"""
+
+
+@register("preference_pair_mining", _PREF_SQL)
+def q_preference_pair_mining(spark, sf_dir):
+    """Mine (chosen, rejected) preference pairs per (lang, source)
+    bucket: score every document (alphanumeric-density heuristic — the
+    seat a learned reward/quality model takes in production), then
+    emit the bucket's best-vs-worst pair wherever a positive quality
+    margin exists.  The selection tie-break is total (score, then
+    doc_id), so pairs are deterministic; scores sit on the 1e-9 grid
+    (one division) and margins on the 1e-6 display grid.
+
+    Scale plan: scoring is map-side; BOTH extremes come from ONE
+    map-side-combinable group-by via lexicographic struct MAX/MIN —
+    no per-bucket window, no sort, no self-join at the document grain
+    (the oracle's rank-window form is the statement of record, not the
+    plan).  At 100 TB this is a single shuffle on the bucket key with
+    partial aggregation doing almost all the work."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    sc = docs.select(
+        "lang",
+        "source",
+        "doc_id",
+        F.round(
+            F.length(F.regexp_replace("text", "[^0-9a-zA-Z]", "")).cast("double")
+            / F.length("text").cast("double"),
+            9,
+        ).alias("score"),
+    )
+    agg = sc.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.max(F.struct("score", "doc_id")).alias("best"),
+        F.min(F.struct("score", "doc_id")).alias("worst"),
+    )
+    return (
+        agg.filter(
+            (F.col("n_docs") >= 2)
+            & (F.col("best.score") - F.col("worst.score") > 0)
+        )
+        .select(
+            "lang",
+            "source",
+            "n_docs",
+            F.col("best.doc_id").alias("chosen_doc_id"),
+            F.col("worst.doc_id").alias("rejected_doc_id"),
+            F.round(F.col("best.score"), 6).alias("chosen_score"),
+            F.round(F.col("worst.score"), 6).alias("rejected_score"),
+            F.round(F.col("best.score") - F.col("worst.score"), 6).alias("margin"),
+        )
+        .orderBy("lang", "source")
+    )

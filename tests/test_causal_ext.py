@@ -306,3 +306,90 @@ def test_mllib_prefixspan_matches_python(spark):
         for r in REGISTRY["mllib_prefixspan_patterns"][0](spark, SF_DIR).collect()
     ]
     assert got == want
+
+
+def test_chow_break_test_matches_python(spark):
+    from datetime import date
+
+    from network_ids_using_pyspark_spark.queries.causal_ext import (
+        _CHOW_BREAK,
+        _CHOW_EPOCH,
+    )
+
+    t = pq.read_table(
+        f"{SF_DIR}/orders.parquet", columns=["o_orderdate", "o_totalprice"]
+    )
+    daily = defaultdict(float)
+    for d, v in zip(
+        [x.date() for x in t.column("o_orderdate").to_pylist()],
+        t.column("o_totalprice").to_pylist(),
+    ):
+        daily[d] += float(v)
+    epoch = date.fromisoformat(_CHOW_EPOCH)
+    brk = date.fromisoformat(_CHOW_BREAK)
+
+    def moments(items):
+        n = float(len(items))
+        s1 = sum(t for t, _ in items)
+        s11 = sum(t * t for t, _ in items)
+        sy = sum(r for _, r in items)
+        s1y = sum(t * r for t, r in items)
+        syy = sum(r * r for _, r in items)
+        return n, s1, s11, sy, s1y, syy
+
+    def sse(m):
+        n, s1, s11, sy, s1y, syy = m
+        det = n * s11 - s1 * s1
+        b0 = (sy * s11 - s1y * s1) / det
+        b1 = (n * s1y - s1 * sy) / det
+        return syy - (b0 * sy + b1 * s1y), b1
+
+    pre = [((d - epoch).days, r) for d, r in daily.items() if d < brk]
+    post = [((d - epoch).days, r) for d, r in daily.items() if d >= brk]
+    ma, mb = moments(pre), moments(post)
+    pooled = tuple(a + b for a, b in zip(ma, mb))
+    s_a, b1_a = sse(ma)
+    s_b, b1_b = sse(mb)
+    s_p, _ = sse(pooled)
+    n = len(pre) + len(post)
+    f = ((s_p - (s_a + s_b)) / 2.0) / ((s_a + s_b) / (n - 4.0))
+    row = REGISTRY["chow_break_test"][0](spark, SF_DIR).collect()[0]
+    assert (row["n_pre"], row["n_post"]) == (len(pre), len(post))
+    assert abs(row["slope_pre"] - b1_a) < 1e-4
+    assert abs(row["slope_post"] - b1_b) < 1e-4
+    assert abs(row["sse_pooled_1e9"] - s_p / 1e9) < 1e-3
+    assert abs(row["sse_split_1e9"] - (s_a + s_b) / 1e9) < 1e-3
+    assert abs(row["f_stat"] - f) < 1e-4
+
+
+def test_preference_pair_mining_matches_python(spark):
+    import re
+
+    t = pq.read_table(
+        f"{SF_DIR}/documents.parquet", columns=["lang", "source", "doc_id", "text"]
+    )
+    buckets = defaultdict(list)
+    for lng, src, did, txt in zip(
+        t.column("lang").to_pylist(),
+        t.column("source").to_pylist(),
+        t.column("doc_id").to_pylist(),
+        t.column("text").to_pylist(),
+    ):
+        if len(txt) == 0:
+            continue
+        score = round(len(re.sub(r"[^0-9a-zA-Z]", "", txt)) / len(txt), 9)
+        buckets[(lng, src)].append((score, did))
+    want = {}
+    for k, docs in buckets.items():
+        if len(docs) < 2:
+            continue
+        best, worst = max(docs), min(docs)
+        if best[0] - worst[0] > 0:
+            want[k] = (len(docs), best, worst)
+    rows = REGISTRY["preference_pair_mining"][0](spark, SF_DIR).collect()
+    assert {(r["lang"], r["source"]) for r in rows} == set(want)
+    for r in rows:
+        n, best, worst = want[(r["lang"], r["source"])]
+        assert r["n_docs"] == n
+        assert (r["chosen_doc_id"], r["rejected_doc_id"]) == (best[1], worst[1])
+        assert abs(r["margin"] - (best[0] - worst[0])) < 1e-6

@@ -1319,3 +1319,22 @@ def test_bpe_fertility_vocab_broadcast(spark):
     plan = explain_str(df, "simple")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_chow_single_day_grain_pass(spark):
+    """Chow: one fact scan to the day grain, one aggregate over days —
+    pooled moments are textual a+b sums, so no third pass exists."""
+    df = _df(spark, "chow_break_test")
+    plan = explain_str(df, "simple")
+    assert plan.count("FileScan parquet") == 1
+    assert "Join" not in plan and "Window" not in plan
+
+
+def test_preference_pairs_no_window_no_join(spark):
+    """Both extremes come from one struct-MAX/MIN group-by: the engine
+    plan must contain neither the oracle's rank windows nor a
+    document-grain self-join."""
+    df = _df(spark, "preference_pair_mining")
+    plan = explain_str(df, "simple")
+    assert plan.count("FileScan parquet") == 1
+    assert "Join" not in plan and "Window" not in plan
