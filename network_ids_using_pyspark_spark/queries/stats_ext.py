@@ -4813,3 +4813,118 @@ def q_cox_ph_exact(spark, sf_dir):
         F.round(F.exp(F.col("b")), 6).alias("hazard_ratio"),
         F.round(1.0 / F.sqrt(F.col("si")), 6).alias("se_beta"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mahalanobis outliers: the MULTIVARIATE complement of
+# `value_outliers_3sigma` / `value_outliers_mad` — rank lineitems by
+# their Mahalanobis distance under the exact 2-D covariance of
+# (quantity, extendedprice), catching points that are unremarkable on
+# each axis but violate the correlation structure.
+# ---------------------------------------------------------------------------
+
+_MAHA_TOPK = 20
+# one shared distance template over the moment columns (n/sx/sy/sxx/
+# sxy/syy are correctly-rounded doubles of exact decimal sums; x/y are
+# the raw parquet doubles) — identical expression tree on both engines
+_MAHA_D2 = (
+    "((cyy * (x - mx) * (x - mx) - 2.0 * cxy * (x - mx) * (y - my)"
+    " + cxx * (y - my) * (y - my)) / (cxx * cyy - cxy * cxy))"
+)
+_MAHA_COV = (
+    "SELECT sx / n AS mx, sy / n AS my,"
+    " (sxx - sx * sx / n) / (n - 1.0) AS cxx,"
+    " (sxy - sx * sy / n) / (n - 1.0) AS cxy,"
+    " (syy - sy * sy / n) / (n - 1.0) AS cyy FROM m"
+)
+
+
+def _maha_sql() -> str:
+    dx = "CAST(l_quantity AS DECIMAL(19, 6))"
+    dy = "CAST(l_extendedprice AS DECIMAL(19, 6))"
+    d = lambda e: f"CAST(CAST(SUM({e}) AS VARCHAR) AS DOUBLE)"  # noqa: E731
+    return f"""
+WITH m AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         {d(dx)} AS sx, {d(dy)} AS sy,
+         {d(f'{dx} * {dx}')} AS sxx,
+         {d(f'{dx} * {dy}')} AS sxy,
+         {d(f'{dy} * {dy}')} AS syy
+  FROM lineitem
+),
+c AS ({_MAHA_COV})
+SELECT l_orderkey, l_linenumber,
+       round(CAST(l_quantity AS DOUBLE), 2) AS quantity,
+       round(CAST(l_extendedprice AS DOUBLE), 2) AS extendedprice,
+       round(d2, 6) AS mahalanobis_d2
+FROM (
+  SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+         {_MAHA_D2} AS d2
+  FROM (SELECT l_orderkey, l_linenumber, l_quantity,
+               CAST(l_quantity AS DOUBLE) AS x,
+               l_extendedprice, CAST(l_extendedprice AS DOUBLE) AS y
+        FROM lineitem) CROSS JOIN c
+)
+ORDER BY d2 DESC, l_orderkey, l_linenumber
+LIMIT {_MAHA_TOPK}
+"""
+
+
+@register("mahalanobis_outlier_topk", _maha_sql())
+def q_mahalanobis_outlier_topk(spark, sf_dir):
+    """Top-{k} multivariate outliers by Mahalanobis distance under the
+    exact sample covariance of (l_quantity, l_extendedprice): the 2-D
+    closed-form d² = (x-μ)ᵀ Σ⁻¹ (x-μ) expanded through the adjugate —
+    one template string on both engines — with moments accumulated as
+    exact decimals (the `corr_qty_price` discipline) and each row's d²
+    a single shared double expression tree.
+
+    Scale plan: pass 1 is ONE map-side combined moment aggregate; the
+    1-row covariance relation broadcasts onto pass 2's scoring scan;
+    the cut is TakeOrderedAndProject (per-partition heaps).  Higher
+    dimensions swap the adjugate for a broadcast precomputed Σ⁻¹ —
+    the two-pass shape is unchanged."""
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = "decimal(19, 6)"
+    x = F.col("l_quantity").cast(dec)
+    y = F.col("l_extendedprice").cast(dec)
+    m = li.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x).cast("string").cast("double").alias("sx"),
+        F.sum(y).cast("string").cast("double").alias("sy"),
+        F.sum(x * x).cast("string").cast("double").alias("sxx"),
+        F.sum(x * y).cast("string").cast("double").alias("sxy"),
+        F.sum(y * y).cast("string").cast("double").alias("syy"),
+    )
+    cov = m.selectExpr(
+        "sx / n AS mx",
+        "sy / n AS my",
+        "(sxx - sx * sx / n) / (n - 1.0) AS cxx",
+        "(sxy - sx * sy / n) / (n - 1.0) AS cxy",
+        "(syy - sy * sy / n) / (n - 1.0) AS cyy",
+    )
+    scored = (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_quantity",
+            "l_extendedprice",
+            F.col("l_quantity").cast("double").alias("x"),
+            F.col("l_extendedprice").cast("double").alias("y"),
+        )
+        .crossJoin(F.broadcast(cov))
+        .withColumn("d2", F.expr(_MAHA_D2))
+    )
+    return (
+        scored.orderBy(F.desc("d2"), "l_orderkey", "l_linenumber")
+        .limit(_MAHA_TOPK)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round(F.col("l_quantity").cast("double"), 2).alias("quantity"),
+            F.round(F.col("l_extendedprice").cast("double"), 2).alias(
+                "extendedprice"
+            ),
+            F.round(F.col("d2"), 6).alias("mahalanobis_d2"),
+        )
+    )

@@ -753,3 +753,152 @@ def q_ppmi_cooccurrence_topk(spark, sf_dir):
         .orderBy(F.desc("ppmi"), F.asc("word"), F.asc("context"))
         .limit(_PPMI_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# RAKE keyword extraction (Rose et al. 2010): candidate phrases are
+# maximal stopword-free token runs; a word scores deg/freq (deg = sum
+# of lengths of phrases it appears in, freq = its occurrence count);
+# a phrase scores the sum of its words' scores.  The corpus-level
+# keyword list no text family here covers yet — tf-idf
+# (`top_terms_per_doc`) ranks single terms per doc; RAKE ranks
+# multi-word PHRASES corpus-wide.
+# ---------------------------------------------------------------------------
+
+_RAKE_TOPK = 20
+
+
+def _rake_sql() -> str:
+    q9 = (
+        "CAST(CAST(SUM(CAST(round(wscore, 9) AS DECIMAL(38, 9))) AS VARCHAR)"
+        " AS DOUBLE)"
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, i AS pos, l[i] AS w
+  FROM (SELECT doc_id,
+               regexp_split_to_array(lower(trim(text)), '[^0-9a-z]+') AS l
+        FROM documents),
+       UNNEST(range(1, len(l) + 1)) AS t(i)
+),
+phrased AS (
+  SELECT doc_id, pos, w,
+         SUM(CASE WHEN w = '' OR w IN {_STOP_SQL.replace('[', '(').replace(']', ')')}
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS phrase_id,
+         (w = '' OR w IN {_STOP_SQL.replace('[', '(').replace(']', ')')}) AS stop
+  FROM toks
+),
+occ AS (
+  SELECT doc_id, phrase_id,
+         string_agg(w, ' ' ORDER BY pos) AS phrase,
+         CAST(COUNT(*) AS BIGINT) AS plen
+  FROM phrased WHERE NOT stop
+  GROUP BY doc_id, phrase_id
+),
+mem AS (
+  SELECT o.doc_id, o.phrase_id, o.phrase, o.plen, p.w
+  FROM occ o JOIN phrased p
+    ON p.doc_id = o.doc_id AND p.phrase_id = o.phrase_id AND NOT p.stop
+),
+ws AS (
+  SELECT w, round(CAST(SUM(plen) AS DOUBLE) / COUNT(*), 9) AS wscore
+  FROM mem GROUP BY w
+),
+oscore AS (
+  SELECT m.doc_id, m.phrase_id, m.phrase, m.plen, {q9} AS score
+  FROM mem m JOIN ws USING (w)
+  GROUP BY m.doc_id, m.phrase_id, m.phrase, m.plen
+)
+SELECT phrase, CAST(plen AS BIGINT) AS n_words,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       round(MAX(score), 6) AS rake_score
+FROM oscore GROUP BY phrase, plen
+ORDER BY rake_score DESC, phrase
+LIMIT {_RAKE_TOPK}
+"""
+
+
+@register("rake_keyword_extraction", _rake_sql())
+def q_rake_keyword_extraction(spark, sf_dir):
+    """Top-{k} corpus keywords by RAKE (Rose et al. 2010): tokenize,
+    split each document into stopword-free candidate phrases (prefix
+    count of stopword boundaries = phrase id), score words deg/freq
+    over phrase occurrences, score phrases as the sum of member-word
+    scores.  Word scores are one integer division on the 1e-9 grid;
+    phrase sums are quantized DECIMAL (member fan-in > 2); the final
+    ranking breaks ties on the phrase text, so the cut is total.
+
+    Scale plan: phrase building is a per-document window (bounded
+    partitions) over one scan; word scoring is a map-side combined
+    group-by on the word; the members-to-scores join is a hash join on
+    the word key (vocabulary-bounded); the cut is
+    TakeOrderedAndProject.  No global windows, nothing quadratic."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower(F.trim("text")), "[^0-9a-z]+")).alias(
+            "pos", "w"
+        ),
+    )
+    stop = (F.col("w") == "") | F.col("w").isin(_STOPWORDS)
+    w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    phrased = toks.select(
+        "doc_id",
+        "pos",
+        "w",
+        F.sum(stop.cast("int")).over(w_doc).alias("phrase_id"),
+        stop.alias("stop"),
+    )
+    occ = (
+        phrased.filter(~F.col("stop"))
+        .groupBy("doc_id", "phrase_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                lambda s: s["w"],
+            ).alias("words")
+        )
+        .select(
+            "doc_id",
+            "phrase_id",
+            F.array_join("words", " ").alias("phrase"),
+            F.size("words").cast("long").alias("plen"),
+            "words",
+        )
+    )
+    mem = occ.select(
+        "doc_id", "phrase_id", "phrase", "plen", F.explode("words").alias("w")
+    )
+    ws = mem.groupBy("w").agg(
+        F.round(
+            F.sum("plen").cast("double") / F.count(F.lit(1)).cast("double"), 9
+        ).alias("wscore")
+    )
+    oscore = (
+        mem.join(ws, "w")
+        .groupBy("doc_id", "phrase_id", "phrase", "plen")
+        .agg(
+            F.sum(F.round(F.col("wscore"), 9).cast("decimal(38, 9)"))
+            .cast("string")
+            .cast("double")
+            .alias("score")
+        )
+    )
+    return (
+        oscore.groupBy("phrase", "plen")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            F.round(F.max("score"), 6).alias("rake_score"),
+        )
+        .select(
+            "phrase",
+            F.col("plen").alias("n_words"),
+            "n_occurrences",
+            "rake_score",
+        )
+        .orderBy(F.desc("rake_score"), "phrase")
+        .limit(_RAKE_TOPK)
+    )

@@ -393,3 +393,72 @@ def test_preference_pair_mining_matches_python(spark):
         assert r["n_docs"] == n
         assert (r["chosen_doc_id"], r["rejected_doc_id"]) == (best[1], worst[1])
         assert abs(r["margin"] - (best[0] - worst[0])) < 1e-6
+
+
+def test_mahalanobis_outlier_topk_matches_python(spark):
+    t = pq.read_table(
+        f"{SF_DIR}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"],
+    )
+    ok = t.column("l_orderkey").to_pylist()
+    ln = t.column("l_linenumber").to_pylist()
+    xs = [float(v) for v in t.column("l_quantity").to_pylist()]
+    ys = [float(v) for v in t.column("l_extendedprice").to_pylist()]
+    n = float(len(xs))
+    mx, my = sum(xs) / n, sum(ys) / n
+    cxx = sum((x - mx) ** 2 for x in xs) / (n - 1)
+    cyy = sum((y - my) ** 2 for y in ys) / (n - 1)
+    cxy = sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / (n - 1)
+    det = cxx * cyy - cxy * cxy
+    d2 = [
+        (cyy * (x - mx) ** 2 - 2 * cxy * (x - mx) * (y - my) + cxx * (y - my) ** 2)
+        / det
+        for x, y in zip(xs, ys)
+    ]
+    want = sorted(zip(d2, ok, ln), key=lambda r: (-r[0], r[1], r[2]))[:20]
+    rows = REGISTRY["mahalanobis_outlier_topk"][0](spark, SF_DIR).collect()
+    assert [(r["l_orderkey"], r["l_linenumber"]) for r in rows] == [
+        (o, li) for _, o, li in want
+    ]
+    for r, (d, _, _) in zip(rows, want):
+        assert abs(r["mahalanobis_d2"] - d) < 1e-4
+
+
+def test_rake_keywords_match_python(spark):
+    import re
+
+    stop = {"the", "a", "and", "of", "to", "in"}
+    t = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["text"])
+    occurrences = []  # list of phrase tuples
+    for txt in t.column("text").to_pylist():
+        words = re.split(r"[^0-9a-z]+", txt.strip().lower())
+        cur = []
+        for w in words + [""]:
+            if w == "" or w in stop:
+                if cur:
+                    occurrences.append(tuple(cur))
+                cur = []
+            else:
+                cur.append(w)
+    freq = defaultdict(int)
+    deg = defaultdict(int)
+    for ph in occurrences:
+        for w in ph:
+            freq[w] += 1
+            deg[w] += len(ph)
+    wscore = {w: round(deg[w] / freq[w], 9) for w in freq}
+    pscore = defaultdict(lambda: [0, 0.0])
+    for ph in occurrences:
+        s = sum(wscore[w] for w in ph)
+        e = pscore[" ".join(ph)]
+        e[0] += 1
+        e[1] = round(s, 6)
+    want = sorted(
+        ((p, c[1], c[0]) for p, c in pscore.items()), key=lambda r: (-r[1], r[0])
+    )[:20]
+    rows = REGISTRY["rake_keyword_extraction"][0](spark, SF_DIR).collect()
+    got = [(r["phrase"], r["rake_score"], r["n_occurrences"]) for r in rows]
+    assert [g[0] for g in got] == [w[0] for w in want]
+    for g, w in zip(got, want):
+        assert abs(g[1] - w[1]) < 1e-5 and g[2] == w[2]
+        assert g[0].count(" ") + 1 == len(g[0].split())

@@ -1338,3 +1338,23 @@ def test_preference_pairs_no_window_no_join(spark):
     plan = explain_str(df, "simple")
     assert plan.count("FileScan parquet") == 1
     assert "Join" not in plan and "Window" not in plan
+
+
+def test_mahalanobis_two_pass_broadcast_cov(spark):
+    """Mahalanobis: moment pass + scoring pass with the 1-row
+    covariance broadcast in; the cut is per-partition heaps."""
+    df = _df(spark, "mahalanobis_outlier_topk")
+    plan = explain_str(df, "simple")
+    assert plan.count("FileScan parquet") == 2
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_rake_no_global_window(spark):
+    """RAKE: phrase ids come from per-document windows; joins are
+    word-keyed hash joins; the cut is TakeOrdered."""
+    df = _df(spark, "rake_keyword_extraction")
+    plan = explain_str(df, "simple")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
