@@ -639,3 +639,99 @@ def q_ppr_trade_graph(spark, sf_dir):
         .orderBy(F.desc("rank"), F.asc("node"))
         .limit(_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# Degree assortativity (Newman 2002): the Pearson correlation of
+# endpoint degrees over the symmetrized edge list — positive r means
+# hubs trade with hubs (core-periphery detection for crawl/abuse
+# graphs).  Degrees are exact integers, so the corr moments accumulate
+# as exact decimals (the `corr_qty_price` discipline) and the final
+# statistic is one shared double expression tree.
+# ---------------------------------------------------------------------------
+
+_ASSORT_SQL = f"""
+WITH {_EDGES_CTE},
+deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY 1),
+pairs AS (
+  SELECT CAST(ds.d AS DECIMAL(19, 6)) AS dx, CAST(dd.d AS DECIMAL(19, 6)) AS dy
+  FROM edges e JOIN deg ds ON e.src = ds.node JOIN deg dd ON e.dst = dd.node
+),
+m AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(CAST(SUM(dx) AS VARCHAR) AS DOUBLE) AS sx,
+         CAST(CAST(SUM(dy) AS VARCHAR) AS DOUBLE) AS sy,
+         CAST(CAST(SUM(dx * dx) AS VARCHAR) AS DOUBLE) AS sxx,
+         CAST(CAST(SUM(dx * dy) AS VARCHAR) AS DOUBLE) AS sxy,
+         CAST(CAST(SUM(dy * dy) AS VARCHAR) AS DOUBLE) AS syy
+  FROM pairs
+),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM deg)
+SELECT nn.n_nodes,
+       CAST(m.n / 2 AS BIGINT) AS n_edges,
+       round((m.n * m.sxy - m.sx * m.sy)
+             / (sqrt(m.n * m.sxx - m.sx * m.sx)
+                * sqrt(m.n * m.syy - m.sy * m.sy)), 6) AS assortativity
+FROM m CROSS JOIN nn
+"""
+
+
+@register("degree_assortativity_trade_graph", _ASSORT_SQL)
+def q_degree_assortativity_trade_graph(spark, sf_dir):
+    """Degree assortativity of the trade graph (Newman 2002): Pearson
+    correlation of (deg(u), deg(v)) over the symmetrized edge list —
+    the standard undirected form, since each edge contributes both
+    orientations.  Degrees are exact counts; the correlation uses the
+    exact-decimal moment template of `corr_qty_price`, so the value is
+    bit-stable under any partitioning.
+
+    Scale plan: degree = one map-side combined group-by on the node;
+    attaching endpoint degrees = two hash equi-joins of the edge list
+    against the node-sized degree relation (shuffle on node id — the
+    same key the edge list already groups by); the correlation is ONE
+    map-side combined moment aggregate.  Nothing quadratic, no
+    windows."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    e0 = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = e0.union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    dec = "decimal(19, 6)"
+    pairs = (
+        edges.join(deg.withColumnRenamed("node", "src"), "src")
+        .withColumnRenamed("d", "d_src")
+        .join(deg.withColumnRenamed("node", "dst"), "dst")
+        .select(
+            F.col("d_src").cast(dec).alias("dx"), F.col("d").cast(dec).alias("dy")
+        )
+    )
+    m = pairs.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("dx").cast("string").cast("double").alias("sx"),
+        F.sum("dy").cast("string").cast("double").alias("sy"),
+        F.sum(F.col("dx") * F.col("dx")).cast("string").cast("double").alias("sxx"),
+        F.sum(F.col("dx") * F.col("dy")).cast("string").cast("double").alias("sxy"),
+        F.sum(F.col("dy") * F.col("dy")).cast("string").cast("double").alias("syy"),
+    )
+    nn = deg.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    return m.crossJoin(F.broadcast(nn)).select(
+        "n_nodes",
+        (F.col("n") / 2).cast("long").alias("n_edges"),
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (
+                F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+            ),
+            6,
+        ).alias("assortativity"),
+    )

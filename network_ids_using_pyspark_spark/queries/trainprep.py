@@ -1171,3 +1171,107 @@ def q_preference_pair_mining(spark, sf_dir):
         )
         .orderBy("lang", "source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Leave-one-source-out corpus ablation: for each source, the corpus
+# quality metrics WITHOUT it, computed as totals minus the per-source
+# slice — the exact marginal-contribution readout a mixture owner
+# checks before dropping or down-weighting a source (the zero-training
+# sibling of `dsir_importance_weights` / `domain_mixture_weights`).
+# ---------------------------------------------------------------------------
+
+_LOO_SQL = """
+WITH per_doc AS (
+  SELECT source,
+         len(regexp_split_to_array(trim(text), '\\s+')) AS n_toks,
+         round(CAST(length(regexp_replace(text, '[^0-9a-zA-Z]', '', 'g'))
+                    AS DOUBLE) / CAST(length(text) AS DOUBLE), 9) AS q
+  FROM documents WHERE length(text) > 0
+),
+per_src AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_toks) AS BIGINT) AS n_toks,
+         CAST(CAST(SUM(CAST(q AS DECIMAL(38, 9))) AS VARCHAR) AS DOUBLE) AS sq
+  FROM per_doc GROUP BY source
+),
+tot AS (
+  SELECT CAST(SUM(n_docs) AS BIGINT) AS t_docs,
+         CAST(SUM(n_toks) AS BIGINT) AS t_toks,
+         CAST(CAST(SUM(CAST(sq AS DECIMAL(38, 9))) AS VARCHAR) AS DOUBLE) AS t_q
+  FROM per_src
+)
+SELECT source, n_docs,
+       round(CAST(n_toks AS DOUBLE) / t_toks, 6) AS token_share,
+       round(t_q / t_docs, 6) AS mean_quality_full,
+       round((t_q - sq) / (t_docs - n_docs), 6) AS mean_quality_without,
+       round((t_q - sq) / (t_docs - n_docs) - t_q / t_docs, 6) AS quality_delta
+FROM per_src CROSS JOIN tot
+ORDER BY source
+"""
+
+
+@register("loo_source_ablation", _LOO_SQL)
+def q_loo_source_ablation(spark, sf_dir):
+    """Leave-one-source-out ablation: per source, the corpus mean
+    quality WITHOUT that source ((total - slice) / (n - n_s)) next to
+    its token share — positive quality_delta means the corpus improves
+    when the source is removed.  Per-doc quality (alnum density) sits
+    on the 1e-9 grid and sums in DECIMAL at both the source and corpus
+    level, so every ablation is exact arithmetic on the per-source
+    relation, not a rescan per source (the naive form is |sources|
+    scans; this is ONE).
+
+    Scale plan: one map-side combined group-by to the source grain,
+    a second tiny aggregate for the totals, broadcast back — O(1)
+    passes regardless of |sources|."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    per_doc = docs.select(
+        "source",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_toks"),
+        F.round(
+            F.length(F.regexp_replace("text", "[^0-9a-zA-Z]", "")).cast("double")
+            / F.length("text").cast("double"),
+            9,
+        ).alias("q"),
+    )
+    per_src = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_toks").cast("long").alias("n_toks"),
+        F.sum(F.col("q").cast("decimal(38, 9)"))
+        .cast("string")
+        .cast("double")
+        .alias("sq"),
+    ).localCheckpoint(eager=True)  # |sources| rows: totals reuse it, no rescan
+    tot = per_src.agg(
+        F.sum("n_docs").cast("long").alias("t_docs"),
+        F.sum("n_toks").cast("long").alias("t_toks"),
+        F.sum(F.col("sq").cast("decimal(38, 9)"))
+        .cast("string")
+        .cast("double")
+        .alias("t_q"),
+    )
+    return (
+        per_src.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            F.round(F.col("n_toks").cast("double") / F.col("t_toks"), 6).alias(
+                "token_share"
+            ),
+            F.round(F.col("t_q") / F.col("t_docs"), 6).alias("mean_quality_full"),
+            F.round(
+                (F.col("t_q") - F.col("sq"))
+                / (F.col("t_docs") - F.col("n_docs")),
+                6,
+            ).alias("mean_quality_without"),
+            F.round(
+                (F.col("t_q") - F.col("sq"))
+                / (F.col("t_docs") - F.col("n_docs"))
+                - F.col("t_q") / F.col("t_docs"),
+                6,
+            ).alias("quality_delta"),
+        )
+        .orderBy("source")
+    )

@@ -462,3 +462,65 @@ def test_rake_keywords_match_python(spark):
     for g, w in zip(got, want):
         assert abs(g[1] - w[1]) < 1e-5 and g[2] == w[2]
         assert g[0].count(" ") + 1 == len(g[0].split())
+
+
+def test_degree_assortativity_matches_python(spark):
+    import math
+
+    o = pq.read_table(f"{SF_DIR}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+    li = pq.read_table(
+        f"{SF_DIR}/lineitem.parquet", columns=["l_orderkey", "l_suppkey"]
+    )
+    cust = dict(zip(o.column("o_orderkey").to_pylist(), o.column("o_custkey").to_pylist()))
+    e0 = {
+        (f"c{cust[ok]}", f"s{sk}")
+        for ok, sk in zip(
+            li.column("l_orderkey").to_pylist(), li.column("l_suppkey").to_pylist()
+        )
+        if ok in cust
+    }
+    edges = list(e0) + [(b, a) for a, b in e0]
+    deg = defaultdict(int)
+    for s, _ in edges:
+        deg[s] += 1
+    n = float(len(edges))
+    dx = [float(deg[s]) for s, _ in edges]
+    dy = [float(deg[d]) for _, d in edges]
+    sx, sy = sum(dx), sum(dy)
+    sxx = sum(v * v for v in dx)
+    syy = sum(v * v for v in dy)
+    sxy = sum(a * b for a, b in zip(dx, dy))
+    r = (n * sxy - sx * sy) / (
+        math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy)
+    )
+    row = REGISTRY["degree_assortativity_trade_graph"][0](spark, SF_DIR).collect()[0]
+    assert row["n_nodes"] == len(deg)
+    assert row["n_edges"] == len(e0)
+    assert abs(row["assortativity"] - r) < 1e-6
+
+
+def test_loo_source_ablation_matches_python(spark):
+    import re
+
+    t = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["source", "text"])
+    per = defaultdict(lambda: [0, 0, 0.0])  # docs, toks, q
+    for src, txt in zip(t.column("source").to_pylist(), t.column("text").to_pylist()):
+        if len(txt) == 0:
+            continue
+        c = per[src]
+        c[0] += 1
+        c[1] += len(re.split(r"\s+", txt.strip()))
+        c[2] += round(len(re.sub(r"[^0-9a-zA-Z]", "", txt)) / len(txt), 9)
+    t_docs = sum(c[0] for c in per.values())
+    t_toks = sum(c[1] for c in per.values())
+    t_q = sum(c[2] for c in per.values())
+    rows = REGISTRY["loo_source_ablation"][0](spark, SF_DIR).collect()
+    assert [r["source"] for r in rows] == sorted(per)
+    for r in rows:
+        nd, nt, sq = per[r["source"]]
+        assert r["n_docs"] == nd
+        assert abs(r["token_share"] - nt / t_toks) < 1e-6
+        assert abs(r["mean_quality_full"] - t_q / t_docs) < 1e-6
+        without = (t_q - sq) / (t_docs - nd)
+        assert abs(r["mean_quality_without"] - without) < 1e-6
+        assert abs(r["quality_delta"] - (without - t_q / t_docs)) < 1e-6

@@ -1358,3 +1358,24 @@ def test_rake_no_global_window(spark):
     plan = explain_str(df, "simple")
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_assortativity_hash_joins_on_node_key(spark):
+    """Degree attachment must be equi-joins on the node id — no
+    nested loop, no cartesian; the corr is one moment aggregate."""
+    df = _df(spark, "degree_assortativity_trade_graph")
+    plan = explain_str(df, "simple")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1  # only the 1-row n_nodes
+
+
+def test_loo_ablation_single_pass(spark):
+    """|sources| ablations from ONE fact pass: group-by to source
+    grain + 1-row totals broadcast — never a rescan per source."""
+    df = _df(spark, "loo_source_ablation")
+    plan = explain_str(df, "simple")
+    # the one fact pass materialized the |sources|-row relation; both
+    # consumers (slice + totals) read THAT, never the fact again
+    assert plan.count("FileScan parquet") == 0
+    assert "ExistingRDD" in plan
+    assert "SortMergeJoin" not in plan and "Window" not in plan
