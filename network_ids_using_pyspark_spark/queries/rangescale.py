@@ -527,3 +527,101 @@ def q_peak_concurrent_sessions_scaled(spark, sf_dir):
             F.col("peak_at_us").cast("long").alias("peak_at_us"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Upper-tail dependence of (quantity, extendedprice): the copula-level
+# question "when one metric is extreme, is the other?" that Pearson
+# correlation (`corr_qty_price`) cannot answer.  Quantile cutoffs come
+# from the same exact-rank-selection descent as
+# `exact_percentiles_scaled`, so the engine never sorts.
+# ---------------------------------------------------------------------------
+
+_TAIL_Q = 0.95
+
+
+@register(
+    "tail_dependence_qty_price",
+    f"""
+WITH rx AS (
+  SELECT l_quantity AS v, ROW_NUMBER() OVER (ORDER BY l_quantity) AS rn,
+         COUNT(*) OVER () AS n
+  FROM lineitem
+),
+qx AS (SELECT v FROM rx WHERE rn = CAST(ceil({_TAIL_Q} * n) AS BIGINT)),
+ry AS (
+  SELECT l_extendedprice AS v,
+         ROW_NUMBER() OVER (ORDER BY l_extendedprice) AS rn,
+         COUNT(*) OVER () AS n
+  FROM lineitem
+),
+qy AS (SELECT v FROM ry WHERE rn = CAST(ceil({_TAIL_Q} * n) AS BIGINT)),
+c AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN l_quantity > (SELECT v FROM qx)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_x_tail,
+         CAST(SUM(CASE WHEN l_extendedprice > (SELECT v FROM qy)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_y_tail,
+         CAST(SUM(CASE WHEN l_quantity > (SELECT v FROM qx)
+                        AND l_extendedprice > (SELECT v FROM qy)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_joint_tail
+  FROM lineitem
+)
+SELECT CAST({_TAIL_Q} AS DOUBLE) AS q,
+       round(CAST((SELECT v FROM qx) AS DOUBLE), 2) AS cut_quantity,
+       round(CAST((SELECT v FROM qy) AS DOUBLE), 2) AS cut_extendedprice,
+       n, n_x_tail, n_y_tail, n_joint_tail,
+       round(CAST(n_joint_tail AS DOUBLE) / n_x_tail, 6) AS p_y_tail_given_x,
+       round((CAST(n_joint_tail AS DOUBLE) / n) / (1.0 - {_TAIL_Q}), 6)
+         AS lambda_u
+FROM c
+""",
+)
+def q_tail_dependence_qty_price(spark, sf_dir):
+    """Empirical upper-tail dependence at q = {q}: with per-column
+    exact lower quantiles (value at rank ceil(q·n)) as cutoffs, report
+    P(price tail | quantity tail) and the tail-dependence coefficient
+    estimate λ_U = P(both tails)/(1−q) — 1.0 under perfect tail
+    comonotonicity, ≈(1−q) under independence for the conditional
+    form.  Counts are exact integers; the two output ratios are single
+    IEEE divisions.
+
+    Scale plan: the cutoffs come from the shared exact-rank-selection
+    descent (constant number of map-side histogram passes, NO sort —
+    the oracle's rank windows are the statement of record, not the
+    plan); the tail census is ONE conditional-sum aggregate with the
+    two 1-row cutoffs broadcast in."""
+    li = load_table(spark, sf_dir, "lineitem")
+    n = li.count()
+    rank = math.ceil(_TAIL_Q * n)
+    (qx,) = exact_rank_select(li, ["l_quantity"], [rank])[rank]
+    (qy,) = exact_rank_select(li, ["l_extendedprice"], [rank])[rank]
+    c = li.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum((F.col("l_quantity") > qx).cast("int")).cast("long").alias("n_x_tail"),
+        F.sum((F.col("l_extendedprice") > qy).cast("int"))
+        .cast("long")
+        .alias("n_y_tail"),
+        F.sum(
+            ((F.col("l_quantity") > qx) & (F.col("l_extendedprice") > qy)).cast(
+                "int"
+            )
+        )
+        .cast("long")
+        .alias("n_joint_tail"),
+    )
+    return c.select(
+        F.lit(_TAIL_Q).cast("double").alias("q"),
+        F.round(F.lit(float(qx)), 2).alias("cut_quantity"),
+        F.round(F.lit(float(qy)), 2).alias("cut_extendedprice"),
+        "n",
+        "n_x_tail",
+        "n_y_tail",
+        "n_joint_tail",
+        F.round(F.col("n_joint_tail").cast("double") / F.col("n_x_tail"), 6).alias(
+            "p_y_tail_given_x"
+        ),
+        F.round(
+            (F.col("n_joint_tail").cast("double") / F.col("n")) / (1.0 - _TAIL_Q), 6
+        ).alias("lambda_u"),
+    )

@@ -524,3 +524,31 @@ def test_loo_source_ablation_matches_python(spark):
         without = (t_q - sq) / (t_docs - nd)
         assert abs(r["mean_quality_without"] - without) < 1e-6
         assert abs(r["quality_delta"] - (without - t_q / t_docs)) < 1e-6
+
+
+def test_tail_dependence_matches_python(spark):
+    import math
+
+    t = pq.read_table(
+        f"{SF_DIR}/lineitem.parquet", columns=["l_quantity", "l_extendedprice"]
+    )
+    xs = [float(v) for v in t.column("l_quantity").to_pylist()]
+    ys = [float(v) for v in t.column("l_extendedprice").to_pylist()]
+    n = len(xs)
+    rank = math.ceil(0.95 * n)
+    qx = sorted(xs)[rank - 1]
+    qy = sorted(ys)[rank - 1]
+    nx = sum(1 for v in xs if v > qx)
+    ny = sum(1 for v in ys if v > qy)
+    nxy = sum(1 for a, b in zip(xs, ys) if a > qx and b > qy)
+    row = REGISTRY["tail_dependence_qty_price"][0](spark, SF_DIR).collect()[0]
+    assert (row["n"], row["n_x_tail"], row["n_y_tail"], row["n_joint_tail"]) == (
+        n,
+        nx,
+        ny,
+        nxy,
+    )
+    assert abs(row["cut_quantity"] - qx) < 1e-6
+    assert abs(row["cut_extendedprice"] - qy) < 1e-6
+    assert abs(row["p_y_tail_given_x"] - nxy / nx) < 1e-6
+    assert abs(row["lambda_u"] - (nxy / n) / 0.05) < 1e-6

@@ -1379,3 +1379,13 @@ def test_loo_ablation_single_pass(spark):
     assert plan.count("FileScan parquet") == 0
     assert "ExistingRDD" in plan
     assert "SortMergeJoin" not in plan and "Window" not in plan
+
+
+def test_tail_dependence_census_no_sort_no_window(spark):
+    """The tail census is one conditional-sum aggregate with literal
+    cutoffs (resolved by the rank-selection descent) — the final plan
+    must contain no sort, window, or join."""
+    df = _df(spark, "tail_dependence_qty_price")
+    plan = explain_str(df, "simple")
+    assert "Window" not in plan and "Join" not in plan
+    assert plan.count("FileScan parquet") == 1
