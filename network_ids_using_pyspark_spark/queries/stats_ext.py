@@ -4928,3 +4928,97 @@ def q_mahalanobis_outlier_topk(spark, sf_dir):
             F.round(F.col("d2"), 6).alias("mahalanobis_d2"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Overdispersion check on daily event counts: the variance-to-mean
+# (index of dispersion) per event_type over the FULL calendar span —
+# zero-event days included, which is where the naive active-days-only
+# computation silently biases low.  Dispersion ≫ 1 says the Poisson
+# assumption behind rate alerting (`event_rate_anomaly`) is wrong and
+# a negative-binomial threshold is needed.
+# ---------------------------------------------------------------------------
+
+_ODISP_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+span AS (
+  SELECT CAST(date_diff('day', MIN(CAST(date_trunc('day', ts) AS DATE)),
+                        MAX(CAST(date_trunc('day', ts) AS DATE))) + 1 AS BIGINT)
+           AS n_span
+  FROM events
+),
+per_type AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_active,
+         CAST(SUM(c) AS BIGINT) AS s,
+         CAST(SUM(c * c) AS BIGINT) AS ss
+  FROM daily GROUP BY event_type
+)
+SELECT event_type,
+       span.n_span AS n_days_span,
+       n_active AS n_days_active,
+       s AS n_events,
+       round(CAST(s AS DOUBLE) / span.n_span, 6) AS mean_per_day,
+       round((ss - CAST(s AS DOUBLE) * s / span.n_span)
+             / (span.n_span - 1.0), 6) AS var_per_day,
+       round(((ss - CAST(s AS DOUBLE) * s / span.n_span)
+              / (span.n_span - 1.0)) / (CAST(s AS DOUBLE) / span.n_span), 6)
+         AS dispersion_index
+FROM per_type CROSS JOIN span
+ORDER BY event_type
+"""
+
+
+@register("overdispersion_daily_counts", _ODISP_SQL)
+def q_overdispersion_daily_counts(spark, sf_dir):
+    """Index of dispersion (variance/mean) of daily counts per
+    event_type over the full calendar span — zero days enter the
+    moments as Σc and Σc² over N_span days (they add nothing to the
+    sums but everything to the denominator), so no day table is ever
+    materialized.  Counts are exact integers; the three output ratios
+    share one expression tree.
+
+    Scale plan: one map-side combined group-by to (type, day), a tiny
+    per-type rollup, and a 1-row span relation broadcast in — the
+    zero-day handling is pure arithmetic, not a calendar join."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    span = ev.agg(
+        (
+            F.datediff(
+                F.max(F.date_trunc("day", "ts").cast("date")),
+                F.min(F.date_trunc("day", "ts").cast("date")),
+            )
+            + 1
+        )
+        .cast("long")
+        .alias("n_span")
+    )
+    per_type = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_active"),
+        F.sum("c").cast("long").alias("s"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("ss"),
+    )
+    mean = F.col("s").cast("double") / F.col("n_span")
+    var = (F.col("ss") - F.col("s").cast("double") * F.col("s") / F.col("n_span")) / (
+        F.col("n_span") - 1.0
+    )
+    return (
+        per_type.crossJoin(F.broadcast(span))
+        .select(
+            "event_type",
+            F.col("n_span").alias("n_days_span"),
+            F.col("n_active").alias("n_days_active"),
+            F.col("s").alias("n_events"),
+            F.round(mean, 6).alias("mean_per_day"),
+            F.round(var, 6).alias("var_per_day"),
+            F.round(var / mean, 6).alias("dispersion_index"),
+        )
+        .orderBy("event_type")
+    )

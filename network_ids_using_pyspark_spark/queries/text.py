@@ -147,9 +147,7 @@ def _hits_sql(lang: str) -> str:
     )
 
 
-@register(
-    "lang_id_predict",
-    f"""
+_LANG_PRED_SQL = f"""
     SELECT doc_id, lang,
            CASE WHEN h_de >= h_en AND h_de >= h_es AND h_de > 0 THEN 'de'
                 WHEN h_en >= h_es AND h_en > 0 THEN 'en'
@@ -162,8 +160,10 @@ def _hits_sql(lang: str) -> str:
              {_hits_sql('es')} AS h_es
       FROM documents
     )
-    """,
-)
+"""
+
+
+@register("lang_id_predict", _LANG_PRED_SQL)
 def q_lang_id(spark, sf_dir):
     """Marker-token language ID (n-gram-heuristic family): argmax of
     per-language marker hits, ties to the EARLIER language code
@@ -902,3 +902,93 @@ def q_rake_keyword_extraction(spark, sf_dir):
         .orderBy(F.desc("rake_score"), "phrase")
         .limit(_RAKE_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# Language-ID evaluation: per-class precision/recall/F1 of the marker
+# heuristic against the corpus's labeled lang column — the eval
+# harness a pipeline runs before trusting a classifier as a routing or
+# filtering gate (`quality_classifier_filter`'s eval counterpart for
+# the lang axis).
+# ---------------------------------------------------------------------------
+
+_LANG_EVAL_SQL = f"""
+WITH pred AS ({_LANG_PRED_SQL}),
+per_true AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_actual,
+         CAST(SUM(CASE WHEN predicted_lang = lang THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_correct
+  FROM pred GROUP BY lang
+),
+per_pred AS (
+  SELECT predicted_lang, CAST(COUNT(*) AS BIGINT) AS n_predicted
+  FROM pred GROUP BY predicted_lang
+)
+SELECT t.lang, t.n_actual, t.n_correct,
+       COALESCE(p.n_predicted, 0) AS n_predicted,
+       round(CASE WHEN COALESCE(p.n_predicted, 0) = 0 THEN 0.0
+                  ELSE CAST(t.n_correct AS DOUBLE) / p.n_predicted END, 6)
+         AS precision,
+       round(CAST(t.n_correct AS DOUBLE) / t.n_actual, 6) AS recall,
+       round(CASE WHEN COALESCE(p.n_predicted, 0) = 0 OR t.n_correct = 0
+                  THEN 0.0
+                  ELSE 2.0 * (CAST(t.n_correct AS DOUBLE) / p.n_predicted)
+                       * (CAST(t.n_correct AS DOUBLE) / t.n_actual)
+                       / (CAST(t.n_correct AS DOUBLE) / p.n_predicted
+                          + CAST(t.n_correct AS DOUBLE) / t.n_actual) END, 6)
+         AS f1
+FROM per_true t LEFT JOIN per_pred p ON t.lang = p.predicted_lang
+ORDER BY t.lang
+"""
+
+
+@register("lang_id_eval_metrics", _LANG_EVAL_SQL)
+def q_lang_id_eval_metrics(spark, sf_dir):
+    """Per-class precision/recall/F1 of `lang_id_predict` against the
+    labeled lang column: counts are exact integers, each metric is one
+    or two IEEE divisions of exact counts (zero-denominator classes
+    report 0.0), so the table is bit-stable.
+
+    Scale plan: predictions are map-side array expressions; the eval
+    is two map-side combined group-bys on the tiny class key plus one
+    broadcast-sized class-level join — the document grain is never
+    shuffled."""
+    from ..operators.textops import lang_id
+
+    docs = load_table(spark, sf_dir, "documents")
+    pred = docs.select(
+        "lang", lang_id("text", _MARKERS).alias("predicted_lang")
+    )
+    per_true = pred.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_actual"),
+        F.sum((F.col("predicted_lang") == F.col("lang")).cast("int"))
+        .cast("long")
+        .alias("n_correct"),
+    )
+    per_pred = pred.groupBy(F.col("predicted_lang").alias("plang")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_predicted_raw")
+    )
+    j = per_true.join(
+        F.broadcast(per_pred), per_true["lang"] == per_pred["plang"], "left"
+    ).select(
+        "lang",
+        "n_actual",
+        "n_correct",
+        F.coalesce(F.col("n_predicted_raw"), F.lit(0)).alias("n_predicted"),
+    )
+    prec = F.when(F.col("n_predicted") == 0, F.lit(0.0)).otherwise(
+        F.col("n_correct").cast("double") / F.col("n_predicted")
+    )
+    rec = F.col("n_correct").cast("double") / F.col("n_actual")
+    f1 = F.when(
+        (F.col("n_predicted") == 0) | (F.col("n_correct") == 0), F.lit(0.0)
+    ).otherwise(2.0 * prec * rec / (prec + rec))
+    return j.select(
+        "lang",
+        "n_actual",
+        "n_correct",
+        "n_predicted",
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(f1, 6).alias("f1"),
+    ).orderBy("lang")

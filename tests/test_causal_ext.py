@@ -552,3 +552,71 @@ def test_tail_dependence_matches_python(spark):
     assert abs(row["cut_extendedprice"] - qy) < 1e-6
     assert abs(row["p_y_tail_given_x"] - nxy / nx) < 1e-6
     assert abs(row["lambda_u"] - (nxy / n) / 0.05) < 1e-6
+
+
+def test_lang_id_eval_metrics_matches_python(spark):
+    import re
+
+    markers = {"de": ["der", "und"], "en": ["the", "a"], "es": ["el", "la"]}
+    t = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["lang", "text"])
+    n_actual = defaultdict(int)
+    n_correct = defaultdict(int)
+    n_pred = defaultdict(int)
+    for lng, txt in zip(t.column("lang").to_pylist(), t.column("text").to_pylist()):
+        toks = re.split(r"\s+", txt.strip())
+        h = {
+            lang: sum(1 for w in toks if w in set(ms))
+            for lang, ms in markers.items()
+        }
+        if h["de"] >= h["en"] and h["de"] >= h["es"] and h["de"] > 0:
+            p = "de"
+        elif h["en"] >= h["es"] and h["en"] > 0:
+            p = "en"
+        elif h["es"] > 0:
+            p = "es"
+        else:
+            p = "und"
+        n_actual[lng] += 1
+        n_pred[p] += 1
+        if p == lng:
+            n_correct[lng] += 1
+    rows = REGISTRY["lang_id_eval_metrics"][0](spark, SF_DIR).collect()
+    assert [r["lang"] for r in rows] == sorted(n_actual)
+    for r in rows:
+        lng = r["lang"]
+        assert (r["n_actual"], r["n_correct"], r["n_predicted"]) == (
+            n_actual[lng],
+            n_correct[lng],
+            n_pred.get(lng, 0),
+        )
+        prec = n_correct[lng] / n_pred[lng] if n_pred.get(lng) else 0.0
+        rec = n_correct[lng] / n_actual[lng]
+        f1 = 0.0 if prec + rec == 0 else 2 * prec * rec / (prec + rec)
+        assert abs(r["precision"] - prec) < 1e-6
+        assert abs(r["recall"] - rec) < 1e-6
+        assert abs(r["f1"] - f1) < 1e-6
+
+
+def test_overdispersion_matches_python(spark):
+    t = pq.read_table(f"{SF_DIR}/events.parquet", columns=["event_type", "ts"])
+    daily = defaultdict(int)
+    days = set()
+    for et, ts in zip(t.column("event_type").to_pylist(), t.column("ts").to_pylist()):
+        d = ts.date()
+        daily[(et, d)] += 1
+        days.add(d)
+    n_span = (max(days) - min(days)).days + 1
+    rows = REGISTRY["overdispersion_daily_counts"][0](spark, SF_DIR).collect()
+    types = sorted({et for et, _ in daily})
+    assert [r["event_type"] for r in rows] == types
+    for r in rows:
+        cs = [c for (et, _), c in daily.items() if et == r["event_type"]]
+        s, ss = sum(cs), sum(c * c for c in cs)
+        mean = s / n_span
+        var = (ss - s * s / n_span) / (n_span - 1)
+        assert r["n_days_span"] == n_span
+        assert r["n_days_active"] == len(cs)
+        assert r["n_events"] == s
+        assert abs(r["mean_per_day"] - mean) < 1e-6
+        assert abs(r["var_per_day"] - var) < 1e-6
+        assert abs(r["dispersion_index"] - var / mean) < 1e-6

@@ -1389,3 +1389,21 @@ def test_tail_dependence_census_no_sort_no_window(spark):
     plan = explain_str(df, "simple")
     assert "Window" not in plan and "Join" not in plan
     assert plan.count("FileScan parquet") == 1
+
+
+def test_lang_id_eval_never_shuffles_doc_grain(spark):
+    """Predictions are map-side; both rollups partial-aggregate before
+    their class-key exchanges; the class join is a broadcast."""
+    df = _df(spark, "lang_id_eval_metrics")
+    plan = explain_str(df, "simple")
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_overdispersion_zero_days_without_calendar_join(spark):
+    """Zero-day correction is arithmetic on the 1-row span relation —
+    no day-table join, no window."""
+    df = _df(spark, "overdispersion_daily_counts")
+    plan = explain_str(df, "simple")
+    assert "Window" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1  # only the span scalar
