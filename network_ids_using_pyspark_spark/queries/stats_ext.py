@@ -5022,3 +5022,244 @@ def q_overdispersion_daily_counts(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Simpson's-paradox detector: the urgent→finished association overall
+# vs within each order-month stratum — the aggregation-reversal audit
+# every metrics platform should run before reporting a pooled rate
+# difference (Simpson 1951).
+# ---------------------------------------------------------------------------
+
+_SIMPSON_SQL = """
+WITH s AS (
+  SELECT CAST(EXTRACT(month FROM CAST(o_orderdate AS DATE)) AS BIGINT) AS month,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS t,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+  FROM orders
+),
+cells AS (
+  SELECT month,
+         CAST(SUM(t) AS BIGINT) AS n_urgent,
+         CAST(SUM(1 - t) AS BIGINT) AS n_other,
+         CAST(SUM(t * y) AS BIGINT) AS f_urgent,
+         CAST(SUM((1 - t) * y) AS BIGINT) AS f_other
+  FROM s GROUP BY month
+),
+overall AS (
+  SELECT CAST(SUM(f_urgent) AS DOUBLE) / SUM(n_urgent)
+           - CAST(SUM(f_other) AS DOUBLE) / SUM(n_other) AS overall_diff
+  FROM cells
+)
+SELECT month, n_urgent, n_other,
+       round(CAST(f_urgent AS DOUBLE) / n_urgent, 6) AS rate_urgent,
+       round(CAST(f_other AS DOUBLE) / n_other, 6) AS rate_other,
+       round(CAST(f_urgent AS DOUBLE) / n_urgent
+             - CAST(f_other AS DOUBLE) / n_other, 6) AS diff,
+       round(overall_diff, 6) AS overall_diff,
+       CAST(CASE WHEN (CAST(f_urgent AS DOUBLE) / n_urgent
+                       - CAST(f_other AS DOUBLE) / n_other) * overall_diff < 0
+                 THEN 1 ELSE 0 END AS BIGINT) AS sign_reversed
+FROM cells CROSS JOIN overall
+ORDER BY month
+"""
+
+
+@register("simpson_paradox_detector", _SIMPSON_SQL)
+def q_simpson_paradox_detector(spark, sf_dir):
+    """Aggregation-reversal audit (Simpson 1951): the pooled
+    urgent-vs-other finished-rate difference next to the same contrast
+    within every order-month stratum, flagging strata whose sign
+    opposes the pooled one.  All rates are single IEEE divisions of
+    exact counts.
+
+    Scale plan: one map-side combined group-by to the 12-cell month
+    grid; the pooled contrast is a second aggregate over THAT,
+    broadcast back — the fact is scanned once."""
+    o = load_table(spark, sf_dir, "orders")
+    s = o.select(
+        F.month(F.col("o_orderdate").cast("date")).cast("long").alias("month"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0).alias("t"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
+    )
+    cells = s.groupBy("month").agg(
+        F.sum("t").cast("long").alias("n_urgent"),
+        F.sum(1 - F.col("t")).cast("long").alias("n_other"),
+        F.sum(F.col("t") * F.col("y")).cast("long").alias("f_urgent"),
+        F.sum((1 - F.col("t")) * F.col("y")).cast("long").alias("f_other"),
+    ).localCheckpoint(eager=True)  # 12 rows: the pooled pass reuses it
+    overall = cells.agg(
+        (
+            F.sum("f_urgent").cast("double") / F.sum("n_urgent")
+            - F.sum("f_other").cast("double") / F.sum("n_other")
+        ).alias("overall_diff")
+    )
+    diff = F.col("f_urgent").cast("double") / F.col("n_urgent") - F.col(
+        "f_other"
+    ).cast("double") / F.col("n_other")
+    return (
+        cells.crossJoin(F.broadcast(overall))
+        .select(
+            "month",
+            "n_urgent",
+            "n_other",
+            F.round(F.col("f_urgent").cast("double") / F.col("n_urgent"), 6).alias(
+                "rate_urgent"
+            ),
+            F.round(F.col("f_other").cast("double") / F.col("n_other"), 6).alias(
+                "rate_other"
+            ),
+            F.round(diff, 6).alias("diff"),
+            F.round(F.col("overall_diff"), 6).alias("overall_diff"),
+            F.when(diff * F.col("overall_diff") < 0, 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("sign_reversed"),
+        )
+        .orderBy("month")
+    )
+
+
+# ---------------------------------------------------------------------------
+# James-Stein shrinkage of per-source quality means (Efron & Morris
+# 1975, positive-part): noisy per-source means pulled toward the grand
+# mean by 1 - (k-3)·v/S — the estimator a mixture owner should use
+# instead of raw per-source means when sources are small.  v uses the
+# pooled within-source variance at the harmonic mean of the source
+# sizes (documented approximation for unequal n).
+# ---------------------------------------------------------------------------
+
+_JS_SQL = """
+WITH per_doc AS (
+  SELECT source,
+         round(CAST(length(regexp_replace(text, '[^0-9a-zA-Z]', '', 'g'))
+                    AS DOUBLE) / CAST(length(text) AS DOUBLE), 9) AS q
+  FROM documents WHERE length(text) > 0
+),
+per_src AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(CAST(SUM(CAST(q AS DECIMAL(38, 9))) AS VARCHAR) AS DOUBLE) AS sq,
+         CAST(CAST(SUM(CAST(round(q * q, 9) AS DECIMAL(38, 9))) AS VARCHAR)
+              AS DOUBLE) AS sqq
+  FROM per_doc GROUP BY source
+),
+g AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS k,
+         CAST(CAST(SUM(CAST(round(sq / n, 9) AS DECIMAL(38, 9))) AS VARCHAR)
+              AS DOUBLE) AS sum_means,
+         CAST(CAST(SUM(CAST(round(sqq - sq * sq / n, 9) AS DECIMAL(38, 9)))
+                   AS VARCHAR) AS DOUBLE) AS sum_within,
+         CAST(SUM(n - 1) AS DOUBLE) AS df_within,
+         CAST(CAST(SUM(CAST(round(1.0 / n, 9) AS DECIMAL(38, 9))) AS VARCHAR)
+              AS DOUBLE) AS sum_inv_n
+  FROM per_src
+),
+g2 AS (
+  SELECT k, sum_means / k AS grand, sum_within / df_within AS s2p,
+         k / sum_inv_n AS h
+  FROM g
+),
+spread AS (
+  SELECT CAST(CAST(SUM(CAST(round((sq / n - g2.grand)
+                                  * (sq / n - g2.grand), 9)
+                            AS DECIMAL(38, 9))) AS VARCHAR) AS DOUBLE) AS ss
+  FROM per_src CROSS JOIN g2
+),
+fac AS (
+  SELECT g2.k, g2.grand,
+         GREATEST(0.0, 1.0 - (g2.k - 3.0) * (g2.s2p / g2.h) / spread.ss)
+           AS shrink
+  FROM g2 CROSS JOIN spread
+)
+SELECT source, n AS n_docs,
+       round(sq / n, 6) AS mean_quality,
+       round(fac.grand + fac.shrink * (sq / n - fac.grand), 6) AS js_mean,
+       round(fac.shrink, 6) AS shrink_factor
+FROM per_src CROSS JOIN fac
+ORDER BY source
+"""
+
+
+@register("james_stein_source_means", _JS_SQL)
+def q_james_stein_source_means(spark, sf_dir):
+    """Positive-part James-Stein estimate of each source's mean
+    quality (Efron & Morris 1975): x̂_s = x̄ + max(0, 1-(k-3)v/S)·
+    (x̄_s - x̄) with S = Σ(x̄_s - x̄)², v = pooled within-source
+    variance at the harmonic mean of source sizes.  Per-doc quality
+    and every tiny-relation sum ride the 1e-9 DECIMAL grid; the
+    shrink factor is one shared expression.
+
+    Scale plan: ONE fact pass to the |sources|-row moment relation
+    (checkpointed); grand mean, pooled variance, spread, and the
+    shrunk means are all arithmetic on that relation with 1-row
+    broadcasts — the corpus is never rescanned."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    to_d = lambda c: c.cast("string").cast("double")  # noqa: E731
+    q = F.round(
+        F.length(F.regexp_replace("text", "[^0-9a-zA-Z]", "")).cast("double")
+        / F.length("text").cast("double"),
+        9,
+    )
+
+    def q9_sum(term):
+        return to_d(F.sum(F.round(term, 9).cast("decimal(38, 9)")))
+
+    per_src = (
+        docs.select("source", q.alias("q"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            to_d(F.sum(F.col("q").cast("decimal(38, 9)"))).alias("sq"),
+            q9_sum(F.col("q") * F.col("q")).alias("sqq"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    g = per_src.agg(
+        F.count(F.lit(1)).cast("double").alias("k"),
+        q9_sum(F.col("sq") / F.col("n")).alias("sum_means"),
+        q9_sum(F.col("sqq") - F.col("sq") * F.col("sq") / F.col("n")).alias(
+            "sum_within"
+        ),
+        F.sum(F.col("n") - 1).cast("double").alias("df_within"),
+        q9_sum(F.lit(1.0) / F.col("n")).alias("sum_inv_n"),
+    ).selectExpr(
+        "k",
+        "sum_means / k AS grand",
+        "sum_within / df_within AS s2p",
+        "k / sum_inv_n AS h",
+    )
+    spread = (
+        per_src.crossJoin(F.broadcast(g))
+        .agg(
+            q9_sum(
+                (F.col("sq") / F.col("n") - F.col("grand"))
+                * (F.col("sq") / F.col("n") - F.col("grand"))
+            ).alias("ss")
+        )
+    )
+    fac = (
+        g.crossJoin(F.broadcast(spread))
+        .select(
+            "grand",
+            F.greatest(
+                F.lit(0.0),
+                1.0 - (F.col("k") - 3.0) * (F.col("s2p") / F.col("h")) / F.col("ss"),
+            ).alias("shrink"),
+        )
+    )
+    return (
+        per_src.crossJoin(F.broadcast(fac))
+        .select(
+            "source",
+            F.col("n").alias("n_docs"),
+            F.round(F.col("sq") / F.col("n"), 6).alias("mean_quality"),
+            F.round(
+                F.col("grand")
+                + F.col("shrink") * (F.col("sq") / F.col("n") - F.col("grand")),
+                6,
+            ).alias("js_mean"),
+            F.round(F.col("shrink"), 6).alias("shrink_factor"),
+        )
+        .orderBy("source")
+    )

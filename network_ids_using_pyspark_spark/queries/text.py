@@ -992,3 +992,75 @@ def q_lang_id_eval_metrics(spark, sf_dir):
         F.round(rec, 6).alias("recall"),
         F.round(f1, 6).alias("f1"),
     ).orderBy("lang")
+
+
+# ---------------------------------------------------------------------------
+# Lexical diversity by source: type/token ratio, hapax share, and
+# Simpson's diversity over the word distribution — the repetition/
+# template-detection audit (a source whose TTR collapses is boiler-
+# plate or spam; complements `repetition_profile`'s per-doc view with
+# the per-source rollup mixture owners actually compare).
+# ---------------------------------------------------------------------------
+
+_LEXDIV_SQL = """
+WITH toks AS (
+  SELECT source, UNNEST(regexp_split_to_array(trim(lower(text)), '[^0-9a-z]+'))
+           AS w
+  FROM documents
+),
+wc AS (
+  SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+  FROM toks WHERE w <> '' GROUP BY source, w
+)
+SELECT source,
+       CAST(SUM(c) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_types,
+       CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+       round(CAST(COUNT(*) AS DOUBLE) / SUM(c), 6) AS type_token_ratio,
+       round(CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS hapax_share,
+       round(1.0 - CAST(SUM(c * (c - 1)) AS DOUBLE)
+                   / (SUM(c) * (SUM(c) - 1.0)), 6) AS simpson_diversity
+FROM wc GROUP BY source
+ORDER BY source
+"""
+
+
+@register("lexical_diversity_by_source", _LEXDIV_SQL)
+def q_lexical_diversity_by_source(spark, sf_dir):
+    """Per-source lexical diversity: type/token ratio, hapax share,
+    and Simpson's diversity 1 - Σc(c-1)/(N(N-1)) over the word
+    histogram.  Counts are exact integers; each metric is one shared
+    double expression.
+
+    Scale plan: ONE token explode feeds a map-side combined
+    (source, word) count; the per-source rollup then runs on the
+    vocabulary-bounded histogram, never re-touching the corpus.  The
+    skew risk (one giant source) stays bounded because the first
+    group-by key includes the word."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.explode(F.split(F.trim(F.lower("text")), "[^0-9a-z]+")).alias("w"),
+    ).filter(F.col("w") != "")
+    wc = toks.groupBy("source", "w").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    n_tok = F.sum("c").cast("long")
+    n_typ = F.count(F.lit(1)).cast("long")
+    n_hap = F.sum((F.col("c") == 1).cast("int")).cast("long")
+    return (
+        wc.groupBy("source")
+        .agg(
+            n_tok.alias("n_tokens"),
+            n_typ.alias("n_types"),
+            n_hap.alias("n_hapax"),
+            F.round(n_typ.cast("double") / n_tok, 6).alias("type_token_ratio"),
+            F.round(n_hap.cast("double") / n_typ, 6).alias("hapax_share"),
+            F.round(
+                1.0
+                - F.sum(F.col("c") * (F.col("c") - 1)).cast("double")
+                / (n_tok * (n_tok - F.lit(1.0))),
+                6,
+            ).alias("simpson_diversity"),
+        )
+        .orderBy("source")
+    )

@@ -620,3 +620,77 @@ def test_overdispersion_matches_python(spark):
         assert abs(r["mean_per_day"] - mean) < 1e-6
         assert abs(r["var_per_day"] - var) < 1e-6
         assert abs(r["dispersion_index"] - var / mean) < 1e-6
+
+
+def test_lexical_diversity_matches_python(spark):
+    import re
+
+    t = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["source", "text"])
+    wc = defaultdict(lambda: defaultdict(int))
+    for src, txt in zip(t.column("source").to_pylist(), t.column("text").to_pylist()):
+        for w in re.split(r"[^0-9a-z]+", txt.strip().lower()):
+            if w:
+                wc[src][w] += 1
+    rows = REGISTRY["lexical_diversity_by_source"][0](spark, SF_DIR).collect()
+    assert [r["source"] for r in rows] == sorted(wc)
+    for r in rows:
+        cs = wc[r["source"]]
+        n = sum(cs.values())
+        ty = len(cs)
+        hap = sum(1 for c in cs.values() if c == 1)
+        simp = 1.0 - sum(c * (c - 1) for c in cs.values()) / (n * (n - 1.0))
+        assert (r["n_tokens"], r["n_types"], r["n_hapax"]) == (n, ty, hap)
+        assert abs(r["type_token_ratio"] - ty / n) < 1e-6
+        assert abs(r["hapax_share"] - hap / ty) < 1e-6
+        assert abs(r["simpson_diversity"] - simp) < 1e-6
+
+
+def test_simpson_paradox_detector_matches_python(spark):
+    x1, x2, tr, _ = _orders()
+    cells = defaultdict(lambda: [0, 0, 0, 0])
+    for m, f, t in zip(x1, x2, tr):
+        c = cells[m]
+        if t:
+            c[0] += 1
+            c[2] += f
+        else:
+            c[1] += 1
+            c[3] += f
+    tot = [sum(c[i] for c in cells.values()) for i in range(4)]
+    overall = tot[2] / tot[0] - tot[3] / tot[1]
+    rows = REGISTRY["simpson_paradox_detector"][0](spark, SF_DIR).collect()
+    assert [r["month"] for r in rows] == sorted(cells)
+    for r in rows:
+        nu, no, fu, fo = cells[r["month"]]
+        d = fu / nu - fo / no
+        assert (r["n_urgent"], r["n_other"]) == (nu, no)
+        assert abs(r["diff"] - d) < 1e-6
+        assert abs(r["overall_diff"] - overall) < 1e-6
+        assert r["sign_reversed"] == (1 if d * overall < 0 else 0)
+
+
+def test_james_stein_matches_python(spark):
+    import re
+
+    t = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["source", "text"])
+    per = defaultdict(list)
+    for src, txt in zip(t.column("source").to_pylist(), t.column("text").to_pylist()):
+        if len(txt):
+            per[src].append(round(len(re.sub(r"[^0-9a-zA-Z]", "", txt)) / len(txt), 9))
+    k = len(per)
+    means = {s: sum(v) / len(v) for s, v in per.items()}
+    grand = sum(means.values()) / k
+    s2p = sum(
+        sum(x * x for x in v) - sum(v) ** 2 / len(v) for v in per.values()
+    ) / sum(len(v) - 1 for v in per.values())
+    h = k / sum(1.0 / len(v) for v in per.values())
+    ss = sum((m - grand) ** 2 for m in means.values())
+    shrink = max(0.0, 1.0 - (k - 3.0) * (s2p / h) / ss)
+    rows = REGISTRY["james_stein_source_means"][0](spark, SF_DIR).collect()
+    assert [r["source"] for r in rows] == sorted(per)
+    for r in rows:
+        m = means[r["source"]]
+        assert r["n_docs"] == len(per[r["source"]])
+        assert abs(r["mean_quality"] - m) < 1e-6
+        assert abs(r["shrink_factor"] - shrink) < 1e-5
+        assert abs(r["js_mean"] - (grand + shrink * (m - grand))) < 1e-5

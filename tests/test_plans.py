@@ -1407,3 +1407,30 @@ def test_overdispersion_zero_days_without_calendar_join(spark):
     plan = explain_str(df, "simple")
     assert "Window" not in plan
     assert plan.count("BroadcastNestedLoopJoin") == 1  # only the span scalar
+
+
+def test_lexical_diversity_histogram_space(spark):
+    """The per-source rollup runs on the (source, word) histogram —
+    one corpus explode, no window, no join."""
+    df = _df(spark, "lexical_diversity_by_source")
+    plan = explain_str(df, "simple")
+    assert plan.count("FileScan parquet") == 1
+    assert "Join" not in plan and "Window" not in plan
+
+
+def test_simpson_detector_single_fact_pass(spark):
+    """Pooled and per-stratum contrasts both derive from the
+    checkpointed 12-row cell grid — the fact is scanned once."""
+    df = _df(spark, "simpson_paradox_detector")
+    plan = explain_str(df, "simple")
+    assert plan.count("FileScan parquet") == 0
+    assert "ExistingRDD" in plan
+
+
+def test_james_stein_never_rescans_corpus(spark):
+    """Grand mean / pooled variance / spread / shrink are tiny-relation
+    arithmetic over the checkpointed per-source moments."""
+    df = _df(spark, "james_stein_source_means")
+    plan = explain_str(df, "simple")
+    assert plan.count("FileScan parquet") == 0
+    assert "ExistingRDD" in plan and "SortMergeJoin" not in plan
