@@ -5263,3 +5263,120 @@ def q_james_stein_source_means(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Kendall tau-b, EXACT, via the contingency grid: quantity and
+# discount have bounded distinct-value sets, so concordant/discordant
+# pair counts collapse from O(N²) row pairs to O(K²) CELL pairs
+# (K = |grid| ≪ N) — the rank-correlation complement of
+# `corr_qty_price` (Pearson) robust to the non-linearity Pearson
+# misses.
+# ---------------------------------------------------------------------------
+
+_KENDALL_SQL = """
+WITH cells AS (
+  SELECT l_quantity AS x, l_discount AS y, CAST(COUNT(*) AS BIGINT) AS c
+  FROM lineitem GROUP BY 1, 2
+),
+pairs AS (
+  SELECT CAST(SUM(CASE WHEN a.x < b.x AND a.y < b.y THEN a.c * b.c
+                       ELSE 0 END) AS BIGINT) AS concordant,
+         CAST(SUM(CASE WHEN a.x < b.x AND a.y > b.y THEN a.c * b.c
+                       ELSE 0 END) AS BIGINT) AS discordant
+  FROM cells a JOIN cells b ON NOT (a.x = b.x AND a.y = b.y)
+),
+tx AS (
+  SELECT CAST(SUM(t * (t - 1) / 2) AS BIGINT) AS ties_x
+  FROM (SELECT SUM(c) AS t FROM cells GROUP BY x)
+),
+ty AS (
+  SELECT CAST(SUM(t * (t - 1) / 2) AS BIGINT) AS ties_y
+  FROM (SELECT SUM(c) AS t FROM cells GROUP BY y)
+),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cells)
+SELECT tot.n, pairs.concordant, pairs.discordant, tx.ties_x, ty.ties_y,
+       round((CAST(pairs.concordant AS DOUBLE) - pairs.discordant)
+             / sqrt((CAST(tot.n AS DOUBLE) * (tot.n - 1.0) / 2.0 - tx.ties_x)
+                    * (CAST(tot.n AS DOUBLE) * (tot.n - 1.0) / 2.0
+                       - ty.ties_y)), 6) AS tau_b
+FROM pairs CROSS JOIN tx CROSS JOIN ty CROSS JOIN tot
+"""
+
+
+@register("kendall_tau_contingency", _KENDALL_SQL)
+def q_kendall_tau_contingency(spark, sf_dir):
+    """Exact Kendall tau-b of (l_quantity, l_discount) through the
+    contingency grid: C and D are integer sums of cell-count products
+    over ordered CELL pairs (each unordered row pair is counted once
+    because the join fixes a.x < b.x), tie terms come from the
+    row/column marginals, and only the final ratio leaves integer
+    arithmetic.
+
+    Scale plan: one map-side combined group-by to the K-cell grid
+    (K bounded by the value domains, independent of N), then a K×K
+    cell join — quadratic in the GRID, constant in the data.  For
+    unbounded-domain columns the same query runs on quantized buckets
+    (tau over buckets = tau-b of the bucketed variables)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cells = (
+        li.groupBy(F.col("l_quantity").alias("x"), F.col("l_discount").alias("y"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    a, b = cells.alias("a"), cells.alias("b")
+    pairs = (
+        a.join(
+            F.broadcast(b),
+            ~((F.col("a.x") == F.col("b.x")) & (F.col("a.y") == F.col("b.y"))),
+        )
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("a.x") < F.col("b.x")) & (F.col("a.y") < F.col("b.y")),
+                    F.col("a.c") * F.col("b.c"),
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("concordant"),
+            F.sum(
+                F.when(
+                    (F.col("a.x") < F.col("b.x")) & (F.col("a.y") > F.col("b.y")),
+                    F.col("a.c") * F.col("b.c"),
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("discordant"),
+        )
+    )
+    tx = (
+        cells.groupBy("x")
+        .agg(F.sum("c").alias("t"))
+        .agg(F.sum(F.col("t") * (F.col("t") - 1) / 2).cast("long").alias("ties_x"))
+    )
+    ty = (
+        cells.groupBy("y")
+        .agg(F.sum("c").alias("t"))
+        .agg(F.sum(F.col("t") * (F.col("t") - 1) / 2).cast("long").alias("ties_y"))
+    )
+    tot = cells.agg(F.sum("c").cast("long").alias("n"))
+    half = lambda: F.col("n").cast("double") * (F.col("n") - 1.0) / 2.0  # noqa: E731
+    return (
+        pairs.crossJoin(F.broadcast(tx))
+        .crossJoin(F.broadcast(ty))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "n",
+            "concordant",
+            "discordant",
+            "ties_x",
+            "ties_y",
+            F.round(
+                (F.col("concordant").cast("double") - F.col("discordant"))
+                / F.sqrt(
+                    (half() - F.col("ties_x")) * (half() - F.col("ties_y"))
+                ),
+                6,
+            ).alias("tau_b"),
+        )
+    )

@@ -694,3 +694,41 @@ def test_james_stein_matches_python(spark):
         assert abs(r["mean_quality"] - m) < 1e-6
         assert abs(r["shrink_factor"] - shrink) < 1e-5
         assert abs(r["js_mean"] - (grand + shrink * (m - grand))) < 1e-5
+
+
+def test_kendall_tau_matches_python(spark):
+    import math
+
+    t = pq.read_table(
+        f"{SF_DIR}/lineitem.parquet", columns=["l_quantity", "l_discount"]
+    )
+    xs = t.column("l_quantity").to_pylist()
+    ys = t.column("l_discount").to_pylist()
+    cells = defaultdict(int)
+    for x, y in zip(xs, ys):
+        cells[(x, y)] += 1
+    items = list(cells.items())
+    C = D = 0
+    for i, ((x1, y1), c1) in enumerate(items):
+        for (x2, y2), c2 in items[i + 1 :]:
+            lo, hi = ((x1, y1), (x2, y2)) if x1 < x2 else ((x2, y2), (x1, y1))
+            if lo[0] == hi[0]:
+                continue
+            if lo[1] < hi[1]:
+                C += c1 * c2
+            elif lo[1] > hi[1]:
+                D += c1 * c2
+    n = len(xs)
+    rx = defaultdict(int)
+    ry = defaultdict(int)
+    for (x, y), c in cells.items():
+        rx[x] += c
+        ry[y] += c
+    tx = sum(v * (v - 1) // 2 for v in rx.values())
+    ty = sum(v * (v - 1) // 2 for v in ry.values())
+    n0 = n * (n - 1) / 2
+    tau = (C - D) / math.sqrt((n0 - tx) * (n0 - ty))
+    row = REGISTRY["kendall_tau_contingency"][0](spark, SF_DIR).collect()[0]
+    assert (row["n"], row["concordant"], row["discordant"]) == (n, C, D)
+    assert (row["ties_x"], row["ties_y"]) == (tx, ty)
+    assert abs(row["tau_b"] - tau) < 1e-6

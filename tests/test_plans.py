@@ -1434,3 +1434,12 @@ def test_james_stein_never_rescans_corpus(spark):
     plan = explain_str(df, "simple")
     assert plan.count("FileScan parquet") == 0
     assert "ExistingRDD" in plan and "SortMergeJoin" not in plan
+
+
+def test_kendall_quadratic_only_in_grid(spark):
+    """The only pairwise structure is the K×K CELL join over the
+    checkpointed contingency grid — the data grain never self-joins."""
+    df = _df(spark, "kendall_tau_contingency")
+    plan = explain_str(df, "simple")
+    assert plan.count("FileScan parquet") == 0
+    assert "ExistingRDD" in plan
