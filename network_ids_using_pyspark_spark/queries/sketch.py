@@ -7,7 +7,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..functions.hashing import hash_bucket_sql
+from ..functions.hashing import hash_bucket, hash_bucket_sql
 from ..operators.sketch import cms_counters, cms_estimate
 from ..sources.tables import load_table
 from . import register
@@ -673,3 +673,110 @@ def q_cms_join_size_estimate(spark, sf_dir):
     f_ev2 = f_ev.withColumnRenamed("n", "n2").withColumnRenamed("n2", "n")
     out2 = pair(c_ev, c_ev, f_ev, f_ev2, "events_selfjoin_f2")
     return out1.unionByName(out2)
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter false-positive audit: build the same k=3/m=4096 filter
+# `bloom_semi_join_lineitem` uses, probe it with the known NON-member
+# keys, and report measured vs theoretical FPR — the calibration a
+# pipeline owner needs before trusting the prefilter's selectivity
+# estimate in a cost model.
+# ---------------------------------------------------------------------------
+
+_BF_K, _BF_M = 3, 4096
+_BF_CUT = 400000
+
+
+def _bloom_fpr_sql() -> str:
+    member = f"o_totalprice > {_BF_CUT}"
+    bit_union = "\nUNION ALL\n".join(
+        f"SELECT {hash_bucket_sql('o_orderkey', _BF_M, seed=f'bloom{i}')} AS pos"
+        f" FROM orders WHERE {member}"
+        for i in range(_BF_K)
+    )
+    hit_all = " AND ".join(
+        f"list_contains((SELECT bits FROM bloom),"
+        f" {hash_bucket_sql('o_orderkey', _BF_M, seed=f'bloom{i}')})"
+        for i in range(_BF_K)
+    )
+    return f"""
+WITH bloom AS (
+  SELECT list_sort(list(DISTINCT pos)) AS bits FROM ({bit_union})
+),
+members AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_members
+            FROM orders WHERE {member}),
+probes AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_probes,
+         CAST(SUM(CASE WHEN {hit_all} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_false_positives
+  FROM orders WHERE NOT ({member})
+)
+SELECT m.n_members,
+       CAST({_BF_K} AS BIGINT) AS k,
+       CAST({_BF_M} AS BIGINT) AS m,
+       CAST(len((SELECT bits FROM bloom)) AS BIGINT) AS n_bits_set,
+       p.n_probes, p.n_false_positives,
+       round(CAST(p.n_false_positives AS DOUBLE) / p.n_probes, 6)
+         AS fpr_measured,
+       round(pow(1.0 - pow(1.0 - 1.0 / {_BF_M},
+                           {_BF_K}.0 * m.n_members), {_BF_K}.0), 6)
+         AS fpr_theoretical
+FROM members m CROSS JOIN probes p
+"""
+
+
+@register("bloom_fpr_audit", _bloom_fpr_sql())
+def q_bloom_fpr_audit(spark, sf_dir):
+    """False-positive-rate audit of the Bloom prefilter: the k={k},
+    m={m} filter over high-value order keys is probed with every
+    non-member key; measured FPR sits next to the closed form
+    (1-(1-1/m)^(kn))^k.  Counts are exact; the two rates are single
+    IEEE expressions, so the audit is bit-stable.
+
+    Scale plan: the bit array builds in one map-side pass over the
+    member keys (the same `bloom_bits` one-row relation the semi-join
+    broadcasts); probing is ONE conditional-sum aggregate over the
+    non-member scan with the bit array broadcast in — the audit costs
+    exactly one extra fact pass."""
+    from ..operators.sketch import bloom_bits
+
+    o = load_table(spark, sf_dir, "orders")
+    member = F.col("o_totalprice") > _BF_CUT
+    keys = o.filter(member).select("o_orderkey")
+    bits = bloom_bits(keys, "o_orderkey", k=_BF_K, m=_BF_M)
+    cond = None
+    for i in range(_BF_K):
+        c = F.array_contains(
+            F.col("__bloom_bits"), hash_bucket("o_orderkey", _BF_M, seed=f"bloom{i}")
+        )
+        cond = c if cond is None else (cond & c)
+    members = keys.agg(F.count(F.lit(1)).cast("long").alias("n_members"))
+    probes = (
+        o.filter(~member)
+        .crossJoin(F.broadcast(bits))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_probes"),
+            F.sum(cond.cast("int")).cast("long").alias("n_false_positives"),
+        )
+    )
+    nbits = bits.select(F.size("__bloom_bits").cast("long").alias("n_bits_set"))
+    fpr_th = F.pow(
+        1.0 - F.pow(F.lit(1.0 - 1.0 / _BF_M), F.lit(float(_BF_K)) * F.col("n_members")),
+        float(_BF_K),
+    )
+    return (
+        members.crossJoin(F.broadcast(nbits))
+        .crossJoin(F.broadcast(probes))
+        .select(
+            "n_members",
+            F.lit(_BF_K).cast("long").alias("k"),
+            F.lit(_BF_M).cast("long").alias("m"),
+            "n_bits_set",
+            "n_probes",
+            "n_false_positives",
+            F.round(
+                F.col("n_false_positives").cast("double") / F.col("n_probes"), 6
+            ).alias("fpr_measured"),
+            F.round(fpr_th, 6).alias("fpr_theoretical"),
+        )
+    )

@@ -5380,3 +5380,104 @@ def q_kendall_tau_contingency(spark, sf_dir):
             ).alias("tau_b"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Spearman rho, EXACT with ties, via contingency marginals: the
+# average rank of value v is (rows before v) + (t_v + 1)/2 — a prefix
+# sum over the tiny marginal relation — so the rank correlation
+# reduces to the Pearson template over cell-weighted average ranks.
+# Kendall (`kendall_tau_contingency`) counts pair orientations; this
+# is the other canonical rank correlation, same O(K) grid cost.
+# ---------------------------------------------------------------------------
+
+_SPEARMAN_SQL = """
+WITH cells AS (
+  SELECT l_quantity AS x, l_discount AS y, CAST(COUNT(*) AS BIGINT) AS c
+  FROM lineitem GROUP BY 1, 2
+),
+mx AS (
+  SELECT x, CAST(COALESCE(SUM(t) OVER (ORDER BY x
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            + (t + 1) / 2.0 AS DECIMAL(28, 1)) AS rx
+  FROM (SELECT x, SUM(c) AS t FROM cells GROUP BY x)
+),
+my AS (
+  SELECT y, CAST(COALESCE(SUM(t) OVER (ORDER BY y
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            + (t + 1) / 2.0 AS DECIMAL(28, 1)) AS ry
+  FROM (SELECT y, SUM(c) AS t FROM cells GROUP BY y)
+),
+m AS (
+  SELECT CAST(SUM(c) AS DOUBLE) AS n,
+         CAST(CAST(SUM(c * rx) AS VARCHAR) AS DOUBLE) AS sx,
+         CAST(CAST(SUM(c * ry) AS VARCHAR) AS DOUBLE) AS sy,
+         CAST(CAST(SUM(c * rx * rx) AS VARCHAR) AS DOUBLE) AS sxx,
+         CAST(CAST(SUM(c * rx * ry) AS VARCHAR) AS DOUBLE) AS sxy,
+         CAST(CAST(SUM(c * ry * ry) AS VARCHAR) AS DOUBLE) AS syy
+  FROM cells JOIN mx USING (x) JOIN my USING (y)
+)
+SELECT CAST(n AS BIGINT) AS n,
+       round((n * sxy - sx * sy)
+             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
+         AS spearman_rho
+FROM m
+"""
+
+
+@register("spearman_rho_contingency", _SPEARMAN_SQL)
+def q_spearman_rho_contingency(spark, sf_dir):
+    """Exact tie-corrected Spearman rho of (l_quantity, l_discount):
+    average ranks from prefix sums over the value marginals (exact
+    .5-grid decimals), then the Pearson moment template over
+    cell-weighted ranks — every moment an exact decimal sum, one
+    shared final expression.
+
+    Scale plan: the grid collapse is one map-side combined group-by;
+    marginal prefix windows and the moment aggregate run on the
+    K-sized grid relation.  For unbounded domains the same query runs
+    over quantized buckets."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cells = (
+        li.groupBy(F.col("l_quantity").alias("x"), F.col("l_discount").alias("y"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+
+    def marg(key, rank_name):
+        w_prev = Window.orderBy(key).rowsBetween(Window.unboundedPreceding, -1)
+        return (
+            cells.groupBy(key)
+            .agg(F.sum("c").alias("t"))
+            .select(
+                key,
+                (
+                    F.coalesce(F.sum("t").over(w_prev), F.lit(0))
+                    + (F.col("t") + 1) / 2.0
+                )
+                .cast("decimal(28, 1)")
+                .alias(rank_name),
+            )
+        )
+
+    joined = cells.join(marg("x", "rx"), "x").join(marg("y", "ry"), "y")
+    to_d = lambda c: c.cast("string").cast("double")  # noqa: E731
+    m = joined.agg(
+        F.sum("c").cast("double").alias("n"),
+        to_d(F.sum(F.col("c") * F.col("rx"))).alias("sx"),
+        to_d(F.sum(F.col("c") * F.col("ry"))).alias("sy"),
+        to_d(F.sum(F.col("c") * F.col("rx") * F.col("rx"))).alias("sxx"),
+        to_d(F.sum(F.col("c") * F.col("rx") * F.col("ry"))).alias("sxy"),
+        to_d(F.sum(F.col("c") * F.col("ry") * F.col("ry"))).alias("syy"),
+    )
+    return m.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (
+                F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+            ),
+            6,
+        ).alias("spearman_rho"),
+    )

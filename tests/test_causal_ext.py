@@ -5,6 +5,7 @@ both engines, so a shared engine/oracle algorithmic bug cannot pass."""
 
 from __future__ import annotations
 
+import hashlib
 from collections import defaultdict
 
 import numpy as np
@@ -27,6 +28,10 @@ from .conftest import SF_DIR
 
 def test_ols3_template_matches_stats_ext():
     assert _ols3("") == (_OLS_B0, _OLS_B1, _OLS_B2)
+
+
+def _phash(x, seed: str = "") -> int:
+    return int(hashlib.md5((seed + str(x)).encode()).hexdigest()[:15], 16)
 
 
 def _orders():
@@ -732,3 +737,78 @@ def test_kendall_tau_matches_python(spark):
     assert (row["n"], row["concordant"], row["discordant"]) == (n, C, D)
     assert (row["ties_x"], row["ties_y"]) == (tx, ty)
     assert abs(row["tau_b"] - tau) < 1e-6
+
+
+def test_spearman_rho_matches_scipy_style_python(spark):
+    import math
+
+    t = pq.read_table(
+        f"{SF_DIR}/lineitem.parquet", columns=["l_quantity", "l_discount"]
+    )
+    xs = t.column("l_quantity").to_pylist()
+    ys = t.column("l_discount").to_pylist()
+
+    def avg_ranks(vals):
+        order = sorted(range(len(vals)), key=lambda i: vals[i])
+        ranks = [0.0] * len(vals)
+        i = 0
+        while i < len(order):
+            j = i
+            while j < len(order) and vals[order[j]] == vals[order[i]]:
+                j += 1
+            r = (i + 1 + j) / 2.0
+            for k in range(i, j):
+                ranks[order[k]] = r
+            i = j
+        return ranks
+
+    rx, ry = avg_ranks(xs), avg_ranks(ys)
+    n = float(len(xs))
+    sx, sy = sum(rx), sum(ry)
+    sxx = sum(v * v for v in rx)
+    syy = sum(v * v for v in ry)
+    sxy = sum(a * b for a, b in zip(rx, ry))
+    rho = (n * sxy - sx * sy) / (
+        math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy)
+    )
+    row = REGISTRY["spearman_rho_contingency"][0](spark, SF_DIR).collect()[0]
+    assert row["n"] == len(xs)
+    assert abs(row["spearman_rho"] - rho) < 1e-6
+
+
+def test_bloom_fpr_audit_matches_python(spark):
+    t = pq.read_table(
+        f"{SF_DIR}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    )
+    members = [
+        k
+        for k, v in zip(
+            t.column("o_orderkey").to_pylist(), t.column("o_totalprice").to_pylist()
+        )
+        if v > 400000
+    ]
+    nonmembers = [
+        k
+        for k, v in zip(
+            t.column("o_orderkey").to_pylist(), t.column("o_totalprice").to_pylist()
+        )
+        if not v > 400000
+    ]
+    m, k = 4096, 3
+    bits = set()
+    for key in members:
+        for i in range(k):
+            bits.add(_phash(key, seed=f"bloom{i}") % m)
+    fp = sum(
+        1
+        for key in nonmembers
+        if all(_phash(key, seed=f"bloom{i}") % m in bits for i in range(k))
+    )
+    row = REGISTRY["bloom_fpr_audit"][0](spark, SF_DIR).collect()[0]
+    assert row["n_members"] == len(members)
+    assert row["n_bits_set"] == len(bits)
+    assert row["n_probes"] == len(nonmembers)
+    assert row["n_false_positives"] == fp
+    assert abs(row["fpr_measured"] - fp / len(nonmembers)) < 1e-6
+    theo = (1.0 - (1.0 - 1.0 / m) ** (k * len(members))) ** k
+    assert abs(row["fpr_theoretical"] - theo) < 1e-6

@@ -1443,3 +1443,22 @@ def test_kendall_quadratic_only_in_grid(spark):
     plan = explain_str(df, "simple")
     assert plan.count("FileScan parquet") == 0
     assert "ExistingRDD" in plan
+
+
+def test_spearman_grid_windows_only(spark):
+    """Rank windows run over the K-row marginals of the checkpointed
+    grid — the lineitem grain is scanned during the eager collapse,
+    never in the final plan."""
+    df = _df(spark, "spearman_rho_contingency")
+    plan = explain_str(df, "simple")
+    assert plan.count("FileScan parquet") == 0
+    assert "ExistingRDD" in plan
+
+
+def test_bloom_fpr_probe_is_one_aggregate(spark):
+    """The probe pass is one conditional-sum aggregate with the 1-row
+    bit array broadcast in — no join on the key, no window."""
+    df = _df(spark, "bloom_fpr_audit")
+    plan = explain_str(df, "simple")
+    assert "SortMergeJoin" not in plan and "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
