@@ -5481,3 +5481,144 @@ def q_spearman_rho_contingency(spark, sf_dir):
             6,
         ).alias("spearman_rho"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Two-class linear discriminant analysis, EXACT: class means + pooled
+# within-class covariance from one conditional-moment scan, the 2x2
+# solve w = S⁻¹(μ₁-μ₀) through the shared adjugate, then a scoring
+# pass measures training accuracy with the 1-row weight relation
+# broadcast in.  Fisher's discriminant as pure dataflow — the
+# closed-form sibling of `logreg_irls_exact` (no iterations at all).
+# ---------------------------------------------------------------------------
+
+_LDA_SRC_SQL = """
+  SELECT CAST(EXTRACT(month FROM CAST(o_orderdate AS DATE)) AS BIGINT) AS x1,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS x2,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+  FROM orders
+"""
+
+# pooled-covariance solve over per-class moments {p}n/{p}s1/{p}s2/
+# {p}s11/{p}s12/{p}s22 for p in (a_, b_): within-class scatter =
+# Σ_class (S_xx - s_x s_x / n); w = S⁻¹ d with d = μ₁ - μ₀.
+_LDA_SXX = "((a_s11 - a_s1 * a_s1 / a_n) + (b_s11 - b_s1 * b_s1 / b_n))"
+_LDA_SXY = "((a_s12 - a_s1 * a_s2 / a_n) + (b_s12 - b_s1 * b_s2 / b_n))"
+_LDA_SYY = "((a_s22 - a_s2 * a_s2 / a_n) + (b_s22 - b_s2 * b_s2 / b_n))"
+_LDA_D1 = "(b_s1 / b_n - a_s1 / a_n)"
+_LDA_D2 = "(b_s2 / b_n - a_s2 / a_n)"
+_LDA_DET = f"({_LDA_SXX} * {_LDA_SYY} - {_LDA_SXY} * {_LDA_SXY})"
+_LDA_W1 = f"(({_LDA_SYY} * {_LDA_D1} - {_LDA_SXY} * {_LDA_D2}) / {_LDA_DET})"
+_LDA_W2 = f"(({_LDA_SXX} * {_LDA_D2} - {_LDA_SXY} * {_LDA_D1}) / {_LDA_DET})"
+# decision threshold: w·(μ₀+μ₁)/2, class 1 iff w·x > c (quantized)
+_LDA_C = (
+    f"({_LDA_W1} * (a_s1 / a_n + b_s1 / b_n) / 2.0"
+    f" + {_LDA_W2} * (a_s2 / a_n + b_s2 / b_n) / 2.0)"
+)
+
+
+def _lda_moments_sql(tag: str, cls: int) -> str:
+    only = lambda t: f"CASE WHEN y = {cls} THEN {t} END"  # noqa: E731
+    return (
+        f"SUM(CASE WHEN y = {cls} THEN 1 ELSE 0 END) * 1.0 AS {tag}n,\n"
+        f"  CAST(CAST(SUM({only('x1')}) AS VARCHAR) AS DOUBLE) AS {tag}s1,\n"
+        f"  CAST(CAST(SUM({only('x2')}) AS VARCHAR) AS DOUBLE) AS {tag}s2,\n"
+        f"  CAST(CAST(SUM({only('x1 * x1')}) AS VARCHAR) AS DOUBLE) AS {tag}s11,\n"
+        f"  CAST(CAST(SUM({only('x1 * x2')}) AS VARCHAR) AS DOUBLE) AS {tag}s12,\n"
+        f"  CAST(CAST(SUM({only('x2 * x2')}) AS VARCHAR) AS DOUBLE) AS {tag}s22"
+    )
+
+
+_LDA_SQL = f"""
+WITH s AS ({_LDA_SRC_SQL}),
+m AS (
+  SELECT {_lda_moments_sql('a_', 0)},
+  {_lda_moments_sql('b_', 1)}
+  FROM s
+),
+w AS (
+  SELECT round({_LDA_W1}, 9) AS w1, round({_LDA_W2}, 9) AS w2,
+         round({_LDA_C}, 9) AS c,
+         CAST(a_n AS BIGINT) AS n0, CAST(b_n AS BIGINT) AS n1
+  FROM m
+),
+acc AS (
+  SELECT CAST(SUM(CASE WHEN (w.w1 * s.x1 + w.w2 * s.x2 > w.c) = (s.y = 1)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM s CROSS JOIN w
+)
+SELECT w.n0, w.n1,
+       round(w.w1, 6) AS w_month,
+       round(w.w2, 6) AS w_urgent,
+       round(w.c, 6) AS threshold,
+       round(CAST(acc.n_correct AS DOUBLE) / acc.n, 6) AS train_accuracy
+FROM w CROSS JOIN acc
+"""
+
+
+@register("lda_two_class_exact", _LDA_SQL)
+def q_lda_two_class_exact(spark, sf_dir):
+    """Fisher LDA for finished-vs-open orders on (month, urgent flag),
+    EXACT and iteration-free: per-class moments are exact decimal sums
+    from ONE conditional scan, pooled within-class scatter and
+    w = S⁻¹(μ₁-μ₀) come from one shared 2x2 adjugate template, the
+    midpoint threshold and weights are quantized at 1e-9, and a second
+    scan scores training accuracy with the 1-row weight relation
+    broadcast in.
+
+    Scale plan: train = one map-side combined aggregate (what MLlib
+    needs an optimizer for, p=2 LDA needs none); score = one more scan
+    with a broadcast — the exact two-pass shape of
+    `mahalanobis_outlier_topk`."""
+    o = load_table(spark, sf_dir, "orders")
+    to_d = lambda c: c.cast("string").cast("double")  # noqa: E731
+    s = o.select(
+        F.month(F.col("o_orderdate").cast("date")).cast("long").alias("x1"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0).alias("x2"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
+    )
+
+    def cls_moments(tag, cls):
+        only = lambda t: F.when(F.col("y") == cls, t)  # noqa: E731
+        return [
+            F.count(only(F.lit(1))).cast("double").alias(f"{tag}n"),
+            to_d(F.sum(only(F.col("x1")))).alias(f"{tag}s1"),
+            to_d(F.sum(only(F.col("x2")))).alias(f"{tag}s2"),
+            to_d(F.sum(only(F.col("x1") * F.col("x1")))).alias(f"{tag}s11"),
+            to_d(F.sum(only(F.col("x1") * F.col("x2")))).alias(f"{tag}s12"),
+            to_d(F.sum(only(F.col("x2") * F.col("x2")))).alias(f"{tag}s22"),
+        ]
+
+    m = s.agg(*(cls_moments("a_", 0) + cls_moments("b_", 1)))
+    w = m.select(
+        F.round(F.expr(_LDA_W1), 9).alias("w1"),
+        F.round(F.expr(_LDA_W2), 9).alias("w2"),
+        F.round(F.expr(_LDA_C), 9).alias("c"),
+        F.col("a_n").cast("long").alias("n0"),
+        F.col("b_n").cast("long").alias("n1"),
+    )
+    acc = s.crossJoin(F.broadcast(w.select("w1", "w2", "c"))).agg(
+        F.sum(
+            (
+                (
+                    F.col("w1") * F.col("x1") + F.col("w2") * F.col("x2")
+                    > F.col("c")
+                )
+                == (F.col("y") == 1)
+            ).cast("int")
+        )
+        .cast("long")
+        .alias("n_correct"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    return w.crossJoin(F.broadcast(acc)).select(
+        "n0",
+        "n1",
+        F.round(F.col("w1"), 6).alias("w_month"),
+        F.round(F.col("w2"), 6).alias("w_urgent"),
+        F.round(F.col("c"), 6).alias("threshold"),
+        F.round(F.col("n_correct").cast("double") / F.col("n"), 6).alias(
+            "train_accuracy"
+        ),
+    )

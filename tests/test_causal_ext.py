@@ -812,3 +812,46 @@ def test_bloom_fpr_audit_matches_python(spark):
     assert abs(row["fpr_measured"] - fp / len(nonmembers)) < 1e-6
     theo = (1.0 - (1.0 - 1.0 / m) ** (k * len(members))) ** k
     assert abs(row["fpr_theoretical"] - theo) < 1e-6
+
+
+def test_lda_two_class_matches_python(spark):
+    x1, x2_, tr, _ = _orders()
+    # here: x2 = urgent flag, y = finished flag (note _orders naming)
+    feats = list(zip(x1, tr))
+    ys = x2_
+    cls = {0: [f for f, y in zip(feats, ys) if y == 0],
+           1: [f for f, y in zip(feats, ys) if y == 1]}
+
+    def moments(pts):
+        n = float(len(pts))
+        s1 = float(sum(a for a, _ in pts))
+        s2 = float(sum(b for _, b in pts))
+        s11 = float(sum(a * a for a, _ in pts))
+        s12 = float(sum(a * b for a, b in pts))
+        s22 = float(sum(b * b for _, b in pts))
+        return n, s1, s2, s11, s12, s22
+
+    ma, mb = moments(cls[0]), moments(cls[1])
+    sxx = (ma[3] - ma[1] ** 2 / ma[0]) + (mb[3] - mb[1] ** 2 / mb[0])
+    sxy = (ma[4] - ma[1] * ma[2] / ma[0]) + (mb[4] - mb[1] * mb[2] / mb[0])
+    syy = (ma[5] - ma[2] ** 2 / ma[0]) + (mb[5] - mb[2] ** 2 / mb[0])
+    d1 = mb[1] / mb[0] - ma[1] / ma[0]
+    d2 = mb[2] / mb[0] - ma[2] / ma[0]
+    det = sxx * syy - sxy * sxy
+    w1 = (syy * d1 - sxy * d2) / det
+    w2 = (sxx * d2 - sxy * d1) / det
+    c = w1 * (ma[1] / ma[0] + mb[1] / mb[0]) / 2 + w2 * (
+        ma[2] / ma[0] + mb[2] / mb[0]
+    ) / 2
+    w1q, w2q, cq = round(w1, 9), round(w2, 9), round(c, 9)
+    correct = sum(
+        1
+        for (a, b), y in zip(feats, ys)
+        if (w1q * a + w2q * b > cq) == (y == 1)
+    )
+    row = REGISTRY["lda_two_class_exact"][0](spark, SF_DIR).collect()[0]
+    assert (row["n0"], row["n1"]) == (len(cls[0]), len(cls[1]))
+    assert abs(row["w_month"] - w1) < 1e-6
+    assert abs(row["w_urgent"] - w2) < 1e-6
+    assert abs(row["threshold"] - c) < 1e-6
+    assert abs(row["train_accuracy"] - correct / len(ys)) < 1e-6

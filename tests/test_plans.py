@@ -1462,3 +1462,12 @@ def test_bloom_fpr_probe_is_one_aggregate(spark):
     plan = explain_str(df, "simple")
     assert "SortMergeJoin" not in plan and "Window" not in plan
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_lda_two_pass_broadcast_weights(spark):
+    """LDA: one conditional-moment scan + one scoring scan with the
+    1-row weight relation broadcast — no joins beyond broadcasts."""
+    df = _df(spark, "lda_two_class_exact")
+    plan = explain_str(df, "simple")
+    assert plan.count("FileScan parquet") <= 3
+    assert "SortMergeJoin" not in plan and "Window" not in plan
