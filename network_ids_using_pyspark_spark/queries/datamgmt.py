@@ -1827,3 +1827,86 @@ def q_functional_dependency_audit(spark, sf_dir):
     for r in reports[1:]:
         out = out.unionByName(r)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Partition-plan advisor: per-key shuffle-skew prescription.  Given a
+# prospective shuffle key, emit the per-key row counts, the skew
+# verdict against the target task size, and the SALT FACTOR that
+# equalizes each hot key — the actionable output `key_skew_gini`'s
+# diagnostic number stops short of (and the input the engine's
+# salted-join operators consume).
+# ---------------------------------------------------------------------------
+
+_PPA_TASKS = 32  # planner's parallelism target (config)
+
+_PPA_SQL = f"""
+WITH per_key AS (
+  SELECT event_type AS key, CAST(COUNT(*) AS BIGINT) AS n_rows_key
+  FROM events GROUP BY 1
+),
+tot AS (
+  SELECT CAST(SUM(n_rows_key) AS BIGINT) AS n_rows,
+         CAST(CEIL(CAST(SUM(n_rows_key) AS DOUBLE) / {_PPA_TASKS}) AS BIGINT)
+           AS target_rows_per_task
+  FROM per_key
+)
+SELECT p.key, p.n_rows_key,
+       round(CAST(p.n_rows_key AS DOUBLE) / t.n_rows, 6) AS share,
+       t.n_rows, t.target_rows_per_task,
+       CAST(CASE WHEN p.n_rows_key > 2 * t.target_rows_per_task
+                 THEN 1 ELSE 0 END AS BIGINT) AS is_skewed,
+       CAST(CEIL(CAST(p.n_rows_key AS DOUBLE) / t.target_rows_per_task)
+            AS BIGINT) AS salt_factor
+FROM per_key p CROSS JOIN tot t
+ORDER BY p.n_rows_key DESC, p.key
+"""
+
+
+@register("partition_plan_advisor", _PPA_SQL)
+def q_partition_plan_advisor(spark, sf_dir):
+    """Shuffle-plan prescription for a prospective event_type-keyed
+    shuffle: per-key row counts and shares, the skew verdict against
+    the {t}-task target size (key > 2× target), and the per-key salt
+    factor ceil(rows/target) that equalizes hot keys — exactly what
+    the engine's salted operators (`salted_skew_join_revenue`,
+    `salted_user_counts`) take as input, produced as data instead of a
+    hand-picked constant.  Counts exact; share is one division.
+
+    Scale plan: ONE map-side combined group-by on the key (the
+    histogram is |keys|-sized), a 1-row total, broadcast back — the
+    advisor costs a single pass over the table it plans for."""
+    ev = load_table(spark, sf_dir, "events")
+    per_key = ev.groupBy(F.col("event_type").alias("key")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows_key")
+    ).localCheckpoint(eager=True)
+    tot = per_key.agg(
+        F.sum("n_rows_key").cast("long").alias("n_rows"),
+        F.ceil(F.sum("n_rows_key").cast("double") / _PPA_TASKS)
+        .cast("long")
+        .alias("target_rows_per_task"),
+    )
+    return (
+        per_key.crossJoin(F.broadcast(tot))
+        .select(
+            "key",
+            "n_rows_key",
+            F.round(F.col("n_rows_key").cast("double") / F.col("n_rows"), 6).alias(
+                "share"
+            ),
+            "n_rows",
+            "target_rows_per_task",
+            F.when(
+                F.col("n_rows_key") > 2 * F.col("target_rows_per_task"), 1
+            )
+            .otherwise(0)
+            .cast("long")
+            .alias("is_skewed"),
+            F.ceil(
+                F.col("n_rows_key").cast("double") / F.col("target_rows_per_task")
+            )
+            .cast("long")
+            .alias("salt_factor"),
+        )
+        .orderBy(F.desc("n_rows_key"), "key")
+    )

@@ -1275,3 +1275,153 @@ def q_loo_source_ablation(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# KL(source ‖ corpus) over add-1-smoothed word distributions — the
+# distribution-level divergence readout next to DSIR's per-doc
+# weights: which sources are far from the mixture they feed.  The
+# unobserved-word mass (every vocab word the source never used) is
+# handled ALGEBRAICALLY — q_s·(V·lg q_s − Σ_vocab lg p_w) minus the
+# observed-word correction — so the V×|sources| grid is never
+# materialized.
+# ---------------------------------------------------------------------------
+
+_KL_SQL = """
+WITH toks AS (
+  SELECT source, UNNEST(regexp_split_to_array(trim(lower(text)), '[^0-9a-z]+'))
+           AS w
+  FROM documents
+),
+sw AS (
+  SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c_sw
+  FROM toks WHERE w <> '' GROUP BY source, w
+),
+wc AS (SELECT w, CAST(SUM(c_sw) AS BIGINT) AS c_w FROM sw GROUP BY w),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS v, CAST(SUM(c_w) AS BIGINT) AS n FROM wc
+),
+corpus AS (
+  SELECT tot.v, tot.n,
+         CAST(CAST(SUM(CAST(round(log2((c_w + 1.0) / (tot.n + tot.v)), 6)
+                            AS DECIMAL(38, 9))) AS VARCHAR) AS DOUBLE) AS lp_sum
+  FROM wc CROSS JOIN tot GROUP BY tot.v, tot.n
+),
+src AS (
+  SELECT source, CAST(SUM(c_sw) AS BIGINT) AS n_s,
+         CAST(COUNT(*) AS BIGINT) AS k_s
+  FROM sw GROUP BY source
+),
+terms AS (
+  SELECT sw.source,
+         CAST(CAST(SUM(CAST(round((sw.c_sw + 1.0) / (src.n_s + corpus.v)
+                 * (round(log2((sw.c_sw + 1.0) / (src.n_s + corpus.v)), 6)
+                    - round(log2((wc.c_w + 1.0) / (corpus.n + corpus.v)), 6)), 9)
+               AS DECIMAL(38, 9))) AS VARCHAR) AS DOUBLE) AS obs_term,
+         CAST(CAST(SUM(CAST(round(1.0 / (src.n_s + corpus.v)
+                 * (round(log2(1.0 / (src.n_s + corpus.v)), 6)
+                    - round(log2((wc.c_w + 1.0) / (corpus.n + corpus.v)), 6)), 9)
+               AS DECIMAL(38, 9))) AS VARCHAR) AS DOUBLE) AS obs_corr
+  FROM sw JOIN wc USING (w) JOIN src ON sw.source = src.source
+  CROSS JOIN corpus
+  GROUP BY sw.source
+)
+SELECT src.source, src.n_s AS n_tokens, src.k_s AS n_types_observed,
+       round(t.obs_term
+             + 1.0 / (src.n_s + corpus.v)
+               * (corpus.v * round(log2(1.0 / (src.n_s + corpus.v)), 6)
+                  - corpus.lp_sum)
+             - t.obs_corr, 6) AS kl_bits
+FROM src JOIN terms t ON src.source = t.source CROSS JOIN corpus
+ORDER BY src.source
+"""
+
+
+@register("kl_divergence_by_source", _KL_SQL)
+def q_kl_divergence_by_source(spark, sf_dir):
+    """KL(p_source ‖ p_corpus) in bits over add-1-smoothed unigram
+    distributions on the shared corpus vocabulary.  Every log2 is
+    quantized to the 1e-6 grid BEFORE entering a DECIMAL sum (the
+    `dsir_importance_weights` discipline); the mass of vocabulary
+    words a source never used enters through the closed form
+    q_s·(V·lg q_s − Σ_vocab lg p_w) minus the observed-word
+    correction — identical regrouped expression on both engines — so
+    the full-vocabulary KL costs only the OBSERVED (source, word)
+    relation.
+
+    Scale plan: one token explode → (source, word) counts; word
+    marginals and the corpus scalar reduce from that histogram; the
+    per-source divergence is a histogram-space aggregate.  Nothing is
+    V×|sources|."""
+    docs = load_table(spark, sf_dir, "documents")
+    to_d = lambda c: c.cast("string").cast("double")  # noqa: E731
+    toks = docs.select(
+        "source",
+        F.explode(F.split(F.trim(F.lower("text")), "[^0-9a-z]+")).alias("w"),
+    ).filter(F.col("w") != "")
+    sw = (
+        toks.groupBy("source", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_sw"))
+        .localCheckpoint(eager=True)
+    )
+    wc = sw.groupBy("w").agg(F.sum("c_sw").cast("long").alias("c_w"))
+    lg6 = lambda c: F.round(F.log2(c), 6)  # noqa: E731
+    corpus = wc.agg(
+        F.count(F.lit(1)).cast("long").alias("v"),
+        F.sum("c_w").cast("long").alias("n"),
+    )
+    corpus = (
+        wc.crossJoin(F.broadcast(corpus))
+        .agg(
+            F.first("v").alias("v"),
+            F.first("n").alias("n"),
+            to_d(
+                F.sum(
+                    lg6((F.col("c_w") + 1.0) / (F.col("n") + F.col("v"))).cast(
+                        "decimal(38, 9)"
+                    )
+                )
+            ).alias("lp_sum"),
+        )
+    )
+    src = sw.groupBy("source").agg(
+        F.sum("c_sw").cast("long").alias("n_s"),
+        F.count(F.lit(1)).cast("long").alias("k_s"),
+    )
+    j = (
+        sw.join(wc, "w")
+        .join(F.broadcast(src), "source")
+        .crossJoin(F.broadcast(corpus))
+    )
+    q_s = 1.0 / (F.col("n_s") + F.col("v"))
+    p_sw = (F.col("c_sw") + 1.0) / (F.col("n_s") + F.col("v"))
+    lgp_w = lg6((F.col("c_w") + 1.0) / (F.col("n") + F.col("v")))
+    terms = j.groupBy("source").agg(
+        to_d(
+            F.sum(F.round(p_sw * (lg6(p_sw) - lgp_w), 9).cast("decimal(38, 9)"))
+        ).alias("obs_term"),
+        to_d(
+            F.sum(F.round(q_s * (lg6(q_s) - lgp_w), 9).cast("decimal(38, 9)"))
+        ).alias("obs_corr"),
+    )
+    out = (
+        src.join(terms, "source")
+        .crossJoin(F.broadcast(corpus))
+        .select(
+            "source",
+            F.col("n_s").alias("n_tokens"),
+            F.col("k_s").alias("n_types_observed"),
+            F.round(
+                F.col("obs_term")
+                + (1.0 / (F.col("n_s") + F.col("v")))
+                * (
+                    F.col("v") * lg6(1.0 / (F.col("n_s") + F.col("v")))
+                    - F.col("lp_sum")
+                )
+                - F.col("obs_corr"),
+                6,
+            ).alias("kl_bits"),
+        )
+        .orderBy("source")
+    )
+    return out

@@ -855,3 +855,61 @@ def test_lda_two_class_matches_python(spark):
     assert abs(row["w_urgent"] - w2) < 1e-6
     assert abs(row["threshold"] - c) < 1e-6
     assert abs(row["train_accuracy"] - correct / len(ys)) < 1e-6
+
+
+def test_kl_divergence_by_source_matches_python(spark):
+    import math
+    import re
+
+    t = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["source", "text"])
+    sw = defaultdict(lambda: defaultdict(int))
+    for src, txt in zip(t.column("source").to_pylist(), t.column("text").to_pylist()):
+        for w in re.split(r"[^0-9a-z]+", txt.strip().lower()):
+            if w:
+                sw[src][w] += 1
+    wc = defaultdict(int)
+    for counts in sw.values():
+        for w, c in counts.items():
+            wc[w] += c
+    V = len(wc)
+    N = sum(wc.values())
+    lg6 = lambda x: round(math.log2(x), 6)  # noqa: E731
+    lp = {w: lg6((c + 1.0) / (N + V)) for w, c in wc.items()}
+    lp_sum = sum(lp.values())
+    rows = REGISTRY["kl_divergence_by_source"][0](spark, SF_DIR).collect()
+    assert [r["source"] for r in rows] == sorted(sw)
+    for r in rows:
+        counts = sw[r["source"]]
+        n_s = sum(counts.values())
+        q_s = 1.0 / (n_s + V)
+        obs = sum(
+            round((c + 1.0) / (n_s + V) * (lg6((c + 1.0) / (n_s + V)) - lp[w]), 9)
+            for w, c in counts.items()
+        )
+        corr = sum(round(q_s * (lg6(q_s) - lp[w]), 9) for w in counts)
+        kl = obs + q_s * (V * lg6(q_s) - lp_sum) - corr
+        assert r["n_tokens"] == n_s and r["n_types_observed"] == len(counts)
+        assert abs(r["kl_bits"] - kl) < 1e-5
+        assert r["kl_bits"] >= 0  # KL sanity
+
+
+def test_partition_plan_advisor_matches_python(spark):
+    import math
+
+    t = pq.read_table(f"{SF_DIR}/events.parquet", columns=["event_type"])
+    counts = defaultdict(int)
+    for et in t.column("event_type").to_pylist():
+        counts[et] += 1
+    n = sum(counts.values())
+    target = math.ceil(n / 32)
+    rows = REGISTRY["partition_plan_advisor"][0](spark, SF_DIR).collect()
+    assert [r["key"] for r in rows] == sorted(
+        counts, key=lambda k: (-counts[k], k)
+    )
+    for r in rows:
+        c = counts[r["key"]]
+        assert r["n_rows_key"] == c
+        assert r["n_rows"] == n and r["target_rows_per_task"] == target
+        assert r["is_skewed"] == (1 if c > 2 * target else 0)
+        assert r["salt_factor"] == math.ceil(c / target)
+        assert abs(r["share"] - c / n) < 1e-6

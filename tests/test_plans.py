@@ -1471,3 +1471,20 @@ def test_lda_two_pass_broadcast_weights(spark):
     plan = explain_str(df, "simple")
     assert plan.count("FileScan parquet") <= 3
     assert "SortMergeJoin" not in plan and "Window" not in plan
+
+
+def test_kl_by_source_histogram_space(spark):
+    """KL runs on the checkpointed (source, word) histogram: marginals,
+    corpus scalar, and per-source terms never rescan the corpus."""
+    df = _df(spark, "kl_divergence_by_source")
+    plan = explain_str(df, "simple")
+    assert plan.count("FileScan parquet") == 0
+    assert "ExistingRDD" in plan and "CartesianProduct" not in plan
+
+
+def test_partition_advisor_single_histogram_pass(spark):
+    """The advisor is one key histogram + a 1-row total broadcast."""
+    df = _df(spark, "partition_plan_advisor")
+    plan = explain_str(df, "simple")
+    assert plan.count("FileScan parquet") == 0
+    assert "ExistingRDD" in plan and "Window" not in plan
