@@ -180,7 +180,16 @@ _ROUND_PRIORITY = [
     # evolution, pseudonymize, quarantine, snapshot diff, k-anonymity,
     # dp counts, skew gini, dict encoding, RI audit); remaining
     # anomaly/session analytics; pyapi surface (cogroup/udtf/observe/
-    # pandas-api/variant/params); and the second-order stats tail
+    # pandas-api/variant/params); the round-5 continuation batch
+    # (aipw_doubly_robust_ate, markov/shapley attribution, the
+    # causal_ext family: rdd/uplift/cem/chow, cox_ph_exact,
+    # gsp/prefixspan sequence mining, fdr_bh_metric_screen,
+    # lda_two_class_exact, kendall/spearman contingency, mahalanobis,
+    # rake/lexdiv/kl/loo/preference/fertility LLM-pipeline ops,
+    # james_stein, simpson detector, bloom_fpr_audit,
+    # partition_plan_advisor, tail_dependence, lang_id_eval,
+    # overdispersion, assortativity — all locally oracle-green, lead
+    # candidates for the round-6 window); and the second-order stats tail
     # (wilson/neyman/QTE/z-test, kaplan-meier, rfm, decompositions).
 ]
 

@@ -466,3 +466,108 @@ def q_shapley_channel_attribution(spark, sf_dir):
             ).alias("shapley_share"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Entropy rate of the journey chain: per-state transition entropy and
+# its share-weighted contribution — how predictable each point of the
+# funnel is (H_s -> 0 means state s has one dominant continuation; the
+# share-weighted sum is the chain's entropy rate under the empirical
+# state distribution).
+# ---------------------------------------------------------------------------
+
+_ENTROPY_SQL = (
+    "WITH "
+    + _TRANS_CTES.strip().lstrip()
+    + """,
+np AS (
+  SELECT src, n,
+         CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY src) AS p
+  FROM trans
+),
+per_src AS (
+  SELECT src, CAST(SUM(n) AS BIGINT) AS tot,
+         """
+    + _q9_sum_sql("-p * round(log2(p), 6)")
+    + """ AS h_bits
+  FROM np GROUP BY src
+),
+tot AS (SELECT CAST(SUM(tot) AS BIGINT) AS t FROM per_src)
+SELECT src AS state, per_src.tot AS n_transitions,
+       round(CAST(per_src.tot AS DOUBLE) / tot.t, 6) AS share,
+       round(h_bits, 6) AS entropy_bits,
+       round(CAST(per_src.tot AS DOUBLE) / tot.t * h_bits, 6) AS weighted_bits
+FROM per_src CROSS JOIN tot
+ORDER BY state
+"""
+)
+
+
+@register("markov_entropy_rate", _ENTROPY_SQL)
+def q_markov_entropy_rate(spark, sf_dir):
+    """Per-state transition entropy of the journey chain (same
+    truncated-at-first-purchase construction as
+    `markov_attribution_removal`) plus each state's share-weighted
+    contribution — the empirical entropy rate decomposition.  Each
+    p·log2 p term is quantized (1e-6 log grid, 1e-9 product grid) and
+    DECIMAL-summed; shares and weights are single expressions of exact
+    counts.
+
+    Scale plan: journeys = two per-user windows over one fact scan;
+    everything after runs on the |states|²-row transition relation."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    worder = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prior = F.sum(
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    ).over(worder.rowsBetween(Window.unboundedPreceding, -1))
+    kept = ev.select("*", F.coalesce(prior, F.lit(0)).alias("prior_purch")).filter(
+        F.col("prior_purch") == 0
+    )
+    wdesc = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    step = kept.select(
+        F.coalesce(F.lag("event_type").over(worder), F.lit("start")).alias("src"),
+        F.when(F.col("event_type") == "purchase", "conv")
+        .otherwise(F.col("event_type"))
+        .alias("dst"),
+        F.row_number().over(wdesc).alias("rn_desc"),
+        "event_type",
+    )
+    terminals = step.filter(
+        (F.col("rn_desc") == 1) & (F.col("event_type") != "purchase")
+    ).select(F.col("event_type").alias("src"), F.lit("null").alias("dst"))
+    trans = (
+        step.select("src", "dst")
+        .unionByName(terminals)
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    wsrc = Window.partitionBy("src")
+    p = F.col("n").cast("double") / F.sum("n").over(wsrc)
+    per_src = (
+        trans.select("src", "n", (-p * F.round(F.log2(p), 6)).alias("term"))
+        .groupBy("src")
+        .agg(
+            F.sum("n").cast("long").alias("tot"),
+            F.sum(F.round(F.col("term"), 9).cast("decimal(38, 9)"))
+            .cast("string")
+            .cast("double")
+            .alias("h_bits"),
+        )
+    )
+    t = per_src.agg(F.sum("tot").cast("long").alias("t"))
+    return (
+        per_src.crossJoin(F.broadcast(t))
+        .select(
+            F.col("src").alias("state"),
+            F.col("tot").alias("n_transitions"),
+            F.round(F.col("tot").cast("double") / F.col("t"), 6).alias("share"),
+            F.round(F.col("h_bits"), 6).alias("entropy_bits"),
+            F.round(
+                F.col("tot").cast("double") / F.col("t") * F.col("h_bits"), 6
+            ).alias("weighted_bits"),
+        )
+        .orderBy("state")
+    )

@@ -5622,3 +5622,76 @@ def q_lda_two_class_exact(spark, sf_dir):
             "train_accuracy"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Circular (directional) statistics of event time-of-day: the
+# resultant length R and circular mean hour per event_type — the
+# correct "when does this usually happen" summary where a linear mean
+# of hours is nonsense across midnight (Mardia & Jupp 2000).
+# ---------------------------------------------------------------------------
+
+_TWO_PI = 6.283185307179586
+
+
+def _circ_sql() -> str:
+    theta = f"({_TWO_PI} * (CAST(floor(epoch(ts)) AS BIGINT) % 86400) / 86400.0)"
+    return f"""
+WITH m AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         {_irls_q9_sum(f'cos({theta})')} AS c,
+         {_irls_q9_sum(f'sin({theta})')} AS s
+  FROM events GROUP BY event_type
+)
+SELECT event_type, n,
+       round(sqrt(c * c + s * s) / n, 6) AS resultant_r,
+       round(CASE WHEN atan2(s, c) < 0
+                  THEN (atan2(s, c) + {_TWO_PI}) / {_TWO_PI} * 24.0
+                  ELSE atan2(s, c) / {_TWO_PI} * 24.0 END, 6) AS mean_hour
+FROM m
+ORDER BY event_type
+"""
+
+
+@register("circular_hour_stats", _circ_sql())
+def q_circular_hour_stats(spark, sf_dir):
+    """Circular mean hour and resultant length R per event_type:
+    θ = 2π·(second of day)/86400, R = |Σe^{iθ}|/n (1 = perfectly
+    concentrated, 0 = uniform around the clock), mean hour from
+    atan2 of the quantized component sums.  cos/sin are quantized to
+    the 1e-9 grid before the DECIMAL sums (the engine's libm
+    discipline), so the statistic is bit-stable.
+
+    Scale plan: ONE map-side combined aggregate per type — circular
+    moments are as mergeable as linear ones."""
+    ev = load_table(spark, sf_dir, "events")
+    to_d = lambda c: c.cast("string").cast("double")  # noqa: E731
+    theta = (
+        F.lit(_TWO_PI)
+        * (F.floor(F.col("ts").cast("double")).cast("long") % 86400)
+        / 86400.0
+    )
+
+    def q9_sum(term):
+        return to_d(F.sum(F.round(term, 9).cast("decimal(38, 9)")))
+
+    m = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        q9_sum(F.cos(theta)).alias("c"),
+        q9_sum(F.sin(theta)).alias("s"),
+    )
+    ang = F.atan2(F.col("s"), F.col("c"))
+    return m.select(
+        "event_type",
+        "n",
+        F.round(
+            F.sqrt(F.col("c") * F.col("c") + F.col("s") * F.col("s")) / F.col("n"), 6
+        ).alias("resultant_r"),
+        F.round(
+            F.when(ang < 0, (ang + _TWO_PI) / _TWO_PI * 24.0).otherwise(
+                ang / _TWO_PI * 24.0
+            ),
+            6,
+        ).alias("mean_hour"),
+    ).orderBy("event_type")

@@ -913,3 +913,80 @@ def test_partition_plan_advisor_matches_python(spark):
         assert r["is_skewed"] == (1 if c > 2 * target else 0)
         assert r["salt_factor"] == math.ceil(c / target)
         assert abs(r["share"] - c / n) < 1e-6
+
+
+def test_markov_entropy_rate_matches_python(spark):
+    import math
+
+    t = pq.read_table(
+        f"{SF_DIR}/events.parquet", columns=["user_id", "ts", "event_id", "event_type"]
+    )
+    rows = sorted(
+        zip(
+            t.column("user_id").to_pylist(),
+            t.column("ts").to_pylist(),
+            t.column("event_id").to_pylist(),
+            t.column("event_type").to_pylist(),
+        ),
+        key=lambda r: (r[0], r[1], r[2]),
+    )
+    trans = defaultdict(int)
+    cur_user, prev, converted = None, None, False
+    for u, _, _, et in rows + [(None, None, None, None)]:
+        if u != cur_user:
+            if cur_user is not None and not converted:
+                trans[(prev, "null")] += 1
+            cur_user, prev, converted = u, "start", False
+            if u is None:
+                break
+        if converted:
+            continue
+        dst = "conv" if et == "purchase" else et
+        trans[(prev, dst)] += 1
+        if et == "purchase":
+            converted = True
+        else:
+            prev = dst
+    tot_s = defaultdict(int)
+    for (s, _), n in trans.items():
+        tot_s[s] += n
+    T = sum(tot_s.values())
+    out = REGISTRY["markov_entropy_rate"][0](spark, SF_DIR).collect()
+    assert [r["state"] for r in out] == sorted(tot_s)
+    for r in out:
+        s = r["state"]
+        h = sum(
+            round(-(n / tot_s[s]) * round(math.log2(n / tot_s[s]), 6), 9)
+            for (src, _), n in trans.items()
+            if src == s
+        )
+        assert r["n_transitions"] == tot_s[s]
+        assert abs(r["share"] - tot_s[s] / T) < 1e-6
+        assert abs(r["entropy_bits"] - h) < 1e-6
+        assert abs(r["weighted_bits"] - tot_s[s] / T * h) < 1e-6
+
+
+def test_circular_hour_stats_matches_python(spark):
+    import math
+
+    t = pq.read_table(f"{SF_DIR}/events.parquet", columns=["event_type", "ts"])
+    agg = defaultdict(lambda: [0, 0.0, 0.0])
+    for et, ts in zip(t.column("event_type").to_pylist(), t.column("ts").to_pylist()):
+        from datetime import datetime
+
+        sec = int((ts - datetime(1970, 1, 1)).total_seconds()) % 86400
+        th = 2 * math.pi * sec / 86400.0
+        a = agg[et]
+        a[0] += 1
+        a[1] += round(math.cos(th), 9)
+        a[2] += round(math.sin(th), 9)
+    rows = REGISTRY["circular_hour_stats"][0](spark, SF_DIR).collect()
+    assert [r["event_type"] for r in rows] == sorted(agg)
+    for r in rows:
+        n, c, s = agg[r["event_type"]]
+        assert r["n"] == n
+        assert abs(r["resultant_r"] - math.sqrt(c * c + s * s) / n) < 1e-6
+        ang = math.atan2(s, c)
+        if ang < 0:
+            ang += 2 * math.pi
+        assert abs(r["mean_hour"] - ang / (2 * math.pi) * 24.0) < 1e-5

@@ -1488,3 +1488,21 @@ def test_partition_advisor_single_histogram_pass(spark):
     plan = explain_str(df, "simple")
     assert plan.count("FileScan parquet") == 0
     assert "ExistingRDD" in plan and "Window" not in plan
+
+
+def test_entropy_rate_on_transition_relation(spark):
+    """Entropy terms run on the checkpointed |states|²-row transition
+    relation; the journey windows are per-user, never global."""
+    df = _df(spark, "markov_entropy_rate")
+    plan = explain_str(df, "simple")
+    assert plan.count("FileScan parquet") == 0
+    assert "ExistingRDD" in plan
+
+
+def test_circular_stats_single_aggregate(spark):
+    """Circular moments = one map-side combined group-by; no joins,
+    no windows."""
+    df = _df(spark, "circular_hour_stats")
+    plan = explain_str(df, "simple")
+    assert plan.count("FileScan parquet") == 1
+    assert "Join" not in plan and "Window" not in plan
