@@ -5695,3 +5695,158 @@ def q_circular_hour_stats(spark, sf_dir):
             6,
         ).alias("mean_hour"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Poisson regression by unrolled IRLS — the COUNT-outcome GLM beside
+# `logreg_irls_exact` (binary) and `ols_regression_exact` (gaussian):
+# lineitem count per order on (month, urgent flag), canonical log
+# link, Newton weights w = mu.  Same engine/oracle template economy:
+# the 3x3 step reuses the OLS adjugate with mu-weighted moments, mu is
+# quantized AFTER exp, every sum rides the 1e-9 DECIMAL grid.
+# ---------------------------------------------------------------------------
+
+_PGLM_T = 3
+_PGLM_MU = "greatest(round(exp(b0 + b1 * x1 + b2 * x2), 9), 0.000000001)"
+_PGLM_SRC = """
+  SELECT CAST(EXTRACT(month FROM CAST(o.o_orderdate AS DATE)) AS BIGINT) AS x1,
+         CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS x2,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY o.o_orderkey, 1, 2
+"""
+
+
+def _pglm_sql(iters: int = _PGLM_T) -> str:
+    parts = [
+        f"s AS ({_PGLM_SRC})",
+        "b0_ AS (SELECT 0.0 AS b0, 0.0 AS b1, 0.0 AS b2)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"r{i} AS (SELECT x1, x2, y, {_PGLM_MU} AS mu, b0, b1, b2 "
+            f"FROM s CROSS JOIN b{i-1}_)"
+        )
+        parts.append(
+            f"a{i} AS (SELECT ANY_VALUE(b0) AS b0, ANY_VALUE(b1) AS b1, "
+            f"ANY_VALUE(b2) AS b2, "
+            f"{_irls_q9_sum('mu')} AS n, "
+            f"{_irls_q9_sum('mu * x1')} AS s1, "
+            f"{_irls_q9_sum('mu * x2')} AS s2, "
+            f"{_irls_q9_sum('mu * x1 * x1')} AS s11, "
+            f"{_irls_q9_sum('mu * x1 * x2')} AS s12, "
+            f"{_irls_q9_sum('mu * x2 * x2')} AS s22, "
+            f"{_irls_q9_sum('(y - mu)')} AS sy, "
+            f"{_irls_q9_sum('(y - mu) * x1')} AS s1y, "
+            f"{_irls_q9_sum('(y - mu) * x2')} AS s2y "
+            f"FROM r{i})"
+        )
+        parts.append(
+            f"b{i}_ AS (SELECT b0 + {_OLS_B0} AS b0, b1 + {_OLS_B1} AS b1, "
+            f"b2 + {_OLS_B2} AS b2 FROM a{i})"
+        )
+    t = iters
+    parts.append(f"rf AS (SELECT x1, x2, y, {_PGLM_MU} AS mu FROM s CROSS JOIN b{t}_)")
+    parts.append(
+        "dev AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+        + _irls_q9_sum(
+            "2.0 * (CASE WHEN y > 0 THEN y * round(ln(y / mu), 9) ELSE 0.0 END"
+            " - (y - mu))"
+        )
+        + " AS d FROM rf)"
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT dev.n,
+       round(b.b0, 6) AS b_intercept,
+       round(b.b1, 6) AS b_month,
+       round(b.b2, 6) AS b_urgent,
+       round(dev.d / dev.n, 6) AS mean_deviance
+FROM b{t}_ b CROSS JOIN dev
+"""
+    )
+
+
+@register("poisson_glm_exact", _pglm_sql())
+def q_poisson_glm_exact(spark, sf_dir):
+    """Poisson regression of per-order lineitem count on (order month,
+    urgent flag), trained by three unrolled Newton/IRLS steps with the
+    canonical log link: mu quantized to the 1e-9 grid AFTER exp, each
+    step's mu-weighted normal equations solved with the SAME adjugate
+    template as OLS/logistic, and the mean deviance
+    2[y·ln(y/mu) - (y-mu)]/n reported as fit quality.
+
+    Scale plan: the count outcome is one orderkey-grouped join
+    (shuffle on the PK), then T+1 map-side combined scans over the
+    per-order relation with 1-row betas broadcast in — identical
+    shape to `logreg_irls_exact` at any scale."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    to_d = lambda c: c.cast("string").cast("double")  # noqa: E731
+    src = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderkey")
+        .agg(
+            F.first(
+                F.month(F.col("o_orderdate").cast("date")).cast("long")
+            ).alias("x1"),
+            F.first(
+                F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+            ).alias("x2"),
+            F.count(F.lit(1)).cast("long").alias("y"),
+        )
+        .select("x1", "x2", "y")
+        .localCheckpoint(eager=True)
+    )
+
+    def q9_sum(term):
+        return to_d(F.sum(F.round(term, 9).cast("decimal(38, 9)")))
+
+    mu_expr = F.expr(_PGLM_MU)
+    beta = src.sparkSession.range(1).select(
+        F.lit(0.0).alias("b0"), F.lit(0.0).alias("b1"), F.lit(0.0).alias("b2")
+    )
+    for _ in range(_PGLM_T):
+        r = src.crossJoin(F.broadcast(beta)).withColumn("mu", mu_expr)
+        w = F.col("mu")
+        resid = F.col("y") - F.col("mu")
+        a = r.agg(
+            F.first("b0").alias("b0"),
+            F.first("b1").alias("b1"),
+            F.first("b2").alias("b2"),
+            q9_sum(w).alias("n"),
+            q9_sum(w * F.col("x1")).alias("s1"),
+            q9_sum(w * F.col("x2")).alias("s2"),
+            q9_sum(w * F.col("x1") * F.col("x1")).alias("s11"),
+            q9_sum(w * F.col("x1") * F.col("x2")).alias("s12"),
+            q9_sum(w * F.col("x2") * F.col("x2")).alias("s22"),
+            q9_sum(resid).alias("sy"),
+            q9_sum(resid * F.col("x1")).alias("s1y"),
+            q9_sum(resid * F.col("x2")).alias("s2y"),
+        )
+        beta = a.select(
+            (F.col("b0") + F.expr(_OLS_B0)).alias("b0"),
+            (F.col("b1") + F.expr(_OLS_B1)).alias("b1"),
+            (F.col("b2") + F.expr(_OLS_B2)).alias("b2"),
+        ).localCheckpoint(eager=True)
+    rf = src.crossJoin(F.broadcast(beta)).withColumn("mu", mu_expr)
+    dev_term = 2.0 * (
+        F.when(
+            F.col("y") > 0,
+            F.col("y") * F.round(F.log(F.col("y") / F.col("mu")), 9),
+        ).otherwise(0.0)
+        - (F.col("y") - F.col("mu"))
+    )
+    dev = rf.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        q9_sum(dev_term).alias("d"),
+    )
+    return dev.crossJoin(F.broadcast(beta)).select(
+        "n",
+        F.round(F.col("b0"), 6).alias("b_intercept"),
+        F.round(F.col("b1"), 6).alias("b_month"),
+        F.round(F.col("b2"), 6).alias("b_urgent"),
+        F.round(F.col("d") / F.col("n"), 6).alias("mean_deviance"),
+    )

@@ -990,3 +990,49 @@ def test_circular_hour_stats_matches_python(spark):
         if ang < 0:
             ang += 2 * math.pi
         assert abs(r["mean_hour"] - ang / (2 * math.pi) * 24.0) < 1e-5
+
+
+def test_poisson_glm_matches_python(spark):
+    import math
+
+    o = pq.read_table(
+        f"{SF_DIR}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    )
+    li = pq.read_table(f"{SF_DIR}/lineitem.parquet", columns=["l_orderkey"])
+    counts = defaultdict(int)
+    for k in li.column("l_orderkey").to_pylist():
+        counts[k] += 1
+    rows = [
+        (d.month, 1 if p == "1-URGENT" else 0, counts[k])
+        for k, d, p in zip(
+            o.column("o_orderkey").to_pylist(),
+            o.column("o_orderdate").to_pylist(),
+            o.column("o_orderpriority").to_pylist(),
+        )
+        if k in counts
+    ]
+    b0 = b1 = b2 = 0.0
+    for _ in range(3):
+        m = [0.0] * 9
+        for a, b, y in rows:
+            mu = max(round(math.exp(b0 + b1 * a + b2 * b), 9), 1e-9)
+            r = y - mu
+            m[0] += mu; m[1] += mu * a; m[2] += mu * b
+            m[3] += mu * a * a; m[4] += mu * a * b; m[5] += mu * b * b
+            m[6] += r; m[7] += r * a; m[8] += r * b
+        N, s1, s2, s11, s12, s22, sy, s1y, s2y = m
+        det = N * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2) + s2 * (s1 * s12 - s11 * s2)
+        b0 += (sy * (s11 * s22 - s12 * s12) - s1y * (s1 * s22 - s12 * s2) + s2y * (s1 * s12 - s11 * s2)) / det
+        b1 += (N * (s1y * s22 - s12 * s2y) - s1 * (sy * s22 - s2y * s2) + s2 * (sy * s12 - s1y * s2)) / det
+        b2 += (N * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - sy * s12) + s2 * (s1 * s1y - sy * s11)) / det
+    dev = 0.0
+    for a, b, y in rows:
+        mu = max(round(math.exp(b0 + b1 * a + b2 * b), 9), 1e-9)
+        dev += 2.0 * ((y * round(math.log(y / mu), 9) if y > 0 else 0.0) - (y - mu))
+    row = REGISTRY["poisson_glm_exact"][0](spark, SF_DIR).collect()[0]
+    assert row["n"] == len(rows)
+    assert abs(row["b_intercept"] - b0) < 1e-4
+    assert abs(row["b_month"] - b1) < 1e-5
+    assert abs(row["b_urgent"] - b2) < 1e-4
+    assert abs(row["mean_deviance"] - dev / len(rows)) < 1e-4

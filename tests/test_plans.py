@@ -1506,3 +1506,12 @@ def test_circular_stats_single_aggregate(spark):
     plan = explain_str(df, "simple")
     assert plan.count("FileScan parquet") == 1
     assert "Join" not in plan and "Window" not in plan
+
+
+def test_poisson_glm_iterations_on_checkpointed_counts(spark):
+    """The PK-grouped count relation is built once (checkpointed); the
+    Newton scans read it with 1-row betas broadcast in."""
+    df = _df(spark, "poisson_glm_exact")
+    plan = explain_str(df, "simple")
+    assert plan.count("FileScan parquet") == 0
+    assert "ExistingRDD" in plan and "SortMergeJoin" not in plan
