@@ -5850,3 +5850,176 @@ def q_poisson_glm_exact(spark, sf_dir):
         F.round(F.col("b2"), 6).alias("b_urgent"),
         F.round(F.col("d") / F.col("n"), 6).alias("mean_deviance"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Brier-score Murphy decomposition of the logistic model's
+# probabilities: brier = reliability - resolution + uncertainty over
+# 10 fixed-width probability bins (Murphy 1973) — the calibration
+# audit `gnb_calibration_curve` draws as a curve, compressed to the
+# three numbers a model gate checks.
+# ---------------------------------------------------------------------------
+
+
+def _brier_sql(iters: int = _IRLS_T) -> str:
+    parts = [f"s AS ({_IRLS_SRC})", "b0_ AS (SELECT 0.0 AS b0, 0.0 AS b1, 0.0 AS b2)"]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"r{i} AS (SELECT x1, x2, y, {_IRLS_P} AS p, b0, b1, b2 "
+            f"FROM s CROSS JOIN b{i-1}_)"
+        )
+        parts.append(
+            f"a{i} AS (SELECT ANY_VALUE(b0) AS b0, ANY_VALUE(b1) AS b1, ANY_VALUE(b2) AS b2, "
+            f"{_irls_q9_sum('p * (1.0 - p)')} AS n, "
+            f"{_irls_q9_sum('p * (1.0 - p) * x1')} AS s1, "
+            f"{_irls_q9_sum('p * (1.0 - p) * x2')} AS s2, "
+            f"{_irls_q9_sum('p * (1.0 - p) * x1 * x1')} AS s11, "
+            f"{_irls_q9_sum('p * (1.0 - p) * x1 * x2')} AS s12, "
+            f"{_irls_q9_sum('p * (1.0 - p) * x2 * x2')} AS s22, "
+            f"{_irls_q9_sum('(y - p)')} AS sy, "
+            f"{_irls_q9_sum('(y - p) * x1')} AS s1y, "
+            f"{_irls_q9_sum('(y - p) * x2')} AS s2y "
+            f"FROM r{i})"
+        )
+        parts.append(
+            f"b{i}_ AS (SELECT b0 + {_OLS_B0} AS b0, b1 + {_OLS_B1} AS b1, "
+            f"b2 + {_OLS_B2} AS b2 FROM a{i})"
+        )
+    t = iters
+    parts.append(
+        f"scored AS (SELECT y, {_IRLS_P} AS p, "
+        f"CAST(least(floor({_IRLS_P} * 10), 9) AS BIGINT) AS bin "
+        f"FROM s CROSS JOIN b{t}_)"
+    )
+    parts.append(
+        "bins AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_b, "
+        "CAST(CAST(SUM(CAST(p AS DECIMAL(38, 9))) AS VARCHAR) AS DOUBLE) AS sp, "
+        "CAST(SUM(y) AS BIGINT) AS sy_b FROM scored GROUP BY bin)"
+    )
+    parts.append(
+        "tot AS (SELECT CAST(SUM(n_b) AS BIGINT) AS n, "
+        "CAST(SUM(sy_b) AS BIGINT) AS sy FROM bins)"
+    )
+    parts.append(
+        "bs AS (SELECT "
+        + _irls_q9_sum("(p - y) * (p - y)")
+        + " AS sq FROM scored)"
+    )
+    parts.append(
+        "decomp AS (SELECT "
+        + _irls_q9_sum(
+            "n_b * (sp / n_b - CAST(sy_b AS DOUBLE) / n_b)"
+            " * (sp / n_b - CAST(sy_b AS DOUBLE) / n_b)"
+        )
+        + " AS rel_num, "
+        + _irls_q9_sum(
+            "n_b * (CAST(sy_b AS DOUBLE) / n_b - CAST(tot.sy AS DOUBLE) / tot.n)"
+            " * (CAST(sy_b AS DOUBLE) / n_b - CAST(tot.sy AS DOUBLE) / tot.n)"
+        )
+        + " AS res_num FROM bins CROSS JOIN tot)"
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + """
+SELECT tot.n,
+       round(bs.sq / tot.n, 6) AS brier,
+       round(decomp.rel_num / tot.n, 6) AS reliability,
+       round(decomp.res_num / tot.n, 6) AS resolution,
+       round(CAST(tot.sy AS DOUBLE) / tot.n
+             * (1.0 - CAST(tot.sy AS DOUBLE) / tot.n), 6) AS uncertainty
+FROM tot CROSS JOIN bs CROSS JOIN decomp
+"""
+    )
+
+
+@register("brier_decomposition", _brier_sql())
+def q_brier_decomposition(spark, sf_dir):
+    """Murphy decomposition of the logistic model's Brier score over
+    10 fixed-width probability bins: reliability (calibration error),
+    resolution (sharpness), uncertainty (base-rate entropy), plus the
+    raw Brier — the scalar calibration gate.  Probabilities ride the
+    1e-9 sigmoid grid; bin terms and the squared-error sum are
+    quantized DECIMAL sums; bin assignment floor(p·10) is exact on the
+    grid.
+
+    Scale plan: T Newton scans + one scoring scan to the 10-bin
+    relation + one squared-error aggregate — all map-side combined,
+    1-row betas broadcast."""
+    o = load_table(spark, sf_dir, "orders")
+    to_d = lambda c: c.cast("string").cast("double")  # noqa: E731
+    src = o.select(
+        F.month(F.col("o_orderdate").cast("date")).cast("long").alias("x1"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0).alias("x2"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
+    )
+
+    def q9_sum(term):
+        return to_d(F.sum(F.round(term, 9).cast("decimal(38, 9)")))
+
+    p_expr = F.expr(_IRLS_P)
+    beta = src.sparkSession.range(1).select(
+        F.lit(0.0).alias("b0"), F.lit(0.0).alias("b1"), F.lit(0.0).alias("b2")
+    )
+    for _ in range(_IRLS_T):
+        r = src.crossJoin(F.broadcast(beta)).withColumn("p", p_expr)
+        w = F.col("p") * (1.0 - F.col("p"))
+        resid = F.col("y") - F.col("p")
+        a = r.agg(
+            F.first("b0").alias("b0"),
+            F.first("b1").alias("b1"),
+            F.first("b2").alias("b2"),
+            q9_sum(w).alias("n"),
+            q9_sum(w * F.col("x1")).alias("s1"),
+            q9_sum(w * F.col("x2")).alias("s2"),
+            q9_sum(w * F.col("x1") * F.col("x1")).alias("s11"),
+            q9_sum(w * F.col("x1") * F.col("x2")).alias("s12"),
+            q9_sum(w * F.col("x2") * F.col("x2")).alias("s22"),
+            q9_sum(resid).alias("sy"),
+            q9_sum(resid * F.col("x1")).alias("s1y"),
+            q9_sum(resid * F.col("x2")).alias("s2y"),
+        )
+        beta = a.select(
+            (F.col("b0") + F.expr(_OLS_B0)).alias("b0"),
+            (F.col("b1") + F.expr(_OLS_B1)).alias("b1"),
+            (F.col("b2") + F.expr(_OLS_B2)).alias("b2"),
+        ).localCheckpoint(eager=True)
+    scored = (
+        src.crossJoin(F.broadcast(beta))
+        .withColumn("p", p_expr)
+        .select(
+            "y",
+            "p",
+            F.least(F.floor(F.col("p") * 10), F.lit(9)).cast("long").alias("bin"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    bins = scored.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n_b"),
+        to_d(F.sum(F.col("p").cast("decimal(38, 9)"))).alias("sp"),
+        F.sum("y").cast("long").alias("sy_b"),
+    )
+    tot = bins.agg(
+        F.sum("n_b").cast("long").alias("n"), F.sum("sy_b").cast("long").alias("sy")
+    )
+    bs = scored.agg(
+        q9_sum((F.col("p") - F.col("y")) * (F.col("p") - F.col("y"))).alias("sq")
+    )
+    pbar = F.col("sp") / F.col("n_b")
+    ybar_b = F.col("sy_b").cast("double") / F.col("n_b")
+    ybar = F.col("sy").cast("double") / F.col("n")
+    decomp = bins.crossJoin(F.broadcast(tot)).agg(
+        q9_sum(F.col("n_b") * (pbar - ybar_b) * (pbar - ybar_b)).alias("rel_num"),
+        q9_sum(F.col("n_b") * (ybar_b - ybar) * (ybar_b - ybar)).alias("res_num"),
+    )
+    return (
+        tot.crossJoin(F.broadcast(bs))
+        .crossJoin(F.broadcast(decomp))
+        .select(
+            "n",
+            F.round(F.col("sq") / F.col("n"), 6).alias("brier"),
+            F.round(F.col("rel_num") / F.col("n"), 6).alias("reliability"),
+            F.round(F.col("res_num") / F.col("n"), 6).alias("resolution"),
+            F.round(ybar * (1.0 - ybar), 6).alias("uncertainty"),
+        )
+    )

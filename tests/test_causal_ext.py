@@ -1036,3 +1036,48 @@ def test_poisson_glm_matches_python(spark):
     assert abs(row["b_month"] - b1) < 1e-5
     assert abs(row["b_urgent"] - b2) < 1e-4
     assert abs(row["mean_deviance"] - dev / len(rows)) < 1e-4
+
+
+def test_brier_decomposition_matches_python(spark):
+    import math
+
+    x1, x2, tr, _ = _orders()
+    # features (month, urgent), label = finished flag
+    ys = x2
+    feats = list(zip(x1, tr))
+    b0 = b1 = b2 = 0.0
+    for _ in range(3):
+        m = [0.0] * 9
+        for (a, b), y in zip(feats, ys):
+            p = min(max(round(1.0 / (1.0 + math.exp(-(b0 + b1 * a + b2 * b))), 9), 1e-9), 1 - 1e-9)
+            w, r = p * (1 - p), y - p
+            m[0] += round(w, 9); m[1] += round(w * a, 9); m[2] += round(w * b, 9)
+            m[3] += round(w * a * a, 9); m[4] += round(w * a * b, 9); m[5] += round(w * b * b, 9)
+            m[6] += round(r, 9); m[7] += round(r * a, 9); m[8] += round(r * b, 9)
+        N, s1, s2, s11, s12, s22, sy, s1y, s2y = m
+        det = N * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2) + s2 * (s1 * s12 - s11 * s2)
+        b0 += (sy * (s11 * s22 - s12 * s12) - s1y * (s1 * s22 - s12 * s2) + s2y * (s1 * s12 - s11 * s2)) / det
+        b1 += (N * (s1y * s22 - s12 * s2y) - s1 * (sy * s22 - s2y * s2) + s2 * (sy * s12 - s1y * s2)) / det
+        b2 += (N * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - sy * s12) + s2 * (s1 * s1y - sy * s11)) / det
+    bins = defaultdict(lambda: [0, 0.0, 0])
+    sq = 0.0
+    for (a, b), y in zip(feats, ys):
+        p = min(max(round(1.0 / (1.0 + math.exp(-(b0 + b1 * a + b2 * b))), 9), 1e-9), 1 - 1e-9)
+        bn = min(int(p * 10), 9)
+        c = bins[bn]
+        c[0] += 1
+        c[1] += p
+        c[2] += y
+        sq += round((p - y) ** 2, 9)
+    n = len(ys)
+    ybar = sum(ys) / n
+    rel = sum(round(nb * (sp / nb - syb / nb) ** 2, 9) for nb, sp, syb in bins.values())
+    res = sum(round(nb * (syb / nb - ybar) ** 2, 9) for nb, sp, syb in bins.values())
+    row = REGISTRY["brier_decomposition"][0](spark, SF_DIR).collect()[0]
+    assert row["n"] == n
+    assert abs(row["brier"] - sq / n) < 1e-5
+    assert abs(row["reliability"] - rel / n) < 1e-5
+    assert abs(row["resolution"] - res / n) < 1e-5
+    assert abs(row["uncertainty"] - ybar * (1 - ybar)) < 1e-6
+    # Murphy identity sanity (binning makes it approximate)
+    assert abs(row["brier"] - (row["reliability"] - row["resolution"] + row["uncertainty"])) < 0.02
