@@ -6023,3 +6023,126 @@ def q_brier_decomposition(spark, sf_dir):
             F.round(ybar * (1.0 - ybar), 6).alias("uncertainty"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Model gains/lift table over the logistic score: cumulative capture
+# and lift walking the 10 fixed-width probability bins from high to
+# low — the targeting readout next to `brier_decomposition`'s
+# calibration numbers (same scored relation, same bin discipline; the
+# classic NTILE-decile gains table is the global-sort anti-pattern,
+# fixed-width score bins are its scale-safe form).
+# ---------------------------------------------------------------------------
+
+
+def _gains_sql(iters: int = _IRLS_T) -> str:
+    base = _brier_sql(iters)
+    head, _, _ = base.partition("tot AS (")
+    return (
+        head
+        + """tot AS (SELECT CAST(SUM(n_b) AS BIGINT) AS n,
+             CAST(SUM(sy_b) AS BIGINT) AS sy FROM bins)
+SELECT bin, n_b AS n, sy_b AS n_pos,
+       round(CAST(sy_b AS DOUBLE) / n_b, 6) AS bin_rate,
+       CAST(SUM(n_b) OVER w AS BIGINT) AS cum_n,
+       CAST(SUM(sy_b) OVER w AS BIGINT) AS cum_pos,
+       round(CAST(SUM(sy_b) OVER w AS DOUBLE) / tot.sy, 6) AS cum_capture,
+       round((CAST(SUM(sy_b) OVER w AS DOUBLE) / SUM(n_b) OVER w)
+             / (CAST(tot.sy AS DOUBLE) / tot.n), 6) AS cum_lift
+FROM bins CROSS JOIN tot
+WINDOW w AS (ORDER BY bin DESC ROWS UNBOUNDED PRECEDING)
+ORDER BY bin DESC
+"""
+    )
+
+
+@register("model_gains_table", _gains_sql())
+def q_model_gains_table(spark, sf_dir):
+    """Cumulative gains/lift of the logistic model: per fixed-width
+    score bin (high to low), the positive rate, cumulative capture of
+    all positives, and cumulative lift over the base rate — what a
+    targeting owner reads to pick an operating point.  Shares the
+    scored relation and bin discipline with `brier_decomposition`;
+    counts exact, ratios single expressions; the cumulative windows
+    run over the 10-row bin relation.
+
+    Scale plan: identical to brier's (T Newton scans + one scoring
+    scan to 10 bins); the gains windows are constant-size."""
+    o = load_table(spark, sf_dir, "orders")
+    to_d = lambda c: c.cast("string").cast("double")  # noqa: E731
+    src = o.select(
+        F.month(F.col("o_orderdate").cast("date")).cast("long").alias("x1"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0).alias("x2"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
+    )
+
+    def q9_sum(term):
+        return to_d(F.sum(F.round(term, 9).cast("decimal(38, 9)")))
+
+    p_expr = F.expr(_IRLS_P)
+    beta = src.sparkSession.range(1).select(
+        F.lit(0.0).alias("b0"), F.lit(0.0).alias("b1"), F.lit(0.0).alias("b2")
+    )
+    for _ in range(_IRLS_T):
+        r = src.crossJoin(F.broadcast(beta)).withColumn("p", p_expr)
+        w = F.col("p") * (1.0 - F.col("p"))
+        resid = F.col("y") - F.col("p")
+        a = r.agg(
+            F.first("b0").alias("b0"),
+            F.first("b1").alias("b1"),
+            F.first("b2").alias("b2"),
+            q9_sum(w).alias("n"),
+            q9_sum(w * F.col("x1")).alias("s1"),
+            q9_sum(w * F.col("x2")).alias("s2"),
+            q9_sum(w * F.col("x1") * F.col("x1")).alias("s11"),
+            q9_sum(w * F.col("x1") * F.col("x2")).alias("s12"),
+            q9_sum(w * F.col("x2") * F.col("x2")).alias("s22"),
+            q9_sum(resid).alias("sy"),
+            q9_sum(resid * F.col("x1")).alias("s1y"),
+            q9_sum(resid * F.col("x2")).alias("s2y"),
+        )
+        beta = a.select(
+            (F.col("b0") + F.expr(_OLS_B0)).alias("b0"),
+            (F.col("b1") + F.expr(_OLS_B1)).alias("b1"),
+            (F.col("b2") + F.expr(_OLS_B2)).alias("b2"),
+        ).localCheckpoint(eager=True)
+    bins = (
+        src.crossJoin(F.broadcast(beta))
+        .withColumn("p", p_expr)
+        .select(
+            "y",
+            F.least(F.floor(F.col("p") * 10), F.lit(9)).cast("long").alias("bin"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_b"),
+            F.sum("y").cast("long").alias("sy_b"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    tot = bins.agg(
+        F.sum("n_b").cast("long").alias("n"), F.sum("sy_b").cast("long").alias("sy")
+    )
+    w_cum = Window.orderBy(F.desc("bin")).rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        bins.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            F.col("n_b").alias("n"),
+            F.col("sy_b").alias("n_pos"),
+            F.round(F.col("sy_b").cast("double") / F.col("n_b"), 6).alias(
+                "bin_rate"
+            ),
+            F.sum("n_b").over(w_cum).cast("long").alias("cum_n"),
+            F.sum("sy_b").over(w_cum).cast("long").alias("cum_pos"),
+            F.round(
+                F.sum("sy_b").over(w_cum).cast("double") / F.col("sy"), 6
+            ).alias("cum_capture"),
+            F.round(
+                (F.sum("sy_b").over(w_cum).cast("double") / F.sum("n_b").over(w_cum))
+                / (F.col("sy").cast("double") / F.col("n")),
+                6,
+            ).alias("cum_lift"),
+        )
+        .orderBy(F.desc("bin"))
+    )

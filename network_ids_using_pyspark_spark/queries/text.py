@@ -1064,3 +1064,106 @@ def q_lexical_diversity_by_source(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# McNemar's paired test: is the marker lang-ID actually better than
+# the majority-class baseline on the SAME documents?  The paired test
+# (b-c)²/(b+c) on the discordant counts is the correct comparison —
+# two accuracy numbers computed on the same rows are not independent
+# samples, so a two-proportion z-test overstates significance.
+# ---------------------------------------------------------------------------
+
+_MCNEMAR_SQL = f"""
+WITH pred AS ({_LANG_PRED_SQL}),
+base AS (
+  SELECT lang AS maj FROM pred GROUP BY lang
+  ORDER BY COUNT(*) DESC, lang LIMIT 1
+),
+paired AS (
+  SELECT CASE WHEN predicted_lang = lang THEN 1 ELSE 0 END AS a_right,
+         CASE WHEN (SELECT maj FROM base) = lang THEN 1 ELSE 0 END AS b_right
+  FROM pred
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(a_right) AS BIGINT) AS n_model_right,
+       CAST(SUM(b_right) AS BIGINT) AS n_baseline_right,
+       CAST(SUM(CASE WHEN a_right = 1 AND b_right = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS b_discordant,
+       CAST(SUM(CASE WHEN a_right = 0 AND b_right = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS c_discordant,
+       round(CAST(SUM(CASE WHEN a_right <> b_right THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS discordant_share,
+       round(CASE WHEN SUM(CASE WHEN a_right <> b_right THEN 1 ELSE 0 END) = 0
+                  THEN 0.0
+                  ELSE POW(CAST(SUM(CASE WHEN a_right = 1 AND b_right = 0
+                                         THEN 1 ELSE 0 END) AS DOUBLE)
+                           - SUM(CASE WHEN a_right = 0 AND b_right = 1
+                                      THEN 1 ELSE 0 END), 2)
+                       / SUM(CASE WHEN a_right <> b_right THEN 1 ELSE 0 END)
+             END, 6) AS mcnemar_chi2
+FROM paired
+"""
+
+
+@register("mcnemar_langid_vs_baseline", _MCNEMAR_SQL)
+def q_mcnemar_langid_vs_baseline(spark, sf_dir):
+    """McNemar's paired chi-square comparing `lang_id_predict` against
+    the majority-class baseline on the same documents: discordant
+    counts b (model right, baseline wrong) and c (the reverse),
+    χ² = (b-c)²/(b+c).  All counts exact; the statistic is one shared
+    expression (0.0 when no discordant pairs).
+
+    Scale plan: the majority class is a 1-row TakeOrdered over the
+    class histogram, broadcast into ONE conditional-sum pass — the
+    paired test costs a single scan."""
+    from ..operators.textops import lang_id
+
+    docs = load_table(spark, sf_dir, "documents")
+    pred = docs.select("lang", lang_id("text", _MARKERS).alias("predicted_lang"))
+    base = (
+        pred.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "lang")
+        .limit(1)
+        .select(F.col("lang").alias("maj"))
+    )
+    paired = pred.crossJoin(F.broadcast(base)).select(
+        (F.col("predicted_lang") == F.col("lang")).cast("int").alias("a_right"),
+        (F.col("maj") == F.col("lang")).cast("int").alias("b_right"),
+    )
+    b = F.sum(((F.col("a_right") == 1) & (F.col("b_right") == 0)).cast("int")).cast(
+        "long"
+    )
+    c = F.sum(((F.col("a_right") == 0) & (F.col("b_right") == 1)).cast("int")).cast(
+        "long"
+    )
+    disc = F.sum((F.col("a_right") != F.col("b_right")).cast("int")).cast("long")
+    agg = paired.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("a_right").cast("long").alias("n_model_right"),
+        F.sum("b_right").cast("long").alias("n_baseline_right"),
+        b.alias("b_discordant"),
+        c.alias("c_discordant"),
+        disc.alias("n_discordant"),
+    )
+    return agg.select(
+        "n",
+        "n_model_right",
+        "n_baseline_right",
+        "b_discordant",
+        "c_discordant",
+        F.round(F.col("n_discordant").cast("double") / F.col("n"), 6).alias(
+            "discordant_share"
+        ),
+        F.round(
+            F.when(F.col("n_discordant") == 0, F.lit(0.0)).otherwise(
+                F.pow(
+                    F.col("b_discordant").cast("double") - F.col("c_discordant"),
+                    2,
+                )
+                / F.col("n_discordant")
+            ),
+            6,
+        ).alias("mcnemar_chi2"),
+    )

@@ -1081,3 +1081,59 @@ def test_brier_decomposition_matches_python(spark):
     assert abs(row["uncertainty"] - ybar * (1 - ybar)) < 1e-6
     # Murphy identity sanity (binning makes it approximate)
     assert abs(row["brier"] - (row["reliability"] - row["resolution"] + row["uncertainty"])) < 0.02
+
+
+def test_mcnemar_matches_python(spark):
+    import re
+
+    markers = {"de": ["der", "und"], "en": ["the", "a"], "es": ["el", "la"]}
+    t = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["lang", "text"])
+    langs = t.column("lang").to_pylist()
+    maj = sorted(
+        ((langs.count(lg), lg) for lg in set(langs)), key=lambda x: (-x[0], x[1])
+    )[0][1]
+    b = c = n_a = n_b = 0
+    for lng, txt in zip(langs, t.column("text").to_pylist()):
+        toks = re.split(r"\s+", txt.strip())
+        h = {lg: sum(1 for w in toks if w in set(ms)) for lg, ms in markers.items()}
+        if h["de"] >= h["en"] and h["de"] >= h["es"] and h["de"] > 0:
+            p = "de"
+        elif h["en"] >= h["es"] and h["en"] > 0:
+            p = "en"
+        elif h["es"] > 0:
+            p = "es"
+        else:
+            p = "und"
+        ar, br = p == lng, maj == lng
+        n_a += ar
+        n_b += br
+        if ar and not br:
+            b += 1
+        if br and not ar:
+            c += 1
+    row = REGISTRY["mcnemar_langid_vs_baseline"][0](spark, SF_DIR).collect()[0]
+    assert (row["n_model_right"], row["n_baseline_right"]) == (n_a, n_b)
+    assert (row["b_discordant"], row["c_discordant"]) == (b, c)
+    chi2 = 0.0 if b + c == 0 else (b - c) ** 2 / (b + c)
+    assert abs(row["mcnemar_chi2"] - chi2) < 1e-6
+
+
+def test_model_gains_table_consistency(spark):
+    rows = REGISTRY["model_gains_table"][0](spark, SF_DIR).collect()
+    assert [r["bin"] for r in rows] == sorted(
+        {r["bin"] for r in rows}, reverse=True
+    )
+    total_n = rows[-1]["cum_n"]
+    total_pos = rows[-1]["cum_pos"]
+    assert total_n == sum(r["n"] for r in rows)
+    assert total_pos == sum(r["n_pos"] for r in rows)
+    assert abs(rows[-1]["cum_capture"] - 1.0) < 1e-6
+    assert abs(rows[-1]["cum_lift"] - 1.0) < 1e-6
+    cum_n = cum_pos = 0
+    base = total_pos / total_n
+    for r in rows:
+        cum_n += r["n"]
+        cum_pos += r["n_pos"]
+        assert (r["cum_n"], r["cum_pos"]) == (cum_n, cum_pos)
+        assert abs(r["cum_capture"] - cum_pos / total_pos) < 1e-6
+        assert abs(r["cum_lift"] - (cum_pos / cum_n) / base) < 1e-6
