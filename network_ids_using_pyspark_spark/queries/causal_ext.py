@@ -547,3 +547,105 @@ def q_chow_break_test(spark, sf_dir):
             6,
         ).alias("f_stat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Causal flagship: the five-estimator readout for ONE question ("what
+# does URGENT priority do to order value?") — naive contrast, IPW,
+# AIPW, CEM-ATT, and the T-learner's population-averaged prediction,
+# side by side.  Disagreement across rows IS the diagnostic: naive vs
+# the adjusted estimators bounds confounding through the observed
+# covariates; IPW vs AIPW vs CEM triangulates model sensitivity.
+# ---------------------------------------------------------------------------
+
+
+def _causal_e2e_sql() -> str:
+    from .stats_ext import _aipw_sql, _ipw_sql
+
+    naive = f"""
+SELECT 'a_naive_diff' AS estimator, round(
+  (SELECT CAST(CAST(SUM(y) AS VARCHAR) AS DOUBLE) / COUNT(*)
+   FROM ({_TL_SRC}) WHERE t = 1)
+  - (SELECT CAST(CAST(SUM(y) AS VARCHAR) AS DOUBLE) / COUNT(*)
+     FROM ({_TL_SRC}) WHERE t = 0), 6) AS estimate
+"""
+    return f"""
+{naive.strip()}
+UNION ALL
+SELECT 'b_ipw' AS estimator, ate_ipw AS estimate FROM ({_ipw_sql()})
+UNION ALL
+SELECT 'c_aipw' AS estimator, ate_aipw AS estimate FROM ({_aipw_sql()})
+UNION ALL
+SELECT 'd_cem_att' AS estimator, att_cem AS estimate FROM ({_CEM_SQL})
+UNION ALL
+SELECT 'e_tlearner_pop' AS estimator,
+       round(CAST(CAST(SUM(CAST(round((n_t + n_c) * uplift_pred, 9)
+                                AS DECIMAL(38, 9))) AS VARCHAR) AS DOUBLE)
+             / SUM(n_t + n_c), 6) AS estimate
+FROM ({_TL_SQL})
+ORDER BY estimator
+"""
+
+
+@register("causal_e2e_readout", _causal_e2e_sql())
+def q_causal_e2e_readout(spark, sf_dir):
+    """Five causal estimators for the same URGENT→order-value
+    question in one table: naive difference in means, IPW, AIPW,
+    CEM-ATT, and the cell-weighted T-learner prediction — each row
+    produced by the SAME certified machinery as its standalone query
+    (`propensity_ipw_ate`, `aipw_doubly_robust_ate`,
+    `cem_matching_att`, `uplift_tlearner_segments`).
+
+    Scale plan: the union of the member plans — every member is
+    moment-aggregate + broadcast shaped, so the composition inherits
+    their contracts (no fact-grain joins or windows anywhere)."""
+    from .stats_ext import q_aipw_doubly_robust_ate, q_propensity_ipw_ate
+
+    o = load_table(spark, sf_dir, "orders")
+    to_d = lambda c: c.cast("string").cast("double")  # noqa: E731
+    src = o.select(
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0).alias("t"),
+        F.col("o_totalprice").cast("decimal(30, 6)").alias("yo"),
+    )
+    naive = src.agg(
+        F.round(
+            to_d(F.sum(F.when(F.col("t") == 1, F.col("yo"))))
+            / F.sum(F.when(F.col("t") == 1, 1).otherwise(0))
+            - to_d(F.sum(F.when(F.col("t") == 0, F.col("yo"))))
+            / F.sum(F.when(F.col("t") == 0, 1).otherwise(0)),
+            6,
+        ).alias("estimate")
+    ).select(F.lit("a_naive_diff").alias("estimator"), "estimate")
+    ipw = q_propensity_ipw_ate(spark, sf_dir).select(
+        F.lit("b_ipw").alias("estimator"), F.col("ate_ipw").alias("estimate")
+    )
+    aipw = q_aipw_doubly_robust_ate(spark, sf_dir).select(
+        F.lit("c_aipw").alias("estimator"), F.col("ate_aipw").alias("estimate")
+    )
+    cem = q_cem_matching_att(spark, sf_dir).select(
+        F.lit("d_cem_att").alias("estimator"), F.col("att_cem").alias("estimate")
+    )
+    tl = (
+        q_uplift_tlearner_segments(spark, sf_dir)
+        .agg(
+            F.round(
+                to_d(
+                    F.sum(
+                        F.round(
+                            (F.col("n_t") + F.col("n_c")) * F.col("uplift_pred"), 9
+                        ).cast("decimal(38, 9)")
+                    )
+                )
+                / F.sum(F.col("n_t") + F.col("n_c")),
+                6,
+            ).alias("estimate")
+        )
+        .select(F.lit("e_tlearner_pop").alias("estimator"), "estimate")
+    )
+    return (
+        naive.unionByName(ipw)
+        .unionByName(aipw)
+        .unionByName(cem)
+        .unionByName(tl)
+        .orderBy("estimator")
+    )

@@ -6146,3 +6146,111 @@ def q_model_gains_table(spark, sf_dir):
         )
         .orderBy(F.desc("bin"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Mantel-Haenszel pooled odds ratio across month strata — the correct
+# stratified estimate that `simpson_paradox_detector` motivates:
+# OR_MH = Σ(a_i d_i / n_i) / Σ(b_i c_i / n_i), with the
+# Robins-Breslow-Greenland variance for the log-OR confidence
+# interval (Mantel & Haenszel 1959; Robins et al. 1986).
+# ---------------------------------------------------------------------------
+
+_MH_SQL = """
+WITH s AS (
+  SELECT CAST(EXTRACT(month FROM CAST(o_orderdate AS DATE)) AS BIGINT) AS month,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS t,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+  FROM orders
+),
+cells AS (
+  SELECT month,
+         CAST(SUM(t * y) AS DOUBLE) AS a,
+         CAST(SUM(t * (1 - y)) AS DOUBLE) AS b,
+         CAST(SUM((1 - t) * y) AS DOUBLE) AS c,
+         CAST(SUM((1 - t) * (1 - y)) AS DOUBLE) AS d,
+         CAST(COUNT(*) AS DOUBLE) AS n
+  FROM s GROUP BY month
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_strata,
+         CAST(CAST(SUM(CAST(round(a * d / n, 9) AS DECIMAL(38, 9))) AS VARCHAR)
+              AS DOUBLE) AS r,
+         CAST(CAST(SUM(CAST(round(b * c / n, 9) AS DECIMAL(38, 9))) AS VARCHAR)
+              AS DOUBLE) AS sstat,
+         CAST(CAST(SUM(CAST(round((a + d) / n * (a * d / n), 9)
+                            AS DECIMAL(38, 9))) AS VARCHAR) AS DOUBLE) AS prr,
+         CAST(CAST(SUM(CAST(round((a + d) / n * (b * c / n)
+                                  + (b + c) / n * (a * d / n), 9)
+                            AS DECIMAL(38, 9))) AS VARCHAR) AS DOUBLE) AS psrq,
+         CAST(CAST(SUM(CAST(round((b + c) / n * (b * c / n), 9)
+                            AS DECIMAL(38, 9))) AS VARCHAR) AS DOUBLE) AS qss
+  FROM cells
+)
+SELECT n_strata,
+       round(r / sstat, 6) AS or_mh,
+       round(ln(r / sstat), 6) AS log_or,
+       round(sqrt(prr / (2.0 * r * r) + psrq / (2.0 * r * sstat)
+                  + qss / (2.0 * sstat * sstat)), 6) AS se_log_or,
+       round(exp(ln(r / sstat) - 1.959964 * sqrt(prr / (2.0 * r * r)
+                 + psrq / (2.0 * r * sstat) + qss / (2.0 * sstat * sstat))), 6)
+         AS ci_low,
+       round(exp(ln(r / sstat) + 1.959964 * sqrt(prr / (2.0 * r * r)
+                 + psrq / (2.0 * r * sstat) + qss / (2.0 * sstat * sstat))), 6)
+         AS ci_high
+FROM agg
+"""
+
+
+@register("mantel_haenszel_or", _MH_SQL)
+def q_mantel_haenszel_or(spark, sf_dir):
+    """Mantel-Haenszel pooled odds ratio of URGENT → finished across
+    month strata with the Robins-Breslow-Greenland 95% CI — the
+    stratification-correct effect estimate that the pooled contrast in
+    `simpson_paradox_detector` can get wrong.  Per-stratum 2×2 counts
+    are exact; the R/S/variance components ride the 1e-9 DECIMAL grid;
+    ln/exp/sqrt enter once in the final shared expression.
+
+    Scale plan: one map-side combined group-by to the 12-stratum
+    grid; the estimator is one aggregate over THAT."""
+    o = load_table(spark, sf_dir, "orders")
+    to_d = lambda c: c.cast("string").cast("double")  # noqa: E731
+    s = o.select(
+        F.month(F.col("o_orderdate").cast("date")).cast("long").alias("month"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0).alias("t"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
+    )
+    cells = s.groupBy("month").agg(
+        F.sum(F.col("t") * F.col("y")).cast("double").alias("a"),
+        F.sum(F.col("t") * (1 - F.col("y"))).cast("double").alias("b"),
+        F.sum((1 - F.col("t")) * F.col("y")).cast("double").alias("c"),
+        F.sum((1 - F.col("t")) * (1 - F.col("y"))).cast("double").alias("d"),
+        F.count(F.lit(1)).cast("double").alias("n"),
+    )
+
+    def q9_sum(term):
+        return to_d(F.sum(F.round(term, 9).cast("decimal(38, 9)")))
+
+    a, b, c, d, n = (F.col(x) for x in "abcdn")
+    agg = cells.agg(
+        F.count(F.lit(1)).cast("long").alias("n_strata"),
+        q9_sum(a * d / n).alias("r"),
+        q9_sum(b * c / n).alias("sstat"),
+        q9_sum((a + d) / n * (a * d / n)).alias("prr"),
+        q9_sum((a + d) / n * (b * c / n) + (b + c) / n * (a * d / n)).alias("psrq"),
+        q9_sum((b + c) / n * (b * c / n)).alias("qss"),
+    )
+    log_or = F.log(F.col("r") / F.col("sstat"))
+    se = F.sqrt(
+        F.col("prr") / (2.0 * F.col("r") * F.col("r"))
+        + F.col("psrq") / (2.0 * F.col("r") * F.col("sstat"))
+        + F.col("qss") / (2.0 * F.col("sstat") * F.col("sstat"))
+    )
+    return agg.select(
+        "n_strata",
+        F.round(F.col("r") / F.col("sstat"), 6).alias("or_mh"),
+        F.round(log_or, 6).alias("log_or"),
+        F.round(se, 6).alias("se_log_or"),
+        F.round(F.exp(log_or - 1.959964 * se), 6).alias("ci_low"),
+        F.round(F.exp(log_or + 1.959964 * se), 6).alias("ci_high"),
+    )

@@ -1137,3 +1137,33 @@ def test_model_gains_table_consistency(spark):
         assert (r["cum_n"], r["cum_pos"]) == (cum_n, cum_pos)
         assert abs(r["cum_capture"] - cum_pos / total_pos) < 1e-6
         assert abs(r["cum_lift"] - (cum_pos / cum_n) / base) < 1e-6
+
+
+def test_mantel_haenszel_matches_python(spark):
+    import math
+
+    x1, x2, tr, _ = _orders()
+    cells = defaultdict(lambda: [0.0, 0.0, 0.0, 0.0, 0.0])
+    for m, f, t in zip(x1, x2, tr):
+        e = cells[m]
+        e[0] += t * f
+        e[1] += t * (1 - f)
+        e[2] += (1 - t) * f
+        e[3] += (1 - t) * (1 - f)
+        e[4] += 1
+    R = sum(round(a * d / n, 9) for a, b, c, d, n in cells.values())
+    S = sum(round(b * c / n, 9) for a, b, c, d, n in cells.values())
+    P = sum(round((a + d) / n * (a * d / n), 9) for a, b, c, d, n in cells.values())
+    Q = sum(
+        round((a + d) / n * (b * c / n) + (b + c) / n * (a * d / n), 9)
+        for a, b, c, d, n in cells.values()
+    )
+    W = sum(round((b + c) / n * (b * c / n), 9) for a, b, c, d, n in cells.values())
+    se = math.sqrt(P / (2 * R * R) + Q / (2 * R * S) + W / (2 * S * S))
+    row = REGISTRY["mantel_haenszel_or"][0](spark, SF_DIR).collect()[0]
+    assert row["n_strata"] == len(cells)
+    assert abs(row["or_mh"] - R / S) < 1e-6
+    assert abs(row["log_or"] - math.log(R / S)) < 1e-6
+    assert abs(row["se_log_or"] - se) < 1e-6
+    assert abs(row["ci_low"] - math.exp(math.log(R / S) - 1.959964 * se)) < 1e-5
+    assert abs(row["ci_high"] - math.exp(math.log(R / S) + 1.959964 * se)) < 1e-5

@@ -1515,3 +1515,22 @@ def test_poisson_glm_iterations_on_checkpointed_counts(spark):
     plan = explain_str(df, "simple")
     assert plan.count("FileScan parquet") == 0
     assert "ExistingRDD" in plan and "SortMergeJoin" not in plan
+
+
+def test_mantel_haenszel_single_fact_pass(spark):
+    """The MH estimator is one stratum-grid group-by + one aggregate
+    over it — no joins, no windows."""
+    df = _df(spark, "mantel_haenszel_or")
+    plan = explain_str(df, "simple")
+    assert plan.count("FileScan parquet") == 1
+    assert "Join" not in plan and "Window" not in plan
+
+
+def test_causal_e2e_no_fact_grain_joins(spark):
+    """The five-estimator union inherits its members' contracts: every
+    join in the plan is a broadcast (1-row coefficient relations), no
+    sort-merge join, no window over any fact grain."""
+    df = _df(spark, "causal_e2e_readout")
+    plan = explain_str(df, "simple")
+    assert "SortMergeJoin" not in plan
+    assert "Window" not in plan
