@@ -1258,3 +1258,51 @@ def q_stream_quality_filter_totals(spark, sf_dir):
         ).alias("retained_share"),
     )
     return run_to_memory(agg, "complete")
+
+
+@register(
+    "stream_markov_transitions",
+    """
+    WITH seq AS (
+      SELECT user_id, ts, event_id, event_type,
+             COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                      OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS prior_purch
+      FROM events
+    ),
+    kept AS (SELECT * FROM seq WHERE prior_purch = 0),
+    pairs AS (
+      SELECT COALESCE(LAG(event_type) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id),
+                      'start') AS src,
+             CASE WHEN event_type = 'purchase' THEN 'conv' ELSE event_type END
+               AS dst
+      FROM kept
+    )
+    SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n
+    FROM pairs GROUP BY 1, 2
+    """,
+)
+def q_stream_markov_transitions(spark, sf_dir):
+    """STREAMING maintenance of the attribution chain: per-user
+    (prev, converted) state via applyInPandasWithState, event-time
+    ordering restored inside the Arrow kernel, transition increments
+    emitted per batch and summed at the sink.  Bounded input +
+    availableNow ⇒ the sink total equals the batch LAG construction —
+    the full oracle (the terminal →null edges belong to the batch
+    view's end-of-journey knowledge and are added there by
+    `markov_attribution_removal`; the stream emits only observed
+    transitions, which is exactly what the oracle states).
+
+    Scale plan: state is two scalars per user, O(users) store
+    footprint; each micro-batch shuffles once on user_id; the sink
+    aggregate is |states|²-bounded."""
+    from ..streaming.stateful import journey_transitions
+
+    ev = stream_events(spark, sf_dir)
+    sink = run_to_memory(journey_transitions(ev), "update")
+    return (
+        sink.groupBy("src", "dst")
+        .agg(F.sum("n").cast("long").alias("n"))
+    )

@@ -136,3 +136,71 @@ def running_user_range(events) -> "DataFrame":
             timeMode="None",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Stateful journey-transition counting: the streaming maintenance of
+# the Markov chain `markov_attribution_removal` consumes.  State per
+# user = (previous state, converted flag); each micro-batch's rows are
+# event-time-ordered INSIDE the group kernel, so transitions are exact
+# even though Spark hands the batch to the kernel unordered.
+# ---------------------------------------------------------------------------
+
+TRANSITION_SCHEMA = T.StructType(
+    [
+        T.StructField("src", T.StringType()),
+        T.StructField("dst", T.StringType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
+_JOURNEY_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("prev", T.StringType()),
+        T.StructField("converted", T.IntegerType()),
+    ]
+)
+
+
+def _update_transitions(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    prev, converted = state.get if state.exists else ("start", 0)
+    counts: dict[tuple, int] = {}
+    for pdf in pdfs:
+        for et in pdf.sort_values(["ts", "event_id"])["event_type"]:
+            if converted:
+                break
+            dst = "conv" if et == "purchase" else et
+            counts[(prev, dst)] = counts.get((prev, dst), 0) + 1
+            if et == "purchase":
+                converted = 1
+            else:
+                prev = dst
+    state.update((prev, converted))
+    if counts:
+        yield pd.DataFrame(
+            {
+                "src": [k[0] for k in counts],
+                "dst": [k[1] for k in counts],
+                "n": list(counts.values()),
+            }
+        )
+
+
+def journey_transitions(events: DataFrame) -> DataFrame:
+    """Per-user journey transitions (truncated at the first purchase)
+    as a stateful stream: O(1) state per user, event-time ordering
+    restored inside the Arrow kernel, transition increments emitted
+    per batch (sum the sink to get the chain)."""
+    return (
+        events.select("user_id", "ts", "event_id", "event_type")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_transitions,
+            outputStructType=TRANSITION_SCHEMA,
+            stateStructType=_JOURNEY_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -260,3 +260,44 @@ def test_stream_events_kafka_dispatch(spark):
 
     with pytest.raises(ValueError, match="unknown stream source"):
         stream_events(spark, SF_DIR, source="pulsar")
+
+
+def test_stream_markov_transitions_match_batch_python(spark):
+    """The stateful journey-transition stream must reproduce the exact
+    (src, dst, n) chain a plain-Python walk over the ordered events
+    produces (truncated at first purchase, no terminal edges)."""
+    from collections import defaultdict
+
+    import pyarrow.parquet as pq
+
+    from network_ids_using_pyspark_spark.queries import REGISTRY
+
+    t = pq.read_table(
+        f"{SF_DIR}/events.parquet", columns=["user_id", "ts", "event_id", "event_type"]
+    )
+    rows = sorted(
+        zip(
+            t.column("user_id").to_pylist(),
+            t.column("ts").to_pylist(),
+            t.column("event_id").to_pylist(),
+            t.column("event_type").to_pylist(),
+        )
+    )
+    want = defaultdict(int)
+    cur, prev, converted = None, None, False
+    for u, _, _, et in rows:
+        if u != cur:
+            cur, prev, converted = u, "start", False
+        if converted:
+            continue
+        dst = "conv" if et == "purchase" else et
+        want[(prev, dst)] += 1
+        if et == "purchase":
+            converted = True
+        else:
+            prev = dst
+    got = {
+        (r["src"], r["dst"]): r["n"]
+        for r in REGISTRY["stream_markov_transitions"][0](spark, SF_DIR).collect()
+    }
+    assert got == dict(want)
