@@ -1436,3 +1436,114 @@ def q_kcenter_coreset_select(spark, sf_dir):
         "n_assigned",
         "radius_sq",
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding isotropy profile: per-dimension variance spread.  Strongly
+# anisotropic embeddings (a few dominant directions) degrade cosine
+# retrieval and near-dup thresholds (Ethayarajh 2019) — this is the
+# cheap diagonal diagnostic a pipeline runs before trusting the
+# `cosine_topk_*` family's thresholds on a new embedding version.
+# ---------------------------------------------------------------------------
+
+_ISO_SQL = """
+WITH vals AS (
+  SELECT i - 1 AS dim, v[i] AS val
+  FROM (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       UNNEST(range(1, len(v) + 1)) AS t(i)
+),
+per_dim AS (
+  SELECT dim,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(CAST(SUM(CAST(round(val, 9) AS DECIMAL(38, 9))) AS VARCHAR)
+              AS DOUBLE) AS s,
+         CAST(CAST(SUM(CAST(round(val * val, 9) AS DECIMAL(38, 9))) AS VARCHAR)
+              AS DOUBLE) AS ss
+  FROM vals GROUP BY dim
+),
+vars_ AS (
+  SELECT dim, round((ss - s * s / n) / (n - 1.0), 9) AS var FROM per_dim
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_dims,
+         CAST(CAST(SUM(CAST(var AS DECIMAL(38, 9))) AS VARCHAR) AS DOUBLE) AS sv,
+         CAST(CAST(SUM(CAST(round(var * var, 9) AS DECIMAL(38, 9))) AS VARCHAR)
+              AS DOUBLE) AS svv,
+         MIN({'var': var, 'dim': dim}) AS lo,
+         MAX({'var': var, 'dim': dim}) AS hi
+  FROM vars_
+),
+nv AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs FROM embeddings)
+SELECT nv.n_vecs, agg.n_dims,
+       round(sv / n_dims, 6) AS mean_var,
+       round(sqrt((svv - sv * sv / n_dims) / (n_dims - 1.0))
+             / (sv / n_dims), 6) AS cv_of_vars,
+       CAST(hi.dim AS BIGINT) AS max_var_dim,
+       round(hi.var, 6) AS max_var,
+       CAST(lo.dim AS BIGINT) AS min_var_dim,
+       round(lo.var, 6) AS min_var
+FROM agg CROSS JOIN nv
+"""
+
+
+@register("embedding_isotropy_profile", _ISO_SQL)
+def q_embedding_isotropy_profile(spark, sf_dir):
+    """Diagonal isotropy diagnostic of the embedding table: per-dim
+    variances (values quantized to the 1e-9 grid, DECIMAL-summed),
+    their mean and coefficient of variation, and the extreme
+    dimensions (lexicographic (var, dim) MIN/MAX, so ties are total).
+    CV ≈ 0 means the diagonal is isotropic; large CV flags dominant
+    directions that break cosine-threshold calibration.
+
+    Scale plan: one posexplode feeds a map-side combined per-dim
+    aggregate (D·N rows reduced to D); the summary is an aggregate
+    over the D-row relation.  No joins, no windows, no covariance
+    matrix — the full Σ spectrum is `pca_embedding_variance`'s job."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    to_d = lambda c: c.cast("string").cast("double")  # noqa: E731
+
+    def q9_sum(term):
+        return to_d(F.sum(F.round(term, 9).cast("decimal(38, 9)")))
+
+    vals = emb.select(
+        F.posexplode(as_double_array("embedding")).alias("dim", "val")
+    )
+    per_dim = vals.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        q9_sum(F.col("val")).alias("s"),
+        q9_sum(F.col("val") * F.col("val")).alias("ss"),
+    )
+    vars_ = per_dim.select(
+        "dim",
+        F.round(
+            (F.col("ss") - F.col("s") * F.col("s") / F.col("n"))
+            / (F.col("n") - 1.0),
+            9,
+        ).alias("var"),
+    )
+    agg = vars_.agg(
+        F.count(F.lit(1)).cast("long").alias("n_dims"),
+        to_d(F.sum(F.col("var").cast("decimal(38, 9)"))).alias("sv"),
+        q9_sum(F.col("var") * F.col("var")).alias("svv"),
+        F.min(F.struct("var", "dim")).alias("lo"),
+        F.max(F.struct("var", "dim")).alias("hi"),
+    )
+    nv = emb.agg(F.count(F.lit(1)).cast("long").alias("n_vecs"))
+    mean_var = F.col("sv") / F.col("n_dims")
+    return agg.crossJoin(F.broadcast(nv)).select(
+        "n_vecs",
+        "n_dims",
+        F.round(mean_var, 6).alias("mean_var"),
+        F.round(
+            F.sqrt(
+                (F.col("svv") - F.col("sv") * F.col("sv") / F.col("n_dims"))
+                / (F.col("n_dims") - 1.0)
+            )
+            / mean_var,
+            6,
+        ).alias("cv_of_vars"),
+        F.col("hi.dim").cast("long").alias("max_var_dim"),
+        F.round(F.col("hi.var"), 6).alias("max_var"),
+        F.col("lo.dim").cast("long").alias("min_var_dim"),
+        F.round(F.col("lo.var"), 6).alias("min_var"),
+    )

@@ -1167,3 +1167,20 @@ def test_mantel_haenszel_matches_python(spark):
     assert abs(row["se_log_or"] - se) < 1e-6
     assert abs(row["ci_low"] - math.exp(math.log(R / S) - 1.959964 * se)) < 1e-5
     assert abs(row["ci_high"] - math.exp(math.log(R / S) + 1.959964 * se)) < 1e-5
+
+
+def test_embedding_isotropy_matches_numpy(spark):
+    t = pq.read_table(f"{SF_DIR}/embeddings.parquet", columns=["embedding"])
+    M = np.array(
+        [np.asarray(v, dtype=np.float64) for v in t.column("embedding").to_pylist()]
+    )
+    n, d = M.shape
+    var = M.var(axis=0, ddof=1)
+    row = REGISTRY["embedding_isotropy_profile"][0](spark, SF_DIR).collect()[0]
+    assert (row["n_vecs"], row["n_dims"]) == (n, d)
+    assert abs(row["mean_var"] - var.mean()) < 1e-5
+    assert abs(row["cv_of_vars"] - var.std(ddof=1) / var.mean()) < 1e-4
+    assert row["max_var_dim"] == int(np.argmax(var))
+    assert row["min_var_dim"] == int(np.argmin(var))
+    assert abs(row["max_var"] - var.max()) < 1e-5
+    assert abs(row["min_var"] - var.min()) < 1e-5

@@ -1534,3 +1534,12 @@ def test_causal_e2e_no_fact_grain_joins(spark):
     plan = explain_str(df, "simple")
     assert "SortMergeJoin" not in plan
     assert "Window" not in plan
+
+
+def test_isotropy_explode_then_dim_aggregate(spark):
+    """D·N explode reduces map-side to the D-row per-dim relation; the
+    summary aggregates THAT — no joins beyond the 1-row n_vecs."""
+    df = _df(spark, "embedding_isotropy_profile")
+    plan = explain_str(df, "simple")
+    assert "SortMergeJoin" not in plan and "Window" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1
