@@ -625,3 +625,138 @@ def q_tail_dependence_qty_price(spark, sf_dir):
             (F.col("n_joint_tail").cast("double") / F.col("n")) / (1.0 - _TAIL_Q), 6
         ).alias("lambda_u"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Weight-of-evidence / information-value binning of order value vs the
+# URGENT flag — the credit-scoring feature audit (Siddiqi 2006), with
+# the quantile cutpoints from the exact rank-selection descent (no
+# sort) and the bin assignment a broadcast-literal CASE.
+# ---------------------------------------------------------------------------
+
+_WOE_BINS = 5
+
+
+def _woe_sql() -> str:
+    ranks = ", ".join(
+        f"CAST(ceil({k}.0 * n / {_WOE_BINS}) AS BIGINT)"
+        for k in range(1, _WOE_BINS)
+    )
+    cut = lambda k: (  # noqa: E731
+        f"(SELECT v FROM ranked WHERE rn = "
+        f"CAST(ceil({k}.0 * (SELECT MAX(n) FROM ranked) / {_WOE_BINS}) AS BIGINT))"
+    )
+    bin_expr = " + ".join(
+        f"(CASE WHEN o_totalprice > {cut(k)} THEN 1 ELSE 0 END)"
+        for k in range(1, _WOE_BINS)
+    )
+    return f"""
+WITH ranked AS (
+  SELECT o_totalprice AS v,
+         ROW_NUMBER() OVER (ORDER BY o_totalprice) AS rn,
+         COUNT(*) OVER () AS n
+  FROM orders
+),
+binned AS (
+  SELECT CAST({bin_expr} AS BIGINT) AS bin,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS y
+  FROM orders
+),
+cells AS (
+  SELECT bin,
+         CAST(SUM(y) AS BIGINT) AS n_pos,
+         CAST(SUM(1 - y) AS BIGINT) AS n_neg
+  FROM binned GROUP BY bin
+),
+tot AS (
+  SELECT CAST(SUM(n_pos) AS DOUBLE) AS p, CAST(SUM(n_neg) AS DOUBLE) AS q
+  FROM cells
+),
+woe AS (
+  SELECT bin, n_pos, n_neg,
+         round(ln((n_pos / tot.p) / (n_neg / tot.q)), 6) AS woe,
+         round((n_pos / tot.p - n_neg / tot.q)
+               * round(ln((n_pos / tot.p) / (n_neg / tot.q)), 6), 9) AS iv_term
+  FROM cells CROSS JOIN tot
+),
+iv AS (
+  SELECT CAST(CAST(SUM(CAST(iv_term AS DECIMAL(38, 9))) AS VARCHAR) AS DOUBLE)
+           AS iv_total
+  FROM woe
+)
+SELECT bin, n_pos, n_neg, woe, round(iv_term, 6) AS iv_term,
+       round(iv.iv_total, 6) AS iv_total
+FROM woe CROSS JOIN iv
+ORDER BY bin
+"""
+
+
+@register("woe_iv_binning", _woe_sql())
+def q_woe_iv_binning(spark, sf_dir):
+    """Weight of evidence and information value of order total for
+    the URGENT flag over {b} exact quantile bins: WOE_b =
+    ln((pos_b/P)/(neg_b/Q)), IV = Σ(pos_b/P - neg_b/Q)·WOE_b — counts
+    exact, WOE quantized at 1e-6, IV terms on the 1e-9 DECIMAL grid.
+    Cutpoints are the values at ranks ceil(k·n/5), resolved by the
+    shared rank-selection descent, then applied as literal CASE
+    boundaries (the oracle's rank windows state the same cutpoints).
+
+    Scale plan: constant histogram passes for the cutpoints + ONE
+    binning scan (map-side CASE) + arithmetic on the 5-row cell
+    relation — no sort anywhere."""
+    o = load_table(spark, sf_dir, "orders")
+    to_d = lambda c: c.cast("string").cast("double")  # noqa: E731
+    vals = o.select("o_totalprice")
+    n = vals.count()
+    ranks = sorted({math.ceil(k * n / _WOE_BINS) for k in range(1, _WOE_BINS)})
+    sel = exact_rank_select(vals, ["o_totalprice"], ranks)
+    cuts = [sel[r][0] for r in ranks]
+    bin_col = sum(
+        (F.col("o_totalprice") > c).cast("int") for c in cuts
+    ).cast("long")
+    cells = (
+        o.select(
+            bin_col.alias("bin"),
+            F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+            .otherwise(0)
+            .alias("y"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.sum("y").cast("long").alias("n_pos"),
+            F.sum(1 - F.col("y")).cast("long").alias("n_neg"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    tot = cells.agg(
+        F.sum("n_pos").cast("double").alias("p"),
+        F.sum("n_neg").cast("double").alias("q"),
+    )
+    woe_val = F.round(
+        F.log((F.col("n_pos") / F.col("p")) / (F.col("n_neg") / F.col("q"))), 6
+    )
+    woe = cells.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "n_pos",
+        "n_neg",
+        woe_val.alias("woe"),
+        F.round(
+            (F.col("n_pos") / F.col("p") - F.col("n_neg") / F.col("q")) * woe_val,
+            9,
+        ).alias("iv_term"),
+    )
+    iv = woe.agg(
+        to_d(F.sum(F.col("iv_term").cast("decimal(38, 9)"))).alias("iv_total")
+    )
+    return (
+        woe.crossJoin(F.broadcast(iv))
+        .select(
+            "bin",
+            "n_pos",
+            "n_neg",
+            "woe",
+            F.round(F.col("iv_term"), 6).alias("iv_term"),
+            F.round(F.col("iv_total"), 6).alias("iv_total"),
+        )
+        .orderBy("bin")
+    )

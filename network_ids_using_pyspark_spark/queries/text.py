@@ -1167,3 +1167,81 @@ def q_mcnemar_langid_vs_baseline(spark, sf_dir):
             6,
         ).alias("mcnemar_chi2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Flesch reading-ease by source: words per sentence + syllables per
+# word (vowel-group heuristic), composed into the classic 206.835 -
+# 1.015·W/S - 84.6·Sy/W score — the readability lens next to the
+# quality/diversity rollups (template text scores uniform; scraped
+# prose spreads).
+# ---------------------------------------------------------------------------
+
+_READABILITY_SQL = r"""
+WITH per_doc AS (
+  SELECT source,
+         len(regexp_split_to_array(trim(text), '\s+')) AS n_words,
+         GREATEST(len(regexp_split_to_array(text, '[.!?]+')) - 1, 1)
+           AS n_sentences,
+         GREATEST(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1)
+           AS n_syllables
+  FROM documents WHERE length(trim(text)) > 0
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_words) AS BIGINT) AS n_words,
+       CAST(SUM(n_sentences) AS BIGINT) AS n_sentences,
+       CAST(SUM(n_syllables) AS BIGINT) AS n_syllables,
+       round(206.835
+             - 1.015 * (CAST(SUM(n_words) AS DOUBLE) / SUM(n_sentences))
+             - 84.6 * (CAST(SUM(n_syllables) AS DOUBLE) / SUM(n_words)), 6)
+         AS flesch_reading_ease
+FROM per_doc GROUP BY source
+ORDER BY source
+"""
+
+
+@register("readability_by_source", _READABILITY_SQL)
+def q_readability_by_source(spark, sf_dir):
+    """Flesch reading ease per source from exact integer counts:
+    whitespace words, [.!?]-terminated sentences (floored at 1),
+    vowel-group syllables (the standard cheap heuristic) — the score
+    is one shared double expression over corpus-level sums, so the
+    rollup is bit-stable.
+
+    Scale plan: counting is map-side regex arithmetic; ONE group-by on
+    source moves three integers per doc."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    per_doc = docs.select(
+        "source",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_words"),
+        F.greatest(
+            F.size(F.split("text", r"[.!?]+")) - 1, F.lit(1)
+        )
+        .cast("long")
+        .alias("n_sentences"),
+        F.greatest(
+            F.size(F.expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)")),
+            F.lit(1),
+        )
+        .cast("long")
+        .alias("n_syllables"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_words").cast("long").alias("n_words"),
+            F.sum("n_sentences").cast("long").alias("n_sentences"),
+            F.sum("n_syllables").cast("long").alias("n_syllables"),
+            F.round(
+                206.835
+                - 1.015 * (F.sum("n_words").cast("double") / F.sum("n_sentences"))
+                - 84.6 * (F.sum("n_syllables").cast("double") / F.sum("n_words")),
+                6,
+            ).alias("flesch_reading_ease"),
+        )
+        .orderBy("source")
+    )

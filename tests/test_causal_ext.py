@@ -1184,3 +1184,60 @@ def test_embedding_isotropy_matches_numpy(spark):
     assert row["min_var_dim"] == int(np.argmin(var))
     assert abs(row["max_var"] - var.max()) < 1e-5
     assert abs(row["min_var"] - var.min()) < 1e-5
+
+
+def test_readability_by_source_matches_python(spark):
+    import re
+
+    t = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["source", "text"])
+    agg = defaultdict(lambda: [0, 0, 0, 0])
+    for src, txt in zip(t.column("source").to_pylist(), t.column("text").to_pylist()):
+        if not txt.strip():
+            continue
+        a = agg[src]
+        a[0] += 1
+        a[1] += len(re.split(r"\s+", txt.strip()))
+        a[2] += max(len(re.split(r"[.!?]+", txt)) - 1, 1)
+        a[3] += max(len(re.findall(r"[aeiouy]+", txt.lower())), 1)
+    rows = REGISTRY["readability_by_source"][0](spark, SF_DIR).collect()
+    assert [r["source"] for r in rows] == sorted(agg)
+    for r in rows:
+        nd, w, s, sy = agg[r["source"]]
+        assert (r["n_docs"], r["n_words"], r["n_sentences"], r["n_syllables"]) == (
+            nd,
+            w,
+            s,
+            sy,
+        )
+        score = 206.835 - 1.015 * (w / s) - 84.6 * (sy / w)
+        assert abs(r["flesch_reading_ease"] - score) < 1e-5
+
+
+def test_woe_iv_binning_matches_python(spark):
+    import math
+
+    _, _, tr, y = _orders()  # tr = urgent flag, y = totalprice
+    n = len(y)
+    cuts = [
+        sorted(y)[math.ceil(k * n / 5) - 1] for k in range(1, 5)
+    ]
+    cells = defaultdict(lambda: [0, 0])
+    for t, v in zip(tr, y):
+        b = sum(1 for c in cuts if v > c)
+        cells[b][0 if t else 1] += 1
+    P = sum(c[0] for c in cells.values())
+    Q = sum(c[1] for c in cells.values())
+    rows = REGISTRY["woe_iv_binning"][0](spark, SF_DIR).collect()
+    assert [r["bin"] for r in rows] == sorted(cells)
+    iv = 0.0
+    terms = {}
+    for b, (pos, neg) in cells.items():
+        w = round(math.log((pos / P) / (neg / Q)), 6)
+        terms[b] = (pos, neg, w, round((pos / P - neg / Q) * w, 9))
+        iv += terms[b][3]
+    for r in rows:
+        pos, neg, w, term = terms[r["bin"]]
+        assert (r["n_pos"], r["n_neg"]) == (pos, neg)
+        assert abs(r["woe"] - w) < 1e-6
+        assert abs(r["iv_term"] - term) < 1e-6
+        assert abs(r["iv_total"] - iv) < 1e-6

@@ -1543,3 +1543,19 @@ def test_isotropy_explode_then_dim_aggregate(spark):
     plan = explain_str(df, "simple")
     assert "SortMergeJoin" not in plan and "Window" not in plan
     assert plan.count("BroadcastNestedLoopJoin") == 1
+
+
+def test_woe_binning_no_sort(spark):
+    """Cutpoints are literals from the rank-selection descent; the
+    binning scan is a map-side CASE over the checkpointed cells."""
+    df = _df(spark, "woe_iv_binning")
+    plan = explain_str(df, "simple")
+    assert plan.count("FileScan parquet") == 0
+    assert "ExistingRDD" in plan and "Window" not in plan
+
+
+def test_readability_single_groupby(spark):
+    df = _df(spark, "readability_by_source")
+    plan = explain_str(df, "simple")
+    assert plan.count("FileScan parquet") == 1
+    assert "Join" not in plan and "Window" not in plan
