@@ -6254,3 +6254,254 @@ def q_mantel_haenszel_or(spark, sf_dir):
         F.round(F.exp(log_or - 1.959964 * se), 6).alias("ci_low"),
         F.round(F.exp(log_or + 1.959964 * se), 6).alias("ci_high"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Minimum detectable effect at the observed sample sizes — the
+# experiment-sizing readout (alpha = 0.05 two-sided, power = 0.80):
+# MDE = (z_{a/2} + z_pow) * sqrt(s_t²/n_t + s_c²/n_c).  The inverse of
+# the test `welch_ttest_urgent_orders` runs — what effect COULD this
+# design have seen.
+# ---------------------------------------------------------------------------
+
+_Z_ALPHA2 = 1.959964  # Phi^{-1}(0.975)
+_Z_POWER = 0.841621  # Phi^{-1}(0.80)
+
+
+def _mde_moments(tag: str, arm: int) -> str:
+    only = lambda t: f"CASE WHEN t = {arm} THEN {t} END"  # noqa: E731
+    return (
+        f"SUM(CASE WHEN t = {arm} THEN 1 ELSE 0 END) * 1.0 AS {tag}n,\n"
+        f"  {_irls_q9_sum(only('yo'))} AS {tag}s,\n"
+        f"  {_irls_q9_sum(only('yo * yo'))} AS {tag}ss"
+    )
+
+
+_MDE_SQL = f"""
+WITH s AS (
+  SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS t,
+         CAST(o_totalprice AS DOUBLE) AS yo
+  FROM orders
+),
+m AS (
+  SELECT {_mde_moments('t_', 1)},
+  {_mde_moments('c_', 0)}
+  FROM s
+)
+SELECT CAST(t_n AS BIGINT) AS n_treated,
+       CAST(c_n AS BIGINT) AS n_control,
+       round(t_s / t_n - c_s / c_n, 6) AS observed_diff,
+       round(sqrt((t_ss - t_s * t_s / t_n) / (t_n - 1.0) / t_n
+                  + (c_ss - c_s * c_s / c_n) / (c_n - 1.0) / c_n), 6)
+         AS se_diff,
+       round(({_Z_ALPHA2} + {_Z_POWER})
+             * sqrt((t_ss - t_s * t_s / t_n) / (t_n - 1.0) / t_n
+                    + (c_ss - c_s * c_s / c_n) / (c_n - 1.0) / c_n), 6)
+         AS mde_abs,
+       round(({_Z_ALPHA2} + {_Z_POWER})
+             * sqrt((t_ss - t_s * t_s / t_n) / (t_n - 1.0) / t_n
+                    + (c_ss - c_s * c_s / c_n) / (c_n - 1.0) / c_n)
+             / (c_s / c_n), 6) AS mde_rel
+FROM m
+"""
+
+
+@register("ab_mde_readout", _MDE_SQL)
+def q_ab_mde_readout(spark, sf_dir):
+    """Minimum detectable effect at the observed design (two-sided
+    alpha 0.05, power 0.80): per-arm moments on the 1e-9 DECIMAL grid,
+    MDE = (z_alpha/2 + z_power)·SE(diff) in absolute and
+    control-relative units, next to the observed difference — the
+    "could we even have seen it" gate an experiment review starts
+    with.
+
+    Scale plan: ONE conditional-moment aggregate; the readout is
+    arithmetic on a 1-row relation."""
+    o = load_table(spark, sf_dir, "orders")
+    to_d = lambda c: c.cast("string").cast("double")  # noqa: E731
+    s = o.select(
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0).alias("t"),
+        F.col("o_totalprice").cast("double").alias("yo"),
+    )
+
+    def q9_sum(term):
+        return to_d(F.sum(F.round(term, 9).cast("decimal(38, 9)")))
+
+    def arm(tag, a):
+        only = lambda c: F.when(F.col("t") == a, c)  # noqa: E731
+        return [
+            F.count(only(F.lit(1))).cast("double").alias(f"{tag}n"),
+            q9_sum(only(F.col("yo"))).alias(f"{tag}s"),
+            q9_sum(only(F.col("yo") * F.col("yo"))).alias(f"{tag}ss"),
+        ]
+
+    m = s.agg(*(arm("t_", 1) + arm("c_", 0)))
+    se = F.sqrt(
+        (F.col("t_ss") - F.col("t_s") * F.col("t_s") / F.col("t_n"))
+        / (F.col("t_n") - 1.0)
+        / F.col("t_n")
+        + (F.col("c_ss") - F.col("c_s") * F.col("c_s") / F.col("c_n"))
+        / (F.col("c_n") - 1.0)
+        / F.col("c_n")
+    )
+    k = _Z_ALPHA2 + _Z_POWER
+    return m.select(
+        F.col("t_n").cast("long").alias("n_treated"),
+        F.col("c_n").cast("long").alias("n_control"),
+        F.round(
+            F.col("t_s") / F.col("t_n") - F.col("c_s") / F.col("c_n"), 6
+        ).alias("observed_diff"),
+        F.round(se, 6).alias("se_diff"),
+        F.round(k * se, 6).alias("mde_abs"),
+        F.round(k * se / (F.col("c_s") / F.col("c_n")), 6).alias("mde_rel"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Group-sequential monitoring with the O'Brien-Fleming boundary: four
+# calendar looks at the urgent-vs-other value contrast, each look's
+# Welch z against c/sqrt(t_k) (c = 2.24, the standard K=4 two-sided
+# 0.05 OBF constant) — the peeking-safe complement of the always-on
+# `sprt_ab_monitor`.
+# ---------------------------------------------------------------------------
+
+_GS_LOOKS = ["1997-01-01", "1998-07-01", "2000-01-01", "2002-01-01"]
+_GS_C = 2.24
+
+
+def _gs_sql() -> str:
+    look_case = " ".join(
+        f"WHEN CAST(o_orderdate AS DATE) < DATE '{d}' THEN {i + 1}"
+        for i, d in enumerate(_GS_LOOKS)
+    )
+    looks_rel = " UNION ALL ".join(
+        f"SELECT {i + 1} AS look, DATE '{d}' AS cutoff_date"
+        for i, d in enumerate(_GS_LOOKS)
+    )
+    m = lambda p, arm: (  # noqa: E731
+        f"SUM(CASE WHEN t = {arm} THEN 1 ELSE 0 END) * 1.0 AS {p}n,\n"
+        f"    {_irls_q9_sum(f'CASE WHEN t = {arm} THEN yo END')} AS {p}s,\n"
+        f"    {_irls_q9_sum(f'CASE WHEN t = {arm} THEN yo * yo END')} AS {p}ss"
+    )
+    var = lambda p: f"(({p}ss_c - {p}s_c * {p}s_c / {p}n_c) / ({p}n_c - 1.0))"  # noqa: E731
+    return f"""
+WITH s AS (
+  SELECT CASE {look_case} ELSE {len(_GS_LOOKS)} END AS slice,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS t,
+         CAST(o_totalprice AS DOUBLE) AS yo
+  FROM orders
+),
+per_slice AS (
+  SELECT slice,
+    {m('t_', 1)},
+    {m('c_', 0)}
+  FROM s GROUP BY slice
+),
+looks AS ({looks_rel}),
+cum AS (
+  SELECT l.look, l.cutoff_date,
+         SUM(p.t_n) AS t_n_c, SUM(p.t_s) AS t_s_c, SUM(p.t_ss) AS t_ss_c,
+         SUM(p.c_n) AS c_n_c, SUM(p.c_s) AS c_s_c, SUM(p.c_ss) AS c_ss_c
+  FROM looks l JOIN per_slice p ON p.slice <= l.look
+  GROUP BY l.look, l.cutoff_date
+),
+tot AS (SELECT MAX(t_n_c + c_n_c) AS n_final FROM cum)
+SELECT look, cutoff_date,
+       CAST(t_n_c + c_n_c AS BIGINT) AS n_cum,
+       round((t_n_c + c_n_c) / tot.n_final, 6) AS info_frac,
+       round((t_s_c / t_n_c - c_s_c / c_n_c)
+             / sqrt({var('t_')} / t_n_c + {var('c_')} / c_n_c), 6) AS z_stat,
+       round({_GS_C} / sqrt((t_n_c + c_n_c) / tot.n_final), 6) AS obf_boundary,
+       CAST(CASE WHEN abs((t_s_c / t_n_c - c_s_c / c_n_c)
+                          / sqrt({var('t_')} / t_n_c + {var('c_')} / c_n_c))
+                      > {_GS_C} / sqrt((t_n_c + c_n_c) / tot.n_final)
+                 THEN 1 ELSE 0 END AS BIGINT) AS crossed
+FROM cum CROSS JOIN tot
+ORDER BY look
+"""
+
+
+@register("group_sequential_obf", _gs_sql())
+def q_group_sequential_obf(spark, sf_dir):
+    """Four-look group-sequential monitor with the O'Brien-Fleming
+    boundary c/sqrt(t_k) (c = {c}, K = 4, two-sided 0.05): cumulative
+    Welch z of the urgent-vs-other value contrast at each calendar
+    look vs its boundary.  Per-slice moments ride the 1e-9 DECIMAL
+    grid; cumulative sums and the z/boundary arithmetic run on the
+    4-row look relation — early looks need huge z (peeking-safe),
+    late looks approach the fixed-horizon 1.96.
+
+    Scale plan: ONE map-side combined group-by to the 4-slice grid;
+    the look×slice join and every statistic live on ≤16 rows."""
+    o = load_table(spark, sf_dir, "orders")
+    to_d = lambda c: c.cast("string").cast("double")  # noqa: E731
+    slice_col = F.when(
+        F.col("o_orderdate").cast("date") < F.lit(_GS_LOOKS[0]).cast("date"), 1
+    )
+    for i, d in enumerate(_GS_LOOKS[1:], start=2):
+        slice_col = slice_col.when(
+            F.col("o_orderdate").cast("date") < F.lit(d).cast("date"), i
+        )
+    slice_col = slice_col.otherwise(len(_GS_LOOKS))
+    s = o.select(
+        slice_col.alias("slice"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0).alias("t"),
+        F.col("o_totalprice").cast("double").alias("yo"),
+    )
+
+    def q9_sum(term):
+        return to_d(F.sum(F.round(term, 9).cast("decimal(38, 9)")))
+
+    def arm(p, a):
+        only = lambda c: F.when(F.col("t") == a, c)  # noqa: E731
+        return [
+            F.count(only(F.lit(1))).cast("double").alias(f"{p}n"),
+            q9_sum(only(F.col("yo"))).alias(f"{p}s"),
+            q9_sum(only(F.col("yo") * F.col("yo"))).alias(f"{p}ss"),
+        ]
+
+    per_slice = (
+        s.groupBy("slice")
+        .agg(*(arm("t_", 1) + arm("c_", 0)))
+        .localCheckpoint(eager=True)
+    )
+    looks = per_slice.sparkSession.createDataFrame(
+        [(i + 1, d) for i, d in enumerate(_GS_LOOKS)], "look int, cutoff string"
+    ).select("look", F.col("cutoff").cast("date").alias("cutoff_date"))
+    cum = (
+        looks.join(F.broadcast(per_slice), per_slice["slice"] <= looks["look"])
+        .groupBy("look", "cutoff_date")
+        .agg(
+            F.sum("t_n").alias("t_n_c"),
+            F.sum("t_s").alias("t_s_c"),
+            F.sum("t_ss").alias("t_ss_c"),
+            F.sum("c_n").alias("c_n_c"),
+            F.sum("c_s").alias("c_s_c"),
+            F.sum("c_ss").alias("c_ss_c"),
+        )
+    )
+    tot = cum.agg(F.max(F.col("t_n_c") + F.col("c_n_c")).alias("n_final"))
+    var_t = (
+        F.col("t_ss_c") - F.col("t_s_c") * F.col("t_s_c") / F.col("t_n_c")
+    ) / (F.col("t_n_c") - 1.0)
+    var_c = (
+        F.col("c_ss_c") - F.col("c_s_c") * F.col("c_s_c") / F.col("c_n_c")
+    ) / (F.col("c_n_c") - 1.0)
+    z = (
+        F.col("t_s_c") / F.col("t_n_c") - F.col("c_s_c") / F.col("c_n_c")
+    ) / F.sqrt(var_t / F.col("t_n_c") + var_c / F.col("c_n_c"))
+    info = (F.col("t_n_c") + F.col("c_n_c")) / F.col("n_final")
+    bound = _GS_C / F.sqrt(info)
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .select(
+            "look",
+            "cutoff_date",
+            (F.col("t_n_c") + F.col("c_n_c")).cast("long").alias("n_cum"),
+            F.round(info, 6).alias("info_frac"),
+            F.round(z, 6).alias("z_stat"),
+            F.round(bound, 6).alias("obf_boundary"),
+            F.when(F.abs(z) > bound, 1).otherwise(0).cast("long").alias("crossed"),
+        )
+        .orderBy("look")
+    )

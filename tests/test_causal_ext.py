@@ -1241,3 +1241,67 @@ def test_woe_iv_binning_matches_python(spark):
         assert abs(r["woe"] - w) < 1e-6
         assert abs(r["iv_term"] - term) < 1e-6
         assert abs(r["iv_total"] - iv) < 1e-6
+
+
+def test_ab_mde_readout_matches_python(spark):
+    import math
+
+    _, _, tr, y = _orders()
+    t_vals = [round(v, 9) for v, t in zip(y, tr) if t]
+    c_vals = [round(v, 9) for v, t in zip(y, tr) if not t]
+
+    def moments(vals):
+        n = float(len(vals))
+        s = sum(vals)
+        ss = sum(round(v * v, 9) for v in vals)
+        return n, s, ss
+
+    tn, ts, tss = moments(t_vals)
+    cn, cs, css = moments(c_vals)
+    se = math.sqrt(
+        (tss - ts * ts / tn) / (tn - 1) / tn + (css - cs * cs / cn) / (cn - 1) / cn
+    )
+    k = 1.959964 + 0.841621
+    row = REGISTRY["ab_mde_readout"][0](spark, SF_DIR).collect()[0]
+    assert (row["n_treated"], row["n_control"]) == (len(t_vals), len(c_vals))
+    assert abs(row["observed_diff"] - (ts / tn - cs / cn)) < 1e-4
+    assert abs(row["se_diff"] - se) < 1e-5
+    assert abs(row["mde_abs"] - k * se) < 1e-4
+    assert abs(row["mde_rel"] - k * se / (cs / cn)) < 1e-6
+
+
+def test_group_sequential_obf_matches_python(spark):
+    import math
+    from datetime import date
+
+    t = pq.read_table(
+        f"{SF_DIR}/orders.parquet",
+        columns=["o_orderdate", "o_orderpriority", "o_totalprice"],
+    )
+    looks = [date(1997, 1, 1), date(1998, 7, 1), date(2000, 1, 1), date(2002, 1, 1)]
+    arms = {k: ([], []) for k in range(1, 5)}
+    for d, p, v in zip(
+        [x.date() for x in t.column("o_orderdate").to_pylist()],
+        t.column("o_orderpriority").to_pylist(),
+        t.column("o_totalprice").to_pylist(),
+    ):
+        sl = next((i + 1 for i, b in enumerate(looks) if d < b), 4)
+        arms[sl][0 if p == "1-URGENT" else 1].append(float(v))
+    rows = REGISTRY["group_sequential_obf"][0](spark, SF_DIR).collect()
+    n_final = sum(len(a) + len(b) for a, b in arms.values())
+    for r in rows:
+        k = r["look"]
+        tv = [v for s in range(1, k + 1) for v in arms[s][0]]
+        cv = [v for s in range(1, k + 1) for v in arms[s][1]]
+        n_cum = len(tv) + len(cv)
+        info = n_cum / n_final
+        mt, mc = sum(tv) / len(tv), sum(cv) / len(cv)
+        vt = (sum(v * v for v in tv) - sum(tv) ** 2 / len(tv)) / (len(tv) - 1)
+        vc = (sum(v * v for v in cv) - sum(cv) ** 2 / len(cv)) / (len(cv) - 1)
+        z = (mt - mc) / math.sqrt(vt / len(tv) + vc / len(cv))
+        bound = 2.24 / math.sqrt(info)
+        assert r["n_cum"] == n_cum
+        assert abs(r["info_frac"] - info) < 1e-6
+        assert abs(r["z_stat"] - z) < 1e-4
+        assert abs(r["obf_boundary"] - bound) < 1e-6
+        assert r["crossed"] == (1 if abs(z) > bound else 0)
