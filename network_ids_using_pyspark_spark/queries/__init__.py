@@ -188,8 +188,13 @@ _ROUND_PRIORITY = [
     # rake/lexdiv/kl/loo/preference/fertility LLM-pipeline ops,
     # james_stein, simpson detector, bloom_fpr_audit,
     # partition_plan_advisor, tail_dependence, lang_id_eval,
-    # overdispersion, assortativity — all locally oracle-green, lead
-    # candidates for the round-6 window); and the second-order stats tail
+    # overdispersion, assortativity, plus the later batch:
+    # mantel_haenszel_or, causal_e2e_readout, poisson_glm_exact,
+    # brier_decomposition, model_gains_table, ab_mde_readout,
+    # group_sequential_obf, mcnemar/readability/woe_iv/isotropy,
+    # james_stein, kl_by_source, stream_markov_transitions — all
+    # locally oracle-green, lead candidates for the round-6
+    # window); and the second-order stats tail
     # (wilson/neyman/QTE/z-test, kaplan-meier, rfm, decompositions).
 ]
 
