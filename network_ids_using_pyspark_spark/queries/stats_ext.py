@@ -6505,3 +6505,136 @@ def q_group_sequential_obf(spark, sf_dir):
         )
         .orderBy("look")
     )
+
+
+# ---------------------------------------------------------------------------
+# Theil-T inequality decomposition of customer revenue across nations:
+# T_total = T_between + Σ_g share_g · T_within_g — the additively
+# decomposable inequality index (`key_skew_gini`'s Gini is NOT
+# decomposable, which is why regional attribution needs Theil).
+# ---------------------------------------------------------------------------
+
+_THEIL_SQL = """
+WITH cust AS (
+  SELECT c.c_nationkey AS nation, o.o_custkey,
+         CAST(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(30, 6))) AS VARCHAR)
+              AS DOUBLE) AS x
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY 1, 2
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(CAST(SUM(CAST(round(x, 6) AS DECIMAL(38, 9))) AS VARCHAR)
+              AS DOUBLE) AS sx
+  FROM cust
+),
+grp AS (
+  SELECT nation, CAST(COUNT(*) AS BIGINT) AS n_g,
+         CAST(CAST(SUM(CAST(round(x, 6) AS DECIMAL(38, 9))) AS VARCHAR)
+              AS DOUBLE) AS sx_g
+  FROM cust GROUP BY nation
+),
+within AS (
+  SELECT nation, n_g, sx_g,
+         round(CAST(CAST(SUM(CAST(round(
+             x / (sx_g / n_g) * round(ln(x / (sx_g / n_g)), 6), 9)
+           AS DECIMAL(38, 9))) AS VARCHAR) AS DOUBLE) / n_g, 9) AS t_within
+  FROM cust JOIN grp USING (nation)
+  GROUP BY nation, n_g, sx_g
+),
+btw AS (
+  SELECT round(CAST(CAST(SUM(CAST(round(
+             (sx_g / tot.sx) * round(ln((sx_g / n_g) / (tot.sx / tot.n)), 6), 9)
+           AS DECIMAL(38, 9))) AS VARCHAR) AS DOUBLE), 9) AS t_between
+  FROM grp CROSS JOIN tot
+)
+SELECT w.nation, w.n_g AS n_customers,
+       round(w.sx_g / tot.sx, 6) AS revenue_share,
+       round(w.t_within, 6) AS theil_within,
+       round((w.sx_g / tot.sx) * w.t_within, 6) AS weighted_within,
+       round(btw.t_between, 6) AS theil_between
+FROM within w CROSS JOIN tot CROSS JOIN btw
+ORDER BY w.nation
+"""
+
+
+@register("theil_index_decomposition", _THEIL_SQL)
+def q_theil_index_decomposition(spark, sf_dir):
+    """Theil-T inequality of per-customer revenue decomposed across
+    nations: per-nation within-group Theil (revenue-share weighted)
+    plus the between-group term — additively exact, unlike Gini.
+    Per-customer revenue is an exact decimal sum; every x·ln(x/μ) term
+    quantizes the log at 1e-6 and the product at 1e-9 before its
+    DECIMAL group sum, so the decomposition is bit-stable.
+
+    Scale plan: one PK-grouped join+aggregate to the customer grain,
+    one nation-grain rollup, and the within pass re-reads the customer
+    relation with group means attached by a nation-keyed broadcast
+    join — no windows, nothing driver-side."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    to_d = lambda col: col.cast("string").cast("double")  # noqa: E731
+    cust = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy(F.col("c_nationkey").alias("nation"), "o_custkey")
+        .agg(
+            to_d(F.sum(F.col("o_totalprice").cast("decimal(30, 6)"))).alias("x")
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    def q9_sum(term):
+        return to_d(F.sum(F.round(term, 9).cast("decimal(38, 9)")))
+
+    def dec_sum(term):
+        return to_d(F.sum(F.round(term, 6).cast("decimal(38, 9)")))
+
+    tot = cust.agg(
+        F.count(F.lit(1)).cast("double").alias("n"), dec_sum(F.col("x")).alias("sx")
+    )
+    grp = cust.groupBy("nation").agg(
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+        dec_sum(F.col("x")).alias("sx_g"),
+    )
+    mu_g = F.col("sx_g") / F.col("n_g")
+    within = (
+        cust.join(F.broadcast(grp), "nation")
+        .groupBy("nation", "n_g", "sx_g")
+        .agg(
+            F.round(
+                q9_sum(
+                    F.col("x") / mu_g * F.round(F.log(F.col("x") / mu_g), 6)
+                )
+                / F.col("n_g").cast("double"),
+                9,
+            ).alias("t_within")
+        )
+    )
+    mu = F.col("sx") / F.col("n")
+    btw = (
+        grp.crossJoin(F.broadcast(tot))
+        .agg(
+            F.round(
+                q9_sum(
+                    (F.col("sx_g") / F.col("sx"))
+                    * F.round(F.log(mu_g / mu), 6)
+                ),
+                9,
+            ).alias("t_between")
+        )
+    )
+    return (
+        within.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(btw))
+        .select(
+            "nation",
+            F.col("n_g").alias("n_customers"),
+            F.round(F.col("sx_g") / F.col("sx"), 6).alias("revenue_share"),
+            F.round(F.col("t_within"), 6).alias("theil_within"),
+            F.round((F.col("sx_g") / F.col("sx")) * F.col("t_within"), 6).alias(
+                "weighted_within"
+            ),
+            F.round(F.col("t_between"), 6).alias("theil_between"),
+        )
+        .orderBy("nation")
+    )

@@ -1305,3 +1305,53 @@ def test_group_sequential_obf_matches_python(spark):
         assert abs(r["z_stat"] - z) < 1e-4
         assert abs(r["obf_boundary"] - bound) < 1e-6
         assert r["crossed"] == (1 if abs(z) > bound else 0)
+
+
+def test_theil_decomposition_matches_python(spark):
+    import math
+
+    o = pq.read_table(
+        f"{SF_DIR}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+    c = pq.read_table(
+        f"{SF_DIR}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    nat = dict(
+        zip(c.column("c_custkey").to_pylist(), c.column("c_nationkey").to_pylist())
+    )
+    rev = defaultdict(float)
+    for k, v in zip(
+        o.column("o_custkey").to_pylist(), o.column("o_totalprice").to_pylist()
+    ):
+        if k in nat:
+            rev[k] += float(v)
+    groups = defaultdict(list)
+    for k, x in rev.items():
+        groups[nat[k]].append(round(x, 6))
+    N = sum(len(v) for v in groups.values())
+    SX = sum(sum(v) for v in groups.values())
+    mu = SX / N
+    t_between = round(
+        sum(
+            round(
+                (sum(v) / SX) * round(math.log((sum(v) / len(v)) / mu), 6), 9
+            )
+            for v in groups.values()
+        ),
+        9,
+    )
+    rows = REGISTRY["theil_index_decomposition"][0](spark, SF_DIR).collect()
+    assert [r["nation"] for r in rows] == sorted(groups)
+    for r in rows:
+        v = groups[r["nation"]]
+        mg = sum(v) / len(v)
+        tw = round(
+            sum(round(x / mg * round(math.log(x / mg), 6), 9) for x in v)
+            / len(v),
+            9,
+        )
+        assert r["n_customers"] == len(v)
+        assert abs(r["revenue_share"] - sum(v) / SX) < 1e-6
+        assert abs(r["theil_within"] - tw) < 1e-6
+        assert abs(r["weighted_within"] - (sum(v) / SX) * tw) < 1e-6
+        assert abs(r["theil_between"] - t_between) < 1e-6
