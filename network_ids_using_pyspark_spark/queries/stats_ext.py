@@ -6638,3 +6638,92 @@ def q_theil_index_decomposition(spark, sf_dir):
         )
         .orderBy("nation")
     )
+
+
+# ---------------------------------------------------------------------------
+# Jarque-Bera normality test per event_type: skewness and excess
+# kurtosis from central moments, JB = n/6·(S² + K²/4) — the
+# distributional-assumption gate in front of every z/t-based monitor
+# here (`fdr_bh_metric_screen`, `ab_mde_readout` assume approximate
+# normality of the mean; JB says how non-normal the raw metric is).
+# ---------------------------------------------------------------------------
+
+_JB_SQL = """
+WITH m AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(CAST(SUM(CAST(round(value, 9) AS DECIMAL(38, 9))) AS VARCHAR)
+              AS DOUBLE) AS s1,
+         CAST(CAST(SUM(CAST(round(value * value, 9) AS DECIMAL(38, 9)))
+                   AS VARCHAR) AS DOUBLE) AS s2,
+         CAST(CAST(SUM(CAST(round(value * value * value, 9)
+                            AS DECIMAL(38, 9))) AS VARCHAR) AS DOUBLE) AS s3,
+         CAST(CAST(SUM(CAST(round(value * value * value * value, 9)
+                            AS DECIMAL(38, 9))) AS VARCHAR) AS DOUBLE) AS s4
+  FROM events GROUP BY event_type
+),
+c AS (
+  SELECT event_type, n,
+         s2 / n - (s1 / n) * (s1 / n) AS m2,
+         s3 / n - 3.0 * (s1 / n) * (s2 / n) + 2.0 * (s1 / n) * (s1 / n)
+           * (s1 / n) AS m3,
+         s4 / n - 4.0 * (s1 / n) * (s3 / n)
+           + 6.0 * (s1 / n) * (s1 / n) * (s2 / n)
+           - 3.0 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4
+  FROM m
+)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       round(m3 / pow(m2, 1.5), 6) AS skewness,
+       round(m4 / (m2 * m2) - 3.0, 6) AS excess_kurtosis,
+       round(n / 6.0 * (pow(m3 / pow(m2, 1.5), 2)
+             + pow(m4 / (m2 * m2) - 3.0, 2) / 4.0), 6) AS jarque_bera
+FROM c
+ORDER BY event_type
+"""
+
+
+@register("jarque_bera_normality", _JB_SQL)
+def q_jarque_bera_normality(spark, sf_dir):
+    """Jarque-Bera normality statistic per event_type on the value
+    metric: central moments from quantized raw-moment sums (one shared
+    binomial-expansion expression on both engines), skewness
+    m3/m2^1.5, excess kurtosis m4/m2²-3, JB = n/6(S² + K²/4) —
+    asymptotically chi²(2) under normality, so JB ≫ 6 rejects at ~5%.
+
+    Scale plan: ONE map-side combined group-by carrying four power
+    sums per type — the entire test is moment arithmetic on the
+    |types|-row relation."""
+    ev = load_table(spark, sf_dir, "events")
+    to_d = lambda c: c.cast("string").cast("double")  # noqa: E731
+    v = F.col("value")
+
+    def q9_sum(term):
+        return to_d(F.sum(F.round(term, 9).cast("decimal(38, 9)")))
+
+    m = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        q9_sum(v).alias("s1"),
+        q9_sum(v * v).alias("s2"),
+        q9_sum(v * v * v).alias("s3"),
+        q9_sum(v * v * v * v).alias("s4"),
+    )
+    mu = F.col("s1") / F.col("n")
+    m2 = F.col("s2") / F.col("n") - mu * mu
+    m3 = F.col("s3") / F.col("n") - 3.0 * mu * (F.col("s2") / F.col("n")) + 2.0 * mu * mu * mu
+    m4 = (
+        F.col("s4") / F.col("n")
+        - 4.0 * mu * (F.col("s3") / F.col("n"))
+        + 6.0 * mu * mu * (F.col("s2") / F.col("n"))
+        - 3.0 * mu * mu * mu * mu
+    )
+    skew = m3 / F.pow(m2, 1.5)
+    kurt = m4 / (m2 * m2) - 3.0
+    return m.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.round(skew, 6).alias("skewness"),
+        F.round(kurt, 6).alias("excess_kurtosis"),
+        F.round(
+            F.col("n") / 6.0 * (F.pow(skew, 2.0) + F.pow(kurt, 2.0) / 4.0), 6
+        ).alias("jarque_bera"),
+    ).orderBy("event_type")

@@ -1355,3 +1355,30 @@ def test_theil_decomposition_matches_python(spark):
         assert abs(r["theil_within"] - tw) < 1e-6
         assert abs(r["weighted_within"] - (sum(v) / SX) * tw) < 1e-6
         assert abs(r["theil_between"] - t_between) < 1e-6
+
+
+def test_jarque_bera_matches_python(spark):
+    t = pq.read_table(f"{SF_DIR}/events.parquet", columns=["event_type", "value"])
+    groups = defaultdict(list)
+    for et, v in zip(t.column("event_type").to_pylist(), t.column("value").to_pylist()):
+        groups[et].append(round(float(v), 9))
+    rows = REGISTRY["jarque_bera_normality"][0](spark, SF_DIR).collect()
+    assert [r["event_type"] for r in rows] == sorted(groups)
+    for r in rows:
+        vs = groups[r["event_type"]]
+        n = len(vs)
+        s1 = sum(vs)
+        s2 = sum(round(v * v, 9) for v in vs)
+        s3 = sum(round(v ** 3, 9) for v in vs)
+        s4 = sum(round(v ** 4, 9) for v in vs)
+        mu = s1 / n
+        m2 = s2 / n - mu * mu
+        m3 = s3 / n - 3 * mu * (s2 / n) + 2 * mu ** 3
+        m4 = s4 / n - 4 * mu * (s3 / n) + 6 * mu * mu * (s2 / n) - 3 * mu ** 4
+        S = m3 / m2 ** 1.5
+        K = m4 / (m2 * m2) - 3
+        jb = n / 6 * (S * S + K * K / 4)
+        assert r["n"] == n
+        assert abs(r["skewness"] - S) < 1e-5
+        assert abs(r["excess_kurtosis"] - K) < 1e-5
+        assert abs(r["jarque_bera"] - jb) < 1e-3
