@@ -649,3 +649,143 @@ def q_causal_e2e_readout(spark, sf_dir):
         .unionByName(tl)
         .orderBy("estimator")
     )
+
+
+# ---------------------------------------------------------------------------
+# Instrumental-variables (Wald) estimator: with a binary instrument z,
+# beta_IV = (E[y|z=1] - E[y|z=0]) / (E[x|z=1] - E[x|z=0]) — the
+# reduced form over the first stage (Angrist & Pischke 2009).  The
+# family's answer when treatment is endogenous and neither IPW nor
+# matching can fix it.
+# ---------------------------------------------------------------------------
+
+_IV_SQL = """
+WITH s AS (
+  SELECT CASE WHEN CAST(EXTRACT(month FROM CAST(o_orderdate AS DATE))
+                    AS BIGINT) <= 6 THEN 1 ELSE 0 END AS z,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS x,
+         CAST(o_totalprice AS DECIMAL(30, 6)) AS y
+  FROM orders
+),
+m AS (
+  SELECT SUM(CASE WHEN z = 1 THEN 1 ELSE 0 END) * 1.0 AS n1,
+         SUM(CASE WHEN z = 0 THEN 1 ELSE 0 END) * 1.0 AS n0,
+         CAST(SUM(CASE WHEN z = 1 THEN x ELSE 0 END) AS DOUBLE) AS x1,
+         CAST(SUM(CASE WHEN z = 0 THEN x ELSE 0 END) AS DOUBLE) AS x0,
+         CAST(CAST(SUM(CASE WHEN z = 1 THEN y END) AS VARCHAR) AS DOUBLE)
+           AS y1,
+         CAST(CAST(SUM(CASE WHEN z = 0 THEN y END) AS VARCHAR) AS DOUBLE)
+           AS y0
+  FROM s
+)
+SELECT CAST(n1 AS BIGINT) AS n_z1,
+       CAST(n0 AS BIGINT) AS n_z0,
+       round(x1 / n1 - x0 / n0, 6) AS first_stage,
+       round(y1 / n1 - y0 / n0, 6) AS reduced_form,
+       round((y1 / n1 - y0 / n0) / (x1 / n1 - x0 / n0), 6) AS beta_iv
+FROM m
+"""
+
+
+@register("iv_wald_estimator", _IV_SQL)
+def q_iv_wald_estimator(spark, sf_dir):
+    """Wald IV estimate of URGENT priority's effect on order value
+    with the first-half-year indicator as instrument: reduced form
+    (intention-to-treat on y) divided by the first stage (instrument's
+    effect on treatment uptake).  All four arm means are single
+    divisions of exact sums (y decimal-summed), so the estimator is
+    bit-stable; a weak first stage shows up directly in the
+    first_stage column.
+
+    Scale plan: ONE conditional-sum aggregate over the fact scan —
+    identical shape to `ab_mde_readout`."""
+    o = load_table(spark, sf_dir, "orders")
+    to_d = lambda c: c.cast("string").cast("double")  # noqa: E731
+    s = o.select(
+        F.when(F.month(F.col("o_orderdate").cast("date")) <= 6, 1)
+        .otherwise(0)
+        .alias("z"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0).alias("x"),
+        F.col("o_totalprice").cast("decimal(30, 6)").alias("y"),
+    )
+    m = s.agg(
+        F.sum(F.when(F.col("z") == 1, 1).otherwise(0)).cast("double").alias("n1"),
+        F.sum(F.when(F.col("z") == 0, 1).otherwise(0)).cast("double").alias("n0"),
+        F.sum(F.when(F.col("z") == 1, F.col("x")).otherwise(0))
+        .cast("double")
+        .alias("x1"),
+        F.sum(F.when(F.col("z") == 0, F.col("x")).otherwise(0))
+        .cast("double")
+        .alias("x0"),
+        to_d(F.sum(F.when(F.col("z") == 1, F.col("y")))).alias("y1"),
+        to_d(F.sum(F.when(F.col("z") == 0, F.col("y")))).alias("y0"),
+    )
+    fs = F.col("x1") / F.col("n1") - F.col("x0") / F.col("n0")
+    rf = F.col("y1") / F.col("n1") - F.col("y0") / F.col("n0")
+    return m.select(
+        F.col("n1").cast("long").alias("n_z1"),
+        F.col("n0").cast("long").alias("n_z0"),
+        F.round(fs, 6).alias("first_stage"),
+        F.round(rf, 6).alias("reduced_form"),
+        F.round(rf / fs, 6).alias("beta_iv"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# RDD manipulation (density) check: if units sort themselves across
+# the cutoff, the running-variable density jumps there (McCrary 2008).
+# The cheap two-bin form: counts in [c-h, c) vs [c, c+h) and the
+# Poisson-difference z — a large |z| invalidates
+# `rdd_cutoff_effect`'s identifying assumption.
+# ---------------------------------------------------------------------------
+
+_RDD_DENSITY_SQL = f"""
+WITH w AS (
+  SELECT CASE WHEN CAST(o_totalprice AS DOUBLE) >= {_RDD_CUT}
+              THEN 1 ELSE 0 END AS side
+  FROM orders
+  WHERE CAST(o_totalprice AS DOUBLE) >= {_RDD_CUT} - {_RDD_BW}
+    AND CAST(o_totalprice AS DOUBLE) < {_RDD_CUT} + {_RDD_BW}
+)
+SELECT CAST(SUM(1 - side) AS BIGINT) AS n_left,
+       CAST(SUM(side) AS BIGINT) AS n_right,
+       round((CAST(SUM(side) AS DOUBLE) - SUM(1 - side))
+             / sqrt(CAST(SUM(side) AS DOUBLE) + SUM(1 - side)), 6)
+         AS density_z,
+       CAST(CASE WHEN abs((CAST(SUM(side) AS DOUBLE) - SUM(1 - side))
+                          / sqrt(CAST(SUM(side) AS DOUBLE) + SUM(1 - side)))
+                      > 1.959964 THEN 1 ELSE 0 END AS BIGINT) AS manipulation_flag
+FROM w
+"""
+
+
+@register("rdd_density_check", _RDD_DENSITY_SQL)
+def q_rdd_density_check(spark, sf_dir):
+    """McCrary-style density check at `rdd_cutoff_effect`'s cutoff:
+    counts in the bandwidth window on each side and the
+    Poisson-difference z = (n_r - n_l)/sqrt(n_r + n_l); |z| > 1.96
+    flags sorting across the threshold (identification failure).
+    Counts exact, one shared expression.
+
+    Scale plan: the window predicate pushes into the scan; the test is
+    ONE conditional-sum aggregate."""
+    o = load_table(spark, sf_dir, "orders")
+    v = F.col("o_totalprice").cast("double")
+    w = o.filter((v >= _RDD_CUT - _RDD_BW) & (v < _RDD_CUT + _RDD_BW)).select(
+        F.when(v >= _RDD_CUT, 1).otherwise(0).alias("side")
+    )
+    agg = w.agg(
+        F.sum(1 - F.col("side")).cast("long").alias("n_left"),
+        F.sum("side").cast("long").alias("n_right"),
+    )
+    z = (F.col("n_right").cast("double") - F.col("n_left")) / F.sqrt(
+        F.col("n_right").cast("double") + F.col("n_left")
+    )
+    return agg.select(
+        "n_left",
+        "n_right",
+        F.round(z, 6).alias("density_z"),
+        F.when(F.abs(z) > 1.959964, 1).otherwise(0).cast("long").alias(
+            "manipulation_flag"
+        ),
+    )

@@ -1382,3 +1382,37 @@ def test_jarque_bera_matches_python(spark):
         assert abs(r["skewness"] - S) < 1e-5
         assert abs(r["excess_kurtosis"] - K) < 1e-5
         assert abs(r["jarque_bera"] - jb) < 1e-3
+
+
+def test_iv_wald_matches_python(spark):
+    x1, _, tr, y = _orders()
+    z = [1 if m <= 6 else 0 for m in x1]
+    n1 = sum(z)
+    n0 = len(z) - n1
+    x1m = sum(t for t, zz in zip(tr, z) if zz) / n1
+    x0m = sum(t for t, zz in zip(tr, z) if not zz) / n0
+    y1m = sum(v for v, zz in zip(y, z) if zz) / n1
+    y0m = sum(v for v, zz in zip(y, z) if not zz) / n0
+    row = REGISTRY["iv_wald_estimator"][0](spark, SF_DIR).collect()[0]
+    assert (row["n_z1"], row["n_z0"]) == (n1, n0)
+    assert abs(row["first_stage"] - (x1m - x0m)) < 1e-6
+    assert abs(row["reduced_form"] - (y1m - y0m)) < 1e-4
+    assert abs(row["beta_iv"] - (y1m - y0m) / (x1m - x0m)) < 1e-2
+
+
+def test_rdd_density_check_matches_python(spark):
+    import math
+
+    from network_ids_using_pyspark_spark.queries.causal_ext import (
+        _RDD_BW,
+        _RDD_CUT,
+    )
+
+    _, _, _, y = _orders()
+    nl = sum(1 for v in y if _RDD_CUT - _RDD_BW <= v < _RDD_CUT)
+    nr = sum(1 for v in y if _RDD_CUT <= v < _RDD_CUT + _RDD_BW)
+    z = (nr - nl) / math.sqrt(nr + nl)
+    row = REGISTRY["rdd_density_check"][0](spark, SF_DIR).collect()[0]
+    assert (row["n_left"], row["n_right"]) == (nl, nr)
+    assert abs(row["density_z"] - z) < 1e-6
+    assert row["manipulation_flag"] == (1 if abs(z) > 1.959964 else 0)
