@@ -789,3 +789,147 @@ def q_rdd_density_check(spark, sf_dir):
             "manipulation_flag"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Covariate balance (standardized mean differences) before vs after
+# CEM weighting — THE matching diagnostic (|SMD| < 0.1 = balanced):
+# raw SMD per covariate from the arm moments, weighted SMD with each
+# matched stratum's controls reweighted by m_t/m_c (the same weights
+# `cem_matching_att` applies to outcomes, applied to covariates).
+# ---------------------------------------------------------------------------
+
+
+def _smd_sql() -> str:
+    mom = lambda p, arm, x: (  # noqa: E731
+        f"SUM(CASE WHEN t = {arm} THEN 1 ELSE 0 END) * 1.0 AS {p}n,\n"
+        f"    {_irls_q9_sum(f'CASE WHEN t = {arm} THEN {x} END')} AS {p}s,\n"
+        f"    {_irls_q9_sum(f'CASE WHEN t = {arm} THEN {x} * {x} END')} AS {p}ss"
+    )
+    var = lambda p: f"(({p}ss - {p}s * {p}s / {p}n) / ({p}n - 1.0))"  # noqa: E731
+    smd = (
+        f"round((t_s / t_n - c_s / c_n)"
+        f" / sqrt(({var('t_')} + {var('c_')}) / 2.0), 6)"
+    )
+
+    def cov(name: str, x: str) -> str:
+        return f"""
+SELECT '{name}' AS covariate,
+       {smd} AS smd_raw,
+       round((t_s / t_n - wc_s / wc_n)
+             / sqrt(({var('t_')} + {var('c_')}) / 2.0), 6) + 0.0
+         AS smd_weighted
+FROM (
+  SELECT
+    {mom('t_', 1, x)},
+    {mom('c_', 0, x)}
+  FROM s
+) raw CROSS JOIN (
+  SELECT {_irls_q9_sum(f'w * {x}')} AS wc_s, {_irls_q9_sum('w')} AS wc_n
+  FROM sw WHERE t = 0
+) wtd
+"""
+
+    return f"""
+WITH s AS ({_TL_SRC.replace(' AS y', ' AS yo').replace('AS t,', 'AS t,')}),
+strata AS (
+  SELECT x1 AS k1, x2 AS k2,
+         CAST(SUM(t) AS DOUBLE) AS m_t, CAST(SUM(1 - t) AS DOUBLE) AS m_c
+  FROM s GROUP BY 1, 2
+),
+sw AS (
+  SELECT s.x1, s.x2, s.t,
+         CASE WHEN st.m_t > 0 AND st.m_c > 0 AND s.t = 0
+              THEN st.m_t / st.m_c ELSE 0.0 END AS w
+  FROM s JOIN strata st ON s.x1 = st.k1 AND s.x2 = st.k2
+)
+{cov('month', 'x1')}
+UNION ALL
+{cov('finished', 'x2')}
+ORDER BY covariate
+"""
+
+
+@register("covariate_balance_smd", _smd_sql())
+def q_covariate_balance_smd(spark, sf_dir):
+    """Standardized mean differences of the CEM covariates (order
+    month, finished flag) between the URGENT and control arms, raw vs
+    CEM-weighted: SMD = (x̄_t - x̄_c)/sqrt((s²_t + s²_c)/2), with the
+    weighted control mean using each matched stratum's m_t/m_c weight
+    — exactly the weights `cem_matching_att` applies to outcomes, so
+    balanced covariates certify the ATT row.  On exact-matching strata
+    the weighted SMDs are ~0 by construction — the diagnostic proves
+    it rather than assuming it.  Moments ride the 1e-9 DECIMAL grid.
+
+    Scale plan: one stratum group-by + a stratum-keyed broadcast join
+    for weights + conditional-moment aggregates — no windows."""
+    o = load_table(spark, sf_dir, "orders")
+    to_d = lambda c: c.cast("string").cast("double")  # noqa: E731
+    s = o.select(
+        F.month(F.col("o_orderdate").cast("date")).cast("long").alias("x1"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("x2"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0).alias("t"),
+    )
+
+    def q9_sum(term):
+        return to_d(F.sum(F.round(term, 9).cast("decimal(38, 9)")))
+
+    strata = s.groupBy(
+        F.col("x1").alias("k1"), F.col("x2").alias("k2")
+    ).agg(
+        F.sum("t").cast("double").alias("m_t"),
+        F.sum(1 - F.col("t")).cast("double").alias("m_c"),
+    )
+    sw = s.join(
+        F.broadcast(strata),
+        (s["x1"] == strata["k1"]) & (s["x2"] == strata["k2"]),
+    ).select(
+        "x1",
+        "x2",
+        "t",
+        F.when(
+            (F.col("m_t") > 0) & (F.col("m_c") > 0) & (F.col("t") == 0),
+            F.col("m_t") / F.col("m_c"),
+        )
+        .otherwise(0.0)
+        .alias("w"),
+    ).localCheckpoint(eager=True)
+
+    def cov(name, col):
+        x = F.col(col)
+        only = lambda arm, term: F.when(F.col("t") == arm, term)  # noqa: E731
+        raw = sw.agg(
+            F.count(only(1, F.lit(1))).cast("double").alias("t_n"),
+            q9_sum(only(1, x)).alias("t_s"),
+            q9_sum(only(1, x * x)).alias("t_ss"),
+            F.count(only(0, F.lit(1))).cast("double").alias("c_n"),
+            q9_sum(only(0, x)).alias("c_s"),
+            q9_sum(only(0, x * x)).alias("c_ss"),
+        )
+        wtd = sw.filter(F.col("t") == 0).agg(
+            q9_sum(F.col("w") * x).alias("wc_s"),
+            q9_sum(F.col("w")).alias("wc_n"),
+        )
+        var = lambda p: (  # noqa: E731
+            (F.col(f"{p}ss") - F.col(f"{p}s") * F.col(f"{p}s") / F.col(f"{p}n"))
+            / (F.col(f"{p}n") - 1.0)
+        )
+        denom = F.sqrt((var("t_") + var("c_")) / 2.0)
+        return raw.crossJoin(F.broadcast(wtd)).select(
+            F.lit(name).alias("covariate"),
+            F.round(
+                (F.col("t_s") / F.col("t_n") - F.col("c_s") / F.col("c_n"))
+                / denom,
+                6,
+            ).alias("smd_raw"),
+            (
+                F.round(
+                    (F.col("t_s") / F.col("t_n") - F.col("wc_s") / F.col("wc_n"))
+                    / denom,
+                    6,
+                )
+                + 0.0  # canonicalize IEEE -0.0 (exact balance) to +0.0
+            ).alias("smd_weighted"),
+        )
+
+    return cov("month", "x1").unionByName(cov("finished", "x2")).orderBy("covariate")

@@ -1416,3 +1416,40 @@ def test_rdd_density_check_matches_python(spark):
     assert (row["n_left"], row["n_right"]) == (nl, nr)
     assert abs(row["density_z"] - z) < 1e-6
     assert row["manipulation_flag"] == (1 if abs(z) > 1.959964 else 0)
+
+
+def test_covariate_balance_smd_matches_python(spark):
+    import math
+
+    x1, x2, tr, _ = _orders()
+    strata = defaultdict(lambda: [0, 0])
+    for a, b, t in zip(x1, x2, tr):
+        strata[(a, b)][0 if t else 1] += 1
+
+    def w_of(a, b, t):
+        mt, mc = strata[(a, b)]
+        return (mt / mc) if (t == 0 and mt > 0 and mc > 0) else 0.0
+
+    rows = {
+        r["covariate"]: r
+        for r in REGISTRY["covariate_balance_smd"][0](spark, SF_DIR).collect()
+    }
+    for name, xs in (("month", x1), ("finished", x2)):
+        tv = [x for x, t in zip(xs, tr) if t]
+        cv = [x for x, t in zip(xs, tr) if not t]
+        mt, mc = sum(tv) / len(tv), sum(cv) / len(cv)
+        vt = (sum(x * x for x in tv) - sum(tv) ** 2 / len(tv)) / (len(tv) - 1)
+        vc = (sum(x * x for x in cv) - sum(cv) ** 2 / len(cv)) / (len(cv) - 1)
+        denom = math.sqrt((vt + vc) / 2)
+        ws = [w_of(a, b, 0) for a, b, t in zip(x1, x2, tr) if not t]
+        wx = [
+            w_of(a, b, 0) * (a if name == "month" else b)
+            for a, b, t in zip(x1, x2, tr)
+            if not t
+        ]
+        wmean = sum(wx) / sum(ws)
+        r = rows[name]
+        assert abs(r["smd_raw"] - (mt - mc) / denom) < 1e-5
+        assert abs(r["smd_weighted"] - (mt - wmean) / denom) < 1e-5
+        # exact matching on these covariates ⇒ weighted balance ≈ 0
+        assert abs(r["smd_weighted"]) < 1e-4
