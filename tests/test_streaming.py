@@ -262,6 +262,62 @@ def test_stream_events_kafka_dispatch(spark):
         stream_events(spark, SF_DIR, source="pulsar")
 
 
+def test_kafka_seam_file_backed_twin_byte_identical(spark, tmp_path):
+    """VERDICT r5 ask #7: real rows through the kafka seam, no broker.
+    The whole events relation is serialized to Kafka-wire JSON messages
+    (one message per row, exactly what a producer would put on the
+    topic), streamed back through ``parse_kafka_events`` — the SAME
+    parse stage the `format("kafka")` branch feeds — and the result
+    must be byte-identical to the batch relation: same row multiset,
+    timestamps exact to the microsecond, nulls preserved."""
+    from pyspark.sql import functions as F
+
+    from network_ids_using_pyspark_spark.sources.tables import load_table
+    from network_ids_using_pyspark_spark.streaming.stream import (
+        KAFKA_TS_FORMAT,
+        parse_kafka_events,
+    )
+
+    events = load_table(spark, SF_DIR, "events")
+    wire_dir = str(tmp_path / "wire")
+    # produce: one JSON message per event, micro-exact timestamps
+    events.select(
+        F.to_json(
+            F.struct("event_id", "ts", "user_id", "event_type", "value", "props"),
+            {"timestampFormat": KAFKA_TS_FORMAT},
+        ).alias("value")
+    ).write.mode("overwrite").text(wire_dir)
+
+    # consume: a text stream IS the file-backed twin of the kafka load —
+    # same `value` column the broker would deliver, same parse plan after
+    twin = spark.readStream.text(wire_dir)
+    q = (
+        parse_kafka_events(twin)
+        .writeStream.format("memory")
+        .queryName("kafka_twin")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("kafka_twin")
+
+    def canon(df):
+        return sorted(
+            (
+                r["event_id"],
+                None if r["ts"] is None else r["ts"].isoformat(),
+                r["user_id"],
+                r["event_type"],
+                None if r["value"] is None else float(r["value"]),
+                r["props"],
+            )
+            for r in df.collect()
+        )
+
+    assert got.schema == events.schema
+    assert canon(got) == canon(events)
+
+
 def test_stream_markov_transitions_match_batch_python(spark):
     """The stateful journey-transition stream must reproduce the exact
     (src, dst, n) chain a plain-Python walk over the ordered events
