@@ -79,6 +79,26 @@ def main() -> None:
     os.close(real_fd)
 
 
+def _silence_exact_gate_warnings(spark) -> None:
+    """Bench-only log hygiene (VERDICT r5 ask #6): the reference
+    transcription and the registered exact certification gates
+    intentionally use unpartitioned windows (each has a range-partitioned
+    ``_scaled`` twin — see queries/rangescale.py), and their per-query
+    ``WindowExec: No Partition Defined`` warnings drowned every bench
+    tail.  Raise ONLY that logger to ERROR, only inside the bench
+    process, so sweep logs surface real engine anomalies; the engine
+    session factory (session.py) keeps WARN so tests and ad-hoc runs
+    still see the warning."""
+    try:
+        jvm = spark.sparkContext._jvm
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.sql.execution.window.WindowExec",
+            jvm.org.apache.logging.log4j.Level.ERROR,
+        )
+    except Exception as e:  # never let log cosmetics break the sweep
+        print(f"bench: WindowExec log suppression unavailable: {e}", file=sys.stderr)
+
+
 def _pipeline_comparison(spark, sf: str) -> dict[str, float]:
     """BASELINE comparison (BASELINE.md): engine pipeline vs a direct
     transcription of the reference's operator sequence, same data.
@@ -175,6 +195,7 @@ def _run() -> dict:
 
     if os.environ.get("SPARK_GRAFT_PIPELINE_ONLY") == "1":
         spark = get_spark(app_name="nids-bench-pipeline", cpus=cpus, shuffle_partitions=cpus)
+        _silence_exact_gate_warnings(spark)
         payload = {"pipeline_baseline_comparison": _pipeline_comparison(spark, sf)}
         spark.stop()
         return payload
@@ -184,6 +205,7 @@ def _run() -> dict:
         pipeline = _fresh_jvm_pipeline_comparison()
 
     spark = get_spark(app_name="nids-bench", cpus=cpus, shuffle_partitions=cpus)
+    _silence_exact_gate_warnings(spark)
 
     # Warmup: touch every fixture table once so JVM/JIT/file-index costs
     # don't land on whichever query happens to run first.

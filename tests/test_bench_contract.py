@@ -67,6 +67,24 @@ def test_headline_queries_all_registered():
     assert len(bench.HEADLINE_QUERIES) <= 32
 
 
+def test_bench_detail_covers_registry():
+    """VERDICT r5 ask #2: the registry outgrew the committed sweep
+    (452 registered vs 447 benched) because five queries landed after
+    the final r5 run.  This contract makes that impossible to repeat
+    silently: the committed full-sweep artifact must cover EVERY
+    registry entry, and every benched entry must still exist (no
+    zombie timings for renamed/deleted queries)."""
+    from network_ids_using_pyspark_spark.queries import REGISTRY
+
+    detail = json.load(open(os.path.join(REPO, "BENCH_DETAIL.json")))
+    benched = set(detail["queries"])
+    registered = set(REGISTRY)
+    missing = sorted(registered - benched)
+    assert not missing, f"registry entries never benched: {missing}"
+    zombies = sorted(benched - registered)
+    assert not zombies, f"benched entries no longer registered: {zombies}"
+
+
 def test_no_per_query_regression_vs_previous_round():
     """Round-over-round bench regression gate (VERDICT r4 ask #5): the
     committed per-round sweeps BENCH_DETAIL_r{N}.json are diffed — a
