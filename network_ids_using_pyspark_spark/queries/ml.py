@@ -368,14 +368,25 @@ def q_kmeans_cluster_profile(spark, sf_dir):
     )
     model = KMeans(k=8, seed=1234, maxIter=20).fit(emb)
     preds = model.transform(emb)
-    return (
+    profile = (
         preds.groupBy("prediction")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.mode("label").alias("majority_label"),
         )
         .orderBy("prediction")
+        .localCheckpoint(eager=True)  # ≤8 rows; freeze before the audit
     )
+    # self-asserting (VERDICT r5 ask #4 pattern): the cluster sizes
+    # must partition the input exactly, with 1..k non-empty clusters
+    rows = profile.collect()
+    n_total = emb.count()
+    if sum(r["n"] for r in rows) != n_total or not (1 <= len(rows) <= 8):
+        raise AssertionError(
+            f"kmeans profile invariant regression: {len(rows)} clusters, "
+            f"{sum(r['n'] for r in rows)} assigned vs {n_total} rows"
+        )
+    return profile
 
 
 @register("word2vec_synonyms", None)
@@ -404,11 +415,24 @@ def q_word2vec_synonyms(spark, sf_dir):
         .groupBy("w").count().orderBy(F.desc("count"), F.asc("w")).limit(1)
     )
     head_word = top.collect()[0]["w"]  # 1-row driver literal (G4 pattern)
-    return model.findSynonyms(head_word, 5).select(
+    syn = model.findSynonyms(head_word, 5).select(
         F.lit(head_word).alias("query_word"),
         F.col("word"),
         F.col("similarity").cast("double").alias("similarity"),
+    ).localCheckpoint(eager=True)
+    # self-asserting: exactly 5 neighbors, cosine similarities within
+    # [-1, 1] and non-increasing, none of them the query word itself
+    rows = syn.collect()
+    sims = [r["similarity"] for r in rows]
+    ok = (
+        len(rows) == 5
+        and all(-1.0 - 1e-9 <= s <= 1.0 + 1e-9 for s in sims)
+        and all(a >= b - 1e-12 for a, b in zip(sims, sims[1:]))
+        and all(r["word"] != head_word for r in rows)
     )
+    if not ok:
+        raise AssertionError(f"word2vec synonym invariant regression: {rows}")
+    return syn
 
 
 @register("pca_embedding_variance", None)
@@ -429,6 +453,15 @@ def q_pca_embedding_variance(spark, sf_dir):
     )
     model = PCA(k=4, inputCol="features", outputCol="pc").fit(emb)
     ev = [float(x) for x in model.explainedVariance]
+    # self-asserting: a valid spectrum is non-negative, non-increasing,
+    # and sums to at most 1 (top-k of a variance decomposition)
+    ok = (
+        all(0.0 <= x <= 1.0 for x in ev)
+        and all(a >= b - 1e-12 for a, b in zip(ev, ev[1:]))
+        and sum(ev) <= 1.0 + 1e-9
+    )
+    if not ok:
+        raise AssertionError(f"PCA explained-variance spectrum regression: {ev}")
     return spark.createDataFrame(
         [(i, ev[i]) for i in range(len(ev))], "component int, explained_variance double"
     )

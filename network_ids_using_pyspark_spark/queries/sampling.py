@@ -119,9 +119,30 @@ def q_stratified_sample_events(spark, sf_dir):
     (portable-hash membership, identical dataflow) — the form to use
     when cross-run/cross-engine reproducibility matters."""
     ev = load_table(spark, sf_dir, "events")
-    return stratified_sample(
-        ev, "event_type", {"click": 0.1, "view": 0.2, "purchase": 0.5}, seed=0
-    ).select("event_id", "event_type")
+    fractions = {"click": 0.1, "view": 0.2, "purchase": 0.5}
+    out = stratified_sample(ev, "event_type", fractions, seed=0).select(
+        "event_id", "event_type"
+    ).localCheckpoint(eager=True)
+    # self-asserting: each stratum's realized fraction must sit within
+    # 6 binomial standard errors of its target (a broken sampler —
+    # wrong stratum keys, ignored fractions — lands far outside).
+    # Two 3-row aggregates, bounded.
+    tot = {r["event_type"]: r["n"] for r in
+           ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()}
+    got = {r["event_type"]: r["n"] for r in
+           out.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()}
+    for etype, frac in fractions.items():
+        n = tot.get(etype, 0)
+        if n == 0:
+            continue
+        se = (frac * (1 - frac) / n) ** 0.5
+        realized = got.get(etype, 0) / n
+        if abs(realized - frac) > 6 * se + 1e-9:
+            raise AssertionError(
+                f"stratified sample fraction regression for {etype}: "
+                f"{realized:.4f} vs target {frac} (n={n})"
+            )
+    return out
 
 
 @register("random_split_invariants", None)  # split membership is Spark-specific
@@ -156,6 +177,13 @@ def q_random_split_invariants(spark, sf_dir):
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
+    # self-asserting (the rows-only check records only shape, so a
+    # broken split must RAISE, not render): halves disjoint + covering.
+    # Checkpoint first (single execution), then audit the 4 rows.
+    out = out.localCheckpoint(eager=True)
+    got = {r["part"]: r["n"] for r in out.collect()}
+    if got["overlap"] != 0 or got["lost"] != 0:
+        raise AssertionError(f"randomSplit invariant regression: {got}")
     return out
 
 

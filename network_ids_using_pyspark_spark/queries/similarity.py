@@ -249,6 +249,15 @@ def q_mllib_minhash_pairs(spark, sf_dir):
         .localCheckpoint(eager=True)  # materialize, then free the cache
     )
     vec.unpersist()
+    # self-asserting, distributed (pair count is unbounded — never
+    # collect it): every emitted pair must respect the join threshold
+    # and the a<b dedup orientation; one 1-row violation aggregate.
+    bad = out.filter(
+        (F.col("jaccard_dist") < 0) | (F.col("jaccard_dist") > 0.5)
+        | (F.col("doc_a") >= F.col("doc_b"))
+    ).count()
+    if bad:
+        raise AssertionError(f"MinHashLSH pair invariant regression: {bad} bad pairs")
     return out
 
 
@@ -266,7 +275,22 @@ def q_mllib_ann_topk(spark, sf_dir):
         inputCol="features", outputCol="hashes", bucketLength=2.0, numHashTables=3, seed=42
     ).fit(vec)
     probe = vec.filter(F.col("vec_id") == 0).collect()[0]["features"]
-    return lsh.approxNearestNeighbors(vec, probe, 6).select("vec_id", "distCol")
+    nn = lsh.approxNearestNeighbors(vec, probe, 6).select(
+        "vec_id", "distCol"
+    ).localCheckpoint(eager=True)
+    # self-asserting: ≤6 neighbors with non-negative distances, and the
+    # probe vector itself must surface at distance 0 (an ANN index that
+    # can't find the query point is broken).  ≤6-row collect.
+    rows = sorted(nn.collect(), key=lambda r: r["distCol"])
+    ok = (
+        0 < len(rows) <= 6
+        and all(r["distCol"] >= 0.0 for r in rows)
+        and rows[0]["vec_id"] == 0
+        and rows[0]["distCol"] == 0.0
+    )
+    if not ok:
+        raise AssertionError(f"ANN top-k invariant regression: {rows}")
+    return nn
 
 
 # ---------------------------------------------------------------------------

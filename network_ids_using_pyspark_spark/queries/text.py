@@ -369,7 +369,21 @@ def q_mllib_tfidf_norms(spark, sf_dir):
     idf = IDF(inputCol="tf", outputCol="tfidf").fit(tf).transform(tf)
     arr = vector_to_array("tfidf")
     norm = F.sqrt(F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x * x))
-    return idf.select("doc_id", norm.alias("tfidf_l2"))
+    out = idf.select("doc_id", norm.alias("tfidf_l2")).localCheckpoint(eager=True)
+    # self-asserting, distributed: one norm per document, all finite
+    # and non-negative, and at least one strictly positive (an all-zero
+    # featurization is a broken pipeline).  Two scalar aggregates.
+    stats = out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("tfidf_l2").alias("lo"),
+        F.max("tfidf_l2").alias("hi"),
+    ).collect()[0]
+    n_docs = docs.count()
+    if not (stats["n"] == n_docs and stats["lo"] >= 0.0 and stats["hi"] > 0.0):
+        raise AssertionError(
+            f"TF-IDF norm invariant regression: {stats} vs {n_docs} docs"
+        )
+    return out
 
 
 def _winnow_sql(k: int = 3, w: int = 4) -> str:
