@@ -183,3 +183,23 @@ def test_lr_binary_floors(spark):
     # must be strong, if below the tree family
     assert m["auc_roc"] >= 0.95, m
     assert m["accuracy"] >= 0.90, m
+
+
+def test_metric_floor_violation_raises(spark):
+    """The self-assert contract (VERDICT r5 ask #4): a metric below its
+    registered floor must RAISE (the driver's rows-only check then
+    records an err), and a passing frame must carry the floor columns."""
+    import pytest as _pytest
+
+    from network_ids_using_pyspark_spark.queries.ml import _metrics_df
+
+    with _pytest.raises(AssertionError, match="floor regression"):
+        _metrics_df(spark, "rf", {"f1": 0.1})
+    ok = _metrics_df(spark, "rf", {"f1": 0.99, "unfloored_extra": 123.0})
+    rows = {r["metric"]: r for r in ok.collect()}
+    assert rows["f1"]["floor"] == 0.97 and rows["f1"]["floor_met"] is True
+    assert rows["unfloored_extra"]["floor"] is None
+    assert rows["unfloored_extra"]["floor_met"] is None
+    # max-direction floors guard the other tail
+    with _pytest.raises(AssertionError, match="floor regression"):
+        _metrics_df(spark, "als_implicit", {"rmse_vs_purchased": 1.0})
