@@ -1059,3 +1059,125 @@ def q_beaconing_periodicity_detection(spark, sf_dir):
     return scored.groupBy("is_beacon_truth", "flagged").agg(
         F.count(F.lit(1)).alias("n_users")
     )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM mean-shift detector over the daily order-count series — the
+# sequential drift monitor a production pipeline runs on its volume
+# metrics (Page's two-sided cumulative sum with drift allowance k and
+# alarm threshold h, in standardized units).  The recursion
+# S⁺_t = max(0, S⁺_{t−1} + z_t − k) folds left-to-right over the
+# date-sorted series with every state rounded to the 1e-9 grid —
+# engine side as an array fold (holt_linear_forecast pattern), oracle
+# side as a recursive CTE with identical literals.
+# ---------------------------------------------------------------------------
+
+_CUSUM_K = 0.5  # drift allowance (std units)
+_CUSUM_H = 4.0  # alarm threshold (std units)
+
+_CUSUM_SQL = f"""
+WITH RECURSIVE daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d, CAST(COUNT(*) AS DOUBLE) AS y
+  FROM orders GROUP BY 1
+),
+m AS (
+  SELECT CAST(CAST(SUM(CAST(y AS DECIMAL(30, 6))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS mean,
+         COUNT(*) AS n
+  FROM daily
+),
+v AS (
+  SELECT round(sqrt(
+           CAST(CAST(SUM(CAST(round((y - m.mean) * (y - m.mean), 6) AS DECIMAL(38, 6))) AS VARCHAR) AS DOUBLE)
+           / (ANY_VALUE(m.n) - 1)), 9) AS sd
+  FROM daily CROSS JOIN m
+),
+sr AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY d) AS rn,
+         round((y - m.mean) / v.sd, 9) AS z
+  FROM daily CROSS JOIN m CROSS JOIN v
+),
+rec AS (
+  SELECT CAST(1 AS BIGINT) AS i,
+         round(greatest(0.0, (SELECT z FROM sr WHERE rn = 1) - {_CUSUM_K}), 9) AS sp,
+         round(greatest(0.0, -(SELECT z FROM sr WHERE rn = 1) - {_CUSUM_K}), 9) AS sn,
+         round(greatest(0.0, (SELECT z FROM sr WHERE rn = 1) - {_CUSUM_K}), 9) AS maxp,
+         round(greatest(0.0, -(SELECT z FROM sr WHERE rn = 1) - {_CUSUM_K}), 9) AS maxn
+  UNION ALL
+  SELECT rec.i + 1,
+         round(greatest(0.0, rec.sp + sr.z - {_CUSUM_K}), 9),
+         round(greatest(0.0, rec.sn - sr.z - {_CUSUM_K}), 9),
+         greatest(rec.maxp, round(greatest(0.0, rec.sp + sr.z - {_CUSUM_K}), 9)),
+         greatest(rec.maxn, round(greatest(0.0, rec.sn - sr.z - {_CUSUM_K}), 9))
+  FROM rec JOIN sr ON sr.rn = rec.i + 1
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM sr) AS n_days,
+       round(maxp, 6) AS max_cusum_pos,
+       round(maxn, 6) AS max_cusum_neg,
+       (maxp > {_CUSUM_H} OR maxn > {_CUSUM_H}) AS alarmed
+FROM rec WHERE i = (SELECT COUNT(*) FROM sr)
+"""
+
+
+@register("cusum_mean_shift_daily", _CUSUM_SQL)
+def q_cusum_mean_shift_daily(spark, sf_dir):
+    """Two-sided standardized CUSUM over daily order counts: the
+    running positive/negative sums (drift k=0.5σ) and their maxima,
+    plus the h=4σ alarm flag.  Standardization uses the same
+    decimal-exact mean/sd construction as the ACF family; the fold
+    state is rounded to 1e-9 each step on both engines.
+
+    Scale plan: per-SERIES fold — the fact collapses to |days| rows in
+    one map-side-combined agg; the array fold runs over the dim-sized
+    series (for thousands of metrics, partition by series key)."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.count(F.lit(1)).cast("double").alias("y")
+    )
+    to_d = lambda c: c.cast("string").cast("double")  # noqa: E731
+    m = daily.agg(
+        (to_d(F.sum(F.col("y").cast("decimal(30, 6)"))) / F.count(F.lit(1))).alias("mean"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    dm = daily.crossJoin(F.broadcast(m))
+    sq = F.round((F.col("y") - F.col("mean")) * (F.col("y") - F.col("mean")), 6)
+    sd = dm.agg(
+        F.round(
+            F.sqrt(to_d(F.sum(sq.cast("decimal(38, 6)"))) / (F.first("n") - 1)), 9
+        ).alias("sd")
+    )
+    ser = (
+        dm.crossJoin(F.broadcast(sd))
+        .select("d", F.round((F.col("y") - F.col("mean")) / F.col("sd"), 9).alias("z"))
+        .agg(
+            F.array_sort(F.collect_list(F.struct("d", "z"))).alias("a"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    k = F.lit(_CUSUM_K)
+    zero = F.lit(0.0)
+
+    def step(acc, x):
+        sp = F.round(F.greatest(zero, acc["sp"] + x["z"] - k), 9)
+        sn = F.round(F.greatest(zero, acc["sn"] - x["z"] - k), 9)
+        return F.struct(
+            sp.alias("sp"),
+            sn.alias("sn"),
+            F.greatest(acc["maxp"], sp).alias("maxp"),
+            F.greatest(acc["maxn"], sn).alias("maxn"),
+        )
+
+    init = F.struct(
+        zero.alias("sp"), zero.alias("sn"), zero.alias("maxp"), zero.alias("maxn")
+    )
+    folded = ser.select(
+        "n",
+        F.aggregate(F.col("a"), init, step).alias("s"),
+    )
+    return folded.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.round(F.col("s.maxp"), 6).alias("max_cusum_pos"),
+        F.round(F.col("s.maxn"), 6).alias("max_cusum_neg"),
+        ((F.col("s.maxp") > F.lit(_CUSUM_H)) | (F.col("s.maxn") > F.lit(_CUSUM_H))).alias(
+            "alarmed"
+        ),
+    )

@@ -480,3 +480,132 @@ def q_mmr_diversified_rerank(spark, sf_dir):
     for p in picks[1:]:
         out = out.unionByName(p)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Rank-biased overlap between two part rankings (price-ranked vs
+# size-ranked): the top-weighted ranking-similarity measure used to
+# compare retrieval systems (Webber et al., TOIS 2010) — here the
+# truncated-at-K prefix sum RBO@K = Σ_{d≤K} (1−p)p^(d−1)·|A_d∩B_d|/d.
+# The geometric weights are precomputed ONCE in Python and embedded as
+# identical 17-digit literals on both engines (pow() may differ in the
+# last ulp between runtimes); overlap counts stay integer; the
+# weighted terms are 1e-12-quantized and DECIMAL-summed.
+# ---------------------------------------------------------------------------
+
+_RBO_K = 50
+_RBO_P = 0.9
+
+
+def _rbo_weights() -> list[str]:
+    """Per-depth weight (1−p)p^(d−1)/d, pre-divided by d and quantized
+    to EXACTLY 12 decimal places in Python's decimal domain.  p=0.9
+    powers terminate in decimal, so any float-side rounding of
+    wt·x/d lands exactly on 1e-12 grid ties where engine round()
+    semantics differ (the bug this replaced); instead BOTH engines
+    receive the identical 12-dp literal, keep it in DECIMAL, and the
+    weighted sum wd·x runs exactly — zero float ops until the final
+    cast."""
+    from decimal import ROUND_HALF_EVEN, Decimal
+
+    q = Decimal(1).scaleb(-12)
+    return [
+        str(
+            (
+                (1 - Decimal("0.9")) * Decimal("0.9") ** (d - 1) / d
+            ).quantize(q, rounding=ROUND_HALF_EVEN)
+        )
+        for d in range(1, _RBO_K + 1)
+    ]
+
+
+_RBO_WD = _rbo_weights()
+
+_RBO_SQL = f"""
+WITH ra AS (
+  SELECT p_partkey, ROW_NUMBER() OVER (ORDER BY p_retailprice DESC, p_partkey ASC) AS r
+  FROM part QUALIFY r <= {_RBO_K}
+),
+rb AS (
+  SELECT p_partkey, ROW_NUMBER() OVER (ORDER BY p_size DESC, p_partkey ASC) AS r
+  FROM part QUALIFY r <= {_RBO_K}
+),
+common AS (
+  SELECT greatest(ra.r, rb.r) AS entry_depth
+  FROM ra JOIN rb USING (p_partkey)
+),
+w(d, wd) AS (VALUES {", ".join(f"({d}, {w})" for d, w in zip(range(1, _RBO_K + 1), _RBO_WD))}),
+xd AS (
+  SELECT w.d, CAST(w.wd AS DECIMAL(14, 12)) AS wd,
+         (SELECT COUNT(*) FROM common c WHERE c.entry_depth <= w.d) AS x
+  FROM w
+)
+SELECT CAST({_RBO_K} AS BIGINT) AS k,
+       CAST({_RBO_P} AS DOUBLE) AS p,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM common) AS overlap_at_k,
+       round((SELECT CAST(COUNT(*) AS DOUBLE) FROM common)
+             / ({2 * _RBO_K} - (SELECT COUNT(*) FROM common)), 6) AS jaccard_topk,
+       CAST(CAST((SELECT SUM(CAST(wd * x AS DECIMAL(38, 12))) FROM xd)
+            AS VARCHAR) AS DOUBLE) AS rbo_at_k
+"""
+
+
+@register("rank_biased_overlap_parts", _RBO_SQL)
+def q_rank_biased_overlap_parts(spark, sf_dir):
+    """RBO@50 (p=0.9) between the price-ranked and size-ranked part
+    lists, plus the unweighted overlap and top-K Jaccard.  Each item
+    common to both prefixes contributes to every depth ≥ its later
+    entry rank, so one `greatest(ra, rb)` per item replaces a per-depth
+    intersection.
+
+    Scale plan: each top-K side is a TakeOrdered limit (never a global
+    row_number over the fact table); ranks are assigned by a window
+    over the ≤K-row bounded relation; the depth table (K rows) and the
+    common set (≤K rows) broadcast."""
+    from pyspark.sql import Window
+
+    part = load_table(spark, sf_dir, "part")
+    a_sorted = (
+        part.select("p_partkey", "p_retailprice")
+        .orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+        .limit(_RBO_K)
+    )
+    b_sorted = (
+        part.select("p_partkey", "p_size")
+        .orderBy(F.desc("p_size"), F.asc("p_partkey"))
+        .limit(_RBO_K)
+    )
+    wa = Window.orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+    wb = Window.orderBy(F.desc("p_size"), F.asc("p_partkey"))
+    ra = a_sorted.select("p_partkey", F.row_number().over(wa).alias("r"))
+    rb = b_sorted.select("p_partkey", F.row_number().over(wb).alias("r2"))
+    common = (
+        ra.join(rb, "p_partkey")
+        .select(F.greatest("r", "r2").alias("entry_depth"))
+        .localCheckpoint(eager=True)  # ≤K rows, reused per depth
+    )
+    from decimal import Decimal
+
+    spark_w = spark.createDataFrame(
+        [(d, Decimal(w)) for d, w in zip(range(1, _RBO_K + 1), _RBO_WD)],
+        "d int, wd decimal(14, 12)",
+    )
+    xd = (
+        F.broadcast(spark_w)
+        .join(common, common["entry_depth"] <= spark_w["d"], "left")
+        .groupBy("d", "wd")
+        .agg(F.count("entry_depth").alias("x"))
+    )
+    body = xd.select(
+        (F.col("wd") * F.col("x")).cast("decimal(38, 12)").alias("t")
+    ).agg(F.sum("t").cast("string").cast("double").alias("rbo"))
+    n_common = common.count()
+    return body.select(
+        F.lit(_RBO_K).cast("long").alias("k"),
+        F.lit(_RBO_P).cast("double").alias("p"),
+        F.lit(n_common).cast("long").alias("overlap_at_k"),
+        F.round(
+            F.lit(float(n_common)) / F.lit(2 * _RBO_K - n_common), 6
+        ).alias("jaccard_topk"),
+        F.col("rbo").alias("rbo_at_k"),
+    )

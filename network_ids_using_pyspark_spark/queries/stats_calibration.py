@@ -1492,3 +1492,77 @@ def q_jarque_bera_normality(spark, sf_dir):
             F.col("n") / 6.0 * (F.pow(skew, 2.0) + F.pow(kurt, 2.0) / 4.0), 6
         ).alias("jarque_bera"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Cohen's kappa: chance-corrected agreement between two deterministic
+# document raters — the inter-annotator QA statistic every labeling
+# pipeline monitors before trusting its annotations.  Rater A accepts
+# on raw length (n_chars ≥ 300), rater B on token count (≥ 60 \s+
+# tokens); kappa stays INTEGER until one final division via
+# cross-multiplication:  κ = (n·agree − Σ marginals) / (n² − Σ marginals).
+# ---------------------------------------------------------------------------
+
+_KAPPA_A_CHARS = 300
+_KAPPA_B_TOKENS = 60
+
+_KAPPA_SQL = f"""
+WITH rated AS (
+  SELECT CASE WHEN n_chars >= {_KAPPA_A_CHARS} THEN 1 ELSE 0 END AS ra,
+         CASE WHEN len(regexp_split_to_array(trim(text), '\\s+')) >= {_KAPPA_B_TOKENS}
+              THEN 1 ELSE 0 END AS rb
+  FROM documents
+),
+cells AS (
+  SELECT COUNT(*) AS n,
+         SUM(CASE WHEN ra = 1 AND rb = 1 THEN 1 ELSE 0 END) AS n11,
+         SUM(CASE WHEN ra = 0 AND rb = 0 THEN 1 ELSE 0 END) AS n00,
+         SUM(ra) AS a1, SUM(rb) AS b1
+  FROM rated
+)
+SELECT CAST(n AS BIGINT) AS n_docs,
+       CAST(n11 + n00 AS BIGINT) AS n_agree,
+       CAST(n11 AS BIGINT) AS n_both_accept,
+       CAST(n - a1 - b1 + n11 AS BIGINT) AS n_both_reject_check,
+       round(CAST(n * (n11 + n00) - (a1 * b1 + (n - a1) * (n - b1)) AS DOUBLE)
+             / CAST(n * n - (a1 * b1 + (n - a1) * (n - b1)) AS DOUBLE), 6) AS kappa
+FROM cells
+"""
+
+
+@register("cohens_kappa_raters", _KAPPA_SQL)
+def q_cohens_kappa_raters(spark, sf_dir):
+    """Cohen's kappa between the length rater and the token-count
+    rater over the corpus.  Observed and expected agreement are held
+    as exact int64 cell counts; the single division at the end is the
+    only float op, so the statistic is bit-identical on both engines.
+
+    Scale plan: one map-side-combined aggregate over a projection of
+    (n_chars, token count) — no shuffle wider than the 1-row cell
+    relation; at 100 TB this is a pure scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    ra = (F.col("n_chars") >= _KAPPA_A_CHARS).cast("long")
+    rb = (
+        F.size(F.split(F.trim(F.col("text")), r"\s+")) >= _KAPPA_B_TOKENS
+    ).cast("long")
+    cells = docs.select(ra.alias("ra"), rb.alias("rb")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(((F.col("ra") == 1) & (F.col("rb") == 1)).cast("long")).alias("n11"),
+        F.sum(((F.col("ra") == 0) & (F.col("rb") == 0)).cast("long")).alias("n00"),
+        F.sum("ra").alias("a1"),
+        F.sum("rb").alias("b1"),
+    )
+    n, n11, n00 = F.col("n"), F.col("n11"), F.col("n00")
+    a1, b1 = F.col("a1"), F.col("b1")
+    chance = a1 * b1 + (n - a1) * (n - b1)
+    return cells.select(
+        n.cast("long").alias("n_docs"),
+        (n11 + n00).cast("long").alias("n_agree"),
+        n11.cast("long").alias("n_both_accept"),
+        (n - a1 - b1 + n11).cast("long").alias("n_both_reject_check"),
+        F.round(
+            (n * (n11 + n00) - chance).cast("double")
+            / (n * n - chance).cast("double"),
+            6,
+        ).alias("kappa"),
+    )

@@ -1819,3 +1819,118 @@ def q_stl_decompose_profile(spark, sf_dir):
     ).select("dow", "n_days", F.round("seasonal", 6).alias("seasonal"), "resid_mean", "resid_msq")
 
 
+
+
+# ---------------------------------------------------------------------------
+# Ljung-Box portmanteau test on the daily-count ACF: is the series
+# white noise, or is there autocorrelation at ANY lag ≤ h?  The formal
+# companion of `acf_daily_counts` (which reports the per-lag values):
+# Q = n(n+2) Σ_{k=1..h} ρ_k²/(n−k), compared against the χ²(h) 95%
+# critical value as an exact literal.  Each ρ_k is the already
+# 1e-6-quantized ACF, each Q term is quantized at 1e-12 and summed in
+# DECIMAL — bit-identical on both engines.
+# ---------------------------------------------------------------------------
+
+_LB_H = 7
+_LB_CHI2_95_DF7 = "14.067140449340169"  # qchisq(0.95, df=7), shared literal
+
+_LB_SQL = f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, COUNT(*) AS c FROM events GROUP BY 1
+),
+m AS (
+  SELECT CAST(CAST(SUM(CAST(c AS DECIMAL(30, 6))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS mean,
+         COUNT(*) AS n
+  FROM daily
+),
+den AS (
+  SELECT CAST(CAST(SUM(CAST(round((c - m.mean) * (c - m.mean), 6) AS DECIMAL(38, 6))) AS VARCHAR) AS DOUBLE) AS den
+  FROM daily CROSS JOIN m
+),
+lags AS (SELECT unnest(range(1, {_LB_H + 1})) AS lag),
+num AS (
+  SELECT l.lag,
+         CAST(CAST(SUM(CAST(round((a.c - m.mean) * (b.c - m.mean), 6) AS DECIMAL(38, 6))) AS VARCHAR) AS DOUBLE) AS num
+  FROM daily a
+  CROSS JOIN lags l
+  JOIN daily b ON b.d = a.d + CAST(l.lag AS INTEGER)
+  CROSS JOIN m
+  GROUP BY l.lag
+),
+rho AS (
+  SELECT lag, round(num / den.den, 6) AS r FROM num CROSS JOIN den
+),
+q AS (
+  SELECT CAST(CAST(SUM(CAST(round(r * r / (m.n - lag), 12) AS DECIMAL(38, 12))) AS VARCHAR) AS DOUBLE) AS body
+  FROM rho CROSS JOIN m
+)
+SELECT CAST(m.n AS BIGINT) AS n_days,
+       CAST({_LB_H} AS BIGINT) AS h,
+       round(m.n * (m.n + 2) * q.body, 6) AS q_stat,
+       (m.n * (m.n + 2) * q.body) > {_LB_CHI2_95_DF7} AS reject_white_noise_95
+FROM m CROSS JOIN q
+"""
+
+
+@register("ljung_box_acf_test", _LB_SQL)
+def q_ljung_box_acf_test(spark, sf_dir):
+    """Ljung-Box Q over the daily event counts at lags 1..7 — rejects
+    white noise when the fixture's weekly cycle is present.  Same exact
+    per-lag ACF construction as `acf_daily_counts` (lag equi-join on
+    the |days| relation, decimal-quantized sums), then Q as a 7-term
+    DECIMAL accumulation against the shared χ² critical literal.
+
+    Scale plan: identical to the ACF — the fact collapses to one row
+    per day in a single map-side-combined agg; everything after runs
+    on the dim-sized daily relation."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    dec = "decimal(30, 6)"
+    to_d = lambda c: c.cast("string").cast("double")  # noqa: E731
+    m = daily.agg(
+        (to_d(F.sum(F.col("c").cast(dec))) / F.count(F.lit(1))).alias("mean"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    dm = daily.crossJoin(F.broadcast(m))
+    cterm = F.round((F.col("c") - F.col("mean")) * (F.col("c") - F.col("mean")), 6)
+    den = dm.agg(to_d(F.sum(cterm.cast("decimal(38, 6)"))).alias("den"))
+    lags = (
+        daily.sparkSession.range(1, _LB_H + 1)
+        .select(F.col("id").cast("int").alias("lag"))
+    )
+    b = daily.select(F.col("d").alias("d2"), F.col("c").alias("c2"))
+    paired = (
+        dm.select("d", "c", "mean")
+        .crossJoin(F.broadcast(lags))
+        .join(b, F.col("d2") == F.expr("date_add(d, lag)"))
+    )
+    pterm = F.round((F.col("c") - F.col("mean")) * (F.col("c2") - F.col("mean")), 6)
+    num = paired.groupBy("lag").agg(
+        to_d(F.sum(pterm.cast("decimal(38, 6)"))).alias("num")
+    )
+    rho = num.crossJoin(F.broadcast(den)).select(
+        "lag", F.round(F.col("num") / F.col("den"), 6).alias("r")
+    )
+    q_body = (
+        rho.crossJoin(F.broadcast(m))
+        .select(
+            F.round(F.col("r") * F.col("r") / (F.col("n") - F.col("lag")), 12)
+            .cast("decimal(38, 12)")
+            .alias("t")
+        )
+        .agg(to_d(F.sum("t")).alias("body"))
+    )
+    return (
+        m.crossJoin(F.broadcast(q_body))
+        .select(
+            F.col("n").cast("long").alias("n_days"),
+            F.lit(_LB_H).cast("long").alias("h"),
+            F.round(F.col("n") * (F.col("n") + 2) * F.col("body"), 6).alias("q_stat"),
+            (
+                F.col("n") * (F.col("n") + 2) * F.col("body")
+                > F.lit(float(_LB_CHI2_95_DF7))
+            ).alias("reject_white_noise_95"),
+        )
+    )
