@@ -1559,3 +1559,43 @@ def test_readability_single_groupby(spark):
     plan = explain_str(df, "simple")
     assert plan.count("FileScan parquet") == 1
     assert "Join" not in plan and "Window" not in plan
+
+
+def test_round6_stats_no_window_operators(spark):
+    """The round-6 series statistics must do their recursions as array
+    folds over the day-grain relation, never as a window over fact
+    rows; kappa must be one scan of documents with no join."""
+    for name in ("ljung_box_acf_test", "cusum_mean_shift_daily"):
+        plan = explain_str(_df(spark, name), "simple")
+        assert "Window" not in plan, name
+    kappa = explain_str(_df(spark, "cohens_kappa_raters"), "simple")
+    assert "Window" not in kappa
+    assert "Join" not in kappa  # single-scan contingency aggregate
+
+
+def test_rbo_ranking_is_takeordered(spark):
+    """rank_biased_overlap_parts builds each top-K side with a limit
+    (TakeOrdered at the fact grain), never a global row_number over the
+    part table — asserted on the pre-checkpoint ranking plan."""
+    from pyspark.sql import Window, functions as F
+
+    from network_ids_using_pyspark_spark.queries.search import _RBO_K
+    from network_ids_using_pyspark_spark.sources.tables import load_table
+
+    part = load_table(spark, SF_DIR, "part")
+    a_sorted = (
+        part.select("p_partkey", "p_retailprice")
+        .orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+        .limit(_RBO_K)
+    )
+    plan = explain_str(a_sorted, "simple")
+    assert "TakeOrderedAndProject" in plan
+    # the rank assignment's window runs over the ≤K-row bounded side
+    ranked = a_sorted.select(
+        "p_partkey",
+        F.row_number()
+        .over(Window.orderBy(F.desc("p_retailprice"), F.asc("p_partkey")))
+        .alias("r"),
+    )
+    rplan = explain_str(ranked, "simple")
+    assert "TakeOrderedAndProject" in rplan  # window sits above the limit
