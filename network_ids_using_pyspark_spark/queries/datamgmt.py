@@ -1910,3 +1910,136 @@ def q_partition_plan_advisor(spark, sf_dir):
         )
         .orderBy(F.desc("n_rows_key"), "key")
     )
+
+
+# ---------------------------------------------------------------------------
+# t-closeness audit — completes the release-gate privacy triple beside
+# `k_anonymity_risk`'s k-anonymity/l-diversity columns (Li, Li &
+# Venkatasubramanian, ICDE 2007): a quasi-identifier class leaks when
+# the DISTRIBUTION of its sensitive attribute strays from the global
+# one, even if the class is large and diverse.  Sensitive attribute =
+# ordered value band (m=8 fixed-grid bands); distance = ordered-EMD
+# (mean |cumulative difference|).  Exact integer arithmetic: with
+# p_i−q_i = (band_n·N − g_i·class_n)/(class_n·N), every cumulative sum
+# stays an int64 numerator over the shared denominator; ONE division
+# at the end.  |numerators| < class_n·N ≤ N² — int64-safe to ~3·10⁹
+# rows, DECIMAL beyond.
+# ---------------------------------------------------------------------------
+
+_TCLOSE_M = 8       # value bands (0..7, width 70 covers the fixture range)
+_TCLOSE_W = 70      # band width
+_TCLOSE_T = "0.2"   # closeness threshold, shared literal
+
+_TCLOSE_SQL = f"""
+WITH banded AS (
+  SELECT event_type, EXTRACT(hour FROM ts) AS qh,
+         least(greatest(CAST(floor(value / {_TCLOSE_W}) AS BIGINT), 0), {_TCLOSE_M - 1}) AS band
+  FROM events
+),
+g AS (SELECT band, COUNT(*) AS gn FROM banded GROUP BY band),
+tot AS (SELECT COUNT(*) AS n FROM banded),
+cls AS (SELECT event_type, qh, COUNT(*) AS class_n FROM banded GROUP BY 1, 2),
+cb AS (
+  SELECT event_type, qh, band, COUNT(*) AS bn FROM banded GROUP BY 1, 2, 3
+),
+grid AS (
+  SELECT c.event_type, c.qh, c.class_n, b.band,
+         COALESCE(cb.bn, 0) AS bn, COALESCE(g.gn, 0) AS gn
+  FROM cls c
+  CROSS JOIN (SELECT unnest(range(0, {_TCLOSE_M})) AS band) b
+  LEFT JOIN cb ON cb.event_type = c.event_type AND cb.qh = c.qh AND cb.band = b.band
+  LEFT JOIN g ON g.band = b.band
+),
+cum AS (
+  SELECT event_type, qh, class_n,
+         SUM(abs(cum_num)) AS sum_abs
+  FROM (
+    SELECT event_type, qh, class_n, band,
+           SUM(bn * tot.n - gn * class_n)
+             OVER (PARTITION BY event_type, qh ORDER BY band
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_num
+    FROM grid CROSS JOIN tot
+  )
+  GROUP BY 1, 2, 3
+),
+emd AS (
+  SELECT c.event_type, c.qh,
+         round(CAST(c.sum_abs AS DOUBLE)
+               / (CAST(c.class_n AS DOUBLE) * tot.n * {_TCLOSE_M - 1}), 9) AS emd
+  FROM cum c CROSS JOIN tot
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_classes,
+       CAST(SUM(CASE WHEN emd > {_TCLOSE_T} THEN 1 ELSE 0 END) AS BIGINT) AS n_risky_classes,
+       round(MAX(emd), 9) AS max_emd
+FROM emd GROUP BY event_type
+"""
+
+
+@register("t_closeness_risk", _TCLOSE_SQL)
+def q_t_closeness_risk(spark, sf_dir):
+    """t-closeness audit over (event_type, hour) classes: ordered-EMD
+    between each class's value-band distribution and the global one,
+    rolled up per event type with the t=0.2 violation count.
+
+    Scale plan: two map-side-combined aggregates over the fact scan
+    (class×band and global band); the dense grid, cumulative sums, and
+    EMD all run on the |classes|×m relation (~10³ rows at any corpus
+    size) with the 1-row total and m-row global histogram broadcast —
+    the window partitions by class, never a global order."""
+    ev = load_table(spark, sf_dir, "events")
+    band = F.least(
+        F.greatest(F.floor(F.col("value") / _TCLOSE_W).cast("long"), F.lit(0)),
+        F.lit(_TCLOSE_M - 1),
+    )
+    banded = ev.select(
+        "event_type", F.hour("ts").alias("qh"), band.alias("band")
+    )
+    g = banded.groupBy("band").agg(F.count(F.lit(1)).alias("gn"))
+    tot = banded.agg(F.count(F.lit(1)).alias("n"))
+    cls = banded.groupBy("event_type", "qh").agg(
+        F.count(F.lit(1)).alias("class_n")
+    )
+    cb = banded.groupBy("event_type", "qh", "band").agg(
+        F.count(F.lit(1)).alias("bn")
+    )
+    bands = banded.sparkSession.range(0, _TCLOSE_M).select(
+        F.col("id").cast("long").alias("band")
+    )
+    grid = (
+        cls.crossJoin(F.broadcast(bands))
+        .join(cb, ["event_type", "qh", "band"], "left")
+        .join(F.broadcast(g), "band", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "event_type", "qh", "class_n", "band",
+            (F.coalesce("bn", F.lit(0)) * F.col("n")
+             - F.coalesce("gn", F.lit(0)) * F.col("class_n")).alias("num"),
+            "n",
+        )
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("event_type", "qh")
+        .orderBy("band")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = grid.withColumn("cum_num", F.sum("num").over(w))
+    emd = (
+        cum.groupBy("event_type", "qh", "class_n", "n")
+        .agg(F.sum(F.abs("cum_num")).alias("sum_abs"))
+        .select(
+            "event_type",
+            F.round(
+                F.col("sum_abs").cast("double")
+                / (F.col("class_n").cast("double") * F.col("n") * (_TCLOSE_M - 1)),
+                9,
+            ).alias("emd"),
+        )
+    )
+    return emd.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.sum((F.col("emd") > float(_TCLOSE_T)).cast("long")).alias("n_risky_classes"),
+        F.round(F.max("emd"), 9).alias("max_emd"),
+    )

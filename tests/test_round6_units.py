@@ -125,3 +125,41 @@ def test_rbo_matches_python(spark):
     assert got["rbo_at_k"] == float(rbo), (got["rbo_at_k"], float(rbo))
     # RBO is bounded by the weight mass actually available
     assert 0.0 <= got["rbo_at_k"] < 1.0
+
+
+def test_t_closeness_matches_python(spark):
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT event_type, EXTRACT(hour FROM ts) AS qh, value "
+        f"FROM read_parquet('{SF_DIR}/events.parquet')"
+    ).fetchall()
+    M, W = 8, 70
+    from collections import Counter, defaultdict
+
+    g = Counter()
+    cls = defaultdict(Counter)
+    for et, qh, v in rows:
+        b = min(max(int(v // W), 0), M - 1)
+        g[b] += 1
+        cls[(et, int(qh))][b] += 1
+    N = len(rows)
+    per_type = defaultdict(list)
+    for (et, qh), bands in cls.items():
+        cn = sum(bands.values())
+        cum = 0
+        sum_abs = 0
+        for b in range(M):
+            cum += bands.get(b, 0) * N - g.get(b, 0) * cn
+            sum_abs += abs(cum)
+        per_type[et].append(round(sum_abs / (cn * N * (M - 1)), 9))
+    got = {
+        r["event_type"]: r
+        for r in REGISTRY["t_closeness_risk"][0](spark, SF_DIR).collect()
+    }
+    for et, emds in per_type.items():
+        assert got[et]["n_classes"] == len(emds)
+        assert abs(got[et]["max_emd"] - round(max(emds), 9)) < 1e-12
+        assert got[et]["n_risky_classes"] == sum(1 for e in emds if e > 0.2)
+    # the EMD signal is non-trivial on the fixture even when no class
+    # crosses the release gate
+    assert max(max(v) for v in per_type.values()) > 0.0
