@@ -182,6 +182,29 @@ _ROUND_PRIORITY = [
     # scaled, winsorized_mean_orders, equidepth_histogram gate); stats
     # second-order tail (rfm, kaplan-meier, trimmed/rolling/lagged,
     # holt variants, tail_dependence, hash_uniformity, geo grid ops).
+    #
+    # ROUND-7 ROTATION PLAN (for the next builder; verify against
+    # CORRECTNESS_r06 before applying): with this window green, 166
+    # entries remain never-certified.  Suggested r7 window (all
+    # locally oracle-green at sf0.01 in the round-6 full-registry
+    # sweep): the five round-6 additions (ljung_box_acf_test,
+    # cohens_kappa_raters, cusum_mean_shift_daily,
+    # rank_biased_overlap_parts, t_closeness_risk — never
+    # driver-windowed), the functions_ext window/interval tail
+    # (lag_value_delta, range_frame_hour_sum, dense_hourly_counts,
+    # quantile_profile, active_users_dau_wau, user_activity_streaks,
+    # twap_daily_value, cohort_retention_matrix, bounce_rate_daily,
+    # interpolate_hourly_gaps), the relational tail (argmax,
+    # lateral/null-safe/semi/hinted joins, except_intersect_all,
+    # pareto/revenue-8020, pit_feature_join, share_of_parent_rollup,
+    # time_decayed_customer_value, trending_parts_rank_delta), the
+    # sampling family (kfold_cv_assignments, bottomk/weighted-topk,
+    # grouped_split_no_leakage, per_source_capped_sample,
+    # temporal_split_leakage), the sketch gates (hll-by-type,
+    # quantile-by-flag, union mergeability, kmv, bloom_fpr_audit,
+    # hash_uniformity_chi2, wau merge), and the now-self-asserting
+    # rows-only MLlib family (ml_train_*/mllib_*/word2vec/pca/
+    # kmeans) whose floor columns give the rows-only check teeth.
 ]
 
 
