@@ -71,140 +71,130 @@ from . import causal_ext  # noqa: E402,F401
 
 
 # The driver's correctness gate covers the FIRST 50 registry entries
-# (registration order).  Rounds 1-5 certified 243 distinct entries
-# (CORRECTNESS_r01-r05.json, zero oracle mismatches ever recorded;
-# the r5 window went 50/50 green).  Round 6's window executes VERDICT
-# r5 ask #1: drain the never-certified backlog (210 entries), leading
-# with the judge-named round-5 causal/attribution family
-# (causal_e2e_readout, markov/shapley attribution, AIPW/IPW/CEM/
-# uplift), the five post-sweep additions that have never been benched
-# or certified (covariate_balance_smd, iv_wald_estimator,
-# jarque_bera_normality, rdd_density_check,
-# theil_index_decomposition), the peak_concurrent_sessions gate +
-# _scaled twin pair, and the exact-stats tail (Kendall tau-b,
-# Spearman, Cox PH, Poisson GLM).  Every listed entry except the
-# flagship canary has NEVER appeared in a driver window — 49 new
-# certifications if the window goes green.  corpus_e2e_pipeline stays
-# in every window as the flagship canary.  Every entry NOT listed
-# keeps its relative order after the listed ones — nothing is ever
-# dropped.
+# (registration order).  Rounds 1-6 windowed 292 distinct entries
+# (CORRECTNESS_r01-r06.json; zero oracle mismatches ever recorded —
+# the only non-null ``err`` values are the driver's ``no_oracle``
+# marker on by-design rows-only entries).  Round 7's window executes
+# VERDICT r6 ask #1: rotate onto 49 more never-certified entries
+# (166 remained after r6), leading with the five round-6 additions
+# that have never been driver-windowed, then the functions_ext
+# window/interval tail, the relational_ext tail, the sampling/split
+# family, the sketch gates, and the now-floor-self-asserting MLlib
+# rows-only family (whose _METRIC_FLOORS raise inside the query, so
+# the driver's weaker rows-only check still has teeth).
+# corpus_e2e_pipeline stays in every window as the flagship canary.
+# Every entry NOT listed keeps its relative order after the listed
+# ones — nothing is ever dropped.
 _ROUND_PRIORITY = [
     # --- flagship regression canary (kept in every window) ---
     "corpus_e2e_pipeline",
-    # --- round-5 causal/attribution family (VERDICT r5 ask #1 lead) ---
-    "causal_e2e_readout",
-    "markov_attribution_removal",
-    "shapley_channel_attribution",
-    "aipw_doubly_robust_ate",
-    "propensity_ipw_ate",
-    "cem_matching_att",
-    "uplift_tlearner_segments",
-    "rdd_cutoff_effect",
-    "chow_break_test",
-    "markov_entropy_rate",
-    "diff_in_diff_readout",
-    # --- five post-r5-sweep additions (never benched or certified) ---
-    "iv_wald_estimator",
-    "rdd_density_check",
-    "covariate_balance_smd",
-    "theil_index_decomposition",
-    "jarque_bera_normality",
-    # --- interval-analytics gate + scale twin (r5 proactive pattern) ---
-    "peak_concurrent_sessions",
-    "peak_concurrent_sessions_scaled",
-    # --- exact-stats tail named in VERDICT r5 ---
-    "kendall_tau_contingency",
-    "spearman_rho_contingency",
-    "cox_ph_exact",
-    "poisson_glm_exact",
-    # --- model-evaluation / experimentation stats (never windowed) ---
-    "mantel_haenszel_or",
-    "brier_decomposition",
-    "model_gains_table",
-    "ab_mde_readout",
-    "group_sequential_obf",
-    "mcnemar_langid_vs_baseline",
-    "lda_two_class_exact",
-    "mahalanobis_outlier_topk",
-    "james_stein_source_means",
-    "simpson_paradox_detector",
-    "overdispersion_daily_counts",
-    "circular_hour_stats",
-    "woe_iv_binning",
-    "kl_divergence_by_source",
-    "embedding_isotropy_profile",
-    "stream_markov_transitions",
-    # --- classical hypothesis-test / time-series tail ---
-    "welch_ttest_urgent_orders",
-    "anova_oneway_priority",
-    "acf_daily_counts",
-    "theil_sen_daily_trend",
-    "holt_winters_seasonal_forecast",
-    "stl_decompose_profile",
-    "wilson_conversion_intervals",
-    "conversion_rate_ab_ztest",
-    "ab_quantile_treatment_effects",
-    "neyman_allocation",
-    "fdr_bh_metric_screen",
+    # --- the five round-6 additions (never driver-windowed) ---
+    "ljung_box_acf_test",
+    "cohens_kappa_raters",
+    "cusum_mean_shift_daily",
+    "rank_biased_overlap_parts",
+    "t_closeness_risk",
+    # --- functions_ext window/interval-analytics tail ---
+    "lag_value_delta",
+    "range_frame_hour_sum",
+    "dense_hourly_counts",
+    "quantile_profile",
+    "active_users_dau_wau",
+    "user_activity_streaks",
+    "twap_daily_value",
+    "cohort_retention_matrix",
+    "bounce_rate_daily",
+    "interpolate_hourly_gaps",
+    # --- relational_ext tail ---
+    "argmax_aggregates",
+    "lateral_topk_orders",
+    "null_safe_join_counts",
+    "semi_join_discounted_orders",
+    "hinted_merge_join_counts",
+    "except_intersect_all_bags",
+    "pareto_frontier_orders",
+    "revenue_pareto_8020",
+    "pit_feature_join",
+    "share_of_parent_rollup",
+    "time_decayed_customer_value",
+    "trending_parts_rank_delta",
+    # --- sampling / split family ---
+    "kfold_cv_assignments",
+    "bottomk_uniform_sample",
+    "weighted_topk_sample_es",
+    "grouped_split_no_leakage",
+    "per_source_capped_sample",
+    "temporal_split_leakage",
+    # --- sketch gates ---
+    "hll_distinct_by_type_check",
+    "quantile_sketch_by_flag_check",
+    "hll_union_mergeability",
+    "kmv_jaccard_sources",
+    "bloom_fpr_audit",
+    "hash_uniformity_chi2",
+    "wau_hll_window_merge",
+    # --- MLlib rows-only family (self-asserting metric floors) ---
+    "ml_tuned_dt_depth",
+    "ml_train_gbt_binary",
+    "ml_train_lr_binary",
+    "ml_train_linreg",
+    "ml_train_als_implicit",
+    "ml_cv_dt_kfold",
+    "ml_isotonic_calibration",
+    "ml_conformal_coverage",
+    "mllib_fpgrowth_itemsets",
     # --- 50-entry window boundary ---
-    # Remaining never-certified backlog (~160 after this window, all
-    # locally oracle-green via tests/test_parity.py — rotate in over
-    # rounds 7-9), by family: sampling/split (kfold_cv_assignments,
-    # bottomk/weighted-topk samples, grouped_split_no_leakage,
-    # temporal_split_leakage, per_source_capped_sample); the
-    # functions_ext/window tail (lag_value_delta, range_frame_hour_sum,
-    # json_props_stats, multi_distinct_lineitem, dense_hourly_counts,
-    # quantile_profile, pivot/unpivot, map/array/bitwise profiles,
-    # interval analytics: active_users_dau_wau, user_activity_streaks,
-    # twap_daily_value, cohort_retention_matrix, bounce_rate_daily);
-    # relational_ext (salted_user_counts, argmax, hinted-merge/lateral/
-    # null-safe/semi joins, except-intersect-all, pareto/revenue-8020,
-    # pit_feature_join, rollups); rows-only MLlib extensions
-    # (word2vec, pca, gbt, als, fpgrowth, cv-kfold, isotonic/conformal
-    # — now self-asserting metric floors per VERDICT r5 ask #4);
-    # streaming tail (restart/state-store, recordlog sinks/ingest);
-    # ingest formats (jsonl/orc/xml/binary-file scans); corpus/text
-    # tail (bigram_lm_logloss, psi_split_drift, boilerplate_gram_share,
-    # span_mask_augment, nucleus_vocab_coverage, zipf/feature-hash,
-    # rake/lexdiv/readability, gopher/c4 filters, kn_bigram_score);
-    # sketch gates (hll-by-type, quantile-by-flag, union mergeability,
-    # hash uniformity, wau merge, kmv, bloom_fpr_audit); search
-    # (hybrid_search_rrf, search_ranking_metrics); datamgmt
+    # Remaining never-certified backlog (117 after this window, all
+    # locally oracle-green via tests/test_parity.py — VERDICT r6 ask
+    # #6: drain the rest in r8 so every registry entry has a driver
+    # row, then flip rotation policy to re-certifying oldest greens).
+    # By family: pyapi surface (variant_props_stats, cogroup_asof,
+    # arrow_token_bins, udtf_chunk_profile/analyze, observe metrics,
+    # pandas-api, parameterized sql, grouped_agg_udf_median,
+    # session_variable_threshold, rolling_robust_zscore_flags);
+    # graph (kcore, sssp, ppr, assortativity, hits); corpus/text
+    # tail (bigram_lm_logloss, psi_split_drift, boilerplate_gram_
+    # share, span_mask_augment, nucleus_vocab_coverage, zipf/feature-
+    # hash, rake/lexdiv/readability, gopher/c4 filters, kn_bigram_
+    # score, corpus_drift_chi2, url_host_stats, text_normalize,
+    # collated_token_histogram, lang_id_eval_metrics, quantile_norm,
+    # weighted_median_length_by_source, dataset_card_report,
+    # bpe_fertility_by_lang, arrow_udf_fingerprint); datamgmt/privacy
     # (compaction, schema evolution, pseudonymize, quarantine,
-    # snapshot diff, k-anonymity, dp counts, skew gini, dict encoding,
-    # RI/FD audits, partition_plan_advisor); anomaly/session analytics
-    # (funnel, transition matrix, MAD outliers, seasonal naive/robust,
-    # beaconing, attribution_first_vs_last); pyapi surface (cogroup/
-    # udtf/observe/pandas-api/variant/params); graph (kcore, sssp,
-    # ppr, assortativity, hits); trainprep/entity/assoc remainder
-    # (preference_pair_mining, loo_source_ablation, er_golden_records,
-    # itemcf, gsp/prefixspan); rangescale gates (exact_percentiles_
-    # scaled, winsorized_mean_orders, equidepth_histogram gate); stats
-    # second-order tail (rfm, kaplan-meier, trimmed/rolling/lagged,
-    # holt variants, tail_dependence, hash_uniformity, geo grid ops).
+    # snapshot diff, dynamic-partition-overwrite, k_anonymity_risk,
+    # dp_noisy_daily_counts, key_skew_gini, dict encoding, RI/FD
+    # audits, partition_plan_advisor); anomaly/session analytics
+    # (funnel, transition matrix, MAD outliers, seasonal naive/
+    # robust, beaconing, attribution_first_vs_last); streaming tail
+    # (restart/state-store, recordlog sinks/ingest); ingest formats
+    # (jsonl/orc/xml/binary-file scans); stats second-order tail
+    # (rfm, kaplan-meier, revenue_mix, trimmed/rolling/lagged, holt
+    # variants, tail_dependence, geo grid ops); relational/window
+    # leftovers (salted_user_counts, json_props_stats, multi_
+    # distinct_lineitem, value_histogram, orders_by_month, promo_
+    # parts_by_brand, window_rank_functions, user_event_sequences,
+    # customer_name_features, unpivot, event_time_parts, map/try/
+    # bitwise/array profiles, equidepth_histogram gate, event_type_
+    # trigrams, dwell_time_by_type, conversion_latency_quantiles,
+    # episode_follow_counts, new_vs_returning, interorder_gap);
+    # search (hybrid_search_rrf, search_ranking_metrics); trainprep/
+    # entity/assoc (length_band_filter, source_temperature_sample,
+    # preference_pair_mining, loo_source_ablation, er_golden_records,
+    # itemcf, gsp/prefixspan); clustering (dbscan_grid, kcenter_
+    # coreset); rangescale gates (exact_percentiles_scaled,
+    # winsorized_mean_orders); remaining rows-only MLlib
+    # (mllib_minhash_pairs, word2vec_synonyms, pca_embedding_
+    # variance).
     #
-    # ROUND-7 ROTATION PLAN (for the next builder; verify against
-    # CORRECTNESS_r06 before applying): with this window green, 166
-    # entries remain never-certified.  Suggested r7 window (all
-    # locally oracle-green at sf0.01 in the round-6 full-registry
-    # sweep): the five round-6 additions (ljung_box_acf_test,
-    # cohens_kappa_raters, cusum_mean_shift_daily,
-    # rank_biased_overlap_parts, t_closeness_risk — never
-    # driver-windowed), the functions_ext window/interval tail
-    # (lag_value_delta, range_frame_hour_sum, dense_hourly_counts,
-    # quantile_profile, active_users_dau_wau, user_activity_streaks,
-    # twap_daily_value, cohort_retention_matrix, bounce_rate_daily,
-    # interpolate_hourly_gaps), the relational tail (argmax,
-    # lateral/null-safe/semi/hinted joins, except_intersect_all,
-    # pareto/revenue-8020, pit_feature_join, share_of_parent_rollup,
-    # time_decayed_customer_value, trending_parts_rank_delta), the
-    # sampling family (kfold_cv_assignments, bottomk/weighted-topk,
-    # grouped_split_no_leakage, per_source_capped_sample,
-    # temporal_split_leakage), the sketch gates (hll-by-type,
-    # quantile-by-flag, union mergeability, kmv, bloom_fpr_audit,
-    # hash_uniformity_chi2, wau merge), and the now-self-asserting
-    # rows-only MLlib family (ml_train_*/mllib_*/word2vec/pca/
-    # kmeans) whose floor columns give the rows-only check teeth.
+    # ROUND-8 ROTATION PLAN (for the next builder; verify against
+    # CORRECTNESS_r07 before applying): with this window green, 117
+    # entries remain — 2.3 windows.  Lead r8 with the graph family,
+    # the pyapi surface, the datamgmt/privacy tail (k_anonymity_risk,
+    # dp_noisy_daily_counts — certified siblings of the r7-windowed
+    # t_closeness_risk), the anomaly/session family, and the corpus/
+    # text tail; r9 takes the remainder (ingest formats, streaming
+    # tail, stats second-order, relational leftovers), after which
+    # rotation re-certifies the oldest greens (r1 entries first).
 ]
 
 

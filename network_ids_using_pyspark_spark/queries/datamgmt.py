@@ -908,149 +908,13 @@ def q_dynamic_partition_overwrite_roundtrip(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# Privacy risk: k-anonymity / l-diversity audit over quasi-identifiers.
+# Privacy release-gate triple (k_anonymity_risk, dp_noisy_daily_counts,
+# t_closeness_risk) lives in privacy.py (VERDICT r6 ask #5 file-size
+# split).  Imported HERE — the k-anonymity block's original position —
+# so registration order is preserved exactly.
 # ---------------------------------------------------------------------------
+from . import privacy  # noqa: E402,F401
 
-_KANON_K = 5  # minimum safe equivalence-class size
-_LDIV_L = 3  # minimum distinct sensitive values per class
-
-_KANON_SQL = f"""
-WITH classes AS (
-  SELECT event_type,
-         EXTRACT(hour FROM ts) AS qh,
-         CAST(floor(value / 50) AS BIGINT) AS qv,
-         COUNT(*) AS class_n,
-         COUNT(DISTINCT user_id) AS n_users
-  FROM events
-  GROUP BY 1, 2, 3
-)
-SELECT event_type,
-       CAST(COUNT(*) AS BIGINT) AS n_classes,
-       CAST(SUM(CASE WHEN class_n < {_KANON_K} THEN 1 ELSE 0 END) AS BIGINT)
-         AS n_risky_classes,
-       CAST(SUM(CASE WHEN class_n < {_KANON_K} THEN class_n ELSE 0 END) AS BIGINT)
-         AS n_risky_rows,
-       CAST(SUM(CASE WHEN n_users < {_LDIV_L} THEN 1 ELSE 0 END) AS BIGINT)
-         AS n_low_diversity_classes
-FROM classes GROUP BY event_type
-"""
-
-
-@register("k_anonymity_risk", _KANON_SQL)
-def q_k_anonymity_risk(spark, sf_dir):
-    """Re-identification risk audit: equivalence classes over the
-    quasi-identifier tuple (event_type, hour-of-day, value band) with
-    k-anonymity (class size < {_KANON_K}) and l-diversity (distinct
-    users < {_LDIV_L}) violation counts per event type — the gate a
-    release pipeline runs before publishing "anonymized" activity data
-    (pairs with `pseudonymize_user_activity`, which hides identifiers
-    but cannot fix small equivalence classes).
-
-    Scale plan: one scan → one aggregate keyed by the quasi-identifier
-    tuple (map-side combined; the distinct-user count is the only
-    shuffle-widening term and is bounded per class), then a type-keyed
-    rollup of the class relation.  Purely integer outputs."""
-    ev = load_table(spark, sf_dir, "events")
-    classes = ev.groupBy(
-        "event_type",
-        F.hour("ts").alias("qh"),
-        F.floor(F.col("value") / 50).cast("long").alias("qv"),
-    ).agg(
-        F.count(F.lit(1)).alias("class_n"),
-        F.countDistinct("user_id").alias("n_users"),
-    )
-    return classes.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n_classes"),
-        F.sum(F.when(F.col("class_n") < _KANON_K, 1).otherwise(0))
-        .cast("long")
-        .alias("n_risky_classes"),
-        F.sum(F.when(F.col("class_n") < _KANON_K, F.col("class_n")).otherwise(0))
-        .cast("long")
-        .alias("n_risky_rows"),
-        F.sum(F.when(F.col("n_users") < _LDIV_L, 1).otherwise(0))
-        .cast("long")
-        .alias("n_low_diversity_classes"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# Differential-privacy-style noisy release: per-(type, day) counts with
-# seeded Laplace noise.  The noise is drawn by inverse-CDF over the
-# PORTABLE hash uniform — deterministic and bit-identical across
-# engines, which is what makes a noisy release *reproducible* (the
-# production property: re-running the pipeline must publish the same
-# noisy table, not re-draw fresh noise; the seed is the privacy budget
-# ledger's job).
-# ---------------------------------------------------------------------------
-
-_DP_EPS = 1.0  # per-release epsilon; sensitivity 1 → Laplace scale 1/eps
-
-_DP_SQL = f"""
-WITH daily AS (
-  SELECT event_type,
-         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS epoch_day,
-         COUNT(*) AS n
-  FROM events GROUP BY 1, 2
-),
-u AS (
-  SELECT event_type, epoch_day, n,
-         CAST({{h}} AS DOUBLE) / {{space}} - 0.5 AS u
-  FROM daily
-)
-SELECT event_type, CAST(epoch_day AS BIGINT) AS epoch_day,
-       CAST(n AS BIGINT) AS true_n,
-       round(n + (1.0 / {_DP_EPS}) * CASE WHEN u < 0 THEN 1 ELSE -1 END
-               * ln(1 - 2 * abs(u)), 6) AS noisy_n
-FROM u
-"""
-
-
-def _dp_sql() -> str:
-    from ..functions.hashing import HASH_SPACE, portable_hash64_sql
-
-    h = portable_hash64_sql("concat(event_type, ':', CAST(epoch_day AS VARCHAR))", seed="dp1:")
-    return _DP_SQL.replace("{h}", h).replace("{space}", f"{HASH_SPACE}.0")
-
-
-@register("dp_noisy_daily_counts", _dp_sql())
-def q_dp_noisy_daily_counts(spark, sf_dir):
-    """Seeded-Laplace noisy daily counts per event type (inverse-CDF
-    over the portable md5 uniform, scale 1/ε with ε={_DP_EPS}).  Noise
-    is a pure function of (seed, cell key): the release is reproducible
-    AND oracle-checkable, replacing nondeterministic `rand()` exactly
-    as the engine's sampling family does.
-
-    Scale plan: one scan → map-side-combined (type, day) aggregate;
-    the noise term is a per-row built-in expression (md5/ln), no
-    shuffle beyond the aggregate, output calendar-bounded."""
-    from ..functions.hashing import HASH_SPACE, portable_hash64
-
-    ev = load_table(spark, sf_dir, "events")
-    daily = ev.groupBy(
-        "event_type",
-        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")).alias(
-            "epoch_day"
-        ),
-    ).agg(F.count(F.lit(1)).alias("n"))
-    u = (
-        portable_hash64(
-            F.concat(F.col("event_type"), F.lit(":"), F.col("epoch_day").cast("string")),
-            seed="dp1:",
-        ).cast("double")
-        / F.lit(float(HASH_SPACE))
-        - 0.5
-    )
-    noise = (
-        F.lit(1.0 / _DP_EPS)
-        * F.when(u < 0, 1).otherwise(-1)
-        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(u))
-    )
-    return daily.select(
-        "event_type",
-        F.col("epoch_day").cast("long").alias("epoch_day"),
-        F.col("n").cast("long").alias("true_n"),
-        F.round(F.col("n") + noise, 6).alias("noisy_n"),
-    )
 
 
 # ---------------------------------------------------------------------------
@@ -1912,134 +1776,3 @@ def q_partition_plan_advisor(spark, sf_dir):
     )
 
 
-# ---------------------------------------------------------------------------
-# t-closeness audit — completes the release-gate privacy triple beside
-# `k_anonymity_risk`'s k-anonymity/l-diversity columns (Li, Li &
-# Venkatasubramanian, ICDE 2007): a quasi-identifier class leaks when
-# the DISTRIBUTION of its sensitive attribute strays from the global
-# one, even if the class is large and diverse.  Sensitive attribute =
-# ordered value band (m=8 fixed-grid bands); distance = ordered-EMD
-# (mean |cumulative difference|).  Exact integer arithmetic: with
-# p_i−q_i = (band_n·N − g_i·class_n)/(class_n·N), every cumulative sum
-# stays an int64 numerator over the shared denominator; ONE division
-# at the end.  |numerators| < class_n·N ≤ N² — int64-safe to ~3·10⁹
-# rows, DECIMAL beyond.
-# ---------------------------------------------------------------------------
-
-_TCLOSE_M = 8       # value bands (0..7, width 70 covers the fixture range)
-_TCLOSE_W = 70      # band width
-_TCLOSE_T = "0.2"   # closeness threshold, shared literal
-
-_TCLOSE_SQL = f"""
-WITH banded AS (
-  SELECT event_type, EXTRACT(hour FROM ts) AS qh,
-         least(greatest(CAST(floor(value / {_TCLOSE_W}) AS BIGINT), 0), {_TCLOSE_M - 1}) AS band
-  FROM events
-),
-g AS (SELECT band, COUNT(*) AS gn FROM banded GROUP BY band),
-tot AS (SELECT COUNT(*) AS n FROM banded),
-cls AS (SELECT event_type, qh, COUNT(*) AS class_n FROM banded GROUP BY 1, 2),
-cb AS (
-  SELECT event_type, qh, band, COUNT(*) AS bn FROM banded GROUP BY 1, 2, 3
-),
-grid AS (
-  SELECT c.event_type, c.qh, c.class_n, b.band,
-         COALESCE(cb.bn, 0) AS bn, COALESCE(g.gn, 0) AS gn
-  FROM cls c
-  CROSS JOIN (SELECT unnest(range(0, {_TCLOSE_M})) AS band) b
-  LEFT JOIN cb ON cb.event_type = c.event_type AND cb.qh = c.qh AND cb.band = b.band
-  LEFT JOIN g ON g.band = b.band
-),
-cum AS (
-  SELECT event_type, qh, class_n,
-         SUM(abs(cum_num)) AS sum_abs
-  FROM (
-    SELECT event_type, qh, class_n, band,
-           SUM(bn * tot.n - gn * class_n)
-             OVER (PARTITION BY event_type, qh ORDER BY band
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_num
-    FROM grid CROSS JOIN tot
-  )
-  GROUP BY 1, 2, 3
-),
-emd AS (
-  SELECT c.event_type, c.qh,
-         round(CAST(c.sum_abs AS DOUBLE)
-               / (CAST(c.class_n AS DOUBLE) * tot.n * {_TCLOSE_M - 1}), 9) AS emd
-  FROM cum c CROSS JOIN tot
-)
-SELECT event_type,
-       CAST(COUNT(*) AS BIGINT) AS n_classes,
-       CAST(SUM(CASE WHEN emd > {_TCLOSE_T} THEN 1 ELSE 0 END) AS BIGINT) AS n_risky_classes,
-       round(MAX(emd), 9) AS max_emd
-FROM emd GROUP BY event_type
-"""
-
-
-@register("t_closeness_risk", _TCLOSE_SQL)
-def q_t_closeness_risk(spark, sf_dir):
-    """t-closeness audit over (event_type, hour) classes: ordered-EMD
-    between each class's value-band distribution and the global one,
-    rolled up per event type with the t=0.2 violation count.
-
-    Scale plan: two map-side-combined aggregates over the fact scan
-    (class×band and global band); the dense grid, cumulative sums, and
-    EMD all run on the |classes|×m relation (~10³ rows at any corpus
-    size) with the 1-row total and m-row global histogram broadcast —
-    the window partitions by class, never a global order."""
-    ev = load_table(spark, sf_dir, "events")
-    band = F.least(
-        F.greatest(F.floor(F.col("value") / _TCLOSE_W).cast("long"), F.lit(0)),
-        F.lit(_TCLOSE_M - 1),
-    )
-    banded = ev.select(
-        "event_type", F.hour("ts").alias("qh"), band.alias("band")
-    )
-    g = banded.groupBy("band").agg(F.count(F.lit(1)).alias("gn"))
-    tot = banded.agg(F.count(F.lit(1)).alias("n"))
-    cls = banded.groupBy("event_type", "qh").agg(
-        F.count(F.lit(1)).alias("class_n")
-    )
-    cb = banded.groupBy("event_type", "qh", "band").agg(
-        F.count(F.lit(1)).alias("bn")
-    )
-    bands = banded.sparkSession.range(0, _TCLOSE_M).select(
-        F.col("id").cast("long").alias("band")
-    )
-    grid = (
-        cls.crossJoin(F.broadcast(bands))
-        .join(cb, ["event_type", "qh", "band"], "left")
-        .join(F.broadcast(g), "band", "left")
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "event_type", "qh", "class_n", "band",
-            (F.coalesce("bn", F.lit(0)) * F.col("n")
-             - F.coalesce("gn", F.lit(0)) * F.col("class_n")).alias("num"),
-            "n",
-        )
-    )
-    from pyspark.sql import Window
-
-    w = (
-        Window.partitionBy("event_type", "qh")
-        .orderBy("band")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    cum = grid.withColumn("cum_num", F.sum("num").over(w))
-    emd = (
-        cum.groupBy("event_type", "qh", "class_n", "n")
-        .agg(F.sum(F.abs("cum_num")).alias("sum_abs"))
-        .select(
-            "event_type",
-            F.round(
-                F.col("sum_abs").cast("double")
-                / (F.col("class_n").cast("double") * F.col("n") * (_TCLOSE_M - 1)),
-                9,
-            ).alias("emd"),
-        )
-    )
-    return emd.groupBy("event_type").agg(
-        F.count(F.lit(1)).cast("long").alias("n_classes"),
-        F.sum((F.col("emd") > float(_TCLOSE_T)).cast("long")).alias("n_risky_classes"),
-        F.round(F.max("emd"), 9).alias("max_emd"),
-    )

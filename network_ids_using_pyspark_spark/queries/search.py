@@ -590,9 +590,13 @@ def q_rank_biased_overlap_parts(spark, sf_dir):
         [(d, Decimal(w)) for d, w in zip(range(1, _RBO_K + 1), _RBO_WD)],
         "d int, wd decimal(14, 12)",
     )
+    # ADVICE r6: Spark cannot broadcast the PRESERVED (left) side of a
+    # left outer join — a hint there is silently ignored.  The ≤K-row
+    # `common` set is the build side Spark can actually broadcast.
     xd = (
-        F.broadcast(spark_w)
-        .join(common, common["entry_depth"] <= spark_w["d"], "left")
+        spark_w.join(
+            F.broadcast(common), common["entry_depth"] <= spark_w["d"], "left"
+        )
         .groupBy("d", "wd")
         .agg(F.count("entry_depth").alias("x"))
     )

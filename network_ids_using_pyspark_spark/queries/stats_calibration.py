@@ -1541,10 +1541,18 @@ def q_cohens_kappa_raters(spark, sf_dir):
     (n_chars, token count) — no shuffle wider than the 1-row cell
     relation; at 100 TB this is a pure scan."""
     docs = load_table(spark, sf_dir, "documents")
-    ra = (F.col("n_chars") >= _KAPPA_A_CHARS).cast("long")
+    # ADVICE r6: mirror the oracle's CASE semantics exactly — SQL CASE
+    # maps a NULL n_chars to the ELSE branch (0), while a bare boolean
+    # cast would map it to NULL and silently drop the row from n00.
+    ra = F.when(F.col("n_chars") >= _KAPPA_A_CHARS, F.lit(1)).otherwise(0).cast("long")
     rb = (
-        F.size(F.split(F.trim(F.col("text")), r"\s+")) >= _KAPPA_B_TOKENS
-    ).cast("long")
+        F.when(
+            F.size(F.split(F.trim(F.col("text")), r"\s+")) >= _KAPPA_B_TOKENS,
+            F.lit(1),
+        )
+        .otherwise(0)
+        .cast("long")
+    )
     cells = docs.select(ra.alias("ra"), rb.alias("rb")).agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(((F.col("ra") == 1) & (F.col("rb") == 1)).cast("long")).alias("n11"),

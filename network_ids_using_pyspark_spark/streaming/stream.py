@@ -89,14 +89,22 @@ def parse_kafka_events(raw: DataFrame) -> DataFrame:
     from here down; tests/test_streaming.py drives real rows through
     this stage and asserts byte-identical output vs the batch
     relation."""
+    # ADVICE r6: external producers may emit ISO-8601 ('T'-separated)
+    # timestamps instead of our micro-precision wire format; a single
+    # from_json with a pinned timestampFormat silently NULLs those in
+    # PERMISSIVE mode.  Parse the non-timestamp fields structurally,
+    # then coalesce the pinned wire format with Spark's default-format
+    # parse so either convention yields a real event time.
+    wire_schema = events_stream_schema(T.StringType())
     parsed = raw.select(
-        F.from_json(
-            F.col("value").cast("string"),
-            events_stream_schema(T.TimestampType()),
-            {"timestampFormat": KAFKA_TS_FORMAT},
-        ).alias("e")
+        F.from_json(F.col("value").cast("string"), wire_schema).alias("e")
+    ).select("e.*")
+    ts = F.coalesce(
+        F.try_to_timestamp(F.col("ts"), F.lit(KAFKA_TS_FORMAT)),
+        F.try_to_timestamp(F.col("ts")),
     )
-    return parsed.select("e.*")
+    cols = [ts.alias("ts") if f == "ts" else f for f in parsed.columns]
+    return parsed.select(*cols)
 
 
 def stream_events(

@@ -22,6 +22,7 @@ import argparse
 import json
 import math
 import os
+import statistics
 import sys
 import time
 
@@ -60,11 +61,17 @@ DEFAULT_QUERIES = [
 ]
 
 
-def _time_query(spark, name: str, sf_dir: str) -> float:
+def _time_query(spark, name: str, sf_dir: str, reps: int = 1) -> tuple[float, list]:
+    """Median of ``reps`` runs (ADVICE r6: one-sample exponents near 1.0
+    carry visible noise); per-run times are returned so the evidence
+    records variance, not just the point estimate."""
     fn, _ = REGISTRY[name]
-    t0 = time.monotonic()
-    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-    return round(time.monotonic() - t0, 3)
+    runs = []
+    for _ in range(max(1, reps)):
+        t0 = time.monotonic()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        runs.append(round(time.monotonic() - t0, 3))
+    return statistics.median(runs), runs
 
 
 def main() -> None:
@@ -74,6 +81,7 @@ def main() -> None:
     ap.add_argument("--ratio", type=float, default=10.0, help="row ratio big/small")
     ap.add_argument("--out", default="/tmp/scaling_bench.json")
     ap.add_argument("--queries", nargs="*", default=None)
+    ap.add_argument("--reps", type=int, default=3, help="runs per point; median used")
     args = ap.parse_args()
     names = args.queries or DEFAULT_QUERIES
 
@@ -84,12 +92,13 @@ def main() -> None:
             load_table(spark, sf_dir, t).count()  # warmup: file index + JIT
         for name in names:
             try:
-                dt = _time_query(spark, name, sf_dir)
+                dt, runs = _time_query(spark, name, sf_dir, reps=args.reps)
             except Exception as e:
                 print(f"scaling: {name}@{sf_dir} FAILED: {e}", file=sys.stderr)
-                dt = -1.0
+                dt, runs = -1.0, []
             results.setdefault(name, {})[key] = dt
-            print(f"{key} {name}: {dt}s", flush=True)
+            results[name][key + "_runs"] = runs
+            print(f"{key} {name}: {dt}s {runs}", flush=True)
     for name, r in results.items():
         ts, tb = r.get("t_small", -1), r.get("t_big", -1)
         r["alpha"] = (
