@@ -188,6 +188,66 @@ def _fresh_jvm_pipeline_comparison() -> dict[str, float]:
         return {}
 
 
+def _warm_streaming_machinery(spark) -> None:
+    """Streaming cold-start warmup (VERDICT r6 ask #3): the first
+    streaming query of a JVM pays ~5 s of one-time class-loading,
+    codegen, and state-store-provider init that has nothing to do with
+    query throughput — measured on stream_stream_join_pairs @ sf0.1:
+    batch 0 addBatch 4.2 s + queryPlanning 1.0 s cold vs ~1.2 s total
+    warm, i.e. the 2-5x same-code swings the r6 driver sweep recorded.
+    Drive one micro stream per distinct stateful physical operator
+    (stateful agg, symmetric-hash stream-stream join, streaming dedup)
+    over a 200-row slice BEFORE the timed sweep, exactly like the
+    batch-side table warmup above; ~5 s once, independent of sf."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from network_ids_using_pyspark_spark.streaming.stream import run_to_memory
+
+    base = "/tmp/nids_bench_stream_warmup"
+    try:
+        shutil.rmtree(base, ignore_errors=True)
+        spark.range(200).select(
+            F.col("id").alias("user_id"),
+            F.timestamp_micros(F.col("id") * 60_000_000).alias("ts"),
+            (F.col("id") % 3).cast("string").alias("event_type"),
+        ).write.parquet(f"{base}/events.parquet")
+        src = spark.readStream.schema(
+            "user_id long, ts timestamp, event_type string"
+        ).parquet(base)
+        wm = src.withWatermark("ts", "10 minutes")
+        # stateful windowed aggregate
+        run_to_memory(
+            wm.groupBy(F.window("ts", "1 hour")).agg(F.count(F.lit(1)).alias("n")),
+            "update",
+            prefix="nids_warm",
+        )
+        # symmetric-hash stream-stream join
+        left = wm.select("user_id", F.col("ts").alias("l_ts"))
+        right = src.withWatermark("ts", "10 minutes").select(
+            F.col("user_id").alias("r_user_id"), F.col("ts").alias("r_ts")
+        )
+        run_to_memory(
+            left.join(
+                right,
+                (F.col("user_id") == F.col("r_user_id"))
+                & (F.col("r_ts") >= F.col("l_ts") - F.expr("INTERVAL 1 HOUR"))
+                & (F.col("r_ts") <= F.col("l_ts")),
+            ),
+            "append",
+            prefix="nids_warm",
+        )
+        # streaming dedup state store
+        run_to_memory(
+            wm.dropDuplicatesWithinWatermark(["user_id"]), "append", prefix="nids_warm"
+        )
+    except Exception as e:  # warmup must never take down the sweep
+        print(f"bench: streaming warmup failed: {e}", file=sys.stderr)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def _run() -> dict:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 4)
@@ -213,6 +273,7 @@ def _run() -> dict:
 
     for t in TABLES:
         load_table(spark, sf_dir, t).count()
+    _warm_streaming_machinery(spark)
 
     names = sorted(REGISTRY)
     limit = int(os.environ.get("SPARK_GRAFT_BENCH_LIMIT", "0"))
