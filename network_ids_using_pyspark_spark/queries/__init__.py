@@ -184,7 +184,9 @@ _ROUND_PRIORITY = [
     # coreset); rangescale gates (exact_percentiles_scaled,
     # winsorized_mean_orders); remaining rows-only MLlib
     # (mllib_minhash_pairs, word2vec_synonyms, pca_embedding_
-    # variance).
+    # variance); the three r7 privacy additions (l_diversity_entropy,
+    # qi_generalization_ladder, dp_stability_histogram — certify
+    # beside their r7-windowed siblings in r8).
     #
     # ROUND-8 ROTATION PLAN (for the next builder; verify against
     # CORRECTNESS_r07 before applying): with this window green, 117

@@ -11,6 +11,7 @@ its in-module position never reaches the final registry order).
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
@@ -291,4 +292,262 @@ def q_t_closeness_risk(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("n_classes"),
         F.sum((F.col("emd") > float(_TCLOSE_T)).cast("long")).alias("n_risky_classes"),
         F.round(F.max("emd"), 9).alias("max_emd"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Entropy l-diversity — the information-theoretic strengthening of
+# k_anonymity_risk's distinct-count l-diversity (Machanavajjhala et al.,
+# "l-Diversity", ICDE 2006 §3.2): a class passes entropy-l only when the
+# DISTRIBUTION of its sensitive values is diverse, H(class) ≥ ln(l) —
+# distinct-count l can be gamed by one dominant value plus l−1 outliers.
+# Bit-reproducibility: H = ln(class_n) − Σ bn·ln(bn) / class_n; each
+# bn·ln(bn) term is a pure function of an int64 (identical doubles on
+# both engines), the SUM runs in DECIMAL(30,12) (order-independent),
+# and the final expression is two double ops on identical inputs.
+# ---------------------------------------------------------------------------
+
+_ENTL_L = 3  # entropy-l threshold: H >= ln(3)
+
+_ENTL_SQL = f"""
+WITH cb AS (
+  SELECT event_type, EXTRACT(hour FROM ts) AS qh,
+         CAST(floor(value / 50) AS BIGINT) AS qv, COUNT(*) AS bn
+  FROM events GROUP BY 1, 2, 3
+),
+cls AS (
+  SELECT event_type, qh,
+         SUM(bn) AS class_n,
+         CAST(CAST(SUM(CAST(bn * ln(bn) AS DECIMAL(30, 12))) AS VARCHAR)
+              AS DOUBLE) AS sum_nlogn
+  FROM cb GROUP BY 1, 2
+),
+ent AS (
+  SELECT event_type, ln(CAST(class_n AS DOUBLE)) - sum_nlogn / class_n AS h
+  FROM cls
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_classes,
+       CAST(SUM(CASE WHEN h < ln({_ENTL_L}.0) THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_risky_classes,
+       round(MIN(h), 6) + 0.0 AS min_entropy,
+       round(MAX(h), 6) + 0.0 AS max_entropy
+FROM ent GROUP BY event_type
+"""
+
+
+@register("l_diversity_entropy", _ENTL_SQL)
+def q_l_diversity_entropy(spark, sf_dir):
+    """Entropy l-diversity audit over the (event_type, hour) classes
+    with the value band as the sensitive attribute: per-class Shannon
+    entropy from exact integer band counts, risky when H < ln(3).
+
+    Scale plan: one scan → one map-side-combined (class × band)
+    aggregate, then a class-grain reduce; every post-scan relation is
+    bounded by the QI domain (|types|·24), so at 100 TB this is a pure
+    scan like its k-anonymity sibling."""
+    cb = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.hour("ts").alias("qh"),
+            F.floor(F.col("value") / 50).cast("long").alias("qv"),
+        )
+        .agg(F.count(F.lit(1)).alias("bn"))
+    )
+    cls = cb.groupBy("event_type", "qh").agg(
+        F.sum("bn").alias("class_n"),
+        F.sum(
+            (F.col("bn") * F.log(F.col("bn").cast("double"))).cast("decimal(30, 12)")
+        )
+        .cast("double")
+        .alias("sum_nlogn"),
+    )
+    ent = cls.select(
+        "event_type",
+        (
+            F.log(F.col("class_n").cast("double"))
+            - F.col("sum_nlogn") / F.col("class_n")
+        ).alias("h"),
+    )
+    return ent.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.sum(
+            F.when(F.col("h") < F.log(F.lit(float(_ENTL_L))), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_risky_classes"),
+        # + 0.0 folds IEEE −0.0 (a just-below-zero H rounded at a
+        # single-band class) to +0.0 identically on both engines
+        (F.round(F.min("h"), 6) + F.lit(0.0)).alias("min_entropy"),
+        (F.round(F.max("h"), 6) + F.lit(0.0)).alias("max_entropy"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quasi-identifier generalization ladder — the REMEDY the k-anonymity
+# audit motivates (Sweeney 2002; Samarati's full-domain generalization):
+# coarsen the QI grid level by level (hour → 2/4/8-hour bands, value
+# band width 50 → 100/200/400) and report, per level, how far the
+# release is from k≥5 — the publishing pipeline picks the first level
+# whose violation count hits zero (least information loss).  Pure
+# integer arithmetic end to end.
+# ---------------------------------------------------------------------------
+
+_LADDER_LEVELS = [1, 2, 4, 8]
+_LADDER_K = 5
+
+_LADDER_SQL = f"""
+WITH lv AS (SELECT unnest([{", ".join(str(g) for g in _LADDER_LEVELS)}]) AS level),
+cls AS (
+  SELECT lv.level, event_type,
+         CAST(floor(EXTRACT(hour FROM ts) / lv.level) AS BIGINT) AS qh,
+         CAST(floor(value / (50 * lv.level)) AS BIGINT) AS qv,
+         COUNT(*) AS class_n
+  FROM events CROSS JOIN lv GROUP BY 1, 2, 3, 4
+)
+SELECT level,
+       CAST(COUNT(*) AS BIGINT) AS n_classes,
+       CAST(SUM(CASE WHEN class_n < {_LADDER_K} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_risky_classes,
+       CAST(SUM(CASE WHEN class_n < {_LADDER_K} THEN class_n ELSE 0 END) AS BIGINT)
+         AS n_risky_rows,
+       CAST(MIN(class_n) AS BIGINT) AS min_class_n,
+       MIN(class_n) >= {_LADDER_K} AS meets_k
+FROM cls GROUP BY level
+"""
+
+
+@register("qi_generalization_ladder", _LADDER_SQL)
+def q_qi_generalization_ladder(spark, sf_dir):
+    """k-anonymity generalization ladder: the (hour, value-band) QI
+    grid coarsened by levels 1/2/4/8, with per-level class counts,
+    k<5 violations, and a meets_k flag — one row per level.
+
+    Scale plan: the level dimension explodes the scan 4× BEFORE the
+    map-side combine (partial aggregation absorbs the expansion: the
+    shuffled relation is the 4-level class grid, bounded by the QI
+    domain, not the fact table); no joins, no windows."""
+    ev = load_table(spark, sf_dir, "events")
+    banded = ev.select(
+        "event_type", F.hour("ts").alias("qh0"), "value"
+    ).withColumn(
+        "level", F.explode(F.array(*[F.lit(g) for g in _LADDER_LEVELS]))
+    )
+    cls = banded.groupBy(
+        "level",
+        "event_type",
+        F.floor(F.col("qh0") / F.col("level")).cast("long").alias("qh"),
+        F.floor(F.col("value") / (50 * F.col("level"))).cast("long").alias("qv"),
+    ).agg(F.count(F.lit(1)).alias("class_n"))
+    return cls.groupBy("level").agg(
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.sum(F.when(F.col("class_n") < _LADDER_K, 1).otherwise(0))
+        .cast("long")
+        .alias("n_risky_classes"),
+        F.sum(F.when(F.col("class_n") < _LADDER_K, F.col("class_n")).otherwise(0))
+        .cast("long")
+        .alias("n_risky_rows"),
+        F.min("class_n").cast("long").alias("min_class_n"),
+        (F.min("class_n") >= _LADDER_K).alias("meets_k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stability-thresholded noisy release — the third standard DP release
+# mechanism beside dp_noisy_daily_counts' plain Laplace counts: publish
+# a (type × hour) histogram cell ONLY if its noisy count clears the
+# stability threshold τ = 1 + 2·ln(2/δ)/ε (Korolova et al., WWW 2009;
+# the mechanism behind "drop rare search queries from the release").
+# Noise is the engine's seeded inverse-CDF Laplace over the portable
+# hash uniform — reproducible and oracle-checkable, same contract as
+# dp_noisy_daily_counts.
+# ---------------------------------------------------------------------------
+
+_DPK_EPS = 1.0
+_DPK_DELTA = 1e-6
+# τ = 1 + 2·ln(2/δ)/ε, evaluated once so both engines share the literal
+_DPK_TAU = f"(1.0 + 2.0 * ln(2.0 / {_DPK_DELTA}) / {_DPK_EPS})"
+
+_DPK_SQL = f"""
+WITH cells AS (
+  SELECT event_type, EXTRACT(hour FROM ts) AS qh, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+noisy AS (
+  SELECT event_type, CAST(qh AS BIGINT) AS qh, n,
+         n + (1.0 / {_DPK_EPS})
+           * CASE WHEN u < 0 THEN 1 ELSE -1 END * ln(1 - 2 * abs(u)) AS noisy_n
+  FROM (
+    SELECT event_type, qh, n,
+           CAST({{h}} AS DOUBLE) / {{space}} - 0.5 AS u
+    FROM cells
+  )
+)
+SELECT event_type, qh, CAST(n AS BIGINT) AS true_n,
+       round(noisy_n, 6) AS noisy_n,
+       CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY noisy_n DESC, qh)
+            AS BIGINT) AS released_rank
+FROM noisy
+WHERE noisy_n > {_DPK_TAU}
+"""
+
+
+def _dpk_sql() -> str:
+    from ..functions.hashing import HASH_SPACE, portable_hash64_sql
+
+    h = portable_hash64_sql(
+        "concat(event_type, '@', CAST(qh AS VARCHAR))", seed="dpk1:"
+    )
+    return _DPK_SQL.replace("{h}", h).replace("{space}", f"{HASH_SPACE}.0")
+
+
+@register("dp_stability_histogram", _dpk_sql())
+def q_dp_stability_histogram(spark, sf_dir):
+    """Stability-based noisy histogram release over (event_type, hour):
+    seeded-Laplace noise (ε=1), cells published only when the noisy
+    count clears τ = 1 + 2·ln(2/δ)/ε (δ=1e-6), ranked per type by the
+    released noisy count.
+
+    Scale plan: one scan → map-side-combined (type, hour) aggregate;
+    noise/threshold are per-row expressions on the ≤|types|·24-cell
+    relation, and the rank window partitions by type over that bounded
+    relation — never the fact table."""
+    from ..functions.hashing import HASH_SPACE, portable_hash64
+
+    cells = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.hour("ts").alias("qh"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    u = (
+        portable_hash64(
+            F.concat(F.col("event_type"), F.lit("@"), F.col("qh").cast("string")),
+            seed="dpk1:",
+        ).cast("double")
+        / F.lit(float(HASH_SPACE))
+        - 0.5
+    )
+    noisy = cells.select(
+        "event_type",
+        F.col("qh").cast("long").alias("qh"),
+        "n",
+        (
+            F.col("n")
+            + F.lit(1.0 / _DPK_EPS)
+            * F.when(u < 0, 1).otherwise(-1)
+            * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(u))
+        ).alias("noisy_n"),
+    )
+    tau = 1.0 + 2.0 * F.log(F.lit(2.0 / _DPK_DELTA)) / _DPK_EPS
+    w = Window.partitionBy("event_type").orderBy(F.desc("noisy_n"), F.asc("qh"))
+    return (
+        noisy.filter(F.col("noisy_n") > tau)
+        .select(
+            "event_type",
+            "qh",
+            F.col("n").cast("long").alias("true_n"),
+            F.round("noisy_n", 6).alias("noisy_n"),
+            F.row_number().over(w).cast("long").alias("released_rank"),
+        )
     )

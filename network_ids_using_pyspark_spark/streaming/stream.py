@@ -19,6 +19,7 @@ watermarks bound "open".  ``foreachBatch`` writes partition-parallel.
 from __future__ import annotations
 
 import itertools
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -107,6 +108,22 @@ def parse_kafka_events(raw: DataFrame) -> DataFrame:
     return parsed.select(*cols)
 
 
+def _stream_table(reader, sf_dir: str, table: str) -> DataFrame:
+    """File-stream a fixture table whether its parquet is laid out as a
+    single FILE (the driver fixtures: ``sf_dir/events.parquet``) or a
+    Spark-written DIRECTORY of part files (the 10x scale pair).  The
+    old single code path — ``pathGlobFilter=events.parquet`` over
+    ``sf_dir`` — matched leaf files only, so the directory layout
+    silently streamed ZERO rows; pointing the source at the file
+    directly instead fails ("Option 'basePath' must be a directory").
+    Dispatch on the layout: directory → stream it as the path; file →
+    the glob-filter form, which keeps basePath = sf_dir."""
+    path = f"{sf_dir}/{table}.parquet"
+    if os.path.isdir(path):
+        return reader.parquet(path)
+    return reader.option("pathGlobFilter", f"{table}.parquet").parquet(sf_dir)
+
+
 def stream_events(
     spark: SparkSession,
     sf_dir: str,
@@ -147,10 +164,8 @@ def stream_events(
     ts_field, fix = _events_ts_encoding(sf_dir)
     if fix == "nanos":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = (
-        spark.readStream.schema(events_stream_schema(ts_field))
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
+    raw = _stream_table(
+        spark.readStream.schema(events_stream_schema(ts_field)), sf_dir, "events"
     )
     if fix == "nanos":
         return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
@@ -175,9 +190,9 @@ def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape of an incremental ingestion pipeline (each new crawl dump is a
     new file; the transformations are source-agnostic)."""
     return (
-        spark.readStream.schema(DOCUMENTS_STREAM_SCHEMA)
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(sf_dir)
+        _stream_table(
+            spark.readStream.schema(DOCUMENTS_STREAM_SCHEMA), sf_dir, "documents"
+        )
     )
 
 
