@@ -677,8 +677,17 @@ def q_mllib_fpgrowth_itemsets(spark, sf_dir):
     # support analysis), so a fixed relative threshold goes vacuous as
     # SF grows — 2/n is the scale-consistent "seen more than once".
     n_baskets = baskets.count()
+    # PFP's scale knob: conditional trees are grouped by item suffix,
+    # and the DEFAULT group count (= input partitions) leaves hundreds
+    # of frequent items' projected transactions in one group's tree —
+    # at the 10x skewed pair that merged tree OOMed a 32-thread local
+    # heap (FPTree.merge, measured round 7).  8x the parallelism keeps
+    # per-group trees small; itemset counts are partitioning-invariant.
     model = FPGrowth(
-        itemsCol="items", minSupport=2.0 / n_baskets, minConfidence=0.1
+        itemsCol="items",
+        minSupport=2.0 / n_baskets,
+        minConfidence=0.1,
+        numPartitions=max(256, spark.sparkContext.defaultParallelism * 8),
     ).fit(baskets)
     baskets.unpersist()
     return (

@@ -85,6 +85,31 @@ def test_bench_detail_covers_registry():
     assert not zombies, f"benched entries no longer registered: {zombies}"
 
 
+def test_round_snapshot_is_current():
+    """VERDICT r6 ask #2: the r6 sweep was never snapshotted as
+    BENCH_DETAIL_r06.json, so the round-over-round regression gate
+    below silently kept comparing r4 vs r5.  This contract makes that
+    impossible to repeat: the NEWEST committed per-round snapshot must
+    cover the current registry exactly — any registry change without a
+    fresh ``cp BENCH_DETAIL.json BENCH_DETAIL_r{N}.json`` fails CI."""
+    import glob
+    import re as _re
+
+    from network_ids_using_pyspark_spark.queries import REGISTRY
+
+    snaps = sorted(
+        glob.glob(os.path.join(REPO, "BENCH_DETAIL_r*.json")),
+        key=lambda p: int(_re.search(r"_r(\d+)", p).group(1)),
+    )
+    assert snaps, "no per-round sweep snapshots committed"
+    newest = json.load(open(snaps[-1]))
+    missing = sorted(set(REGISTRY) - set(newest["queries"]))
+    assert not missing, (
+        f"{os.path.basename(snaps[-1])} is stale — registry entries not in "
+        f"the newest round snapshot: {missing}"
+    )
+
+
 def test_no_per_query_regression_vs_previous_round():
     """Round-over-round bench regression gate (VERDICT r4 ask #5): the
     committed per-round sweeps BENCH_DETAIL_r{N}.json are diffed — a
