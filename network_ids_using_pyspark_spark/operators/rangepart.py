@@ -94,6 +94,22 @@ def _resolve_small(cdf: DataFrame, cols: list[str], pairs, count: int) -> dict:
     return {g: tuple(rows[loc - 1][c] for c in cols) for g, loc in pairs}
 
 
+def _grid_bin(col: str, lo_d: float, width: float, bins: int) -> Column:
+    """Deterministic equi-width grid cell of a (double-cast) column —
+    the pruning grid of one narrowing level.  Pure per-row arithmetic,
+    so equal values always share a cell."""
+    dcol = F.col(col).cast("double")
+    return (
+        F.greatest(
+            F.least(
+                F.floor((dcol - F.lit(lo_d)) / F.lit(width) * bins),
+                F.lit(bins - 1),
+            ),
+            F.lit(0),
+        )
+    ).cast("int")
+
+
 def exact_rank_select(
     df: DataFrame,
     cols: list[str],
@@ -105,10 +121,17 @@ def exact_rank_select(
     """Exact values of `cols` (ascending lexicographic order, non-null
     numeric/decimal/date-castable) at the given 1-indexed global ranks.
 
-    Returns ``{rank: tuple(values in cols order)}``.  Runs
-    O(passes) full-scan aggregates (map-side combined, no shuffle of
-    the data, no global sort); every driver-side collect is bounded
-    (bins rows per histogram, `small` rows at the final resolve).
+    Returns ``{rank: tuple(values in cols order)}``.  The descent is
+    LEVEL-BATCHED: every live narrowing task of a level shares ONE
+    min/max aggregate and ONE histogram aggregate (tasks are disjoint,
+    so a CASE over the task predicates keys both), making the total
+    full-scan count ~2·depth + 1, independent of how many target ranks
+    fan out.  (The round-7 scale measurement caught the per-task
+    recursion this replaces going super-linear: at 30x rows every
+    boundary rank's bin needed its own second-level pass, i.e. ~20
+    extra full scans — one batched scan now serves them all.)  Every
+    driver-side collect stays bounded: bins rows per (task, level) in
+    the histogram, `small` rows per task at the final resolve.
     """
     sdf = df.select(*cols)
     n = sdf.count()
@@ -118,60 +141,90 @@ def exact_rank_select(
     if ranks[0] < 1 or ranks[-1] > n:
         raise ValueError(f"ranks {ranks[0]}..{ranks[-1]} outside 1..{n}")
     out: dict[int, tuple] = {}
-    # task = (candidate df, candidate count, [(global_rank, local_rank)],
-    #         index of the sort column still being narrowed)
-    tasks = [(sdf, n, [(r, r) for r in ranks], 0)]
-    passes = 0
+    # task = (predicate Column | None, candidate count,
+    #         [(global_rank, local_rank)], sort-column index)
+    tasks: list[tuple] = [(None, n, [(r, r) for r in ranks], 0)]
+    levels = 0
     while tasks:
-        cdf, cnt, pairs, ci = tasks.pop()
-        passes += 1
-        if cnt <= small or passes > max_passes:
-            out.update(_resolve_small(cdf, cols, pairs, cnt))
-            continue
-        col = cols[ci]
-        lohi = cdf.agg(F.min(col).alias("lo"), F.max(col).alias("hi")).collect()[0]
-        lo, hi = lohi["lo"], lohi["hi"]
-        if lo == hi:
-            # column constant over the remainder: narrow on the next
-            # sort column, or resolve if this was the last one
-            if ci + 1 < len(cols):
-                tasks.append((cdf, cnt, pairs, ci + 1))
-            else:
+        levels += 1
+        force_resolve = levels > max_passes
+        live: list[tuple] = []
+        for pred, cnt, pairs, ci in tasks:
+            if cnt <= small or force_resolve:
+                cdf = sdf if pred is None else sdf.filter(pred)
                 out.update(_resolve_small(cdf, cols, pairs, cnt))
-            continue
-        lo_d, hi_d = float(lo), float(hi)
-        width = hi_d - lo_d
-        if width <= 0.0:
-            # distinct native values collapse to one double: the grid
-            # cannot split further — bounded-tie fallback
-            out.update(_resolve_small(cdf, cols, pairs, cnt))
-            continue
-        dcol = F.col(col).cast("double")
-        binx = (
-            F.greatest(
-                F.least(
-                    F.floor((dcol - F.lit(lo_d)) / F.lit(width) * bins),
-                    F.lit(bins - 1),
-                ),
-                F.lit(0),
-            )
-        ).cast("int")
-        hist = {
-            r["__b"]: r["count"]
-            for r in cdf.groupBy(binx.alias("__b")).count().collect()
+            else:
+                live.append((pred, cnt, pairs, ci))
+        if not live:
+            break
+        # ONE scan: per-task min/max of each task's current sort column.
+        # Tasks are DISJOINT (sibling bins / disjoint ancestors), so a
+        # flat CASE chain keys rows to tasks; rows in no task get NULL.
+        tid = None
+        for i, (pred, _, _, _) in enumerate(live):
+            cond = F.lit(True) if pred is None else pred
+            tid = F.when(cond, F.lit(i)) if tid is None else tid.when(cond, F.lit(i))
+        vcol = None
+        for i, (_, _, _, ci) in enumerate(live):
+            c = F.col(cols[ci]).cast("double")
+            vcol = F.when(tid == i, c) if vcol is None else vcol.when(tid == i, c)
+        lohi = {
+            r["__t"]: (r["lo"], r["hi"])
+            for r in sdf.select(tid.alias("__t"), vcol.alias("__v"))
+            .filter(F.col("__t").isNotNull())
+            .groupBy("__t")
+            .agg(F.min("__v").alias("lo"), F.max("__v").alias("hi"))
+            .collect()
         }
-        needed = locate_ranks(hist, pairs)
-        per_bin = width / bins
-        for b, sub in needed.items():
-            # the exact bin predicate re-derives membership; the padded
-            # range predicate is redundant but sargable (pushes to the
-            # parquet scan / survives as a cheap pre-filter)
-            subdf = cdf.filter(
-                (binx == F.lit(b))
-                & (dcol >= F.lit(lo_d + (b - 1) * per_bin))
-                & (dcol <= F.lit(lo_d + (b + 2) * per_bin))
+        # classify: constant column → advance ci (or resolve); else grid
+        grids: list[tuple] = []  # (task index, lo_d, width)
+        next_tasks: list[tuple] = []
+        for i, (pred, cnt, pairs, ci) in enumerate(live):
+            lo_d, hi_d = lohi[i]
+            width = float(hi_d) - float(lo_d)
+            if width <= 0.0:
+                if ci + 1 < len(cols):
+                    next_tasks.append((pred, cnt, pairs, ci + 1))
+                else:
+                    cdf = sdf if pred is None else sdf.filter(pred)
+                    out.update(_resolve_small(cdf, cols, pairs, cnt))
+            else:
+                grids.append((i, float(lo_d), width))
+        if grids:
+            # ONE scan: per-(task, grid-cell) exact counts
+            bcol = None
+            for i, lo_d, width in grids:
+                ci = live[i][3]
+                g = _grid_bin(cols[ci], lo_d, width, bins)
+                bcol = F.when(tid == i, g) if bcol is None else bcol.when(tid == i, g)
+            hist_rows = (
+                sdf.select(tid.alias("__t"), bcol.alias("__b"))
+                .filter(F.col("__t").isNotNull() & F.col("__b").isNotNull())
+                .groupBy("__t", "__b")
+                .count()
+                .collect()
             )
-            tasks.append((subdf, hist[b], sub, ci))
+            hists: dict[int, dict[int, int]] = {}
+            for r in hist_rows:
+                hists.setdefault(r["__t"], {})[r["__b"]] = r["count"]
+            for i, lo_d, width in grids:
+                pred, cnt, pairs, ci = live[i]
+                hist = hists[i]
+                needed = locate_ranks(hist, pairs)
+                per_bin = width / bins
+                col = cols[ci]
+                for b, sub in needed.items():
+                    # exact bin predicate + a redundant-but-sargable
+                    # range pad that pushes to the parquet scan
+                    dcol = F.col(col).cast("double")
+                    bin_pred = (
+                        (_grid_bin(col, lo_d, width, bins) == F.lit(b))
+                        & (dcol >= F.lit(lo_d + (b - 1) * per_bin))
+                        & (dcol <= F.lit(lo_d + (b + 2) * per_bin))
+                    )
+                    child = bin_pred if pred is None else (pred & bin_pred)
+                    next_tasks.append((child, hist[b], sub, ci))
+        tasks = next_tasks
     return out
 
 

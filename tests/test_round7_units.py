@@ -124,3 +124,38 @@ class TestStreamDirectoryLayout:
             stream_events(spark, out).groupBy().count(), "complete"
         ).collect()[0][0]
         assert streamed == ev.count() > 0
+
+
+class TestBatchedRankSelect:
+    """Round-7 rewrite: exact_rank_select batches each narrowing level
+    into one min/max scan + one histogram scan (the per-task recursion
+    went super-linear at 30x rows).  Exactness vs a brute-force sort,
+    under heavy ties, lexicographic tiebreaks, and a tiny `small` that
+    forces a deep descent."""
+
+    def test_adversarial_exactness(self, spark):
+        import random
+
+        from network_ids_using_pyspark_spark.operators.rangepart import (
+            exact_rank_select,
+        )
+
+        random.seed(7)
+        rows = [
+            (random.choice([1.5, 2.5, 2.5, 2.5, 9.0, -3.0]), random.randrange(10**6))
+            for _ in range(5000)
+        ]
+        df = spark.createDataFrame(rows, "v double, tb long")
+        ranks = [1, 7, 500, 2500, 3333, 4999, 5000]
+        got = exact_rank_select(df, ["v", "tb"], ranks, bins=16, small=32)
+        truth = sorted(rows)
+        assert {r: got[r] for r in ranks} == {r: tuple(truth[r - 1]) for r in ranks}
+
+    def test_constant_column_resolves(self, spark):
+        from network_ids_using_pyspark_spark.operators.rangepart import (
+            exact_rank_select,
+        )
+
+        df = spark.createDataFrame([(4.2,)] * 1000, "v double")
+        got = exact_rank_select(df, ["v"], [1, 500, 1000], bins=8, small=16)
+        assert all(v == (4.2,) for v in got.values())
