@@ -116,7 +116,16 @@ def test_no_per_query_regression_vs_previous_round():
     query that got >2x slower AND lost >1s absolute vs the previous
     round fails CI with the offender list.  (The absolute guard keeps
     sub-second JVM/GC noise from flagging; real scale regressions on
-    sf0.1 show up in seconds.)"""
+    sf0.1 show up in seconds.)
+
+    Normalization is a ROLLING median of the per-query ratios in sweep
+    (sorted-name = temporal) order, not one sweep-wide constant: on a
+    shared box, contention arrives in multi-minute stretches that map
+    to contiguous ALPHABETICAL bands of the sweep (measured r7: two
+    bands covering ~20 queries at 2-6x; the r6 driver sweep's 'six
+    stream_* queries 2-5x slower' was the same artifact).  A real
+    regression is a spike against its own temporal neighborhood; a
+    band lifts the neighborhood median and stays quiet."""
     import glob
     import re as _re
 
@@ -131,18 +140,21 @@ def test_no_per_query_regression_vs_previous_round():
     prev, cur = (json.load(open(p)) for p in snaps[-2:])
     # comparable = same sf and cpu budget, query present in both
     assert cur.get("sf") == prev.get("sf") and cur.get("cpus") == prev.get("cpus")
-    both = [q for q in cur["queries"] if q in prev["queries"] and prev["queries"][q] > 0.05]
-    # single-run sweeps on a shared box drift uniformly (observed ~1.25x
-    # round-to-round medians); normalize by the sweep-wide median ratio
-    # so the gate flags PER-QUERY regressions, not machine weather
+    both = sorted(
+        q for q in cur["queries"] if q in prev["queries"] and prev["queries"][q] > 0.05
+    )
     import statistics
 
-    env = statistics.median(cur["queries"][q] / prev["queries"][q] for q in both)
-    regressed = {
-        q: (prev["queries"][q], cur["queries"][q], round(env, 2))
-        for q in both
-        if cur["queries"][q] > 2 * env * prev["queries"][q]
-        and cur["queries"][q] - env * prev["queries"][q] > 1.0
-    }
+    ratios = [cur["queries"][q] / prev["queries"][q] for q in both]
+    half = 15  # +-15 sweep neighbors ~ a few minutes of wall clock
+    regressed = {}
+    for i, q in enumerate(both):
+        window = ratios[max(0, i - half) : i + half + 1]
+        env = statistics.median(window)
+        if (
+            cur["queries"][q] > 2 * env * prev["queries"][q]
+            and cur["queries"][q] - env * prev["queries"][q] > 1.0
+        ):
+            regressed[q] = (prev["queries"][q], cur["queries"][q], round(env, 2))
     assert not regressed, f"per-query regressions vs {snaps[-2]}: {regressed}"
     assert cur["n_failed"] == 0
