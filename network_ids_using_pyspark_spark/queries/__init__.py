@@ -144,7 +144,8 @@ _ROUND_PRIORITY = [
     "ml_conformal_coverage",
     "mllib_fpgrowth_itemsets",
     # --- 50-entry window boundary ---
-    # Remaining never-certified backlog (117 after this window, all
+    # Remaining never-certified backlog (120 after this window — 117
+    # pre-round entries + the three r7 privacy additions — all
     # locally oracle-green via tests/test_parity.py — VERDICT r6 ask
     # #6: drain the rest in r8 so every registry entry has a driver
     # row, then flip rotation policy to re-certifying oldest greens).
@@ -189,8 +190,8 @@ _ROUND_PRIORITY = [
     # beside their r7-windowed siblings in r8).
     #
     # ROUND-8 ROTATION PLAN (for the next builder; verify against
-    # CORRECTNESS_r07 before applying): with this window green, 117
-    # entries remain — 2.3 windows.  Lead r8 with the graph family,
+    # CORRECTNESS_r07 before applying): with this window green, 120
+    # entries remain — 2.4 windows.  Lead r8 with the graph family,
     # the pyapi surface, the datamgmt/privacy tail (k_anonymity_risk,
     # dp_noisy_daily_counts — certified siblings of the r7-windowed
     # t_closeness_risk), the anomaly/session family, and the corpus/
