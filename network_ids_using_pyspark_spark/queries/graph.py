@@ -320,6 +320,17 @@ def q_lpa_communities_trade_graph(spark, sf_dir):
 
 _AA_SUPPORT = 2
 _AA_TOPK = 25
+# Stop-node ceiling: common neighbors with degree > max(64, floor(sqrt(|V|)))
+# are excluded from wedge enumeration.  An IDF-style cut — a neighbor
+# adjacent to ~everything carries no "bought together" signal (its AA
+# term is a near-constant 1/ln(d) added to O(d²) pairs) and is exactly
+# the node that makes the wedge join quadratic: the round-7 10x skew
+# pair planted one part at degree 165,886 of 172,947 nodes, i.e.
+# 27.5e9 wedges, where the sqrt ceiling leaves 369k.  At the driver
+# fixtures the max degree is 6, so no node is ever excluded there and
+# oracle outputs are unchanged.  floor(sqrt(n)) is computed through
+# IEEE double sqrt on BOTH engines, so the ceiling is bit-identical.
+_AA_STOP_FLOOR = 64
 
 _AA_SQL = f"""
 WITH pairs AS (
@@ -330,16 +341,23 @@ WITH pairs AS (
 ),
 edges AS (SELECT p1 AS u, p2 AS v FROM pairs UNION ALL SELECT p2, p1 FROM pairs),
 deg AS (SELECT u AS node, COUNT(*) AS d FROM edges GROUP BY 1),
+ceil_z AS (
+  SELECT GREATEST({_AA_STOP_FLOOR},
+                  CAST(floor(sqrt(CAST(COUNT(*) AS DOUBLE))) AS BIGINT)) AS c
+  FROM deg
+),
+okz AS (SELECT node, d FROM deg, ceil_z WHERE d >= 2 AND d <= ceil_z.c),
 wedges AS (
   SELECT e1.u AS x, e2.v AS y, e1.v AS z
-  FROM edges e1 JOIN edges e2 ON e1.v = e2.u AND e1.u < e2.v
+  FROM edges e1
+  JOIN okz ON e1.v = okz.node
+  JOIN edges e2 ON e1.v = e2.u AND e1.u < e2.v
 ),
 aa AS (
   SELECT x, y,
          SUM(CAST(round(1.0 / ln(d.d), 6) AS DECIMAL(30, 6))) AS aa_dec,
          CAST(COUNT(*) AS BIGINT) AS n_common
-  FROM wedges w JOIN deg d ON w.z = d.node
-  WHERE d.d >= 2
+  FROM wedges w JOIN okz d ON w.z = d.node
   GROUP BY x, y
 )
 SELECT x, y, CAST(aa.aa_dec AS DOUBLE) AS aa_score, n_common
@@ -362,12 +380,17 @@ def q_adamic_adar_link_prediction(spark, sf_dir):
     then summed in exact DECIMAL (the functions/numeric.py discipline —
     a float sum over wedge arrival order would be engine-dependent).
 
-    Scale plan: the same support pruning that makes triangle counting
-    linear keeps the wedge join bounded here (a hub of degree d emits
-    O(d²) wedges — the support floor removes the degree tail, and the
-    candidate relation stays edge-scale); the anti-join against
-    existing edges and the deg lookup are dim-sized broadcasts; the
-    final cut is TakeOrderedAndProject."""
+    Scale plan: a hub of degree d emits O(d²) wedges, and the support
+    floor alone does NOT bound that — a genuinely hot item passes
+    support against everything (the round-7 10x skew pair planted one
+    part at degree 165,886, i.e. 27.5e9 wedges).  Wedge enumeration
+    therefore excludes stop-node centers with deg > max(64,
+    floor(sqrt(|V|))) — the IDF cut (see _AA_STOP_FLOOR): such a
+    neighbor adds a near-constant 1/ln(d) to O(d²) pairs, pure noise
+    for completion ranking.  With the ceiling the candidate relation
+    stays edge-scale; the anti-join against existing edges and the deg
+    lookup are dim-sized broadcasts; the final cut is
+    TakeOrderedAndProject."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     a = li.select("l_orderkey", F.col("l_partkey").alias("p1"))
     b = li.select("l_orderkey", F.col("l_partkey").alias("p2"))
@@ -384,19 +407,24 @@ def q_adamic_adar_link_prediction(spark, sf_dir):
         pairs.select(F.col("p2").alias("u"), F.col("p1").alias("v"))
     )
     deg = edges.groupBy(F.col("u").alias("node")).agg(F.count(F.lit(1)).alias("d"))
+    deg = deg.localCheckpoint(eager=True)  # node-grain; feeds count + filter
+    import math
+
+    n_nodes = deg.count()
+    stop_ceil = max(_AA_STOP_FLOOR, math.floor(math.sqrt(float(n_nodes))))
+    okz = deg.filter((F.col("d") >= 2) & (F.col("d") <= stop_ceil))
     e1 = edges.select(F.col("u").alias("x"), F.col("v").alias("z"))
     e2 = edges.select(F.col("u").alias("z"), F.col("v").alias("y"))
+    # the stop-node cut applies BEFORE wedge enumeration — that is the
+    # whole point (the hub never reaches the self-join)
+    e1 = e1.join(F.broadcast(okz.select(F.col("node").alias("z"), "d")), "z")
     wedges = e1.join(e2, "z").filter(F.col("x") < F.col("y"))
     term = F.round(F.lit(1.0) / F.log(F.col("d").cast("double")), 6).cast(
         "decimal(30, 6)"
     )
-    aa = (
-        wedges.join(F.broadcast(deg.filter(F.col("d") >= 2)), F.col("z") == F.col("node"))
-        .groupBy("x", "y")
-        .agg(
-            F.sum(term).cast("double").alias("aa_score"),
-            F.count(F.lit(1)).alias("n_common"),
-        )
+    aa = wedges.groupBy("x", "y").agg(
+        F.sum(term).cast("double").alias("aa_score"),
+        F.count(F.lit(1)).alias("n_common"),
     )
     out = aa.join(
         F.broadcast(pairs),
