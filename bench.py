@@ -200,14 +200,17 @@ def _warm_streaming_machinery(spark) -> None:
     over a 200-row slice BEFORE the timed sweep, exactly like the
     batch-side table warmup above; ~5 s once, independent of sf."""
     import shutil
+    import tempfile
 
     from pyspark.sql import functions as F
 
     from network_ids_using_pyspark_spark.streaming.stream import run_to_memory
 
-    base = "/tmp/nids_bench_stream_warmup"
+    # ADVICE r7: a fixed /tmp path races when two bench processes share
+    # a host (one rmtree's the other's warmup input mid-stream, and the
+    # warmup silently degrades via the except) — mkdtemp is per-process.
+    base = tempfile.mkdtemp(prefix="nids_bench_stream_warmup_")
     try:
-        shutil.rmtree(base, ignore_errors=True)
         spark.range(200).select(
             F.col("id").alias("user_id"),
             F.timestamp_micros(F.col("id") * 60_000_000).alias("ts"),

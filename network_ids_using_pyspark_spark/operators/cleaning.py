@@ -62,6 +62,14 @@ def impute_median_exact(df: DataFrame, cols: list[str]) -> DataFrame:
     NaN is excluded from the median computation but is *not* imputed —
     null-only fill, matching ``Imputer``'s null handling.
 
+    Even-count interpolation: Spark's ``F.median`` computes
+    ``lower + (upper - lower) / 2``, NOT ``(lower + upper) / 2``.  The
+    two differ by at most 1 ulp, observable only at the extremes of the
+    IEEE-754 double range (e.g. subnormal inputs such as
+    ``[2.2e-311, 5e-324]``).  DuckDB's ``median`` agrees with Spark's
+    formula on all oracle fixtures; tests asserting exact equality must
+    mirror this formula (tests/test_sampling.py).
+
     Scale: exact median needs a sort-based aggregate; for the 100 TB path
     prefer ``ml.impute_median`` (approx sketch, one pass, mergeable).
     """

@@ -157,33 +157,44 @@ def exact_rank_select(
                 live.append((pred, cnt, pairs, ci))
         if not live:
             break
-        # ONE scan: per-task min/max of each task's current sort column.
+        # ONE scan: per-task min/max of each task's current sort column,
+        # in BOTH the double cast (grid arithmetic) and the NATIVE type.
         # Tasks are DISJOINT (sibling bins / disjoint ancestors), so a
         # flat CASE chain keys rows to tasks; rows in no task get NULL.
+        # The native pair disambiguates "column truly constant" from
+        # "distinct natives collapse to one double" (int64 ≥ 2^53,
+        # high-precision decimals): advancing ci in the latter case
+        # would narrow under a non-lexicographic order and return
+        # silently wrong values (repro: [(2^53+1, 0), (2^53+1, 1),
+        # (2^53, 2), (2^53, 3)] with cols [v, tb]).
         tid = None
         for i, (pred, _, _, _) in enumerate(live):
             cond = F.lit(True) if pred is None else pred
             tid = F.when(cond, F.lit(i)) if tid is None else tid.when(cond, F.lit(i))
-        vcol = None
-        for i, (_, _, _, ci) in enumerate(live):
-            c = F.col(cols[ci]).cast("double")
-            vcol = F.when(tid == i, c) if vcol is None else vcol.when(tid == i, c)
-        lohi = {
-            r["__t"]: (r["lo"], r["hi"])
-            for r in sdf.select(tid.alias("__t"), vcol.alias("__v"))
-            .filter(F.col("__t").isNotNull())
-            .groupBy("__t")
-            .agg(F.min("__v").alias("lo"), F.max("__v").alias("hi"))
-            .collect()
-        }
-        # classify: constant column → advance ci (or resolve); else grid
+        aggs = []
+        for i, (pred, _, _, ci) in enumerate(live):
+            cond = F.lit(True) if pred is None else pred
+            nat = F.when(cond, F.col(cols[ci]))
+            dbl = F.when(cond, F.col(cols[ci]).cast("double"))
+            aggs += [
+                F.min(dbl).alias(f"__lo_{i}"),
+                F.max(dbl).alias(f"__hi_{i}"),
+                F.min(nat).alias(f"__nlo_{i}"),
+                F.max(nat).alias(f"__nhi_{i}"),
+            ]
+        mm = sdf.agg(*aggs).collect()[0]
+        # classify: truly-constant column → advance ci (or resolve);
+        # double-collapsed but natives differ → bounded exact resolve
+        # (the pre-batching tie fallback, capped by _MAX_RESOLVE_ROWS);
+        # else grid
         grids: list[tuple] = []  # (task index, lo_d, width)
         next_tasks: list[tuple] = []
         for i, (pred, cnt, pairs, ci) in enumerate(live):
-            lo_d, hi_d = lohi[i]
+            lo_d, hi_d = mm[f"__lo_{i}"], mm[f"__hi_{i}"]
+            nlo, nhi = mm[f"__nlo_{i}"], mm[f"__nhi_{i}"]
             width = float(hi_d) - float(lo_d)
             if width <= 0.0:
-                if ci + 1 < len(cols):
+                if nlo == nhi and ci + 1 < len(cols):
                     next_tasks.append((pred, cnt, pairs, ci + 1))
                 else:
                     cdf = sdf if pred is None else sdf.filter(pred)

@@ -71,133 +71,120 @@ from . import causal_ext  # noqa: E402,F401
 
 
 # The driver's correctness gate covers the FIRST 50 registry entries
-# (registration order).  Rounds 1-6 windowed 292 distinct entries
-# (CORRECTNESS_r01-r06.json; zero oracle mismatches ever recorded —
+# (registration order).  Rounds 1-7 windowed 341 distinct entries
+# (CORRECTNESS_r01-r07.json; zero oracle mismatches ever recorded —
 # the only non-null ``err`` values are the driver's ``no_oracle``
-# marker on by-design rows-only entries).  Round 7's window executes
-# VERDICT r6 ask #1: rotate onto 49 more never-certified entries
-# (166 remained after r6), leading with the five round-6 additions
-# that have never been driver-windowed, then the functions_ext
-# window/interval tail, the relational_ext tail, the sampling/split
-# family, the sketch gates, and the now-floor-self-asserting MLlib
-# rows-only family (whose _METRIC_FLOORS raise inside the query, so
-# the driver's weaker rows-only check still has teeth).
-# corpus_e2e_pipeline stays in every window as the flagship canary.
-# Every entry NOT listed keeps its relative order after the listed
-# ones — nothing is ever dropped.
+# marker on by-design rows-only entries, plus r7's
+# mllib_fpgrowth_itemsets canonicalizer crash, fixed and re-windowed
+# below).  Round 8's window executes VERDICT r7 ask #1: rotate onto
+# 48 more never-certified entries per the staged plan — the graph
+# family (kcore/sssp/ppr/assortativity + hits), the pyapi surface,
+# the datamgmt/privacy tail (k_anonymity_risk and dp_noisy_daily_
+# counts beside the three r7 privacy additions), the anomaly/session
+# family, and the corpus/text tail.  corpus_e2e_pipeline stays in
+# every window as the flagship canary; mllib_fpgrowth_itemsets is
+# re-windowed per VERDICT r7 ask #2 (items now stringified so the
+# driver's rows-only canonicalizer can hash it).  Every entry NOT
+# listed keeps its relative order after the listed ones — nothing is
+# ever dropped.
 _ROUND_PRIORITY = [
     # --- flagship regression canary (kept in every window) ---
     "corpus_e2e_pipeline",
-    # --- the five round-6 additions (never driver-windowed) ---
-    "ljung_box_acf_test",
-    "cohens_kappa_raters",
-    "cusum_mean_shift_daily",
-    "rank_biased_overlap_parts",
-    "t_closeness_risk",
-    # --- functions_ext window/interval-analytics tail ---
-    "lag_value_delta",
-    "range_frame_hour_sum",
-    "dense_hourly_counts",
-    "quantile_profile",
-    "active_users_dau_wau",
-    "user_activity_streaks",
-    "twap_daily_value",
-    "cohort_retention_matrix",
-    "bounce_rate_daily",
-    "interpolate_hourly_gaps",
-    # --- relational_ext tail ---
-    "argmax_aggregates",
-    "lateral_topk_orders",
-    "null_safe_join_counts",
-    "semi_join_discounted_orders",
-    "hinted_merge_join_counts",
-    "except_intersect_all_bags",
-    "pareto_frontier_orders",
-    "revenue_pareto_8020",
-    "pit_feature_join",
-    "share_of_parent_rollup",
-    "time_decayed_customer_value",
-    "trending_parts_rank_delta",
-    # --- sampling / split family ---
-    "kfold_cv_assignments",
-    "bottomk_uniform_sample",
-    "weighted_topk_sample_es",
-    "grouped_split_no_leakage",
-    "per_source_capped_sample",
-    "temporal_split_leakage",
-    # --- sketch gates ---
-    "hll_distinct_by_type_check",
-    "quantile_sketch_by_flag_check",
-    "hll_union_mergeability",
-    "kmv_jaccard_sources",
-    "bloom_fpr_audit",
-    "hash_uniformity_chi2",
-    "wau_hll_window_merge",
-    # --- MLlib rows-only family (self-asserting metric floors) ---
-    "ml_tuned_dt_depth",
-    "ml_train_gbt_binary",
-    "ml_train_lr_binary",
-    "ml_train_linreg",
-    "ml_train_als_implicit",
-    "ml_cv_dt_kfold",
-    "ml_isotonic_calibration",
-    "ml_conformal_coverage",
+    # --- r7 red row, fixed: re-certify first (VERDICT r7 ask #2) ---
     "mllib_fpgrowth_itemsets",
+    # --- graph family (incl. HITS, its quality_ext sibling) ---
+    "kcore_decomposition",
+    "sssp_cheapest_reach",
+    "ppr_trade_graph",
+    "degree_assortativity_trade_graph",
+    "hits_hub_authority",
+    # --- pyapi surface ---
+    "variant_props_stats",
+    "cogroup_asof_stats",
+    "arrow_token_bins",
+    "udtf_chunk_profile",
+    "udtf_analyze_top_tokens",
+    "observed_scan_metrics",
+    "pandas_api_event_profile",
+    "parameterized_sql_top_priorities",
+    "grouped_agg_udf_median",
+    "session_variable_threshold",
+    "rolling_robust_zscore_flags",
+    # --- datamgmt/privacy tail (siblings of r7's t_closeness_risk) ---
+    "k_anonymity_risk",
+    "dp_noisy_daily_counts",
+    "l_diversity_entropy",
+    "qi_generalization_ladder",
+    "dp_stability_histogram",
+    # --- anomaly / session analytics family ---
+    "funnel_click_to_purchase",
+    "event_transition_matrix",
+    "value_outliers_mad",
+    "seasonal_naive_wape",
+    "seasonal_robust_anomaly",
+    "attribution_first_vs_last",
+    "beaconing_periodicity_detection",
+    # --- corpus tail ---
+    "corpus_drift_chi2",
+    "url_host_stats",
+    "text_normalize_profile",
+    "bigram_lm_logloss",
+    "psi_split_drift",
+    "boilerplate_gram_share",
+    "span_mask_augment",
+    "nucleus_vocab_coverage",
+    "quantile_norm_report",
+    "weighted_median_length_by_source",
+    "dataset_card_report",
+    # --- text tail ---
+    "arrow_udf_fingerprint",
+    "collated_token_histogram",
+    "feature_hash_profile",
+    "zipf_fit_report",
+    "rake_keyword_extraction",
+    "lang_id_eval_metrics",
+    "lexical_diversity_by_source",
+    "readability_by_source",
+    # --- corpus/text quality tail (1 slot left in the window) ---
+    "gopher_quality_filter",
     # --- 50-entry window boundary ---
-    # Remaining never-certified backlog (120 after this window — 117
-    # pre-round entries + the three r7 privacy additions — all
-    # locally oracle-green via tests/test_parity.py — VERDICT r6 ask
-    # #6: drain the rest in r8 so every registry entry has a driver
-    # row, then flip rotation policy to re-certifying oldest greens).
-    # By family: pyapi surface (variant_props_stats, cogroup_asof,
-    # arrow_token_bins, udtf_chunk_profile/analyze, observe metrics,
-    # pandas-api, parameterized sql, grouped_agg_udf_median,
-    # session_variable_threshold, rolling_robust_zscore_flags);
-    # graph (kcore, sssp, ppr, assortativity, hits); corpus/text
-    # tail (bigram_lm_logloss, psi_split_drift, boilerplate_gram_
-    # share, span_mask_augment, nucleus_vocab_coverage, zipf/feature-
-    # hash, rake/lexdiv/readability, gopher/c4 filters, kn_bigram_
-    # score, corpus_drift_chi2, url_host_stats, text_normalize,
-    # collated_token_histogram, lang_id_eval_metrics, quantile_norm,
-    # weighted_median_length_by_source, dataset_card_report,
-    # bpe_fertility_by_lang, arrow_udf_fingerprint); datamgmt/privacy
-    # (compaction, schema evolution, pseudonymize, quarantine,
-    # snapshot diff, dynamic-partition-overwrite, k_anonymity_risk,
-    # dp_noisy_daily_counts, key_skew_gini, dict encoding, RI/FD
-    # audits, partition_plan_advisor); anomaly/session analytics
-    # (funnel, transition matrix, MAD outliers, seasonal naive/
-    # robust, beaconing, attribution_first_vs_last); streaming tail
-    # (restart/state-store, recordlog sinks/ingest); ingest formats
-    # (jsonl/orc/xml/binary-file scans); stats second-order tail
-    # (rfm, kaplan-meier, revenue_mix, trimmed/rolling/lagged, holt
-    # variants, tail_dependence, geo grid ops); relational/window
-    # leftovers (salted_user_counts, json_props_stats, multi_
-    # distinct_lineitem, value_histogram, orders_by_month, promo_
-    # parts_by_brand, window_rank_functions, user_event_sequences,
-    # customer_name_features, unpivot, event_time_parts, map/try/
-    # bitwise/array profiles, equidepth_histogram gate, event_type_
-    # trigrams, dwell_time_by_type, conversion_latency_quantiles,
-    # episode_follow_counts, new_vs_returning, interorder_gap);
-    # search (hybrid_search_rrf, search_ranking_metrics); trainprep/
-    # entity/assoc (length_band_filter, source_temperature_sample,
-    # preference_pair_mining, loo_source_ablation, er_golden_records,
-    # itemcf, gsp/prefixspan); clustering (dbscan_grid, kcenter_
-    # coreset); rangescale gates (exact_percentiles_scaled,
-    # winsorized_mean_orders); remaining rows-only MLlib
+    # Remaining never-certified backlog after this window: 72 entries
+    # (~1.5 windows), all locally oracle-green via tests/test_parity.py.
+    # By family: ingest formats (jsonl/orc/xml/binary-file scans,
+    # stream_recordlog_ingest); streaming tail (restart/state-store,
+    # recordlog sink); functions_ext leftovers (json_props_stats,
+    # multi_distinct_lineitem, value_histogram, orders_by_month,
+    # promo_parts_by_brand, window_rank_functions, user_event_
+    # sequences, customer_name_features, unpivot, event_time_parts,
+    # map/try/bitwise/array profiles, equidepth_histogram gate,
+    # event_type_trigrams, dwell_time_by_type, conversion_latency_
+    # quantiles, episode_follow_counts); datamgmt (compaction, schema
+    # evolution, pseudonymize, quarantine, snapshot diff, dynamic-
+    # partition-overwrite, key_skew_gini, dict encoding, RI/FD
+    # audits, partition_plan_advisor); stats second-order tail (rfm,
+    # kaplan-meier, revenue_mix, trimmed/rolling/lagged, holt
+    # variants, tail_dependence); rangescale gates (exact_
+    # percentiles_scaled, winsorized_mean_orders); geo grid ops;
+    # relational leftovers (salted_user_counts, new_vs_returning,
+    # interorder_gap); search (hybrid_search_rrf, search_ranking_
+    # metrics); trainprep/entity/assoc (length_band_filter, source_
+    # temperature_sample, preference_pair_mining, loo_source_
+    # ablation, er_golden_records, itemcf, gsp/prefixspan);
+    # clustering (dbscan_grid, kcenter_coreset); quality_ext tail
+    # (c4_line_filter_report, kn_bigram_score); tokenizer
+    # (bpe_fertility_by_lang); remaining rows-only MLlib
     # (mllib_minhash_pairs, word2vec_synonyms, pca_embedding_
-    # variance); the three r7 privacy additions (l_diversity_entropy,
-    # qi_generalization_ladder, dp_stability_histogram — certify
-    # beside their r7-windowed siblings in r8).
+    # variance).
     #
-    # ROUND-8 ROTATION PLAN (for the next builder; verify against
-    # CORRECTNESS_r07 before applying): with this window green, 120
-    # entries remain — 2.4 windows.  Lead r8 with the graph family,
-    # the pyapi surface, the datamgmt/privacy tail (k_anonymity_risk,
-    # dp_noisy_daily_counts — certified siblings of the r7-windowed
-    # t_closeness_risk), the anomaly/session family, and the corpus/
-    # text tail; r9 takes the remainder (ingest formats, streaming
-    # tail, stats second-order, relational leftovers), after which
-    # rotation re-certifies the oldest greens (r1 entries first).
+    # ROUND-9 ROTATION PLAN (for the next builder; verify against
+    # CORRECTNESS_r08 before applying): with this window green, the 72
+    # remaining never-certified entries need ~1.5 windows; lead r9
+    # with all 72 minus the canary slot's cost — i.e. the window takes
+    # the first 49 by family (ingest, streaming tail, functions_ext
+    # leftovers, datamgmt), r10 takes the last ~23 and starts
+    # RE-certifying the oldest greens (VERDICT r7 ask #6: the r1
+    # certifications predate the current AQE/shuffle/warmup config —
+    # rotate them back through, oldest first).
 ]
 
 

@@ -690,11 +690,20 @@ def q_mllib_fpgrowth_itemsets(spark, sf_dir):
         numPartitions=max(256, spark.sparkContext.defaultParallelism * 8),
     ).fit(baskets)
     baskets.unpersist()
+    # items is projected as a scalar string ("p1,p2,..."), not a raw
+    # array<bigint>: the driver's rows-only canonicalizer hashes values
+    # through a pandas sort and lists are unhashable (r7 driver crash).
+    # The (freq DESC, items ASC) rank is applied on the sorted ARRAY
+    # before stringification, so the top-50 selection is unchanged.
     return (
         model.freqItemsets.filter(F.size("items") >= 2)
-        .select(F.array_sort("items").alias("items"), F.col("freq").cast("long").alias("freq"))
-        .orderBy(F.desc("freq"), F.asc("items"))
+        .select(F.array_sort("items").alias("items_arr"), F.col("freq").cast("long").alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("items_arr"))
         .limit(50)
+        .select(
+            F.array_join(F.transform("items_arr", lambda x: x.cast("string")), ",").alias("items"),
+            "freq",
+        )
     )
 
 

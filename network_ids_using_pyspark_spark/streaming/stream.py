@@ -94,15 +94,23 @@ def parse_kafka_events(raw: DataFrame) -> DataFrame:
     # timestamps instead of our micro-precision wire format; a single
     # from_json with a pinned timestampFormat silently NULLs those in
     # PERMISSIVE mode.  Parse the non-timestamp fields structurally,
-    # then coalesce the pinned wire format with Spark's default-format
-    # parse so either convention yields a real event time.
+    # then coalesce the pinned wire format with the SPECIFIC ISO-8601
+    # variants being accepted.  ADVICE r7: the fallback is pinned, NOT
+    # Spark's permissive default parse — a format-free try_to_timestamp
+    # would accept date-only '2024-01-02' or region-ambiguous forms and
+    # silently turn producer bugs into event times; anything outside
+    # the two supported conventions NULLs and lands in the late/invalid
+    # path instead of driving watermarks.
     wire_schema = events_stream_schema(T.StringType())
     parsed = raw.select(
         F.from_json(F.col("value").cast("string"), wire_schema).alias("e")
     ).select("e.*")
     ts = F.coalesce(
         F.try_to_timestamp(F.col("ts"), F.lit(KAFKA_TS_FORMAT)),
-        F.try_to_timestamp(F.col("ts")),
+        # ISO-8601 with optional fractional seconds (millis or micros)
+        F.try_to_timestamp(F.col("ts"), F.lit("yyyy-MM-dd'T'HH:mm:ss")),
+        F.try_to_timestamp(F.col("ts"), F.lit("yyyy-MM-dd'T'HH:mm:ss.SSS")),
+        F.try_to_timestamp(F.col("ts"), F.lit("yyyy-MM-dd'T'HH:mm:ss.SSSSSS")),
     )
     cols = [ts.alias("ts") if f == "ts" else f for f in parsed.columns]
     return parsed.select(*cols)

@@ -157,4 +157,35 @@ def test_no_per_query_regression_vs_previous_round():
         ):
             regressed[q] = (prev["queries"][q], cur["queries"][q], round(env, 2))
     assert not regressed, f"per-query regressions vs {snaps[-2]}: {regressed}"
+
+    # Secondary family-wise guard (ADVICE r7): a shared-code change that
+    # slows one contiguous alphabetical FAMILY (e.g. every stream_*
+    # query 2-5x) lifts its own rolling neighborhood median and hides
+    # from the spike gate above as a "contention band".  Real contention
+    # bands span multiple module prefixes (they track wall-clock, not
+    # code); a shared-code regression tracks exactly one prefix.  Flag
+    # any family (>=4 members) whose median ratio exceeds 2x the
+    # sweep-wide median ratio with a non-noise absolute median loss.
+    sweep_med = statistics.median(ratios)
+    fams: dict[str, list[tuple[str, float]]] = {}
+    for q, r in zip(both, ratios):
+        fams.setdefault(q.split("_", 1)[0], []).append((q, r))
+    family_regressed = {}
+    for fam, members in fams.items():
+        if len(members) < 4:
+            continue  # too few members to distinguish from per-query spikes
+        fam_med = statistics.median(r for _, r in members)
+        med_abs_loss = statistics.median(
+            cur["queries"][q] - prev["queries"][q] for q, _ in members
+        )
+        if fam_med > 2 * sweep_med and med_abs_loss > 0.5:
+            family_regressed[fam] = (
+                round(fam_med, 2),
+                round(sweep_med, 2),
+                len(members),
+            )
+    assert not family_regressed, (
+        f"family-wide slowdowns vs {snaps[-2]} (median ratio, sweep median, "
+        f"n members): {family_regressed}"
+    )
     assert cur["n_failed"] == 0

@@ -28,3 +28,11 @@ def test_rows_only_runs(spark, name):
     df = fn(spark, SF_DIR)
     assert df.count() >= 0
     assert len(df.schema.fields) > 0
+    # Mimic the driver's rows-only canonicalizer (pandas sort_values →
+    # Categorical): it hashes every output value, so a non-scalar column
+    # (array/map/struct) crashes the driver harness with "unhashable
+    # type" — exactly how mllib_fpgrowth_itemsets failed r7.  Catch that
+    # locally: every rows-only output must pandas-sort cleanly.
+    pdf = df.limit(200).toPandas()
+    if len(pdf):
+        pdf.sort_values(by=list(pdf.columns), kind="stable")

@@ -212,3 +212,32 @@ def test_exact_rank_select_degenerate_edges(spark):
 
     with _pytest.raises(ValueError):
         exact_rank_select(df2, ["v"], [0])
+
+
+def test_exact_rank_select_double_collapsed_natives(spark):
+    # int64 values above 2^53 are distinct natively but identical after
+    # the double cast, so the grid's min/max width is 0 even though the
+    # column is NOT constant.  Advancing to the tiebreak column here
+    # narrows under a non-lexicographic order (the r7 ADVICE repro:
+    # rank 1 returned (2^53+1, 0) instead of (2^53, 2)); the fix
+    # detects native lo != hi and exact-resolves the bounded remainder.
+    big = 2**53
+    data = [(big + 1, 0), (big + 1, 1), (big, 2), (big, 3)]
+    df = spark.createDataFrame(data, "v long, tb long")
+    truth = sorted(data)
+    got = exact_rank_select(df, ["v", "tb"], [1, 2, 3, 4], bins=8, small=2)
+    assert [got[r] for r in (1, 2, 3, 4)] == truth
+    # same shape with more rows so the descent actually recurses before
+    # hitting the collapsed level (small < cnt at level 1)
+    data2 = [(big + (i % 2), i) for i in range(2000)]
+    df2 = spark.createDataFrame(data2, "v long, tb long")
+    truth2 = sorted(data2)
+    got2 = exact_rank_select(df2, ["v", "tb"], [1, 1000, 1001, 2000], bins=8, small=64)
+    assert [got2[r] for r in (1, 1000, 1001, 2000)] == [
+        truth2[0], truth2[999], truth2[1000], truth2[1999]
+    ]
+    # genuinely constant first column still advances to the tiebreak
+    # (no needless full resolve): behavior identical to before the fix
+    df3 = spark.createDataFrame([(1.0, i) for i in range(5000)], "v double, k long")
+    got3 = exact_rank_select(df3, ["v", "k"], [1, 2500, 5000], bins=8, small=128)
+    assert [got3[r] for r in (1, 2500, 5000)] == [(1.0, 0), (1.0, 2499), (1.0, 4999)]

@@ -109,7 +109,16 @@ def test_impute_median_invariants(spark, xs):
     assert all(v is not None for v in got.values())  # no nulls remain
     finite = sorted(x for x in xs if x is not None)
     n = len(finite)
-    med = finite[n // 2] if n % 2 == 1 else (finite[n // 2 - 1] + finite[n // 2]) / 2
+    # Mirror Spark's even-count interpolation EXACTLY: F.median computes
+    # lower + (upper - lower) / 2, which differs from (lower + upper) / 2
+    # by 1 ulp in the subnormal range (Hypothesis found
+    # [2.225073858507e-311, None, 5e-324]).  The operator's semantics are
+    # documented at operators/cleaning.py::impute_median_exact.
+    if n % 2 == 1:
+        med = finite[n // 2]
+    else:
+        lo, hi = finite[n // 2 - 1], finite[n // 2]
+        med = lo + (hi - lo) / 2
     for i, x in enumerate(xs):
         if x is None:
             assert got[i] == med
