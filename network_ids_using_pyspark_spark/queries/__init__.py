@@ -148,8 +148,9 @@ _ROUND_PRIORITY = [
     # --- corpus/text quality tail (1 slot left in the window) ---
     "gopher_quality_filter",
     # --- 50-entry window boundary ---
-    # Remaining never-certified backlog after this window: 72 entries
-    # (~1.5 windows), all locally oracle-green via tests/test_parity.py.
+    # Remaining never-certified backlog after this window: 73 entries
+    # (~1.5 windows; 72 pre-round + the r8 addition pii_scan_report),
+    # all locally oracle-green via tests/test_parity.py.
     # By family: ingest formats (jsonl/orc/xml/binary-file scans,
     # stream_recordlog_ingest); streaming tail (restart/state-store,
     # recordlog sink); functions_ext leftovers (json_props_stats,

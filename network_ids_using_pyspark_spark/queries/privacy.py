@@ -551,3 +551,139 @@ def q_dp_stability_histogram(spark, sf_dir):
             F.row_number().over(w).cast("long").alias("released_rank"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# PII scan + redaction report: the compliance gate a training-data
+# pipeline runs on raw corpora before tokenization (beside dedup and
+# decontamination).  The fixture documents are synthetic word salad
+# with no PII, so the query DETERMINISTICALLY INJECTS known PII into a
+# hash-chosen ~30% of documents — identically on both engines — and the
+# report must count exactly what was injected AND prove the redaction
+# pass leaves zero residual matches.  See operators/pii.py for the
+# pattern/engine-portability contract.
+# ---------------------------------------------------------------------------
+
+
+def _pii_sql() -> str:
+    from ..functions.hashing import hash_bucket_sql
+    from ..operators.pii import PII_PATTERNS, REDACTION_TOKEN
+
+    hb = hash_bucket_sql("doc_id", 100, seed="pii:")
+    counts = {
+        k: f"CAST(len(regexp_extract_all(t, '{p}')) AS BIGINT)"
+        for k, p in PII_PATTERNS.items()
+    }
+    red = "t"
+    for p in PII_PATTERNS.values():
+        red = f"regexp_replace({red}, '{p}', '{REDACTION_TOKEN}', 'g')"
+    resid = " + ".join(
+        f"len(regexp_extract_all(red, '{p}'))" for p in PII_PATTERNS.values()
+    )
+    return f"""
+    WITH injected AS (
+      SELECT source,
+             text || CASE
+               WHEN {hb} < 8 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+               WHEN {hb} < 16 THEN ' call 555-867-5309 or 555-123-4567'
+               WHEN {hb} < 22 THEN ' ssn 078-05-1120'
+               WHEN {hb} < 30 THEN ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
+               ELSE '' END AS t
+      FROM documents
+    ), scanned AS (
+      SELECT source, t, {red} AS red,
+             {counts['email']} AS ne, {counts['phone']} AS np,
+             {counts['ssn']} AS ns, {counts['ipv4']} AS ni
+      FROM injected
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN ne + np + ns + ni > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_docs_with_pii,
+           CAST(SUM(ne) AS BIGINT) AS n_emails,
+           CAST(SUM(np) AS BIGINT) AS n_phones,
+           CAST(SUM(ns) AS BIGINT) AS n_ssns,
+           CAST(SUM(ni) AS BIGINT) AS n_ipv4,
+           CAST(SUM(length(t) - length(red)) AS BIGINT) AS chars_redacted,
+           CAST(SUM({resid}) AS BIGINT) AS n_residual_after_redaction
+    FROM scanned
+    GROUP BY source
+    """
+
+
+@register("pii_scan_report", _pii_sql())
+def q_pii_scan_report(spark, sf_dir):
+    """Per-source PII scan + redaction report over `documents` with
+    deterministic PII injection (portable-hash-chosen ~30% of docs get
+    an email / two phones / an SSN / an IPv4 appended — the fixture
+    corpus itself contains none, and a scan gate must be exercised on
+    known positives).  Outputs per-kind match counts, the share of
+    affected documents, the redacted-character volume, and the
+    residual-match count after redaction (must be 0 — asserted by the
+    oracle on both engines, the self-test of the redaction pass).
+
+    No reference counterpart (SURVEY.md §2.7: the reference has no
+    string functions at all) — north-star LLM-data family, specified
+    against Spark primitives.
+
+    Scale plan: regexp scan/redact are per-row codegen expressions on
+    the column-pruned (doc_id, source, text) projection — no UDF, no
+    Python; the only shuffle is the map-side-combined per-source
+    rollup.  At 100 TB this is scan-bound and embarrassingly parallel;
+    patterns are shared Java/RE2-safe literals (operators/pii.py)."""
+    from ..functions.hashing import hash_bucket
+    from ..operators.pii import PII_PATTERNS, pii_count, pii_redact
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    b = hash_bucket("doc_id", 100, seed="pii:")
+    t = F.concat(
+        F.col("text"),
+        F.when(
+            b < 8,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com"),
+            ),
+        )
+        .when(b < 16, F.lit(" call 555-867-5309 or 555-123-4567"))
+        .when(b < 22, F.lit(" ssn 078-05-1120"))
+        .when(
+            b < 30,
+            F.concat(
+                F.lit(" host 10.0."),
+                F.pmod(F.col("doc_id"), F.lit(256)).cast("string"),
+                F.lit(".7"),
+            ),
+        )
+        .otherwise(F.lit("")),
+    )
+    red = pii_redact(t)
+    resid = None
+    for kind in PII_PATTERNS:
+        c = pii_count(red, kind)
+        resid = c if resid is None else resid + c
+    scanned = docs.select(
+        "source",
+        F.length(t).alias("len_t"),
+        F.length(red).alias("len_red"),
+        pii_count(t, "email").alias("ne"),
+        pii_count(t, "phone").alias("np"),
+        pii_count(t, "ssn").alias("ns"),
+        pii_count(t, "ipv4").alias("ni"),
+        resid.alias("resid"),
+    )
+    return scanned.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.when(F.col("ne") + F.col("np") + F.col("ns") + F.col("ni") > 0, 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_docs_with_pii"),
+        F.sum("ne").cast("long").alias("n_emails"),
+        F.sum("np").cast("long").alias("n_phones"),
+        F.sum("ns").cast("long").alias("n_ssns"),
+        F.sum("ni").cast("long").alias("n_ipv4"),
+        F.sum(F.col("len_t") - F.col("len_red")).cast("long").alias("chars_redacted"),
+        F.sum("resid").cast("long").alias("n_residual_after_redaction"),
+    )
