@@ -215,21 +215,28 @@ def repetition_stats(
 
 
 # Conservative patterns valid in BOTH Java regex (Spark) and RE2
-# (DuckDB): no backrefs, no lookaround.
+# (DuckDB): no backrefs, no lookaround.  The ssn pattern (added r8 for
+# the per-source release gate `pii_scan_report`) is disjoint from the
+# loose phone pattern: \d{3,4} cannot match the 2-digit middle group,
+# so neither pattern ever claims the other's matches.
 PII_PATTERNS: dict[str, tuple[str, str]] = {
     "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     "phone": (r"\b\d{3}-\d{3,4}-?\d{0,4}\b", "<PHONE>"),
+    "ssn": (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
     "ip": (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
 }
 
+# Scrub order matters for overlapping families (IP before phone: phone
+# patterns could prefix-match dotted quads).  Replacement tags contain
+# no digits/@/dots, so a tag can never be re-matched by a later pass.
+PII_SCRUB_ORDER = ("email", "ip", "ssn", "phone")
+
 
 def scrub_pii(col: Column | str) -> Column:
-    """Replace emails / phone numbers / IPv4 literals with typed
-    placeholder tags.  Order matters (IP before phone would be wrong the
-    other way around: phone patterns can prefix-match dotted quads) —
-    applied email → ip → phone."""
+    """Replace emails / IPv4 literals / SSNs / phone numbers with typed
+    placeholder tags, in ``PII_SCRUB_ORDER``."""
     c = F.col(col) if isinstance(col, str) else col
-    for key in ("email", "ip", "phone"):
+    for key in PII_SCRUB_ORDER:
         pat, repl = PII_PATTERNS[key]
         c = F.regexp_replace(c, pat, repl)
     return c
@@ -240,7 +247,7 @@ def pii_counts(col: Column | str) -> dict[str, Column]:
     trail a compliance pipeline stores beside the scrubbed text."""
     c = F.col(col) if isinstance(col, str) else col
     out = {}
-    for key in ("email", "ip", "phone"):
+    for key in PII_SCRUB_ORDER:
         pat, _ = PII_PATTERNS[key]
         out[f"n_{key}"] = F.size(F.regexp_extract_all(c, F.lit(pat), 0))
     return out

@@ -552,33 +552,35 @@ def q_dp_stability_histogram(spark, sf_dir):
         )
     )
 
-
 # ---------------------------------------------------------------------------
-# PII scan + redaction report: the compliance gate a training-data
-# pipeline runs on raw corpora before tokenization (beside dedup and
-# decontamination).  The fixture documents are synthetic word salad
-# with no PII, so the query DETERMINISTICALLY INJECTS known PII into a
-# hash-chosen ~30% of documents — identically on both engines — and the
-# report must count exactly what was injected AND prove the redaction
-# pass leaves zero residual matches.  See operators/pii.py for the
-# pattern/engine-portability contract.
+# PII release gate: the per-source compliance ROLLUP over the corpus
+# scrub machinery (operators/textops.py PII_PATTERNS / scrub_pii —
+# the per-document transform is certified row-level by
+# `pii_scrub_audit` in corpus_ext.py).  This op answers the question a
+# release review actually asks: how much PII does each source carry,
+# how much text does redaction remove, and does a rescan of the
+# redacted text find ZERO residual matches.  The fixture documents are
+# synthetic word salad with no PII, so the query DETERMINISTICALLY
+# INJECTS known PII (portable-hash-chosen ~30% of docs) identically on
+# both engines, exercising the gate on known positives.
 # ---------------------------------------------------------------------------
 
 
-def _pii_sql() -> str:
+def _pii_gate_sql() -> str:
     from ..functions.hashing import hash_bucket_sql
-    from ..operators.pii import PII_PATTERNS, REDACTION_TOKEN
+    from ..operators.textops import PII_PATTERNS, PII_SCRUB_ORDER
 
     hb = hash_bucket_sql("doc_id", 100, seed="pii:")
-    counts = {
-        k: f"CAST(len(regexp_extract_all(t, '{p}')) AS BIGINT)"
-        for k, p in PII_PATTERNS.items()
-    }
     red = "t"
-    for p in PII_PATTERNS.values():
-        red = f"regexp_replace({red}, '{p}', '{REDACTION_TOKEN}', 'g')"
+    for key in PII_SCRUB_ORDER:
+        pat, repl = PII_PATTERNS[key]
+        red = f"regexp_replace({red}, '{pat}', '{repl}', 'g')"
+    counts = {
+        k: f"CAST(len(regexp_extract_all(t, '{PII_PATTERNS[k][0]}')) AS BIGINT)"
+        for k in PII_SCRUB_ORDER
+    }
     resid = " + ".join(
-        f"len(regexp_extract_all(red, '{p}'))" for p in PII_PATTERNS.values()
+        f"len(regexp_extract_all(red, '{PII_PATTERNS[k][0]}'))" for k in PII_SCRUB_ORDER
     )
     return f"""
     WITH injected AS (
@@ -593,17 +595,17 @@ def _pii_sql() -> str:
     ), scanned AS (
       SELECT source, t, {red} AS red,
              {counts['email']} AS ne, {counts['phone']} AS np,
-             {counts['ssn']} AS ns, {counts['ipv4']} AS ni
+             {counts['ssn']} AS ns, {counts['ip']} AS ni
       FROM injected
     )
     SELECT source,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(CASE WHEN ne + np + ns + ni > 0 THEN 1 ELSE 0 END) AS BIGINT)
              AS n_docs_with_pii,
-           CAST(SUM(ne) AS BIGINT) AS n_emails,
-           CAST(SUM(np) AS BIGINT) AS n_phones,
-           CAST(SUM(ns) AS BIGINT) AS n_ssns,
-           CAST(SUM(ni) AS BIGINT) AS n_ipv4,
+           CAST(SUM(ne) AS BIGINT) AS n_email,
+           CAST(SUM(np) AS BIGINT) AS n_phone,
+           CAST(SUM(ns) AS BIGINT) AS n_ssn,
+           CAST(SUM(ni) AS BIGINT) AS n_ip,
            CAST(SUM(length(t) - length(red)) AS BIGINT) AS chars_redacted,
            CAST(SUM({resid}) AS BIGINT) AS n_residual_after_redaction
     FROM scanned
@@ -611,28 +613,29 @@ def _pii_sql() -> str:
     """
 
 
-@register("pii_scan_report", _pii_sql())
+@register("pii_scan_report", _pii_gate_sql())
 def q_pii_scan_report(spark, sf_dir):
-    """Per-source PII scan + redaction report over `documents` with
-    deterministic PII injection (portable-hash-chosen ~30% of docs get
-    an email / two phones / an SSN / an IPv4 appended — the fixture
-    corpus itself contains none, and a scan gate must be exercised on
-    known positives).  Outputs per-kind match counts, the share of
-    affected documents, the redacted-character volume, and the
-    residual-match count after redaction (must be 0 — asserted by the
-    oracle on both engines, the self-test of the redaction pass).
+    """Per-source PII release gate over `documents`: per-kind match
+    counts, the share of affected documents, the redacted-character
+    volume, and the residual-match count after redaction (must be 0 —
+    the redaction pass's self-test, asserted identically by the DuckDB
+    oracle).  Complements `pii_scrub_audit` (corpus_ext.py), which
+    certifies the per-document scrub TRANSFORM row-level; this is the
+    AGGREGATE gate a release pipeline thresholds on before shipping a
+    corpus snapshot.  Adds the SSN pattern to the shared family
+    (operators/textops.py) and injects all four kinds on a portable-
+    hash-chosen ~30% of docs (the corpus itself is PII-free).
 
     No reference counterpart (SURVEY.md §2.7: the reference has no
-    string functions at all) — north-star LLM-data family, specified
-    against Spark primitives.
+    string functions at all) — north-star LLM-data family.
 
     Scale plan: regexp scan/redact are per-row codegen expressions on
     the column-pruned (doc_id, source, text) projection — no UDF, no
     Python; the only shuffle is the map-side-combined per-source
     rollup.  At 100 TB this is scan-bound and embarrassingly parallel;
-    patterns are shared Java/RE2-safe literals (operators/pii.py)."""
+    patterns are shared Java/RE2-safe literals."""
     from ..functions.hashing import hash_bucket
-    from ..operators.pii import PII_PATTERNS, pii_count, pii_redact
+    from ..operators.textops import PII_PATTERNS, PII_SCRUB_ORDER, scrub_pii
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
     b = hash_bucket("doc_id", 100, seed="pii:")
@@ -658,19 +661,26 @@ def q_pii_scan_report(spark, sf_dir):
         )
         .otherwise(F.lit("")),
     )
-    red = pii_redact(t)
+    red = scrub_pii(t)
+
+    def _n(text_col, kind):
+        pat, _ = PII_PATTERNS[kind]
+        return F.coalesce(
+            F.size(F.regexp_extract_all(text_col, F.lit(pat), F.lit(0))), F.lit(0)
+        ).cast("long")
+
     resid = None
-    for kind in PII_PATTERNS:
-        c = pii_count(red, kind)
+    for kind in PII_SCRUB_ORDER:
+        c = _n(red, kind)
         resid = c if resid is None else resid + c
     scanned = docs.select(
         "source",
         F.length(t).alias("len_t"),
         F.length(red).alias("len_red"),
-        pii_count(t, "email").alias("ne"),
-        pii_count(t, "phone").alias("np"),
-        pii_count(t, "ssn").alias("ns"),
-        pii_count(t, "ipv4").alias("ni"),
+        _n(t, "email").alias("ne"),
+        _n(t, "phone").alias("np"),
+        _n(t, "ssn").alias("ns"),
+        _n(t, "ip").alias("ni"),
         resid.alias("resid"),
     )
     return scanned.groupBy("source").agg(
@@ -680,10 +690,10 @@ def q_pii_scan_report(spark, sf_dir):
         )
         .cast("long")
         .alias("n_docs_with_pii"),
-        F.sum("ne").cast("long").alias("n_emails"),
-        F.sum("np").cast("long").alias("n_phones"),
-        F.sum("ns").cast("long").alias("n_ssns"),
-        F.sum("ni").cast("long").alias("n_ipv4"),
+        F.sum("ne").cast("long").alias("n_email"),
+        F.sum("np").cast("long").alias("n_phone"),
+        F.sum("ns").cast("long").alias("n_ssn"),
+        F.sum("ni").cast("long").alias("n_ip"),
         F.sum(F.col("len_t") - F.col("len_red")).cast("long").alias("chars_redacted"),
         F.sum("resid").cast("long").alias("n_residual_after_redaction"),
     )
