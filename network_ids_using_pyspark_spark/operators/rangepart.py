@@ -196,6 +196,18 @@ def exact_rank_select(
             if width <= 0.0:
                 if nlo == nhi and ci + 1 < len(cols):
                     next_tasks.append((pred, cnt, pairs, ci + 1))
+                elif nlo == nhi:
+                    # LAST sort column constant within this task — and
+                    # columns before ci are constant by the descent
+                    # invariant (ci only advances on a natively-constant
+                    # column), so EVERY row in the task carries the same
+                    # tuple: fetch one row instead of collecting cnt
+                    # (an all-tied key holding >_MAX_RESOLVE_ROWS rows
+                    # is now O(1) driver traffic instead of an error).
+                    cdf = sdf if pred is None else sdf.filter(pred)
+                    row = cdf.select(*cols).limit(1).collect()[0]
+                    val = tuple(row[c] for c in cols)
+                    out.update({g: val for g, _loc in pairs})
                 else:
                     cdf = sdf if pred is None else sdf.filter(pred)
                     out.update(_resolve_small(cdf, cols, pairs, cnt))

@@ -214,6 +214,19 @@ def test_exact_rank_select_degenerate_edges(spark):
         exact_rank_select(df2, ["v"], [0])
 
 
+def test_exact_rank_select_constant_task_is_o1(spark):
+    # An all-tied single-column relation larger than _MAX_RESOLVE_ROWS:
+    # the old degenerate-tie fallback collected the whole task (and
+    # raised past 5M rows); the constant-task path now fetches ONE row,
+    # because a task whose last sort column is natively constant carries
+    # the same tuple in every row (the descent invariant).
+    from pyspark.sql import functions as F
+
+    big = spark.range(6_000_000).select(F.lit(7.25).alias("v"))
+    got = exact_rank_select(big, ["v"], [1, 3_000_000, 6_000_000], bins=8, small=256)
+    assert got == {1: (7.25,), 3_000_000: (7.25,), 6_000_000: (7.25,)}
+
+
 def test_exact_rank_select_double_collapsed_natives(spark):
     # int64 values above 2^53 are distinct natively but identical after
     # the double cast, so the grid's min/max width is 0 even though the
