@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..streaming.stream import (
+    run_folded_agg,
     run_to_memory,
     session_stats,
     sliding_counts,
@@ -221,26 +222,64 @@ def q_stream_stream_join_pairs(spark, sf_dir):
     """Stream-stream inner join with an event-time range condition
     (clicks within the hour before each purchase by the same user) —
     watermarks bound both sides' state.  On bounded input the emitted
-    pairs equal the batch time-interval join: the oracle."""
+    pairs equal the batch time-interval join: the oracle.
+
+    Scale design (r8, found by the 30x planted-skew run: alpha 1.49,
+    395 s): the symmetric hash join keys state by the EQUALITY columns
+    only and applies the range condition post-lookup, so a user_id-only
+    key scans every stored click of that user per purchase — quadratic
+    in the hot key's density (the 30x generator parks ~4.8% of events
+    on one user).  Fix is a bucketed band join, same trick as the batch
+    as-of/range-join family: each click registers under its own
+    1-hour bucket AND the next one, purchases join on
+    (user, p_bucket == reg_bucket) + the exact range — every true pair
+    matches via EXACTLY one registration row (c_bucket == p_bucket or
+    c_bucket == p_bucket - 1, never both), so no dedup is needed, and a
+    state lookup now scans one user-hour of clicks instead of the
+    user's full history.  The pair set is counted per micro-batch at
+    the sink (run_folded_agg) — never collected."""
+    p, c = _bucketed_purchase_click(spark, sf_dir)
+    joined = p.join(
+        c,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("p_bucket") == F.col("reg_bucket"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+    )
+    return run_folded_agg(joined, [F.count(F.lit(1)).alias("n_pairs")])
+
+
+_HOUR_US = 3_600_000_000  # join band width in microseconds
+
+
+def _bucketed_purchase_click(spark, sf_dir):
+    """Shared band-join inputs: purchases with their 1-hour event-time
+    bucket; clicks registered under (own bucket, own bucket + 1).  The
+    watermark column on each side stays the raw event time, so state
+    eviction semantics are untouched — the bucket is only an extra
+    equality key that makes state lookups band-local."""
     ev = stream_events(spark, sf_dir)
     p = (
         ev.filter(F.col("event_type") == "purchase")
         .select("user_id", F.col("ts").alias("p_ts"))
         .withWatermark("p_ts", "2 hours")
+        .withColumn("p_bucket", F.expr(f"unix_micros(p_ts) div {_HOUR_US}"))
     )
     c = (
         ev.filter(F.col("event_type") == "click")
         .select(F.col("user_id").alias("c_user_id"), F.col("ts").alias("c_ts"))
         .withWatermark("c_ts", "2 hours")
+        .withColumn(
+            "reg_bucket",
+            F.explode(
+                F.array(
+                    F.expr(f"unix_micros(c_ts) div {_HOUR_US}"),
+                    F.expr(f"unix_micros(c_ts) div {_HOUR_US} + 1"),
+                )
+            ),
+        )
     )
-    joined = p.join(
-        c,
-        (F.col("user_id") == F.col("c_user_id"))
-        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
-        & (F.col("c_ts") <= F.col("p_ts")),
-    )
-    pairs = run_to_memory(joined, "append")
-    return pairs.agg(F.count(F.lit(1)).alias("n_pairs"))
+    return p, c
 
 
 @register(
@@ -275,7 +314,16 @@ def q_stream_stream_left_outer(spark, sf_dir):
     micro-batch then flushes every remaining outer row, so the result
     equals the batch left join — the oracle.  At 100 TB the watermark
     bounds both state stores to the 2-hour window regardless of
-    stream length."""
+    stream length.
+
+    Scale design (r8): same bucketed band join as
+    `stream_stream_join_pairs` (user_id-only state keys scan the hot
+    user's whole click history per purchase — alpha 1.49 at 30x).  The
+    preserved (purchase) side stays ONE row per purchase while only the
+    click side registers under two buckets, so LEFT OUTER semantics are
+    exact: an unmatched purchase emits exactly one NULL row, and a
+    matched one never emits a spurious NULL for the bucket that missed.
+    Folded-agg sink replaces the driver memory sink."""
     from ..sources.tables import load_table
 
     ev_batch = load_table(spark, sf_dir, "events")
@@ -283,35 +331,29 @@ def q_stream_stream_left_outer(spark, sf_dir):
         F.max("ts") - F.expr("INTERVAL 6 HOUR")
     ).collect()[0][0]  # 1-row scalar → literal (G4 pattern)
 
-    ev = stream_events(spark, sf_dir)
-    # cutoff filter goes AFTER withWatermark: the watermark must track
-    # the FULL purchase stream (global watermark = min across inputs —
-    # a pre-watermark filter would cap this side's event-time max at
-    # the cutoff and the eviction horizon would forever trail it).
-    p = (
-        ev.filter(F.col("event_type") == "purchase")
-        .select("user_id", F.col("ts").alias("p_ts"))
-        .withWatermark("p_ts", "2 hours")
-        .filter(F.col("p_ts") <= F.lit(cutoff))
-    )
-    c = (
-        ev.filter(F.col("event_type") == "click")
-        .select(F.col("user_id").alias("c_user_id"), F.col("ts").alias("c_ts"))
-        .withWatermark("c_ts", "2 hours")
-    )
+    # cutoff filter goes AFTER withWatermark (inside the shared helper):
+    # the watermark must track the FULL purchase stream (global
+    # watermark = min across inputs — a pre-watermark filter would cap
+    # this side's event-time max at the cutoff and the eviction horizon
+    # would forever trail it).
+    p, c = _bucketed_purchase_click(spark, sf_dir)
+    p = p.filter(F.col("p_ts") <= F.lit(cutoff))
     joined = p.join(
         c,
         (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("p_bucket") == F.col("reg_bucket"))
         & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
         & (F.col("c_ts") <= F.col("p_ts")),
         "leftOuter",
     )
-    rows = run_to_memory(joined, "append")
-    return rows.agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.sum(F.when(F.col("c_ts").isNull(), 1).otherwise(0))
-        .cast("long")
-        .alias("n_unmatched"),
+    return run_folded_agg(
+        joined,
+        [
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(F.col("c_ts").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_unmatched"),
+        ],
     )
 
 

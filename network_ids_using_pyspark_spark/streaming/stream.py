@@ -236,6 +236,62 @@ def run_to_memory(
     return df.sparkSession.table(name)
 
 
+def run_folded_agg(
+    df: DataFrame,
+    exprs: list,
+    prefix: str = "nids_aggsink",
+    state_partitions: int = 8,
+) -> DataFrame:
+    """Drive a bounded streaming frame to completion with ``availableNow``,
+    folding sum-decomposable aggregates (COUNT / SUM) at the sink: each
+    micro-batch computes its aggregate row cluster-side inside
+    ``foreachBatch`` and only that k-scalar row reaches the driver, which
+    folds rows by summation.  The streamed relation itself — e.g. a
+    stream-stream join's pair set — is NEVER materialized on the driver.
+
+    This replaces the memory-sink + post-agg pattern for unbounded-output
+    operators: a memory sink collects every emitted row into driver
+    memory, which at 100 TB (or under planted key skew, where the hot
+    key's pair count grows quadratically with density) is the bottleneck
+    long before the join itself.  Returns a 1-row DataFrame with the
+    summed aggregates, NULL-batches ignored (an empty micro-batch
+    contributes count 0 / sum NULL)."""
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    batch_rows: list = []
+    schema_holder: list = []
+
+    def _fold(batch: DataFrame, _batch_id: int) -> None:
+        agg = batch.agg(*exprs)
+        if not schema_holder:
+            schema_holder.append(agg.schema)
+        batch_rows.append(agg.first())
+
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            df.writeStream.foreachBatch(_fold)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    if not schema_holder:
+        # zero micro-batches: derive the neutral element from an empty
+        # batch-mode frame with the stream's schema
+        empty = spark.createDataFrame([], df.schema).agg(*exprs)
+        schema_holder.append(empty.schema)
+        batch_rows.append(empty.first())
+    schema = schema_holder[0]
+    folded = []
+    for name in schema.fieldNames():
+        vals = [r[name] for r in batch_rows if r[name] is not None]
+        folded.append(sum(vals) if vals else None)
+    return spark.createDataFrame([tuple(folded)], schema)
+
+
 class LateDataMetricsListener:
     """SURVEY.md §2.10 "late-data policy — metrics via
     StreamingQueryListener": accumulates the rows each stateful operator

@@ -475,3 +475,67 @@ def test_stream_markov_transitions_match_batch_python(spark):
         for r in REGISTRY["stream_markov_transitions"][0](spark, SF_DIR).collect()
     }
     assert got == dict(want)
+
+
+def test_stream_stream_band_join_exact_boundaries(spark, tmp_path):
+    """The r8 bucketed band join (stream_stream_join_pairs /
+    stream_stream_left_outer) must be EXACT at every boundary the
+    bucketing could plausibly break: a click exactly at p_ts, exactly
+    at p_ts - 1h (both INCLUSIVE per the oracle's BETWEEN), one
+    microsecond outside each end, and purchases sitting exactly on an
+    hour boundary (where the [p_ts-1h, p_ts] interval touches two
+    buckets at its endpoints).  Each true pair must match via exactly
+    ONE click registration row — no dupes, no misses — and an
+    unmatched purchase must flush exactly one NULL outer row."""
+    from datetime import datetime, timedelta
+
+    from network_ids_using_pyspark_spark.queries.streaming import (
+        q_stream_stream_join_pairs,
+        q_stream_stream_left_outer,
+    )
+
+    h10 = datetime(2024, 1, 1, 10, 0, 0)
+    us = timedelta(microseconds=1)
+    rows = [
+        # (event_id, ts, user_id, event_type)
+        (1, h10, 7, "purchase"),                            # on the hour boundary
+        (2, h10, 7, "click"),                               # == p_ts        -> pair
+        (3, h10 - timedelta(hours=1), 7, "click"),          # == p_ts - 1h   -> pair
+        (4, h10 - timedelta(hours=1) - us, 7, "click"),     # 1us early      -> no
+        (5, h10 + us, 7, "click"),                          # 1us late       -> no
+        (6, h10 - timedelta(minutes=30), 7, "click"),       # mid-window     -> pair
+        (7, h10 - timedelta(minutes=30), 8, "click"),       # other user     -> no
+        (8, datetime(2024, 1, 1, 12, 0, 0), 7, "purchase"),  # no click in 1h -> NULL
+        # far-future click so the left-outer 6h end-exclusion keeps
+        # both purchases (cutoff = max ts - 6h = 2024-01-01 14:00)
+        (9, datetime(2024, 1, 1, 20, 0, 0), 9, "click"),
+        # far-future PURCHASE: cutoff-excluded from the join, but it
+        # must still drive the purchase-side watermark (the cutoff
+        # filter sits AFTER withWatermark precisely so the outer flush
+        # horizon tracks the full stream, not the filtered slice)
+        (10, datetime(2024, 1, 1, 20, 0, 0), 10, "purchase"),
+    ]
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    sf_dir = str(tmp_path)
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([i for i, *_ in rows], pa.int64()),
+                "ts": pa.array([ts for _, ts, *_ in rows], pa.timestamp("us", tz="UTC")),
+                "user_id": pa.array([u for _, _, u, _ in rows], pa.int64()),
+                "event_type": pa.array([et for *_, et in rows], pa.string()),
+                "value": pa.array([1.0] * len(rows), pa.float64()),
+                "props": pa.array(["{}"] * len(rows), pa.string()),
+            }
+        ),
+        f"{sf_dir}/events.parquet",
+    )
+
+    pairs = q_stream_stream_join_pairs(spark, sf_dir).collect()
+    assert [tuple(r) for r in pairs] == [(3,)]
+
+    outer = q_stream_stream_left_outer(spark, sf_dir).collect()
+    # purchase@10:00 emits 3 matched rows; purchase@12:00 emits 1 NULL
+    assert [tuple(r) for r in outer] == [(4, 1)]
