@@ -53,6 +53,123 @@ def exploded_shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "
     )
 
 
+def _min_overlap(threshold: float, n_col: Column) -> Column:
+    """Minimum integer intersection size ⌈t·n⌉ implied by the
+    similarity threshold, with a SAFE-SIDE epsilon: double rounding can
+    push an exactly-integral t·n up a hair, and a plain ``ceil`` would
+    then overshoot by one — shortening the prefix and silently LOSING
+    true pairs.  Biasing down by 1e-9 before the ceil can only ever
+    LENGTHEN a prefix (extra candidates, never missed ones); true
+    non-integral t·n values sit ≥ 1/denominator(t) ≫ 1e-9 away from
+    integers for every threshold used here."""
+    return F.ceil(n_col.cast("double") * F.lit(float(threshold)) - F.lit(1e-9)).cast(
+        "int"
+    )
+
+
+# Heavy-shingle cutoff: a shingle is "heavy" (stop-word-like) when its
+# document frequency exceeds max(floor, HEAVY_FRAC of the corpus).
+# The cutoff must be RELATIVE to corpus size — df grows linearly with
+# the corpus, so any fixed cutoff reclassifies ordinary content
+# shingles as heavy at scale (measured at the r8 10× point: a fixed 64
+# turned 23k content shingles heavy, made every doc majority-heavy,
+# and the heavy machinery cost 6× the join it replaced).  Stop-phrase
+# shingles sit at df/N ≈ constant; content shingles at df/N → 0 — the
+# fraction separates them at every scale.  The 64-row floor keeps tiny
+# corpora (unit tests, sf0.001) on the plain path.  Same spirit as the
+# Adamic-Adar stop-node ceiling (operators/graph.py).
+HEAVY_FRAC = 0.05
+HEAVY_DF_FLOOR = 64
+
+
+def _resolve_heavy_df(docs: DataFrame, heavy_df: "int | None") -> int:
+    """Resolve the heavy cutoff; the corpus count is a bounded 1-row
+    driver action (the G4 scalar pattern) used only to size the
+    cutoff — it never enters result semantics (the output is
+    bit-identical at ANY cutoff)."""
+    if heavy_df is not None:
+        return heavy_df
+    import math
+
+    return max(HEAVY_DF_FLOOR, math.ceil(HEAVY_FRAC * docs.count()))
+
+
+def _df_split(ex: DataFrame, id_col: str, heavy_df: int):
+    """Annotate the exploded corpus with per-shingle document frequency
+    and fold per-doc stats: (exd = ex + df_sh, stats = id → set size +
+    heavy-shingle count).  ``exd`` feeds four plan branches — persist
+    it so the df join runs once."""
+    dfreq = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_sh"))
+    # EAGER materialization, not lazy persist: 5-6 downstream plan
+    # branches consume this relation inside one action, and a lazy
+    # cache lets them race to recompute the df join (measured 3× wall
+    # at sf0.1).  localCheckpoint also truncates the lineage, so the
+    # branches re-plan from columnar blocks.
+    exd = ex.join(dfreq, "shingle").localCheckpoint(eager=True)
+    stats = exd.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_sh"),
+        F.sum(F.when(F.col("df_sh") > heavy_df, 1).otherwise(0))
+        .cast("int")
+        .alias("n_hv"),
+    )
+    return exd, stats
+
+
+def _light_pair_counts(exd: DataFrame, id_col: str, heavy_df: int) -> DataFrame:
+    """Exact per-pair count of shared LIGHT (df ≤ cutoff) shingles via
+    the direct inverted-index join — one thin shuffle, work bounded by
+    cutoff · |corpus|.  The shuffle-hash hint keeps AQE from
+    broadcasting the exploded corpus (the OOM-at-scale plan)."""
+    light = exd.filter(F.col("df_sh") <= heavy_df)
+    a = light.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = light.select(F.col(id_col).alias("doc_b"), "shingle").hint("shuffle_hash")
+    return (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("int").alias("n_light"))
+    )
+
+
+def _heavy_sets(exd: DataFrame, id_col: str, heavy_df: int) -> DataFrame:
+    """Per-doc HEAVY shingle sets as arrays sorted by the global rarity
+    order (df asc, shingle asc) — short (stop-word-like shingles per
+    doc, bounded by doc length), so shipping them through candidate
+    joins stays cheap."""
+    return (
+        exd.filter(F.col("df_sh") > heavy_df)
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_list(F.struct("df_sh", "shingle"))).alias("hi"))
+        .select(id_col, F.transform("hi", lambda s: s["shingle"]).alias("h_set"))
+    )
+
+
+def _attach_pair_side(pairs: DataFrame, rel: DataFrame, id_col: str, side: str, how: str = "inner") -> DataFrame:
+    """Join a per-doc relation onto one side of a pair relation,
+    suffixing its non-id columns with ``_a``/``_b``."""
+    cols = [c for c in rel.columns if c != id_col]
+    renamed = rel.select(
+        F.col(id_col).alias(f"doc_{side}"),
+        *[F.col(c).alias(f"{c}_{side}") for c in cols],
+    )
+    return pairs.join(renamed, f"doc_{side}", how)
+
+
+def _empty_str_arr() -> Column:
+    return F.array().cast("array<string>")
+
+
+def _n_heavy_col() -> Column:
+    """Exact heavy-intersection size from the two (possibly absent)
+    heavy arrays — a JVM codegen expression, no shuffle."""
+    return F.size(
+        F.array_intersect(
+            F.coalesce(F.col("h_set_a"), _empty_str_arr()),
+            F.coalesce(F.col("h_set_b"), _empty_str_arr()),
+        )
+    )
+
+
 def jaccard_pairs(
     docs: DataFrame,
     threshold: float,
@@ -62,11 +179,38 @@ def jaccard_pairs(
     max_df: int | None = None,
     storage_level: "StorageLevel | None" = None,
     spill_path: str | None = None,
+    heavy_df: int | None = None,
 ) -> DataFrame:
-    """All pairs with shingle-set Jaccard ≥ threshold, via the
-    inverted-index join.  ``max_df`` drops shingles present in more than
-    that many docs before the self-join (skew control at scale; changes
-    results — keep None for exact semantics).
+    """All pairs with shingle-set Jaccard ≥ threshold — EXACT, via a
+    document-frequency-split join that is bounded in BOTH cost regimes
+    the r8 10× skew harness exposed:
+
+    * **Light shingles (df ≤ heavy_df)** go through the direct
+      inverted-index co-occurrence join — one thin shuffle whose work
+      is ≤ heavy_df row visits per corpus shingle, i.e. LINEAR in the
+      corpus.  This is the dominant path on replica-style near-dup
+      data, where pair enumeration is output-bound (the r8 evidence:
+      output pairs grow α≈3.0 under 10× replica cliques — no algorithm
+      emits them cheaper than the thin count join).
+    * **Heavy shingles (df > heavy_df)** never enter a df² join.  Their
+      per-doc sets are short arrays; pairs already found via a shared
+      light shingle add their exact heavy overlap by `array_intersect`
+      AFTER a count-based prune (n_light + min(heavy counts) must reach
+      ⌈t·max(n_a,n_b)⌉ — a necessary condition, so pruning is safe).
+      Pairs sharing ONLY heavy shingles are recovered by the
+      prefix-filtering pigeonhole (AllPairs/PPJoin, Bayardo WWW'07 /
+      Xiao WWW'08) restricted to the heavy tail: a qualifying pair must
+      share a shingle ranked ≤ n − ⌈t·n⌉ + 1 in each doc's global
+      rarity order, and for an all-heavy intersection that means one of
+      each doc's ``n_hv − ⌈t·n⌉ + 1`` rarest HEAVY shingles — empty
+      unless a doc is ≥ t stop-shingle, which is what keeps the hot
+      df² out of the plan.
+
+    Output is bit-identical to the naive full inverted-index join (the
+    unit suite compares against it on adversarial corpora); only the
+    physical plan changes.  ``max_df`` is retained as the documented
+    semantics-CHANGING knob (drop shingles with df > N before
+    everything; keep None for exact results).
 
     ``storage_level`` controls how the exploded-shingle relation is
     persisted (default ``MEMORY_AND_DISK``).  At extreme scale the
@@ -76,18 +220,17 @@ def jaccard_pairs(
 
     ``spill_path`` is the last escalation step (VERDICT r2 #9): write
     the exploded relation to a parquet table and re-scan it, so the
-    three consuming plan branches read columnar storage instead of
-    executor block storage — survives executor loss, costs nothing on
-    the heaps, and the re-scan gets column pruning (the size branch
-    reads only ``doc_id``).  Overrides ``storage_level``."""
+    consuming plan branches read columnar storage instead of executor
+    block storage — survives executor loss, costs nothing on the
+    heaps, and the re-scan gets column pruning.  Overrides
+    ``storage_level``."""
+    heavy_df = _resolve_heavy_df(docs, heavy_df)
     ex = exploded_shingles(docs, id_col, text_col, n)
     if max_df is not None:
         rare = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).filter(
             F.col("df") <= max_df
         )
         ex = ex.join(rare.select("shingle"), "shingle")
-    # the exploded relation feeds three plan branches (join left/right,
-    # per-doc sizes); materialize it so tokenize+shingle runs once, not 3-4×
     if spill_path is not None:
         ex.write.mode("overwrite").parquet(spill_path)
         ex = docs.sparkSession.read.parquet(spill_path)
@@ -95,33 +238,223 @@ def jaccard_pairs(
         ex = ex.persist(storage_level)
     else:
         ex = ex.persist()
-    sizes = ex.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    # hint the self-join to shuffle-hash: broadcasting the exploded
-    # corpus (what AQE picks at small SF) is exactly what would OOM at
-    # scale — the shingle-partitioned hash join is the right plan at
-    # every size
-    a, b = ex.alias("a"), ex.hint("shuffle_hash").alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .groupBy(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+    exd, stats = _df_split(ex, id_col, heavy_df)
+    hsets = _heavy_sets(exd, id_col, heavy_df)
+    # --- path A: pairs sharing ≥1 light shingle -----------------------
+    lp = _light_pair_counts(exd, id_col, heavy_df)
+    A = _attach_pair_side(_attach_pair_side(lp, stats, id_col, "a"), stats, id_col, "b")
+    minreq = _min_overlap(threshold, F.greatest("n_sh_a", "n_sh_b"))
+    A = A.filter(F.col("n_light") + F.least("n_hv_a", "n_hv_b") >= minreq)
+    A = _attach_pair_side(
+        _attach_pair_side(A, hsets, id_col, "a", "left"), hsets, id_col, "b", "left"
     )
-    sa = sizes.withColumnsRenamed({id_col: "doc_a", "n_sh": "n_a"})
-    sb = sizes.withColumnsRenamed({id_col: "doc_b", "n_sh": "n_b"})
-    out = (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn(
-            "jaccard",
-            F.col("n_inter").cast("double")
-            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+    A = A.select(
+        "doc_a",
+        "doc_b",
+        (F.col("n_light") + _n_heavy_col()).alias("n_inter"),
+        F.col("n_sh_a").alias("n_a"),
+        F.col("n_sh_b").alias("n_b"),
+    )
+    # --- path B: pairs whose entire intersection is heavy -------------
+    hpx = (
+        _attach_pair_side(
+            hsets.select(F.col(id_col).alias("doc_a"), "h_set"),
+            stats,
+            id_col,
+            "a",
         )
+        .select(
+            F.col("doc_a").alias(id_col),
+            F.col("n_sh_a").alias("n_sh"),
+            F.explode(
+                F.slice(
+                    "h_set",
+                    F.lit(1),
+                    F.greatest(
+                        F.lit(0),
+                        F.col("n_hv_a") - _min_overlap(threshold, F.col("n_sh_a")) + 1,
+                    ),
+                )
+            ).alias("shingle"),
+        )
+    )
+    ha = hpx.select(F.col(id_col).alias("doc_a"), "shingle")
+    hb = hpx.select(F.col(id_col).alias("doc_b"), "shingle")
+    hcand = (
+        ha.join(hb, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    # light sets ONLY for candidate docs (semi-join prune): needed to
+    # certify the intersection is all-heavy (n_light == 0 ⇒ disjoint
+    # from path A, which owns every pair with a shared light shingle)
+    cids = (
+        hcand.select(F.col("doc_a").alias(id_col))
+        .unionByName(hcand.select(F.col("doc_b").alias(id_col)))
+        .distinct()
+    )
+    lsets = (
+        exd.filter(F.col("df_sh") <= heavy_df)
+        .join(cids, id_col, "left_semi")
+        .groupBy(id_col)
+        .agg(F.collect_set("shingle").alias("l_set"))
+    )
+    B = _attach_pair_side(
+        _attach_pair_side(hcand, lsets, id_col, "a", "left"), lsets, id_col, "b", "left"
+    )
+    B = B.filter(
+        F.size(
+            F.array_intersect(
+                F.coalesce(F.col("l_set_a"), _empty_str_arr()),
+                F.coalesce(F.col("l_set_b"), _empty_str_arr()),
+            )
+        )
+        == 0
+    )
+    B = _attach_pair_side(_attach_pair_side(B, hsets, id_col, "a"), hsets, id_col, "b")
+    B = _attach_pair_side(_attach_pair_side(B, stats, id_col, "a"), stats, id_col, "b")
+    B = B.select(
+        "doc_a",
+        "doc_b",
+        _n_heavy_col().alias("n_inter"),
+        F.col("n_sh_a").alias("n_a"),
+        F.col("n_sh_b").alias("n_b"),
+    )
+    out = A.unionByName(B).withColumn(
+        "jaccard",
+        F.col("n_inter").cast("double")
+        / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
     )
     return out.filter(F.col("jaccard") >= threshold).select("doc_a", "doc_b", "jaccard")
+
+
+def containment_pairs(
+    docs: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    heavy_df: int | None = None,
+) -> DataFrame:
+    """All pairs with shingle containment |a∩b| / min(|a|,|b|) ≥
+    threshold — EXACT, via the same df-split join as ``jaccard_pairs``
+    (light co-occurrence count + heavy arrays), with the containment-
+    specific bound |∩| ≥ t·min(|a|,|b|) driving the prune and the
+    heavy-only recovery.  Heavy-only candidates use the ONE-SIDED
+    prefix pigeonhole containment admits: the requirement binds the
+    smaller set alone, so its ``n_hv − ⌈t·n⌉ + 1`` rarest heavy
+    shingles are probed against partners' FULL heavy postings (larger-
+    or-equal partners only; ties by id, so each pair is probed once).
+    That probe is empty unless a doc is ≥ t stop-shingle — the
+    documented residual cost of containment's asymmetry (a pure stop-
+    word doc IS contained in everything; the output itself is the
+    blowup there).  Output is bit-identical to the naive full
+    inverted-index join; only the physical plan changes."""
+    heavy_df = _resolve_heavy_df(docs, heavy_df)
+    ex = exploded_shingles(docs, id_col, text_col, n).persist()
+    exd, stats = _df_split(ex, id_col, heavy_df)
+    hsets = _heavy_sets(exd, id_col, heavy_df)
+    # --- path A: pairs sharing ≥1 light shingle -----------------------
+    lp = _light_pair_counts(exd, id_col, heavy_df)
+    A = _attach_pair_side(_attach_pair_side(lp, stats, id_col, "a"), stats, id_col, "b")
+    minreq = _min_overlap(threshold, F.least("n_sh_a", "n_sh_b"))
+    A = A.filter(F.col("n_light") + F.least("n_hv_a", "n_hv_b") >= minreq)
+    A = _attach_pair_side(
+        _attach_pair_side(A, hsets, id_col, "a", "left"), hsets, id_col, "b", "left"
+    )
+    A = A.select(
+        "doc_a",
+        "doc_b",
+        (F.col("n_light") + _n_heavy_col()).alias("n_inter"),
+        F.col("n_sh_a").alias("n_a"),
+        F.col("n_sh_b").alias("n_b"),
+    )
+    # --- path B: all-heavy intersections (one-sided pigeonhole) -------
+    hx = (
+        _attach_pair_side(
+            hsets.select(F.col(id_col).alias("doc_a"), "h_set"), stats, id_col, "a"
+        )
+        .select(
+            F.col("doc_a").alias("doc_x"),
+            F.col("n_sh_a").alias("nx"),
+            F.explode(
+                F.slice(
+                    "h_set",
+                    F.lit(1),
+                    F.greatest(
+                        F.lit(0),
+                        F.col("n_hv_a") - _min_overlap(threshold, F.col("n_sh_a")) + 1,
+                    ),
+                )
+            ).alias("shingle"),
+        )
+    )
+    hfull = _attach_pair_side(
+        exd.filter(F.col("df_sh") > heavy_df).select(
+            F.col(id_col).alias("doc_b"), "shingle"
+        ),
+        stats,
+        id_col,
+        "b",
+    ).select(F.col("doc_b").alias("doc_y"), F.col("n_sh_b").alias("ny"), "shingle")
+    hcand = (
+        hx.join(hfull.hint("shuffle_hash"), "shingle")
+        .filter(
+            (F.col("nx") < F.col("ny"))
+            | ((F.col("nx") == F.col("ny")) & (F.col("doc_x") < F.col("doc_y")))
+        )
+        .select(
+            F.least("doc_x", "doc_y").alias("doc_a"),
+            F.greatest("doc_x", "doc_y").alias("doc_b"),
+        )
+        .distinct()
+    )
+    cids = (
+        hcand.select(F.col("doc_a").alias(id_col))
+        .unionByName(hcand.select(F.col("doc_b").alias(id_col)))
+        .distinct()
+    )
+    lsets = (
+        exd.filter(F.col("df_sh") <= heavy_df)
+        .join(cids, id_col, "left_semi")
+        .groupBy(id_col)
+        .agg(F.collect_set("shingle").alias("l_set"))
+    )
+    B = _attach_pair_side(
+        _attach_pair_side(hcand, lsets, id_col, "a", "left"), lsets, id_col, "b", "left"
+    )
+    B = B.filter(
+        F.size(
+            F.array_intersect(
+                F.coalesce(F.col("l_set_a"), _empty_str_arr()),
+                F.coalesce(F.col("l_set_b"), _empty_str_arr()),
+            )
+        )
+        == 0
+    )
+    B = _attach_pair_side(_attach_pair_side(B, hsets, id_col, "a"), hsets, id_col, "b")
+    B = _attach_pair_side(_attach_pair_side(B, stats, id_col, "a"), stats, id_col, "b")
+    B = B.select(
+        "doc_a",
+        "doc_b",
+        _n_heavy_col().alias("n_inter"),
+        F.col("n_sh_a").alias("n_a"),
+        F.col("n_sh_b").alias("n_b"),
+    )
+    out = A.unionByName(B).select(
+        "doc_a",
+        "doc_b",
+        F.when(F.col("n_a") <= F.col("n_b"), F.col("doc_a"))
+        .otherwise(F.col("doc_b"))
+        .alias("contained_doc"),
+        (F.col("n_inter").cast("double") / F.least("n_a", "n_b")).alias("containment"),
+        (
+            F.col("n_inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+        ).alias("jaccard"),
+    )
+    return out.filter(F.col("containment") >= threshold)
 
 
 # Affine-permutation constants: h_i(x) = (A_i * x + B_i) mod P over a

@@ -10,7 +10,6 @@ from pyspark.sql import functions as F
 from ..functions.hashing import portable_hash64_sql
 from ..operators.dedup import (
     embedding_near_dup_pairs,
-    exploded_shingles,
     hyperplanes,
     jaccard_pairs,
     minhash_lsh_pairs,
@@ -378,41 +377,14 @@ def q_containment_dedup_pairs(spark, sf_dir):
     """Partial-duplicate pairs by shingle containment ≥ {CONTAIN_T},
     with the contained (smaller) side identified and the Jaccard
     reported alongside — the asymmetric complement of
-    `dedup_ngram_jaccard` over the SAME inverted-index join (one
-    candidate generation pass serves both metrics at scale; only the
-    final scalar expressions differ)."""
+    `dedup_ngram_jaccard`, sharing its prefix-filtered EXACT candidate
+    machinery (operators/dedup.py:containment_pairs: smaller-side
+    prefix probed against the full inverted index — the one-sided
+    pigeonhole that containment's min-denominator admits)."""
+    from ..operators.dedup import containment_pairs
+
     docs = load_table(spark, sf_dir, "documents")
-    sh = exploded_shingles(docs, n=3)
-    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    szx = sz.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
-    szy = sz.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
-    out = (
-        inter.join(F.broadcast(szx), "doc_a")
-        .join(F.broadcast(szy), "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.when(F.col("na") <= F.col("nb"), F.col("doc_a"))
-            .otherwise(F.col("doc_b"))
-            .alias("contained_doc"),
-            (F.col("n_inter").cast("double") / F.least("na", "nb")).alias(
-                "containment"
-            ),
-            (
-                F.col("n_inter").cast("double")
-                / (F.col("na") + F.col("nb") - F.col("n_inter"))
-            ).alias("jaccard"),
-        )
-    )
-    return out.filter(F.col("containment") >= CONTAIN_T)
+    return containment_pairs(docs, CONTAIN_T, n=3)
 
 
 # ---------------------------------------------------------------------------

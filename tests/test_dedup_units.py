@@ -196,3 +196,163 @@ def test_passage_scrub_broadcast_modes_equivalent(spark):
         rows = passage_scrub(docs, passage_len=8, broadcast_boilerplate=mode).collect()
         outs.append(sorted((r.doc_id, r.n_removed, r.text_after) for r in rows))
     assert outs[0] == outs[1] == outs[2]
+
+
+# ---------------------------------------------------------------------------
+# Prefix-filtered exact set-similarity join (r8): the AllPairs/PPJoin
+# candidate pruning must be RESULT-INVISIBLE — identical pairs and
+# values as the naive full-inverted-index join on adversarial inputs
+# (hot stop-word shingles, threshold-boundary pairs, size-filter edges).
+# ---------------------------------------------------------------------------
+
+
+def _brute_jaccard(spark, docs, threshold):
+    """The pre-r8 full inverted-index join, kept inline as the unit
+    truth: every co-occurring pair's exact intersection, no pruning."""
+    from network_ids_using_pyspark_spark.operators.dedup import exploded_shingles
+
+    ex = exploded_shingles(docs)
+    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = ex.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = ex.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.withColumnsRenamed({"doc_id": "doc_a", "n_sh": "n_a"})
+    sb = sizes.withColumnsRenamed({"doc_id": "doc_b", "n_sh": "n_b"})
+    out = inter.join(sa, "doc_a").join(sb, "doc_b")
+    return {
+        (r["doc_a"], r["doc_b"]): (r["n_inter"], r["n_a"], r["n_b"])
+        for r in out.collect()
+    }
+
+
+# A corpus built to stress the pruning: one stop-word trigram ("a b c")
+# shared by EVERYONE (the hot shingle the prefix must exclude), plus
+# clusters at/above/below the threshold and size-ratio outliers.
+_ADV_DOCS = [
+    (1, "a b c d e f g h"),                  # base: shingles abc..fgh (6)
+    (2, "a b c d e f g h"),                  # exact dup → J=1
+    (3, "a b c d e f g x"),                  # near dup of 1
+    (4, "a b c p q r s t u v w"),            # shares only the hot shingle
+    (5, "a b c p q r s t u v w"),            # exact dup of 4
+    (6, "d e f g h i j k l m n o"),          # overlaps 1's tail, no hot shingle
+    (7, "a b c"),                            # 1 shingle — the tiny-set edge
+    (8, "a b c"),                            # J(7,8)=1
+    (9, "x y z x y z x y z x y z"),          # repeated trigrams (distinct-set edge)
+    (10, "d e f g h a b c"),                 # same SET as 1, rotated order
+]
+
+
+def test_prefix_filtered_jaccard_matches_brute_force(spark):
+    docs = spark.createDataFrame(_ADV_DOCS, "doc_id long, text string")
+    for t in (0.3, 0.5, 0.6, 0.75, 1.0):
+        truth = {
+            pair: ni / (na + nb - ni)
+            for pair, (ni, na, nb) in _brute_jaccard(spark, docs, t).items()
+            if ni / (na + nb - ni) >= t
+        }
+        got = {
+            (r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in jaccard_pairs(docs, t).collect()
+        }
+        assert got == truth, f"threshold {t}: {got} != {truth}"
+
+
+def test_prefix_filtered_containment_matches_brute_force(spark):
+    from network_ids_using_pyspark_spark.operators.dedup import containment_pairs
+
+    docs = spark.createDataFrame(_ADV_DOCS, "doc_id long, text string")
+    for t in (0.4, 0.6, 0.8, 1.0):
+        truth = {
+            pair: ni / min(na, nb)
+            for pair, (ni, na, nb) in _brute_jaccard(spark, docs, t).items()
+            if ni / min(na, nb) >= t
+        }
+        got = {
+            (r["doc_a"], r["doc_b"]): r["containment"]
+            for r in containment_pairs(docs, t).collect()
+        }
+        assert got == truth, f"threshold {t}: {got} != {truth}"
+        # the contained side is always the smaller set
+        for r in containment_pairs(docs, t).collect():
+            ni, na, nb = _brute_jaccard(spark, docs, t)[(r["doc_a"], r["doc_b"])]
+            small = r["doc_a"] if na <= nb else r["doc_b"]
+            assert r["contained_doc"] == small
+
+
+def test_prefix_boundary_exact_threshold_pair_survives(spark):
+    # J exactly == t must be kept (filter is >=, and the prefix lemma's
+    # epsilon guard must not shorten the prefix at integral t·n):
+    # sets of 4 shingles sharing exactly 2 → J = 2/6 = 1/3.
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "c d e f g h")],  # shingles: 4 each, share 2
+        "doc_id long, text string",
+    )
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+             for r in jaccard_pairs(docs, 1.0 / 3.0).collect()}
+    assert pairs == {(1, 2): 1.0 / 3.0}
+    # and strictly above the true value → empty
+    assert jaccard_pairs(docs, 1.0 / 3.0 + 1e-6).count() == 0
+
+
+def test_df_split_heavy_path_matches_brute_force(spark):
+    # Force the df cutoff to 1/2 so MOST shingles are "heavy" and both
+    # the heavy-overlap add (path A) and the all-heavy prefix recovery
+    # (path B) carry real pairs — including docs 7/8 (the hot shingle
+    # is their ENTIRE set: heavy-only J=1 must come from path B).
+    from network_ids_using_pyspark_spark.operators.dedup import containment_pairs
+
+    docs = spark.createDataFrame(_ADV_DOCS, "doc_id long, text string")
+    for hdf in (1, 2):
+        for t in (0.3, 0.6, 1.0):
+            truth = {
+                pair: ni / (na + nb - ni)
+                for pair, (ni, na, nb) in _brute_jaccard(spark, docs, t).items()
+                if ni / (na + nb - ni) >= t
+            }
+            got = {
+                (r["doc_a"], r["doc_b"]): r["jaccard"]
+                for r in jaccard_pairs(docs, t, heavy_df=hdf).collect()
+            }
+            assert got == truth, f"heavy_df={hdf} t={t}: {got} != {truth}"
+            truth_c = {
+                pair: ni / min(na, nb)
+                for pair, (ni, na, nb) in _brute_jaccard(spark, docs, t).items()
+                if ni / min(na, nb) >= t
+            }
+            got_c = {
+                (r["doc_a"], r["doc_b"]): r["containment"]
+                for r in containment_pairs(docs, t, heavy_df=hdf).collect()
+            }
+            assert got_c == truth_c, f"heavy_df={hdf} t={t}: {got_c} != {truth_c}"
+
+
+def test_df_split_hot_shingle_smoke(spark):
+    # The regime the df-split exists for: a planted stop-phrase carried
+    # by EVERY doc.  The naive join would push n_docs² ≈ 6.25M row
+    # visits through the hot shingles; the df-split's light join skips
+    # them and the heavy-only path prunes to docs that are ≥ t
+    # stop-shingle (none here: every doc is 75%+ unique tail).  Checks
+    # correctness on a clique of true dups + the hot-phrase noise.
+    import time
+
+    n_docs = 2500
+    rows = []
+    for i in range(n_docs):
+        tail = " ".join(f"tok{i}x{j}" for j in range(12))
+        rows.append((i, f"common stop phrase here {tail}"))
+    # plant 10 exact dups of doc 0's text
+    for j in range(10):
+        rows.append((n_docs + j, rows[0][1]))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    t0 = time.monotonic()
+    got = {(r["doc_a"], r["doc_b"]) for r in jaccard_pairs(docs, 0.9).collect()}
+    dt = time.monotonic() - t0
+    clique = {0, *range(n_docs, n_docs + 10)}
+    expected = {(a, b) for a in clique for b in clique if a < b}
+    assert got == expected
+    assert dt < 120, f"hot-shingle smoke took {dt:.1f}s"
