@@ -128,13 +128,17 @@ def test_fpgrowth_pairs_match_brute_force(spark):
     )
     rows = REGISTRY["mllib_fpgrowth_itemsets"][0](spark, SF_DIR).collect()
     assert rows, "fpgrowth returned nothing"
-    for r in rows:
-        if len(r["items"]) == 2:
-            key = (min(r["items"]), max(r["items"]))
-            assert brute.get(key) == r["freq"], (key, r["freq"], brute.get(key))
+    # r8: `items` is a comma-joined scalar string (the driver's
+    # rows-only canonicalizer can't hash array columns) — split it
+    # back into the itemset for the brute-force comparison
+    itemsets = [([int(x) for x in r["items"].split(",")], r["freq"]) for r in rows]
+    for items, freq in itemsets:
+        if len(items) == 2:
+            key = (min(items), max(items))
+            assert brute.get(key) == freq, (key, freq, brute.get(key))
     # and the top brute-force pair must itself appear with its count
     top_pair, top_c = max(brute.items(), key=lambda kv: (kv[1], kv[0]))
-    mined = {(min(r["items"]), max(r["items"])): r["freq"] for r in rows if len(r["items"]) == 2}
+    mined = {(min(i), max(i)): f for i, f in itemsets if len(i) == 2}
     assert mined, "no size-2 itemsets mined"
     assert mined.get(top_pair) == top_c
 
