@@ -104,8 +104,14 @@ def _df_split(ex: DataFrame, id_col: str, heavy_df: int):
     # branches consume this relation inside one action, and a lazy
     # cache lets them race to recompute the df join (measured 3× wall
     # at sf0.1).  localCheckpoint also truncates the lineage, so the
-    # branches re-plan from columnar blocks.
-    exd = ex.join(dfreq, "shingle").localCheckpoint(eager=True)
+    # branches re-plan from stored blocks.  DISK_ONLY: the exploded
+    # corpus is the largest relation in the plan and holding it on the
+    # execution heaps starved the 30× run's sort/agg buffers into OOM —
+    # columnar disk blocks cost one re-read and free the heap (same
+    # escalation ladder as jaccard_pairs' storage_level/spill_path).
+    exd = ex.join(dfreq, "shingle").localCheckpoint(
+        eager=True, storageLevel=StorageLevel.DISK_ONLY
+    )
     stats = exd.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_sh"),
         F.sum(F.when(F.col("df_sh") > heavy_df, 1).otherwise(0))
