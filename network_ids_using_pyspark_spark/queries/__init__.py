@@ -148,9 +148,11 @@ _ROUND_PRIORITY = [
     # --- corpus/text quality tail (1 slot left in the window) ---
     "gopher_quality_filter",
     # --- 50-entry window boundary ---
-    # Remaining never-certified backlog after this window: 73 entries
-    # (~1.5 windows; 72 pre-round + the r8 addition pii_scan_report),
-    # all locally oracle-green via tests/test_parity.py.
+    # Remaining never-certified backlog after this window: 74 entries
+    # (~1.5 windows; 72 pre-round + the r8 additions pii_scan_report
+    # and stop_shingle_profile), all locally oracle-green via
+    # tests/test_parity.py (full-registry sf0.01 sweep re-run green
+    # late in r8 after the df-split dedup rewrite).
     # By family: ingest formats (jsonl/orc/xml/binary-file scans,
     # stream_recordlog_ingest); streaming tail (restart/state-store,
     # recordlog sink); functions_ext leftovers (json_props_stats,

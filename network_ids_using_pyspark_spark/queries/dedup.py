@@ -887,3 +887,101 @@ def q_lsh_parameter_sweep(spark, sf_dir):
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Stop-shingle profile: the release-gate view of the df-split cutoff
+# (operators/dedup.py:HEAVY_FRAC) — how much of each source's shingle
+# mass is stop-phrase-like (df above max(64, ceil(0.05·N))), and how
+# heavy the average document is.  A corpus where this report is hot is
+# a corpus where exact pair dedup costs are driven by the heavy
+# machinery, and where boilerplate stripping should run first.
+# ---------------------------------------------------------------------------
+
+
+def _stop_shingle_sql() -> str:
+    # cutoff formula must match _resolve_heavy_df bit-for-bit: docs
+    # counted over the WHOLE table, CEIL on the double product
+    return f"""
+WITH {_SHINGLES_CTE},
+cut AS (
+  SELECT GREATEST(64, CAST(CEIL(0.05 * (SELECT COUNT(*) FROM documents)) AS BIGINT)) AS c
+),
+dfreq AS (SELECT shingle, COUNT(*) AS df_sh FROM sh GROUP BY shingle),
+per_doc AS (
+  SELECT s.doc_id,
+         COUNT(*) AS n,
+         SUM(CASE WHEN f.df_sh > cut.c THEN 1 ELSE 0 END) AS h
+  FROM sh s JOIN dfreq f ON s.shingle = f.shingle CROSS JOIN cut
+  GROUP BY s.doc_id
+)
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(p.n) AS BIGINT) AS n_instances,
+       CAST(SUM(p.h) AS BIGINT) AS n_heavy_instances,
+       CAST(SUM(p.h) AS DOUBLE) / SUM(p.n) AS heavy_share,
+       CAST(CAST(SUM(CAST(round(CAST(p.h AS DOUBLE) / p.n, 9) AS DECIMAL(38, 9)))
+            AS VARCHAR) AS DOUBLE) / COUNT(*) AS mean_heavy_frac,
+       CAST(ANY_VALUE(cut.c) AS BIGINT) AS heavy_df_cutoff
+FROM per_doc p JOIN documents d ON d.doc_id = p.doc_id CROSS JOIN cut
+GROUP BY d.source
+"""
+
+
+@register("stop_shingle_profile", _stop_shingle_sql())
+def q_stop_shingle_profile(spark, sf_dir):
+    """Per-source stop-shingle mass under the df-split cutoff
+    (`operators/dedup.py`): instance counts, the share of shingle
+    instances that are heavy (df > max(64, ⌈0.05·N⌉)), the mean
+    per-doc heavy fraction (decimal-accumulated — order-free), and the
+    resolved cutoff itself.  Documents with no shingles (< n tokens)
+    are excluded on both engines (they carry no dedup cost).
+
+    Scale plan: one shingle-keyed aggregate (df), one broadcast 1-row
+    cutoff, one doc-keyed aggregate, one source rollup — all map-side
+    combinable; no joins wider than the exploded corpus and no pair
+    enumeration at all (this is the report you read BEFORE paying for
+    one)."""
+    from ..operators.dedup import HEAVY_DF_FLOOR, HEAVY_FRAC, exploded_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    ex = exploded_shingles(docs)
+    dfreq = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_sh"))
+    cut = docs.agg(
+        F.greatest(
+            F.lit(HEAVY_DF_FLOOR).cast("long"),
+            F.ceil(F.lit(HEAVY_FRAC) * F.count(F.lit(1))).cast("long"),
+        ).alias("c")
+    )
+    per_doc = (
+        ex.join(dfreq, "shingle")
+        .crossJoin(F.broadcast(cut))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("df_sh") > F.col("c"), 1).otherwise(0)).alias("h"),
+            F.first("c").alias("c"),
+        )
+    )
+    to_d = lambda col: col.cast("string").cast("double")  # noqa: E731
+    return (
+        per_doc.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n").cast("long").alias("n_instances"),
+            F.sum("h").cast("long").alias("n_heavy_instances"),
+            (F.sum("h").cast("double") / F.sum("n")).alias("heavy_share"),
+            (
+                to_d(
+                    F.sum(
+                        F.round(
+                            F.col("h").cast("double") / F.col("n"), 9
+                        ).cast("decimal(38, 9)")
+                    )
+                )
+                / F.count(F.lit(1))
+            ).alias("mean_heavy_frac"),
+            F.first("c").cast("long").alias("heavy_df_cutoff"),
+        )
+    )
