@@ -503,9 +503,12 @@ def q_ml_tuned_dt_depth(spark, sf_dir):
     """Hyperparameter tuning surface: TrainValidationSplit over a
     small maxDepth grid for the DecisionTree (seeded).  Rows-only —
     returns one row per grid candidate with its validation f1 plus
-    the winner flag.  Scale: candidates train sequentially on the
-    cached prepared frame; parallelism=2 fits grid points
-    concurrently (executor-side, no extra driver memory)."""
+    the winner flag.  Scale: candidates train SEQUENTIALLY
+    (parallelism=1) — the r8 30× run OOMed the shared heap with
+    parallelism=2 because each concurrent fit carries its own
+    maxBins×features×nodes aggregation buffers and driver-side stat
+    merges; grid metrics are seed-deterministic either way, so
+    sequencing changes nothing but peak memory."""
     from pyspark.ml.classification import DecisionTreeClassifier
     from pyspark.ml.evaluation import MulticlassClassificationEvaluator
     from pyspark.ml.tuning import ParamGridBuilder, TrainValidationSplit
@@ -520,7 +523,7 @@ def q_ml_tuned_dt_depth(spark, sf_dir):
     )
     tvs = TrainValidationSplit(
         estimator=dt, estimatorParamMaps=grid, evaluator=ev,
-        trainRatio=0.75, parallelism=2, seed=1234,
+        trainRatio=0.75, parallelism=1, seed=1234,
     )
     model = tvs.fit(train)
     prepared.unpersist()
