@@ -82,16 +82,20 @@ HEAVY_FRAC = 0.05
 HEAVY_DF_FLOOR = 64
 
 
-def _resolve_heavy_df(docs: DataFrame, heavy_df: "int | None") -> int:
+def _resolve_heavy_df(
+    docs: DataFrame, heavy_df: "int | None", doc_count: "int | None" = None
+) -> int:
     """Resolve the heavy cutoff; the corpus count is a bounded 1-row
     driver action (the G4 scalar pattern) used only to size the
     cutoff — it never enters result semantics (the output is
-    bit-identical at ANY cutoff)."""
+    bit-identical at ANY cutoff).  Callers that already know the
+    corpus size pass ``doc_count`` to skip the count job (ADVICE r8)."""
     if heavy_df is not None:
         return heavy_df
     import math
 
-    return max(HEAVY_DF_FLOOR, math.ceil(HEAVY_FRAC * docs.count()))
+    n = doc_count if doc_count is not None else docs.count()
+    return max(HEAVY_DF_FLOOR, math.ceil(HEAVY_FRAC * n))
 
 
 def _df_split(ex: DataFrame, id_col: str, heavy_df: int):
@@ -109,9 +113,14 @@ def _df_split(ex: DataFrame, id_col: str, heavy_df: int):
     # execution heaps starved the 30× run's sort/agg buffers into OOM —
     # columnar disk blocks cost one re-read and free the heap (same
     # escalation ladder as jaccard_pairs' storage_level/spill_path).
-    exd = ex.join(dfreq, "shingle").localCheckpoint(
-        eager=True, storageLevel=StorageLevel.DISK_ONLY
-    )
+    joined = ex.join(dfreq, "shingle")
+    try:
+        exd = joined.localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
+    except TypeError:
+        # storageLevel kwarg is PySpark ≥ 4.0 (SPARK-45130); on 3.5.x
+        # fall back to the default MEMORY_AND_DISK checkpoint — same
+        # semantics, weaker heap posture (ADVICE r8).
+        exd = joined.localCheckpoint(eager=True)
     stats = exd.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_sh"),
         F.sum(F.when(F.col("df_sh") > heavy_df, 1).otherwise(0))
@@ -119,6 +128,27 @@ def _df_split(ex: DataFrame, id_col: str, heavy_df: int):
         .alias("n_hv"),
     )
     return exd, stats
+
+
+def _track_cache(result: DataFrame, cached: "list[DataFrame]") -> DataFrame:
+    """Record the relations a pair-join persisted while building
+    ``result`` so :func:`release_pair_join_cache` can free them
+    (ADVICE r8: eager builds leak cache in long-lived sessions)."""
+    result._nids_cached_relations = list(cached)
+    return result
+
+
+def release_pair_join_cache(result: DataFrame) -> None:
+    """Unpersist the relations cached while building a
+    ``jaccard_pairs``/``containment_pairs`` result (no-op for other
+    DataFrames).  The eager ``localCheckpoint`` blocks themselves have
+    no public unpersist API — Spark's ContextCleaner reclaims them once
+    the result DataFrame (whose plan references the checkpointed RDD)
+    is garbage-collected, so drop your reference to ``result`` after
+    calling this."""
+    for rel in getattr(result, "_nids_cached_relations", ()):
+        rel.unpersist()
+    result._nids_cached_relations = []
 
 
 def _light_pair_counts(exd: DataFrame, id_col: str, heavy_df: int) -> DataFrame:
@@ -186,6 +216,7 @@ def jaccard_pairs(
     storage_level: "StorageLevel | None" = None,
     spill_path: str | None = None,
     heavy_df: int | None = None,
+    doc_count: int | None = None,
 ) -> DataFrame:
     """All pairs with shingle-set Jaccard ≥ threshold — EXACT, via a
     document-frequency-split join that is bounded in BOTH cost regimes
@@ -229,8 +260,18 @@ def jaccard_pairs(
     consuming plan branches read columnar storage instead of executor
     block storage — survives executor loss, costs nothing on the
     heaps, and the re-scan gets column pruning.  Overrides
-    ``storage_level``."""
-    heavy_df = _resolve_heavy_df(docs, heavy_df)
+    ``storage_level``.
+
+    **Eager construction (ADVICE r8):** building this DataFrame runs
+    Spark jobs immediately — a 1-row corpus count to size the heavy
+    cutoff (skipped when ``heavy_df`` or ``doc_count`` is given) and
+    the eager DISK_ONLY checkpoint of the df-annotated exploded corpus
+    (required: 5-6 plan branches consume it inside one action, and a
+    lazy cache lets them race to recompute the df join — measured 3x
+    wall at sf0.1).  In a long-lived session, release the cached
+    relations with :func:`release_pair_join_cache` once the result is
+    consumed."""
+    heavy_df = _resolve_heavy_df(docs, heavy_df, doc_count)
     ex = exploded_shingles(docs, id_col, text_col, n)
     if max_df is not None:
         rare = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).filter(
@@ -332,7 +373,10 @@ def jaccard_pairs(
         F.col("n_inter").cast("double")
         / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
     )
-    return out.filter(F.col("jaccard") >= threshold).select("doc_a", "doc_b", "jaccard")
+    result = out.filter(F.col("jaccard") >= threshold).select(
+        "doc_a", "doc_b", "jaccard"
+    )
+    return _track_cache(result, [] if spill_path is not None else [ex])
 
 
 def containment_pairs(
@@ -342,6 +386,7 @@ def containment_pairs(
     text_col: str = "text",
     n: int = 3,
     heavy_df: int | None = None,
+    doc_count: int | None = None,
 ) -> DataFrame:
     """All pairs with shingle containment |a∩b| / min(|a|,|b|) ≥
     threshold — EXACT, via the same df-split join as ``jaccard_pairs``
@@ -356,8 +401,13 @@ def containment_pairs(
     documented residual cost of containment's asymmetry (a pure stop-
     word doc IS contained in everything; the output itself is the
     blowup there).  Output is bit-identical to the naive full
-    inverted-index join; only the physical plan changes."""
-    heavy_df = _resolve_heavy_df(docs, heavy_df)
+    inverted-index join; only the physical plan changes.
+
+    **Eager construction (ADVICE r8):** like ``jaccard_pairs``, this
+    runs Spark jobs at build time (corpus count unless ``heavy_df``/
+    ``doc_count`` is given; eager checkpoint of the exploded corpus).
+    Release the cache with :func:`release_pair_join_cache`."""
+    heavy_df = _resolve_heavy_df(docs, heavy_df, doc_count)
     ex = exploded_shingles(docs, id_col, text_col, n).persist()
     exd, stats = _df_split(ex, id_col, heavy_df)
     hsets = _heavy_sets(exd, id_col, heavy_df)
@@ -460,7 +510,7 @@ def containment_pairs(
             / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
         ).alias("jaccard"),
     )
-    return out.filter(F.col("containment") >= threshold)
+    return _track_cache(out.filter(F.col("containment") >= threshold), [ex])
 
 
 # Affine-permutation constants: h_i(x) = (A_i * x + B_i) mod P over a

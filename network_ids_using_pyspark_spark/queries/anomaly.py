@@ -103,9 +103,9 @@ WITH ordered AS (
 )
 SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
        COUNT(*) AS n_purchases,
-       SUM(CASE WHEN last_click_us IS NOT NULL
+       CAST(SUM(CASE WHEN last_click_us IS NOT NULL
                  AND epoch_us(ts) - last_click_us <= {_ATTR_WINDOW_S * 1_000_000}
-                THEN 1 ELSE 0 END) AS n_converted
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
 FROM ordered
 WHERE event_type = 'purchase'
 GROUP BY 1

@@ -1122,7 +1122,7 @@ per_src AS (
          unnest(quantile_cont(n_chars, [{_QN_QS_SQL}])) AS src_q
   FROM documents GROUP BY source
 )
-SELECT s.source, s.q, round(s.src_q, 6) AS src_q,
+SELECT s.source, CAST(s.q AS DOUBLE) AS q, round(s.src_q, 6) AS src_q,
        round(p.pool_q, 6) AS pool_q,
        round(s.src_q / p.pool_q, 6) AS length_ratio
 FROM per_src s JOIN pool p USING (q)

@@ -798,7 +798,7 @@ cand_{tag} AS (
         rows_sql.append(f"""
   SELECT '{b}x{r}' AS config,
          CAST({b} AS BIGINT) AS bands, CAST({r} AS BIGINT) AS rows_per_band,
-         {theory} AS capture_prob_at_t,
+         CAST({theory} AS DOUBLE) AS capture_prob_at_t,
          (SELECT CAST(COUNT(*) AS BIGINT) FROM cand_{tag}) AS n_candidates,
          (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_truth,
          (SELECT CAST(COUNT(*) AS BIGINT) FROM cand_{tag} c

@@ -354,7 +354,8 @@ WITH ranked AS (
          COUNT(*) OVER () AS n
   FROM orders
 ),
-ps AS (SELECT UNNEST(ARRAY{_PCTS}) AS p)
+ps AS (SELECT CAST(p AS DOUBLE) AS p
+       FROM (SELECT UNNEST(ARRAY{_PCTS}) AS p))
 SELECT ps.p, CAST(r.rn AS BIGINT) AS rk, r.v AS value
 FROM ps JOIN ranked r ON r.rn = CAST(ceil(ps.p * r.n) AS BIGINT)
 """

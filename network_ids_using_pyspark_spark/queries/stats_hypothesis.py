@@ -1100,7 +1100,7 @@ def _qte_sql() -> str:
 
     h = portable_hash64_sql("CAST(user_id AS VARCHAR)", seed="ab:")
     rows = " UNION ALL ".join(
-        f"""SELECT {p} AS p,
+        f"""SELECT CAST({p} AS DOUBLE) AS p,
            round(quantile_cont(CASE WHEN grp = 0 THEN value END, {p}), 6) AS q_a,
            round(quantile_cont(CASE WHEN grp = 1 THEN value END, {p}), 6) AS q_b,
            round(round(quantile_cont(CASE WHEN grp = 1 THEN value END, {p}), 6)

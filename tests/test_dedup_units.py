@@ -4,6 +4,8 @@ identical sketch; disjoint content ⇒ no candidate pair)."""
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from network_ids_using_pyspark_spark.operators.dedup import (
@@ -355,4 +357,10 @@ def test_df_split_hot_shingle_smoke(spark):
     clique = {0, *range(n_docs, n_docs + 10)}
     expected = {(a, b) for a in clique for b in clique if a < b}
     assert got == expected
-    assert dt < 120, f"hot-shingle smoke took {dt:.1f}s"
+    # Timing guard is opt-in (ADVICE r8: wall-clock asserts flake on
+    # loaded CI machines independent of correctness).  Enable with
+    # NIDS_TIMING_ASSERTS=1 when hunting the df² regression this test
+    # exists to catch (~3-8 s healthy, minutes when the hot shingles
+    # re-enter the pair join).
+    if os.environ.get("NIDS_TIMING_ASSERTS"):
+        assert dt < 120, f"hot-shingle smoke took {dt:.1f}s"
