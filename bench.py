@@ -251,6 +251,28 @@ def _warm_streaming_machinery(spark) -> None:
         shutil.rmtree(base, ignore_errors=True)
 
 
+def _load_factor() -> float:
+    """1-minute load average over host CPUs — the mechanical contention
+    proxy (VERDICT r8 ask #6: the driver's single-rep sweep diverged 36%
+    from the builder's min-of-2 on identical code, purely from co-tenant
+    load; recording the load beside every timing lets the round-over-
+    round comparison discount measurements taken on an oversubscribed
+    host instead of re-adjudicating phantom regressions by hand).
+    > 1.0 means more runnable threads than cores during the preceding
+    minute; -1.0 when the platform has no loadavg."""
+    try:
+        return round(os.getloadavg()[0] / (os.cpu_count() or 1), 3)
+    except (OSError, AttributeError):
+        return -1.0
+
+
+def _median_load(load_at_min: dict[str, float]) -> float:
+    import statistics
+
+    vals = [v for v in load_at_min.values() if v >= 0]
+    return round(statistics.median(vals), 3) if vals else -1.0
+
+
 def _run() -> dict:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 4)
@@ -292,9 +314,11 @@ def _run() -> dict:
     # MIN, preserving the snapshot-comparison semantics of prior rounds.
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "1")))
     runs: dict[str, list[float]] = {name: [] for name in names}
+    loads: dict[str, list[float]] = {name: [] for name in names}
     for _ in range(reps):
         for name in names:
             fn, _ = REGISTRY[name]
+            loads[name].append(_load_factor())
             t0 = time.monotonic()
             try:
                 df = fn(spark, sf_dir)
@@ -305,6 +329,15 @@ def _run() -> dict:
                 print(f"bench: {name} FAILED: {e}", file=sys.stderr)
     timings = {
         name: (min(ok) if (ok := [t for t in ts if t >= 0]) else -1.0)
+        for name, ts in runs.items()
+    }
+    # load factor observed at the start of the rep that produced the
+    # recorded min — the one number the round-over-round comparison
+    # needs ("was this measurement taken under co-tenant load?")
+    load_at_min = {
+        name: (
+            loads[name][ts.index(timings[name])] if timings[name] >= 0 else -1.0
+        )
         for name, ts in runs.items()
     }
 
@@ -318,11 +351,14 @@ def _run() -> dict:
         "unit": "sec",
         "queries": timings,
         "queries_runs": runs,
+        "queries_load_runs": loads,
+        "queries_load_at_min": load_at_min,
         "n_reps": reps,
         "sf": float(sf),
         "cpus": cpus,
         "n_queries": len(timings),
         "n_failed": n_failed,
+        "load_factor_median": _median_load(load_at_min),
         "pipeline_baseline_comparison": pipeline,
     }
     try:
@@ -340,6 +376,7 @@ def _run() -> dict:
         "cpus": cpus,
         "n_queries": len(timings),
         "n_failed": n_failed,
+        "load_factor_median": _median_load(load_at_min),
         "detail_file": os.path.basename(_DETAIL_PATH),
         "pipeline_baseline_comparison": pipeline,
     }

@@ -71,123 +71,102 @@ from . import causal_ext  # noqa: E402,F401
 
 
 # The driver's correctness gate covers the FIRST 50 registry entries
-# (registration order).  Rounds 1-7 windowed 341 distinct entries
-# (CORRECTNESS_r01-r07.json; zero oracle mismatches ever recorded —
-# the only non-null ``err`` values are the driver's ``no_oracle``
-# marker on by-design rows-only entries, plus r7's
-# mllib_fpgrowth_itemsets canonicalizer crash, fixed and re-windowed
-# below).  Round 8's window executes VERDICT r7 ask #1: rotate onto
-# 48 more never-certified entries per the staged plan — the graph
-# family (kcore/sssp/ppr/assortativity + hits), the pyapi surface,
-# the datamgmt/privacy tail (k_anonymity_risk and dp_noisy_daily_
-# counts beside the three r7 privacy additions), the anomaly/session
-# family, and the corpus/text tail.  corpus_e2e_pipeline stays in
-# every window as the flagship canary; mllib_fpgrowth_itemsets is
-# re-windowed per VERDICT r7 ask #2 (items now stringified so the
-# driver's rows-only canonicalizer can hash it).  Every entry NOT
-# listed keeps its relative order after the listed ones — nothing is
-# ever dropped.
+# (registration order).  Rounds 1-8 windowed 388 distinct entries
+# (CORRECTNESS_r01-r08.json); the ONLY red ever recorded is r8's
+# funnel_click_to_purchase — an oracle-side type bug (the registry's
+# sole uncast integer SUM, HUGEINT in DuckDB), fixed this round with a
+# BIGINT cast and re-windowed at the HEAD per VERDICT r8 ask #1; the
+# engine side was judge-verified bit-exact at both SFs.
+# tests/test_oracle_types.py now gates the whole registry against
+# HUGEINT/DECIMAL oracle columns so this class cannot recur.
+#
+# Round 9's window executes VERDICT r8 ask #3: after the funnel
+# re-cert and the canary, the remaining 48 slots drain the
+# never-certified backlog (74 entries pre-round), leading with the
+# judge-named heaviest (er_golden_records, hybrid_search_rrf,
+# kaplan_meier_repeat_purchase, holt_linear_forecast, the rows-only
+# pca_embedding_variance / word2vec_synonyms, the functions_ext tail,
+# the four ingest scans, stop_shingle_profile), then whole families:
+# streaming tail, datamgmt, stats second-order, search/trainprep/
+# entity/assoc, tokenizer.  Every entry NOT listed keeps its relative
+# order after the listed ones — nothing is ever dropped.
+#
+# NOTE: ab_quantile_treatment_effects, lsh_parameter_sweep and
+# quantile_norm_report had their oracle DECIMAL columns cast to DOUBLE
+# this round (pre-emptive driver-hash safety); all three re-verified
+# bit-exact locally at sf0.001+sf0.01, and quantile_norm_report's r8
+# driver PASS shows the pre-cast encoding already canonicalized
+# compatibly, so they yield their window slots to the backlog drain.
+#
+# ROUND-10 ROTATION PLAN (for the next builder; verify against
+# CORRECTNESS_r09 first): 26 never-certified entries remain after
+# this window — the lighter functions_ext/relational leftovers
+# (salted_user_counts, new_vs_returning_customers, interorder_gap_
+# histogram, json_props_stats, value_histogram, orders_by_month,
+# promo_parts_by_brand, user_event_sequences, customer_name_features,
+# lineitem_unpivot_measures, event_time_parts, map_funcs_user_type_
+# counts, try_arith_safe_ratios, bitwise_event_type_mask, array_set_
+# ops_profile, event_type_trigrams, dwell_time_by_type, conversion_
+# latency_quantiles, episode_follow_counts), clustering (dbscan_grid_
+# clusters, kcenter_coreset_select), rows-only MLlib (mllib_minhash_
+# pairs), quality tail (c4_line_filter_report, kn_bigram_score), and
+# geo (geo_grid_neighbor_pairs, geo_grid_knn_suppliers).  That fills
+# ~26 slots; spend the remaining ~24 starting the oldest-green
+# RE-certification (VERDICT r7 ask #6 / r8 ask #5: the r1 window
+# predates the current AQE/shuffle/warmup config — rotate those
+# through oldest-first, starting with the profile_*/cleaning/core r1
+# family).
 _ROUND_PRIORITY = [
-    # --- flagship regression canary (kept in every window) ---
-    "corpus_e2e_pipeline",
-    # --- r7 red row, fixed: re-certify first (VERDICT r7 ask #2) ---
-    "mllib_fpgrowth_itemsets",
-    # --- graph family (incl. HITS, its quality_ext sibling) ---
-    "kcore_decomposition",
-    "sssp_cheapest_reach",
-    "ppr_trade_graph",
-    "degree_assortativity_trade_graph",
-    "hits_hub_authority",
-    # --- pyapi surface ---
-    "variant_props_stats",
-    "cogroup_asof_stats",
-    "arrow_token_bins",
-    "udtf_chunk_profile",
-    "udtf_analyze_top_tokens",
-    "observed_scan_metrics",
-    "pandas_api_event_profile",
-    "parameterized_sql_top_priorities",
-    "grouped_agg_udf_median",
-    "session_variable_threshold",
-    "rolling_robust_zscore_flags",
-    # --- datamgmt/privacy tail (siblings of r7's t_closeness_risk) ---
-    "k_anonymity_risk",
-    "dp_noisy_daily_counts",
-    "l_diversity_entropy",
-    "qi_generalization_ladder",
-    "dp_stability_histogram",
-    # --- anomaly / session analytics family ---
     "funnel_click_to_purchase",
-    "event_transition_matrix",
-    "value_outliers_mad",
-    "seasonal_naive_wape",
-    "seasonal_robust_anomaly",
-    "attribution_first_vs_last",
-    "beaconing_periodicity_detection",
-    # --- corpus tail ---
-    "corpus_drift_chi2",
-    "url_host_stats",
-    "text_normalize_profile",
-    "bigram_lm_logloss",
-    "psi_split_drift",
-    "boilerplate_gram_share",
-    "span_mask_augment",
-    "nucleus_vocab_coverage",
-    "quantile_norm_report",
-    "weighted_median_length_by_source",
-    "dataset_card_report",
-    # --- text tail ---
-    "arrow_udf_fingerprint",
-    "collated_token_histogram",
-    "feature_hash_profile",
-    "zipf_fit_report",
-    "rake_keyword_extraction",
-    "lang_id_eval_metrics",
-    "lexical_diversity_by_source",
-    "readability_by_source",
-    # --- corpus/text quality tail (1 slot left in the window) ---
-    "gopher_quality_filter",
-    # --- 50-entry window boundary ---
-    # Remaining never-certified backlog after this window: 74 entries
-    # (~1.5 windows; 72 pre-round + the r8 additions pii_scan_report
-    # and stop_shingle_profile), all locally oracle-green via
-    # tests/test_parity.py (full-registry sf0.01 sweep re-run green
-    # late in r8 after the df-split dedup rewrite).
-    # By family: ingest formats (jsonl/orc/xml/binary-file scans,
-    # stream_recordlog_ingest); streaming tail (restart/state-store,
-    # recordlog sink); functions_ext leftovers (json_props_stats,
-    # multi_distinct_lineitem, value_histogram, orders_by_month,
-    # promo_parts_by_brand, window_rank_functions, user_event_
-    # sequences, customer_name_features, unpivot, event_time_parts,
-    # map/try/bitwise/array profiles, equidepth_histogram gate,
-    # event_type_trigrams, dwell_time_by_type, conversion_latency_
-    # quantiles, episode_follow_counts); datamgmt (compaction, schema
-    # evolution, pseudonymize, quarantine, snapshot diff, dynamic-
-    # partition-overwrite, key_skew_gini, dict encoding, RI/FD
-    # audits, partition_plan_advisor); stats second-order tail (rfm,
-    # kaplan-meier, revenue_mix, trimmed/rolling/lagged, holt
-    # variants, tail_dependence); rangescale gates (exact_
-    # percentiles_scaled, winsorized_mean_orders); geo grid ops;
-    # relational leftovers (salted_user_counts, new_vs_returning,
-    # interorder_gap); search (hybrid_search_rrf, search_ranking_
-    # metrics); trainprep/entity/assoc (length_band_filter, source_
-    # temperature_sample, preference_pair_mining, loo_source_
-    # ablation, er_golden_records, itemcf, gsp/prefixspan);
-    # clustering (dbscan_grid, kcenter_coreset); quality_ext tail
-    # (c4_line_filter_report, kn_bigram_score); tokenizer
-    # (bpe_fertility_by_lang); remaining rows-only MLlib
-    # (mllib_minhash_pairs, word2vec_synonyms, pca_embedding_
-    # variance).
-    #
-    # ROUND-9 ROTATION PLAN (for the next builder; verify against
-    # CORRECTNESS_r08 before applying): with this window green, the 72
-    # remaining never-certified entries need ~1.5 windows; lead r9
-    # with all 72 minus the canary slot's cost — i.e. the window takes
-    # the first 49 by family (ingest, streaming tail, functions_ext
-    # leftovers, datamgmt), r10 takes the last ~23 and starts
-    # RE-certifying the oldest greens (VERDICT r7 ask #6: the r1
-    # certifications predate the current AQE/shuffle/warmup config —
-    # rotate them back through, oldest first).
+    "corpus_e2e_pipeline",
+    "stop_shingle_profile",
+    "er_golden_records",
+    "hybrid_search_rrf",
+    "kaplan_meier_repeat_purchase",
+    "holt_linear_forecast",
+    "pca_embedding_variance",
+    "word2vec_synonyms",
+    "window_rank_functions",
+    "multi_distinct_lineitem",
+    "equidepth_histogram",
+    "orc_scan_profile",
+    "xml_scan_profile",
+    "jsonl_scan_profile",
+    "binary_file_scan_profile",
+    "stream_recordlog_ingest",
+    "stream_restart_state_recovery",
+    "stream_state_store_read",
+    "stream_recordlog_sink_roundtrip",
+    "small_files_compaction_plan",
+    "schema_evolution_union",
+    "pseudonymize_user_activity",
+    "constraint_quarantine_report",
+    "snapshot_diff_report",
+    "dynamic_partition_overwrite_roundtrip",
+    "pii_scan_report",
+    "key_skew_gini",
+    "dict_encoding_report",
+    "referential_integrity_audit",
+    "functional_dependency_audit",
+    "partition_plan_advisor",
+    "rfm_segment_counts",
+    "revenue_mix_decomposition",
+    "trimmed_mean_value",
+    "rolling_correlation_counts",
+    "lagged_cross_correlation",
+    "holt_fleet_by_type",
+    "tail_dependence_qty_price",
+    "exact_percentiles_scaled",
+    "winsorized_mean_orders",
+    "search_ranking_metrics",
+    "length_band_filter",
+    "source_temperature_sample",
+    "preference_pair_mining",
+    "loo_source_ablation",
+    "itemcf_topk_recs",
+    "gsp_subsequence_support",
+    "mllib_prefixspan_patterns",
+    "bpe_fertility_by_lang",
 ]
 
 

@@ -50,6 +50,10 @@ def test_bench_stdout_is_single_json_line(tmp_path):
     detail = json.load(open(detail_path))
     assert set(detail["queries"]) >= set(payload["queries"])
     assert detail["n_queries"] == payload["n_queries"]
+    # contention-normalization contract (VERDICT r8 ask #6): every query
+    # carries the load factor observed when its recorded min was taken
+    assert set(detail["queries_load_at_min"]) == set(detail["queries"])
+    assert "load_factor_median" in detail and "load_factor_median" in payload
     # the repo-root artifact must have survived the smoke run untouched
     repo_detail = json.load(open(os.path.join(REPO, "BENCH_DETAIL.json")))
     assert repo_detail["n_queries"] > 300
@@ -145,6 +149,26 @@ def test_no_per_query_regression_vs_previous_round():
     )
     import statistics
 
+    # Contention normalization (VERDICT r8 ask #6): when both snapshots
+    # carry per-query load factors (1-min loadavg / host cpus at the
+    # start of the rep that produced the recorded min), exclude queries
+    # whose current measurement was taken on a meaningfully busier host
+    # — those are exactly the phantom regressions the r8 judge had to
+    # re-adjudicate by hand (driver single-rep vs builder min-of-2
+    # diverged 36% on identical code under co-tenant load).
+    cur_load = cur.get("queries_load_at_min") or {}
+    prev_load = prev.get("queries_load_at_min") or {}
+    if cur_load and prev_load:
+        both = [
+            q
+            for q in both
+            if not (
+                cur_load.get(q, -1.0) >= 0
+                and prev_load.get(q, -1.0) >= 0
+                and cur_load[q] > 1.0  # oversubscribed at measurement time
+                and cur_load[q] > prev_load[q] + 0.5  # and busier than prev
+            )
+        ]
     ratios = [cur["queries"][q] / prev["queries"][q] for q in both]
     half = 15  # +-15 sweep neighbors ~ a few minutes of wall clock
     regressed = {}
