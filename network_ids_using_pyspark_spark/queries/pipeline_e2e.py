@@ -11,6 +11,16 @@ Scale shape: quality gate and fingerprinting pipeline inside the scan;
 exact dedup shuffles 16-byte fingerprints; the fuzzy stage is the
 banded-LSH path (bucket-local candidates, verify touches candidates
 only); chunking is map-side; the final mixture profile is a tiny agg.
+
+Operational step 0 (not a stage of this query — explicit decision,
+VERDICT r8 ask #7): run ``stop_shingle_profile`` (queries/dedup.py)
+over the raw corpus first.  It prices the fuzzy stage before paying
+for it — per-source heavy-shingle share under the df-split cutoff —
+and a hot report means boilerplate stripping belongs BEFORE dedup.
+It stays outside this query because the five-stage oracle is the
+flagship regression canary: folding a side report in would change the
+certified output contract and bill its jobs to every canary run.  See
+SCALING.md "Round 9 — the stop-shingle pre-flight".
 """
 
 from __future__ import annotations
