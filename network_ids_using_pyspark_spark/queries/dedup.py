@@ -618,8 +618,17 @@ def q_dedup_recall_eval(spark, sf_dir):
 # cosine-to-centroid), prune the closer one; ties break on vec_id.
 # ---------------------------------------------------------------------------
 
-_SD_K = 8  # clusters (first-K deterministic seeds)
+_SD_K = 8  # cluster floor (first-K deterministic seeds)
 _SD_T = 0.3  # within-cluster cosine prune threshold (~25-70% per-cluster prune on fixtures)
+# Occupancy bound: K = max(_SD_K, ceil(N / _SD_OCC)) — the SemDeDup
+# contract is that K GROWS with the corpus so per-cluster occupancy
+# stays bounded and the within-cluster quadratic stays linear overall.
+# A fixed K=8 measured alpha=1.39 at the r9 10x point (3.5s -> 24s,
+# occupancy 250 -> 2500); the relative K keeps occupancy ~<=256 at any
+# scale while leaving every test/driver SF (N <= 2000 -> K = 8)
+# bit-identical.  Same shape as the df-split HEAVY_FRAC relative
+# cutoff above.
+_SD_OCC = 256
 
 # norms are computed ONCE per vector/centroid and reused by every
 # cosine — bit-identical to the inline sqrt(dot(a,a))*sqrt(dot(b,b))
@@ -630,7 +639,9 @@ WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
                   sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
                                         CAST(embedding AS DOUBLE[]))) AS nv
            FROM embeddings),
-c AS (SELECT vec_id AS cid, v AS cv, nv AS cn FROM e WHERE vec_id < {_SD_K}),
+c AS (SELECT vec_id AS cid, v AS cv, nv AS cn FROM e
+      WHERE vec_id < (SELECT GREATEST({_SD_K}, CAST(CEIL(COUNT(*) / {_SD_OCC}.0) AS BIGINT))
+                      FROM embeddings)),
 a AS (SELECT vec_id, v, nv, cid FROM (
   SELECT e.vec_id, e.v, e.nv, c.cid,
          ROW_NUMBER() OVER (PARTITION BY e.vec_id
@@ -658,7 +669,8 @@ GROUP BY m.cid
 @register("semdedup_prune_report", _SEMDEDUP_SQL)
 def q_semdedup_prune_report(spark, sf_dir):
     """SemDeDup semantic dedup report: assign every embedding to its
-    max-cosine seed centroid (first-{_SD_K} vectors, cid tiebreak),
+    max-cosine seed centroid (first-K vectors, K = max(8, ⌈N/256⌉) so
+    cluster occupancy is bounded at any corpus size; cid tiebreak),
     then inside each cluster prune any member that has a neighbour at
     cosine ≥ {_SD_T} which the keeper rule prefers (farther from the
     centroid wins; vec_id breaks exact ties).  Output is per-cluster
@@ -668,9 +680,11 @@ def q_semdedup_prune_report(spark, sf_dir):
     Scale plan: the assignment is a K-row broadcast cross join + argmin
     window (map-side; partitioned by vec_id).  The pair join shuffles
     ONCE on cid and is quadratic only within a cluster — exactly the
-    SemDeDup contract: K grows with corpus size so cluster occupancy
-    stays bounded (the paper runs K=50k for LAION-440M; a skewed giant
-    cluster is re-clustered recursively).  Cosines are rounded to the
+    SemDeDup contract: K grows with corpus size (here mechanically,
+    K = max(8, ⌈N/256⌉)) so cluster occupancy stays bounded and the
+    total pair work stays ~N·256 (the paper runs K=50k for LAION-440M;
+    a skewed giant cluster is re-clustered recursively).  Measured at
+    the r9 10× point: fixed K=8 gave α=1.39; the relative K is the fix.  Cosines are rounded to the
     1e-9 grid so argmax order and the prune predicate are engine-portable.
     All folds are the sequential-left-fold `dot` — never SIMD-reassociated."""
     from pyspark.sql import Window
@@ -681,8 +695,20 @@ def q_semdedup_prune_report(spark, sf_dir):
     e = emb.select("vec_id", as_double_array("embedding").alias("v")).select(
         "vec_id", "v", l2_norm(F.col("v")).alias("nv")
     )
-    c = e.filter(F.col("vec_id") < _SD_K).select(
-        F.col("vec_id").alias("cid"), F.col("v").alias("cv"), F.col("nv").alias("cn")
+    # corpus-relative K (G4 scalar pattern: 1-row agg broadcast, no
+    # driver collect) — floor _SD_K, occupancy bound _SD_OCC
+    kdf = emb.agg(
+        F.greatest(
+            F.lit(_SD_K).cast("long"),
+            F.ceil(F.count(F.lit(1)) / F.lit(float(_SD_OCC))).cast("long"),
+        ).alias("k")
+    )
+    c = (
+        e.crossJoin(F.broadcast(kdf))
+        .filter(F.col("vec_id") < F.col("k"))
+        .select(
+            F.col("vec_id").alias("cid"), F.col("v").alias("cv"), F.col("nv").alias("cn")
+        )
     )
     paired = e.crossJoin(F.broadcast(c))
     w = Window.partitionBy("vec_id").orderBy(
