@@ -63,12 +63,15 @@ def impute_median_exact(df: DataFrame, cols: list[str]) -> DataFrame:
     null-only fill, matching ``Imputer``'s null handling.
 
     Even-count interpolation: Spark's ``F.median`` computes
-    ``lower + (upper - lower) / 2``, NOT ``(lower + upper) / 2``.  The
-    two differ by at most 1 ulp, observable only at the extremes of the
-    IEEE-754 double range (e.g. subnormal inputs such as
-    ``[2.2e-311, 5e-324]``).  DuckDB's ``median`` agrees with Spark's
-    formula on all oracle fixtures; tests asserting exact equality must
-    mirror this formula (tests/test_sampling.py).
+    ``lower/2 + upper/2`` — NOT ``(lower + upper)/2`` (differs by 1 ulp
+    on subnormals, e.g. ``[2.2e-311, 5e-324]``) and NOT
+    ``lower + (upper - lower)/2`` (differs by 1 ulp on ordinary values,
+    e.g. ``[1/3, 1.0]`` — the r9 Hypothesis find that corrected r7's
+    documentation of this formula; ulp-verified against 35 adversarial
+    pairs).  DuckDB's DOUBLE ``median`` uses the same ``lower/2 +
+    upper/2`` form on both counterexample classes, so oracle parity is
+    principled, not fixture luck; tests asserting exact equality must
+    mirror it (tests/test_sampling.py).
 
     Scale: exact median needs a sort-based aggregate; for the 100 TB path
     prefer ``ml.impute_median`` (approx sketch, one pass, mergeable).

@@ -110,15 +110,20 @@ def test_impute_median_invariants(spark, xs):
     finite = sorted(x for x in xs if x is not None)
     n = len(finite)
     # Mirror Spark's even-count interpolation EXACTLY: F.median computes
-    # lower + (upper - lower) / 2, which differs from (lower + upper) / 2
-    # by 1 ulp in the subnormal range (Hypothesis found
-    # [2.225073858507e-311, None, 5e-324]).  The operator's semantics are
-    # documented at operators/cleaning.py::impute_median_exact.
+    # lower/2 + upper/2 (ulp-verified against 35 adversarial pairs incl.
+    # random bit-pattern doubles, r9).  It differs from (lower+upper)/2
+    # in the subnormal range (Hypothesis r7: [2.225e-311, None, 5e-324])
+    # and from lower + (upper-lower)/2 on e.g. [1/3, None, 1.0]
+    # (Hypothesis r9) — each of those two formulas coincides on one of
+    # the counterexamples, which is how r7 documented the wrong one.
+    # DuckDB's DOUBLE median uses the same lower/2 + upper/2 form, so
+    # oracle parity is principled.  Semantics documented at
+    # operators/cleaning.py::impute_median_exact.
     if n % 2 == 1:
         med = finite[n // 2]
     else:
         lo, hi = finite[n // 2 - 1], finite[n // 2]
-        med = lo + (hi - lo) / 2
+        med = lo / 2 + hi / 2
     for i, x in enumerate(xs):
         if x is None:
             assert got[i] == med
