@@ -1599,3 +1599,50 @@ def test_rbo_ranking_is_takeordered(spark):
     )
     rplan = explain_str(ranked, "simple")
     assert "TakeOrderedAndProject" in rplan  # window sits above the limit
+
+
+def test_semdedup_pair_stage_equi_join_no_cartesian(spark):
+    """The within-cluster pair stage (r9: corpus-relative K so occupancy
+    is bounded) must join on cid as an equi join, never a cartesian.
+    The registered query's plan is truncated at the assignment stage's
+    localCheckpoint, so the K-scalar broadcast is asserted on the
+    assignment sub-plan built without the checkpoint below."""
+    df = _df(spark, "semdedup_prune_report")
+    plan = explain_str(df, "simple")
+    assert "CartesianProduct" not in plan  # never an unbounded cross join
+    # the vec x vec pair stage is an equi join on cid, not a loop join
+    assert (
+        "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+        or "BroadcastHashJoin" in plan
+    )
+
+
+def test_semdedup_relative_k_is_broadcast_scalar(spark):
+    """K = max(8, ceil(N/256)) must reach the seed filter as a 1-row
+    broadcast (the G4 scalar pattern) — never a driver collect.  Built
+    from the same operators as the query's assignment stage, without
+    the plan-truncating checkpoint."""
+    from pyspark.sql import functions as F
+
+    from network_ids_using_pyspark_spark.operators.similarity import (
+        as_double_array,
+        l2_norm,
+    )
+    from network_ids_using_pyspark_spark.queries.dedup import _SD_K, _SD_OCC
+    from network_ids_using_pyspark_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    e = emb.select("vec_id", as_double_array("embedding").alias("v")).select(
+        "vec_id", "v", l2_norm(F.col("v")).alias("nv")
+    )
+    kdf = emb.agg(
+        F.greatest(
+            F.lit(_SD_K).cast("long"),
+            F.ceil(F.count(F.lit(1)) / F.lit(float(_SD_OCC))).cast("long"),
+        ).alias("k")
+    )
+    c = e.crossJoin(F.broadcast(kdf)).filter(F.col("vec_id") < F.col("k"))
+    plan = explain_str(c, "simple")
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row K scalar, broadcast
+    assert "CartesianProduct" not in plan
