@@ -96,3 +96,61 @@ def test_locate_ranks_matches_flat_scan(counts, data):
         before = sum(hist[x] for x in hist if x < b)
         assert before + loc == g
         assert 1 <= loc <= hist[b]
+
+
+# ---------------------------------------------------------------------------
+# Cross-engine interpolation parity (r9): the registry's oracles pair
+# Spark `median`/`percentile` with DuckDB `median`/`quantile_cont` in
+# dozens of queries.  r9's Hypothesis find (the even-count median is
+# lo/2 + hi/2, not the r7-documented lo + (hi-lo)/2) showed this
+# pairing's ulp behavior must be TESTED, not assumed.  This test
+# compares the two engines bitwise on 120 seeded groups of random
+# bit-pattern doubles (sizes 1-9, so every interpolation branch and
+# fraction is exercised) at all five registry fractions + the median.
+# One Spark job, one DuckDB query — fast enough for every CI run.
+# ---------------------------------------------------------------------------
+
+
+def test_percentile_median_bitwise_match_duckdb(spark):
+    import random
+    import struct
+
+    import duckdb
+    from pyspark.sql import functions as F
+
+    rnd = random.Random(20260816)
+
+    def rd():
+        while True:
+            x = struct.unpack("<d", struct.pack("<Q", rnd.getrandbits(64)))[0]
+            if x == x and abs(x) != float("inf"):
+                return x
+
+    def bits(x):
+        return struct.pack("<d", x)
+
+    groups = {g: [rd() for _ in range(rnd.randrange(1, 10))] for g in range(120)}
+    rows = [(g, v) for g, vs in groups.items() for v in vs]
+    df = spark.createDataFrame(rows, "g int, v double")
+    ps = [0.1, 0.25, 0.5, 0.75, 0.9]
+    sp = df.groupBy("g").agg(
+        F.median("v").alias("med"),
+        *[F.percentile("v", F.lit(p)).alias(f"p{i}") for i, p in enumerate(ps)],
+    )
+    spark_res = {r["g"]: r for r in sp.collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(g INT, v DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    q = (
+        "SELECT g, median(v) AS med, "
+        + ", ".join(f"quantile_cont(v, {p}) AS p{i}" for i, p in enumerate(ps))
+        + " FROM t GROUP BY g"
+    )
+    duck_res = {r[0]: r for r in con.execute(q).fetchall()}
+    for g in groups:
+        s, d = spark_res[g], duck_res[g]
+        assert bits(s["med"]) == bits(d[1]), (groups[g], s["med"], d[1])
+        for i in range(len(ps)):
+            assert bits(s[f"p{i}"]) == bits(d[2 + i]), (
+                ps[i], groups[g], s[f"p{i}"], d[2 + i],
+            )
