@@ -364,3 +364,24 @@ def test_df_split_hot_shingle_smoke(spark):
     # re-enter the pair join).
     if os.environ.get("NIDS_TIMING_ASSERTS"):
         assert dt < 120, f"hot-shingle smoke took {dt:.1f}s"
+
+
+def test_release_pair_join_cache(spark):
+    # ADVICE r8: the pair joins persist relations eagerly at build time;
+    # the public release path must unpersist them (and be a no-op on
+    # foreign DataFrames).
+    from network_ids_using_pyspark_spark.operators.dedup import (
+        release_pair_join_cache,
+    )
+
+    jp = jaccard_pairs(_docs(spark), 0.4, doc_count=len(DOCS))
+    cached = list(getattr(jp, "_nids_cached_relations", []))
+    assert cached, "jaccard_pairs must track its persisted relations"
+    assert all(rel.storageLevel.useMemory or rel.storageLevel.useDisk
+               for rel in cached)
+    release_pair_join_cache(jp)
+    assert jp._nids_cached_relations == []
+    assert all(not (rel.storageLevel.useMemory or rel.storageLevel.useDisk)
+               for rel in cached)
+    # no-op on a DataFrame that never went through a pair join
+    release_pair_join_cache(_docs(spark))
