@@ -96,11 +96,20 @@ def q_stream_session_stats(spark, sf_dir):
 def q_stream_dedup_count(spark, sf_dir):
     """Stateful streaming dedup: the stream unioned with itself (every
     event duplicated) → ``dropDuplicatesWithinWatermark`` → the surviving
-    row count must equal the exact distinct count."""
+    row count must equal the exact distinct count.
+
+    The count folds at the sink (``run_folded_agg``): the registered
+    result is ONE row, so shipping every surviving event through a
+    driver-side memory sink first was pure waste — and the actual OOM
+    at the r9 100× point (10 M deduped rows into the memory sink on an
+    8 GB driver).  Count is sum-decomposable across micro-batches, so
+    the fold is bit-identical to the sink-then-aggregate form."""
     ev = stream_events(spark, sf_dir)
     doubled = ev.union(ev)
-    deduped = run_to_memory(stream_dedup(doubled, "1 hour"), "append")
-    return deduped.agg(F.count(F.lit(1)).alias("n_unique"))
+    return run_folded_agg(
+        stream_dedup(doubled, "1 hour"),
+        [F.count(F.lit(1)).alias("n_unique")],
+    )
 
 
 @register(

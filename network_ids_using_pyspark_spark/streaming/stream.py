@@ -204,8 +204,57 @@ def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+_STATE_STORE_CONF = "spark.sql.streaming.stateStore.providerClass"
+
+
+class _state_store_scope:
+    """Scope the state-store provider to one stream's lifetime.
+
+    ``state_store``: None → leave the session default (the in-memory
+    HDFS-backed HashMap provider); ``"rocksdb"`` → Spark's bundled
+    RocksDB provider, which keeps state off-heap and spills to local
+    disk.  The 100 TB escalation rule (same ladder as the dedup
+    ``storage_level``/``spill_path`` knobs): in-memory state is faster
+    while keyspace × watermark-horizon fits the executor heaps; beyond
+    that — measured at the r9 100× point, where 20 M dedup keys OOMed
+    an 8 GB single-JVM heap — RocksDB is the provider that survives.
+    Results are provider-independent (state-store choice is physical).
+    Env override ``NIDS_STREAM_STATE_STORE=rocksdb`` flips every engine
+    stream without touching query code (how the scaling harness runs)."""
+
+    def __init__(self, spark: SparkSession, state_store: "str | None"):
+        self.spark = spark
+        requested = state_store or os.environ.get("NIDS_STREAM_STATE_STORE")
+        self.target = _ROCKSDB_PROVIDER if requested == "rocksdb" else None
+        self.prev: "str | None" = None
+
+    def __enter__(self):
+        if self.target is not None:
+            try:
+                self.prev = self.spark.conf.get(_STATE_STORE_CONF)
+            except Exception:
+                self.prev = None
+            self.spark.conf.set(_STATE_STORE_CONF, self.target)
+        return self
+
+    def __exit__(self, *exc):
+        if self.target is not None:
+            if self.prev is None:
+                self.spark.conf.unset(_STATE_STORE_CONF)
+            else:
+                self.spark.conf.set(_STATE_STORE_CONF, self.prev)
+        return False
+
+
 def run_to_memory(
-    df: DataFrame, output_mode: str, prefix: str = "nids_stream", state_partitions: int = 8
+    df: DataFrame,
+    output_mode: str,
+    prefix: str = "nids_stream",
+    state_partitions: int = 8,
+    state_store: "str | None" = None,
 ) -> DataFrame:
     """Drive a (bounded) streaming frame to completion into a memory sink
     with ``availableNow`` and return the result table.  Unique sink name
@@ -223,14 +272,15 @@ def run_to_memory(
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     try:
-        q = (
-            df.writeStream.format("memory")
-            .queryName(name)
-            .outputMode(output_mode)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        with _state_store_scope(spark, state_store):
+            q = (
+                df.writeStream.format("memory")
+                .queryName(name)
+                .outputMode(output_mode)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return df.sparkSession.table(name)
@@ -241,6 +291,7 @@ def run_folded_agg(
     exprs: list,
     prefix: str = "nids_aggsink",
     state_partitions: int = 8,
+    state_store: "str | None" = None,
 ) -> DataFrame:
     """Drive a bounded streaming frame to completion with ``availableNow``,
     folding sum-decomposable aggregates (COUNT / SUM) at the sink: each
@@ -269,13 +320,14 @@ def run_folded_agg(
 
     spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     try:
-        q = (
-            df.writeStream.foreachBatch(_fold)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        with _state_store_scope(spark, state_store):
+            q = (
+                df.writeStream.foreachBatch(_fold)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     if not schema_holder:

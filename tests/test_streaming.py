@@ -539,3 +539,28 @@ def test_stream_stream_band_join_exact_boundaries(spark, tmp_path):
     outer = q_stream_stream_left_outer(spark, sf_dir).collect()
     # purchase@10:00 emits 3 matched rows; purchase@12:00 emits 1 NULL
     assert [tuple(r) for r in outer] == [(4, 1)]
+
+
+def test_state_store_rocksdb_provider_invariant(spark):
+    """The state-store escalation knob (r9: NIDS_STREAM_STATE_STORE /
+    state_store='rocksdb') must be result-invisible — same dedup count
+    under the RocksDB provider as under the default in-memory provider —
+    and must restore the session conf afterwards."""
+    import os
+
+    from network_ids_using_pyspark_spark.queries.streaming import (
+        q_stream_dedup_count,
+    )
+    from .conftest import SF_DIR
+
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+    base = q_stream_dedup_count(spark, SF_DIR).collect()[0]["n_unique"]
+    os.environ["NIDS_STREAM_STATE_STORE"] = "rocksdb"
+    try:
+        rocks = q_stream_dedup_count(spark, SF_DIR).collect()[0]["n_unique"]
+    finally:
+        del os.environ["NIDS_STREAM_STATE_STORE"]
+    assert rocks == base
+    # conf restored: either unset or back to the session default provider
+    current = spark.conf.get(conf_key, None)
+    assert current is None or "RocksDB" not in current
