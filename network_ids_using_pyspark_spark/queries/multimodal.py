@@ -169,7 +169,16 @@ def q_media_phash_near_dup(spark, sf_dir):
     The pattern that dedups image/video corpora at 100 TB — candidate
     generation bucket-local, all-pairs never materialized.  Banding
     guarantees covered in tests/test_multimodal.py; the integer fake
-    kernel carries a full DuckDB oracle."""
+    kernel carries a full DuckDB oracle.
+
+    Scale note (r9 100× adjudication): this CERTIFICATION query pins
+    ``bits=16`` so the oracle stays a plain integer ``bit_count(xor)``
+    — a 65 536-signature space that SATURATES by pigeonhole around
+    ~10⁵ docs, making near-dup output quadratic by construction beyond
+    that (measured: OOM at 10 M docs).  The production setting is the
+    operator's ``bits=64``: measured at the same 100× point, 5.2 s →
+    7.7 s (α=0.085) emitting the 1.0 M true replica pairs.  Use 64-bit
+    fingerprints at scale; the 16-bit pin exists to be oracle-exact."""
     from ..operators.dedup import simhash_near_dup_pairs
     from ..operators.multimodal import documents_as_media, perceptual_hash
 
