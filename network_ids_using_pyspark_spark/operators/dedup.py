@@ -114,13 +114,12 @@ def _df_split(ex: DataFrame, id_col: str, heavy_df: int):
     # columnar disk blocks cost one re-read and free the heap (same
     # escalation ladder as jaccard_pairs' storage_level/spill_path).
     joined = ex.join(dfreq, "shingle")
-    try:
-        exd = joined.localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
-    except TypeError:
-        # storageLevel kwarg is PySpark ≥ 4.0 (SPARK-45130); on 3.5.x
-        # fall back to the default MEMORY_AND_DISK checkpoint — same
-        # semantics, weaker heap posture (ADVICE r8).
-        exd = joined.localCheckpoint(eager=True)
+    # storageLevel kwarg is PySpark ≥ 4.0 (SPARK-45130) — guaranteed by
+    # the declared floor pyproject.toml `pyspark>=4.0`.  The former
+    # 3.5.x TypeError fallback was dead code under that floor and was
+    # dropped (ADVICE r9: a declared floor that contradicts a compat
+    # path leaves the path untested drift).
+    exd = joined.localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
     stats = exd.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_sh"),
         F.sum(F.when(F.col("df_sh") > heavy_df, 1).otherwise(0))
@@ -130,25 +129,60 @@ def _df_split(ex: DataFrame, id_col: str, heavy_df: int):
     return exd, stats
 
 
+# Module-wide ledger of every relation a pair-join persisted and has
+# not yet released.  The per-result attribute set by ``_track_cache``
+# lives only on the exact DataFrame object ``jaccard_pairs``/
+# ``containment_pairs`` returned — any downstream transformation
+# (``.filter``, ``.select`` …) produces a NEW DataFrame without it,
+# which previously left the persisted exploded relation with no
+# release path in long-lived sessions (ADVICE r9).  The ledger gives
+# :func:`release_all_pair_join_caches` a handle that survives plan
+# composition.
+_LIVE_PAIR_CACHES: "list[DataFrame]" = []
+
+
 def _track_cache(result: DataFrame, cached: "list[DataFrame]") -> DataFrame:
     """Record the relations a pair-join persisted while building
-    ``result`` so :func:`release_pair_join_cache` can free them
-    (ADVICE r8: eager builds leak cache in long-lived sessions)."""
+    ``result`` so :func:`release_pair_join_cache` /
+    :func:`release_all_pair_join_caches` can free them (ADVICE r8:
+    eager builds leak cache in long-lived sessions)."""
     result._nids_cached_relations = list(cached)
+    _LIVE_PAIR_CACHES.extend(cached)
     return result
 
 
 def release_pair_join_cache(result: DataFrame) -> None:
     """Unpersist the relations cached while building a
     ``jaccard_pairs``/``containment_pairs`` result (no-op for other
-    DataFrames).  The eager ``localCheckpoint`` blocks themselves have
-    no public unpersist API — Spark's ContextCleaner reclaims them once
-    the result DataFrame (whose plan references the checkpointed RDD)
-    is garbage-collected, so drop your reference to ``result`` after
+    DataFrames).
+
+    MUST be called on the DataFrame those functions returned ITSELF:
+    the tracking attribute does not propagate through transformations,
+    so ``release_pair_join_cache(jaccard_pairs(...).filter(...))`` is a
+    silent no-op — hold the original reference, or use
+    :func:`release_all_pair_join_caches` (ADVICE r9).
+
+    The eager ``localCheckpoint`` blocks themselves have no public
+    unpersist API — Spark's ContextCleaner reclaims them once the
+    result DataFrame (whose plan references the checkpointed RDD) is
+    garbage-collected, so drop your reference to ``result`` after
     calling this."""
     for rel in getattr(result, "_nids_cached_relations", ()):
         rel.unpersist()
+        try:
+            _LIVE_PAIR_CACHES.remove(rel)
+        except ValueError:
+            pass
     result._nids_cached_relations = []
+
+
+def release_all_pair_join_caches() -> None:
+    """Unpersist EVERY relation any pair-join in this process persisted
+    and has not yet released — the handle that works when the original
+    pair-join result was transformed away or dropped (ADVICE r9).  Safe
+    to call between pipeline stages in a long-lived session."""
+    while _LIVE_PAIR_CACHES:
+        _LIVE_PAIR_CACHES.pop().unpersist()
 
 
 def _light_pair_counts(exd: DataFrame, id_col: str, heavy_df: int) -> DataFrame:

@@ -228,6 +228,15 @@ class _state_store_scope:
     def __init__(self, spark: SparkSession, state_store: "str | None"):
         self.spark = spark
         requested = state_store or os.environ.get("NIDS_STREAM_STATE_STORE")
+        # Reject unknown values instead of silently falling back to the
+        # in-memory provider (ADVICE r9: a typo'd
+        # NIDS_STREAM_STATE_STORE would let a scaling run believe it
+        # exercised RocksDB while measuring the HashMap provider).
+        if requested not in (None, "", "hashmap", "rocksdb"):
+            raise ValueError(
+                f"unknown state_store {requested!r}: expected 'rocksdb', "
+                "'hashmap', or None/'' for the session default"
+            )
         self.target = _ROCKSDB_PROVIDER if requested == "rocksdb" else None
         self.prev: "str | None" = None
 

@@ -158,17 +158,38 @@ def test_no_per_query_regression_vs_previous_round():
     # diverged 36% on identical code under co-tenant load).
     cur_load = cur.get("queries_load_at_min") or {}
     prev_load = prev.get("queries_load_at_min") or {}
+    excluded: dict[str, str] = {}
     if cur_load and prev_load:
-        both = [
-            q
-            for q in both
-            if not (
-                cur_load.get(q, -1.0) >= 0
-                and prev_load.get(q, -1.0) >= 0
-                and cur_load[q] > 1.0  # oversubscribed at measurement time
-                and cur_load[q] > prev_load[q] + 0.5  # and busier than prev
-            )
-        ]
+        def _busy_side(q: str) -> "str | None":
+            cl, pl = cur_load.get(q, -1.0), prev_load.get(q, -1.0)
+            if cl < 0 or pl < 0:
+                return None
+            # cur measured on a meaningfully busier host → inflated cur
+            if cl > 1.0 and cl > pl + 0.5:
+                return f"cur_load={cl:.2f} vs prev_load={pl:.2f}"
+            # SYMMETRIC case (ADVICE r9): prev measured under load →
+            # deflated baseline, phantom regression the other way
+            if pl > 1.0 and pl > cl + 0.5:
+                return f"prev_load={pl:.2f} vs cur_load={cl:.2f}"
+            return None
+
+        for q in list(both):
+            why = _busy_side(q)
+            if why is not None:
+                excluded[q] = why
+        both = [q for q in both if q not in excluded]
+    if excluded:
+        # Report, don't swallow (ADVICE r9): a genuine regression
+        # measured on a busy host is DROPPED from this gate — surface
+        # the list so those queries get re-measured next round instead
+        # of silently forgotten.
+        import warnings
+
+        warnings.warn(
+            "bench regression gate: excluded from comparison due to "
+            f"load-factor mismatch (re-measure next round): {excluded}",
+            stacklevel=2,
+        )
     ratios = [cur["queries"][q] / prev["queries"][q] for q in both]
     half = 15  # +-15 sweep neighbors ~ a few minutes of wall clock
     regressed = {}

@@ -385,3 +385,30 @@ def test_release_pair_join_cache(spark):
                for rel in cached)
     # no-op on a DataFrame that never went through a pair join
     release_pair_join_cache(_docs(spark))
+
+
+def test_release_all_pair_join_caches(spark):
+    # ADVICE r9: the per-result handle is lost on any downstream
+    # transformation (jaccard_pairs(...).filter(...) has no tracking
+    # attribute) — the module-wide release path must still free the
+    # persisted relations.
+    from network_ids_using_pyspark_spark.operators import dedup as dd
+    from network_ids_using_pyspark_spark.operators.dedup import (
+        release_pair_join_cache,
+    )
+
+    jp = jaccard_pairs(_docs(spark), 0.4, doc_count=len(DOCS))
+    cached = list(getattr(jp, "_nids_cached_relations", []))
+    derived = jp.filter("jaccard >= 0")  # drops the handle attribute
+    assert not hasattr(derived, "_nids_cached_relations")
+    assert all(
+        rel in dd._LIVE_PAIR_CACHES for rel in cached
+    ), "ledger must hold the persisted relations"
+    dd.release_all_pair_join_caches()
+    assert dd._LIVE_PAIR_CACHES == []
+    assert all(
+        not (rel.storageLevel.useMemory or rel.storageLevel.useDisk)
+        for rel in cached
+    )
+    # releasing the original result afterwards stays a harmless no-op
+    release_pair_join_cache(jp)

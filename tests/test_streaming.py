@@ -564,3 +564,29 @@ def test_state_store_rocksdb_provider_invariant(spark):
     # conf restored: either unset or back to the session default provider
     current = spark.conf.get(conf_key, None)
     assert current is None or "RocksDB" not in current
+
+
+def test_state_store_rejects_unknown_value(spark):
+    """ADVICE r9: an unrecognized state_store (e.g. a typo'd
+    NIDS_STREAM_STATE_STORE) must raise, not silently measure the
+    in-memory provider while claiming RocksDB."""
+    import os
+
+    import pytest
+
+    from network_ids_using_pyspark_spark.streaming.stream import (
+        _state_store_scope,
+    )
+
+    with pytest.raises(ValueError, match="unknown state_store"):
+        _state_store_scope(spark, "rocksdB")  # typo'd case matters
+    os.environ["NIDS_STREAM_STATE_STORE"] = "rockdb"
+    try:
+        with pytest.raises(ValueError, match="unknown state_store"):
+            _state_store_scope(spark, None)
+    finally:
+        del os.environ["NIDS_STREAM_STATE_STORE"]
+    # the accepted spellings still construct
+    _state_store_scope(spark, None)
+    _state_store_scope(spark, "hashmap")
+    _state_store_scope(spark, "rocksdb")
