@@ -46,7 +46,7 @@ def _q9_sum_sql(expr: str) -> str:
 
 
 _JOURNEY_CTES = """
-seq AS (
+seq AS MATERIALIZED (
   SELECT user_id, ts, event_id, event_type,
          COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
                   OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -54,10 +54,10 @@ seq AS (
                   0) AS prior_purch
   FROM events
 ),
-kept AS (SELECT * FROM seq WHERE prior_purch = 0)"""
+kept AS MATERIALIZED (SELECT * FROM seq WHERE prior_purch = 0)"""
 
 _TRANS_CTES = _JOURNEY_CTES + """,
-step AS (
+step AS MATERIALIZED (
   SELECT COALESCE(LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id),
                   'start') AS src,
          CASE WHEN event_type = 'purchase' THEN 'conv' ELSE event_type END AS dst,
@@ -66,7 +66,7 @@ step AS (
          event_type
   FROM kept
 ),
-trans AS (
+trans AS MATERIALIZED (
   SELECT src, dst, COUNT(*) AS n FROM (
     SELECT src, dst FROM step
     UNION ALL
@@ -74,12 +74,12 @@ trans AS (
     WHERE rn_desc = 1 AND event_type <> 'purchase'
   ) GROUP BY 1, 2
 ),
-probs AS (
+probs AS MATERIALIZED (
   SELECT src, dst,
          CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY src) AS DOUBLE) AS p
   FROM trans
 ),
-pm AS (
+pm AS MATERIALIZED (
   SELECT src, dst, p FROM probs
   UNION ALL SELECT 'conv', 'conv', 1.0
   UNION ALL SELECT 'null', 'null', 1.0
@@ -91,25 +91,25 @@ def _attribution_sql() -> str:
     scenarios = [("base", None)] + [(c, c) for c in _CHANNELS]
     for tag, removed in scenarios:
         if removed is None:
-            parts.append(f"pm_{tag} AS (SELECT src, dst, p FROM pm)")
+            parts.append(f"pm_{tag} AS MATERIALIZED (SELECT src, dst, p FROM pm)")
         else:
             parts.append(
-                f"pm_{tag} AS (SELECT src, "
+                f"pm_{tag} AS MATERIALIZED (SELECT src, "
                 f"CASE WHEN dst = '{removed}' THEN 'null' ELSE dst END AS dst, "
                 f"SUM(p) AS p FROM pm WHERE src <> '{removed}' GROUP BY 1, 2)"
             )
         parts.append(
-            f"v0_{tag} AS (SELECT 'start' AS state, CAST(1.0 AS DOUBLE) AS prob)"
+            f"v0_{tag} AS MATERIALIZED (SELECT 'start' AS state, CAST(1.0 AS DOUBLE) AS prob)"
         )
         for k in range(1, _K + 1):
             parts.append(
-                f"v{k}_{tag} AS (SELECT m.dst AS state, "
+                f"v{k}_{tag} AS MATERIALIZED (SELECT m.dst AS state, "
                 + _q9_sum_sql("v.prob * m.p")
                 + f" AS prob FROM v{k-1}_{tag} v JOIN pm_{tag} m ON m.src = v.state "
                 "GROUP BY 1)"
             )
         parts.append(
-            f"pc_{tag} AS (SELECT COALESCE((SELECT prob FROM v{_K}_{tag} "
+            f"pc_{tag} AS MATERIALIZED (SELECT COALESCE((SELECT prob FROM v{_K}_{tag} "
             f"WHERE state = 'conv'), 0.0) AS p)"
         )
     union = "\nUNION ALL\n".join(
@@ -118,7 +118,7 @@ def _attribution_sql() -> str:
         f"FROM pc_base b CROSS JOIN pc_{c} r"
         for c in _CHANNELS
     )
-    parts.append(f"res AS ({union})")
+    parts.append(f"res AS MATERIALIZED ({union})")
     parts.append(
         "tot AS (SELECT CAST(CAST(SUM(CAST(re AS DECIMAL(38, 9))) AS VARCHAR)"
         " AS DOUBLE) AS re_sum FROM res)"
@@ -147,7 +147,24 @@ def q_markov_attribution_removal(spark, sf_dir):
 
     See the module docstring for the journey construction (truncated
     at first purchase, ties broken by event_id) and the 1e-9 DECIMAL
-    discipline on every >2-way float sum."""
+    discipline on every >2-way float sum.
+
+    Latency re-plan (r10): the journey pass — two per-user windows and
+    one groupBy over the fact scan — is the only data-sized work and
+    stays fully distributed.  The transition relation it reduces to is
+    CONFIG-bounded, not data-bounded: ≤(|channels|+3)² rows of exact
+    integer counts (the documented ≤k-row reduced-collect pattern, same
+    class as the G8 k×k confusion matrix), so the 5-scenario × K-step
+    power iteration runs in-process on those counts with the exact
+    arithmetic both engines use (repr-shortest HALF_UP quantization to
+    the 1e-9 grid, exact Decimal accumulation, one final
+    nearest-double conversion — pinned bit-exact against the Spark
+    formulation by tests/test_quality_ext.py::
+    test_markov_attribution_matches_python).  The previous formulation
+    ran 80 Spark jobs (5 chains × 16 steps) over the ~30-row relation —
+    pure job-scheduler latency that more executors cannot reduce
+    (14-16 s at sf0.1; 1.1 s measured after the re-plan, exponent
+    unchanged because the distributed journey pass is untouched)."""
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "ts", "event_id", "event_type"
     )
@@ -179,79 +196,63 @@ def q_markov_attribution_removal(spark, sf_dir):
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    wsrc = Window.partitionBy("src")
-    probs = trans.select(
-        "src",
-        "dst",
-        (F.col("n").cast("double") / F.sum("n").over(wsrc).cast("double")).alias("p"),
-    )
-    absorbing = probs.sparkSession.createDataFrame(
-        [("conv", "conv", 1.0), ("null", "null", 1.0)], ["src", "dst", "p"]
-    )
-    pm = probs.unionByName(absorbing).localCheckpoint(eager=True)
+    # Config-bounded reduced collect (≤(|channels|+3)² exact counts):
+    # everything below is float-identical to the former Spark
+    # formulation — see the docstring and the first-principles pin.
+    counts = {(r["src"], r["dst"]): r["n"] for r in trans.collect()}
+    src_tot: dict = {}
+    for (s, _d), n in counts.items():
+        src_tot[s] = src_tot.get(s, 0) + n
+    # single IEEE division of exact ints — same as cast/cast division
+    pm = {(s, d): n / src_tot[s] for (s, d), n in counts.items()}
+    pm[("conv", "conv")] = 1.0
+    pm[("null", "null")] = 1.0
 
-    def q9_sum(col):
-        return (
-            F.sum(F.round(col, 9).cast("decimal(38, 9)"))
-            .cast("string")
-            .cast("double")
-        )
+    from collections import defaultdict
+    from decimal import ROUND_HALF_UP, Decimal
 
-    def absorb(pmat):
-        v = pm.sparkSession.createDataFrame([("start", 1.0)], ["state", "prob"])
-        for k in range(_K):
-            # fresh exprIds on the vector side: the k>1 vector derives
-            # from pmat, so unaliased refs would be self-join-ambiguous
-            vv = v.select(
-                F.col("state").alias("vstate"), F.col("prob").alias("vprob")
-            )
-            v = (
-                vv.join(pmat, vv.vstate == pmat.src)
-                .groupBy(F.col("dst").alias("state"))
-                .agg(q9_sum(F.col("vprob") * F.col("p")).alias("prob"))
-            )
-            if (k + 1) % 4 == 0:
-                v = v.localCheckpoint(eager=True)
-        # <=1 matching row, so the SUM is a passthrough (0.0 if absent)
-        return v.agg(
-            F.coalesce(
-                F.sum(F.when(F.col("state") == "conv", F.col("prob"))), F.lit(0.0)
-            ).alias("prob")
-        )
+    _GRID = Decimal("0.000000001")
 
-    base = absorb(pm).select(F.col("prob").alias("p_base"))
-    rows = None
+    def d9(x: float) -> Decimal:
+        # Spark's round(double, 9): shortest-repr decimal value,
+        # HALF_UP to the 1e-9 grid (java BigDecimal.valueOf semantics)
+        return Decimal(repr(x)).quantize(_GRID, rounding=ROUND_HALF_UP)
+
+    def div(a: float, b: float) -> float:
+        # IEEE semantics incl. the zero-denominator cases Spark yields
+        if b == 0.0:
+            return float("nan") if a == 0.0 else float("inf") * (1 if a > 0 else -1)
+        return a / b
+
+    def absorb(mat: dict) -> float:
+        vec = {"start": 1.0}
+        for _ in range(_K):
+            nxt = defaultdict(Decimal)  # exact, order-free accumulation
+            for (s, d), p in mat.items():
+                if s in vec:
+                    nxt[d] += d9(vec[s] * p)
+            vec = {d: float(x) for d, x in nxt.items()}  # nearest double
+        return vec.get("conv", 0.0)
+
+    p_base = absorb(pm)
+    out = []
     for c in _CHANNELS:
-        pmat = (
-            pm.filter(F.col("src") != c)
-            .select(
-                "src",
-                F.when(F.col("dst") == c, "null").otherwise(F.col("dst")).alias("dst"),
-                "p",
-            )
-            .groupBy("src", "dst")
-            .agg(F.sum("p").alias("p"))
-        )
-        r = (
-            absorb(pmat)
-            .select(F.col("prob").alias("p_removed"))
-            .crossJoin(F.broadcast(base))
-            .select(
-                F.lit(c).alias("channel"),
-                "p_base",
-                "p_removed",
-                F.round(1.0 - F.col("p_removed") / F.col("p_base"), 9).alias("re"),
-            )
-        )
-        rows = r if rows is None else rows.unionByName(r)
-    rows = rows.localCheckpoint(eager=True)
-    tot = rows.agg(
-        F.sum(F.col("re").cast("decimal(38, 9)"))
-        .cast("string")
-        .cast("double")
-        .alias("re_sum")
+        mat: dict = defaultdict(float)
+        for (s, d), p in pm.items():
+            if s == c:
+                continue
+            # ≤2 contributions per key → commutative-safe float sum
+            mat[(s, "null" if d == c else d)] += p
+        p_removed = absorb(dict(mat))
+        re = float(d9(1.0 - div(p_removed, p_base)))
+        out.append((c, p_base, p_removed, re))
+    re_sum = float(sum(d9(re) for _c, _b, _r, re in out))  # exact Decimal sum
+    rows = spark.createDataFrame(
+        [(c, b, r, re, re_sum) for c, b, r, re in out],
+        "channel string, p_base double, p_removed double, re double, re_sum double",
     )
-    return rows.crossJoin(F.broadcast(tot)).select(
+    # final display rounding stays engine-side, identical to the oracle
+    return rows.select(
         "channel",
         F.round("p_base", 6).alias("p_conv_base"),
         F.round("p_removed", 6).alias("p_conv_removed"),

@@ -1046,23 +1046,37 @@ def q_knn_classifier_exact(spark, sf_dir):
         as_double_array("embedding").alias("v"),
         hash_bucket("vec_id", 10, seed="knn:").alias("bkt"),
     )
+    # Per-side squared norms ride each SIDE once (6k + 54k folds at
+    # 30×), not each PAIR (was 3 folds × |pairs|); the pair expression
+    # keeps the exact tree shape (q_n2 - 2·dot) + c_n2, so every
+    # distance is bit-identical to the former per-pair formulation.
     test = e.filter(F.col("bkt") == 0).select(
         F.col("vec_id").alias("q_vec_id"),
         F.col("label").alias("actual"),
         F.col("v").alias("qv"),
+        dot(F.col("v"), F.col("v")).alias("q_n2"),
     )
     train = e.filter(F.col("bkt") != 0).select(
         F.col("vec_id").alias("cand_vec_id"),
         F.col("label").alias("clabel"),
         F.col("v").alias("cv"),
+        dot(F.col("v"), F.col("v")).alias("c_n2"),
     )
-
-    def l2(a, b):
-        return (dot(a, a) - 2 * dot(a, b)) + dot(b, b)
-
-    paired = test.crossJoin(train)
+    # Project the scalar distance IN the cross-join stage: the 128-dim
+    # pair payload never reaches an exchange — the 30× run that sorted
+    # pairs with both arrays attached (~1 KB/row over 324 M pairs) is
+    # what OOMed the r10 scaling session; the skinny row is ~40 B.
+    paired = test.crossJoin(train).select(
+        "q_vec_id",
+        "actual",
+        "clabel",
+        "cand_vec_id",
+        (
+            (F.col("q_n2") - 2 * dot(F.col("qv"), F.col("cv"))) + F.col("c_n2")
+        ).alias("d2"),
+    )
     w_nn = Window.partitionBy("q_vec_id").orderBy(
-        l2(F.col("qv"), F.col("cv")).asc(), F.col("cand_vec_id").asc()
+        F.col("d2").asc(), F.col("cand_vec_id").asc()
     )
     nn = (
         paired.select(
