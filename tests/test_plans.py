@@ -1139,6 +1139,20 @@ def test_ppmi_pairs_map_side_marginals_broadcast(spark):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_w2v_cooc_scoring_broadcast_bounded(spark):
+    """The count-vector synonym scorer (r10): pair generation map-side
+    from the token arrays (same contract as PPMI); the query word's
+    context vector, its norm, and the query-word scalar all attach by
+    BROADCAST — the scoring pass is a linear scan of the vocab²-bounded
+    count relation, never a sort-merge join; top-k is
+    TakeOrderedAndProject."""
+    df = _df(spark, "word2vec_cooc_synonyms")
+    plan = explain_str(df, "simple")
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_median_ci_rank_window_partitioned(spark):
     """The rank window partitions by event_type; bound arithmetic and
     the median relation attach by broadcast."""

@@ -86,6 +86,13 @@ def main() -> None:
     names = args.queries or DEFAULT_QUERIES
 
     spark = get_spark(app_name="scaling-bench")
+
+    def _session_dead() -> bool:
+        try:
+            return spark.sparkContext._jsc.sc().isStopped()
+        except Exception:
+            return True
+
     results: dict[str, dict] = {}
     for sf_dir, key in ((args.small, "t_small"), (args.big, "t_big")):
         for t in TABLES:
@@ -96,6 +103,24 @@ def main() -> None:
             except Exception as e:
                 print(f"scaling: {name}@{sf_dir} FAILED: {e}", file=sys.stderr)
                 dt, runs = -1.0, []
+                # A task-level OOM at scale kills the whole local-mode
+                # SparkContext; without a restart every LATER query
+                # cascades to a phantom -1.0 (exactly how the first r10
+                # 30x board lost six measurements to one kNN OOM).
+                # Restart the JVM, re-warm the tables, keep going.
+                if _session_dead():
+                    print(
+                        f"scaling: SparkContext died after {name} — "
+                        "restarting session and re-warming",
+                        file=sys.stderr,
+                    )
+                    try:
+                        spark.stop()
+                    except Exception:
+                        pass
+                    spark = get_spark(app_name="scaling-bench-restarted")
+                    for t in TABLES:
+                        load_table(spark, sf_dir, t).count()
             results.setdefault(name, {})[key] = dt
             results[name][key + "_runs"] = runs
             print(f"{key} {name}: {dt}s {runs}", flush=True)
