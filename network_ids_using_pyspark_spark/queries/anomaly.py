@@ -1076,7 +1076,7 @@ _CUSUM_K = 0.5  # drift allowance (std units)
 _CUSUM_H = 4.0  # alarm threshold (std units)
 
 _CUSUM_SQL = f"""
-WITH RECURSIVE daily AS (
+WITH RECURSIVE daily AS MATERIALIZED (
   SELECT CAST(o_orderdate AS DATE) AS d, CAST(COUNT(*) AS DOUBLE) AS y
   FROM orders GROUP BY 1
 ),
@@ -1091,7 +1091,7 @@ v AS (
            / (ANY_VALUE(m.n) - 1)), 9) AS sd
   FROM daily CROSS JOIN m
 ),
-sr AS (
+sr AS MATERIALIZED (
   SELECT ROW_NUMBER() OVER (ORDER BY d) AS rn,
          round((y - m.mean) / v.sd, 9) AS z
   FROM daily CROSS JOIN m CROSS JOIN v

@@ -1331,11 +1331,11 @@ _HOLT_B = 0.3  # trend smoothing  (1-b written as the literal 0.7)
 # level, silently diverging from the recurrence).  A recursive CTE has
 # unambiguous semantics, so the oracle steps the recurrence that way.
 _HOLT_SQL = f"""
-WITH RECURSIVE daily AS (
+WITH RECURSIVE daily AS MATERIALIZED (
   SELECT CAST(o_orderdate AS DATE) AS d, CAST(COUNT(*) AS DOUBLE) AS y
   FROM orders GROUP BY 1
 ),
-sr AS (SELECT ROW_NUMBER() OVER (ORDER BY d) AS rn, y FROM daily),
+sr AS MATERIALIZED (SELECT ROW_NUMBER() OVER (ORDER BY d) AS rn, y FROM daily),
 rec AS (
   SELECT CAST(2 AS BIGINT) AS i,
          (SELECT y FROM sr WHERE rn = 2) AS l,
@@ -1460,11 +1460,11 @@ _HW_G, _HW_CG = 0.3, 0.7  # seasonal gamma, 1-gamma
 _HW_LNEW = f"round({_HW_A} * (sr.y - rec.s[1]) + {_HW_CA} * (rec.l + rec.b), 9)"
 
 _HW_SQL = f"""
-WITH RECURSIVE daily AS (
+WITH RECURSIVE daily AS MATERIALIZED (
   SELECT CAST(o_orderdate AS DATE) AS d, CAST(COUNT(*) AS DOUBLE) AS y
   FROM orders GROUP BY 1
 ),
-sr AS (SELECT ROW_NUMBER() OVER (ORDER BY d) AS rn, y FROM daily),
+sr AS MATERIALIZED (SELECT ROW_NUMBER() OVER (ORDER BY d) AS rn, y FROM daily),
 n AS (SELECT COUNT(*) AS c FROM sr),
 init AS (
   SELECT round((SELECT SUM(y) FROM sr WHERE rn <= {_HW_M}) / {_HW_M}, 9) AS l0,
