@@ -80,21 +80,21 @@ from . import causal_ext  # noqa: E402,F401
 # tests/test_oracle_types.py now gates the whole registry against
 # HUGEINT/DECIMAL oracle columns so this class cannot recur.
 #
-# Round 10's window executes VERDICT r9 asks #1 and #5:
-#   - slots 1-26: the LAST 26 never-driver-certified entries (all 26
-#     independently judge-verified bit-exact at sf0.01 in the r9
-#     verdict session) — the functions_ext/relational leftovers,
-#     clustering, rows-only MLlib minhash, the quality tail, and geo.
-#     After this window the never-certified backlog is ZERO.
-#   - slot 27: word2vec_cooc_synonyms, NEW this round (ask #5): the
-#     oracle-checked algorithmic twin of the rows-only MLlib
-#     word2vec_synonyms (cosine over exact co-occurrence count
-#     vectors, queries/text.py) — certify it on arrival.
-#   - slots 28-50: START of the oldest-green RE-certification (r7
-#     ask #6 / r8 ask #5): the first 23 r1-certified entries in
-#     registry order (flagship/profile/cleaning/sampling families) —
-#     their only green predates the current AQE/shuffle/warmup
-#     session config.
+# Round 11's window executes VERDICT r10 asks #1 and #3:
+#   - slot 1: user_event_sequences — the board's only red (r10
+#     `unhashable type: 'list'`, representational: the driver's pandas
+#     canonicalizer cannot hash ArrayType cells; values were
+#     judge-verified bit-exact).  Fixed this round by scalarizing the
+#     sequence (F.array_join '|' / DuckDB array_to_string) — certify
+#     the fix at the head of the window.
+#   - slots 2-26: FINISH the oldest-green re-certification for the r1
+#     era: the remaining 25 r1-latest entries (text/dedup/corpus
+#     families + rollup/cube/grouping-sets/set-ops), oldest-first in
+#     registry order, exactly as staged by the r10 rotation plan.
+#     After this window no entry's latest green predates round 2.
+#   - slots 27-50: START the r2-era re-certification: the first 24
+#     entries whose latest green is round 2, in CORRECTNESS_r02.json
+#     order (decontam/search/anomaly/streaming-quality families).
 # Every entry NOT listed keeps its relative order after the listed
 # ones — nothing is ever dropped.
 #
@@ -102,70 +102,73 @@ from . import causal_ext  # noqa: E402,F401
 # except_customers_without_orders -> except_customers_no_urgent_orders
 # (same query; the r1 PASS belongs to the old name).
 #
-# ROUND-11 ROTATION PLAN (for the next builder; verify against
-# CORRECTNESS_r10 first): finish the oldest-green re-certification —
-# the remaining 25 r1-latest entries, oldest-first in registry order:
-# dedup_exact, token_stats, text_quality, doc_fingerprint,
-# lang_histogram, lang_id_predict, dedup_keep_best,
-# corpus_ngram_counts, top_terms_per_doc, pandas_udf_fingerprint,
-# corpus_filter_pipeline, mllib_tfidf_norms, doc_winnow_fingerprints,
-# dedup_ngram_jaccard, minhash_signatures, minhash_lsh_pairs,
-# simhash_fingerprints, simhash_near_dup, minhash_dedup_verified,
-# dedup_clusters, rollup_returnflag_status, cube_priority_status,
-# grouping_sets_events, union_split_halves, intersect_active_users
-# (25 slots); spend the remaining ~25 on the r2-era greens,
-# oldest-first (CORRECTNESS_r02.json order).
+# ROUND-12 ROTATION PLAN (for the next builder; verify against
+# CORRECTNESS_r11 first — re-window anything red at the HEAD): finish
+# the r2-era re-certification — the 23 remaining entries whose latest
+# green is round 2, in CORRECTNESS_r02.json order:
+# vocab_coverage_profile, group_median_center, lang_balanced_sample,
+# html_strip_audit, cms_heavy_hitters, bloom_semi_join_lineitem,
+# hll_distinct_check, quantile_sketch_check, left_outer_order_fill,
+# full_outer_user_activity, corr_qty_price, global_top_orders,
+# orders_above_cust_avg, lineitem_above_global_avg,
+# rollup_daily_from_hourly, q5_same_nation_revenue,
+# q18_large_volume_customers, retention_cohorts,
+# incremental_agg_merge, bucketed_colocated_join, ann_recall_eval,
+# cosine_topk_lsh_multiprobe, stream_cdc_apply_latest (23 slots);
+# spend the remaining ~27 on the r3-era greens oldest-first
+# (CORRECTNESS_r03.json order: ml_train_* family, scan_flows,
+# streaming family, similarity/multimodal).
 _ROUND_PRIORITY = [
-    "salted_user_counts",
-    "new_vs_returning_customers",
-    "interorder_gap_histogram",
-    "json_props_stats",
-    "value_histogram",
-    "orders_by_month",
-    "promo_parts_by_brand",
     "user_event_sequences",
-    "customer_name_features",
-    "lineitem_unpivot_measures",
-    "event_time_parts",
-    "map_funcs_user_type_counts",
-    "try_arith_safe_ratios",
-    "bitwise_event_type_mask",
-    "array_set_ops_profile",
-    "event_type_trigrams",
-    "dwell_time_by_type",
-    "conversion_latency_quantiles",
-    "episode_follow_counts",
-    "mllib_minhash_pairs",
-    "dbscan_grid_clusters",
-    "kcenter_coreset_select",
-    "c4_line_filter_report",
-    "kn_bigram_score",
-    "geo_grid_neighbor_pairs",
-    "geo_grid_knn_suppliers",
-    "word2vec_cooc_synonyms",
-    "flagship_event_profile",
-    "label_histogram",
-    "distinct_labels",
-    "count_distinct_labels",
-    "profile_max",
-    "profile_min",
-    "q1_pricing_summary",
-    "segment_order_stats",
-    "nation_revenue",
-    "top_parts_per_brand",
-    "user_rolling_value",
-    "rank_events_per_user",
-    "sessionize_events",
-    "profile_nan_counts",
-    "replace_inf_fixed",
-    "replace_inf_with_max",
-    "impute_median_exact",
-    "drop_null_rows",
-    "hash_sample_orders",
-    "anti_join_split_orders",
-    "stratified_hash_sample_events",
-    "add_row_id",
-    "stratified_sample_events",
+    "dedup_exact",
+    "token_stats",
+    "text_quality",
+    "doc_fingerprint",
+    "lang_histogram",
+    "lang_id_predict",
+    "dedup_keep_best",
+    "corpus_ngram_counts",
+    "top_terms_per_doc",
+    "pandas_udf_fingerprint",
+    "corpus_filter_pipeline",
+    "mllib_tfidf_norms",
+    "doc_winnow_fingerprints",
+    "dedup_ngram_jaccard",
+    "minhash_signatures",
+    "minhash_lsh_pairs",
+    "simhash_fingerprints",
+    "simhash_near_dup",
+    "minhash_dedup_verified",
+    "dedup_clusters",
+    "rollup_returnflag_status",
+    "cube_priority_status",
+    "grouping_sets_events",
+    "union_split_halves",
+    "intersect_active_users",
+    "decontam_overlap_report",
+    "decontam_clean_profile",
+    "bm25_search_topk",
+    "cdc_apply_latest",
+    "hash_split_assignments",
+    "event_rate_anomaly",
+    "portscan_detection",
+    "cluster_keep_best",
+    "interval_join_window_stats",
+    "user_value_trend",
+    "value_outliers_3sigma",
+    "user_value_ewma",
+    "right_outer_customer_orders",
+    "data_quality_report",
+    "value_stats_by_type",
+    "mllib_ann_topk",
+    "kmeans_cluster_profile",
+    "stream_doc_quality",
+    "stream_dedup_against_corpus",
+    "stream_flow_bruteforce_alerts",
+    "recordlog_roundtrip_profile",
+    "doc_chunks",
+    "repetition_profile",
+    "pii_scrub_audit",
 ]
 
 

@@ -326,7 +326,7 @@ def q_window_rank_functions(spark, sf_dir):
     "user_event_sequences",
     """
     SELECT user_id,
-           list(event_type ORDER BY ts ASC, event_id ASC) AS seq,
+           array_to_string(list(event_type ORDER BY ts ASC, event_id ASC), '|') AS seq,
            COUNT(*) AS n
     FROM events
     GROUP BY user_id
@@ -336,12 +336,21 @@ def q_user_event_sequences(spark, sf_dir):
     """Ordered array aggregation (per-user event-type sequence).
     collect_list alone is partition-order-dependent; sorting structs of
     (ts, event_id, type) restores a total order — deterministic under
-    any partitioning, which is what makes the op usable at scale."""
+    any partitioning, which is what makes the op usable at scale.
+
+    The sequence is emitted as a '|'-joined scalar string (not an
+    ArrayType column): the driver's pandas canonicalizer hashes oracled
+    results through sort_values, which cannot hash list cells (r10
+    red). Values are unchanged — array_join is applied after the exact
+    same struct-sort."""
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy("user_id").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
-            lambda s: s["event_type"],
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+                lambda s: s["event_type"],
+            ),
+            "|",
         ).alias("seq"),
         F.count(F.lit(1)).alias("n"),
     )

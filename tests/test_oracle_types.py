@@ -69,9 +69,13 @@ def test_every_oracle_result_type_is_driver_safe(scope):
         for col, typ in zip(rel.columns, rel.types):
             ts = str(typ)
             bases = _base_types(ts)
-            # LIST markers appear as trailing [] — strip; every scalar
-            # base must be in the allowlist.
-            if any(b not in _SAFE for b in bases):
+            # Every scalar base must be in the allowlist, AND the type
+            # must be scalar at the top level: the driver canonicalizes
+            # oracled results through pandas sort_values, which cannot
+            # hash list/struct/map cells (r10's user_event_sequences
+            # red — a VARCHAR[] column whose [] marker this gate used
+            # to strip).  Reject any composite marker outright.
+            if any(b not in _SAFE for b in bases) or "[]" in ts:
                 offenders.append((name, col, ts))
 
     assert not offenders, (

@@ -15,11 +15,25 @@ _WITH_ORACLE = sorted(name for name, (_, sql) in REGISTRY.items() if sql is not 
 _ROWS_ONLY = sorted(name for name, (_, sql) in REGISTRY.items() if sql is None)
 
 
+def _assert_pandas_canonicalizable(df):
+    # Mimic the driver's canonicalizer (pandas sort_values →
+    # Categorical): it hashes every output value of EVERY entry —
+    # oracled and rows-only alike — so a non-scalar column
+    # (array/map/struct) crashes the driver harness with "unhashable
+    # type" (r7 mllib_fpgrowth_itemsets, rows-only; r10
+    # user_event_sequences, oracled).  Catch that locally: every
+    # registered output must pandas-sort cleanly.
+    pdf = df.limit(200).toPandas()
+    if len(pdf):
+        pdf.sort_values(by=list(pdf.columns), kind="stable")
+
+
 @pytest.mark.parametrize("name", _WITH_ORACLE)
 def test_oracle_parity(spark, name):
     fn, sql = REGISTRY[name]
     df = fn(spark, SF_DIR)
     compare_query(spark, SF_DIR, df, sql)
+    _assert_pandas_canonicalizable(df)
 
 
 @pytest.mark.parametrize("name", _ROWS_ONLY)
@@ -28,11 +42,4 @@ def test_rows_only_runs(spark, name):
     df = fn(spark, SF_DIR)
     assert df.count() >= 0
     assert len(df.schema.fields) > 0
-    # Mimic the driver's rows-only canonicalizer (pandas sort_values →
-    # Categorical): it hashes every output value, so a non-scalar column
-    # (array/map/struct) crashes the driver harness with "unhashable
-    # type" — exactly how mllib_fpgrowth_itemsets failed r7.  Catch that
-    # locally: every rows-only output must pandas-sort cleanly.
-    pdf = df.limit(200).toPandas()
-    if len(pdf):
-        pdf.sort_values(by=list(pdf.columns), kind="stable")
+    _assert_pandas_canonicalizable(df)
