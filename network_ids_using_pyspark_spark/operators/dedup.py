@@ -25,6 +25,8 @@ additions (SURVEY.md §7.1 phase 7).
 from __future__ import annotations
 
 import hashlib
+import threading
+import weakref
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -138,7 +140,27 @@ def _df_split(ex: DataFrame, id_col: str, heavy_df: int):
 # release path in long-lived sessions (ADVICE r9).  The ledger gives
 # :func:`release_all_pair_join_caches` a handle that survives plan
 # composition.
-_LIVE_PAIR_CACHES: "list[DataFrame]" = []
+#
+# The ledger holds WEAK references (ADVICE r10): the strong reference
+# lives on the result DataFrame's ``_nids_cached_relations`` attribute,
+# so once a caller drops the result, the entry dies with it and the
+# ContextCleaner GC-reclaim fallback works exactly as before the ledger
+# existed — a session that never calls a release function cannot grow
+# the ledger unboundedly.  Dead entries are pruned on every ledger
+# operation; a lock makes concurrent pair-joins safe.
+_LIVE_PAIR_CACHES: "list[weakref.ref[DataFrame]]" = []
+_LEDGER_LOCK = threading.Lock()
+
+
+def _prune_dead_locked() -> None:
+    _LIVE_PAIR_CACHES[:] = [r for r in _LIVE_PAIR_CACHES if r() is not None]
+
+
+def live_pair_cache_relations() -> "list[DataFrame]":
+    """The persisted pair-join relations still tracked (and alive)."""
+    with _LEDGER_LOCK:
+        _prune_dead_locked()
+        return [r() for r in _LIVE_PAIR_CACHES if r() is not None]
 
 
 def _track_cache(result: DataFrame, cached: "list[DataFrame]") -> DataFrame:
@@ -147,7 +169,9 @@ def _track_cache(result: DataFrame, cached: "list[DataFrame]") -> DataFrame:
     :func:`release_all_pair_join_caches` can free them (ADVICE r8:
     eager builds leak cache in long-lived sessions)."""
     result._nids_cached_relations = list(cached)
-    _LIVE_PAIR_CACHES.extend(cached)
+    with _LEDGER_LOCK:
+        _prune_dead_locked()
+        _LIVE_PAIR_CACHES.extend(weakref.ref(c) for c in cached)
     return result
 
 
@@ -167,12 +191,17 @@ def release_pair_join_cache(result: DataFrame) -> None:
     result DataFrame (whose plan references the checkpointed RDD) is
     garbage-collected, so drop your reference to ``result`` after
     calling this."""
-    for rel in getattr(result, "_nids_cached_relations", ()):
+    rels = list(getattr(result, "_nids_cached_relations", ()))
+    for rel in rels:
         rel.unpersist()
-        try:
-            _LIVE_PAIR_CACHES.remove(rel)
-        except ValueError:
-            pass
+    if rels:
+        released = {id(rel) for rel in rels}
+        with _LEDGER_LOCK:
+            _LIVE_PAIR_CACHES[:] = [
+                r
+                for r in _LIVE_PAIR_CACHES
+                if r() is not None and id(r()) not in released
+            ]
     result._nids_cached_relations = []
 
 
@@ -181,8 +210,13 @@ def release_all_pair_join_caches() -> None:
     and has not yet released — the handle that works when the original
     pair-join result was transformed away or dropped (ADVICE r9).  Safe
     to call between pipeline stages in a long-lived session."""
-    while _LIVE_PAIR_CACHES:
-        _LIVE_PAIR_CACHES.pop().unpersist()
+    with _LEDGER_LOCK:
+        refs = list(_LIVE_PAIR_CACHES)
+        _LIVE_PAIR_CACHES.clear()
+    for ref in refs:
+        rel = ref()
+        if rel is not None:
+            rel.unpersist()
 
 
 def _light_pair_counts(exd: DataFrame, id_col: str, heavy_df: int) -> DataFrame:

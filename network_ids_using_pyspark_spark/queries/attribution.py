@@ -23,6 +23,8 @@ checkpointed transition relation.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
@@ -158,9 +160,11 @@ def q_markov_attribution_removal(spark, sf_dir):
     power iteration runs in-process on those counts with the exact
     arithmetic both engines use (repr-shortest HALF_UP quantization to
     the 1e-9 grid, exact Decimal accumulation, one final
-    nearest-double conversion — pinned bit-exact against the Spark
-    formulation by tests/test_quality_ext.py::
-    test_markov_attribution_matches_python).  The previous formulation
+    nearest-double conversion — pinned against an independent
+    first-principles Python implementation at 1e-6 by
+    tests/test_quality_ext.py::test_markov_attribution_matches_python,
+    and bit-exact against the DuckDB oracle at sf0.001/sf0.01 by the
+    parity gate).  The previous formulation
     ran 80 Spark jobs (5 chains × 16 steps) over the ~30-row relation —
     pure job-scheduler latency that more executors cannot reduce
     (14-16 s at sf0.1; 1.1 s measured after the re-plan, exponent
@@ -215,7 +219,13 @@ def q_markov_attribution_removal(spark, sf_dir):
 
     def d9(x: float) -> Decimal:
         # Spark's round(double, 9): shortest-repr decimal value,
-        # HALF_UP to the 1e-9 grid (java BigDecimal.valueOf semantics)
+        # HALF_UP to the 1e-9 grid (java BigDecimal.valueOf semantics).
+        # Non-finite inputs (zero-conversion degenerate data: p_base=0
+        # makes div() yield ±Inf/NaN) must propagate like the former
+        # Spark path's round(double) — quantize on them would raise
+        # decimal.InvalidOperation.
+        if not math.isfinite(x):
+            return Decimal(repr(x))  # quiet Decimal ±Infinity / NaN
         return Decimal(repr(x)).quantize(_GRID, rounding=ROUND_HALF_UP)
 
     def div(a: float, b: float) -> float:

@@ -207,16 +207,19 @@ def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ROCKSDB_PROVIDER = (
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 )
+_HASHMAP_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+)
 _STATE_STORE_CONF = "spark.sql.streaming.stateStore.providerClass"
 
 
 class _state_store_scope:
     """Scope the state-store provider to one stream's lifetime.
 
-    ``state_store``: None → leave the session default (the in-memory
-    HDFS-backed HashMap provider); ``"rocksdb"`` → Spark's bundled
-    RocksDB provider, which keeps state off-heap and spills to local
-    disk.  The 100 TB escalation rule (same ladder as the dedup
+    ``state_store``: None/'' → leave the session default;
+    ``"hashmap"`` → explicitly pin the in-memory HDFS-backed HashMap
+    provider; ``"rocksdb"`` → Spark's bundled RocksDB provider, which
+    keeps state off-heap and spills to local disk.  The 100 TB escalation rule (same ladder as the dedup
     ``storage_level``/``spill_path`` knobs): in-memory state is faster
     while keyspace × watermark-horizon fits the executor heaps; beyond
     that — measured at the r9 100× point, where 20 M dedup keys OOMed
@@ -237,7 +240,17 @@ class _state_store_scope:
                 f"unknown state_store {requested!r}: expected 'rocksdb', "
                 "'hashmap', or None/'' for the session default"
             )
-        self.target = _ROCKSDB_PROVIDER if requested == "rocksdb" else None
+        # An EXPLICIT 'hashmap' pins the HDFS-backed HashMap provider
+        # class (ADVICE r10): mapping it to the session default would
+        # silently measure whatever the session is configured with —
+        # the same mislabeling class the r9 typo-rejection closed.
+        # Only None/'' means "session default".
+        if requested == "rocksdb":
+            self.target: "str | None" = _ROCKSDB_PROVIDER
+        elif requested == "hashmap":
+            self.target = _HASHMAP_PROVIDER
+        else:
+            self.target = None
         self.prev: "str | None" = None
 
     def __enter__(self):

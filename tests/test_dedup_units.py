@@ -401,14 +401,34 @@ def test_release_all_pair_join_caches(spark):
     cached = list(getattr(jp, "_nids_cached_relations", []))
     derived = jp.filter("jaccard >= 0")  # drops the handle attribute
     assert not hasattr(derived, "_nids_cached_relations")
+    live = dd.live_pair_cache_relations()
     assert all(
-        rel in dd._LIVE_PAIR_CACHES for rel in cached
+        rel in live for rel in cached
     ), "ledger must hold the persisted relations"
     dd.release_all_pair_join_caches()
-    assert dd._LIVE_PAIR_CACHES == []
+    assert dd.live_pair_cache_relations() == []
     assert all(
         not (rel.storageLevel.useMemory or rel.storageLevel.useDisk)
         for rel in cached
     )
     # releasing the original result afterwards stays a harmless no-op
     release_pair_join_cache(jp)
+
+
+def test_pair_cache_ledger_is_weak(spark):
+    # ADVICE r10: the ledger must not pin persisted relations — a
+    # session that never calls a release function relies on Python GC +
+    # ContextCleaner to reclaim them, so dropping every strong reference
+    # has to evict the ledger entries.
+    import gc
+
+    from network_ids_using_pyspark_spark.operators import dedup as dd
+
+    dd.release_all_pair_join_caches()
+    jp = jaccard_pairs(_docs(spark), 0.4, doc_count=len(DOCS))
+    n_tracked = len(jp._nids_cached_relations)
+    assert n_tracked
+    assert len(dd.live_pair_cache_relations()) >= n_tracked
+    del jp  # the result held the only strong refs
+    gc.collect()
+    assert dd.live_pair_cache_relations() == []

@@ -1660,3 +1660,27 @@ def test_semdedup_relative_k_is_broadcast_scalar(spark):
     plan = explain_str(c, "simple")
     assert "BroadcastNestedLoopJoin" in plan  # 1-row K scalar, broadcast
     assert "CartesianProduct" not in plan
+
+
+def test_knn_exact_exchanges_carry_scalar_rows_only(spark):
+    """Pin the r10 kNN fix (VERDICT r10 ask #4): the cross-join stage
+    projects the scalar distance BEFORE any exchange, so the 128-dim
+    embedding arrays (qv/cv/v) never cross a shuffle boundary.  The
+    regression that let the pair rows carry both arrays into the
+    row_number sort exchange cost 505 s and a session-fatal OOM at 30×
+    (~1 KB/row over 324 M pairs vs ~40 B skinny rows)."""
+    import re
+
+    df = _df(spark, "knn_classifier_exact")
+    plan = explain_str(df, "formatted")
+    exchanges = re.findall(
+        r"\(\d+\) Exchange\s*\nInput \[\d+\]: \[([^\]]*)\]", plan
+    )
+    assert exchanges, "expected at least one Exchange in the kNN plan"
+    array_attrs = re.compile(r"\b(?:qv|cv|v)#\d+")
+    for inputs in exchanges:
+        assert not array_attrs.search(inputs), (
+            "embedding array attribute crosses an exchange: " + inputs
+        )
+        # skinny-row contract: the pair exchange ships ≤5 scalar cols
+        assert len(inputs.split(",")) <= 5, inputs

@@ -435,3 +435,44 @@ def test_markov_attribution_matches_python(spark):
         assert abs(r["p_conv_base"] - p_base) < 1e-6
         assert abs(r["removal_effect"] - re[c]) < 1e-6
         assert abs(r["attribution_share"] - re[c] / re_sum) < 1e-6
+
+
+def test_markov_attribution_degenerate_zero_conversions(spark, tmp_path):
+    """ADVICE r10: a dataset with zero purchases makes p_base = 0, so
+    the removal-effect division yields non-finite values; the in-process
+    iteration must propagate them as NaN/±Inf rows (like the former
+    Spark round(double) path) instead of raising
+    decimal.InvalidOperation inside d9's quantize."""
+    import math as _math
+
+    import pandas as pd
+
+    events = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3, 4],
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:00:00", "2024-01-01 00:01:00",
+                 "2024-01-01 00:02:00", "2024-01-01 00:03:00"]
+            ),
+            "user_id": [1, 1, 2, 2],
+            "event_type": ["view", "click", "view", "signup"],
+            "value": [1.0, 2.0, 3.0, 4.0],
+            "props": ["{}", "{}", "{}", "{}"],
+        }
+    )
+    events.to_parquet(tmp_path / "events.parquet", index=False)
+    rows = (
+        REGISTRY["markov_attribution_removal"][0](spark, str(tmp_path)).collect()
+    )
+    assert rows  # did not raise; one row per touched channel
+    for r in rows:
+        assert r["p_conv_base"] == 0.0
+        # removal effect on a zero-conversion base is NaN (0/0) — it
+        # must arrive as a value, not an exception
+        assert r["removal_effect"] is None or isinstance(
+            r["removal_effect"], float
+        )
+        if isinstance(r["removal_effect"], float):
+            assert _math.isnan(r["removal_effect"]) or _math.isinf(
+                r["removal_effect"]
+            ) or r["removal_effect"] == 0.0

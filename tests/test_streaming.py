@@ -590,3 +590,26 @@ def test_state_store_rejects_unknown_value(spark):
     _state_store_scope(spark, None)
     _state_store_scope(spark, "hashmap")
     _state_store_scope(spark, "rocksdb")
+
+
+def test_state_store_hashmap_is_explicit_provider(spark):
+    """ADVICE r10: state_store='hashmap' must PIN the HDFS-backed
+    HashMap provider class, not fall through to the session default —
+    otherwise a session configured with RocksDB would silently measure
+    RocksDB while labeled hashmap."""
+    from network_ids_using_pyspark_spark.streaming.stream import (
+        _HASHMAP_PROVIDER,
+        _ROCKSDB_PROVIDER,
+        _state_store_scope,
+    )
+
+    assert _state_store_scope(spark, "hashmap").target == _HASHMAP_PROVIDER
+    assert _state_store_scope(spark, "rocksdb").target == _ROCKSDB_PROVIDER
+    assert _state_store_scope(spark, None).target is None
+    assert _state_store_scope(spark, "").target is None
+    # result-invariance of the explicit hashmap provider
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+    before = spark.conf.get(conf_key, None)
+    with _state_store_scope(spark, "hashmap"):
+        assert spark.conf.get(conf_key) == _HASHMAP_PROVIDER
+    assert spark.conf.get(conf_key, None) == before
