@@ -243,3 +243,59 @@ def int8_quantize(vec: Column, scale: Column) -> Column:
 def int8_dequant_err(vec: Column, q: Column, scale: Column) -> Column:
     """Element-wise |x - q/scale| reconstruction error (double)."""
     return F.zip_with(vec, q, lambda x, qi: F.abs(x - qi.cast("double") / scale))
+
+
+def hard_negatives_lsh(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int,
+    hyperplanes: list[list[float]],
+    q_id: str = "q_vec_id",
+    c_id: str = "cand_vec_id",
+    q_vec: str = "qe",
+    c_vec: str = "ce",
+    q_label: str = "q_label",
+    c_label: str = "neg_label",
+    probe_hamming: int = 1,
+) -> DataFrame:
+    """Per-query top-k most-similar candidates with a DIFFERENT label —
+    the hard-negative construction contrastive embedding training mines
+    from a labeled corpus (high-similarity, wrong-class pairs are the
+    gradient-rich ones).
+
+    Same physical shape as :func:`cosine_topk_lsh`: sign-LSH bucket
+    equi-join (broadcast query side, candidate corpus scanned once and
+    shuffled by bucket id), multi-probe fan-out on the small side only;
+    the label-inequality filter rides the bucket join.  The pair
+    projection drops both vectors BEFORE the ranking window, so only
+    scalar rows reach the exchange (the knn_classifier_exact lesson,
+    pinned by plan gate).  Approximate by construction — recall governed
+    by the same bucket geometry ``ann_recall_eval`` measures."""
+    if probe_hamming not in (0, 1):
+        raise ValueError("probe_hamming must be 0 or 1")
+    q = queries.withColumn("code", lsh_bucket(F.col(q_vec), hyperplanes))
+    c = candidates.withColumn("bucket", lsh_bucket(F.col(c_vec), hyperplanes))
+    if probe_hamming == 0:
+        probes = F.array(F.col("code"))
+    else:
+        probes = F.array(
+            F.col("code"),
+            *[F.col("code").bitwiseXOR(F.lit(1 << b)) for b in range(len(hyperplanes))],
+        )
+    q = q.withColumn("__qn", l2_norm(F.col(q_vec)))
+    q = q.select("*", F.explode(probes).alias("bucket")).drop("code")
+    c = c.withColumn("__cn", l2_norm(F.col(c_vec)))
+    j = (
+        c.join(F.broadcast(q), on="bucket")
+        .filter(F.col(q_id) != F.col(c_id))
+        .filter(F.col(q_label) != F.col(c_label))
+    )
+    sims = j.select(
+        q_id,
+        q_label,
+        c_id,
+        c_label,
+        _cosine_pre(F.col(q_vec), F.col(c_vec), F.col("__qn"), F.col("__cn")).alias("sim"),
+    )
+    w = Window.partitionBy(q_id).orderBy(F.desc("sim"), F.asc(c_id))
+    return sims.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)

@@ -92,9 +92,13 @@ from . import causal_ext  # noqa: E402,F401
 #     families + rollup/cube/grouping-sets/set-ops), oldest-first in
 #     registry order, exactly as staged by the r10 rotation plan.
 #     After this window no entry's latest green predates round 2.
-#   - slots 27-50: START the r2-era re-certification: the first 24
+#   - slots 27-48: START the r2-era re-certification: the first 22
 #     entries whose latest green is round 2, in CORRECTNESS_r02.json
 #     order (decontam/search/anomaly/streaming-quality families).
+#   - slots 49-50: the two NEW r11 entries — certify on arrival so the
+#     never-certified backlog stays zero: hard_negative_mining_lsh
+#     (contrastive cross-label ANN via multiprobe sign-LSH) and
+#     doc_novelty_fraction (first-occurrence 3-gram novelty per lang).
 # Every entry NOT listed keeps its relative order after the listed
 # ones — nothing is ever dropped.
 #
@@ -114,10 +118,12 @@ from . import causal_ext  # noqa: E402,F401
 # rollup_daily_from_hourly, q5_same_nation_revenue,
 # q18_large_volume_customers, retention_cohorts,
 # incremental_agg_merge, bucketed_colocated_join, ann_recall_eval,
-# cosine_topk_lsh_multiprobe, stream_cdc_apply_latest (23 slots);
-# spend the remaining ~27 on the r3-era greens oldest-first
-# (CORRECTNESS_r03.json order: ml_train_* family, scan_flows,
-# streaming family, similarity/multimodal).
+# cosine_topk_lsh_multiprobe, stream_cdc_apply_latest, plus
+# repetition_profile and pii_scrub_audit (displaced from the r11
+# window by the two new-entry slots) — 25 slots; spend the remaining
+# ~25 on the r3-era greens oldest-first (CORRECTNESS_r03.json order:
+# ml_train_* family, scan_flows, streaming family,
+# similarity/multimodal).
 _ROUND_PRIORITY = [
     "user_event_sequences",
     "dedup_exact",
@@ -167,8 +173,8 @@ _ROUND_PRIORITY = [
     "stream_flow_bruteforce_alerts",
     "recordlog_roundtrip_profile",
     "doc_chunks",
-    "repetition_profile",
-    "pii_scrub_audit",
+    "hard_negative_mining_lsh",
+    "doc_novelty_fraction",
 ]
 
 

@@ -1011,3 +1011,63 @@ def q_stop_shingle_profile(spark, sf_dir):
             F.first("c").cast("long").alias("heavy_df_cutoff"),
         )
     )
+
+
+_NOVELTY_SQL = f"""
+WITH {_SHINGLES_CTE},
+first AS (SELECT shingle, MIN(doc_id) AS doc_id FROM sh GROUP BY shingle),
+novel AS (SELECT doc_id, COUNT(*) AS novel FROM first GROUP BY doc_id),
+sizes AS (SELECT doc_id, COUNT(*) AS n_grams FROM sh GROUP BY doc_id),
+per_doc AS (
+  SELECT s.doc_id, s.n_grams, COALESCE(n.novel, 0) AS novel
+  FROM sizes s LEFT JOIN novel n USING (doc_id)
+)
+SELECT d.lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(p.novel) AS BIGINT) AS novel_grams,
+       CAST(SUM(p.n_grams) AS BIGINT) AS total_grams,
+       round(CAST(SUM(p.novel) AS DOUBLE) / CAST(SUM(p.n_grams) AS DOUBLE), 6)
+         AS novelty_rate
+FROM per_doc p JOIN documents d USING (doc_id)
+GROUP BY d.lang
+"""
+
+
+@register("doc_novelty_fraction", _NOVELTY_SQL)
+def q_doc_novelty_fraction(spark, sf_dir):
+    """Corpus novelty attribution: the share of each document's
+    distinct 3-gram shingles whose corpus-wide FIRST occurrence
+    (min doc_id = ingestion order) is that document, rolled up per
+    language — the dedup-aware growth metric an incremental corpus
+    pipeline tracks (a feed whose novelty rate decays is re-crawling
+    what it already has).
+
+    Scale shape: no join-back of the gram relation — per-doc novel
+    counts come from re-aggregating the (gram → first_doc) relation by
+    first_doc, so a pathologically hot shingle costs one map-side-
+    combined MIN, never a fan-out join.  Shuffles: gram MIN (combine
+    map-side), two doc_id aggs that co-partition with their join, one
+    tiny lang rollup.  Ratio = single IEEE division of exact BIGINT
+    sums (the established portable-division discipline)."""
+    from ..operators.dedup import exploded_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = exploded_shingles(docs)
+    first = sh.groupBy("shingle").agg(F.min("doc_id").alias("doc_id"))
+    novel = first.groupBy("doc_id").agg(F.count(F.lit(1)).alias("novel"))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    per_doc = sizes.join(novel, "doc_id", "left").select(
+        "doc_id", "n_grams", F.coalesce("novel", F.lit(0)).alias("novel")
+    )
+    return (
+        per_doc.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("novel").cast("long").alias("novel_grams"),
+            F.sum("n_grams").cast("long").alias("total_grams"),
+            F.round(
+                F.sum("novel").cast("double") / F.sum("n_grams").cast("double"), 6
+            ).alias("novelty_rate"),
+        )
+    )

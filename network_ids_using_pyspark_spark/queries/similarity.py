@@ -1585,3 +1585,62 @@ def q_embedding_isotropy_profile(spark, sf_dir):
         F.col("lo.dim").cast("long").alias("min_var_dim"),
         F.round(F.col("lo.var"), 6).alias("min_var"),
     )
+
+
+def _hard_neg_sql(k: int = 5) -> str:
+    from ..operators.dedup import hyperplanes
+
+    hps = hyperplanes(4, 64)
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {hps[b]!r}) > 0 THEN {1 << b} ELSE 0 END)"
+        for b in range(4)
+    )
+    flips = ", ".join(f"xor(bucket, {1 << b})" for b in range(4))
+    return f"""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+                      CAST({bucket} AS BIGINT) AS bucket
+               FROM embeddings),
+    q AS (SELECT vec_id AS q_vec_id, label AS q_label, v AS qe,
+                 unnest([bucket, {flips}]) AS bucket
+          FROM e WHERE vec_id < 8),
+    c AS (SELECT vec_id AS cand_vec_id, label AS neg_label, v AS ce, bucket FROM e),
+    sims AS (
+      SELECT q_vec_id, q_label, cand_vec_id, neg_label,
+             list_dot_product(qe, ce)
+               / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ce, ce))) AS sim
+      FROM c JOIN q USING (bucket)
+      WHERE q_vec_id <> cand_vec_id AND q_label <> neg_label
+    )
+    SELECT q_vec_id, q_label, cand_vec_id, neg_label, sim, rk FROM (
+      SELECT q_vec_id, q_label, cand_vec_id, neg_label, sim,
+             ROW_NUMBER() OVER (PARTITION BY q_vec_id ORDER BY sim DESC, cand_vec_id ASC) AS rk
+      FROM sims
+    ) WHERE rk <= {k}
+    """
+
+
+@register("hard_negative_mining_lsh", _hard_neg_sql())
+def q_hard_negative_mining_lsh(spark, sf_dir):
+    """Contrastive hard-negative mining: per query vector, the top-5
+    most-cosine-similar candidates carrying a DIFFERENT label — the
+    high-similarity wrong-class pairs contrastive embedding training
+    mines from a labeled corpus.  Multi-probe sign-LSH candidate
+    generation (bucket equi-join, broadcast query side, probe fan-out
+    on the small side only) — same scale path as
+    `cosine_topk_lsh_multiprobe`, same exact-double fold parity with
+    the oracle; the label filter rides the bucket join."""
+    from ..operators.dedup import hyperplanes
+    from ..operators.similarity import hard_negatives_lsh
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_vec_id"),
+        F.col("label").alias("q_label"),
+        as_double_array("embedding").alias("qe"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("cand_vec_id"),
+        F.col("label").alias("neg_label"),
+        as_double_array("embedding").alias("ce"),
+    )
+    return hard_negatives_lsh(q, c, k=5, hyperplanes=hyperplanes(4, 64))

@@ -1684,3 +1684,37 @@ def test_knn_exact_exchanges_carry_scalar_rows_only(spark):
         )
         # skinny-row contract: the pair exchange ships ≤5 scalar cols
         assert len(inputs.split(",")) <= 5, inputs
+
+
+def test_hard_negative_mining_scalar_exchange_no_cartesian(spark):
+    """Hard-negative mining is bucket-equi-join ANN: the query side is
+    broadcast (never a cartesian), and only scalar pair rows reach the
+    single ranking exchange — the vectors are dropped in the pair
+    projection (knn_classifier_exact lesson)."""
+    import re
+
+    df = _df(spark, "hard_negative_mining_lsh")
+    plan = explain_str(df, "simple")
+    assert "Cartesian" not in plan
+    assert plan.count("BroadcastHashJoin") == 1
+    assert count_shuffles(df) == 1
+    fmt = explain_str(df, "formatted")
+    for inputs in re.findall(r"\(\d+\) Exchange\s*\nInput \[\d+\]: \[([^\]]*)\]", fmt):
+        assert not re.search(r"\b(?:qe|ce|v)#\d+", inputs), inputs
+
+
+def test_doc_novelty_no_shingle_join_back(spark):
+    """Novelty attribution must never join the gram relation back on
+    shingle (the hot-gram fan-out anti-plan): per-doc novel counts come
+    from re-aggregating (gram -> first_doc) by first_doc, so exactly
+    ONE exchange carries a shingle attribute — the map-side-combined
+    MIN."""
+    import re
+
+    df = _df(spark, "doc_novelty_fraction")
+    plan = explain_str(df, "simple")
+    assert "Cartesian" not in plan
+    fmt = explain_str(df, "formatted")
+    exchanges = re.findall(r"\(\d+\) Exchange\s*\nInput \[\d+\]: \[([^\]]*)\]", fmt)
+    shingle_exchanges = [e for e in exchanges if re.search(r"\bshingle#\d+", e)]
+    assert len(shingle_exchanges) == 1, exchanges
