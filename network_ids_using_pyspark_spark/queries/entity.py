@@ -255,7 +255,16 @@ def q_blocking_recall_eval(spark, sf_dir):
         ).alias("variant"),
     )
     a = dels.select(F.col("nm").alias("na"), "variant")
-    b = dels.select(F.col("nm").alias("nb"), "variant")
+    # shuffle_hash: both sides are the same |names|·len exploded
+    # relation, so AQE's sort-merge pick pays two full sorts of it
+    # plus a sort feeding the distinct on the ~7 M-row raw pair
+    # stream; a per-partition hash build is the cheaper shape (same
+    # rationale as operators/dedup.py's _light_pair_counts).  r11
+    # measured at sf0.1: candidate build 13.8 s → 2.7 s warm.
+    # (Deduping (nm, variant) first — the operators/fuzzy.py run-
+    # hazard — was measured too: the extra shuffle costs more than
+    # the 40% row reduction saves under the hash join.)
+    b = dels.select(F.col("nm").alias("nb"), "variant").hint("shuffle_hash")
     cands = (
         a.join(b, ["variant"])
         .filter(F.col("na") != F.col("nb"))
