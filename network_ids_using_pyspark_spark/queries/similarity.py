@@ -896,10 +896,19 @@ def q_pca_power_iteration_exact(spark, sf_dir):
 
     Scale plan: the covariance is ONE pass over the (vector, dim)
     cells — the self-join fans each vector to D² products map-side and
-    the aggregate reduces to D² cells; all five iterations then run on
-    the D²-row matrix relation (dim-sized, broadcast-joined with the
-    D-row vector).  At 10⁵+ dims you'd sketch (randomized SVD) — the
-    documented tradeoff, same as exact-vs-KLL quantiles."""
+    the aggregate reduces to D² cells.  The five matvec steps then run
+    IN-PROCESS on the collected D²-cell matrix (the config-bounded
+    ≤k-row reduced-collect pattern, same class as the G8 confusion
+    matrix and `markov_attribution_removal`'s r10 re-plan): D²=4096
+    exact doubles, independent of data size, and the former Spark
+    formulation spent ~20 scheduler-bound jobs on them (~17 s at
+    sf0.1, ~3 s after; the distributed covariance pass is untouched).
+    The in-process arithmetic replays the engine formulation bit-for-
+    bit — repr-shortest HALF_UP 1e-9 quantization, exact Decimal
+    accumulation (order-free), nearest-double conversion — and the
+    unchanged DuckDB oracle pins it at both SFs.  At 10⁵+ dims you'd
+    sketch (randomized SVD) — the documented tradeoff, same as
+    exact-vs-KLL quantiles."""
     from ..operators.similarity import dot  # noqa: F401  (family marker)
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -951,29 +960,50 @@ def q_pca_power_iteration_exact(spark, sf_dir):
         )
         .agg((q9s(F.col("val")) / F.first("n")).alias("cij"))
     )
-    cov = cov.localCheckpoint(eager=False)
-    w = dims.select("i", F.lit(1.0).alias("w"))
-    norm = None
+    # Config-bounded reduced collect (D² = 4096 exact cells): the five
+    # matvec steps below are float-identical to the former Spark
+    # formulation — see the docstring; the unchanged oracle is the pin.
+    import math
+    from collections import defaultdict
+    from decimal import ROUND_HALF_UP, Decimal
+
+    _GRID9 = Decimal("0.000000001")
+
+    def d9(x: float) -> Decimal:
+        # Spark's round(double, 9): shortest-repr value, HALF_UP to the
+        # 1e-9 grid (java BigDecimal.valueOf semantics); cov cells and
+        # unit-vector products are always finite here.
+        return Decimal(repr(x)).quantize(_GRID9, rounding=ROUND_HALF_UP)
+
+    def rnd(x: float, digits: int) -> float:
+        return float(
+            Decimal(repr(x)).quantize(
+                Decimal(1).scaleb(-digits), rounding=ROUND_HALF_UP
+            )
+        )
+
+    cells = [(r["i"], r["j"], r["cij"]) for r in cov.collect()]
+    wv = {i: 1.0 for i in range(1, _PCA_D + 1)}
+    s = 0.0
     for _ in range(_PCA_T):
-        u = (
-            cov.join(F.broadcast(w.withColumnRenamed("i", "j")), "j")
-            .groupBy("i")
-            .agg(q9s(F.col("cij") * F.col("w")).alias("u"))
-            .localCheckpoint(eager=False)  # D rows; u feeds norm AND w
-        )
-        norm = u.agg(F.round(F.sqrt(q9s(F.col("u") * F.col("u"))), 9).alias("s"))
-        w = u.crossJoin(F.broadcast(norm)).select(
-            "i", (F.col("u") / F.col("s")).alias("w")
-        )
-    return (
-        w.crossJoin(F.broadcast(norm))
-        .select(
-            F.col("i").cast("long").alias("dim"),
-            F.round("w", 6).alias("loading"),
-            F.round("s", 6).alias("eigenvalue"),
-        )
-        .orderBy(F.abs(F.col("loading")).desc(), F.col("dim").asc())
-        .limit(_PCA_TOP)
+        acc: dict = defaultdict(Decimal)  # exact, order-free accumulation
+        for i, j, cij in cells:
+            acc[i] += d9(cij * wv[j])
+        u = {i: float(x) for i, x in acc.items()}  # nearest double
+        nrm = Decimal(0)
+        for x in u.values():
+            nrm += d9(x * x)
+        s = rnd(math.sqrt(float(nrm)), 9)
+        wv = {i: x / s for i, x in u.items()}
+    rows = sorted(
+        (
+            (int(i), rnd(x, 6), rnd(s, 6))
+            for i, x in wv.items()
+        ),
+        key=lambda r: (-abs(r[1]), r[0]),
+    )[:_PCA_TOP]
+    return spark.createDataFrame(
+        rows, "dim long, loading double, eigenvalue double"
     )
 
 
