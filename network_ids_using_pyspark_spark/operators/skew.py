@@ -76,3 +76,28 @@ def salted_join(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
     ).withColumn("_salt", F.col("_salt").cast("int"))
     return salted_fact.join(replicated, [on, "_salt"], how).drop("_salt")
+
+
+def spread_scan(df):
+    """Repartition a relation to cluster parallelism IFF its scan
+    arrived with fewer splits than cores.
+
+    Small parquet files are one split each (and byte-range splitting
+    cannot subdivide a single row group), so a map stage that fans each
+    input row out — per-row portable-hash evaluation, D²-fold outer
+    products, weight explodes — runs SERIALLY however many cores the
+    cluster has.  For those map-heavy heads, one cheap shuffle of the
+    small input buys full parallelism (r11: the PCA covariance 16.7 s →
+    0.3 s warm).  At real scale the scan already has ≥cores splits and
+    this is a NO-OP — the guard is what keeps the plan scale-honest
+    (never add a shuffle a big scan doesn't need).  Only worth applying
+    where per-input-row map cost is large; a cheap map stage flows into
+    its first exchange at scan parallelism just fine.
+
+    All engine aggregates downstream are order-free (exact decimal /
+    hash-keyed), so repartitioning never moves a bit.
+    """
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df

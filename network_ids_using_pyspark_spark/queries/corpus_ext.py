@@ -98,7 +98,12 @@ def q_repetition_profile(spark, sf_dir):
     """Gopher-style repetition signals per document: duplicate 2/3-gram
     fractions (map-side) + top-token fraction (one doc-keyed shuffle) —
     the quality-filter inputs a corpus-cleaning run thresholds on."""
-    docs = load_table(spark, sf_dir, "documents")
+    from ..operators.skew import spread_scan
+
+    # Two branches re-tokenize every document; a small corpus parquet
+    # is one split, so the per-doc n-gram list builds ran serially —
+    # spread the scan first (no-op at real scale).
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
     return repetition_stats(docs)
 
 
@@ -907,8 +912,14 @@ def q_boilerplate_gram_share(spark, sf_dir):
     broadcasts, and the corpus-side probe is map-side.  The only
     corpus-sized shuffles are the df aggregate and the final doc
     rollup."""
-    docs = load_table(spark, sf_dir, "documents")
     from ..operators.dedup import shingles
+    from ..operators.skew import spread_scan
+
+    # The shingle explode feeds THREE branches (doc counts, gram df,
+    # probe) and re-runs per branch from the scan; spread an
+    # under-split corpus parquet so the explodes run at cluster
+    # parallelism (no-op at real scale).
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
 
     sh = docs.select(
         "doc_id",

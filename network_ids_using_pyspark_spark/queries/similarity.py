@@ -917,17 +917,14 @@ def q_pca_power_iteration_exact(spark, sf_dir):
     def q9s(t):
         return to_d(F.sum(F.round(t, 9).cast("decimal(38, 9)")))
 
-    e = emb.select("vec_id", as_double_array("embedding").alias("v"))
     # The outer-product explode multiplies each input row D²-fold, so
     # the map side must be as parallel as the cluster even when the
     # vector table arrives in few scan partitions (a 2000-row parquet
-    # is ONE split — the 8 M decimal products then run serially: 16.7 s
-    # measured at sf0.1, 0.3 s warm after spreading).  Repartition ONLY
-    # in that case: at scale the scan already has ≥cores splits and the
-    # extra full shuffle of the vectors would be pure waste.
-    par = e.sparkSession.sparkContext.defaultParallelism
-    if e.rdd.getNumPartitions() < par:
-        e = e.repartition(par)
+    # is ONE split — the 8 M decimal products then ran serially: 16.7 s
+    # at sf0.1, 0.3 s warm after spreading; no-op at real scale).
+    from ..operators.skew import spread_scan
+
+    e = spread_scan(emb.select("vec_id", as_double_array("embedding").alias("v")))
     dims = e.sparkSession.range(1, _PCA_D + 1).select(
         F.col("id").cast("int").alias("i")
     )

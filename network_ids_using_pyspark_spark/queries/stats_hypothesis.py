@@ -185,8 +185,17 @@ def q_poisson_bootstrap_ci(spark, sf_dir):
     (map-side combine on rep); the B-row mean relation is dim-sized.
     B scans nothing — the corpus is read ONCE."""
     o = load_table(spark, sf_dir, "orders")
+    # B-fold weight explode with one portable md5 per (rep, order): the
+    # map head is ~B·|orders| hash evaluations, so spread an
+    # under-split scan before fanning out (operators/skew.spread_scan —
+    # serial md5s were ~10 s of this query's wall at sf0.1; no-op when
+    # the scan already has ≥cores splits).
+    from ..operators.skew import spread_scan
+
     reps = F.explode(F.sequence(F.lit(0), F.lit(_B - 1))).alias("rep")
-    w = o.select("o_orderkey", "o_totalprice", reps)
+    w = spread_scan(o.select("o_orderkey", "o_totalprice")).select(
+        "o_orderkey", "o_totalprice", reps
+    )
     u = (
         portable_hash64(
             F.concat(F.col("rep").cast("string"), F.lit(":"), F.col("o_orderkey").cast("string")),
