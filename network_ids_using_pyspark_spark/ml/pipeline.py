@@ -25,7 +25,6 @@ from pyspark.ml.classification import (
     NaiveBayes,
     RandomForestClassifier,
 )
-from pyspark.ml.evaluation import MulticlassClassificationEvaluator
 from pyspark.ml.feature import Imputer, MinMaxScaler, StringIndexer, VectorAssembler
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -103,19 +102,70 @@ def evaluate_multiclass(
     predictions: DataFrame, label_col: str = "encoded_label", n_labels: int = 3
 ) -> dict[str, float]:
     """Engine op ``evaluate_multiclass`` (M9): f1 / precision / recall /
-    accuracy — each a distributed confusion-statistics aggregation —
-    plus PER-LABEL precision/recall rows exactly as the reference
-    publishes them per class (``modelling.py:153-178``,
+    accuracy plus PER-LABEL precision/recall rows exactly as the
+    reference publishes them per class (``modelling.py:153-178``,
     ``ISAA_Review_3.ipynb:1152-1160``): ``precision_label_k`` /
-    ``recall_label_k`` for k in 0..n_labels-1 via ``metricLabel``."""
-    out = {}
-    ev = MulticlassClassificationEvaluator(labelCol=label_col, predictionCol="prediction")
-    for metric in ("f1", "accuracy", "weightedPrecision", "weightedRecall"):
-        out[metric] = ev.setMetricName(metric).evaluate(predictions)
+    ``recall_label_k`` for k in 0..n_labels-1.
+
+    ONE distributed job: the prediction relation is aggregated to its
+    ≤ k² confusion cells (the G4 aggregate-to-literal pattern) and all
+    4 + 2·n_labels metrics are derived in-process with
+    ``MulticlassMetrics``' exact arithmetic.  The old loop made 10
+    ``MulticlassClassificationEvaluator.evaluate`` calls, and each call
+    carries ~0.5 s of fixed JVM job overhead regardless of data size —
+    ~5 s per ml query that no data-side optimization could remove (the
+    same collect-a-tiny-aggregate-then-iterate-in-process fix as r10's
+    ``markov_attribution_removal``).  Bit-identical: the cell counts
+    are integer-valued fp64 (exact below 2^53), every tp/fp/fn sum is
+    an integer sum, and the metric formulas below mirror
+    MulticlassMetrics line for line — pinned bit-for-bit against the
+    evaluator by ``tests/test_ml.py::test_in_process_metrics_match_evaluator``."""
+    cells = (
+        predictions.groupBy(F.col(label_col).alias("label"), F.col("prediction"))
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+        .collect()  # ≤ k² rows — the G4 aggregate-to-literal pattern
+    )
+    cnt: dict[tuple[float, float], float] = {}
+    for r in cells:
+        cnt[(float(r["label"]), float(r["prediction"]))] = float(r["w"])
+    data_labels = sorted({lbl for lbl, _ in cnt})
+    label_count = {
+        lbl: sum(w for (ll, _), w in cnt.items() if ll == lbl) for lbl in data_labels
+    }
+    total = sum(label_count.values())
+
+    def tp(lbl: float) -> float:
+        return cnt.get((lbl, lbl), 0.0)
+
+    def fp(lbl: float) -> float:
+        return sum(w for (ll, pp), w in cnt.items() if pp == lbl and ll != lbl)
+
+    def precision(lbl: float) -> float:
+        d = tp(lbl) + fp(lbl)
+        return 0.0 if d == 0 else tp(lbl) / d
+
+    def recall(lbl: float) -> float:
+        d = label_count.get(lbl, 0.0)
+        return 0.0 if d == 0 else tp(lbl) / d
+
+    def f1(lbl: float) -> float:
+        p, r = precision(lbl), recall(lbl)
+        # fMeasure(label, beta=1.0): (1+β²)·p·r / (β²·p + r)
+        return 0.0 if p + r == 0 else 2.0 * p * r / (1.0 * p + r)
+
+    out = {
+        "accuracy": sum(tp(lbl) for lbl in data_labels) / total,
+        "weightedPrecision": sum(
+            precision(lbl) * label_count[lbl] / total for lbl in data_labels
+        ),
+        "weightedRecall": sum(
+            recall(lbl) * label_count[lbl] / total for lbl in data_labels
+        ),
+        "f1": sum(f1(lbl) * label_count[lbl] / total for lbl in data_labels),
+    }
     for k in range(n_labels):
-        ev.setMetricLabel(float(k))
-        out[f"precision_label_{k}"] = ev.setMetricName("precisionByLabel").evaluate(predictions)
-        out[f"recall_label_{k}"] = ev.setMetricName("recallByLabel").evaluate(predictions)
+        out[f"precision_label_{k}"] = precision(float(k))
+        out[f"recall_label_{k}"] = recall(float(k))
     return out
 
 

@@ -491,9 +491,14 @@ def q_ml_train_gbt_binary(spark, sf_dir):
     auc = BinaryClassificationEvaluator(
         labelCol="bin_label", rawPredictionCol="rawPrediction", metricName="areaUnderROC"
     ).evaluate(preds)
-    acc = preds.filter(F.col("bin_label") == F.col("prediction")).count() / max(
-        preds.count(), 1
-    )
+    # one aggregate instead of two full transform+count passes — the
+    # counts are integers, so hit/total (and the accuracy ratio) are
+    # bit-identical to the old filter().count()/count() formulation
+    hit_total = preds.agg(
+        F.sum((F.col("bin_label") == F.col("prediction")).cast("long")).alias("hit"),
+        F.count(F.lit(1)).alias("total"),
+    ).collect()[0]
+    acc = hit_total["hit"] / max(hit_total["total"], 1)
     prepared.unpersist()
     return _metrics_df(spark, "gbt_binary", {"auc_roc": auc, "accuracy": acc})
 
@@ -583,9 +588,13 @@ def q_ml_train_lr_binary(spark, sf_dir):
         labelCol="bin_label", rawPredictionCol="rawPrediction",
         metricName="areaUnderROC",
     ).evaluate(preds)
-    acc = preds.filter(F.col("bin_label") == F.col("prediction")).count() / max(
-        preds.count(), 1
-    )
+    # one aggregate instead of two full transform+count passes (exact:
+    # integer hit/total — same ratio as filter().count()/count())
+    hit_total = preds.agg(
+        F.sum((F.col("bin_label") == F.col("prediction")).cast("long")).alias("hit"),
+        F.count(F.lit(1)).alias("total"),
+    ).collect()[0]
+    acc = hit_total["hit"] / max(hit_total["total"], 1)
     prepared.unpersist()
     return _metrics_df(spark, "lr_binary", {"auc_roc": auc, "accuracy": acc})
 
@@ -989,6 +998,12 @@ def q_ml_conformal_coverage(spark, sf_dir):
             seed="conf:",
         ),
     )
+    # cache the NARROW scored relation (label, p0, p1, half — 4 scalar
+    # cols): the count + the rank-select's ~2·depth+1 histogram scans +
+    # the two per-alpha aggregates below all re-ran the LR transform
+    # lineage per pass before this; caching 4 doubles per row is the
+    # guide §5 reuse case (values unchanged — same rows, same floats)
+    scored = scored.persist()
     cal = scored.filter(F.col("half") == 0).withColumn(
         "nonconf",
         F.when(F.col("label") == 1.0, 1.0 - F.col("p1")).otherwise(1.0 - F.col("p0")),
@@ -1048,6 +1063,7 @@ def q_ml_conformal_coverage(spark, sf_dir):
             (alpha, float(qhat), n_cal, stats["n_test"], coverage,
              float(stats["mean_set_size"]), round(cov_floor, 6), True)
         )
+    scored.unpersist()
     prepared.unpersist()
     return spark.createDataFrame(
         rows,

@@ -203,3 +203,40 @@ def test_metric_floor_violation_raises(spark):
     # max-direction floors guard the other tail
     with _pytest.raises(AssertionError, match="floor regression"):
         _metrics_df(spark, "als_implicit", {"rmse_vs_purchased": 1.0})
+
+
+def test_in_process_metrics_match_evaluator(spark):
+    """r11 optimization gate: evaluate_multiclass now aggregates
+    predictions to the k×k confusion cells once (one distributed job)
+    and derives all 10 metrics in-process with MulticlassMetrics'
+    exact arithmetic — each MulticlassClassificationEvaluator.evaluate
+    call costs ~0.5 s of fixed JVM overhead, so the old 10-call loop
+    burned ~5 s per ml query.  Pin the equivalence: every metric must
+    equal the raw-row evaluator output bit-for-bit (integer-valued
+    fp64 cell counts are exact, and the formulas mirror
+    MulticlassMetrics line for line)."""
+    from pyspark.ml.evaluation import MulticlassClassificationEvaluator
+
+    from network_ids_using_pyspark_spark.ml.pipeline import evaluate_multiclass
+
+    rows = [
+        (float(lbl), float(pred))
+        for lbl in range(3)
+        for pred in range(3)
+        for _ in range((lbl * 3 + pred + 1) * 7)  # uneven cell counts
+    ]
+    preds = spark.createDataFrame(rows, "encoded_label double, prediction double")
+    got = evaluate_multiclass(preds)
+
+    ev = MulticlassClassificationEvaluator(
+        labelCol="encoded_label", predictionCol="prediction"
+    )
+    want = {}
+    for metric in ("f1", "accuracy", "weightedPrecision", "weightedRecall"):
+        want[metric] = ev.setMetricName(metric).evaluate(preds)
+    for k in range(3):
+        ev.setMetricLabel(float(k))
+        want[f"precision_label_{k}"] = ev.setMetricName("precisionByLabel").evaluate(preds)
+        want[f"recall_label_{k}"] = ev.setMetricName("recallByLabel").evaluate(preds)
+
+    assert got == want, {m: (got[m], want[m]) for m in want if got[m] != want[m]}
