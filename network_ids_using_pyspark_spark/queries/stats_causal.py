@@ -770,27 +770,50 @@ def q_aipw_doubly_robust_ate(spark, sf_dir):
         )
     beta = beta.localCheckpoint(eager=True)
 
-    def _ols_arm(pred, names):
-        yd = F.col("yo").cast("decimal(30, 6)")
-        m = src.filter(pred).agg(
-            F.count(F.lit(1)).cast("double").alias("n"),
-            to_d(F.sum("x1")).alias("s1"),
-            to_d(F.sum("x2")).alias("s2"),
-            to_d(F.sum(F.col("x1") * F.col("x1"))).alias("s11"),
-            to_d(F.sum(F.col("x1") * F.col("x2"))).alias("s12"),
-            to_d(F.sum(F.col("x2") * F.col("x2"))).alias("s22"),
-            to_d(F.sum(yd)).alias("sy"),
-            to_d(F.sum(F.col("x1") * yd)).alias("s1y"),
-            to_d(F.sum(F.col("x2") * yd)).alias("s2y"),
+    # BOTH outcome-model arms in ONE conditional-aggregate scan (r11
+    # optimization, guide §2.3 "aggregate before you shuffle" applied to
+    # passes): the two filtered scans aggregated disjoint row subsets of
+    # the same relation, so ``sum(when(pred, x))`` — which skips the
+    # null non-matches exactly like ``filter(pred)`` skipped the rows —
+    # produces every moment bit-identically (integer sums for
+    # n/s1/s2/s11/s12/s22, exact commutative DECIMAL sums for
+    # sy/s1y/s2y), halving the arm scans and dropping one checkpoint.
+    # The coefficient arithmetic stays in the SAME _OLS_B* SQL
+    # expressions over a canonical-named 1-row projection per arm.
+    yd = F.col("yo").cast("decimal(30, 6)")
+
+    def _arm_aggs(pred, tag):
+        return [
+            F.count(F.when(pred, F.lit(1))).cast("double").alias(f"n_{tag}"),
+            to_d(F.sum(F.when(pred, F.col("x1")))).alias(f"s1_{tag}"),
+            to_d(F.sum(F.when(pred, F.col("x2")))).alias(f"s2_{tag}"),
+            to_d(F.sum(F.when(pred, F.col("x1") * F.col("x1")))).alias(f"s11_{tag}"),
+            to_d(F.sum(F.when(pred, F.col("x1") * F.col("x2")))).alias(f"s12_{tag}"),
+            to_d(F.sum(F.when(pred, F.col("x2") * F.col("x2")))).alias(f"s22_{tag}"),
+            to_d(F.sum(F.when(pred, yd))).alias(f"sy_{tag}"),
+            to_d(F.sum(F.when(pred, F.col("x1") * yd))).alias(f"s1y_{tag}"),
+            to_d(F.sum(F.when(pred, F.col("x2") * yd))).alias(f"s2y_{tag}"),
+        ]
+
+    moments = src.agg(
+        *(_arm_aggs(F.col("y") == 1, "t") + _arm_aggs(F.col("y") == 0, "c"))
+    ).localCheckpoint(eager=True)  # 1 row, both arms
+
+    def _arm_coefs(tag, names):
+        canon = moments.select(
+            *[
+                F.col(f"{m}_{tag}").alias(m)
+                for m in ("n", "s1", "s2", "s11", "s12", "s22", "sy", "s1y", "s2y")
+            ]
         )
-        return m.select(
+        return canon.select(
             F.expr(_OLS_B0).alias(names[0]),
             F.expr(_OLS_B1).alias(names[1]),
             F.expr(_OLS_B2).alias(names[2]),
-        ).localCheckpoint(eager=True)
+        )
 
-    mt = _ols_arm(F.col("y") == 1, ("a0", "a1", "a2"))
-    mc = _ols_arm(F.col("y") == 0, ("c0", "c1", "c2"))
+    mt = _arm_coefs("t", ("a0", "a1", "a2"))
+    mc = _arm_coefs("c", ("c0", "c1", "c2"))
     rf = (
         src.crossJoin(F.broadcast(beta))
         .withColumn("p", p_expr)
