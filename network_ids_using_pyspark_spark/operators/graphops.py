@@ -233,6 +233,15 @@ def kcore_nodes(edges: DataFrame, k: int, iters: int = 8, checkpoint: bool = Tru
         alive = deg.filter(F.col("deg") >= k).select(F.col("src").alias("node"))
         if checkpoint:
             alive = alive.localCheckpoint(eager=False)
+    if checkpoint:
+        # materialize the peel WHILE the edge relation is still cached,
+        # exactly like pagerank_int: unpersisting first (the old order)
+        # dropped the cache before any action had ever filled it — the
+        # persist was dead weight and every superstep's two semi-joins
+        # recomputed the edge build at the caller's first action
+        # (r11 fix; no-leak + lineage-cut contract pinned in
+        # tests/test_round11_units.py)
+        alive = alive.localCheckpoint(eager=True)
     e.unpersist()
     return alive
 

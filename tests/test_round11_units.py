@@ -99,3 +99,31 @@ def test_doc_novelty_all_unique_is_one(spark, tmp_path):
     r = REGISTRY["doc_novelty_fraction"][0](spark, sf).collect()[0]
     assert r["novel_grams"] == r["total_grams"] == 4
     assert r["novelty_rate"] == 1.0
+
+
+def test_kcore_nodes_materializes_before_releasing_edge_cache(spark):
+    """r11 optimization gate: kcore_nodes used to unpersist its edge
+    cache during CONSTRUCTION — before any action had filled it — so
+    the persist was dead weight and every peel superstep recomputed the
+    edge build at the caller's first action.  Pin the fixed contract:
+    with checkpoint=True the returned relation is already materialized
+    (lineage cut to an RDD scan), values match the checkpoint=False
+    lineage exactly, and no persisted RDD leaks out of the call."""
+    from pyspark.sql import functions as F
+
+    from network_ids_using_pyspark_spark.operators.graphops import kcore_nodes
+
+    pairs = [
+        (1, 2), (1, 3), (2, 3),          # triangle: the 2-core
+        (3, 4), (4, 5),                  # tail: peeled at k=2
+    ]
+    df = spark.createDataFrame(pairs, "src long, dst long")
+    edges = df.unionByName(df.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+
+    got = kcore_nodes(edges, k=2, iters=4)
+    # lineage is cut: the plan scans the checkpointed RDD, not the union
+    # (localCheckpoint RDDs themselves stay registered until GC — that
+    # is the same ContextCleaner-managed retention pagerank_int has)
+    assert "LogicalRDD" in got._jdf.queryExecution().optimizedPlan().toString()
+    want = sorted(r["node"] for r in kcore_nodes(edges, k=2, iters=4, checkpoint=False).collect())
+    assert sorted(r["node"] for r in got.collect()) == want == [1, 2, 3]
