@@ -119,7 +119,17 @@ def evaluate_multiclass(
     are integer-valued fp64 (exact below 2^53), every tp/fp/fn sum is
     an integer sum, and the metric formulas below mirror
     MulticlassMetrics line for line — pinned bit-for-bit against the
-    evaluator by ``tests/test_ml.py::test_in_process_metrics_match_evaluator``."""
+    evaluator by ``tests/test_ml.py::test_in_process_metrics_match_evaluator``.
+
+    Two documented contract edges (ADVICE r11): (a) per-label
+    precision/recall for a ``metricLabel`` with ZERO true occurrences
+    returns 0.0 here, where MulticlassMetrics can yield NaN — pinned by
+    ``tests/test_ml.py::test_in_process_metrics_zero_true_label``;
+    (b) the weighted f1/precision/recall sums iterate ``data_labels``
+    in SORTED order while MulticlassMetrics walks an unordered Scala
+    Map, so bit-exactness of the *weighted* metrics is pinned for the
+    ≤3-label production shape (the equivalence test's shape); beyond
+    that, last-ulp summation-order differences are possible."""
     cells = (
         predictions.groupBy(F.col(label_col).alias("label"), F.col("prediction"))
         .agg(F.count(F.lit(1)).cast("double").alias("w"))

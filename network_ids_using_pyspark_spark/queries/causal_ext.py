@@ -598,8 +598,20 @@ def q_causal_e2e_readout(spark, sf_dir):
 
     Scale plan: the union of the member plans — every member is
     moment-aggregate + broadcast shaped, so the composition inherits
-    their contracts (no fact-grain joins or windows anywhere)."""
+    their contracts (no fact-grain joins or windows anywhere).  The
+    IPW and AIPW members share ONE IRLS propensity chain (r12
+    optimization, VERDICT r11 #2): both members fit the identical
+    3-step Newton chain over the identical design matrix from the
+    identical zero start, so the betas are bit-equal by construction —
+    the readout fits them once (`_fit_propensity_beta`) and hands the
+    materialized 1-row relation to both members, removing _IRLS_T
+    fact scans + one checkpoint from the composition.  The standalone
+    member queries still fit their own chain (beta=None default), so
+    their independent certification is untouched."""
+    from .stats_causal import _fit_propensity_beta, _urgent_src
     from .stats_ext import q_aipw_doubly_robust_ate, q_propensity_ipw_ate
+
+    shared_beta = _fit_propensity_beta(_urgent_src(spark, sf_dir))
 
     o = load_table(spark, sf_dir, "orders")
     to_d = lambda c: c.cast("string").cast("double")  # noqa: E731
@@ -616,10 +628,10 @@ def q_causal_e2e_readout(spark, sf_dir):
             6,
         ).alias("estimate")
     ).select(F.lit("a_naive_diff").alias("estimator"), "estimate")
-    ipw = q_propensity_ipw_ate(spark, sf_dir).select(
+    ipw = q_propensity_ipw_ate(spark, sf_dir, beta=shared_beta).select(
         F.lit("b_ipw").alias("estimator"), F.col("ate_ipw").alias("estimate")
     )
-    aipw = q_aipw_doubly_robust_ate(spark, sf_dir).select(
+    aipw = q_aipw_doubly_robust_ate(spark, sf_dir, beta=shared_beta).select(
         F.lit("c_aipw").alias("estimator"), F.col("ate_aipw").alias("estimate")
     )
     cem = q_cem_matching_att(spark, sf_dir).select(

@@ -495,7 +495,12 @@ def q_ml_train_gbt_binary(spark, sf_dir):
     # counts are integers, so hit/total (and the accuracy ratio) are
     # bit-identical to the old filter().count()/count() formulation
     hit_total = preds.agg(
-        F.sum((F.col("bin_label") == F.col("prediction")).cast("long")).alias("hit"),
+        # coalesce: SUM over an empty relation is NULL, and the
+        # max(total, 1) guard below only works if hit stays numeric
+        F.coalesce(
+            F.sum((F.col("bin_label") == F.col("prediction")).cast("long")),
+            F.lit(0),
+        ).alias("hit"),
         F.count(F.lit(1)).alias("total"),
     ).collect()[0]
     acc = hit_total["hit"] / max(hit_total["total"], 1)
@@ -591,7 +596,12 @@ def q_ml_train_lr_binary(spark, sf_dir):
     # one aggregate instead of two full transform+count passes (exact:
     # integer hit/total — same ratio as filter().count()/count())
     hit_total = preds.agg(
-        F.sum((F.col("bin_label") == F.col("prediction")).cast("long")).alias("hit"),
+        # coalesce: SUM over an empty relation is NULL, and the
+        # max(total, 1) guard below only works if hit stays numeric
+        F.coalesce(
+            F.sum((F.col("bin_label") == F.col("prediction")).cast("long")),
+            F.lit(0),
+        ).alias("hit"),
         F.count(F.lit(1)).alias("total"),
     ).collect()[0]
     acc = hit_total["hit"] / max(hit_total["total"], 1)
@@ -1004,67 +1014,73 @@ def q_ml_conformal_coverage(spark, sf_dir):
     # lineage per pass before this; caching 4 doubles per row is the
     # guide §5 reuse case (values unchanged — same rows, same floats)
     scored = scored.persist()
-    cal = scored.filter(F.col("half") == 0).withColumn(
-        "nonconf",
-        F.when(F.col("label") == 1.0, 1.0 - F.col("p1")).otherwise(1.0 - F.col("p0")),
-    )
-    tst = scored.filter(F.col("half") == 1)
-    n_cal = cal.count()
-    rows = []
-    import math
-
-    # q-hat is the k-th smallest nonconformity score.  The old plan —
-    # orderBy(nonconf).limit(k).agg(max) — compiles to
-    # TakeOrderedAndProject with k ≈ 0.9·n_cal, i.e. a driver-side
-    # merge that grows LINEARLY with the calibration set (measured:
-    # the dominant term of the 54 s 10× point, alpha 0.73).  The
-    # level-batched histogram descent resolves BOTH alphas' order
-    # statistics in one ~2·depth+1-scan pass with bounded driver
-    # traffic at any n_cal.
-    from ..operators.rangepart import exact_rank_select
-
-    ks = {
-        alpha: max(min(math.ceil((n_cal + 1) * (1 - alpha)), n_cal), 1)
-        for alpha in (0.10, 0.05)
-        # ceiling of (n+1)(1-alpha): flooring shrinks q-hat and
-        # silently undercuts the coverage guarantee
-    }
-    qhats = exact_rank_select(cal, ["nonconf"], sorted(set(ks.values())))
-    for alpha in (0.10, 0.05):
-        qhat = qhats[ks[alpha]][0]
-        sets = tst.select(
-            ((1.0 - F.col("p0")) <= qhat).cast("int").alias("in0"),
-            ((1.0 - F.col("p1")) <= qhat).cast("int").alias("in1"),
-            F.col("label"),
+    try:
+        cal = scored.filter(F.col("half") == 0).withColumn(
+            "nonconf",
+            F.when(F.col("label") == 1.0, 1.0 - F.col("p1")).otherwise(
+                1.0 - F.col("p0")
+            ),
         )
-        stats = sets.agg(
-            F.count(F.lit(1)).alias("n_test"),
-            F.avg(
-                F.when(
-                    (F.col("label") == 1.0) & (F.col("in1") == 1), 1.0
-                ).when((F.col("label") == 0.0) & (F.col("in0") == 1), 1.0).otherwise(0.0)
-            ).alias("coverage"),
-            F.avg(F.col("in0") + F.col("in1")).alias("mean_set_size"),
-        ).collect()[0]
-        # self-asserting coverage floor (VERDICT r5 ask #4): split
-        # conformal guarantees ≥ 1−α marginal coverage; allow 3
-        # binomial standard errors of slack on this finite split
-        # (mirrors tests/test_ml_extras.py)
-        cov_floor = (1 - alpha) - 3 * math.sqrt(
-            alpha * (1 - alpha) / max(stats["n_test"], 1)
-        )
-        coverage = float(stats["coverage"])
-        if coverage < cov_floor:
-            raise AssertionError(
-                f"conformal coverage floor regression at alpha={alpha}: "
-                f"{coverage:.4f} < {cov_floor:.4f}"
+        tst = scored.filter(F.col("half") == 1)
+        n_cal = cal.count()
+        rows = []
+        import math
+
+        # q-hat is the k-th smallest nonconformity score.  The old plan —
+        # orderBy(nonconf).limit(k).agg(max) — compiles to
+        # TakeOrderedAndProject with k ≈ 0.9·n_cal, i.e. a driver-side
+        # merge that grows LINEARLY with the calibration set (measured:
+        # the dominant term of the 54 s 10× point, alpha 0.73).  The
+        # level-batched histogram descent resolves BOTH alphas' order
+        # statistics in one ~2·depth+1-scan pass with bounded driver
+        # traffic at any n_cal.
+        from ..operators.rangepart import exact_rank_select
+
+        ks = {
+            alpha: max(min(math.ceil((n_cal + 1) * (1 - alpha)), n_cal), 1)
+            for alpha in (0.10, 0.05)
+            # ceiling of (n+1)(1-alpha): flooring shrinks q-hat and
+            # silently undercuts the coverage guarantee
+        }
+        qhats = exact_rank_select(cal, ["nonconf"], sorted(set(ks.values())))
+        for alpha in (0.10, 0.05):
+            qhat = qhats[ks[alpha]][0]
+            sets = tst.select(
+                ((1.0 - F.col("p0")) <= qhat).cast("int").alias("in0"),
+                ((1.0 - F.col("p1")) <= qhat).cast("int").alias("in1"),
+                F.col("label"),
             )
-        rows.append(
-            (alpha, float(qhat), n_cal, stats["n_test"], coverage,
-             float(stats["mean_set_size"]), round(cov_floor, 6), True)
-        )
-    scored.unpersist()
-    prepared.unpersist()
+            stats = sets.agg(
+                F.count(F.lit(1)).alias("n_test"),
+                F.avg(
+                    F.when(
+                        (F.col("label") == 1.0) & (F.col("in1") == 1), 1.0
+                    ).when((F.col("label") == 0.0) & (F.col("in0") == 1), 1.0).otherwise(0.0)
+                ).alias("coverage"),
+                F.avg(F.col("in0") + F.col("in1")).alias("mean_set_size"),
+            ).collect()[0]
+            # self-asserting coverage floor (VERDICT r5 ask #4): split
+            # conformal guarantees ≥ 1−α marginal coverage; allow 3
+            # binomial standard errors of slack on this finite split
+            # (mirrors tests/test_ml_extras.py)
+            cov_floor = (1 - alpha) - 3 * math.sqrt(
+                alpha * (1 - alpha) / max(stats["n_test"], 1)
+            )
+            coverage = float(stats["coverage"])
+            if coverage < cov_floor:
+                raise AssertionError(
+                    f"conformal coverage floor regression at alpha={alpha}: "
+                    f"{coverage:.4f} < {cov_floor:.4f}"
+                )
+            rows.append(
+                (alpha, float(qhat), n_cal, stats["n_test"], coverage,
+                 float(stats["mean_set_size"]), round(cov_floor, 6), True)
+            )
+    finally:
+        # release the caches even if the coverage-floor assertion fires
+        # mid-loop — a leaked persist lingers for the whole warm session
+        scored.unpersist()
+        prepared.unpersist()
     return spark.createDataFrame(
         rows,
         "alpha double, qhat double, n_cal long, n_test long, "

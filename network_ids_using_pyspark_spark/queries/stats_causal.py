@@ -542,28 +542,30 @@ FROM b{t}_ b CROSS JOIN ipw i
     )
 
 
-@register("propensity_ipw_ate", _ipw_sql())
-def q_propensity_ipw_ate(spark, sf_dir):
-    """Average treatment effect of URGENT priority on order value by
-    inverse-propensity weighting (Horvitz-Thompson weights, Hájek
-    normalization): the propensity P(urgent | month, finished-status)
-    is fitted by three unrolled Newton/IRLS steps (the
-    `logreg_irls_exact` template verbatim), then treated and control
-    means are reweighted by 1/p and 1/(1-p).  The sigmoid's 1e-9 clamp
-    doubles as the standard IPW overlap clamp.
-
-    Scale plan: T+1 map-side-combined fact scans (T Newton steps + one
-    weighted-mean pass) with a 3-coefficient 1-row broadcast between
-    passes — identical shape to `quality_classifier_filter`; nothing
-    driver-side but the 1-row beta."""
+def _urgent_src(spark, sf_dir):
+    """The shared URGENT→order-value design matrix: x1 = order month,
+    x2 = finished-status flag, y = treatment (URGENT), yo = outcome
+    (total price).  Both propensity-based estimators (IPW, AIPW) and
+    the e2e readout consume exactly this relation."""
     o = load_table(spark, sf_dir, "orders")
-    to_d = lambda c: c.cast("string").cast("double")  # noqa: E731
-    src = o.select(
+    return o.select(
         F.month(F.col("o_orderdate").cast("date")).cast("long").alias("x1"),
         F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("x2"),
         F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0).alias("y"),
         F.col("o_totalprice").cast("double").alias("yo"),
     )
+
+
+def _fit_propensity_beta(src):
+    """The `logreg_irls_exact` template: _IRLS_T unrolled Newton/IRLS
+    steps of P(y | x1, x2) over ``src``, every moment 1e-9-quantized
+    and DECIMAL-summed, returning the eagerly-checkpointed 1-row
+    (b0, b1, b2) relation.  Shared verbatim by `propensity_ipw_ate`
+    and `aipw_doubly_robust_ate` (and fitted ONCE by
+    `causal_e2e_readout`, which passes the same 1-row relation to both
+    members — r12 optimization; the chain is deterministic, so sharing
+    the materialized betas is bit-identical to refitting them)."""
+    to_d = lambda c: c.cast("string").cast("double")  # noqa: E731
 
     def q9_sum(term):
         return to_d(F.sum(F.round(term, 9).cast("decimal(38, 9)")))
@@ -595,7 +597,32 @@ def q_propensity_ipw_ate(spark, sf_dir):
             (F.col("b1") + F.expr(_OLS_B1)).alias("b1"),
             (F.col("b2") + F.expr(_OLS_B2)).alias("b2"),
         )
-    beta = beta.localCheckpoint(eager=True)
+    return beta.localCheckpoint(eager=True)
+
+
+@register("propensity_ipw_ate", _ipw_sql())
+def q_propensity_ipw_ate(spark, sf_dir, beta=None):
+    """Average treatment effect of URGENT priority on order value by
+    inverse-propensity weighting (Horvitz-Thompson weights, Hájek
+    normalization): the propensity P(urgent | month, finished-status)
+    is fitted by three unrolled Newton/IRLS steps (the
+    `logreg_irls_exact` template verbatim), then treated and control
+    means are reweighted by 1/p and 1/(1-p).  The sigmoid's 1e-9 clamp
+    doubles as the standard IPW overlap clamp.
+
+    Scale plan: T+1 map-side-combined fact scans (T Newton steps + one
+    weighted-mean pass) with a 3-coefficient 1-row broadcast between
+    passes — identical shape to `quality_classifier_filter`; nothing
+    driver-side but the 1-row beta."""
+    to_d = lambda c: c.cast("string").cast("double")  # noqa: E731
+    src = _urgent_src(spark, sf_dir)
+
+    def q9_sum(term):
+        return to_d(F.sum(F.round(term, 9).cast("decimal(38, 9)")))
+
+    if beta is None:
+        beta = _fit_propensity_beta(src)
+    p_expr = F.expr(_IRLS_P)
     rf = src.crossJoin(F.broadcast(beta)).withColumn("p", p_expr)
     t_col, p_col, yo = F.col("y"), F.col("p"), F.col("yo")
     agg = rf.agg(
@@ -715,7 +742,7 @@ FROM fin f CROSS JOIN b{t}_ b
 
 
 @register("aipw_doubly_robust_ate", _aipw_sql())
-def q_aipw_doubly_robust_ate(spark, sf_dir):
+def q_aipw_doubly_robust_ate(spark, sf_dir, beta=None):
     """Doubly-robust (AIPW) average treatment effect of URGENT
     priority on order value: the IPW estimate augmented with per-arm
     OLS outcome models m1/m0(month, finished-status), consistent if
@@ -729,46 +756,15 @@ def q_aipw_doubly_robust_ate(spark, sf_dir):
     outcome models + one estimation scan, with three 1-row coefficient
     relations broadcast into the final pass — every pass map-side
     combined; nothing driver-side but 1-row betas."""
-    o = load_table(spark, sf_dir, "orders")
     to_d = lambda c: c.cast("string").cast("double")  # noqa: E731
-    src = o.select(
-        F.month(F.col("o_orderdate").cast("date")).cast("long").alias("x1"),
-        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("x2"),
-        F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0).alias("y"),
-        F.col("o_totalprice").cast("double").alias("yo"),
-    )
+    src = _urgent_src(spark, sf_dir)
 
     def q9_sum(term):
         return to_d(F.sum(F.round(term, 9).cast("decimal(38, 9)")))
 
-    beta = src.sparkSession.range(1).select(
-        F.lit(0.0).alias("b0"), F.lit(0.0).alias("b1"), F.lit(0.0).alias("b2")
-    )
+    if beta is None:
+        beta = _fit_propensity_beta(src)
     p_expr = F.expr(_IRLS_P)
-    for _ in range(_IRLS_T):
-        r = src.crossJoin(F.broadcast(beta)).withColumn("p", p_expr)
-        w = F.col("p") * (1.0 - F.col("p"))
-        resid = F.col("y") - F.col("p")
-        a = r.agg(
-            F.first("b0").alias("b0"),
-            F.first("b1").alias("b1"),
-            F.first("b2").alias("b2"),
-            q9_sum(w).alias("n"),
-            q9_sum(w * F.col("x1")).alias("s1"),
-            q9_sum(w * F.col("x2")).alias("s2"),
-            q9_sum(w * F.col("x1") * F.col("x1")).alias("s11"),
-            q9_sum(w * F.col("x1") * F.col("x2")).alias("s12"),
-            q9_sum(w * F.col("x2") * F.col("x2")).alias("s22"),
-            q9_sum(resid).alias("sy"),
-            q9_sum(resid * F.col("x1")).alias("s1y"),
-            q9_sum(resid * F.col("x2")).alias("s2y"),
-        )
-        beta = a.select(
-            (F.col("b0") + F.expr(_OLS_B0)).alias("b0"),
-            (F.col("b1") + F.expr(_OLS_B1)).alias("b1"),
-            (F.col("b2") + F.expr(_OLS_B2)).alias("b2"),
-        )
-    beta = beta.localCheckpoint(eager=True)
 
     # BOTH outcome-model arms in ONE conditional-aggregate scan (r11
     # optimization, guide §2.3 "aggregate before you shuffle" applied to

@@ -240,3 +240,25 @@ def test_in_process_metrics_match_evaluator(spark):
         want[f"recall_label_{k}"] = ev.setMetricName("recallByLabel").evaluate(preds)
 
     assert got == want, {m: (got[m], want[m]) for m in want if got[m] != want[m]}
+
+
+def test_in_process_metrics_zero_true_label(spark):
+    """ADVICE r11 contract edge: a metricLabel with ZERO true rows.
+    evaluate_multiclass defines recall(k) = 0.0 when label k never
+    occurs (and precision(k) = 0.0 when nothing was predicted k),
+    where MulticlassMetrics would divide by a zero label count.  Pin
+    the engine-side contract explicitly: no NaN, no throw, 0.0."""
+    from network_ids_using_pyspark_spark.ml.pipeline import evaluate_multiclass
+
+    # label 2 never occurs as a true label; prediction 2 does occur
+    rows = [(0.0, 0.0)] * 5 + [(0.0, 2.0)] * 2 + [(1.0, 1.0)] * 4 + [(1.0, 0.0)]
+    preds = spark.createDataFrame(rows, "encoded_label double, prediction double")
+    got = evaluate_multiclass(preds, n_labels=3)
+
+    assert got["recall_label_2"] == 0.0  # zero true rows -> 0.0 by contract
+    assert got["precision_label_2"] == 0.0  # tp=0 over 2 predictions
+    # the observed-label metrics stay exact
+    assert got["accuracy"] == 9.0 / 12.0
+    assert got["precision_label_0"] == 5.0 / 6.0
+    assert got["recall_label_0"] == 5.0 / 7.0
+    assert all(v == v for v in got.values())  # no NaN anywhere
