@@ -80,101 +80,96 @@ from . import causal_ext  # noqa: E402,F401
 # tests/test_oracle_types.py now gates the whole registry against
 # HUGEINT/DECIMAL oracle columns so this class cannot recur.
 #
-# Round 11's window executes VERDICT r10 asks #1 and #3:
-#   - slot 1: user_event_sequences — the board's only red (r10
-#     `unhashable type: 'list'`, representational: the driver's pandas
-#     canonicalizer cannot hash ArrayType cells; values were
-#     judge-verified bit-exact).  Fixed this round by scalarizing the
-#     sequence (F.array_join '|' / DuckDB array_to_string) — certify
-#     the fix at the head of the window.
-#   - slots 2-26: FINISH the oldest-green re-certification for the r1
-#     era: the remaining 25 r1-latest entries (text/dedup/corpus
-#     families + rollup/cube/grouping-sets/set-ops), oldest-first in
-#     registry order, exactly as staged by the r10 rotation plan.
-#     After this window no entry's latest green predates round 2.
-#   - slots 27-48: START the r2-era re-certification: the first 22
-#     entries whose latest green is round 2, in CORRECTNESS_r02.json
-#     order (decontam/search/anomaly/streaming-quality families).
-#   - slots 49-50: the two NEW r11 entries — certify on arrival so the
-#     never-certified backlog stays zero: hard_negative_mining_lsh
-#     (contrastive cross-label ANN via multiprobe sign-LSH) and
-#     doc_novelty_fraction (first-occurrence 3-gram novelty per lang).
-# Every entry NOT listed keeps its relative order after the listed
-# ones — nothing is ever dropped.
+# Round 12's window executes the r11-staged rotation plan verbatim
+# (VERDICT r11 ask #7; CORRECTNESS_r11 verified first — 47/50 green,
+# 3 no-oracle N/A rows, nothing red to re-window):
+#   - slots 1-25: FINISH the r2-era re-certification — the 23
+#     remaining entries whose latest green is round 2, in
+#     CORRECTNESS_r02.json order, plus repetition_profile and
+#     pii_scrub_audit (displaced from the r11 window by the two
+#     new-entry slots).  After this window no entry's latest green
+#     predates round 3.
+#   - slots 26-50: START the r3-era re-certification: the first 25
+#     entries whose latest green is round 3, in CORRECTNESS_r03.json
+#     order (ml_train_* family, scan-flows profiles, the streaming
+#     family, cosine-topk/quantization similarity heads).
+# The never-certified backlog stays at zero (r11 certified both r11
+# arrivals; r12 adds no entries).  Every entry NOT listed keeps its
+# relative order after the listed ones — nothing is ever dropped.
 #
 # RENAME LEDGER (so coverage audits don't double-count): r2 renamed
 # except_customers_without_orders -> except_customers_no_urgent_orders
 # (same query; the r1 PASS belongs to the old name).
 #
-# ROUND-12 ROTATION PLAN (for the next builder; verify against
-# CORRECTNESS_r11 first — re-window anything red at the HEAD): finish
-# the r2-era re-certification — the 23 remaining entries whose latest
-# green is round 2, in CORRECTNESS_r02.json order:
-# vocab_coverage_profile, group_median_center, lang_balanced_sample,
-# html_strip_audit, cms_heavy_hitters, bloom_semi_join_lineitem,
-# hll_distinct_check, quantile_sketch_check, left_outer_order_fill,
-# full_outer_user_activity, corr_qty_price, global_top_orders,
-# orders_above_cust_avg, lineitem_above_global_avg,
-# rollup_daily_from_hourly, q5_same_nation_revenue,
-# q18_large_volume_customers, retention_cohorts,
-# incremental_agg_merge, bucketed_colocated_join, ann_recall_eval,
-# cosine_topk_lsh_multiprobe, stream_cdc_apply_latest, plus
-# repetition_profile and pii_scrub_audit (displaced from the r11
-# window by the two new-entry slots) — 25 slots; spend the remaining
-# ~25 on the r3-era greens oldest-first (CORRECTNESS_r03.json order:
-# ml_train_* family, scan_flows, streaming family,
-# similarity/multimodal).
+# ROUND-13 ROTATION PLAN (for the next builder; verify against
+# CORRECTNESS_r12 first — re-window anything red at the HEAD): finish
+# the r3-era re-certification — the 24 remaining entries whose latest
+# green is round 3, in CORRECTNESS_r03.json order:
+# embedding_label_centroid_norms, media_image_features,
+# media_audio_features, media_resize_thumbs, media_frame_samples,
+# media_phash_near_dup, passage_dedup_scrub, embedding_near_dup,
+# except_customers_no_urgent_orders, feature_corr_matrix,
+# unigram_surprisal_score, q3_shipping_priority, q6_forecast_revenue,
+# q14_promo_revenue, q4_priority_with_returns, q16_parts_not_ordered,
+# q10_returned_item_ranking, q3_top_unshipped_revenue,
+# asof_last_click_before_purchase, salted_skew_join_revenue,
+# pagerank_trade_graph, pivot_user_event_counts,
+# sequence_packing_profile, weighted_doc_sample — 24 slots; spend the
+# remaining ~26 on the r4-era greens oldest-first
+# (CORRECTNESS_r04.json order).
 _ROUND_PRIORITY = [
-    "user_event_sequences",
-    "dedup_exact",
-    "token_stats",
-    "text_quality",
-    "doc_fingerprint",
-    "lang_histogram",
-    "lang_id_predict",
-    "dedup_keep_best",
-    "corpus_ngram_counts",
-    "top_terms_per_doc",
-    "pandas_udf_fingerprint",
-    "corpus_filter_pipeline",
-    "mllib_tfidf_norms",
-    "doc_winnow_fingerprints",
-    "dedup_ngram_jaccard",
-    "minhash_signatures",
-    "minhash_lsh_pairs",
-    "simhash_fingerprints",
-    "simhash_near_dup",
-    "minhash_dedup_verified",
-    "dedup_clusters",
-    "rollup_returnflag_status",
-    "cube_priority_status",
-    "grouping_sets_events",
-    "union_split_halves",
-    "intersect_active_users",
-    "decontam_overlap_report",
-    "decontam_clean_profile",
-    "bm25_search_topk",
-    "cdc_apply_latest",
-    "hash_split_assignments",
-    "event_rate_anomaly",
-    "portscan_detection",
-    "cluster_keep_best",
-    "interval_join_window_stats",
-    "user_value_trend",
-    "value_outliers_3sigma",
-    "user_value_ewma",
-    "right_outer_customer_orders",
-    "data_quality_report",
-    "value_stats_by_type",
-    "mllib_ann_topk",
-    "kmeans_cluster_profile",
-    "stream_doc_quality",
-    "stream_dedup_against_corpus",
-    "stream_flow_bruteforce_alerts",
-    "recordlog_roundtrip_profile",
-    "doc_chunks",
-    "hard_negative_mining_lsh",
-    "doc_novelty_fraction",
+    # --- slots 1-25: r2-era finish (CORRECTNESS_r02.json order) ---
+    "vocab_coverage_profile",
+    "group_median_center",
+    "lang_balanced_sample",
+    "html_strip_audit",
+    "cms_heavy_hitters",
+    "bloom_semi_join_lineitem",
+    "hll_distinct_check",
+    "quantile_sketch_check",
+    "left_outer_order_fill",
+    "full_outer_user_activity",
+    "corr_qty_price",
+    "global_top_orders",
+    "orders_above_cust_avg",
+    "lineitem_above_global_avg",
+    "rollup_daily_from_hourly",
+    "q5_same_nation_revenue",
+    "q18_large_volume_customers",
+    "retention_cohorts",
+    "incremental_agg_merge",
+    "bucketed_colocated_join",
+    "ann_recall_eval",
+    "cosine_topk_lsh_multiprobe",
+    "stream_cdc_apply_latest",
+    "repetition_profile",
+    "pii_scrub_audit",
+    # --- slots 26-50: r3-era start (CORRECTNESS_r03.json order) ---
+    "ml_train_rf",
+    "ml_train_dt",
+    "ml_train_nb",
+    "ml_train_mlp",
+    "ml_confusion_rf",
+    "ml_e2e_ref_width",
+    "scan_flows_csv_profile",
+    "random_split_invariants",
+    "flows_port_label_profile",
+    "stream_tumbling_counts",
+    "stream_sliding_counts",
+    "stream_session_stats",
+    "stream_dedup_count",
+    "stream_stateful_user_stats",
+    "stream_score_sink_roundtrip",
+    "stream_static_join_counts",
+    "stream_stream_join_pairs",
+    "stream_stream_left_outer",
+    "stream_ingest_pipeline_e2e",
+    "stream_late_data_metrics",
+    "cosine_topk",
+    "cosine_topk_lsh",
+    "cosine_topk_ivf",
+    "cosine_topk_int8",
+    "embedding_int8_quantize",
 ]
 
 

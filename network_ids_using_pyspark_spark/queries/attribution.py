@@ -28,6 +28,7 @@ import math
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from ..functions.numeric import q9_lane_sum
 from ..sources.tables import load_table
 from . import register
 
@@ -562,6 +563,7 @@ def q_markov_entropy_rate(spark, sf_dir):
         .groupBy("src")
         .agg(
             F.sum("n").cast("long").alias("tot"),
+            # |states|^2-grain input: decimal optimal at every scale (r12 audit)
             F.sum(F.round(F.col("term"), 9).cast("decimal(38, 9)"))
             .cast("string")
             .cast("double")

@@ -31,6 +31,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from ..functions.numeric import lane_sum_dec, q9_lane_sum
 from ..sources.tables import load_table
 from . import register
 from .stats_ext import _irls_q9_sum
@@ -153,7 +154,7 @@ def q_rdd_cutoff_effect(spark, sf_dir):
     )
 
     def q9_sum(term):
-        return to_d(F.sum(F.round(term, 9).cast("decimal(38, 9)")))
+        return q9_lane_sum(term)
 
     def side_agg(tag):
         only = lambda t: F.when(F.col("side") == tag, t)  # noqa: E731
@@ -395,6 +396,7 @@ def q_cem_matching_att(spark, sf_dir):
         to_d(F.sum(F.when(matched, F.col("sy_t").cast("decimal(38, 9)")))).alias(
             "sum_y_t"
         ),
+        # strata-grain input: decimal optimal at every scale (r12 audit)
         to_d(
             F.sum(F.round(F.when(matched, w_term), 9).cast("decimal(38, 9)"))
         ).alias("sum_wy_c"),
@@ -516,6 +518,9 @@ def q_chow_break_test(spark, sf_dir):
     )
 
     def q9_sum(term):
+        # day/strata-grain aggregate input (non-scaling cardinality):
+        # the raw decimal sum is optimal at EVERY scale here — the lane
+        # expansion only adds fixed planning/codegen cost (r12 grain audit)
         return to_d(F.sum(F.round(term, 9).cast("decimal(38, 9)")))
 
     def seg(tag, flag):
@@ -884,7 +889,7 @@ def q_covariate_balance_smd(spark, sf_dir):
     )
 
     def q9_sum(term):
-        return to_d(F.sum(F.round(term, 9).cast("decimal(38, 9)")))
+        return q9_lane_sum(term)
 
     strata = s.groupBy(
         F.col("x1").alias("k1"), F.col("x2").alias("k2")

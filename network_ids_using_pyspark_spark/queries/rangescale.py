@@ -40,6 +40,7 @@ from ..operators.rangepart import (
     ntile_boundaries,
     ntile_sizes,
 )
+from ..functions.numeric import q9_lane_sum
 from ..sources.tables import load_table
 from . import register
 from .datamgmt import _BIN_CUT, _BIN_N, _BINNING_SQL
@@ -431,10 +432,7 @@ def q_winsorized_mean_orders(spark, sf_dir):
         F.sum(F.when(F.col("v") < lo, 1).otherwise(0)).cast("long").alias("n_clamped_lo"),
         F.sum(F.when(F.col("v") > hi, 1).otherwise(0)).cast("long").alias("n_clamped_hi"),
         F.round(
-            F.sum(F.round(clamped, 9).cast("decimal(38, 9)"))
-            .cast("string")
-            .cast("double")
-            / F.count(F.lit(1)),
+            q9_lane_sum(clamped) / F.count(F.lit(1)),
             6,
         ).alias("mean_winsorized"),
     )

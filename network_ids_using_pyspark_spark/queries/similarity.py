@@ -4,6 +4,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from ..functions.numeric import q9_lane_sum
 from ..sources.tables import load_table
 from ..operators.similarity import as_double_array, cosine_topk
 from . import register
@@ -915,7 +916,7 @@ def q_pca_power_iteration_exact(spark, sf_dir):
     to_d = lambda c: c.cast("string").cast("double")  # noqa: E731
 
     def q9s(t):
-        return to_d(F.sum(F.round(t, 9).cast("decimal(38, 9)")))
+        return q9_lane_sum(t)
 
     # The outer-product explode multiplies each input row D²-fold, so
     # the map side must be as parallel as the cluster even when the
@@ -1578,7 +1579,7 @@ def q_embedding_isotropy_profile(spark, sf_dir):
     to_d = lambda c: c.cast("string").cast("double")  # noqa: E731
 
     def q9_sum(term):
-        return to_d(F.sum(F.round(term, 9).cast("decimal(38, 9)")))
+        return q9_lane_sum(term)
 
     vals = emb.select(
         F.posexplode(as_double_array("embedding")).alias("dim", "val")

@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from ..functions.numeric import lane_sum_dec, q9_lane_sum
 from ..functions.hashing import (
     HASH_SPACE,
     hash_bucket,
@@ -439,7 +440,7 @@ def q_circular_hour_stats(spark, sf_dir):
     )
 
     def q9_sum(term):
-        return to_d(F.sum(F.round(term, 9).cast("decimal(38, 9)")))
+        return q9_lane_sum(term)
 
     m = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
@@ -567,7 +568,7 @@ def q_poisson_glm_exact(spark, sf_dir):
     )
 
     def q9_sum(term):
-        return to_d(F.sum(F.round(term, 9).cast("decimal(38, 9)")))
+        return q9_lane_sum(term)
 
     mu_expr = F.expr(_PGLM_MU)
     beta = src.sparkSession.range(1).select(
@@ -720,7 +721,7 @@ def q_brier_decomposition(spark, sf_dir):
     )
 
     def q9_sum(term):
-        return to_d(F.sum(F.round(term, 9).cast("decimal(38, 9)")))
+        return q9_lane_sum(term)
 
     p_expr = F.expr(_IRLS_P)
     beta = src.sparkSession.range(1).select(
@@ -842,7 +843,7 @@ def q_model_gains_table(spark, sf_dir):
     )
 
     def q9_sum(term):
-        return to_d(F.sum(F.round(term, 9).cast("decimal(38, 9)")))
+        return q9_lane_sum(term)
 
     p_expr = F.expr(_IRLS_P)
     beta = src.sparkSession.range(1).select(
@@ -994,6 +995,9 @@ def q_mantel_haenszel_or(spark, sf_dir):
     )
 
     def q9_sum(term):
+        # day/strata-grain aggregate input (non-scaling cardinality):
+        # the raw decimal sum is optimal at EVERY scale here — the lane
+        # expansion only adds fixed planning/codegen cost (r12 grain audit)
         return to_d(F.sum(F.round(term, 9).cast("decimal(38, 9)")))
 
     a, b, c, d, n = (F.col(x) for x in "abcdn")
@@ -1090,7 +1094,7 @@ def q_ab_mde_readout(spark, sf_dir):
     )
 
     def q9_sum(term):
-        return to_d(F.sum(F.round(term, 9).cast("decimal(38, 9)")))
+        return q9_lane_sum(term)
 
     def arm(tag, a):
         only = lambda c: F.when(F.col("t") == a, c)  # noqa: E731
@@ -1215,7 +1219,7 @@ def q_group_sequential_obf(spark, sf_dir):
     )
 
     def q9_sum(term):
-        return to_d(F.sum(F.round(term, 9).cast("decimal(38, 9)")))
+        return q9_lane_sum(term)
 
     def arm(p, a):
         only = lambda c: F.when(F.col("t") == a, c)  # noqa: E731
@@ -1349,10 +1353,12 @@ def q_theil_index_decomposition(spark, sf_dir):
     )
 
     def q9_sum(term):
-        return to_d(F.sum(F.round(term, 9).cast("decimal(38, 9)")))
+        return q9_lane_sum(term)
 
     def dec_sum(term):
-        return to_d(F.sum(F.round(term, 6).cast("decimal(38, 9)")))
+        # lane_sum_dec at scale 6: same value; the string cast renders
+        # 6 instead of 9 fractional digits, which parses to the same double
+        return to_d(lane_sum_dec(term, 6))
 
     tot = cust.agg(
         F.count(F.lit(1)).cast("double").alias("n"), dec_sum(F.col("x")).alias("sx")
@@ -1463,7 +1469,7 @@ def q_jarque_bera_normality(spark, sf_dir):
     v = F.col("value")
 
     def q9_sum(term):
-        return to_d(F.sum(F.round(term, 9).cast("decimal(38, 9)")))
+        return q9_lane_sum(term)
 
     m = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("double").alias("n"),

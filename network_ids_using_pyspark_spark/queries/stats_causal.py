@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from ..functions.numeric import lane_sum_dec, q9_lane_sum
 from ..functions.hashing import (
     HASH_SPACE,
     hash_bucket,
@@ -101,7 +102,6 @@ def q_huber_location_irls(spark, sf_dir):
     o = load_table(spark, sf_dir, "orders")
     vals = o.select(F.col("o_totalprice").alias("v")).localCheckpoint(eager=False)
     to_d = lambda c: c.cast("string").cast("double")  # noqa: E731
-    d9 = lambda c: F.round(c, 9).cast("decimal(38, 9)")  # noqa: E731
     mu = vals.agg(F.round(F.median("v"), 9).alias("m"))
     scale = (
         vals.crossJoin(F.broadcast(mu))
@@ -121,7 +121,7 @@ def q_huber_location_irls(spark, sf_dir):
             )
             .agg(
                 F.round(
-                    to_d(F.sum(d9(w * F.col("v")))) / to_d(F.sum(d9(w))), 9
+                    q9_lane_sum(w * F.col("v")) / q9_lane_sum(w), 9
                 ).alias("m")
             )
             .localCheckpoint(eager=True)  # 1 row; cut the per-pass lineage
@@ -141,7 +141,7 @@ def q_huber_location_irls(spark, sf_dir):
     )
     stats = vals.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
-        F.round(to_d(F.sum(d9(F.col("v")))) / F.count(F.lit(1)), 6).alias("mean_plain"),
+        F.round(q9_lane_sum(F.col("v")) / F.count(F.lit(1)), 6).alias("mean_plain"),
     )
     mu0 = vals.agg(F.round(F.median("v"), 9).alias("m0"))
     return (
@@ -568,7 +568,7 @@ def _fit_propensity_beta(src):
     to_d = lambda c: c.cast("string").cast("double")  # noqa: E731
 
     def q9_sum(term):
-        return to_d(F.sum(F.round(term, 9).cast("decimal(38, 9)")))
+        return q9_lane_sum(term)
 
     beta = src.sparkSession.range(1).select(
         F.lit(0.0).alias("b0"), F.lit(0.0).alias("b1"), F.lit(0.0).alias("b2")
@@ -618,7 +618,7 @@ def q_propensity_ipw_ate(spark, sf_dir, beta=None):
     src = _urgent_src(spark, sf_dir)
 
     def q9_sum(term):
-        return to_d(F.sum(F.round(term, 9).cast("decimal(38, 9)")))
+        return q9_lane_sum(term)
 
     if beta is None:
         beta = _fit_propensity_beta(src)
@@ -760,7 +760,7 @@ def q_aipw_doubly_robust_ate(spark, sf_dir, beta=None):
     src = _urgent_src(spark, sf_dir)
 
     def q9_sum(term):
-        return to_d(F.sum(F.round(term, 9).cast("decimal(38, 9)")))
+        return q9_lane_sum(term)
 
     if beta is None:
         beta = _fit_propensity_beta(src)
@@ -932,7 +932,7 @@ def q_fdr_bh_metric_screen(spark, sf_dir):
     )
 
     def q9_sum(term):
-        return to_d(F.sum(F.round(term, 9).cast("decimal(38, 9)")))
+        return q9_lane_sum(term)
 
     def side(p, g):
         only = lambda t: F.when(F.col("grp") == g, t)  # noqa: E731
@@ -1127,6 +1127,8 @@ def q_cox_ph_exact(spark, sf_dir):
     )
 
     def q9_sum(expr):
+        # distinct-time-grain input (calendar-bounded): decimal is optimal
+        # at every scale; lanes only add fixed cost (r12 grain audit)
         return to_d(F.sum(F.round(F.expr(expr), 9).cast("decimal(38, 9)")))
 
     beta = ev.sparkSession.range(1).select(F.lit(0.0).alias("b"))
@@ -1543,7 +1545,7 @@ def q_james_stein_source_means(spark, sf_dir):
     )
 
     def q9_sum(term):
-        return to_d(F.sum(F.round(term, 9).cast("decimal(38, 9)")))
+        return q9_lane_sum(term)
 
     per_src = (
         docs.select("source", q.alias("q"))

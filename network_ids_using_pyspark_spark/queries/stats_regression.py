@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from ..functions.numeric import lane_sum_dec, q9_lane_sum
 from ..functions.hashing import (
     HASH_SPACE,
     hash_bucket,
@@ -400,7 +401,7 @@ def q_logreg_irls_exact(spark, sf_dir):
     )
 
     def q9_sum(term):
-        return to_d(F.sum(F.round(term, 9).cast("decimal(38, 9)")))
+        return q9_lane_sum(term)
 
     beta = src.sparkSession.range(1).select(
         F.lit(0.0).alias("b0"), F.lit(0.0).alias("b1"), F.lit(0.0).alias("b2")
@@ -544,7 +545,7 @@ def q_gnb_train_confusion_exact(spark, sf_dir):
     test = src.filter(F.col("bkt") >= 8)
 
     def q9s(t):
-        return to_d(F.sum(F.round(t, 9).cast("decimal(38, 9)")))
+        return q9_lane_sum(t)
 
     stats = train.groupBy("cls").agg(
         F.count(F.lit(1)).alias("n_c"),
@@ -804,7 +805,7 @@ def q_gnb_calibration_curve(spark, sf_dir):
     test = src.filter(F.col("bkt") >= 8)
 
     def q9s(t):
-        return to_d(F.sum(F.round(t, 9).cast("decimal(38, 9)")))
+        return q9_lane_sum(t)
 
     stats = train.groupBy("cls").agg(
         F.count(F.lit(1)).alias("n_c"),
@@ -1073,7 +1074,7 @@ def q_gnb_auc_exact(spark, sf_dir):
     test = src.filter(F.col("bkt") >= 8)
 
     def q9s(t):
-        return to_d(F.sum(F.round(t, 9).cast("decimal(38, 9)")))
+        return q9_lane_sum(t)
 
     stats = train.groupBy("cls").agg(
         F.count(F.lit(1)).alias("n_c"),
@@ -1270,7 +1271,7 @@ def q_quality_classifier_filter(spark, sf_dir):
     )
 
     def q9_sum(term):
-        return to_d(F.sum(F.round(term, 9).cast("decimal(38, 9)")))
+        return q9_lane_sum(term)
 
     beta = src.sparkSession.range(1).select(
         F.lit(0.0).alias("b0"), F.lit(0.0).alias("b1"), F.lit(0.0).alias("b2")
@@ -1812,6 +1813,7 @@ def q_stl_decompose_profile(spark, sf_dir):
             + F.lit(0.0)  # −0.0 → +0.0: DuckDB's round keeps the sign bit
         ).alias("resid_mean"),
         F.round(
+            # dow-grain input: decimal optimal at every scale (r12 grain audit)
             to_d(F.sum(F.round(F.col("r") * F.col("r"), 9).cast("decimal(38, 9)")))
             / F.col("n_days"),
             6,

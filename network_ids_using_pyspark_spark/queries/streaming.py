@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from ..functions.numeric import q9_lane_sum
 from ..streaming.stream import (
     run_folded_agg,
     run_to_memory,
@@ -1263,7 +1264,7 @@ def q_stream_quality_filter_totals(spark, sf_dir):
         )
 
     def q9_sum(term):
-        return to_d(F.sum(F.round(term, 9).cast("decimal(38, 9)")))
+        return q9_lane_sum(term)
 
     src = features(load_table(spark, sf_dir, "documents"))
     beta = src.sparkSession.range(1).select(

@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..functions.hashing import portable_hash64_sql
+from ..functions.numeric import q9_lane_sum
 from ..sources.tables import load_table
 from ..operators.textops import (
     doc_fingerprint,
@@ -1042,10 +1043,7 @@ def q_rake_keyword_extraction(spark, sf_dir):
         mem.join(ws, "w")
         .groupBy("doc_id", "phrase_id", "phrase", "plen")
         .agg(
-            F.sum(F.round(F.col("wscore"), 9).cast("decimal(38, 9)"))
-            .cast("string")
-            .cast("double")
-            .alias("score")
+            q9_lane_sum(F.col("wscore")).alias("score")
         )
     )
     return (

@@ -23,7 +23,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import hash_bucket, hash_bucket_sql
-from ..functions.numeric import dec_avg, dec_avg_sql
+from ..functions.numeric import dec_avg, dec_avg_sql, q9_lane_sum
 from ..sources.tables import load_table
 from . import register
 
@@ -1397,12 +1397,8 @@ def q_kl_divergence_by_source(spark, sf_dir):
     p_sw = (F.col("c_sw") + 1.0) / (F.col("n_s") + F.col("v"))
     lgp_w = lg6((F.col("c_w") + 1.0) / (F.col("n") + F.col("v")))
     terms = j.groupBy("source").agg(
-        to_d(
-            F.sum(F.round(p_sw * (lg6(p_sw) - lgp_w), 9).cast("decimal(38, 9)"))
-        ).alias("obs_term"),
-        to_d(
-            F.sum(F.round(q_s * (lg6(q_s) - lgp_w), 9).cast("decimal(38, 9)"))
-        ).alias("obs_corr"),
+        q9_lane_sum(p_sw * (lg6(p_sw) - lgp_w)).alias("obs_term"),
+        q9_lane_sum(q_s * (lg6(q_s) - lgp_w)).alias("obs_corr"),
     )
     out = (
         src.join(terms, "source")
